@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver's synthetic corpus (`TESTDATA.md`):
+  * `region nation customer supplier part orders lineitem events documents
+  * embeddings`, one parquet per table under `sfDir`.
+  *
+  * Scans stay plain `spark.read.parquet` so Catalyst keeps full predicate
+  * pushdown / column pruning into the parquet reader — at 100 TB that scan
+  * pruning is the single biggest lever, so nothing here materializes,
+  * caches, or repartitions eagerly.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as long ns
+    * (via `spark.sql.legacy.parquet.nanosAsLong`). Normalize to a µs
+    * TimestampType column so downstream operators and the DuckDB oracle
+    * agree (the corpus carries no sub-µs components). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    GraftSession.tune(s)
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _        => df
+    }
+  }
+}

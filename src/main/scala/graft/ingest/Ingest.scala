@@ -1,0 +1,65 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.write.IncrementalWriter
+
+/** Batch ingest of one (feed, year, month) file into the partitioned raw
+  * layer — the Spark-first restatement of
+  * `scripts/nyc_taxi/ingest_spark_bulk.py`:
+  *
+  *  - S1 fetch: the reference GETs monthly parquet from the TLC CDN with a
+  *    404-is-success skip (`:87-115`); here the source is a URI/path the
+  *    executors can read (local file in tests; any Hadoop-FS URI — s3a,
+  *    hdfs — in production). No driver-side byte shuffling: Spark's
+  *    parquet reader pulls straight from the source, unlike the
+  *    reference's driver-download + object-store staging hop (S2), which
+  *    at 100 TB would bottleneck on the driver NIC.
+  *  - S3 scan with schema inference (`:136-139`).
+  *  - metadata stamp: `year`, `month` literals + `loaded_at`
+  *    current_timestamp (`:141-144`).
+  *  - S5 idempotency probe / S6 overwrite (`:59-81,96-106`): `skip` mode
+  *    no-ops when the partition exists; `overwrite` replaces exactly that
+  *    partition via dynamic partition overwrite.
+  */
+object Ingest {
+
+  sealed trait Mode
+  case object Skip extends Mode
+  case object Overwrite extends Mode
+
+  final case class Result(feed: String, year: Int, month: Int,
+                          action: String, rows: Long)
+
+  /** Ingest one monthly file. `sourcePath` absent/unreadable mirrors the
+    * reference's 404 ⇒ skip-as-success (`ingest_spark_bulk.py:165-168`). */
+  def ingestMonth(spark: SparkSession, sourcePath: String, rawTablePath: String,
+                  feed: String, year: Int, month: Int,
+                  mode: Mode = Skip): Result = {
+    val exists = IncrementalWriter.partitionExists(spark, rawTablePath, year, month)
+    if (exists && mode == Skip)
+      return Result(feed, year, month, "skipped_existing", 0L)
+
+    val src =
+      try spark.read.parquet(sourcePath)
+      catch {
+        case e: Exception if e.getMessage != null &&
+          (e.getMessage.contains("Path does not exist") ||
+           e.getMessage.contains("PATH_NOT_FOUND")) =>
+          return Result(feed, year, month, "skipped_missing_source", 0L)
+      }
+
+    val stamped = stamp(src, year, month)
+    if (exists) IncrementalWriter.overwritePartitions(spark, stamped, rawTablePath)
+    else IncrementalWriter.appendPartitioned(stamped, rawTablePath)
+    Result(feed, year, month, if (exists) "overwritten" else "appended",
+      spark.read.parquet(rawTablePath)
+        .filter(col("year") === year && col("month") === month).count())
+  }
+
+  /** Metadata stamp (`ingest_spark_bulk.py:141-144`). */
+  def stamp(df: DataFrame, year: Int, month: Int): DataFrame =
+    df.withColumn("year", lit(year))
+      .withColumn("month", lit(month))
+      .withColumn("loaded_at", current_timestamp())
+}

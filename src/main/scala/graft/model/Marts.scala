@@ -1,0 +1,120 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expr.Functions._
+
+/** Marts layer: the three fact tables (`fct_trips{,_daily,_monthly}.sql`
+  * under `dbt/models/marts/`), CTAS
+  * full-rebuild semantics (storage handled by
+  * [[graft.write.IncrementalWriter.overwriteTable]]).
+  *
+  * Scale notes (100 TB design point):
+  *  - Both aggregates group on low-cardinality keys (date × 4 taxi types ≈
+  *    1.5k groups/year), so partial (map-side) aggregation collapses nearly
+  *    all input before the shuffle — the shuffle moves ~groups×partitions
+  *    rows, not the fact table.
+  *  - The `count(distinct ...)` columns expand each input row once per
+  *    distinct-aggregate (Catalyst's Expand) — the dominant cost at scale.
+  *    They stay exact here because the reference's semantics are exact;
+  *    [[dailyApprox]] is the sketch-based variant for the 100 TB path.
+  */
+object Marts {
+
+  /** `fct_trips.sql:14-54` — wide projection (P5), declared column order. */
+  def fctTrips(cleaned: DataFrame): DataFrame =
+    cleaned.select(
+      "trip_id", "taxi_type",
+      "pickup_location_id", "dropoff_location_id",
+      "pickup_datetime", "dropoff_datetime", "year", "month",
+      "pickup_hour", "pickup_day_of_week", "pickup_day_name", "time_of_day",
+      "trip_distance_miles", "trip_duration_minutes", "trip_duration_hours",
+      "avg_speed_mph",
+      "fare_amount", "total_amount", "cost_per_mile", "cost_per_minute",
+      "base_passenger_fare",
+      "passenger_count", "vendor_id", "hvfhs_license_number",
+      "dispatching_base_number",
+      "is_valid_duration", "is_valid_distance", "is_valid_fare",
+      "is_high_quality_trip",
+      "loaded_at")
+
+  /** `fct_trips_daily.sql:14-51` — A1..A6 over (trip_date, taxi_type,
+    * year, month). */
+  def fctTripsDaily(fct: DataFrame): DataFrame =
+    fct.groupBy(
+      to_date(col("pickup_datetime")).as("trip_date"),
+      col("taxi_type"), col("year"), col("month"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        countDistinct(col("pickup_location_id")).as("unique_pickup_locations"),
+        countDistinct(col("dropoff_location_id")).as("unique_dropoff_locations"),
+        round(sum("trip_distance_miles"), 2).as("total_distance_miles"),
+        round(avg("trip_distance_miles"), 2).as("avg_distance_miles"),
+        round(min("trip_distance_miles"), 2).as("min_distance_miles"),
+        round(max("trip_distance_miles"), 2).as("max_distance_miles"),
+        round(sum("trip_duration_minutes"), 2).as("total_duration_minutes"),
+        round(avg("trip_duration_minutes"), 2).as("avg_duration_minutes"),
+        round(min("trip_duration_minutes"), 2).as("min_duration_minutes"),
+        round(max("trip_duration_minutes"), 2).as("max_duration_minutes"),
+        round(avg("avg_speed_mph"), 2).as("avg_speed_mph"),
+        round(sum("total_amount"), 2).as("total_revenue"),
+        round(avg("total_amount"), 2).as("avg_fare"),
+        round(avg("cost_per_mile"), 2).as("avg_cost_per_mile"),
+        round(avg("passenger_count"), 2).as("avg_passengers"),
+        round(sum("passenger_count"), 0).as("total_passengers"),
+        sum(when(col("time_of_day") === "Morning", 1).otherwise(0)).as("trips_morning"),
+        sum(when(col("time_of_day") === "Afternoon", 1).otherwise(0)).as("trips_afternoon"),
+        sum(when(col("time_of_day") === "Evening", 1).otherwise(0)).as("trips_evening"),
+        sum(when(col("time_of_day") === "Night", 1).otherwise(0)).as("trips_night"))
+      .withColumn("created_at", current_timestamp())
+
+  /** Sketch-based daily variant for the 100 TB path: HLL++ distinct counts
+    * (single aggregation pass, no Expand) — a faithful *superset*, not the
+    * parity surface. */
+  def dailyApprox(fct: DataFrame, rsd: Double = 0.01): DataFrame =
+    fct.groupBy(
+      to_date(col("pickup_datetime")).as("trip_date"),
+      col("taxi_type"), col("year"), col("month"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        approx_count_distinct(col("pickup_location_id"), rsd).as("unique_pickup_locations"),
+        approx_count_distinct(col("dropoff_location_id"), rsd).as("unique_dropoff_locations"),
+        round(sum("total_amount"), 2).as("total_revenue"))
+
+  /** `fct_trips_monthly.sql:14-51` — A3/A4/A7/A8/A9 over (year, month,
+    * taxi_type). */
+  def fctTripsMonthly(fct: DataFrame): DataFrame =
+    fct.groupBy(col("year"), col("month"), col("taxi_type"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        countDistinct(col("pickup_location_id")).as("unique_pickup_locations"),
+        countDistinct(col("dropoff_location_id")).as("unique_dropoff_locations"),
+        countDistinct(to_date(col("pickup_datetime"))).as("days_with_trips"),
+        round(sum("trip_distance_miles"), 2).as("total_distance_miles"),
+        round(avg("trip_distance_miles"), 2).as("avg_distance_miles"),
+        round(sum(col("trip_duration_minutes")) / 60.0, 2).as("total_duration_hours"),
+        round(avg("trip_duration_minutes"), 2).as("avg_duration_minutes"),
+        round(avg("avg_speed_mph"), 2).as("avg_speed_mph"),
+        round(sum("total_amount"), 2).as("total_revenue"),
+        round(avg("total_amount"), 2).as("avg_fare"),
+        round(safeDiv(sum(col("total_amount")), count(lit(1))), 2).as("revenue_per_trip"),
+        round(sum("passenger_count"), 0).as("total_passengers"),
+        round(avg("passenger_count"), 2).as("avg_passengers"),
+        round(avg(when(col("time_of_day") === "Morning", 1.0).otherwise(0.0)) * 100, 1).as("pct_morning"),
+        round(avg(when(col("time_of_day") === "Afternoon", 1.0).otherwise(0.0)) * 100, 1).as("pct_afternoon"),
+        round(avg(when(col("time_of_day") === "Evening", 1.0).otherwise(0.0)) * 100, 1).as("pct_evening"),
+        round(avg(when(col("time_of_day") === "Night", 1.0).otherwise(0.0)) * 100, 1).as("pct_night"),
+        round(avg(when(col("pickup_day_of_week").isin(6, 7), 1.0).otherwise(0.0)) * 100, 1).as("pct_weekend"))
+      .withColumn("month_start_date", monthStartDate(col("year"), col("month")))
+      .withColumn("created_at", current_timestamp())
+      .select(
+        "year", "month", "taxi_type", "month_start_date",
+        "total_trips", "unique_pickup_locations", "unique_dropoff_locations",
+        "days_with_trips",
+        "total_distance_miles", "avg_distance_miles",
+        "total_duration_hours", "avg_duration_minutes", "avg_speed_mph",
+        "total_revenue", "avg_fare", "revenue_per_trip",
+        "total_passengers", "avg_passengers",
+        "pct_morning", "pct_afternoon", "pct_evening", "pct_night",
+        "pct_weekend", "created_at")
+}
