@@ -36,7 +36,10 @@ object Tables {
     GraftSession.tune(s)
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integral `div`, NOT `/`: true division would round-trip the
+      // ~1.7e18 ns epoch value through a double (53-bit mantissa) and
+      // corrupt the microsecond truncation by a few hundred ns.
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => df
     }
   }

@@ -1,0 +1,121 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Pipeline}
+import graft.model.Marts
+import graft.oracle.TaxiSql
+import graft.quality.Checks
+import graft.sources.TaxiDerive
+import graft.write.IncrementalWriter
+
+/** Driver-harness entries for the reference-parity surface (SURVEY §2):
+  * the four staging models, the three intermediate views, the three marts,
+  * the ad-hoc sort/limit query, the quality checks, and the incremental
+  * delete+insert writer — each over taxi feeds deterministically derived
+  * from the driver's corpus ([[TaxiDerive]]) with a DuckDB oracle
+  * ([[TaxiSql]]) that mirrors the Spark expressions exactly.
+  *
+  * Volatile columns (`loaded_at`, `created_at` — `current_timestamp` in
+  * the reference) are dropped from every graded output.
+  */
+object TaxiEntries {
+
+  private def models(s: SparkSession, dir: String): Pipeline.BuiltModels = {
+    GraftSession.tune(s)
+    val (y, g, f, h) = TaxiDerive.feeds(s, dir)
+    Pipeline.buildModels(y, g, f, h)
+  }
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "taxi_stg_yellow" -> q((s, d) => models(s, d).stgYellow.drop("loaded_at")),
+    "taxi_stg_green" -> q((s, d) => models(s, d).stgGreen.drop("loaded_at")),
+    "taxi_stg_fhv" -> q((s, d) => models(s, d).stgFhv.drop("loaded_at")),
+    "taxi_stg_fhvhv" -> q((s, d) => models(s, d).stgFhvhv.drop("loaded_at")),
+    "taxi_unified" -> q((s, d) => models(s, d).unified.drop("loaded_at")),
+    "taxi_enriched" -> q((s, d) => models(s, d).enriched.drop("loaded_at")),
+    "taxi_cleaned" -> q((s, d) => models(s, d).cleaned.drop("loaded_at")),
+    "taxi_fct_trips" -> q((s, d) => models(s, d).fctTrips.drop("loaded_at")),
+    "taxi_fct_daily" -> q((s, d) => models(s, d).fctDaily.drop("created_at")),
+    "taxi_fct_monthly" -> q((s, d) => models(s, d).fctMonthly.drop("created_at")),
+    // §2.6 sort/limit — reference README.md:166 ad-hoc top-10, with a
+    // taxi_type tiebreak so the cut is total-ordered.
+    "taxi_daily_top10" -> q((s, d) => models(s, d).fctDaily.drop("created_at")
+      .orderBy(col("trip_date").desc, col("taxi_type")).limit(10)),
+    // quality checks (§5) — each returns VIOLATING rows, dbt-style
+    "taxi_chk_notnull_dropoff_loc" -> q((s, d) =>
+      Checks.notNull(models(s, d).stgYellow, "dropoff_location_id").drop("loaded_at")),
+    "taxi_chk_taxi_type_values" -> q((s, d) =>
+      Checks.acceptedValues(models(s, d).unified, "taxi_type",
+        Seq("yellow", "green", "fhv", "fhvhv")).drop("loaded_at")),
+    "taxi_chk_pickup_hour_range" -> q((s, d) =>
+      Checks.acceptedRange(models(s, d).enriched, "pickup_hour",
+        min = Some(0), max = Some(23)).drop("loaded_at")),
+    "taxi_chk_valid_speed" -> q((s, d) =>
+      Checks.assertValidSpeed(models(s, d).fctTrips).drop("loaded_at")),
+    "taxi_chk_positive_fare" -> q((s, d) =>
+      Checks.assertPositiveFare(models(s, d).fctTrips)),
+    // S10 incremental delete+insert: initial load, then a modified batch
+    // for two months; read back the partition-pruned rewrite.
+    "taxi_incr_delete_insert" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow
+      val path = s"/root/repo/target/graft_tmp/incr_${math.abs(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      IncrementalWriter.appendPartitioned(stg, path)
+      val batch = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2)
+      IncrementalWriter.deleteInsert(s, batch, path, "trip_id")
+      s.read.parquet(path)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // sketch-based distinct-count variant (the 100 TB escape hatch for A3)
+    // — oracle is rows-only (HLL estimates are engine-specific).
+    "taxi_daily_approx" -> q((s, d) => Marts.dailyApprox(models(s, d).fctTrips)))
+
+  import TaxiSql.{select => o}
+  import TaxiSql.Dialect.rndSum
+
+  val oracleSql: Map[String, String] = Map(
+    "taxi_stg_yellow" -> o("SELECT * FROM stg_yellow"),
+    "taxi_stg_green" -> o("SELECT * FROM stg_green"),
+    "taxi_stg_fhv" -> o("SELECT * FROM stg_fhv"),
+    "taxi_stg_fhvhv" -> o("SELECT * FROM stg_fhvhv"),
+    "taxi_unified" -> o("SELECT * FROM unified"),
+    "taxi_enriched" -> o("SELECT * FROM enriched"),
+    "taxi_cleaned" -> o("SELECT * FROM cleaned"),
+    "taxi_fct_trips" -> o("SELECT * FROM fct_trips"),
+    "taxi_fct_daily" -> o("SELECT * FROM fct_trips_daily"),
+    "taxi_fct_monthly" -> o("SELECT * FROM fct_trips_monthly"),
+    "taxi_daily_top10" -> o(
+      "SELECT * FROM fct_trips_daily ORDER BY trip_date DESC, taxi_type LIMIT 10"),
+    "taxi_chk_notnull_dropoff_loc" -> o(
+      "SELECT * FROM stg_yellow WHERE dropoff_location_id IS NULL"),
+    "taxi_chk_taxi_type_values" -> o(
+      "SELECT * FROM unified WHERE taxi_type NOT IN ('yellow', 'green', 'fhv', 'fhvhv')"),
+    "taxi_chk_pickup_hour_range" -> o(
+      "SELECT * FROM enriched WHERE pickup_hour IS NOT NULL AND (pickup_hour < 0 OR pickup_hour > 23)"),
+    "taxi_chk_valid_speed" -> o(
+      "SELECT * FROM fct_trips WHERE avg_speed_mph <= 0 OR avg_speed_mph > 100"),
+    "taxi_chk_positive_fare" -> o(
+      """, p AS (SELECT count(*) AS problem_count FROM fct_trips
+        |        WHERE fare_amount <= 0 OR total_amount <= 0),
+        |  t AS (SELECT count(*) AS total_count FROM fct_trips)
+        |SELECT p.problem_count, t.total_count,
+        |       p.problem_count * 100.0 / t.total_count AS problem_percentage
+        |FROM p, t
+        |WHERE p.problem_count * 100.0 / t.total_count > 5.0""".stripMargin),
+    "taxi_incr_delete_insert" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin))
+}

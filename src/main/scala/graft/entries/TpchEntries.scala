@@ -1,0 +1,124 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.expr.Functions.{stableAvg, stableRoundedSum}
+import graft.oracle.TaxiSql.Dialect.{rnd, rndSum, stableAvg => oStableAvg}
+
+/** General relational-operator entries over the TPC-H-ish corpus: hash
+  * aggregation, shuffled and broadcast joins, semi/anti joins, window
+  * top-k, sort/limit, distinct aggregates — the operator families a user
+  * of the engine composes beyond the reference's declared models.
+  *
+  * Scale notes: the `nation`/`region` sides are broadcast explicitly
+  * (dimension tables, O(10²) rows — a shuffle there would be pure
+  * overhead at 100 TB); fact-fact joins shuffle on their keys and rely on
+  * AQE for skew; aggregates keep map-side partial aggregation by grouping
+  * on low-cardinality keys.
+  */
+object TpchEntries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => { GraftSession.tune(s); f(s, d) }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline.
+    "tpch_q1_pricing" -> q { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          stableRoundedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(stableAvg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    // Fact ⋈ dim ⋈ dim with the dims broadcast.
+    "tpch_join_nation_revenue" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("order_cnt"),
+          stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
+    },
+    // Sort/limit → TakeOrderedAndProject (no global sort materialized).
+    "tpch_topk_orders" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+    // Group-wise top-k via ranking window.
+    "tpch_window_topk" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    },
+    // Left-semi: orders having at least one high-quantity line.
+    "tpch_semi_join" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    // Left-anti: customers with no orders at all.
+    "tpch_anti_join" -> q { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    },
+    // Exact distinct aggregate per segment.
+    "tpch_distinct_agg" -> q { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "tpch_q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${rndSum("l_extendedprice", 2)} AS sum_base_price,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS sum_disc_price,
+         |  ${rnd("avg(l_quantity)", 2)} AS avg_qty,
+         |  ${rnd(oStableAvg("l_discount"), 4)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "tpch_join_nation_revenue" ->
+      s"""SELECT n.n_name AS nation, count(*) AS order_cnt,
+         |  ${rndSum("o.o_totalprice", 2)} AS revenue
+         |FROM orders o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY 1""".stripMargin,
+    "tpch_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "tpch_window_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "tpch_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""".stripMargin,
+    "tpch_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "tpch_distinct_agg" ->
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |  count(DISTINCT c_nationkey) AS n_nations,
+         |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
+         |FROM customer GROUP BY 1""".stripMargin)
+}

@@ -24,11 +24,13 @@ object Functions {
   def surrogateKey(cols: Column*): Column =
     md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
 
-  /** Canonical timestamp rendering for key hashing: second precision,
-    * `yyyy-MM-dd HH:mm:ss` — stable across Spark/Trino/DuckDB default
-    * renderings which disagree on fractional-second suffixes. */
+  /** Canonical timestamp rendering for key hashing: microsecond
+    * precision, `yyyy-MM-dd HH:mm:ss.SSSSSS` — matches Trino's
+    * `cast(timestamp(6) as varchar)` inside the dbt_utils macro (the
+    * reference's `trip_id` rendering) and DuckDB's
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S.%f')`. */
   def timestampKeyRepr(ts: Column): Column =
-    date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** ISO day-of-week 1=Mon..7=Sun (Trino `day_of_week`,
     * `int_trips_enriched.sql:50`). Spark's `dayofweek` is 1=Sun..7=Sat —
@@ -54,9 +56,13 @@ object Functions {
   }
 
   /** Trino `date_diff('second', t1, t2)` — truncating integer diff
-    * (`int_trips_enriched.sql:19`). Full seconds elapsed. */
+    * (`int_trips_enriched.sql:19`). Full seconds elapsed. The casts make
+    * this accept both TIMESTAMP and TIMESTAMP_NTZ (the engine's canonical
+    * zone-less type; the session is pinned UTC so the cast is an
+    * identity on the underlying micros). */
   def secondsBetween(t1: Column, t2: Column): Column =
-    (unix_micros(t2) - unix_micros(t1)).cast("double").divide(1000000d).cast("long")
+    (unix_micros(t2.cast("timestamp")) - unix_micros(t1.cast("timestamp")))
+      .cast("double").divide(1000000d).cast("long")
 
   /** Trino `date_diff('minute', t1, t2)`: full minutes elapsed
     * (truncation, not boundary count — `int_trips_enriched.sql:20`). */
@@ -115,4 +121,24 @@ object Functions {
   /** Safe division with NULLIF-zero denominator (`fct_trips_monthly.sql:36`). */
   def safeDiv(num: Column, den: Column): Column =
     num / nullif(den, lit(0))
+
+  /** Order-independent sum of a double column.
+    *
+    * A plain `sum(double)` depends on partition/merge order, so the same
+    * query can produce last-ULP-different results run to run (and engine
+    * to engine) — at 100 TB with thousands of partial aggregates that
+    * nondeterminism is guaranteed. Accumulating the values' decimal
+    * representations in `DECIMAL(38,10)` is exact, associative, and
+    * commutative, so every plan shape yields bitwise-identical results.
+    * Returns DECIMAL; pair with `round(_, n).cast("double")` (see
+    * [[stableRoundedSum]]) to keep the reference's double-typed outputs. */
+  def stableSum(c: Column): Column = sum(c.cast("decimal(38,10)"))
+
+  /** `round(sum(x), n)` with order-independent accumulation. */
+  def stableRoundedSum(c: Column, scale: Int): Column =
+    round(stableSum(c), scale).cast("double")
+
+  /** `avg(x)` with order-independent accumulation: exact decimal sum,
+    * one double division at the end. */
+  def stableAvg(c: Column): Column = stableSum(c).cast("double") / count(c)
 }

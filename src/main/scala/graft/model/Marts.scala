@@ -48,18 +48,18 @@ object Marts {
         count(lit(1)).as("total_trips"),
         countDistinct(col("pickup_location_id")).as("unique_pickup_locations"),
         countDistinct(col("dropoff_location_id")).as("unique_dropoff_locations"),
-        round(sum("trip_distance_miles"), 2).as("total_distance_miles"),
-        round(avg("trip_distance_miles"), 2).as("avg_distance_miles"),
+        stableRoundedSum(col("trip_distance_miles"), 2).as("total_distance_miles"),
+        round(stableAvg(col("trip_distance_miles")), 2).as("avg_distance_miles"),
         round(min("trip_distance_miles"), 2).as("min_distance_miles"),
         round(max("trip_distance_miles"), 2).as("max_distance_miles"),
         round(sum("trip_duration_minutes"), 2).as("total_duration_minutes"),
         round(avg("trip_duration_minutes"), 2).as("avg_duration_minutes"),
         round(min("trip_duration_minutes"), 2).as("min_duration_minutes"),
         round(max("trip_duration_minutes"), 2).as("max_duration_minutes"),
-        round(avg("avg_speed_mph"), 2).as("avg_speed_mph"),
-        round(sum("total_amount"), 2).as("total_revenue"),
-        round(avg("total_amount"), 2).as("avg_fare"),
-        round(avg("cost_per_mile"), 2).as("avg_cost_per_mile"),
+        round(stableAvg(col("avg_speed_mph")), 2).as("avg_speed_mph"),
+        stableRoundedSum(col("total_amount"), 2).as("total_revenue"),
+        round(stableAvg(col("total_amount")), 2).as("avg_fare"),
+        round(stableAvg(col("cost_per_mile")), 2).as("avg_cost_per_mile"),
         round(avg("passenger_count"), 2).as("avg_passengers"),
         round(sum("passenger_count"), 0).as("total_passengers"),
         sum(when(col("time_of_day") === "Morning", 1).otherwise(0)).as("trips_morning"),
@@ -79,7 +79,7 @@ object Marts {
         count(lit(1)).as("total_trips"),
         approx_count_distinct(col("pickup_location_id"), rsd).as("unique_pickup_locations"),
         approx_count_distinct(col("dropoff_location_id"), rsd).as("unique_dropoff_locations"),
-        round(sum("total_amount"), 2).as("total_revenue"))
+        stableRoundedSum(col("total_amount"), 2).as("total_revenue"))
 
   /** `fct_trips_monthly.sql:14-51` — A3/A4/A7/A8/A9 over (year, month,
     * taxi_type). */
@@ -90,14 +90,14 @@ object Marts {
         countDistinct(col("pickup_location_id")).as("unique_pickup_locations"),
         countDistinct(col("dropoff_location_id")).as("unique_dropoff_locations"),
         countDistinct(to_date(col("pickup_datetime"))).as("days_with_trips"),
-        round(sum("trip_distance_miles"), 2).as("total_distance_miles"),
-        round(avg("trip_distance_miles"), 2).as("avg_distance_miles"),
+        stableRoundedSum(col("trip_distance_miles"), 2).as("total_distance_miles"),
+        round(stableAvg(col("trip_distance_miles")), 2).as("avg_distance_miles"),
         round(sum(col("trip_duration_minutes")) / 60.0, 2).as("total_duration_hours"),
         round(avg("trip_duration_minutes"), 2).as("avg_duration_minutes"),
-        round(avg("avg_speed_mph"), 2).as("avg_speed_mph"),
-        round(sum("total_amount"), 2).as("total_revenue"),
-        round(avg("total_amount"), 2).as("avg_fare"),
-        round(safeDiv(sum(col("total_amount")), count(lit(1))), 2).as("revenue_per_trip"),
+        round(stableAvg(col("avg_speed_mph")), 2).as("avg_speed_mph"),
+        stableRoundedSum(col("total_amount"), 2).as("total_revenue"),
+        round(stableAvg(col("total_amount")), 2).as("avg_fare"),
+        round(safeDiv(stableSum(col("total_amount")).cast("double"), count(lit(1))), 2).as("revenue_per_trip"),
         round(sum("passenger_count"), 0).as("total_passengers"),
         round(avg("passenger_count"), 2).as("avg_passengers"),
         round(avg(when(col("time_of_day") === "Morning", 1.0).otherwise(0.0)) * 100, 1).as("pct_morning"),

@@ -24,7 +24,7 @@ object Staging {
 
   /** Surrogate key over the raw pickup/location triple, exactly the
     * dbt_utils macro expansion (md5 of '-'-joined coalesced varchar casts)
-    * with graft's canonical second-precision timestamp rendering. */
+    * with graft's canonical microsecond-precision timestamp rendering. */
   private def tripId(pickupRaw: Column, pu: Column, dol: Column): Column =
     surrogateKey(timestampKeyRepr(pickupRaw), pu, dol)
 
@@ -41,8 +41,8 @@ object Staging {
         col("vendorid").cast("long").as("vendor_id"),
         col("pulocationid").cast("long").as("pickup_location_id"),
         col("dolocationid").cast("long").as("dropoff_location_id"),
-        col("tpep_pickup_datetime").cast("timestamp").as("pickup_datetime"),
-        col("tpep_dropoff_datetime").cast("timestamp").as("dropoff_datetime"),
+        col("tpep_pickup_datetime").cast("timestamp_ntz").as("pickup_datetime"),
+        col("tpep_dropoff_datetime").cast("timestamp_ntz").as("dropoff_datetime"),
         col("passenger_count").cast("double").as("passenger_count"),
         col("trip_distance").cast("double").as("trip_distance_miles"),
         col("fare_amount").cast("double").as("fare_amount"),
@@ -69,8 +69,8 @@ object Staging {
         tripId(col("pickup_datetime"), col("pulocationid"), col("dolocationid")).as("trip_id"),
         col("pulocationid").cast("long").as("pickup_location_id"),
         col("dolocationid").cast("long").as("dropoff_location_id"),
-        col("pickup_datetime").cast("timestamp").as("pickup_datetime"),
-        col("dropoff_datetime").cast("timestamp").as("dropoff_datetime"),
+        col("pickup_datetime").cast("timestamp_ntz").as("pickup_datetime"),
+        col("dropoff_datetime").cast("timestamp_ntz").as("dropoff_datetime"),
         col("dispatching_base_num").cast("string").as("dispatching_base_number"),
         col("year").cast("int").as("year"),
         col("month").cast("int").as("month"),
@@ -88,8 +88,8 @@ object Staging {
         tripId(col("pickup_datetime"), col("pulocationid"), col("dolocationid")).as("trip_id"),
         col("pulocationid").cast("long").as("pickup_location_id"),
         col("dolocationid").cast("long").as("dropoff_location_id"),
-        col("pickup_datetime").cast("timestamp").as("pickup_datetime"),
-        col("dropoff_datetime").cast("timestamp").as("dropoff_datetime"),
+        col("pickup_datetime").cast("timestamp_ntz").as("pickup_datetime"),
+        col("dropoff_datetime").cast("timestamp_ntz").as("dropoff_datetime"),
         col("trip_miles").cast("double").as("trip_distance_miles"),
         col("base_passenger_fare").cast("double").as("base_passenger_fare"),
         col("hvfhs_license_num").cast("string").as("hvfhs_license_number"),

@@ -23,9 +23,12 @@ object Checks {
   def notNull(df: DataFrame, column: String): DataFrame =
     df.filter(col(column).isNull)
 
-  /** Generic test: `accepted_values`. */
+  /** Generic test: `accepted_values`. dbt compiles this to
+    * `GROUP BY col HAVING col NOT IN (...)` where a NULL passes under
+    * three-valued logic (nullability is the separate `not_null` test), so
+    * NULL rows are NOT violations here. */
   def acceptedValues(df: DataFrame, column: String, values: Seq[String]): DataFrame =
-    df.filter(!col(column).isin(values: _*) || col(column).isNull)
+    df.filter(!col(column).isin(values: _*))
 
   /** Generic test: `dbt_utils.accepted_range` (inclusive bounds; null
     * passes, matching dbt_utils' `where column is not null` template). */

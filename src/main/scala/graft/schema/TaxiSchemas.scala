@@ -62,15 +62,20 @@ object TaxiSchemas {
   ) ++ ingestMeta)
 
   /** The unified 17-column trip schema (`int_trips_unified.sql:10-96`);
-    * column order is the reference's declared select order. */
+    * column order is the reference's declared select order.
+    * `pickup`/`dropoff` are TIMESTAMP_NTZ — the faithful mapping of the
+    * reference's zone-less Trino `timestamp(6)` (staging casts whatever
+    * zone flavor the raw feed carries; the session is pinned UTC).
+    * `loaded_at` stays zoned: it is a `current_timestamp()` ingest stamp,
+    * an instant by nature. */
   val unified: StructType = StructType(Seq(
     f("trip_id", StringType),
     f("taxi_type", StringType),
     f("vendor_id", LongType),
     f("pickup_location_id", LongType),
     f("dropoff_location_id", LongType),
-    f("pickup_datetime", TimestampType),
-    f("dropoff_datetime", TimestampType),
+    f("pickup_datetime", TimestampNTZType),
+    f("dropoff_datetime", TimestampNTZType),
     f("passenger_count", DoubleType),
     f("trip_distance_miles", DoubleType),
     f("fare_amount", DoubleType),
