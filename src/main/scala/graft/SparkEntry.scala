@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.entries.{TaxiEntries, TpchEntries}
+import graft.entries.{DataPipelineEntries, TaxiEntries, TpchEntries}
 import graft.model.Marts
 import graft.sources.TaxiDerive
 
@@ -25,10 +25,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TaxiEntries.queries ++ TpchEntries.queries
+    TaxiEntries.queries ++ TpchEntries.queries ++ DataPipelineEntries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    TaxiEntries.oracleSql ++ TpchEntries.oracleSql
+    TaxiEntries.oracleSql ++ TpchEntries.oracleSql ++ DataPipelineEntries.oracleSql
 }

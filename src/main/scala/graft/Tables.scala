@@ -39,7 +39,10 @@ object Tables {
       // integral `div`, NOT `/`: true division would round-trip the
       // ~1.7e18 ns epoch value through a double (53-bit mantissa) and
       // corrupt the microsecond truncation by a few hundred ns.
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // (cast to NTZ — the engine's canonical zone-less timestamp type,
+      // matching how DuckDB reads the same parquet; session is UTC.)
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _        => df
     }
   }

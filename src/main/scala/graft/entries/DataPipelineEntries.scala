@@ -1,0 +1,250 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.oracle.TaxiSql.Dialect.{rnd, rndSum}
+
+/** Driver-harness entries for the LLM-training-data pipeline operators
+  * (SURVEY §7.6): text analysis, dedup (exact / n-gram Jaccard / MinHash
+  * LSH / SimHash), similarity search (brute-force + IVF ANN),
+  * event sessionization / tumbling windows / group-wise top-k, and the
+  * multimodal decode plumbing.
+  *
+  * Oracle SQL for the hash-based operators is GENERATED from the same
+  * parameters as the Spark side (seeds, band layout, bit count) so the
+  * two cannot drift independently.
+  */
+object DataPipelineEntries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => { GraftSession.tune(s); f(s, d) }
+
+  private val knnQueryCut = 8
+  private val centroidMod = 50
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis ---------------------------------------------------
+    "text_token_stats" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TextAnalysis.avgTokenLength(col("text")).as("avg_token_len"))),
+    "text_quality" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))),
+    "text_lang_id" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.langId(col("text")).as("predicted_lang"))),
+    "text_fingerprint" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    // -- dedup -----------------------------------------------------------
+    "dedup_exact" -> q((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_pairs" -> q((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+    "dedup_minhash_lsh" -> q((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), numHashes = 12, rowsPerBand = 2,
+        threshold = 0.5)),
+    "dedup_simhash" -> q((s, d) =>
+      Dedup.simhashFingerprint(Tables.documents(s, d), bits = 16)),
+    // -- similarity search ----------------------------------------------
+    "sim_knn_brute" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnBrute(emb, emb.filter(col("vec_id") < knnQueryCut), k = 5)
+    },
+    "sim_ivf_ann" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % centroidMod === 0)
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      Similarity.ivfSearch(assigned, centroids,
+        emb.filter(col("vec_id") < knnQueryCut), k = 3, nProbe = 2)
+    },
+    "sim_cosine_pairs" -> q((s, d) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // -- events ----------------------------------------------------------
+    "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
+    "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
+    "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // -- multimodal plumbing ---------------------------------------------
+    "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))))
+
+  // ---- oracle SQL -----------------------------------------------------
+
+  /** DuckDB: whitespace tokens. */
+  private val toks = "string_split_regex(text, '\\s+')"
+
+  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** DuckDB: distinct word 3-gram shingle list (mirror of
+    * [[TextAnalysis.shingles]]; `range(1, len-1)` is empty for short
+    * docs, matching the Spark-side guard). */
+  private val shinglesSql =
+    s"list_distinct(list_transform(range(1, len($toks) - 1), " +
+      "i -> array_to_string(list_slice(" + toks + ", i, i + 2), ' ')))"
+
+  /** DuckDB mirror of [[Dedup.portableHash]]. */
+  private def pHash(x: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5($x || '#$seed'), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of [[Similarity.cosine]] over DOUBLE[] vectors. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val stopRatioSql =
+    rnd(s"len(list_filter($toks, w -> w IN ${inList(TextAnalysis.Stopwords)}))::DOUBLE / len($toks)", 4)
+
+  private val langScoreSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+    s"len(list_filter($toks, w -> w IN ${inList(ms)})) AS s_$lang"
+  }.mkString(",\n    ")
+
+  private val langCaseSql = TextAnalysis.LangMarkers.map { case (lang, _) =>
+    s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+  }.mkString(" ")
+
+  private val minhashCols = (0 until 12).map(i => s"min(${pHash("s", i)}) AS mh$i").mkString(",\n    ")
+
+  private val bandSelects = (0 until 6).map { b =>
+    s"SELECT doc_id, $b AS band_idx, md5(concat_ws('-', mh${2 * b}, mh${2 * b + 1})) AS band_key FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val simhashBitSums = (0 until 16).map(j =>
+    s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+
+  private val simhashAssemble = (0 until 16).map(j =>
+    s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INTEGER) AS n_bpeish,
+         |  ${rnd(s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len($toks)", 4)} AS avg_token_len
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, stopword_ratio,
+         |  ${rnd("least(CAST(1.0 AS DOUBLE), n_tokens / 50.0) * (1.0 - stopword_ratio) * 100", 2)} AS quality_score
+         |FROM (SELECT doc_id, $stopRatioSql AS stopword_ratio,
+         |             len($toks) AS n_tokens
+         |      FROM documents)""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    $langScoreSql
+         |  FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM s)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE $langCaseSql ELSE 'und' END AS predicted_lang
+         |FROM b""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_pairs" ->
+      s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+         |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+         |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n_sh AS n_i, b.n_sh AS n_j,
+         |             count(*) AS inter
+         |      FROM e a JOIN e b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
+         |FROM p WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+         |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+         |sig AS (SELECT doc_id, lang, n_sh,
+         |    $minhashCols
+         |  FROM e GROUP BY 1, 2, 3),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+         |         FROM bands x JOIN bands y
+         |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |              AND x.doc_id < y.doc_id),
+         |v AS (SELECT c.doc_i, c.doc_j,
+         |             len(list_intersect(si.sh, sj.sh)) AS inter,
+         |             len(si.sh) AS n_i, len(sj.sh) AS n_j
+         |      FROM cand c
+         |      JOIN s si ON si.doc_id = c.doc_i
+         |      JOIN s sj ON sj.doc_id = c.doc_j)
+         |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
+         |FROM v WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct($toks)) AS w FROM documents),
+         |h AS (SELECT doc_id, ${pHash("w", 0)} AS h FROM w),
+         |b AS (SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM b""".stripMargin,
+    "sim_knn_brute" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |            FROM embeddings WHERE vec_id < $knnQueryCut),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM qs JOIN c ON query_id != neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
+         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 5""".stripMargin,
+    "sim_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
+         |asg AS (SELECT vec_id, v, centroid_id FROM (
+         |    SELECT e.vec_id, e.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
+         |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+         |probes AS (SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
+         |    FROM (SELECT * FROM e WHERE vec_id < $knnQueryCut) q CROSS JOIN cent c)
+         |  WHERE prn <= 2),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
+         |      FROM probes p JOIN asg a
+         |        ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
+         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 3""".stripMargin,
+    "sim_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, ${cosSql("a.v", "b.v")} AS cos
+         |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_i, vec_j, ${rnd("cos", 6)} AS cos FROM p WHERE cos >= 0.4""".stripMargin,
+    "ev_sessionize" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > ${30 * 60 * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |      FROM f)
+         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
+    "ev_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_topk_per_user" ->
+      """SELECT user_id, rn, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS INTEGER) AS byte_len,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + strlen(text) % 577 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + strlen(text) % 433 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN strlen(text) % 1000
+        |       ELSE strlen(text) % 30 + 1 END AS INTEGER) AS n_frames,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin)
+}

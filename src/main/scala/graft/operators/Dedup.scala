@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed so
+  * the candidate-generation step is a hash-partitioned join — never an
+  * all-pairs comparison:
+  *
+  *  - [[exact]] — hash-groupBy on the text digest; one shuffle on the
+  *    digest, trivially scalable.
+  *  - [[ngramJaccardPairs]] — exact near-dup: inverted-index self-join on
+  *    shingles (docs sharing ≥1 shingle meet in the same hash bucket),
+  *    then Jaccard over shingle counts. Quadratic only within a shingle's
+  *    posting list, not the corpus.
+  *  - [[minhashLsh]] — the 100 TB path: fixed-size MinHash signatures,
+  *    banded so candidate pairs meet only when a band collides; exact
+  *    Jaccard verifies survivors. Corpus-size-independent signature
+  *    width; shuffle keys are (band_idx, band_key).
+  *  - [[simhashFingerprint]] — 16-bit SimHash per document (equal
+  *    fingerprints ⇒ near-dup cluster), one aggregation pass.
+  *
+  * All hashing goes through [[portableHash]] (md5-derived 60-bit ints) so
+  * results are engine-independent and reproducible — no reliance on
+  * Spark's internal Murmur3 seeds.
+  */
+object Dedup {
+
+  /** Deterministic 60-bit hash of a string with a seed, identical in any
+    * engine with md5: first 15 hex chars of md5("{s}#{seed}"). */
+  def portableHash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(s, lit("#" + seed))), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup on a text digest: one surviving (minimum) id per
+    * distinct text plus the duplicate count. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Per-doc distinct word 3-gram shingles with their count. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.shingles(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+
+  /** Exact n-gram-Jaccard near-dup pairs (threshold inclusive): inverted
+    * index on shingles within a language, pair hit counts, Jaccard =
+    * |A∩B| / (|A|+|B|−|A∩B|). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val ex = shingled(docs).select(
+      col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs. `numHashes` minhash slots are banded
+    * `rowsPerBand` at a time; docs colliding on any band become
+    * candidates; candidates are verified with exact Jaccard ≥ threshold.
+    * With 12 hashes × 2 rows/band the collision probability at J=0.5 is
+    * ~88%, at J=0.2 ~21% — the classic S-curve. */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val ex = shingled(docs).select(col("doc_id"), col("lang"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    // one aggregation pass → the whole signature as numHashes columns
+    val sig = ex.groupBy(col("doc_id"), col("lang"), col("n_sh"))
+      .agg(min(portableHash(col("s"), 0)).as("mh0"),
+        (1 until numHashes).map(i => min(portableHash(col("s"), i)).as(s"mh$i")): _*)
+    // band keys: md5 over the band's signature slice
+    val banded = sig.select(col("doc_id") +:
+      (0 until numBands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        md5(concat_ws("-", slice: _*)).as(s"band$b")
+      }: _*)
+    val bandRows = banded.select(col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val cand = bandRows.alias("x").join(bandRows.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sh = shingled(docs)
+    cand
+      .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"), col("n_sh").as("n_i")), "doc_i")
+      .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"), col("n_sh").as("n_j")), "doc_j")
+      .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash fingerprint per document over its distinct words:
+    * bit j is set when more word-hashes have bit j set than cleared.
+    * Equal fingerprints ⇒ near-identical token distributions. */
+  def simhashFingerprint(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+      .withColumn("h", portableHash(col("w"), 0))
+    val bitSums = words.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until bits).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")): _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    bitSums.select(col("doc_id"), sig.as("simhash"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.Functions.stableRoundedSum
+
+/** Event-stream batch operators over the `events` table (SURVEY §7.6):
+  * gap-based sessionization, tumbling windows, and group-wise top-k.
+  *
+  * Scale notes: every operator here shuffles exactly once, on `user_id`
+  * (or the window key) — the natural partitioning for event data at
+  * 100 TB. Sessionization is the classic lag+cumsum formulation: one
+  * window pass inside each user partition, no self-joins. The same
+  * semantics are available incrementally for unbounded streams via
+  * [[graft.streaming.StreamingEvents]].
+  */
+object Events {
+
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Gap-based sessionization: a new session starts when the gap since
+    * the user's previous event exceeds `gapMinutes`. Returns one row per
+    * (user_id, session_idx) with start/end/count/value totals. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(order)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("is_new",
+        when(prev.isNull || epochUs(col("ts")) - epochUs(prev) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        stableRoundedSum(col("value"), 2).as("total_value"))
+  }
+
+  /** Tumbling time windows via Spark's `window()` operator (epoch-aligned,
+    * so a 1-hour window starts on the hour). Output key is the window
+    * start, zone-less. */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts").cast("timestamp"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        stableRoundedSum(col("value"), 2).as("total_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Group-wise top-k: the k highest-value events per user
+    * (`row_number` ranking window, total-ordered by the unique event_id
+    * tiebreak). */
+  def topKPerUser(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("user_id", "rn", "event_id", "event_type", "value")
+  }
+}

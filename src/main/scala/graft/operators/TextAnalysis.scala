@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for training-data pipelines: token
+  * counting (whitespace + a BPE-ish regex), quality scoring
+  * (length/stopword/alpha ratios), n-gram-heuristic language ID, and
+  * document fingerprinting.
+  *
+  * Everything is a pure `Column => Column` composition of built-in
+  * (codegen'd) functions — no UDFs — so the operators run inside
+  * whole-stage codegen and scale linearly with the corpus: at 100 TB
+  * these are embarrassingly parallel map-side expressions with zero
+  * shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (the usual pre-tokenizer
+    * shape of byte-pair encoders). */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Word 3-gram shingles (distinct), the unit of near-dup hashing.
+    * Documents shorter than n tokens yield an empty shingle set (guard
+    * needed: Spark's `sequence(0, -k)` would count DOWN, not produce an
+    * empty array). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "is", "in", "to")
+
+  /** Fraction of tokens that are stopwords, 4 dp. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(filter(t, w => w.isInCollection(Stopwords))).cast("double") / size(t), 4)
+  }
+
+  /** Characters-per-token (whitespace removed), 4 dp. */
+  def avgTokenLength(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text), 4)
+
+  /** Composite quality score in [0, 100]: enough tokens, not
+    * stopword-soup. Heuristic, but deterministic and cheap. */
+  def qualityScore(text: Column): Column =
+    round(least(lit(1.0), tokenCount(text) / lit(50.0)) *
+      (lit(1.0) - stopwordRatio(text)) * 100, 2)
+
+  /** Per-language marker stopwords for the n-gram language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "dans", "est"),
+    "es" -> Seq("el", "los", "y", "una", "como"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(markers)))
+
+  /** Language ID by marker-stopword density; first language in
+    * [[LangMarkers]] order wins ties, `und` when nothing matches.
+    * (A heuristic classifier, not a model — the operator shape is what
+    * matters: pure map-side scoring + argmax.) */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form fingerprint: md5 of the lowercased,
+    * whitespace-collapsed text — the exact-dedup key for "same modulo
+    * formatting" documents. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}
