@@ -49,12 +49,14 @@ object Ingest {
           return Result(feed, year, month, "skipped_missing_source", 0L)
       }
 
-    val stamped = stamp(src, year, month)
+    // row count piggybacks on the write itself (Observation metric) — no
+    // re-scan of the just-written partition.
+    val obs = org.apache.spark.sql.Observation(s"ingest_${feed}_${year}_$month")
+    val stamped = stamp(src, year, month).observe(obs, count(lit(1)).as("rows"))
     if (exists) IncrementalWriter.overwritePartitions(spark, stamped, rawTablePath)
     else IncrementalWriter.appendPartitioned(stamped, rawTablePath)
     Result(feed, year, month, if (exists) "overwritten" else "appended",
-      spark.read.parquet(rawTablePath)
-        .filter(col("year") === year && col("month") === month).count())
+      obs.get("rows").asInstanceOf[Long])
   }
 
   /** Metadata stamp (`ingest_spark_bulk.py:141-144`). */

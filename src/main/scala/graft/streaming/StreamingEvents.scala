@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event operators in
+  * [[graft.operators.Events]] — unbounded sources, incremental state.
+  *
+  *  - [[tumblingCounts]]: watermarked tumbling-window aggregation
+  *    (`readStream → window() → agg`), the streaming twin of
+  *    `Events.tumbling`. State is bounded by the watermark horizon.
+  *  - [[sessionize]]: gap-based sessions with explicit per-user state via
+  *    `flatMapGroupsWithState` — the pattern for semantics Spark's
+  *    built-in windows can't express. Sessions closed by a gap inside a
+  *    batch are emitted immediately; the trailing open session is held in
+  *    state and flushed on event-time timeout past the watermark.
+  *
+  * At scale both operators shuffle once on the grouping key per
+  * micro-batch and keep per-key state O(1) — the state store grows with
+  * the number of live keys, not events.
+  */
+object StreamingEvents {
+
+  /** One event on the wire (timestamps µs, zone pinned UTC). */
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  /** A closed session. */
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** In-flight session state (public: the state-store encoder's generated
+    * code must be able to construct it). */
+  final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+  /** Streaming tumbling-window counts per event_type with a watermark
+    * bounding state. `events` must carry an event-time `ts` column. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based streaming sessionization with explicit state. Events
+    * within a batch are processed in event-time order; a gap >
+    * `gapMinutes` closes the running session. The final open session per
+    * user stays in state until the event-time timeout fires (watermark
+    * past `session_end + gap`). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, s: OpenSession): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+
+    val fn: (Long, Iterator[Ev], GroupState[OpenSession]) => Iterator[Session] =
+      (userId, evs, state) => {
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(flush(userId, _)).toIterator
+          state.remove()
+          out
+        } else {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.end <= gapMs =>
+                open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += flush(userId, s)
+                open = Some(OpenSession(t, t, 1, e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1, e.value))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.end + gapMs)
+          }
+          closed.result().iterator
+        }
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** File-source stream over a directory of event parquet (µs
+    * timestamps), for tests and replay. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *  - [[deleteInsert]] — dbt incremental `delete+insert` on `trip_id`
   *    (`stg_nyc_taxi__yellow_trips.sql:2-8`): delete target rows whose key
   *    appears in the batch, insert the batch. Implemented as
-  *    left-anti-join + union + rewrite of AFFECTED partitions only: the
-  *    anti join shuffles on the key, but the rewrite set is pruned to the
-  *    batch's (year, month) partitions so unrelated history is untouched.
+  *    broadcast-anti-join + union + rewrite of AFFECTED partitions only:
+  *    the batch's key set broadcasts (the big target side is never
+  *    shuffled), and the rewrite set is pruned to the batch's
+  *    (year, month) partitions so unrelated history is untouched.
   *
   * The incremental cut predicate (P3) is [[incrementalCut]]: compute
   * (maxYear, maxMonth) with one tiny aggregate and gate the source scan —
@@ -77,12 +78,15 @@ object IncrementalWriter {
   def incrementalCut(spark: SparkSession, source: DataFrame, targetPath: String): DataFrame = {
     if (!tableExists(spark, targetPath)) source
     else {
+      // one action: max over the (year, month) struct (lexicographic, which
+      // is exactly the calendar order) — partition-column metadata only, no
+      // data pages, and no second listing pass over a 100 TB table.
       val target = spark.read.parquet(targetPath)
-      val maxYearRow = target.agg(max("year")).head()
-      if (maxYearRow.isNullAt(0)) source
+      val maxRow = target.agg(max(struct(col("year"), col("month")))).head()
+      if (maxRow.isNullAt(0)) source
       else {
-        val maxY = maxYearRow.getInt(0)
-        val maxM = target.filter(col("year") === maxY).agg(max("month")).head().getInt(0)
+        val ym = maxRow.getStruct(0)
+        val (maxY, maxM) = (ym.getInt(0), ym.getInt(1))
         source.filter(col("year") > maxY || (col("year") === maxY && col("month") >= maxM))
       }
     }
@@ -90,7 +94,20 @@ object IncrementalWriter {
 
   /** S10: delete+insert by unique key. Rows in the existing target whose
     * `keyCol` matches an incoming row are replaced; only partitions present
-    * in the batch are rewritten. */
+    * in the batch are rewritten.
+    *
+    * Schema drift follows the reference's `on_schema_change =
+    * 'append_new_columns'` (`stg_nyc_taxi__yellow_trips.sql:5`): columns
+    * new in the batch are appended (null in surviving history rows), and
+    * columns the batch dropped survive with nulls in the batch's rows —
+    * `unionByName(allowMissingColumns = true)` pads both sides with typed
+    * nulls. Readers wanting the evolved superset schema across untouched
+    * old partitions should read with `mergeSchema`.
+    *
+    * The delete-key set is a single batch's keys — small relative to the
+    * target — so it is broadcast explicitly: the 100 TB target side is
+    * never shuffled, each target partition anti-probes the broadcast
+    * hash table in place. */
   def deleteInsert(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Unit = {
     if (!tableExists(spark, path)) {
       appendPartitioned(batch, path)
@@ -104,16 +121,11 @@ object IncrementalWriter {
         .reduceOption(_ || _).getOrElse(lit(false))
       val keys = batch.select(keyCol).distinct()
       val survivors = target.filter(touchedPred)
-        .join(broadcastIfSmall(keys), Seq(keyCol), "left_anti")
-      val out = survivors.select(batch.columns.map(col): _*).unionByName(batch)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      val out = survivors.unionByName(batch, allowMissingColumns = true)
       overwritePartitions(spark, out, path)
     }
   }
-
-  /** Broadcast the delete-key set when it is plausibly small (a monthly
-    * batch's keys); at scale a shuffled anti join is the fallback and AQE
-    * will convert to broadcast when the runtime size allows. */
-  private def broadcastIfSmall(keys: DataFrame): DataFrame = keys
 
   /** S11: source freshness — age of max(loaded_at) in days, for warn/error
     * thresholds (reference `sources.yml:20-23`). */

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Unit coverage for the LLM-data-pipeline operators: hand-checked small
+  * inputs with known answers (the sf-corpus correctness is covered by the
+  * DuckDB oracle harness; these pin the semantics on crafted edges). */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+
+  test("tokenCount / bpeish / shingles on a known sentence") {
+    val df = docs((1L, "en", "the quick brown fox jumps"))
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeishTokenCount(lit("ab2 cd, x!")),
+      TextAnalysis.shingles($"text")).head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 6) // ab, 2, cd, ",", x, "!"
+    assert(r.getSeq[String](2) == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("shingles guard: docs shorter than n tokens yield empty set") {
+    val df = docs((1L, "en", "two words"))
+    assert(df.select(TextAnalysis.shingles($"text")).head().getSeq[String](0).isEmpty)
+  }
+
+  test("langId picks the marker-densest language, und when none") {
+    val df = docs(
+      (1L, "en", "the cat of the hat"),
+      (2L, "de", "der hund und die katze"),
+      (3L, "zz", "xyzzy plugh"))
+    val got = df.orderBy("doc_id").select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val df = docs((1L, "en", "Hello   World"), (2L, "en", "hello world"))
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("exact dedup keeps the minimum id per identical text") {
+    val df = docs((5L, "en", "same text"), (3L, "en", "same text"), (9L, "en", "other"))
+    val r = Dedup.exact(df).orderBy("keeper_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((3L, 2L), (9L, 1L)))
+  }
+
+  test("ngram and minhash near-dup agree on a planted pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val df = docs((1L, "en", base), (2L, "en", near), (3L, "en", far))
+    val ng = Dedup.ngramJaccardPairs(df, threshold = 0.5).collect()
+    assert(ng.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val mh = Dedup.minhashLsh(df, threshold = 0.5).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // identical jaccard from both paths
+    assert(ng.head.getDouble(2) == mh.head.getDouble(2))
+  }
+
+  test("simhash: identical token multisets share a fingerprint") {
+    val df = docs((1L, "en", "a b c d"), (2L, "en", "d c b a"), (3L, "en", "w x y z"))
+    val sig = Dedup.simhashFingerprint(df).orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sig(0)._2 == sig(1)._2)
+    assert(sig(0)._2 != sig(2)._2)
+  }
+
+  test("cosine kernel on known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 2f), Array(1f, 2f, 2f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(got(0) == 0.0 && math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("knnBrute ranks by cosine with id tiebreak and excludes self") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.knnBrute(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rn").collect()
+    // rank 1: vec 3 (cos 1.0, ties with nothing); rank 2: vec 1
+    assert(r.map(_.getLong(2)).toSeq == Seq(3L, 1L))
+  }
+
+  test("ivf search returns bucket-local exact results") {
+    // centroids at ids 0 (x-axis) and 2 (y-axis); others cluster around them
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.05f)), (4L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" === 0 || $"vec_id" === 2)
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+    val got = Similarity.ivfSearch(assigned, centroids, vecs.filter($"vec_id" === 1), k = 2, nProbe = 2)
+      .orderBy("rn").collect()
+    // cos((0.95,0.05),(1,0)) ≈ 0.99862 > cos((0.95,0.05),(0.9,0.1)) ≈ 0.99841
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L, 4L))
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "a", 2.0),
+      (3L, ts("2024-01-01 11:30:00"), 7L, "a", 4.0), // 80 min gap → new session
+      (4L, ts("2024-01-01 10:00:00"), 8L, "b", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = operators.Events.sessionize(ev, gapMinutes = 30)
+      .orderBy("user_id", "session_idx").collect()
+    assert(s.length == 3)
+    assert(s(0).getLong(s(0).fieldIndex("n_events")) == 2)
+    assert(s(0).getDouble(s(0).fieldIndex("total_value")) == 3.0)
+    assert(s(1).getLong(s(1).fieldIndex("n_events")) == 1)
+  }
+
+  test("multimodal stub decode is deterministic and typed per media kind") {
+    val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
+    val r = Multimodal.features(df).orderBy("doc_id").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
+    assert(r.forall(_.getInt(2) == 6)) // byte_len
+    assert(r(1).getInt(3) == 0 && r(1).getInt(5) == 1) // audio: no width, 1 channel
+    assert(r(0).getString(7).length == 32) // md5 hex
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.Ev
+
+/** Streaming semantics pinned against their batch twins: tumbling-window
+  * counts must equal the batch aggregation; flatMapGroupsWithState
+  * sessionization must emit exactly the closed sessions (the trailing
+  * open session per user stays in state awaiting its event-time
+  * timeout). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:55:00"), 7L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:05:00"), 8L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 11:20:00"), 7L, "view", 1.0, "{}"))
+    val dir = Files.createTempDirectory("graft_stream").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+
+    val q = StreamingEvents.tumblingCounts(StreamingEvents.fromParquetDir(spark, dir))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("tumbling_test")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (ts("2024-01-01 10:00:00"), "click", 2L),
+      (ts("2024-01-01 11:00:00"), "view", 2L)))
+  }
+
+  test("streaming sessionize emits closed sessions, holds the open one") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingEvents.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    input.addData(
+      Ev(7L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(7L, ts("2024-01-01 10:10:00"), "a", 2.0),
+      Ev(7L, ts("2024-01-01 11:30:00"), "a", 4.0), // closes session 1
+      Ev(8L, ts("2024-01-01 09:00:00"), "b", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("session_test")
+      .orderBy("user_id", "session_start")
+      .as[StreamingEvents.Session].collect().toSeq
+    // user 7's first session closed by the in-batch gap; user 8's session
+    // flushed by event-time timeout (its 09:30 timeout is behind the
+    // watermark 10:30 = max ts 11:30 − 1 h). 7's second session (timeout
+    // 12:00) is still open in state — correctly NOT emitted.
+    assert(got == Seq(
+      StreamingEvents.Session(7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0),
+      StreamingEvents.Session(8L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L, 8.0)))
+    q.stop()
+  }
+}
