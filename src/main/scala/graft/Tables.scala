@@ -18,6 +18,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across the session's cores when the source yields
+    * fewer splits than the available parallelism (e.g. one giant parquet
+    * row group — unsplittable, so the whole fused codegen stage above it
+    * would run on ONE core). The explicit width pins the exchange against
+    * AQE re-coalescing. On a healthy multi-file/multi-row-group layout
+    * (any real 100 TB table) the guard makes this a no-op, so downstream
+    * plans keep plain scan → compute with no extra exchange. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= (target + 1) / 2) df
+    else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -41,14 +41,14 @@ object DataPipelineEntries {
     "text_fingerprint" -> q((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
     // -- dedup -----------------------------------------------------------
-    "dedup_exact" -> q((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
     "dedup_ngram_pairs" -> q((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.5)),
+      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)), threshold = 0.5)),
     "dedup_minhash_lsh" -> q((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), numHashes = 12, rowsPerBand = 2,
+      Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
         threshold = 0.5)),
     "dedup_simhash" -> q((s, d) =>
-      Dedup.simhashFingerprint(Tables.documents(s, d), bits = 16)),
+      Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
     // -- similarity search ----------------------------------------------
     "sim_knn_brute" -> q { (s, d) =>
       val emb = Tables.embeddings(s, d)

@@ -71,7 +71,7 @@ object Marts {
   /** Sketch-based daily variant for the 100 TB path: HLL++ distinct counts
     * (single aggregation pass, no Expand) — a faithful *superset*, not the
     * parity surface. */
-  def dailyApprox(fct: DataFrame, rsd: Double = 0.01): DataFrame =
+  def dailyApprox(fct: DataFrame, rsd: Double = 0.05): DataFrame =
     fct.groupBy(
       to_date(col("pickup_datetime")).as("trip_date"),
       col("taxi_type"), col("year"), col("month"))

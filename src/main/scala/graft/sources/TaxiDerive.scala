@@ -122,10 +122,14 @@ object TaxiDerive {
       current_timestamp().as("loaded_at"))
   }
 
-  /** All four raw feeds for a scale-factor dir. */
+  /** All four raw feeds for a scale-factor dir. The sources are spread
+    * across cores first ([[Tables.spread]], a no-op on healthy multi-split
+    * layouts): the md5 surrogate keys and enrichment expressions fuse into
+    * the scan stage, which would otherwise run single-threaded over a
+    * one-row-group file. */
   def feeds(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
+    val li = Tables.spread(Tables.lineitem(spark, dir))
+    val ord = Tables.spread(Tables.orders(spark, dir))
     (yellow(li), green(li), fhv(ord), fhvhv(ord))
   }
 }

@@ -33,8 +33,18 @@ object IncrementalWriter {
 
   private val partCols = Seq("year", "month")
 
+  /** Co-locate each output partition's rows before a partitioned write:
+    * without this, every upstream task touching a (year, month) pair
+    * writes its own file into that directory — N_tasks × N_partitions
+    * small files, the classic metadata killer at scale. Hash-partitioning
+    * on the partition columns puts each directory's rows in one task
+    * (1 file per partition) while keeping up to shuffle.partitions
+    * writers busy. */
+  private def byPartition(df: DataFrame): DataFrame =
+    df.repartition(partCols.map(col): _*)
+
   def appendPartitioned(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(partCols: _*).parquet(path)
+    byPartition(df).write.mode(SaveMode.Append).partitionBy(partCols: _*).parquet(path)
 
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
@@ -47,7 +57,7 @@ object IncrementalWriter {
   def overwritePartitions(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    try byPartition(df).write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
