@@ -74,6 +74,60 @@ object TpchEntries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
     },
+    // Set operations (INTERSECT/EXCEPT are DISTINCT-semantics in both
+    // engines, like SQL).
+    "tpch_set_intersect" -> q { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .intersect(Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("c_custkey")))
+    },
+    "tpch_set_except" -> q { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+    },
+    // Rollup with subtotal rows (grouping-null keys labeled 'ALL').
+    "tpch_rollup" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+    },
+    // Analytic windows: running total (deterministic decimal accumulation),
+    // rank, and lag within a customer's order history.
+    "tpch_window_running" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast("decimal(38,10)")).over(running), 2)
+          .cast("double").as("running_total"),
+        rank().over(hist).as("order_seq"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(hist)).as("days_since_prev"))
+    },
+    // Global sort (RangePartitioning), no limit.
+    "tpch_global_sort" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+    // S7/S9: namespace DDL + managed-table CTAS round-trip through the
+    // session catalog.
+    "cat_table_roundtrip" -> q { (s, d) =>
+      graft.catalog.Catalog.materializeTable(
+        Tables.customer(s, d).filter(col("c_acctbal") > 0), "graft_db", "customers_pos")
+      graft.catalog.Catalog.readTable(s, "graft_db", "customers_pos")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
+    },
     // Exact distinct aggregate per segment.
     "tpch_distinct_agg" -> q { (s, d) =>
       Tables.customer(s, d)
@@ -84,6 +138,35 @@ object TpchEntries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000""".stripMargin,
+    "tpch_set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "tpch_rollup" ->
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+         |  coalesce(o_orderstatus, 'ALL') AS status,
+         |  count(*) AS n_orders, ${rndSum("o_totalprice", 2)} AS revenue
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "tpch_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,10)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INTEGER) AS days_since_prev
+        |FROM orders""".stripMargin,
+    "tpch_global_sort" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    "cat_table_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
+         |FROM customer WHERE c_acctbal > 0 GROUP BY 1""".stripMargin,
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${rnd("sum(l_quantity)", 2)} AS sum_qty,
