@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.Functions
+
+/** Property pins for the semantics the oracle depends on, evaluated in
+  * bulk (ScalaCheck generators with fixed seeds, one Spark job per
+  * property round — not per case). */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("round on doubles is BigDecimal-shortest-repr HALF_UP (oracle contract)") {
+    for (seed <- 1L to 3L) {
+      val xs = sample(Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6)), seed)
+      val got = xs.toDF("x").select(round($"x", 2)).as[Double].collect()
+      val want = xs.map(x =>
+        new java.math.BigDecimal(java.lang.Double.toString(x))
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue)
+      assert(got.toSeq == want, s"seed=$seed")
+    }
+  }
+
+  test("stableSum is partition-order independent (bitwise)") {
+    for (seed <- 1L to 3L) {
+      val xs = sample(Gen.listOfN(300, Gen.chooseNum(-1e5, 1e5)), seed)
+      def total(parts: Int, data: Seq[Double]): Double =
+        spark.createDataset(data).repartition(parts).toDF("x")
+          .agg(Functions.stableSum($"x").cast("double")).as[Double].head()
+      val a = total(1, xs)
+      val b = total(7, new scala.util.Random(seed).shuffle(xs))
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("isoDayOfWeek matches java.time for arbitrary dates") {
+    for (seed <- 1L to 3L) {
+      val ds = sample(Gen.listOfN(100, Gen.chooseNum(0L, 20000L)), seed)
+      val dates = ds.map(d => java.time.LocalDate.ofEpochDay(d))
+      val df = dates.map(d => Timestamp.valueOf(d.atStartOfDay)).toDF("t")
+      val got = df.select(Functions.isoDayOfWeek($"t")).as[Int].collect()
+      val want = dates.map(_.getDayOfWeek.getValue)
+      assert(got.toSeq == want, s"seed=$seed")
+    }
+  }
+
+  test("surrogateKey equals driver-side md5 of the joined rendering") {
+    for (seed <- 1L to 3L) {
+      val tok = Gen.alphaNumStr.map(_.take(12))
+      val ps = sample(Gen.listOfN(50, Gen.zip(tok, tok)), seed)
+      val got = ps.toDF("a", "b")
+        .select(Functions.surrogateKey($"a", $"b")).as[String].collect()
+      val want = ps.map { case (a, b) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$a-$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      assert(got.toSeq == want, s"seed=$seed")
+    }
+  }
+
+  test("timeOfDay buckets partition all 24 hours") {
+    val df = (0 to 23).map(h => Timestamp.valueOf(f"2024-05-01 $h%02d:00:00")).toDF("t")
+    val got = df.select(Functions.timeOfDay($"t")).as[String].collect()
+    val want = (0 to 23).map {
+      case h if h >= 6 && h <= 11 => "Morning"
+      case h if h >= 12 && h <= 17 => "Afternoon"
+      case h if h >= 18 && h <= 22 => "Evening"
+      case _ => "Night"
+    }
+    assert(got.toSeq == want)
+  }
+}
