@@ -30,7 +30,8 @@ object GraftSession {
   /** Local session for tests / ad-hoc mains. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32)): SparkSession = {
     val s = configure(
-      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      SparkSession.builder().master(s"local[$cores]").appName("graft")
+        .withExtensions(new graft.expr.GraftExtensions),
       shufflePartitions = cores.max(4)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -40,6 +41,7 @@ object GraftSession {
   /** Ensure graft confs on an externally-built session (driver contract
     * builds its own in Verify/Bench); runtime-settable confs only. */
   def tune(spark: SparkSession): SparkSession = {
+    graft.expr.NativeFunctions.register(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,112 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native fused cosine-similarity kernel over two `array<float>` columns.
+  *
+  * The composable formulation (`aggregate(zip_with(a, b, _*_), 0d, _+_)`,
+  * [[graft.operators.Similarity.dot]]) materializes an intermediate
+  * products array per row and walks each vector three times (dot + both
+  * norms as separate expression trees). For ANN workloads the kernel IS
+  * the inner loop — at 100 TB the difference between one fused pass and
+  * three passes with allocation is the job cost. This expression
+  * computes dot and both norms in ONE loop with zero allocation, in both
+  * interpreted and whole-stage-codegen paths.
+  *
+  * Semantics are BIT-IDENTICAL to the composable form (same
+  * left-to-right double accumulation, same final `dot/(√na·√nb)`), so the
+  * DuckDB oracle match is unaffected; mismatched vector lengths yield
+  * NULL exactly like `zip_with`'s null padding does.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity requires (array<float>, array<float>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native SQL functions — via
+  * [[GraftExtensions]] for sessions built with
+  * `.withExtensions(new GraftExtensions)` / the
+  * `spark.sql.extensions` conf, or [[NativeFunctions.register]] for an
+  * existing session (the driver owns the harness sessions). */
+object NativeFunctions {
+  val cosineInfo = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineInfo
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** Session-extensions hook: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.expr.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(NativeFunctions.cosineInfo)
+}

@@ -34,7 +34,16 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Composable (built-ins only) cosine — the reference formulation the
+    * native kernel is verified against. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Fused native kernel ([[graft.expr.CosineSimilarity]]): one pass, no
+    * intermediate array, bit-identical to [[cosineComposed]]. Requires
+    * [[graft.expr.NativeFunctions.register]] / GraftExtensions on the
+    * session (GraftSession does both). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   /** Exact brute-force top-k neighbors for each query vector (the
     * correctness oracle for any ANN variant). Self-matches excluded. */

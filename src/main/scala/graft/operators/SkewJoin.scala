@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for equi-joins, for when AQE's runtime skew
+  * split isn't available (e.g. the skewed side feeds other operators that
+  * pin the partitioning) or the skew is known ahead of time.
+  *
+  * The classic salt trick: the SKEWED (probe) side scatters each hot key
+  * across `salts` sub-keys; the small (build) side is replicated once per
+  * salt value. The join key becomes (key, salt), so one hot key's rows
+  * spread over `salts` tasks instead of one straggler. Cost: build side
+  * ×salts — keep the build side the smaller input.
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Inner/left salted equi-join of a skewed `large` side against a
+    * `small` side on `key`. Result equals `large.join(small, key, how)`
+    * row-for-row; only the physical distribution changes. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16, how: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(how == "inner" || how == "left" || how == "left_outer",
+      s"salted join supports inner/left, got $how")
+    // row-scoped salt: spreads a hot key's rows evenly; any per-row value
+    // works because the salt only routes distribution, never semantics.
+    val salted = large.withColumn(SaltCol,
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = small.withColumn(SaltCol,
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    salted.join(replicated, Seq(key, SaltCol), how).drop(SaltCol)
+  }
+}

@@ -71,6 +71,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sig(0)._2 != sig(2)._2)
   }
 
+  test("native cosine kernel is bit-identical to the composable form") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6) / 3.0f))
+    }.toDF("vec_id", "embedding")
+    val a = vecs.select($"vec_id", $"embedding".as("va"))
+    val b = vecs.select($"vec_id".as("id2"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).filter($"vec_id" < $"id2")
+    val diff = pairs.select(
+      Similarity.cosine($"va", $"vb").as("native"),
+      Similarity.cosineComposed($"va", $"vb").as("composed"))
+      .filter($"native" =!= $"composed" ||
+        ($"native".isNull !== $"composed".isNull))
+    assert(diff.count() == 0)
+    // mismatched lengths → NULL, matching zip_with padding semantics
+    val m = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("x", "y")
+      .select(Similarity.cosine($"x", $"y")).head()
+    assert(m.isNullAt(0))
+  }
+
   test("cosine kernel on known vectors") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 2f), Array(1f, 2f, 2f)))
       .toDF("a", "b")

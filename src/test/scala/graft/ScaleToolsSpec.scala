@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Catalog
+import graft.operators.SkewJoin
+
+/** Scale-mechanics utilities: salted skew joins must be semantically
+  * transparent; bucketed tables must join without a shuffle. */
+class ScaleToolsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // 10k rows of one hot key + a tail
+    val large = ((1 to 10000).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i)))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (999L, "unmatched"))
+      .toDF("k", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "name").orderBy("k", "v").collect().toSeq
+    assert(canon(SkewJoin.saltedJoin(large, small, "k", salts = 8)) ==
+      canon(large.join(small, Seq("k"), "inner")))
+    assert(SkewJoin.saltedJoin(large, small, "k", salts = 8, how = "left").count() ==
+      large.join(small, Seq("k"), "left").count())
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
+    Catalog.materializeBucketed(left, "graft_test_db", "bkt_left", "id", 4)
+    Catalog.materializeBucketed(right, "graft_test_db", "bkt_right", "id", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Catalog.readTable(spark, "graft_test_db", "bkt_left")
+        .join(Catalog.readTable(spark, "graft_test_db", "bkt_right"), "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+}
