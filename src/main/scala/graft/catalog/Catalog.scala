@@ -16,10 +16,24 @@ object Catalog {
   def dropNamespace(spark: SparkSession, name: String): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
 
-  /** CTAS-equivalent: full-rebuild a managed table from a DataFrame. */
+  /** CTAS-equivalent: full-rebuild a managed table from a DataFrame.
+    * Clears any orphaned physical location first — with a non-persistent
+    * (in-memory) catalog, a previous session's managed-table directory
+    * survives on disk while the catalog entry does not, and saveAsTable
+    * refuses to adopt it. */
   def materializeTable(df: DataFrame, namespace: String, table: String): Unit = {
-    createNamespace(df.sparkSession, namespace)
+    val spark = df.sparkSession
+    createNamespace(spark, namespace)
+    spark.sql(s"DROP TABLE IF EXISTS `$namespace`.`$table`")
+    dropOrphanLocation(spark, namespace, table)
     df.write.mode(SaveMode.Overwrite).saveAsTable(s"`$namespace`.`$table`")
+  }
+
+  private def dropOrphanLocation(spark: SparkSession, namespace: String, table: String): Unit = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$namespace.db/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Bucketed managed table: co-locates rows by hash(bucketCol) at write
@@ -29,7 +43,10 @@ object Catalog {
     * join read matching buckets directly). */
   def materializeBucketed(df: DataFrame, namespace: String, table: String,
                           bucketCol: String, numBuckets: Int): Unit = {
-    createNamespace(df.sparkSession, namespace)
+    val spark = df.sparkSession
+    createNamespace(spark, namespace)
+    spark.sql(s"DROP TABLE IF EXISTS `$namespace`.`$table`")
+    dropOrphanLocation(spark, namespace, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(s"`$namespace`.`$table`")

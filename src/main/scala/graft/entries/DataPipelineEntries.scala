@@ -67,6 +67,19 @@ object DataPipelineEntries {
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Pivot: per-day event counts fanned out to one column per type.
+    "ev_pivot" -> q((s, d) => Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)),
+    // String-function surface over documents.
+    "text_string_funcs" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head_upper"),
+      regexp_replace(substring(col("text"), 1, 20), " ", "_").as("head_snake"),
+      col("text").contains("spark").as("mentions_spark"),
+      reverse(substring(col("text"), 1, 8)).as("head_rev"))),
     // -- multimodal plumbing ---------------------------------------------
     "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))))
 
@@ -103,7 +116,15 @@ object DataPipelineEntries {
     s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
   }.mkString(" ")
 
-  private val minhashCols = (0 until 12).map(i => s"min(${pHash("s", i)}) AS mh$i").mkString(",\n    ")
+  /** Mirror of [[Dedup.minhashSlots]]: seeded md5 k yields slots 2k
+    * (hex 1-12) and 2k+1 (hex 13-24). */
+  private val doubleHashSql = (0 until 6).flatMap { k =>
+    Seq(s"CAST(('0x' || substr(md5(s || '#$k'), 1, 12)) AS BIGINT) AS h${2 * k}",
+      s"CAST(('0x' || substr(md5(s || '#$k'), 13, 12)) AS BIGINT) AS h${2 * k + 1}")
+  }.mkString(",\n      ")
+
+  private val minhashCols = (0 until 12).map(i =>
+    s"min(h$i) AS mh$i").mkString(",\n    ")
 
   private val bandSelects = (0 until 6).map { b =>
     s"SELECT doc_id, $b AS band_idx, md5(concat_ws('-', mh${2 * b}, mh${2 * b + 1})) AS band_key FROM sig"
@@ -155,9 +176,12 @@ object DataPipelineEntries {
     "dedup_minhash_lsh" ->
       s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
          |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+         |hashed AS (SELECT doc_id, lang, n_sh,
+         |      $doubleHashSql
+         |    FROM e),
          |sig AS (SELECT doc_id, lang, n_sh,
          |    $minhashCols
-         |  FROM e GROUP BY 1, 2, 3),
+         |  FROM hashed GROUP BY 1, 2, 3),
          |bands AS (
          |  $bandSelects),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
@@ -235,7 +259,22 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
-    "mm_features" ->
+    "ev_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 12)) AS head_upper,
+        |  replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+        |  contains(text, 'spark') AS mentions_spark,
+        |  reverse(substr(text, 1, 8)) AS head_rev
+        |FROM documents""".stripMargin,
+        "mm_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
         |       ELSE 'video' END AS media_type,

@@ -31,6 +31,20 @@ object Dedup {
   def portableHash(s: Column, seed: Int): Column =
     conv(substring(md5(concat(s, lit("#" + seed))), 1, 15), 16, 10).cast("long")
 
+  /** Minhash family: each seeded md5 yields TWO independent 48-bit
+    * hashes (hex chars 1-12 and 13-24), so `numHashes` slots cost
+    * `numHashes/2` md5 calls per shingle — md5 is the signature cost at
+    * corpus scale. Unlike a Kirsch–Mitzenmacher linear family
+    * (`a + i·b`), every slot has independent bits: K-M makes all LSH
+    * bands linear in the same two values, which collapses band
+    * independence and measurably drops near-dup recall. */
+  def minhashSlots(s: Column, numHashes: Int): Seq[Column] =
+    (0 until (numHashes + 1) / 2).flatMap { k =>
+      val h = md5(concat(s, lit("#" + k)))
+      Seq(conv(substring(h, 1, 12), 16, 10).cast("long"),
+        conv(substring(h, 13, 12), 16, 10).cast("long"))
+    }.take(numHashes)
+
   /** Exact dedup on a text digest: one surviving (minimum) id per
     * distinct text plus the duplicate count. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -74,10 +88,12 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val ex = shingled(docs).select(col("doc_id"), col("lang"), col("n_sh"),
       explode(col("sh")).as("s"))
-    // one aggregation pass → the whole signature as numHashes columns
+    // numHashes/2 md5 calls per shingle, one aggregation pass → the
+    // whole signature as numHashes columns
+    val slots = minhashSlots(col("s"), numHashes)
     val sig = ex.groupBy(col("doc_id"), col("lang"), col("n_sh"))
-      .agg(min(portableHash(col("s"), 0)).as("mh0"),
-        (1 until numHashes).map(i => min(portableHash(col("s"), i)).as(s"mh$i")): _*)
+      .agg(min(slots.head).as("mh0"),
+        slots.zipWithIndex.tail.map { case (h, i) => min(h).as(s"mh$i") }: _*)
     // band keys: md5 over the band's signature slice
     val banded = sig.select(col("doc_id") +:
       (0 until numBands).map { b =>

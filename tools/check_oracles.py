@@ -30,6 +30,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
+    # fresh output dir: a failed query must not silently compare against a
+    # stale result from a previous run
+    import shutil
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
     cmd = ["sbt", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True,
                        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "8"})
