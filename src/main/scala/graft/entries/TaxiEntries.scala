@@ -74,6 +74,15 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Ad-hoc SQL entry point (SURVEY §3 EP3): the engine's models exposed
+    // as temp views, queried through spark.sql.
+    "taxi_sql_adhoc" -> q { (s, d) =>
+      models(s, d).fctDaily.drop("created_at").createOrReplaceTempView("graft_daily")
+      s.sql("""SELECT taxi_type, count(*) AS days,
+              |  CAST(sum(total_trips) AS BIGINT) AS trips,
+              |  CAST(max(total_trips) AS BIGINT) AS busiest_day_trips
+              |FROM graft_daily GROUP BY taxi_type""".stripMargin)
+    },
     // sketch-based distinct-count variant (the 100 TB escape hatch for A3)
     // — oracle is rows-only (HLL estimates are engine-specific).
     "taxi_daily_approx" -> q((s, d) => Marts.dailyApprox(models(s, d).fctTrips)))
@@ -110,7 +119,12 @@ object TaxiEntries {
         |       p.problem_count * 100.0 / t.total_count AS problem_percentage
         |FROM p, t
         |WHERE p.problem_count * 100.0 / t.total_count > 5.0""".stripMargin),
-    "taxi_incr_delete_insert" -> o(
+    "taxi_sql_adhoc" -> o(
+      """SELECT taxi_type, count(*) AS days,
+        |  CAST(sum(total_trips) AS BIGINT) AS trips,
+        |  CAST(max(total_trips) AS BIGINT) AS busiest_day_trips
+        |FROM fct_trips_daily GROUP BY taxi_type""".stripMargin),
+        "taxi_incr_delete_insert" -> o(
       s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
          |            FROM stg_yellow WHERE month IN (6, 7)),
          |  result AS (
