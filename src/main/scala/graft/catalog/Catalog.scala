@@ -31,7 +31,9 @@ object Catalog {
 
   private def dropOrphanLocation(spark: SparkSession, namespace: String, table: String): Unit = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$namespace.db/$table")
+    // the catalog lowercases identifiers when deriving managed locations
+    val loc = new org.apache.hadoop.fs.Path(
+      s"$warehouse/${namespace.toLowerCase}.db/${table.toLowerCase}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -116,6 +116,10 @@ object DataPipelineEntries {
     s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
   }.mkString(" ")
 
+  private val langBestSql =
+    TextAnalysis.LangMarkers.map { case (lang, _) => s"s_$lang" }
+      .mkString("greatest(", ", ", ")")
+
   /** Mirror of [[Dedup.minhashSlots]]: seeded md5 k yields slots 2k
     * (hex 1-12) and 2k+1 (hex 13-24). */
   private val doubleHashSql = (0 until 6).flatMap { k =>
@@ -154,7 +158,7 @@ object DataPipelineEntries {
          |  SELECT doc_id, lang,
          |    $langScoreSql
          |  FROM documents),
-         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM s)
+         |b AS (SELECT *, $langBestSql AS best FROM s)
          |SELECT doc_id, lang AS labeled_lang,
          |  CASE $langCaseSql ELSE 'und' END AS predicted_lang
          |FROM b""".stripMargin,

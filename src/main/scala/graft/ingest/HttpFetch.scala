@@ -36,7 +36,12 @@ object HttpFetch {
     Files.createDirectories(destDir)
     val dest = destDir.resolve(fileName)
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest))
+    // TRUNCATE_EXISTING: without it a shorter download over a stale file
+    // (crashed previous run) keeps the old tail bytes → corrupt parquet.
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
     resp.statusCode() match {
       case ok if ok >= 200 && ok < 300 => Fetched(dest, Files.size(dest))
       case 404 => Files.deleteIfExists(dest); NotFound

@@ -71,11 +71,20 @@ object StreamingEvents {
           sorted.foreach { e =>
             val t = e.ts.getTime
             open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
-              case Some(s) =>
+              case Some(s) if t > s.end + gapMs =>
+                // gap exceeded forward: close and start fresh
                 closed += flush(userId, s)
                 open = Some(OpenSession(t, t, 1, e.value))
+              case Some(s) if t < s.start - gapMs =>
+                // late event disjoint BEFORE the open session: emit it as
+                // its own session immediately (no earlier state exists to
+                // merge with) rather than corrupting the open session's
+                // aggregates without moving its bounds
+                closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+              case Some(s) =>
+                // within the gap on either side: merge, extending bounds
+                open = Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
+                  s.n + 1, s.total + e.value))
               case None =>
                 open = Some(OpenSession(t, t, 1, e.value))
             }

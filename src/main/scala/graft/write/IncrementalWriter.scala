@@ -130,8 +130,15 @@ object IncrementalWriter {
         .map { case (y, m) => col("year") === y && col("month") === m }
         .reduceOption(_ || _).getOrElse(lit(false))
       val keys = batch.select(keyCol).distinct()
+      // broadcast the delete-key set only when it is verifiably modest
+      // (early-stopping probe, no shuffle); a giant backfill batch falls
+      // back to the planner's shuffled anti join, which AQE still
+      // converts to broadcast if the runtime size allows.
+      val maxBroadcastKeys = 4000000L
+      val smallKeys = keys.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
+      val buildSide = if (smallKeys) broadcast(keys) else keys
       val survivors = target.filter(touchedPred)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .join(buildSide, Seq(keyCol), "left_anti")
       val out = survivors.unionByName(batch, allowMissingColumns = true)
       overwritePartitions(spark, out, path)
     }

@@ -36,8 +36,11 @@ class ScaleToolsSpec extends AnyFunSuite {
       val joined = Catalog.readTable(spark, "graft_test_db", "bkt_left")
         .join(Catalog.readTable(spark, "graft_test_db", "bkt_right"), "id")
       assert(joined.count() == 1000)
+      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)";
+      // a bare "ShuffleExchange" substring would never match and make
+      // this assertion vacuous.
       val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 }

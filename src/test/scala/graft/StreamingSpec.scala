@@ -65,4 +65,27 @@ class StreamingSpec extends AnyFunSuite {
       StreamingEvents.Session(8L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L, 8.0)))
     q.stop()
   }
+
+  test("streaming sessionize merges in-gap late events, extending the start") {
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingEvents.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_late_test")
+      .outputMode("append").start()
+    input.addData(
+      Ev(7L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(7L, ts("2024-01-01 10:10:00"), "a", 2.0))
+    q.processAllAvailable()
+    // late but above-watermark event 20 min BEFORE the open session's
+    // start: must merge and extend the start, not distort the aggregates
+    input.addData(Ev(7L, ts("2024-01-01 09:40:00"), "a", 4.0))
+    q.processAllAvailable()
+    // a forward gap then closes the merged session
+    input.addData(Ev(7L, ts("2024-01-01 11:30:00"), "a", 8.0))
+    q.processAllAvailable()
+    val got = spark.table("session_late_test")
+      .as[StreamingEvents.Session].collect().toSeq
+    assert(got == Seq(
+      StreamingEvents.Session(7L, ts("2024-01-01 09:40:00"), ts("2024-01-01 10:10:00"), 3L, 7.0)))
+    q.stop()
+  }
 }
