@@ -51,6 +51,23 @@ object Events {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sessionization via Spark's built-in `session_window` (same session
+    * boundaries as [[sessionize]]; the built-in's window end is
+    * `last event + gap`, so the observed end is reported via `max(ts)`).
+    * Prefer this form when only per-session aggregates are needed — the
+    * dedicated operator merges sessions inside the aggregation, with no
+    * ranking window pass. */
+  def sessionizeWindowed(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast("timestamp"), s"$gapMinutes minutes"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        stableRoundedSum(col("value"), 2).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+
   /** Group-wise top-k: the k highest-value events per user
     * (`row_number` ranking window, total-ordered by the unique event_id
     * tiebreak). */

@@ -137,6 +137,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s(1).getLong(s(1).fieldIndex("n_events")) == 1)
   }
 
+  test("sessionizeWindowed (built-in session_window) agrees with lag+cumsum") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "a", 2.0),
+      (3L, ts("2024-01-01 11:30:00"), 7L, "a", 4.0),
+      (4L, ts("2024-01-01 09:00:00"), 8L, "b", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+        .collect().map(_.toSeq.map {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case v => v
+        }).toSeq
+    assert(canon(operators.Events.sessionizeWindowed(ev, 30)) ==
+      canon(operators.Events.sessionize(ev, 30).drop("session_idx")))
+  }
+
   test("multimodal stub decode is deterministic and typed per media kind") {
     val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
     val r = Multimodal.features(df).orderBy("doc_id").collect()

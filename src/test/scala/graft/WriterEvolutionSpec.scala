@@ -46,6 +46,22 @@ class WriterEvolutionSpec extends AnyFunSuite {
     assert(got.count() == 2)
   }
 
+  test("raw append tolerates schema drift across months (accept-any-schema)") {
+    val base = Files.createTempDirectory("graft_drift")
+    val raw = s"$base/raw"
+    Seq(("t1", 1.0)).toDF("id", "fare")
+      .write.parquet(s"$base/m1.parquet")
+    Seq(("t2", 2.0, "card")).toDF("id", "fare", "payment_kind")
+      .write.parquet(s"$base/m2.parquet")
+    import graft.ingest.Ingest
+    assert(Ingest.ingestMonth(spark, s"$base/m1.parquet", raw, "yellow", 2024, 1).rows == 1)
+    assert(Ingest.ingestMonth(spark, s"$base/m2.parquet", raw, "yellow", 2024, 2).rows == 1)
+    val got = spark.read.option("mergeSchema", "true").parquet(raw)
+    assert(got.columns.contains("payment_kind"))
+    val m1 = got.filter($"year" === 2024 && $"month" === 1).head()
+    assert(m1.isNullAt(m1.fieldIndex("payment_kind")))
+  }
+
   test("incrementalCut single-action max(struct) picks calendar max") {
     val path = Files.createTempDirectory("graft_cut").toString + "/t"
     Seq(("a", 2023, 12), ("b", 2024, 1), ("c", 2024, 3))
