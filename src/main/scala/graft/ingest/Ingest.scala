@@ -55,8 +55,10 @@ object Ingest {
     val stamped = stamp(src, year, month).observe(obs, count(lit(1)).as("rows"))
     if (exists) IncrementalWriter.overwritePartitions(spark, stamped, rawTablePath)
     else IncrementalWriter.appendPartitioned(stamped, rawTablePath)
-    Result(feed, year, month, if (exists) "overwritten" else "appended",
-      obs.get("rows").asInstanceOf[Long])
+    // an empty source produces a zero-task write, which reports NO
+    // observed metrics at all (not a zero) — treat absence as 0 rows.
+    val rows = obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+    Result(feed, year, month, if (exists) "overwritten" else "appended", rows)
   }
 
   /** Metadata stamp (`ingest_spark_bulk.py:141-144`). */
