@@ -67,6 +67,15 @@ object DataPipelineEntries {
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // JSON column extraction: parse the props payload into typed fields.
+    "ev_json_extract" -> q((s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").cast("long").as("sum_k"))),
     // Pivot: per-day event counts fanned out to one column per type.
     "ev_pivot" -> q((s, d) => Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -263,7 +272,14 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
-    "ev_pivot" ->
+    "ev_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+        "ev_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
