@@ -25,6 +25,36 @@ class ScaleToolsSpec extends AnyFunSuite {
       large.join(small, Seq("k"), "left").count())
   }
 
+  test("partition pruning and predicate pushdown reach the scan") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_prune").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 1.5, 2020 + i % 4, i % 12 + 1))
+      .toDF("k", "v", "year", "month")
+      .write.partitionBy("year", "month").parquet(path)
+    val q = spark.read.parquet(path)
+      .filter($"year" === 2021 && $"v" > 10.0)
+      .select("k", "v")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2021"),
+      s"partition filter not pushed:\n$scan")
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(v,10.0)"),
+      s"data filter not pushed:\n$scan")
+    // pruned column set: only k and v are read (plus partition cols)
+    assert(scan.contains("ReadSchema: struct<k:bigint,v:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("typed Dataset[Trip] facade binds the unified schema") {
+    val (y, g, f, h) = (TaxiFixturesData.rawYellow(spark), TaxiFixturesData.rawGreen(spark),
+      TaxiFixturesData.rawFhv(spark), TaxiFixturesData.rawFhvhv(spark))
+    val models = Pipeline.buildModels(y, g, f, h)
+    val ds = graft.model.Typed.trips(models.unified)
+    val revenue = ds.filter(_.taxi_type == "yellow")
+      .flatMap(_.total_amount).reduce(_ + _)
+    assert(revenue > 0)
+    assert(ds.head().trip_id.length == 32)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
