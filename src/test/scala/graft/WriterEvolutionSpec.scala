@@ -62,6 +62,17 @@ class WriterEvolutionSpec extends AnyFunSuite {
     assert(m1.isNullAt(m1.fieldIndex("payment_kind")))
   }
 
+  test("freshnessDays reports age of max(loaded_at); None when empty") {
+    val now = System.currentTimeMillis()
+    val df = Seq(
+      new java.sql.Timestamp(now - 5 * 86400000L),
+      new java.sql.Timestamp(now - 3 * 86400000L)).toDF("loaded_at")
+    val age = IncrementalWriter.freshnessDays(df).get
+    assert(age >= 2.9 && age <= 3.1, s"expected ~3 days, got $age")
+    val empty = Seq.empty[java.sql.Timestamp].toDF("loaded_at")
+    assert(IncrementalWriter.freshnessDays(empty).isEmpty)
+  }
+
   test("incrementalCut single-action max(struct) picks calendar max") {
     val path = Files.createTempDirectory("graft_cut").toString + "/t"
     Seq(("a", 2023, 12), ("b", 2024, 1), ("c", 2024, 3))
