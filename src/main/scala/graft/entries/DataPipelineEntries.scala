@@ -63,6 +63,13 @@ object DataPipelineEntries {
     },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // Array-function surface over the embedding vectors.
+    "emb_array_stats" -> q((s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(array_min(col("embedding")).cast("double"), 6).as("min_val"),
+      round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+      round(Similarity.l2Norm(col("embedding")), 6).as("l2"))),
     // -- events ----------------------------------------------------------
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
@@ -272,7 +279,14 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
-    "ev_json_extract" ->
+    "emb_array_stats" ->
+      s"""SELECT vec_id,
+         |  CAST(len(embedding) AS INTEGER) AS dim,
+         |  ${rnd("CAST(list_min(embedding) AS DOUBLE)", 6)} AS min_val,
+         |  ${rnd("CAST(list_max(embedding) AS DOUBLE)", 6)} AS max_val,
+         |  ${rnd("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS l2
+         |FROM embeddings""".stripMargin,
+        "ev_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
         |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,

@@ -118,6 +118,24 @@ object TpchEntries {
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },
+    // Exact interpolated percentiles per group.
+    "tpch_percentiles" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    },
+    // CUBE: all grouping-set combinations with subtotal rows.
+    "tpch_cube" -> q { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"))
+    },
     // S7/S9: namespace DDL + managed-table CTAS round-trip through the
     // session catalog.
     "cat_table_roundtrip" -> q { (s, d) =>
@@ -163,7 +181,18 @@ object TpchEntries {
         |FROM orders""".stripMargin,
     "tpch_global_sort" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
-    "cat_table_roundtrip" ->
+    "tpch_percentiles" ->
+      s"""SELECT o_orderpriority,
+         |  ${rnd("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         |  ${rnd("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+         |  ${rnd("quantile_cont(o_totalprice, 0.99)", 4)} AS p99
+         |FROM orders GROUP BY 1""".stripMargin,
+    "tpch_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+        "cat_table_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
          |FROM customer WHERE c_acctbal > 0 GROUP BY 1""".stripMargin,
