@@ -74,6 +74,9 @@ object DataPipelineEntries {
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Group-wise top-k via the bounded typed aggregator (same semantics
+    // as ev_topk_per_user, shuffle carries only k items per key).
+    "ev_topk_agg" -> q((s, d) => Events.topKPerUserAgg(Tables.events(s, d), 3)),
     // JSON column extraction: parse the props payload into typed fields.
     "ev_json_extract" -> q((s, d) => Tables.events(s, d)
       .select(col("event_type"),
@@ -286,6 +289,12 @@ object DataPipelineEntries {
          |  ${rnd("CAST(list_max(embedding) AS DOUBLE)", 6)} AS max_val,
          |  ${rnd("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS l2
          |FROM embeddings""".stripMargin,
+        "ev_topk_agg" ->
+      """SELECT user_id, rn, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
         "ev_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,

@@ -158,6 +158,16 @@ class OperatorsSpec extends AnyFunSuite {
       canon(operators.Events.sessionize(ev, 30).drop("session_idx")))
   }
 
+  test("aggregator top-k equals the ranking-window top-k") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (1 to 200).map { i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), (i % 7).toLong, s"t${i % 3}", (i * 37 % 101).toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "rn").collect().map(_.toSeq).toSeq
+    assert(canon(Events.topKPerUserAgg(ev, 4)) == canon(Events.topKPerUser(ev, 4)))
+  }
+
   test("multimodal stub decode is deterministic and typed per media kind") {
     val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
     val r = Multimodal.features(df).orderBy("doc_id").collect()
