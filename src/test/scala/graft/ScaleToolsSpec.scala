@@ -55,6 +55,23 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(ds.head().trip_id.length == 32)
   }
 
+  test("compaction collapses small files without changing content") {
+    import java.nio.file.Files
+    import graft.write.{IncrementalWriter, Maintenance}
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    // three appends → ≥3 files per touched partition
+    (1 to 3).foreach { b =>
+      IncrementalWriter.appendPartitioned(
+        (1 to 50).map(i => (s"k$b-$i", i * 1.0, 2024, i % 2 + 1))
+          .toDF("k", "v", "year", "month"), path)
+    }
+    val before = spark.read.parquet(path).orderBy("k").collect().toSeq
+    val (nBefore, nAfter) = Maintenance.compact(spark, path)
+    assert(nAfter < nBefore, s"expected fewer files, got $nBefore -> $nAfter")
+    assert(nAfter == 2) // one file per (year, month) partition
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
