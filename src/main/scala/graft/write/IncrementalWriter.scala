@@ -46,6 +46,18 @@ object IncrementalWriter {
   def appendPartitioned(df: DataFrame, path: String): Unit =
     byPartition(df).write.mode(SaveMode.Append).partitionBy(partCols: _*).parquet(path)
 
+  /** Reader contract for the raw layer's accept-any-schema appends
+    * (reference `ingest_spark_bulk.py:150`, Iceberg table property): a
+    * drifted batch appended by [[appendPartitioned]] lands files with a
+    * different column set in the same table; reading with `mergeSchema`
+    * folds every file footer into the superset schema, with columns
+    * absent in older files read back as typed nulls. Plain
+    * `spark.read.parquet` picks ONE file's schema and silently hides the
+    * drifted columns — always read an append-evolved raw table through
+    * this. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
@@ -130,12 +142,14 @@ object IncrementalWriter {
         .map { case (y, m) => col("year") === y && col("month") === m }
         .reduceOption(_ || _).getOrElse(lit(false))
       val keys = batch.select(keyCol).distinct()
-      // broadcast the delete-key set only when it is verifiably modest
-      // (early-stopping probe, no shuffle); a giant backfill batch falls
-      // back to the planner's shuffled anti join, which AQE still
-      // converts to broadcast if the runtime size allows.
-      val maxBroadcastKeys = 4000000L
-      val smallKeys = keys.limit((maxBroadcastKeys + 1).toInt).count() <= maxBroadcastKeys
+      // Broadcast the delete-key set only when it is verifiably modest.
+      // Sized from batch.count() — a column-pruned scan with no distinct
+      // exchange — which upper-bounds the distinct key count. Cap keeps
+      // the explicit broadcast ≲ tens of MB of key strings; a giant
+      // backfill batch falls back to the planner's shuffled anti join,
+      // which AQE still converts to broadcast if the runtime size allows.
+      val maxBroadcastKeys = 1000000L
+      val smallKeys = batch.count() <= maxBroadcastKeys
       val buildSide = if (smallKeys) broadcast(keys) else keys
       val survivors = target.filter(touchedPred)
         .join(buildSide, Seq(keyCol), "left_anti")
@@ -154,4 +168,18 @@ object IncrementalWriter {
       Some((System.currentTimeMillis() - maxTs) / 86400000.0)
     }
   }
+
+  /** S11 classification over [[freshnessDays]] with the reference's
+    * declared thresholds (`warn_after: 2 days`, `error_after: 5 days` —
+    * `dbt/models/staging/sources.yml:20-23`), dbt semantics: age past the
+    * error threshold ⇒ "error", past warn ⇒ "warn", else "pass"; a source
+    * with no `loaded_at` at all (empty) errors. */
+  def freshnessStatus(df: DataFrame, warnAfterDays: Double = 2.0,
+                      errorAfterDays: Double = 5.0): String =
+    freshnessDays(df) match {
+      case None => "error"
+      case Some(age) if age > errorAfterDays => "error"
+      case Some(age) if age > warnAfterDays => "warn"
+      case _ => "pass"
+    }
 }

@@ -21,17 +21,27 @@ object Maintenance {
     val before = fileCount
     val df = spark.read.parquet(path)
     val cols = df.columns
-    // rewrite through a staging location, then swap — never overwrite the
-    // only copy in place while reading it
+    // Rewrite through a staging location, then swap by renames only: the
+    // live dir moves ASIDE (never deleted before the replacement is in
+    // place), so a crash at any point leaves a complete copy at `path` or
+    // at `path_old` — recoverable, never gone. On HDFS/local FS each
+    // rename is atomic (the swap as a whole is not: a reader racing the
+    // two renames can see `path` briefly absent); on object stores
+    // "rename" is copy+delete and callers should front this with a
+    // catalog/manifest pointer swap instead.
     val tmp = path + "_compacting"
+    val old = path + "_old"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val (pathP, tmpP, oldP) = (new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(old))
+    fs.delete(tmpP, true)
+    fs.delete(oldP, true)
     df.repartition(col("year"), col("month"))
       .write.partitionBy("year", "month").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
-      s"rename $tmp -> $path failed")
+    require(fs.rename(pathP, oldP), s"rename $path -> $old failed")
+    require(fs.rename(tmpP, pathP), s"rename $tmp -> $path failed")
+    fs.delete(oldP, true)
     val after = fileCount
     // content must be invariant; column set too
     require(spark.read.parquet(path).columns.sorted.sameElements(cols.sorted),
