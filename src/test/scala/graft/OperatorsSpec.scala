@@ -64,6 +64,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ng.head.getDouble(2) == mh.head.getDouble(2))
   }
 
+  test("ngram df-cut drops hot boilerplate shingles from the index") {
+    // 20 docs sharing an 8-token boilerplate prefix + 2 unique tokens:
+    // per doc 8 shingles, 6 fully inside the boilerplate (df=20), so any
+    // pair overlaps on exactly those 6 → jaccard 6/(8+8-6) = 0.6.
+    val boiler = "all rights reserved by the operator of this"
+    val df = docs((1L to 20L).map(i => (i, "en", s"$boiler u$i v$i")): _*)
+    // uncapped: all C(20,2) boilerplate-only pairs flood out
+    assert(Dedup.ngramJaccardPairs(df, 0.5, maxDocFreq = 1000).count() == 190)
+    // capped: the df=20 shingles leave the index, no pair survives —
+    // exactly the skew bomb the cut defuses at corpus scale
+    assert(Dedup.ngramJaccardPairs(df, 0.5, maxDocFreq = 5).count() == 0)
+    // a genuine near-dup pair with UNIQUE overlap still comes through
+    // while the boilerplate cluster (shingle df = 6 > cap 3) is cut
+    val mixed = docs((1L to 6L).map(i => (i, "en", s"$boiler u$i v$i")) ++ Seq(
+      (30L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (31L, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda")): _*)
+    val got = Dedup.ngramJaccardPairs(mixed, 0.5, maxDocFreq = 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 31L)))
+  }
+
+  test("minhash map-side signatures equal the exploded-agg formulation") {
+    val df = docs(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "de", "der schnelle braune fuchs springt heute nacht"))
+    val sh = df.select($"doc_id", TextAnalysis.shingles($"text").as("sh"))
+    val mapSide = sh.select($"doc_id" +:
+      Dedup.minhashSigCols($"sh", 6).zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
+    val slots = Dedup.minhashSlots($"s", 6)
+    val agged = sh.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id")
+      .agg(min(slots.head).as("m0"),
+        slots.zipWithIndex.tail.map { case (h, i) => min(h).as(s"m$i") }: _*)
+    assert(mapSide.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      agged.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("dailyApprox HLL estimates stay within the configured rsd of exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fct = (1 to 2000).map { i =>
+      (ts(f"2024-03-0${i % 2 + 1}%d 10:00:00"), "yellow", 2024, 3,
+        (i % 211).toLong, (i % 97).toLong, 10.0 + i % 5)
+    }.toDF("pickup_datetime", "taxi_type", "year", "month",
+      "pickup_location_id", "dropoff_location_id", "total_amount")
+    val approx = model.Marts.dailyApprox(fct, rsd = 0.05)
+      .select($"trip_date", $"unique_pickup_locations", $"unique_dropoff_locations")
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = fct.groupBy(to_date($"pickup_datetime").as("d"))
+      .agg(countDistinct($"pickup_location_id").as("p"),
+        countDistinct($"dropoff_location_id").as("q"))
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // rsd 0.05 ⇒ ±3σ = 15% relative bound (generous, deterministic seed)
+    for ((d, (p, q)) <- exact) {
+      val (ap, aq) = approx(d)
+      assert(math.abs(ap - p) <= math.max(2, 0.15 * p), s"$d pickup: $ap vs $p")
+      assert(math.abs(aq - q) <= math.max(2, 0.15 * q), s"$d dropoff: $aq vs $q")
+    }
+  }
+
   test("simhash: identical token multisets share a fingerprint") {
     val df = docs((1L, "en", "a b c d"), (2L, "en", "d c b a"), (3L, "en", "w x y z"))
     val sig = Dedup.simhashFingerprint(df).orderBy("doc_id").as[(Long, Long)].collect()

@@ -56,8 +56,10 @@ class WriterEvolutionSpec extends AnyFunSuite {
     import graft.ingest.Ingest
     assert(Ingest.ingestMonth(spark, s"$base/m1.parquet", raw, "yellow", 2024, 1).rows == 1)
     assert(Ingest.ingestMonth(spark, s"$base/m2.parquet", raw, "yellow", 2024, 2).rows == 1)
-    val got = spark.read.option("mergeSchema", "true").parquet(raw)
+    val got = IncrementalWriter.readMerged(spark, raw)
     assert(got.columns.contains("payment_kind"))
+    // plain read would pick one footer's schema — readMerged is the
+    // documented reader contract for append-evolved raw tables
     val m1 = got.filter($"year" === 2024 && $"month" === 1).head()
     assert(m1.isNullAt(m1.fieldIndex("payment_kind")))
   }
@@ -71,6 +73,18 @@ class WriterEvolutionSpec extends AnyFunSuite {
     assert(age >= 2.9 && age <= 3.1, s"expected ~3 days, got $age")
     val empty = Seq.empty[java.sql.Timestamp].toDF("loaded_at")
     assert(IncrementalWriter.freshnessDays(empty).isEmpty)
+  }
+
+  test("freshnessStatus classifies pass/warn/error at the declared thresholds") {
+    val now = System.currentTimeMillis()
+    def at(daysOld: Double) =
+      Seq(new java.sql.Timestamp(now - (daysOld * 86400000L).toLong)).toDF("loaded_at")
+    assert(IncrementalWriter.freshnessStatus(at(1.0)) == "pass")
+    assert(IncrementalWriter.freshnessStatus(at(3.0)) == "warn")
+    assert(IncrementalWriter.freshnessStatus(at(6.0)) == "error")
+    // an empty source has no freshness evidence at all ⇒ error
+    assert(IncrementalWriter.freshnessStatus(
+      Seq.empty[java.sql.Timestamp].toDF("loaded_at")) == "error")
   }
 
   test("incrementalCut single-action max(struct) picks calendar max") {
