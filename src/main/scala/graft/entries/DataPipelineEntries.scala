@@ -106,7 +106,26 @@ object DataPipelineEntries {
       col("text").contains("spark").as("mentions_spark"),
       reverse(substring(col("text"), 1, 8)).as("head_rev"))),
     // -- multimodal plumbing ---------------------------------------------
-    "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))))
+    "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // -- structured streaming (§2.11) ------------------------------------
+    // Bounded replay of the events table through a real streaming query:
+    // file source → tumbling totals → memory sink (Complete mode,
+    // AvailableNow trigger). Verifies the streaming operator against the
+    // same batch oracle as ev_tumbling — identical values, not just
+    // "it ran".
+    "stream_tumbling" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d)
+      val dir = s"/root/repo/target/graft_tmp/stream_src_${math.abs(d.hashCode)}"
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+      val name = "graft_stream_tumbling"
+      val sq = graft.streaming.StreamingEvents.tumblingTotals(src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    })
 
   // ---- oracle SQL -----------------------------------------------------
 
@@ -281,6 +300,10 @@ object DataPipelineEntries {
          |       count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM x GROUP BY 1, 2""".stripMargin,
     "ev_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,

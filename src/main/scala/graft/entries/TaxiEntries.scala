@@ -29,6 +29,16 @@ object TaxiEntries {
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
+  /** Fresh per-(entry, sfDir) scratch dir under target/ for entries that
+    * exercise the write path. */
+  private def tmpPath(tag: String, d: String, s: SparkSession): String = {
+    val path = s"/root/repo/target/graft_tmp/${tag}_${math.abs(d.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_stg_yellow" -> q((s, d) => models(s, d).stgYellow.drop("loaded_at")),
     "taxi_stg_green" -> q((s, d) => models(s, d).stgGreen.drop("loaded_at")),
@@ -61,10 +71,7 @@ object TaxiEntries {
     // for two months; read back the partition-pruned rewrite.
     "taxi_incr_delete_insert" -> q { (s, d) =>
       val stg = models(s, d).stgYellow
-      val path = s"/root/repo/target/graft_tmp/incr_${math.abs(d.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val path = tmpPath("incr", d, s)
       IncrementalWriter.appendPartitioned(stg, path)
       val batch = stg.filter(col("month").isin(6, 7))
         .withColumn("fare_amount", col("fare_amount") * 2)
@@ -73,6 +80,36 @@ object TaxiEntries {
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // P3 incremental cut: write a multi-year target, cut the full source
+    // against it (survivors: (year, month) >= the target's calendar max),
+    // aggregate the survivors.
+    "taxi_incr_cut" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow
+      val path = tmpPath("cut", d, s)
+      IncrementalWriter.appendPartitioned(stg.filter(col("year") < 1998), path)
+      IncrementalWriter.incrementalCut(s, stg, path)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // S5 partition existence probe: write one year, probe present and
+    // absent (year, month) partitions — the ingest skip-gate.
+    "taxi_part_probe" -> q { (s, d) =>
+      import s.implicits._
+      val stg = models(s, d).stgYellow
+      val path = tmpPath("probe", d, s)
+      IncrementalWriter.appendPartitioned(stg.filter(col("year") === 1996), path)
+      Seq((1996, 1), (1996, 12), (1995, 1), (2002, 1))
+        .map { case (y, m) => (y, m, IncrementalWriter.partitionExists(s, path, y, m)) }
+        .toDF("year", "month", "present")
+    },
+    // S11 source freshness: data loaded this session classifies "pass"
+    // under the reference's warn>2d / error>5d thresholds.
+    "taxi_freshness" -> q { (s, d) =>
+      import s.implicits._
+      val status = IncrementalWriter.freshnessStatus(models(s, d).stgYellow)
+      Seq((2.0, 5.0, status)).toDF("warn_after_days", "error_after_days", "status")
     },
     // Ad-hoc SQL entry point (SURVEY §3 EP3): the engine's models exposed
     // as temp views, queried through spark.sql.
@@ -119,6 +156,23 @@ object TaxiEntries {
         |       p.problem_count * 100.0 / t.total_count AS problem_percentage
         |FROM p, t
         |WHERE p.problem_count * 100.0 / t.total_count > 5.0""".stripMargin),
+    "taxi_incr_cut" -> o(
+      s""", tgt AS (SELECT year, month FROM stg_yellow WHERE year < 1998),
+         |  mx AS (SELECT max(year) AS my FROM tgt),
+         |  mm AS (SELECT max(month) AS m FROM tgt JOIN mx ON year = my),
+         |  cut AS (SELECT sy.* FROM stg_yellow sy, mx, mm
+         |          WHERE sy.year > mx.my OR (sy.year = mx.my AND sy.month >= mm.m))
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM cut GROUP BY 1, 2""".stripMargin),
+    "taxi_part_probe" -> o(
+      """SELECT t.y AS year, t.m AS month,
+        |  EXISTS(SELECT 1 FROM stg_yellow
+        |         WHERE year = t.y AND month = t.m AND year = 1996) AS present
+        |FROM (VALUES (1996, 1), (1996, 12), (1995, 1), (2002, 1)) AS t(y, m)""".stripMargin),
+    "taxi_freshness" -> o(
+      """SELECT CAST(2.0 AS DOUBLE) AS warn_after_days,
+        |       CAST(5.0 AS DOUBLE) AS error_after_days,
+        |       'pass' AS status""".stripMargin),
     "taxi_sql_adhoc" -> o(
       """SELECT taxi_type, count(*) AS days,
         |  CAST(sum(total_trips) AS BIGINT) AS trips,

@@ -45,6 +45,21 @@ object StreamingEvents {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
 
+  /** Streaming twin of [[graft.operators.Events.tumbling]] — identical
+    * output schema and values on a bounded replay: tumbling totals with
+    * the order-independent decimal sum, so the streaming result is
+    * bit-comparable to the batch oracle. No watermark: meant for
+    * Complete-mode verification replays and bounded backfills; for an
+    * unbounded Append-mode deployment use [[tumblingCounts]]'s
+    * watermarked shape to bound state. */
+  def tumblingTotals(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts").cast("timestamp"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.expr.Functions.stableRoundedSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based streaming sessionization with explicit state. Events
     * within a batch are processed in event-time order; a gap >
     * `gapMinutes` closes the running session. The final open session per

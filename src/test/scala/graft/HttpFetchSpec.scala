@@ -47,6 +47,58 @@ class HttpFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk ingest retries flaky months, skips 404s, aborts on exhaustion") {
+    import graft.ingest.{BulkIngest, Ingest}
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("graft_bulk_wh").toString
+    val src = Files.createTempDirectory("graft_bulk_src")
+    TaxiFixturesData.rawYellow(spark).filter(col("month") === 1)
+      .drop("year", "month", "loaded_at")
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/y.parquet")
+    val parquetFile = Files.list(src.resolve("y.parquet")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(parquetFile))
+
+    // month 1: fails once (500) then serves — must succeed on attempt 2
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/yellow_tripdata_2024-01.parquet", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        if (hits.incrementAndGet() == 1) { ex.sendResponseHeaders(500, -1); ex.close() }
+        else { ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes); ex.close() }
+    })
+    // month 2: permanently missing (404 ⇒ skip-as-success, no retries)
+    server.createContext("/yellow_tripdata_2024-02.parquet", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = { ex.sendResponseHeaders(404, -1); ex.close() }
+    })
+    // month 3: permanently broken (500 ⇒ abort after retries exhausted)
+    server.createContext("/yellow_tripdata_2024-03.parquet", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = { ex.sendResponseHeaders(500, -1); ex.close() }
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val got = BulkIngest.run(spark, base, wh, Seq("yellow"),
+        BulkIngest.monthRange(2024, 1, 2024, 2), retries = 2, retryDelayMs = 1)
+      assert(got.map(a => (a.result.action, a.attempts)) ==
+        Seq(("appended", 2), ("skipped_missing_source", 1)))
+      assert(spark.read.parquet(BulkIngest.rawTablePath(wh, "yellow")).count() ==
+        got.head.result.rows)
+      // re-run is idempotent: both months resolve in one attempt, no dup rows
+      val again = BulkIngest.run(spark, base, wh, Seq("yellow"),
+        BulkIngest.monthRange(2024, 1, 2024, 2), retries = 2, retryDelayMs = 1)
+      assert(again.map(a => (a.result.action, a.attempts)) ==
+        Seq(("skipped_existing", 1), ("skipped_missing_source", 1)))
+      val boom = intercept[RuntimeException] {
+        BulkIngest.run(spark, base, wh, Seq("yellow"), Seq((2024, 3)),
+          retries = 2, retryDelayMs = 1)
+      }
+      assert(boom.getMessage.contains("failed after 3 attempts"))
+    } finally server.stop(0)
+  }
+
   test("fetchAndIngest: 404 month is skip-as-success; 200 month ingests") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.col
