@@ -21,11 +21,25 @@ import graft.write.IncrementalWriter
   */
 object TaxiEntries {
 
-  private def models(s: SparkSession, dir: String): Pipeline.BuiltModels = {
-    GraftSession.tune(s)
-    val (y, g, f, h) = TaxiDerive.feeds(s, dir)
-    Pipeline.buildModels(y, g, f, h)
-  }
+  /** Models memoized per (session, sfDir), with the TABLE-materialized
+    * layers persisted — exactly the reference's dbt DAG semantics: the
+    * four staging models are incremental tables and `fct_trips` is a
+    * table, each built ONCE per run and read by every downstream model;
+    * only the `int_*` views recompute. Without this, every harness entry
+    * would rebuild the whole medallion chain from raw — work the
+    * reference never repeats. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Pipeline.BuiltModels]
+
+  private def models(s: SparkSession, dir: String): Pipeline.BuiltModels =
+    modelCache.getOrElseUpdate((s, dir), {
+      GraftSession.tune(s)
+      val (y, g, f, h) = TaxiDerive.feeds(s, dir)
+      val m = Pipeline.buildModels(y, g, f, h)
+      Seq(m.stgYellow, m.stgGreen, m.stgFhv, m.stgFhvhv, m.fctTrips)
+        .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      m
+    })
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
