@@ -125,6 +125,34 @@ object DataPipelineEntries {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination()
       s.table(name)
+    },
+    // Bounded replay through the flatMapGroupsWithState sessionizer:
+    // sessions closed by an in-batch gap are emitted immediately; the
+    // trailing open session per user is emitted by the event-time timeout
+    // batch iff the final watermark (max ts − 1 h) passed its end + gap.
+    // The oracle reproduces exactly that emission rule in SQL, so the
+    // stateful operator's semantics — not just its plumbing — are graded.
+    "stream_sessions" -> q { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d)
+      val dir = s"/root/repo/target/graft_tmp/stream_sess_${math.abs(d.hashCode)}"
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.StreamingEvents.Ev]
+      val name = "graft_stream_sessions"
+      val sq = graft.streaming.StreamingEvents
+        .sessionize(src, gapMinutes = 30, watermark = "1 hour")
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name).select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
     })
 
   // ---- oracle SQL -----------------------------------------------------
@@ -307,6 +335,27 @@ object DataPipelineEntries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // Mirror of the streaming emission rule: all-but-last session per
+    // user (closed by an in-batch gap) plus trailing sessions whose
+    // ms-rounded timeout precedes the final watermark (max ts − 1 h).
+    "stream_sessions" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > ${30 * 60 * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |      FROM f),
+         |sess AS (SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+         |                count(*) AS n_events
+         |         FROM x GROUP BY 1, 2),
+         |s2 AS (SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS last_idx FROM sess),
+         |wm AS (SELECT (epoch_us(max(ts)) // 1000) - ${3600 * 1000L} AS wm_ms FROM events)
+         |SELECT user_id, session_start, session_end, n_events
+         |FROM s2, wm
+         |WHERE session_idx < last_idx
+         |   OR ((epoch_us(session_end) + ${30 * 60 * 1000000L} + 999) // 1000) < wm_ms""".stripMargin,
     "ev_topk_per_user" ->
       """SELECT user_id, rn, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

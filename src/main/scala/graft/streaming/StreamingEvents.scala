@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batch and keep per-key state O(1) — the state store grows with
   * the number of live keys, not events.
   */
-object StreamingEvents {
+object StreamingEvents extends Serializable {
 
   /** One event on the wire (timestamps µs, zone pinned UTC). */
   final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -31,8 +31,22 @@ object StreamingEvents {
                            session_end: Timestamp, n_events: Long, total_value: Double)
 
   /** In-flight session state (public: the state-store encoder's generated
-    * code must be able to construct it). */
+    * code must be able to construct it). `start`/`end` are epoch
+    * MICROSECONDS — `Timestamp.getTime` would truncate to ms and corrupt
+    * session bounds on µs-precision event data. */
   final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+  /** Full-precision epoch µs of a Timestamp (getTime alone is ms). */
+  def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Timestamp from epoch µs, sub-second carried via nanos. */
+  def usToTs(us: Long): Timestamp = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val t = new Timestamp(sec * 1000L)
+    t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming tumbling-window counts per event_type with a watermark
     * bounding state. `events` must carry an event-time `ts` column. */
@@ -68,10 +82,10 @@ object StreamingEvents {
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
                  watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     def flush(userId: Long, s: OpenSession): Session =
-      Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+      Session(userId, usToTs(s.start), usToTs(s.end), s.n, s.total)
 
     val fn: (Long, Iterator[Ev], GroupState[OpenSession]) => Iterator[Session] =
       (userId, evs, state) => {
@@ -80,22 +94,22 @@ object StreamingEvents {
           state.remove()
           out
         } else {
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = evs.toSeq.sortBy(e => (tsToUs(e.ts), e.value))
           var open = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = tsToUs(e.ts)
             open match {
-              case Some(s) if t > s.end + gapMs =>
+              case Some(s) if t > s.end + gapUs =>
                 // gap exceeded forward: close and start fresh
                 closed += flush(userId, s)
                 open = Some(OpenSession(t, t, 1, e.value))
-              case Some(s) if t < s.start - gapMs =>
+              case Some(s) if t < s.start - gapUs =>
                 // late event disjoint BEFORE the open session: emit it as
                 // its own session immediately (no earlier state exists to
                 // merge with) rather than corrupting the open session's
                 // aggregates without moving its bounds
-                closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                closed += Session(userId, usToTs(t), usToTs(t), 1, e.value)
               case Some(s) =>
                 // within the gap on either side: merge, extending bounds
                 open = Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
@@ -106,7 +120,9 @@ object StreamingEvents {
           }
           open.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.end + gapMs)
+            // timeout API is ms: round UP so the session never times out
+            // a fraction of a ms before its true end+gap
+            state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
           }
           closed.result().iterator
         }

@@ -72,6 +72,35 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).orderBy("k").collect().toSeq == before)
   }
 
+  test("ivfAssign is fully map-side: no shuffle exchange, no window") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j) % 7 - 3) / 2.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = graft.operators.Similarity
+      .ivfAssign(vecs, vecs.filter($"vec_id" % 40 === 0))
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the argmax is array_max over a broadcast centroid array — a ranking
+    // window here would shuffle corpus×K rows
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
+  test("minhashLsh reuses the persisted shingle pipeline; ngram df-cut is a broadcast anti join") {
+    val docs = (1L to 30L).map(i =>
+      (i, "en", s"alpha$i beta$i gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "lang", "text")
+    val mh = graft.operators.Dedup.minhashLsh(docs)
+    mh.count() // materialize so the cache is populated and used
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    // signature build + both verify sides read the ONE persisted shingle
+    // set instead of re-deriving tokenize+shingle+md5 three times
+    assert(mhPlan.contains("InMemoryTableScan"), s"shingles not cached in:\n$mhPlan")
+    val ng = graft.operators.Dedup.ngramJaccardPairs(docs)
+    val ngPlan = ng.queryExecution.executedPlan.toString
+    assert(ngPlan.contains("BroadcastHashJoin") && ngPlan.contains("LeftAnti"),
+      s"df-cut not a broadcast anti join in:\n$ngPlan")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
