@@ -28,7 +28,13 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= (target + 1) / 2) df
+    // File-count heuristic from the (already-listed) read relation —
+    // df.rdd.getNumPartitions would force a full physical planning pass
+    // per call just to read a number. File count lower-bounds the split
+    // count (a multi-row-group file yields more splits), so the guard can
+    // only over-trigger, and only on few-files inputs where the extra
+    // exchange is cheap; on any healthy many-file layout it is a no-op.
+    if (df.inputFiles.length >= (target + 1) / 2) df
     else df.repartition(target)
   }
 

@@ -36,7 +36,8 @@ object TaxiEntries {
       GraftSession.tune(s)
       val (y, g, f, h) = TaxiDerive.feeds(s, dir)
       val m = Pipeline.buildModels(y, g, f, h)
-      Seq(m.stgYellow, m.stgGreen, m.stgFhv, m.stgFhvhv, m.fctTrips)
+      Seq(m.stgYellow, m.stgGreen, m.stgFhv, m.stgFhvhv,
+        m.fctTrips, m.fctDaily, m.fctMonthly)
         .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       m
     })

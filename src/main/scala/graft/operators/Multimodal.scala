@@ -16,19 +16,33 @@ final case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
                                width: Int, height: Int, channels: Int,
                                n_frames: Int, content_hash: String)
 
+/** A really-decoded media item: container metadata plus a 64-dim
+  * grayscale-thumbnail embedding for images. `decoded = false` rows carry
+  * zeroed metadata — the skip-don't-crash policy a 100 TB corpus needs
+  * for its inevitable corrupt payloads. */
+final case class DecodedMedia(doc_id: Long, media_type: String, byte_len: Int,
+                              decoded: Boolean, width: Int, height: Int,
+                              channels: Int, sample_rate: Int, n_frames: Long,
+                              embedding: Array[Float], content_hash: String)
+
 /** Multimodal-column plumbing: schema, partition-preserving batch shape,
   * and the decode/feature-extract pass as typed `mapPartitions` (the
   * Scala analogue of a vectorized Python `mapInPandas` stage — one
-  * iterator per partition so a real decoder could amortize codec or
-  * model initialization per partition, not per row).
+  * iterator per partition so the decoder amortizes codec/digest
+  * initialization per partition, not per row).
   *
-  * The DECODE ITSELF IS A STUB: this container ships no image/audio
-  * codecs, so [[decodeStub]] derives deterministic fake dimensions from
-  * the byte stream. Everything around it — the binary column, the typed
-  * record boundary, the per-partition batch shape, the feature schema —
-  * is the real plumbing a codec would drop into.
+  * Two decode paths:
+  *  - [[decodeReal]] — REAL decoding with JDK-native codecs: images via
+  *    `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF), audio via
+  *    `javax.sound.sampled.AudioSystem` (WAV/PCM); plus [[resizeImage]]
+  *    and the thumbnail-embedding feature extraction. Video remains the
+  *    one honest gap — the JDK ships no video codec — and falls through
+  *    to the undecodable policy.
+  *  - [[decodeStub]] — deterministic pseudo-metadata from the byte
+  *    stream, kept for the oracle-checked `mm_features` entry (the
+  *    driver corpus's payloads are text bytes, not real containers).
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   /** Wrap a text corpus as media payloads (UTF-8 bytes as the opaque
     * binary column; media_type fanned out deterministically so every
@@ -41,10 +55,10 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col("text").cast("binary").as("content"))
 
-  /** STUB decoder — a real implementation would parse the container
-    * format (JPEG/WAV/MP4) here; this derives deterministic pseudo
-    * metadata from the byte length so the full pipeline is testable
-    * without codecs. */
+  /** STUB decoder for the oracle-checked entry (the driver corpus's
+    * payloads are text bytes, not containers): derives deterministic
+    * pseudo metadata from the byte length so the full pipeline is
+    * DuckDB-mirrorable. Real container parsing lives in [[decodeReal]]. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val len = r.content.length
     val hash = MessageDigest.getInstance("MD5").digest(r.content)
@@ -63,6 +77,85 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeStub))
+  }
+
+  // ---- real decoders (JDK-native codecs, no external libraries) --------
+
+  /** Decode an image payload with `ImageIO` (PNG/JPEG/BMP/GIF): container
+    * dimensions + channel count + a 64-dim grayscale 8×8-thumbnail
+    * embedding (the classic perceptual-feature baseline — enough for
+    * near-dup blocking via [[Similarity]] over the embedding column).
+    * None for bytes no installed reader accepts. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val thumb = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
+      val emb = Array.tabulate(64) { i =>
+        val rgb = thumb.getRGB(i % 8, i / 8)
+        // ITU-R BT.601 luma, normalized to [0, 1]
+        (((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000f) / 255f
+      }
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, emb)
+    }
+
+  /** Decode an audio payload with `AudioSystem` (WAV/AIFF/AU PCM):
+    * (channels, sample rate Hz, frame count). None for unsupported bytes. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFormat.getChannels, in.getFormat.getSampleRate.toInt,
+        in.getFrameLength))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Re-encode an image payload at (w, h) as PNG bytes — the resize stage
+    * of a training-data pipeline, runnable inside the same typed
+    * per-partition batches as the decode. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Real decode dispatch. Video payloads and undecodable bytes take the
+    * `decoded = false` row — skip-don't-crash, with the payload hash kept
+    * so corrupt items stay traceable. `digest` is passed in so
+    * [[extractReal]] amortizes one instance per partition. */
+  def decodeReal(r: MediaRecord, digest: MessageDigest): DecodedMedia = {
+    digest.reset()
+    val hash = digest.digest(r.content).map("%02x".format(_)).mkString
+    val len = r.content.length
+    def undecoded = DecodedMedia(r.doc_id, r.media_type, len, decoded = false,
+      0, 0, 0, 0, 0L, Array.empty, hash)
+    r.media_type match {
+      case "image" => decodeImage(r.content).fold(undecoded) {
+        case (w, h, ch, emb) => DecodedMedia(r.doc_id, r.media_type, len,
+          decoded = true, w, h, ch, 0, 1L, emb, hash)
+      }
+      case "audio" => decodeAudio(r.content).fold(undecoded) {
+        case (ch, rate, frames) => DecodedMedia(r.doc_id, r.media_type, len,
+          decoded = true, 0, 0, ch, rate, frames, Array.empty, hash)
+      }
+      case _ => undecoded // video: no JDK codec — documented gap
+    }
+  }
+
+  /** Real decode pass: typed per-partition batches, one digest per
+    * partition. */
+  def extractReal(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("MD5")
+      it.map(decodeReal(_, digest))
+    }
   }
 
   /** Untyped convenience entry: docs → media → features DataFrame. */

@@ -227,6 +227,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(canon(Events.topKPerUserAgg(ev, 4)) == canon(Events.topKPerUser(ev, 4)))
   }
 
+  test("real multimodal decode: PNG and WAV via JDK codecs; video/corrupt skip") {
+    // 20×10 gradient PNG, written by the JDK encoder itself
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10) img.setRGB(x, y, (x * 12) << 16 | (y * 25))
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pbos)
+    val png = pbos.toByteArray
+    // 0.1 s mono 8 kHz 16-bit PCM WAV
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.tabulate[Byte](1600)(i => (i % 251).toByte)),
+      fmt, 800)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ain,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    val media = Seq(
+      MediaRecord(1L, "image", png),
+      MediaRecord(2L, "audio", wbos.toByteArray),
+      MediaRecord(3L, "video", Array[Byte](1, 2, 3)),
+      MediaRecord(4L, "image", Array[Byte](9, 9))).toDS()
+    val got = Multimodal.extractReal(media).collect().sortBy(_.doc_id)
+    assert(got(0).decoded && got(0).width == 20 && got(0).height == 10 &&
+      got(0).channels == 3 && got(0).embedding.length == 64)
+    assert(got(0).embedding.forall(v => v >= 0f && v <= 1f))
+    assert(got(1).decoded && got(1).channels == 1 &&
+      got(1).sample_rate == 8000 && got(1).n_frames == 800L)
+    assert(!got(2).decoded && !got(3).decoded) // skip-don't-crash
+    assert(got(3).content_hash.length == 32)   // corrupt items stay traceable
+    // resize re-encodes; re-decoding sees the new dimensions
+    val resized = graft.operators.Multimodal.resizeImage(png, 8, 4).get
+    assert(Multimodal.decodeImage(resized).get._1 == 8)
+    assert(Multimodal.decodeImage(resized).get._2 == 4)
+  }
+
   test("multimodal stub decode is deterministic and typed per media kind") {
     val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
     val r = Multimodal.features(df).orderBy("doc_id").collect()
