@@ -83,6 +83,19 @@ object DataPipelineEntries {
     // Group-wise top-k via the bounded typed aggregator (same semantics
     // as ev_topk_per_user, shuffle carries only k items per key).
     "ev_topk_agg" -> q((s, d) => Events.topKPerUserAgg(Tables.events(s, d), 3)),
+    // As-of join: each event picks up the latest per-user daily status
+    // snapshot at-or-before its timestamp (union + last-non-null window —
+    // one shuffle, no inequality-join blowup). Oracle is DuckDB's native
+    // ASOF JOIN.
+    "ev_asof_join" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+      val statuses = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min("ts").as("ts"), count(lit(1)).as("status_n"))
+        .select(col("user_id"), col("ts"), col("status_n"))
+      graft.operators.AsOfJoin.asof(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        statuses, key = "user_id", tsCol = "ts")
+    },
     // JSON column extraction: parse the props payload into typed fields.
     "ev_json_extract" -> q((s, d) => Tables.events(s, d)
       .select(col("event_type"),
@@ -356,6 +369,12 @@ object DataPipelineEntries {
          |FROM s2, wm
          |WHERE session_idx < last_idx
          |   OR ((epoch_us(session_end) + ${30 * 60 * 1000000L} + 999) // 1000) < wm_ms""".stripMargin,
+    "ev_asof_join" ->
+      """WITH st AS (SELECT user_id, min(ts) AS ts, count(*) AS status_n
+        |            FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |SELECT e.event_id, e.user_id, e.ts, s.ts AS asof_ts, s.status_n
+        |FROM events e ASOF JOIN st s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
     "ev_topk_per_user" ->
       """SELECT user_id, rn, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

@@ -153,9 +153,34 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_cust"),
           countDistinct(col("c_nationkey")).as("n_nations"),
           round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
+    },
+    // Range join (bucketed, not nested-loop): orders counted into 90-day
+    // windows sliding every 30 days — overlapping on purpose, so each
+    // order matches up to 3 windows and the operator is a real interval
+    // join, not a disguised group-by.
+    "tpch_range_join" -> q { (s, d) =>
+      val windows = s.range(85).select(
+        date_add(to_date(lit("1992-01-01")), (col("id") * 30).cast("int")).as("ws"),
+        date_add(to_date(lit("1992-01-01")), (col("id") * 30 + 89).cast("int")).as("we"))
+      val pts = Tables.orders(s, d).select(col("o_orderdate"))
+        .withColumn("day", unix_date(to_date(col("o_orderdate"))))
+      val ivs = windows
+        .withColumn("ds", unix_date(col("ws")))
+        .withColumn("de", unix_date(col("we")))
+      graft.operators.RangeJoin.pointInInterval(pts, "day", ivs, "ds", "de",
+          bucketWidth = 64)
+        .groupBy(col("ws"), col("we"))
+        .agg(count(lit(1)).as("n_orders"))
     })
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_range_join" ->
+      """WITH w AS (SELECT (DATE '1992-01-01' + CAST(i * 30 AS INTEGER)) AS ws,
+        |                  (DATE '1992-01-01' + CAST(i * 30 + 89 AS INTEGER)) AS we
+        |           FROM range(85) t(i))
+        |SELECT ws, we, count(*) AS n_orders
+        |FROM w JOIN orders ON o_orderdate BETWEEN ws AND we
+        |GROUP BY 1, 2""".stripMargin,
     "tpch_set_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT

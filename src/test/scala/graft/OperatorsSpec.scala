@@ -180,6 +180,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq == Seq(0L, 4L))
   }
 
+  test("asof join picks the latest right row at-or-before, inner semantics") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:10")),
+      (3L, "A", ts("2024-01-01 09:00:00")), // before any quote → dropped
+      (4L, "B", ts("2024-01-01 10:00:07")))
+      .toDF("trade_id", "sym", "ts")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:10"), 2.0), // exact tie with trade 2 → taken
+      ("B", ts("2024-01-01 10:00:00"), 9.0))
+      .toDF("sym", "ts", "px")
+    val got = operators.AsOfJoin.asof(trades, quotes, "sym", "ts")
+      .orderBy("trade_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(got.map(r => r.getDouble(r.fieldIndex("px"))).toSeq == Seq(1.0, 2.0, 9.0))
+    assert(got(1).getTimestamp(got(1).fieldIndex("asof_ts")) == ts("2024-01-01 10:00:10"))
+  }
+
+  test("bucketed range join equals the naive inequality join") {
+    val points = (0L to 300L by 7L).map(p => (p, s"p$p")).toDF("x", "tag")
+    val intervals = Seq((0L, 9L, "i0"), (5L, 120L, "i1"), (100L, 100L, "i2"),
+      (250L, 260L, "i3"), (400L, 500L, "i4"))
+      .toDF("lo", "hi", "name")
+    val bucketed = operators.RangeJoin
+      .pointInInterval(points, "x", intervals, "lo", "hi", bucketWidth = 16)
+      .select("x", "name").orderBy("x", "name").collect().toSeq
+    val naive = points.join(intervals, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("x", "name").orderBy("x", "name").collect().toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+    // overlap really happens: some point is in two intervals
+    assert(bucketed.groupBy(_.getLong(0)).exists(_._2.size > 1))
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
