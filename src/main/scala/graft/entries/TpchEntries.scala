@@ -154,6 +154,19 @@ object TpchEntries {
           countDistinct(col("c_nationkey")).as("n_nations"),
           round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
     },
+    // Correlated scalar subquery, de-correlated the scalable way: the
+    // per-nation average becomes a broadcast aggregate joined back —
+    // the big side is scanned twice but never shuffled. stableAvg keeps
+    // the comparison boundary bit-identical across engines.
+    "tpch_scalar_subquery" -> q { (s, d) =>
+      val c = Tables.customer(s, d)
+      val natAvg = c.groupBy(col("c_nationkey"))
+        .agg(stableAvg(col("c_acctbal")).as("nat_avg"))
+      c.join(broadcast(natAvg), Seq("c_nationkey"))
+        .filter(col("c_acctbal") > col("nat_avg"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -174,6 +187,12 @@ object TpchEntries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_scalar_subquery" ->
+      s"""SELECT c_nationkey, count(*) AS n_above
+         |FROM customer c
+         |WHERE c_acctbal > (SELECT ${oStableAvg("c_acctbal")}
+         |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         |GROUP BY 1""".stripMargin,
     "tpch_range_join" ->
       """WITH w AS (SELECT (DATE '1992-01-01' + CAST(i * 30 AS INTEGER)) AS ws,
         |                  (DATE '1992-01-01' + CAST(i * 30 + 89 AS INTEGER)) AS we

@@ -297,6 +297,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(resized).get._2 == 4)
   }
 
+  test("decoded thumbnail embeddings drive cosine near-dup detection end-to-end") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(0L, "image", png((x, y) => (x * 8 & 0xFF) << 16 | (y * 8 & 0xFF))),
+      MediaRecord(1L, "image", png((x, y) => ((x * 8 + 3) & 0xFF) << 16 | (y * 8 & 0xFF))),
+      MediaRecord(2L, "image", png((x, y) => if ((x / 4 + y / 4) % 2 == 0) 0xFFFFFF else 0)))
+      .toDS()
+    val emb = Multimodal.extractReal(media).toDF()
+      .select(col("doc_id").as("vec_id"), lit("img").as("label"), col("embedding"))
+    // the real-decode path feeds the same similarity operators as any
+    // other embedding column — only the shifted-gradient pair is near-dup
+    val pairs = Similarity.cosineDupPairs(emb, threshold = 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
   test("multimodal stub decode is deterministic and typed per media kind") {
     val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
     val r = Multimodal.features(df).orderBy("doc_id").collect()
