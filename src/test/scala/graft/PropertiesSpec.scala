@@ -65,6 +65,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join equals the naive inequality-join argmax on random inputs") {
+    for (seed <- 1L to 3L) {
+      // right (key, ts) pairs unique by construction (distinct on both)
+      val keyGen = Gen.chooseNum(0, 5)
+      val tsGen = Gen.chooseNum(0L, 2000L)
+      val lrows = sample(Gen.listOfN(150, Gen.zip(keyGen, tsGen)), seed)
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new Timestamp(t)) }
+      val rrows = sample(Gen.listOfN(60, Gen.zip(keyGen, tsGen, Gen.chooseNum(0, 999))), seed + 100)
+        .map { case (k, t, v) => (k, new Timestamp(t), v) }
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val left = lrows.toDF("lid", "k", "ts")
+      val right = rrows.toDF("k", "ts", "v")
+      val got = operators.AsOfJoin.asof(left, right, "k", "ts")
+        .select("lid", "asof_ts", "v").orderBy("lid").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2))).toSeq
+      // naive: all at-or-before matches, keep the max right ts per left row
+      val byKey = rrows.groupBy(_._1)
+      val want = lrows.flatMap { case (lid, k, ts) =>
+        byKey.getOrElse(k, Nil).filter(_._2.getTime <= ts.getTime)
+          .sortBy(_._2.getTime).lastOption.map(r => (lid, r._2.getTime, r._3))
+      }.sortBy(_._1)
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("timeOfDay buckets partition all 24 hours") {
     val df = (0 to 23).map(h => Timestamp.valueOf(f"2024-05-01 $h%02d:00:00")).toDF("t")
     val got = df.select(Functions.timeOfDay($"t")).as[String].collect()

@@ -101,6 +101,17 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"df-cut not a broadcast anti join in:\n$ngPlan")
   }
 
+  test("asof join shuffles exactly once, on the key") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val left = (1 to 500).map(i => (i.toLong, i % 9, ts(i * 1000L))).toDF("lid", "k", "ts")
+    val right = (1 to 90).map(i => (i % 9, ts(i * 4000L), i * 1.0)).toDF("k", "ts", "px")
+    val joined = graft.operators.AsOfJoin.asof(left, right, "k", "ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"inequality nested loop crept in:\n$plan")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
