@@ -100,6 +100,21 @@ class OperatorsSpec extends AnyFunSuite {
       agged.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("percentile_approx sketch tracks exact percentiles within accuracy bound") {
+    // the 100 TB escape hatch for exact `percentile` (which buffers each
+    // group's values): a bounded KLL-style sketch, single pass, mergeable
+    // partials — self-checked against the exact answer like dailyApprox
+    val df = (1 to 20000).map(i => ((i * 7919) % 20000 + 1).toDouble).toDF("x")
+    val acc = 1000 // rank error ~ 1/acc of n
+    val got = df.agg(
+      expr(s"percentile_approx(x, array(0.5, 0.9, 0.99), $acc)").as("approx"),
+      expr("percentile(x, array(0.5, 0.9, 0.99))").as("exact")).head()
+    val approx = got.getSeq[Double](0)
+    val exact = got.getSeq[Double](1)
+    for ((a, e) <- approx.zip(exact))
+      assert(math.abs(a - e) <= 20000.0 * 2 / acc + 1, s"approx $a vs exact $e")
+  }
+
   test("dailyApprox HLL estimates stay within the configured rsd of exact") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val fct = (1 to 2000).map { i =>
