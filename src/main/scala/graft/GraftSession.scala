@@ -42,6 +42,12 @@ object GraftSession {
     * builds its own in Verify/Bench); runtime-settable confs only. */
   def tune(spark: SparkSession): SparkSession = {
     graft.expr.NativeFunctions.register(spark)
+    // extraOptimizations is the post-build path for optimizer rules
+    // (withExtensions only works at session build time; the driver owns
+    // the harness sessions)
+    if (!spark.experimental.extraOptimizations.contains(graft.expr.RewriteComposedCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.expr.RewriteComposedCosine
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

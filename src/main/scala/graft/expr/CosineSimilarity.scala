@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics are BIT-IDENTICAL to the composable form (same
   * left-to-right double accumulation, same final `dot/(√na·√nb)`), so the
   * DuckDB oracle match is unaffected; mismatched vector lengths yield
-  * NULL exactly like `zip_with`'s null padding does.
+  * NULL exactly like `zip_with`'s null padding does, and a zero-norm
+  * vector yields NULL exactly like Spark's `Divide` on a zero divisor —
+  * both pinned by test, and both required for [[RewriteComposedCosine]]
+  * to be a sound rewrite.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -52,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,6 +68,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -75,7 +80,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / $denom;
+         |  }
          |}
        """.stripMargin
     })
@@ -107,6 +117,8 @@ object NativeFunctions {
 /** Session-extensions hook: `SparkSession.builder.withExtensions(new
   * GraftExtensions)` or `--conf spark.sql.extensions=graft.expr.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeFunctions.cosineInfo)
+    ext.injectOptimizerRule(_ => RewriteComposedCosine)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrites the composable cosine formulation —
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)`
+  * divided by the product of the two self-dot norms — into the fused
+  * [[CosineSimilarity]] kernel.
+  *
+  * Why a rule and not just the function: users composing cosine from
+  * built-ins (the natural first formulation, and what SQL written against
+  * another engine migrates as) would otherwise walk each vector three
+  * times and allocate a products array per pair; the kernel does one
+  * zero-allocation pass. The rewrite is sound because the kernel is
+  * bit-identical to the composed tree on every input — same
+  * left-to-right accumulation, NULL on mismatched lengths (`zip_with`
+  * padding) and NULL on zero-norm vectors (Spark `Divide` on a zero
+  * divisor) — all pinned by `OperatorsSpec`.
+  *
+  * Matching is deliberately strict (exact dot shape, same child on both
+  * sides of each self-dot, `array<float>` inputs): anything else is left
+  * untouched.
+  */
+object RewriteComposedCosine extends Rule[LogicalPlan] {
+
+  /** `aggregate(zip_with(l, r, (x, y) -> double(x) * double(y)), 0.0,
+    * (acc, v) -> acc + v)` with the identity finish lambda. */
+  private object DotShape {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(zw: ZipWith, Literal(zero, DoubleType),
+          merge: LambdaFunction, finish: LambdaFunction)
+          if zero == 0.0 && isCastProduct(zw.function) &&
+            isVarSum(merge) && isIdentity(finish) =>
+        Some((zw.left, zw.right))
+      case _ => None
+    }
+  }
+
+  private def isCastProduct(fn: Expression): Boolean = fn match {
+    case LambdaFunction(Multiply(
+        Cast(x: NamedLambdaVariable, DoubleType, _, _),
+        Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      x.exprId == a.exprId && y.exprId == b.exprId
+    case _ => false
+  }
+
+  private def isVarSum(fn: Expression): Boolean = fn match {
+    case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      x.exprId == a.exprId && y.exprId == b.exprId
+    case _ => false
+  }
+
+  private def isIdentity(fn: Expression): Boolean = fn match {
+    case LambdaFunction(x: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      x.exprId == a.exprId
+    case _ => false
+  }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Divide(DotShape(a, b),
+        Multiply(Sqrt(DotShape(a2, a3)), Sqrt(DotShape(b2, b3)), _), _)
+        if a.semanticEquals(a2) && a2.semanticEquals(a3) &&
+          b.semanticEquals(b2) && b2.semanticEquals(b3) &&
+          isFloatArray(a) && isFloatArray(b) =>
+      CosineSimilarity(a, b)
+  }
+}

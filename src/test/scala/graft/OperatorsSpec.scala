@@ -152,16 +152,43 @@ class OperatorsSpec extends AnyFunSuite {
     val a = vecs.select($"vec_id", $"embedding".as("va"))
     val b = vecs.select($"vec_id".as("id2"), $"embedding".as("vb"))
     val pairs = a.crossJoin(b).filter($"vec_id" < $"id2")
-    val diff = pairs.select(
-      Similarity.cosine($"va", $"vb").as("native"),
-      Similarity.cosineComposed($"va", $"vb").as("composed"))
-      .filter($"native" =!= $"composed" ||
-        ($"native".isNull !== $"composed".isNull))
-    assert(diff.count() == 0)
+    // exclude the fusion rule so "composed" stays genuinely composed —
+    // otherwise this comparison is kernel-vs-kernel and proves nothing
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.expr.RewriteComposedCosine")
+    try {
+      val composed = pairs.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+      assert(!composed.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+        "rule exclusion did not take — comparison would be vacuous")
+      val diff = pairs.select(
+        Similarity.cosine($"va", $"vb").as("native"),
+        Similarity.cosineComposed($"va", $"vb").as("composed"))
+        .filter($"native" =!= $"composed" ||
+          ($"native".isNull !== $"composed".isNull))
+      assert(diff.count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
     // mismatched lengths → NULL, matching zip_with padding semantics
     val m = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("x", "y")
       .select(Similarity.cosine($"x", $"y")).head()
     assert(m.isNullAt(0))
+  }
+
+  test("optimizer fuses the composable cosine into the native kernel") {
+    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(0f, 0f)), (3L, Array(3f, 4f)))
+      .toDF("id", "v")
+    val pairs = vecs.select($"v".as("va")).crossJoin(vecs.select($"v".as("vb")))
+    val q = pairs.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+      s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    // identical values through the rewritten and the explicit kernel,
+    // including NULL for every pair touching the zero-norm vector
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(vals(q) == vals(pairs.select(Similarity.cosine($"va", $"vb").as("c"))))
+    assert(q.filter($"c".isNull).count() == 5)
   }
 
   test("cosine kernel on known vectors") {
