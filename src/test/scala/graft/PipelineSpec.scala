@@ -138,6 +138,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut2.select("month").distinct().as[Int].collect().toSeq == Seq(2))
   }
 
+  test("plausible() applies the declared var bounds, nulls pass") {
+    import graft.model.Intermediate
+    val df = Seq(
+      (Some(10.0), Some(2)),    // in range
+      (Some(-1.0), Some(2)),    // fare below min
+      (Some(1500.0), Some(2)),  // fare above max
+      (Some(10.0), Some(0)),    // passengers below min
+      (Some(10.0), Some(9)),    // passengers above max
+      (None: Option[Double], None: Option[Int])) // nulls pass
+      .toDF("fare_amount", "passenger_count")
+    assert(Intermediate.plausible(df).count() == 2)
+    assert(Intermediate.Vars.MaxFareAmount == 1000.0 &&
+      Intermediate.Vars.MaxPassengerCount == 6)
+  }
+
   test("ingest: skip mode is idempotent, overwrite replaces the partition") {
     import graft.ingest.Ingest
     val dir = Files.createTempDirectory("graft_ing").toString

@@ -90,6 +90,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed range join equals naive on random signed intervals") {
+    for ((seed, width) <- Seq((1L, 7L), (2L, 64L), (3L, 1000L))) {
+      val pts = sample(Gen.listOfN(120, Gen.chooseNum(-500L, 500L)), seed)
+        .zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      val ivs = sample(Gen.listOfN(40, Gen.zip(Gen.chooseNum(-500L, 500L),
+        Gen.chooseNum(0L, 200L))), seed + 50)
+        .zipWithIndex.map { case ((a, span), i) => (i.toLong, a, a + span) }
+      val points = pts.toDF("pid", "x")
+      val intervals = ivs.toDF("iid", "lo", "hi")
+      val got = operators.RangeJoin
+        .pointInInterval(points, "x", intervals, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, x) <- pts
+        (iid, lo, hi) <- ivs
+        if x >= lo && x <= hi
+      } yield (pid, iid)).toSet
+      assert(got == want, s"seed=$seed width=$width")
+      // and exactly-once emission (no per-bucket duplicates)
+      assert(operators.RangeJoin
+        .pointInInterval(points, "x", intervals, "lo", "hi", width).count() == want.size)
+    }
+  }
+
   test("timeOfDay buckets partition all 24 hours") {
     val df = (0 to 23).map(h => Timestamp.valueOf(f"2024-05-01 $h%02d:00:00")).toDF("t")
     val got = df.select(Functions.timeOfDay($"t")).as[String].collect()
