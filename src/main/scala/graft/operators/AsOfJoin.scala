@@ -33,6 +33,11 @@ object AsOfJoin {
     val valueCols = right.columns.filter(c => c != key && c != tsCol).toSeq
     require(valueCols.nonEmpty, "right side needs at least one value column")
     val leftCols = left.columns.toSeq
+    // a right value column sharing a LEFT column's name would be silently
+    // merged by unionByName and corrupt the window fill — refuse loudly
+    require((valueCols.toSet + asofTsCol).intersect(leftCols.toSet).isEmpty,
+      s"right value/asof columns collide with left columns: " +
+        s"${(valueCols.toSet + asofTsCol).intersect(leftCols.toSet).mkString(", ")}")
     // side 0 = right (visible to same-instant left rows: ties sort first),
     // side 1 = left
     val r = right.select(

@@ -240,6 +240,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
     assert(got.map(r => r.getDouble(r.fieldIndex("px"))).toSeq == Seq(1.0, 2.0, 9.0))
     assert(got(1).getTimestamp(got(1).fieldIndex("asof_ts")) == ts("2024-01-01 10:00:10"))
+    // colliding value-column names are refused, not silently merged
+    val boom = intercept[IllegalArgumentException] {
+      operators.AsOfJoin.asof(trades.withColumn("px", lit(0.0)), quotes, "sym", "ts")
+    }
+    assert(boom.getMessage.contains("px"))
   }
 
   test("bucketed range join equals the naive inequality join") {
