@@ -21,6 +21,19 @@ object DataPipelineEntries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftSession.tune(s); f(s, d) }
 
+  /** N-gram near-dup pairs memoized per (session, sfDir): the pair list
+    * is consumed by both the pairs entry and the clustering entry, and
+    * the result is tiny (a handful of rows) while the computation is the
+    * most expensive in the suite — compute once, persist. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d),
+      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)),
+        threshold = 0.5, maxDocFreq = ngramMaxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val knnQueryCut = 8
   private val centroidMod = 50
   // Shared by the Spark entry and its oracle SQL so the df-cut cannot
@@ -47,9 +60,13 @@ object DataPipelineEntries {
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
     // -- dedup -----------------------------------------------------------
     "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
-    "dedup_ngram_pairs" -> q((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)), threshold = 0.5,
-        maxDocFreq = ngramMaxDf)),
+    "dedup_ngram_pairs" -> q((s, d) => ngramPairs(s, d)),
+    // Pairs → clusters: one keeper (min doc_id) per connected component
+    // of the near-dup graph — the step that turns pair detection into an
+    // actionable drop list.
+    "dedup_clusters" -> q((s, d) =>
+      Dedup.nearDupClusters(ngramPairs(s, d),
+        Tables.documents(s, d).select(col("doc_id")))),
     "dedup_minhash_lsh" -> q((s, d) =>
       Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
         threshold = 0.5)),
@@ -139,6 +156,23 @@ object DataPipelineEntries {
       sq.awaitTermination()
       s.table(name)
     },
+    // Streaming exact dedup: stateful dropDuplicates emits the first
+    // occurrence of each key — the streaming twin of dedup_exact. (The
+    // bounded-state production variant is dropDuplicatesWithinWatermark;
+    // unbounded state is right for this bounded replay.)
+    "stream_dedup_exact" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val hashes = Tables.documents(s, d).select(md5(col("text")).as("text_hash"))
+      val dir = s"/root/repo/target/graft_tmp/stream_dedup_${math.abs(d.hashCode)}"
+      hashes.write.mode("overwrite").parquet(dir)
+      val name = "graft_stream_dedup"
+      val sq = s.readStream.schema("text_hash STRING").parquet(dir)
+        .dropDuplicates("text_hash")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
     // Bounded replay through the flatMapGroupsWithState sessionizer:
     // sessions closed by an in-batch gap are emitted immediately; the
     // trailing open session per user is emitted by the event-time timeout
@@ -181,6 +215,19 @@ object DataPipelineEntries {
   private val shinglesSql =
     s"list_distinct(list_transform(range(1, len($toks) - 1), " +
       "i -> array_to_string(list_slice(" + toks + ", i, i + 2), ' ')))"
+
+  /** Shared CTE chain producing the df-cut n-gram pair candidates `p`
+    * (columns doc_i, doc_j, n_i, n_j, inter) — consumed by both the pairs
+    * oracle and the clustering oracle so they cannot drift. */
+  private lazy val ngramPairsCtes =
+    s"""s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+       |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+       |ec AS (SELECT * FROM e
+       |       QUALIFY count(*) OVER (PARTITION BY lang, s) <= $ngramMaxDf),
+       |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n_sh AS n_i, b.n_sh AS n_j,
+       |             count(*) AS inter
+       |      FROM ec a JOIN ec b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** DuckDB mirror of [[Dedup.portableHash]]. */
   private def pHash(x: String, seed: Int): String =
@@ -254,16 +301,23 @@ object DataPipelineEntries {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_pairs" ->
-      s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
-         |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
-         |ec AS (SELECT * FROM e
-         |       QUALIFY count(*) OVER (PARTITION BY lang, s) <= $ngramMaxDf),
-         |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.n_sh AS n_i, b.n_sh AS n_j,
-         |             count(*) AS inter
-         |      FROM ec a JOIN ec b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-         |      GROUP BY 1, 2, 3, 4)
+      s"""WITH $ngramPairsCtes
          |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
          |FROM p WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin,
+    // transitive closure over the undirected pair graph; cluster id =
+    // min reachable doc_id — exactly what min-label propagation converges
+    // to per connected component.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |np AS (SELECT doc_i, doc_j FROM p
+         |       WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5),
+         |ed AS (SELECT doc_i AS a, doc_j AS b FROM np
+         |       UNION ALL SELECT doc_j, doc_i FROM np),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a)
+         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
          |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
@@ -348,6 +402,8 @@ object DataPipelineEntries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_dedup_exact" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     // Mirror of the streaming emission rule: all-but-last session per
     // user (closed by an in-batch gap) plus trailing sessions whose
     // ms-rounded timeout precedes the final watermark (max ts − 1 h).

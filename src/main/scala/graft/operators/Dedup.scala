@@ -169,6 +169,48 @@ object Dedup {
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation — each doc's label converges to the
+    * smallest doc_id reachable through the pair graph, giving one keeper
+    * per duplicate cluster (the step after [[minhashLsh]] in a dedup
+    * pipeline: pairs → clusters → keep keeper, drop the rest).
+    *
+    * Each iteration is one join + one partial-agg groupBy on doc_id (the
+    * simplified large-star step); iterations needed = graph diameter,
+    * which for near-dup graphs is tiny (dup clusters are cliques or
+    * short chains — single digits even at corpus scale). The fixpoint
+    * check is a cheap count of changed labels. Docs in no pair keep
+    * their own id as label. */
+  def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
+                      maxIter: Int = 20): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
+    val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docIds.select(col("doc_id"), col("doc_id").as("label"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node pulls the smallest label among itself and its neighbors
+      val neighborLabels = edgesP
+        .join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .select(col("a").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(neighborLabels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edgesP.unpersist()
+    require(converged, s"nearDupClusters did not converge in $maxIter iterations")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash fingerprint per document over its distinct words:
     * bit j is set when more word-hashes have bit j set than cleared.
     * Equal fingerprints ⇒ near-identical token distributions. */

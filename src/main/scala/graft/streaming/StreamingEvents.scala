@@ -134,6 +134,28 @@ object StreamingEvents extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** The production streaming-merge pattern: stream → `foreachBatch` →
+    * [[graft.write.IncrementalWriter.deleteInsert]] upsert into the
+    * (year, month)-partitioned table. Each micro-batch merges by key
+    * with partition-pruned rewrites; because the merge is idempotent per
+    * batch, `foreachBatch`'s at-least-once redelivery after a failure
+    * yields exactly-once TABLE state, and the checkpoint makes restarts
+    * resume from the first unprocessed batch. */
+  def upsertStream(stream: DataFrame, path: String, keyCol: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // deleteInsert consumes its batch several times (size probe,
+        // touched-partition set, key set, write); un-persisted, each pass
+        // would re-read the micro-batch from the source
+        val b = batch.toDF().persist()
+        try graft.write.IncrementalWriter.deleteInsert(batch.sparkSession, b, path, keyCol)
+        finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source stream over a directory of event parquet (µs
     * timestamps), for tests and replay. */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {

@@ -138,6 +138,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters labels connected components with their min doc_id") {
+    // chain 1-2-3 (one component), isolated 4, pair 5-6
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.7))
+      .toDF("doc_i", "doc_j", "jaccard")
+    val ids = (1L to 6L).toDF("doc_id")
+    val got = Dedup.nearDupClusters(pairs, ids)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+    // keeper selection: one keeper per cluster, minimum id
+    val keepers = Dedup.nearDupClusters(pairs, ids)
+      .filter($"doc_id" === $"cluster_id").select("doc_id").as[Long].collect().toSet
+    assert(keepers == Set(1L, 4L, 5L))
+  }
+
   test("simhash: identical token multisets share a fingerprint") {
     val df = docs((1L, "en", "a b c d"), (2L, "en", "d c b a"), (3L, "en", "w x y z"))
     val sig = Dedup.simhashFingerprint(df).orderBy("doc_id").as[(Long, Long)].collect()

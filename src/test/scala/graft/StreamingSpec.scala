@@ -18,6 +18,32 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("upsertStream merges micro-batches; checkpoint restart is exactly-once") {
+    val base = Files.createTempDirectory("graft_upsert")
+    val (src, ckpt, tbl) = (s"$base/src", s"$base/ckpt", s"$base/tbl")
+    val schema = "trip_id STRING, fare DOUBLE, year INT, month INT"
+    def run(): Long = {
+      val q = StreamingEvents.upsertStream(
+        spark.readStream.schema(schema).parquet(src), tbl, "trip_id", ckpt)
+      q.awaitTermination(120000)
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    Seq(("k1", 1.0, 2024, 1), ("k2", 2.0, 2024, 1))
+      .toDF("trip_id", "fare", "year", "month").write.mode("append").parquet(src)
+    assert(run() == 2) // persisted batch: the source is read exactly once
+    // new file with an overlapping key: restart resumes from the
+    // checkpoint and processes ONLY the new rows
+    Seq(("k2", 20.0, 2024, 1), ("k3", 3.0, 2024, 2))
+      .toDF("trip_id", "fare", "year", "month").write.mode("append").parquet(src)
+    assert(run() == 2)
+    val byKey = spark.read.parquet(tbl).collect()
+      .map(r => r.getString(r.fieldIndex("trip_id")) -> r.getDouble(r.fieldIndex("fare"))).toMap
+    assert(byKey == Map("k1" -> 1.0, "k2" -> 20.0, "k3" -> 3.0))
+    // nothing new: restart is a no-op
+    assert(run() == 0)
+    assert(spark.read.parquet(tbl).count() == 3)
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0, "{}"),
