@@ -58,6 +58,13 @@ object DataPipelineEntries {
       TextAnalysis.langId(col("text")).as("predicted_lang"))),
     "text_fingerprint" -> q((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    // Corpus vocabulary profile: the 20 highest-document-frequency word
+    // 3-grams (boilerplate detection / df-cut threshold tuning input).
+    // Partial-agg + TakeOrdered — no full sort at scale.
+    "text_top_ngrams" -> q((s, d) => Tables.spread(Tables.documents(s, d))
+      .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram")).limit(20)),
     // -- dedup -----------------------------------------------------------
     "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
     "dedup_ngram_pairs" -> q((s, d) => ngramPairs(s, d)),
@@ -300,6 +307,11 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "text_top_ngrams" ->
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |e AS (SELECT unnest(sh) AS ngram FROM s)
+         |SELECT ngram, count(*) AS df FROM e GROUP BY 1
+         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "dedup_ngram_pairs" ->
       s"""WITH $ngramPairsCtes
          |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard

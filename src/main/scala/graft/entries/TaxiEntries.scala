@@ -119,6 +119,21 @@ object TaxiEntries {
         .map { case (y, m) => (y, m, IncrementalWriter.partitionExists(s, path, y, m)) }
         .toDF("year", "month", "present")
     },
+    // Incremental mart maintenance: store the daily mart, double month-6
+    // revenue in the fact table, refresh ONLY month-6 partitions — final
+    // table must equal a full rebuild over the modified facts.
+    "taxi_incr_daily_refresh" -> q { (s, d) =>
+      val fct = models(s, d).fctTrips
+      val path = tmpPath("daily_refresh", d, s)
+      IncrementalWriter.overwriteTablePartitioned(
+        Marts.fctTripsDaily(fct).drop("created_at"), path)
+      val fct2 = fct.withColumn("total_amount",
+        when(col("month") === 6, col("total_amount") * 2).otherwise(col("total_amount")))
+      Marts.refreshDailyPartitions(s, fct2, col("month") === 6, path)
+      s.read.parquet(path).select(
+        col("trip_date"), col("taxi_type"), col("year"), col("month"),
+        col("total_trips"), col("total_revenue"))
+    },
     // S11 source freshness: data loaded this session classifies "pass"
     // under the reference's warn>2d / error>5d thresholds.
     "taxi_freshness" -> q { (s, d) =>
@@ -179,6 +194,13 @@ object TaxiEntries {
          |          WHERE sy.year > mx.my OR (sy.year = mx.my AND sy.month >= mm.m))
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM cut GROUP BY 1, 2""".stripMargin),
+    "taxi_incr_daily_refresh" -> o(
+      s""", fct2 AS (SELECT * REPLACE (
+         |    CASE WHEN month = 6 THEN total_amount * 2 ELSE total_amount END AS total_amount)
+         |  FROM fct_trips)
+         |SELECT CAST(pickup_datetime AS DATE) AS trip_date, taxi_type, year, month,
+         |  count(*) AS total_trips, ${rndSum("total_amount", 2)} AS total_revenue
+         |FROM fct2 GROUP BY 1, 2, 3, 4""".stripMargin),
     "taxi_part_probe" -> o(
       """SELECT t.y AS year, t.m AS month,
         |  EXISTS(SELECT 1 FROM stg_yellow
