@@ -134,6 +134,24 @@ object TaxiEntries {
         col("trip_date"), col("taxi_type"), col("year"), col("month"),
         col("total_trips"), col("total_revenue"))
     },
+    // Maintenance: three appends leave ≥3 files per partition; compact
+    // collapses to one file per partition with content bit-identical —
+    // graded by aggregating the compacted table against the plain source.
+    "taxi_compact" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val path = tmpPath("compact", d, s)
+      // three row-hash slices so EVERY (year, month) partition receives
+      // three appends → ≥3 files per partition before compaction
+      (0 until 3).foreach { i =>
+        IncrementalWriter.appendPartitioned(
+          stg.filter(pmod(xxhash64(col("trip_id")), lit(3)) === i), path)
+      }
+      val (before, after) = graft.write.Maintenance.compact(s, path)
+      require(after < before, s"compaction did not reduce files: $before -> $after")
+      s.read.parquet(path).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // S11 source freshness: data loaded this session classifies "pass"
     // under the reference's warn>2d / error>5d thresholds.
     "taxi_freshness" -> q { (s, d) =>
@@ -206,6 +224,9 @@ object TaxiEntries {
         |  EXISTS(SELECT 1 FROM stg_yellow
         |         WHERE year = t.y AND month = t.m AND year = 1996) AS present
         |FROM (VALUES (1996, 1), (1996, 12), (1995, 1), (2002, 1)) AS t(y, m)""".stripMargin),
+    "taxi_compact" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     "taxi_freshness" -> o(
       """SELECT CAST(2.0 AS DOUBLE) AS warn_after_days,
         |       CAST(5.0 AS DOUBLE) AS error_after_days,

@@ -154,6 +154,32 @@ object TpchEntries {
           countDistinct(col("c_nationkey")).as("n_nations"),
           round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
     },
+    // Bucketed co-located join: both sides materialized bucketed on the
+    // join key, joined with broadcast disabled — the physical plan has
+    // ZERO shuffle exchanges (pinned by ScaleToolsSpec); values graded
+    // against a plain join oracle.
+    "tpch_bucketed_join" -> q { (s, d) =>
+      import graft.catalog.Catalog
+      Catalog.materializeBucketed(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_db", "bkt_customer", "c_custkey", 8)
+      Catalog.materializeBucketed(
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        "graft_db", "bkt_orders", "c_custkey", 8)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = Catalog.readTable(s, "graft_db", "bkt_customer")
+          .join(Catalog.readTable(s, "graft_db", "bkt_orders"), "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.expr.Functions.stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
+        // force physical planning while broadcast is disabled (planning
+        // is lazy; without this the restored conf would decide the plan)
+        joined.queryExecution.executedPlan
+        joined
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
     // Correlated scalar subquery, de-correlated the scalable way: the
     // per-nation average becomes a broadcast aggregate joined back —
     // the big side is scanned twice but never shuffled. stableAvg keeps
@@ -187,6 +213,11 @@ object TpchEntries {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "tpch_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${rndSum("o_totalprice", 2)} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1""".stripMargin,
     "tpch_scalar_subquery" ->
       s"""SELECT c_nationkey, count(*) AS n_above
          |FROM customer c
