@@ -123,10 +123,10 @@ object TaxiEntries {
     // revenue in the fact table, refresh ONLY month-6 partitions — final
     // table must equal a full rebuild over the modified facts.
     "taxi_incr_daily_refresh" -> q { (s, d) =>
-      val fct = models(s, d).fctTrips
+      val m = models(s, d)
+      val fct = m.fctTrips
       val path = tmpPath("daily_refresh", d, s)
-      IncrementalWriter.overwriteTablePartitioned(
-        Marts.fctTripsDaily(fct).drop("created_at"), path)
+      IncrementalWriter.overwriteTablePartitioned(m.fctDaily.drop("created_at"), path)
       val fct2 = fct.withColumn("total_amount",
         when(col("month") === 6, col("total_amount") * 2).otherwise(col("total_amount")))
       Marts.refreshDailyPartitions(s, fct2, col("month") === 6, path)
