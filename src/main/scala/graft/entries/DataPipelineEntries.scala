@@ -28,11 +28,13 @@ object DataPipelineEntries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def ngramPairs(s: SparkSession, d: String): DataFrame =
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
     pairsCache.getOrElseUpdate((s, d),
       Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)),
         threshold = 0.5, maxDocFreq = ngramMaxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val knnQueryCut = 8
   private val centroidMod = 50

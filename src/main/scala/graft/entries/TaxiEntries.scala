@@ -31,7 +31,10 @@ object TaxiEntries {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Pipeline.BuiltModels]
 
-  private def models(s: SparkSession, dir: String): Pipeline.BuiltModels =
+  private def models(s: SparkSession, dir: String): Pipeline.BuiltModels = {
+    // drop entries for stopped sessions so the static map can't retain
+    // dead sessions (and their plan graphs) across a long-lived JVM
+    modelCache.keys.filter(_._1.sparkContext.isStopped).foreach(modelCache.remove)
     modelCache.getOrElseUpdate((s, dir), {
       GraftSession.tune(s)
       val (y, g, f, h) = TaxiDerive.feeds(s, dir)
@@ -41,6 +44,7 @@ object TaxiEntries {
         .foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       m
     })
+  }
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 

@@ -154,10 +154,13 @@ object TpchEntries {
           countDistinct(col("c_nationkey")).as("n_nations"),
           round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
     },
-    // Bucketed co-located join: both sides materialized bucketed on the
-    // join key, joined with broadcast disabled — the physical plan has
-    // ZERO shuffle exchanges (pinned by ScaleToolsSpec); values graded
-    // against a plain join oracle.
+    // Bucketed tables end-to-end: both sides materialized bucketed on
+    // the join key, read back through the catalog, joined and
+    // aggregated — VALUES graded against a plain join oracle. (The
+    // harness consumes the returned frame through its own
+    // QueryExecution, so a conf toggled here cannot pin the graded
+    // plan; the zero-shuffle bucketed-join PLAN property is pinned in
+    // ScaleToolsSpec, which inspects the plan it builds.)
     "tpch_bucketed_join" -> q { (s, d) =>
       import graft.catalog.Catalog
       Catalog.materializeBucketed(
@@ -166,19 +169,11 @@ object TpchEntries {
       Catalog.materializeBucketed(
         Tables.orders(s, d).select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
         "graft_db", "bkt_orders", "c_custkey", 8)
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val joined = Catalog.readTable(s, "graft_db", "bkt_customer")
-          .join(Catalog.readTable(s, "graft_db", "bkt_orders"), "c_custkey")
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"),
-            graft.expr.Functions.stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
-        // force physical planning while broadcast is disabled (planning
-        // is lazy; without this the restored conf would decide the plan)
-        joined.queryExecution.executedPlan
-        joined
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Catalog.readTable(s, "graft_db", "bkt_customer")
+        .join(Catalog.readTable(s, "graft_db", "bkt_orders"), "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.expr.Functions.stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
     },
     // Correlated scalar subquery, de-correlated the scalable way: the
     // per-nation average becomes a broadcast aggregate joined back —

@@ -23,12 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * left-to-right double accumulation, same final `dot/(√na·√nb)`), so the
   * DuckDB oracle match is unaffected; mismatched vector lengths yield
   * NULL exactly like `zip_with`'s null padding does, and a zero-norm
-  * vector yields NULL exactly like Spark's `Divide` on a zero divisor —
-  * both pinned by test, and both required for [[RewriteComposedCosine]]
-  * to be a sound rewrite.
+  * vector behaves exactly like Spark's `Divide` on a zero divisor IN THE
+  * SESSION'S MODE — ANSI (the 4.x default) throws DIVIDE_BY_ZERO, legacy
+  * yields NULL. The mode is captured at plan time like Spark's own
+  * expressions do. All pinned by test, and all required for
+  * [[RewriteComposedCosine]] to be a sound rewrite.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // plan-time capture (driver side), serialized with the expression —
+  // SQLConf.get on an executor would read defaults, not the session
+  private val ansiEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -56,7 +63,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    if (denom == 0.0) {
+      if (ansiEnabled) throw new ArithmeticException(
+        "[DIVIDE_BY_ZERO] cosine_similarity of a zero-norm vector. " +
+          "Use spark.sql.ansi.enabled=false to return NULL instead.")
+      null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -82,7 +94,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  }
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
+         |    ${if (ansiEnabled)
+              """throw new ArithmeticException(
+                 "[DIVIDE_BY_ZERO] cosine_similarity of a zero-norm vector. " +
+                 "Use spark.sql.ansi.enabled=false to return NULL instead.");"""
+            else s"${ev.isNull} = true;"}
          |  } else {
          |    ${ev.value} = $dot / $denom;
          |  }

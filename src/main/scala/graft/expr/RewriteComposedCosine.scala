@@ -15,10 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * another engine migrates as) would otherwise walk each vector three
   * times and allocate a products array per pair; the kernel does one
   * zero-allocation pass. The rewrite is sound because the kernel is
-  * bit-identical to the composed tree on every input — same
-  * left-to-right accumulation, NULL on mismatched lengths (`zip_with`
-  * padding) and NULL on zero-norm vectors (Spark `Divide` on a zero
-  * divisor) — all pinned by `OperatorsSpec`.
+  * bit-identical to the composed tree on every input IN EITHER ANSI MODE
+  * — same left-to-right accumulation, NULL on mismatched lengths
+  * (`zip_with` padding), and the session's `Divide` behavior on zero-norm
+  * vectors (ANSI: DIVIDE_BY_ZERO error; legacy: NULL) — all pinned by
+  * `OperatorsSpec`.
   *
   * Matching is deliberately strict (exact dot shape, same child on both
   * sides of each self-dot, `array<float>` inputs): anything else is left

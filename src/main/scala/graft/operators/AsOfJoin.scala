@@ -39,18 +39,20 @@ object AsOfJoin {
       s"right value/asof columns collide with left columns: " +
         s"${(valueCols.toSet + asofTsCol).intersect(leftCols.toSet).mkString(", ")}")
     // side 0 = right (visible to same-instant left rows: ties sort first),
-    // side 1 = left
+    // side 1 = left. The right row travels as ONE struct so the window
+    // fill is atomic — filling value columns independently would stitch a
+    // chimera from different right rows whenever a value is legitimately
+    // NULL (the filled column would reach further back than the others).
     val r = right.select(
-      (col(key) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
-        col(tsCol).as(asofTsCol) +: valueCols.map(col)): _*)
+      col(key), col(tsCol).as("__ts"), lit(0).as("__side"),
+      struct(col(tsCol).as(asofTsCol) +: valueCols.map(col): _*).as("__rv"))
     val l = left.withColumn("__ts", col(tsCol)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (asofTsCol +: valueCols).foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1 && col(asofTsCol).isNotNull)
-      .select((leftCols ++ (asofTsCol +: valueCols)).map(col): _*)
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1 && col("__rv").isNotNull)
+      .select(leftCols.map(col) ++
+        (asofTsCol +: valueCols).map(c => col(s"__rv.$c").as(c)): _*)
   }
 }

@@ -24,6 +24,13 @@ import org.apache.spark.storage.StorageLevel
   * All hashing goes through [[portableHash]] (md5-derived 60-bit ints) so
   * results are engine-independent and reproducible — no reliance on
   * Spark's internal Murmur3 seeds.
+  *
+  * Caching note: [[ngramJaccardPairs]] and [[minhashLsh]] persist their
+  * shingle pipeline (it is shared by several plan branches and dominates
+  * cost); the blocks stay cached until the session ends or the caller
+  * frees them (`spark.catalog.clearCache()` / unpersist on a retained
+  * reference) — in a long-lived session invoking these repeatedly,
+  * budget for that or clear between runs.
   */
 object Dedup {
 
@@ -175,12 +182,15 @@ object Dedup {
     * per duplicate cluster (the step after [[minhashLsh]] in a dedup
     * pipeline: pairs → clusters → keep keeper, drop the rest).
     *
-    * Each iteration is one join + one partial-agg groupBy on doc_id (the
-    * simplified large-star step); iterations needed = graph diameter,
-    * which for near-dup graphs is tiny (dup clusters are cliques or
-    * short chains — single digits even at corpus scale). The fixpoint
-    * check is a cheap count of changed labels. Docs in no pair keep
-    * their own id as label. */
+    * Each iteration does a neighbor-min step (join + partial-agg groupBy
+    * on doc_id, the simplified large-star) followed by a pointer-jumping
+    * step (relabel through the label's own label), so labels spread
+    * multiplicatively and convergence needs O(log diameter) iterations —
+    * the default `maxIter` covers any realistic graph (a 20-iteration
+    * budget handles diameters in the millions), where a one-hop-only
+    * formulation would abort on a duplicate CHAIN longer than the
+    * budget. The fixpoint check is a cheap count of changed labels;
+    * docs in no pair keep their own id as label. */
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
                       maxIter: Int = 20): DataFrame = {
     // undirected edges, both directions
@@ -195,9 +205,16 @@ object Dedup {
       val neighborLabels = edgesP
         .join(labels.withColumnRenamed("doc_id", "b"), "b")
         .select(col("a").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label"))
+      val pulled = labels.select(col("doc_id"), col("label"))
         .union(neighborLabels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      // pointer jumping: follow label -> label(label) so a chain's min
+      // propagates exponentially, not one hop per round (a label is
+      // always a doc_id, so the self-join below always resolves)
+      val next = pulled.alias("n")
+        .join(pulled.select(col("doc_id").as("label"), col("label").as("ll")).alias("m"),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()

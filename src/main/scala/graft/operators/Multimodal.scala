@@ -87,7 +87,7 @@ object Multimodal extends Serializable {
     * near-dup blocking via [[Similarity]] over the embedding column).
     * None for bytes no installed reader accepts. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
       val thumb = new java.awt.image.BufferedImage(8, 8,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = thumb.createGraphics()
@@ -98,6 +98,11 @@ object Multimodal extends Serializable {
         (((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000f) / 255f
       }
       (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, emb)
+    } catch {
+      // ImageIO.read returns null only when NO reader claims the bytes; a
+      // recognized-but-corrupt payload (valid magic, truncated body)
+      // THROWS from the reader instead — both are the same skip case
+      case _: Exception => None
     }
 
   /** Decode an audio payload with `AudioSystem` (WAV/AIFF/AU PCM):
@@ -115,7 +120,7 @@ object Multimodal extends Serializable {
     * of a training-data pipeline, runnable inside the same typed
     * per-partition batches as the decode. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
       val out = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
@@ -123,7 +128,7 @@ object Multimodal extends Serializable {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
-    }
+    } catch { case _: Exception => None }
 
   /** Real decode dispatch. Video payloads and undecodable bytes take the
     * `decoded = false` row — skip-don't-crash, with the payload hash kept

@@ -94,8 +94,12 @@ object Similarity {
                 k: Int = 3, nProbe: Int = 2): DataFrame = {
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(centroidArray(centroids)))
+      // coalesce to +∞: a NULL cosine (dimension-mismatched centroid)
+      // must sort LAST like the ranking-window formulation's
+      // desc-nulls-last, not first as a NULL struct field would
       .withColumn("top", slice(array_sort(transform(col("cents"), c =>
-        struct((-cosine(col("qv"), c.getField("centv"))).as("neg_pcos"),
+        struct(coalesce(-cosine(col("qv"), c.getField("centv")),
+          lit(Double.PositiveInfinity)).as("neg_pcos"),
           c.getField("cid").as("cid")))), 1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("top")).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("centroid_id"))

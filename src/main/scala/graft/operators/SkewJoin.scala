@@ -30,7 +30,12 @@ object SkewJoin {
     // content (not monotonically_increasing_id): on task/stage retry —
     // routine at 100 TB — recomputed rows must land on the same salt as
     // the shuffle files already fetched, or rows duplicate/vanish (the
-    // round-robin-repartition failure class).
+    // round-robin-repartition failure class). Knowing limit of the
+    // content hash: FULLY identical duplicate rows share a salt, so a hot
+    // key made of byte-identical copies still lands in one bucket —
+    // determinism under retries is non-negotiable at scale, and real fact
+    // rows carry a distinguishing column; run exact dedup first if yours
+    // do not.
     val salted = large.withColumn(SaltCol,
       pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
     val replicated = small.withColumn(SaltCol,

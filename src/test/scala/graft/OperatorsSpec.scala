@@ -150,6 +150,11 @@ class OperatorsSpec extends AnyFunSuite {
     val keepers = Dedup.nearDupClusters(pairs, ids)
       .filter($"doc_id" === $"cluster_id").select("doc_id").as[Long].collect().toSet
     assert(keepers == Set(1L, 4L, 5L))
+    // a 30-link chain (diameter 29) converges well inside the default
+    // budget thanks to pointer jumping — one-hop-only would need 29 rounds
+    val chain = (1L until 30L).map(i => (i, i + 1, 0.9)).toDF("doc_i", "doc_j", "jaccard")
+    val chainGot = Dedup.nearDupClusters(chain, (1L to 30L).toDF("doc_id"), maxIter = 8)
+    assert(chainGot.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
   }
 
   test("simhash: identical token multisets share a fingerprint") {
@@ -191,18 +196,38 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("optimizer fuses the composable cosine into the native kernel") {
-    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(0f, 0f)), (3L, Array(3f, 4f)))
-      .toDF("id", "v")
-    val pairs = vecs.select($"v".as("va")).crossJoin(vecs.select($"v".as("vb")))
-    val q = pairs.select(Similarity.cosineComposed($"va", $"vb").as("c"))
-    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
-      s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
-    // identical values through the rewritten and the explicit kernel,
-    // including NULL for every pair touching the zero-norm vector
+    // defs, not vals: analysis captures the ANSI mode, so each conf
+    // change below needs freshly-built frames
+    def withZero = {
+      val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(0f, 0f)), (3L, Array(3f, 4f)))
+        .toDF("id", "v")
+      vecs.select($"v".as("va")).crossJoin(vecs.select($"v".as("vb")))
+    }
+    def nonZero = {
+      val vecs = Seq((1L, Array(1f, 2f)), (3L, Array(3f, 4f))).toDF("id", "v")
+      vecs.select($"v".as("va")).crossJoin(vecs.select($"v".as("vb")))
+    }
     def vals(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
-    assert(vals(q) == vals(pairs.select(Similarity.cosine($"va", $"vb").as("c"))))
-    assert(q.filter($"c".isNull).count() == 5)
+    val q = withZero.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+      s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    // ANSI (the 4.x session default): a zero-norm vector throws
+    // DIVIDE_BY_ZERO through BOTH forms — Divide parity
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    intercept[Exception](q.collect())
+    intercept[Exception](withZero.select(Similarity.cosine($"va", $"vb")).collect())
+    // away from the zero-norm edge, rewritten and explicit agree bitwise
+    assert(vals(nonZero.select(Similarity.cosineComposed($"va", $"vb").as("c"))) ==
+      vals(nonZero.select(Similarity.cosine($"va", $"vb").as("c"))))
+    // legacy mode: zero-norm yields NULL through both forms
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ql = withZero.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+      assert(ql.filter($"c".isNull).count() == 5)
+      assert(withZero.select(Similarity.cosine($"va", $"vb").as("c"))
+        .filter($"c".isNull).count() == 5)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
   test("cosine kernel on known vectors") {
@@ -245,14 +270,18 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "B", ts("2024-01-01 10:00:07")))
       .toDF("trade_id", "sym", "ts")
     val quotes = Seq(
-      ("A", ts("2024-01-01 10:00:00"), 1.0),
-      ("A", ts("2024-01-01 10:00:10"), 2.0), // exact tie with trade 2 → taken
-      ("B", ts("2024-01-01 10:00:00"), 9.0))
-      .toDF("sym", "ts", "px")
+      ("A", ts("2024-01-01 10:00:00"), Some(1.0), 10L),
+      ("A", ts("2024-01-01 10:00:10"), None, 20L), // exact tie with trade 2 → taken
+      ("B", ts("2024-01-01 10:00:00"), Some(9.0), 30L))
+      .toDF("sym", "ts", "px", "sz")
     val got = operators.AsOfJoin.asof(trades, quotes, "sym", "ts")
       .orderBy("trade_id").collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
-    assert(got.map(r => r.getDouble(r.fieldIndex("px"))).toSeq == Seq(1.0, 2.0, 9.0))
+    // trade 2 must take the WHOLE 10:00:10 row — px NULL included; a
+    // per-column fill would stitch px=1.0 from the older row (chimera)
+    assert(got.map(r => if (r.isNullAt(r.fieldIndex("px"))) None
+      else Some(r.getDouble(r.fieldIndex("px")))).toSeq == Seq(Some(1.0), None, Some(9.0)))
+    assert(got.map(_.getLong(got.head.fieldIndex("sz"))).toSeq == Seq(10L, 20L, 30L))
     assert(got(1).getTimestamp(got(1).fieldIndex("asof_ts")) == ts("2024-01-01 10:00:10"))
     // colliding value-column names are refused, not silently merged
     val boom = intercept[IllegalArgumentException] {
@@ -343,14 +372,17 @@ class OperatorsSpec extends AnyFunSuite {
       MediaRecord(1L, "image", png),
       MediaRecord(2L, "audio", wbos.toByteArray),
       MediaRecord(3L, "video", Array[Byte](1, 2, 3)),
-      MediaRecord(4L, "image", Array[Byte](9, 9))).toDS()
+      MediaRecord(4L, "image", Array[Byte](9, 9)),
+      // valid PNG magic, truncated body: the reader THROWS (vs returning
+      // null) — must still take the skip row, not kill the task
+      MediaRecord(5L, "image", png.take(30))).toDS()
     val got = Multimodal.extractReal(media).collect().sortBy(_.doc_id)
     assert(got(0).decoded && got(0).width == 20 && got(0).height == 10 &&
       got(0).channels == 3 && got(0).embedding.length == 64)
     assert(got(0).embedding.forall(v => v >= 0f && v <= 1f))
     assert(got(1).decoded && got(1).channels == 1 &&
       got(1).sample_rate == 8000 && got(1).n_frames == 800L)
-    assert(!got(2).decoded && !got(3).decoded) // skip-don't-crash
+    assert(!got(2).decoded && !got(3).decoded && !got(4).decoded) // skip-don't-crash
     assert(got(3).content_hash.length == 32)   // corrupt items stay traceable
     // resize re-encodes; re-decoding sees the new dimensions
     val resized = graft.operators.Multimodal.resizeImage(png, 8, 4).get
