@@ -155,7 +155,7 @@ object DataPipelineEntries {
     "stream_tumbling" -> q { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val batch = Tables.events(s, d)
-      val dir = s"/root/repo/target/graft_tmp/stream_src_${math.abs(d.hashCode)}"
+      val dir = Scratch.tmpPath("stream_src", d, s)
       batch.write.mode("overwrite").parquet(dir)
       val src = s.readStream.schema(batch.schema).parquet(dir)
       val name = "graft_stream_tumbling"
@@ -172,7 +172,7 @@ object DataPipelineEntries {
     "stream_dedup_exact" -> q { (s, d) =>
       import org.apache.spark.sql.streaming.Trigger
       val hashes = Tables.documents(s, d).select(md5(col("text")).as("text_hash"))
-      val dir = s"/root/repo/target/graft_tmp/stream_dedup_${math.abs(d.hashCode)}"
+      val dir = Scratch.tmpPath("stream_dedup", d, s)
       hashes.write.mode("overwrite").parquet(dir)
       val name = "graft_stream_dedup"
       val sq = s.readStream.schema("text_hash STRING").parquet(dir)
@@ -192,7 +192,7 @@ object DataPipelineEntries {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       val batch = Tables.events(s, d)
-      val dir = s"/root/repo/target/graft_tmp/stream_sess_${math.abs(d.hashCode)}"
+      val dir = Scratch.tmpPath("stream_sess", d, s)
       batch.write.mode("overwrite").parquet(dir)
       val src = s.readStream.schema(batch.schema).parquet(dir)
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),

@@ -48,15 +48,8 @@ object TaxiEntries {
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
-  /** Fresh per-(entry, sfDir) scratch dir under target/ for entries that
-    * exercise the write path. */
-  private def tmpPath(tag: String, d: String, s: SparkSession): String = {
-    val path = s"/root/repo/target/graft_tmp/${tag}_${math.abs(d.hashCode)}"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    path
-  }
+  private def tmpPath(tag: String, d: String, s: SparkSession): String =
+    Scratch.tmpPath(tag, d, s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_stg_yellow" -> q((s, d) => models(s, d).stgYellow.drop("loaded_at")),

@@ -24,18 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle match is unaffected; mismatched vector lengths yield
   * NULL exactly like `zip_with`'s null padding does, and a zero-norm
   * vector behaves exactly like Spark's `Divide` on a zero divisor IN THE
-  * SESSION'S MODE — ANSI (the 4.x default) throws DIVIDE_BY_ZERO, legacy
-  * yields NULL. The mode is captured at plan time like Spark's own
-  * expressions do. All pinned by test, and all required for
-  * [[RewriteComposedCosine]] to be a sound rewrite.
+  * SESSION'S MODE — ANSI (the 4.x default) throws Spark's own
+  * DIVIDE_BY_ZERO `SparkArithmeticException` (via the
+  * [[org.apache.spark.sql.graft.GraftErrors]] bridge), legacy yields
+  * NULL. The mode is a CONSTRUCTOR parameter defaulted from the conf at
+  * creation time — exactly how `Divide` carries its `evalMode` — so
+  * Catalyst `copy()`/`withNewChildrenInternal` transformations preserve
+  * the captured mode instead of re-reading a possibly-changed conf, and
+  * two instances with different modes are not `equals`. All pinned by
+  * test, and all required for [[RewriteComposedCosine]] to be a sound
+  * rewrite.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(left: Expression, right: Expression,
+    ansiEnabled: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
   extends BinaryExpression {
-
-  // plan-time capture (driver side), serialized with the expression —
-  // SQLConf.get on an executor would read defaults, not the session
-  private val ansiEnabled: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -64,9 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) {
-      if (ansiEnabled) throw new ArithmeticException(
-        "[DIVIDE_BY_ZERO] cosine_similarity of a zero-norm vector. " +
-          "Use spark.sql.ansi.enabled=false to return NULL instead.")
+      if (ansiEnabled)
+        throw org.apache.spark.sql.graft.GraftErrors.divideByZeroError(null)
       null
     } else dot / denom
   }
@@ -95,9 +96,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  if ($denom == 0.0) {
          |    ${if (ansiEnabled)
-              """throw new ArithmeticException(
-                 "[DIVIDE_BY_ZERO] cosine_similarity of a zero-norm vector. " +
-                 "Use spark.sql.ansi.enabled=false to return NULL instead.");"""
+              "throw org.apache.spark.sql.graft.GraftErrors.divideByZeroError(null);"
             else s"${ev.isNull} = true;"}
          |  } else {
          |    ${ev.value} = $dot / $denom;

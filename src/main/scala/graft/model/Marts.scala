@@ -76,11 +76,23 @@ object Marts {
     * month of aggregation, not the decade; correct because every daily
     * group key (trip_date, taxi_type, year, month) is functionally
     * contained in its (year, month) partition, so a partition's aggregate
-    * rows depend on that partition's fact rows alone. */
+    * rows depend on that partition's fact rows alone.
+    *
+    * `touched` may be ANY predicate — it is expanded to the full
+    * (year, month) partitions it intersects before aggregating, because
+    * the dynamic overwrite replaces whole partitions: aggregating only
+    * the predicate-matching rows of a partially-matched partition would
+    * silently drop the rest of that partition's history from the mart.
+    * Limit: a partition whose facts became entirely EMPTY is not
+    * rewritten (dynamic overwrite cannot delete what the frame does not
+    * mention) — drop such mart partitions explicitly. */
   def refreshDailyPartitions(spark: org.apache.spark.sql.SparkSession, fct: DataFrame,
-                             touched: Column, path: String): Unit =
+                             touched: Column, path: String): Unit = {
+    val parts = fct.filter(touched).select(col("year"), col("month")).distinct()
+    val fullPartitions = fct.join(broadcast(parts), Seq("year", "month"))
     graft.write.IncrementalWriter.overwritePartitions(spark,
-      fctTripsDaily(fct.filter(touched)).drop("created_at"), path)
+      fctTripsDaily(fullPartitions).drop("created_at"), path)
+  }
 
   /** Sketch-based daily variant for the 100 TB path: HLL++ distinct counts
     * (single aggregation pass, no Expand) — a faithful *superset*, not the

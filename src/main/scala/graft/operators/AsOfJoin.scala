@@ -34,16 +34,24 @@ object AsOfJoin {
     require(valueCols.nonEmpty, "right side needs at least one value column")
     val leftCols = left.columns.toSeq
     // a right value column sharing a LEFT column's name would be silently
-    // merged by unionByName and corrupt the window fill — refuse loudly
+    // merged by unionByName and corrupt the window fill — refuse loudly;
+    // same for a right value column named like the asof output column
+    // (it would duplicate a struct field and fail much later, cryptically)
     require((valueCols.toSet + asofTsCol).intersect(leftCols.toSet).isEmpty,
       s"right value/asof columns collide with left columns: " +
         s"${(valueCols.toSet + asofTsCol).intersect(leftCols.toSet).mkString(", ")}")
+    require(!valueCols.contains(asofTsCol),
+      s"right value column '$asofTsCol' collides with the asof output column " +
+        "— rename it or pass a different asofTsCol")
     // side 0 = right (visible to same-instant left rows: ties sort first),
     // side 1 = left. The right row travels as ONE struct so the window
     // fill is atomic — filling value columns independently would stitch a
     // chimera from different right rows whenever a value is legitimately
     // NULL (the filled column would reach further back than the others).
-    val r = right.select(
+    // a NULL right timestamp can never satisfy rightTs <= leftTs (ASOF
+    // semantics; NULL sorts first and would otherwise fill forward) —
+    // drop such rows up front
+    val r = right.filter(col(tsCol).isNotNull).select(
       col(key), col(tsCol).as("__ts"), lit(0).as("__side"),
       struct(col(tsCol).as(asofTsCol) +: valueCols.map(col): _*).as("__rv"))
     val l = left.withColumn("__ts", col(tsCol)).withColumn("__side", lit(1))

@@ -224,7 +224,14 @@ object Dedup {
       iter += 1
     }
     edgesP.unpersist()
-    require(converged, s"nearDupClusters did not converge in $maxIter iterations")
+    if (!converged) {
+      labels.unpersist() // don't leak the last iteration on the abort path
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIter iterations")
+    }
+    // the result reads from the final persisted iteration, which stays
+    // cached for the session (same lifetime note as the class doc —
+    // spark.catalog.clearCache() frees it)
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -62,7 +62,7 @@ object IncrementalWriter {
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
   def overwriteTablePartitioned(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    byPartition(df).write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
 
   /** Dynamic partition overwrite: replaces exactly the (year, month)
     * partitions present in `df`. */

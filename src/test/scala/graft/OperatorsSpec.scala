@@ -212,11 +212,20 @@ class OperatorsSpec extends AnyFunSuite {
     val q = withZero.select(Similarity.cosineComposed($"va", $"vb").as("c"))
     assert(q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
       s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
-    // ANSI (the 4.x session default): a zero-norm vector throws
-    // DIVIDE_BY_ZERO through BOTH forms — Divide parity
+    // ANSI (the 4.x session default): a zero-norm vector throws Spark's
+    // DIVIDE_BY_ZERO error class through BOTH forms — full Divide parity,
+    // not just "some exception"
     assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
-    intercept[Exception](q.collect())
-    intercept[Exception](withZero.select(Similarity.cosine($"va", $"vb")).collect())
+    def assertDivideByZero(t: Throwable): Unit = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toList
+      assert(chain.exists {
+        case st: org.apache.spark.SparkThrowable => st.getCondition == "DIVIDE_BY_ZERO"
+        case _ => false
+      }, s"expected DIVIDE_BY_ZERO in cause chain, got: $chain")
+    }
+    assertDivideByZero(intercept[Exception](q.collect()))
+    assertDivideByZero(intercept[Exception](
+      withZero.select(Similarity.cosine($"va", $"vb")).collect()))
     // away from the zero-norm edge, rewritten and explicit agree bitwise
     assert(vals(nonZero.select(Similarity.cosineComposed($"va", $"vb").as("c"))) ==
       vals(nonZero.select(Similarity.cosine($"va", $"vb").as("c"))))
