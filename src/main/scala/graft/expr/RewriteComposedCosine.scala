@@ -69,10 +69,14 @@ object RewriteComposedCosine extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case Divide(DotShape(a, b),
-        Multiply(Sqrt(DotShape(a2, a3)), Sqrt(DotShape(b2, b3)), _), _)
+        Multiply(Sqrt(DotShape(a2, a3)), Sqrt(DotShape(b2, b3)), _), ctx)
         if a.semanticEquals(a2) && a2.semanticEquals(a3) &&
           b.semanticEquals(b2) && b2.semanticEquals(b3) &&
           isFloatArray(a) && isFloatArray(b) =>
-      CosineSimilarity(a, b)
+      // the kernel's zero-norm behavior follows the REPLACED Divide's own
+      // mode (captured at its analysis), not the conf at rewrite time:
+      // ANSI throws; LEGACY and TRY both yield NULL, which the NULL
+      // kernel matches
+      CosineSimilarity(a, b, ansiEnabled = ctx.evalMode == EvalMode.ANSI)
   }
 }
