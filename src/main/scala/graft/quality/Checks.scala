@@ -48,15 +48,16 @@ object Checks {
     // Both counts come from ONE aggregate over the input — a conditional
     // count and count(*) in the same pass — so the (possibly expensive)
     // upstream chain is scanned once, not once per side. The 1-row result
-    // is persisted and split back into two 1-row frames so the output
-    // keeps the reference's 1×1 implicit cross-join shape (J1).
-    val counts = fctTrips.agg(
-      coalesce(sum(when(col("fare_amount") <= 0 || col("total_amount") <= 0, 1L)), lit(0L))
-        .as("problem_count"),
-      count(lit(1)).as("total_count"))
-      .persist()
-    val problem = counts.select("problem_count")
-    val total = counts.select("total_count")
+    // is collected and rebuilt as two local 1-row frames so the output
+    // keeps the reference's 1×1 implicit cross-join shape (J1) with
+    // nothing left persisted after the call.
+    val spark = fctTrips.sparkSession
+    import spark.implicits._
+    val row = fctTrips.agg(
+      coalesce(sum(when(col("fare_amount") <= 0 || col("total_amount") <= 0, 1L)), lit(0L)),
+      count(lit(1))).head()
+    val problem = Seq(row.getLong(0)).toDF("problem_count")
+    val total = Seq(row.getLong(1)).toDF("total_count")
     problem.crossJoin(total)
       .withColumn("problem_percentage",
         col("problem_count") * 100.0 / col("total_count"))

@@ -84,6 +84,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 31L)))
   }
 
+  test("lsh band-bucket cap drops a planted hot band, keeps small buckets") {
+    // 10 byte-identical docs: identical shingle sets ⇒ identical
+    // signatures ⇒ EVERY band key holds exactly the 10 docs — the
+    // k²-candidate bucket the cap defuses. Plus one genuine near-dup
+    // pair whose buckets hold only 2 docs.
+    val boiler = "terms of service apply to every user of this site"
+    val hot = (1L to 10L).map(i => (i, "en", boiler))
+    val pair = Seq(
+      (30L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (31L, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val df = docs(hot ++ pair: _*)
+    // uncapped: the hot cluster floods out C(10,2) = 45 pairs + the pair
+    assert(Dedup.minhashLsh(df, threshold = 0.5, maxBandSize = 100).count() == 46)
+    // capped at 5: every hot-cluster band bucket (size ~10) is dropped;
+    // the 2-doc buckets of the planted pair survive untouched
+    val capped = Dedup.minhashLsh(df, threshold = 0.5, maxBandSize = 5).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 31L)))
+  }
+
   test("minhash map-side signatures equal the exploded-agg formulation") {
     val df = docs(
       (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
