@@ -149,12 +149,16 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
-    // S11 source freshness: data loaded this session classifies "pass"
-    // under the reference's warn>2d / error>5d thresholds.
+    // S11 source freshness: all four raw feeds (reference declares
+    // freshness on each — sources.yml:20-53); data loaded this session
+    // classifies "pass" under the warn>2d / error>5d thresholds.
     "taxi_freshness" -> q { (s, d) =>
       import s.implicits._
-      val status = IncrementalWriter.freshnessStatus(models(s, d).stgYellow)
-      Seq((2.0, 5.0, status)).toDF("warn_after_days", "error_after_days", "status")
+      val m = models(s, d)
+      Seq(("yellow", m.stgYellow), ("green", m.stgGreen),
+          ("fhv", m.stgFhv), ("fhvhv", m.stgFhvhv))
+        .map { case (n, df) => (n, 2.0, 5.0, IncrementalWriter.freshnessStatus(df)) }
+        .toDF("source_table", "warn_after_days", "error_after_days", "status")
     },
     // Ad-hoc SQL entry point (SURVEY §3 EP3): the engine's models exposed
     // as temp views, queried through spark.sql.
@@ -225,9 +229,12 @@ object TaxiEntries {
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     "taxi_freshness" -> o(
-      """SELECT CAST(2.0 AS DOUBLE) AS warn_after_days,
-        |       CAST(5.0 AS DOUBLE) AS error_after_days,
-        |       'pass' AS status""".stripMargin),
+      """SELECT * FROM (VALUES
+        |  ('yellow', CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass'),
+        |  ('green',  CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass'),
+        |  ('fhv',    CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass'),
+        |  ('fhvhv',  CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass')
+        |) AS t(source_table, warn_after_days, error_after_days, status)""".stripMargin),
     "taxi_sql_adhoc" -> o(
       """SELECT taxi_type, count(*) AS days,
         |  CAST(sum(total_trips) AS BIGINT) AS trips,

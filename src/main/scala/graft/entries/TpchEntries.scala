@@ -188,6 +188,21 @@ object TpchEntries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_above"))
     },
+    // Salted skew join: the fact side's hot keys are scattered across 8
+    // deterministic salts, the dim side replicated once per salt — the
+    // operator's contract is result equality with the plain join, which
+    // is exactly what the oracle grades.
+    "tpch_skew_join" -> q { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(li, supp, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"))
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -291,6 +306,11 @@ object TpchEntries {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "tpch_skew_join" ->
+      s"""SELECT s_nationkey, count(*) AS n_lines,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1""".stripMargin,
     "tpch_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -83,15 +83,40 @@ object Marts {
     * the dynamic overwrite replaces whole partitions: aggregating only
     * the predicate-matching rows of a partially-matched partition would
     * silently drop the rest of that partition's history from the mart.
-    * Limit: a partition whose facts became entirely EMPTY is not
-    * rewritten (dynamic overwrite cannot delete what the frame does not
-    * mention) — drop such mart partitions explicitly. */
+    *
+    * A partition whose facts became entirely EMPTY appears in no new
+    * fact row, so the dynamic overwrite would never mention it and the
+    * stale mart partition would survive. To detect those, the predicate
+    * is also evaluated against the STORED mart (its rows carry the same
+    * partition/grain columns): mart partitions the predicate claims that
+    * no longer intersect any fact row are deleted explicitly before the
+    * overwrite. A predicate over fact-only columns cannot be resolved
+    * against the mart — it falls back to new-fact partitions only (the
+    * pre-existing contract, documented limit). */
   def refreshDailyPartitions(spark: org.apache.spark.sql.SparkSession, fct: DataFrame,
                              touched: Column, path: String): Unit = {
-    val parts = fct.filter(touched).select(col("year"), col("month")).distinct()
-    val fullPartitions = fct.join(broadcast(parts), Seq("year", "month"))
-    graft.write.IncrementalWriter.overwritePartitions(spark,
-      fctTripsDaily(fullPartitions).drop("created_at"), path)
+    val newParts = fct.filter(touched).select(col("year"), col("month")).distinct()
+    val newSet = newParts.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val martSet: Set[(Int, Int)] =
+      if (!graft.write.IncrementalWriter.tableExists(spark, path)) Set.empty
+      else try {
+        spark.read.parquet(path).filter(touched)
+          .select(col("year"), col("month")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      } catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    val emptied = martSet -- newSet
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { case (y, m) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/year=$y/month=$m"), true)
+      }
+    }
+    if (newSet.nonEmpty) {
+      val fullPartitions = fct.join(broadcast(newParts), Seq("year", "month"))
+      graft.write.IncrementalWriter.overwritePartitions(spark,
+        fctTripsDaily(fullPartitions).drop("created_at"), path)
+    }
   }
 
   /** Sketch-based daily variant for the 100 TB path: HLL++ distinct counts

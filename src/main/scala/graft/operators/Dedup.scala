@@ -215,15 +215,24 @@ object Dedup {
     * the default `maxIter` covers any realistic graph (a 20-iteration
     * budget handles diameters in the millions), where a one-hop-only
     * formulation would abort on a duplicate CHAIN longer than the
-    * budget. The fixpoint check is a cheap count of changed labels;
-    * docs in no pair keep their own id as label. */
+    * budget. The fixpoint check is a cheap count of changed labels.
+    *
+    * Only docs that APPEAR in a pair participate in the propagation —
+    * isolated docs (the overwhelming majority of a deduplicated corpus)
+    * are trivially their own cluster and are unioned back at the end,
+    * so every iteration's join runs over the pair graph's vertex set,
+    * not the corpus. */
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
                       maxIter: Int = 20): DataFrame = {
     // undirected edges, both directions
     val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
     val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docIds.select(col("doc_id"), col("doc_id").as("label"))
+    val paired = pairs.select(col("doc_i").as("doc_id"))
+      .union(pairs.select(col("doc_j").as("doc_id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -257,8 +266,13 @@ object Dedup {
     }
     // the result reads from the final persisted iteration, which stays
     // cached for the session (same lifetime note as the class doc —
-    // spark.catalog.clearCache() frees it)
+    // spark.catalog.clearCache() frees it); isolated docs rejoin as
+    // their own singleton clusters via a broadcast-able anti-join on the
+    // small paired-vertex set
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .union(docIds.select(col("doc_id"))
+        .join(paired, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
   }
 
   /** 16-bit SimHash fingerprint per document over its distinct words:

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -45,18 +44,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** Bounded per-query top-k over a scored candidate frame
+    * (query_id, neighbor_id, cos) via [[graft.expr.TopKAggregator]]:
+    * map-side partials carry at most k candidates per query, so the
+    * shuffle moves O(k · partitions) rows per query instead of every
+    * candidate — where a ranking window would shuffle and sort the whole
+    * candidate expansion (N×Q for brute force) just to discard all but k.
+    * Ordering (cos desc, neighbor_id asc) matches the ranking-window
+    * formulation exactly, ties included. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(graft.expr.TopKAggregator(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(agg(col("cos"), col("neighbor_id"), lit("")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rn"),
+        col("item._2").as("neighbor_id"), round(col("item._1"), 6).as("cos"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector (the
-    * correctness oracle for any ANN variant). Self-matches excluded. */
+    * correctness oracle for any ANN variant). Self-matches excluded.
+    * The corpus side is never shuffled wide: queries broadcast, and the
+    * per-query cut is the bounded aggregator ([[topKPerQuery]]), not a
+    * ranking window over all N×Q scored candidates. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    topKPerQuery(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
   /** The centroid set collapsed to ONE row holding an array of
@@ -89,7 +105,9 @@ object Similarity {
     * array (K·log K in place) instead of a window shuffling queries×K
     * rows. Sort key (−pcos, centroid_id) ascending ≡ (pcos desc,
     * centroid_id asc) — identical ordering to the ranking-window
-    * formulation. */
+    * formulation. The final per-query cut is the bounded aggregator
+    * ([[topKPerQuery]]): the shuffle carries ≤k candidates per query,
+    * not the probed buckets' full contents. */
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int = 3, nProbe: Int = 2): DataFrame = {
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -103,15 +121,11 @@ object Similarity {
           c.getField("cid").as("cid")))), 1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("top")).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("centroid_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("centroid_id"))
-      .join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("rn"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    topKPerQuery(
+      assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("centroid_id"))
+        .join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (`label`

@@ -138,6 +138,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut2.select("month").distinct().as[Int].collect().toSeq == Seq(2))
   }
 
+  test("refreshDailyPartitions drops mart partitions whose facts vanished") {
+    val path = Files.createTempDirectory("graft_refresh").toString + "/daily"
+    IncrementalWriter.overwriteTablePartitioned(
+      Marts.fctTripsDaily(fct).drop("created_at"), path)
+    val months = spark.read.parquet(path)
+      .select("year", "month").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(months.size >= 2, s"fixture needs >=2 (year,month) partitions, got $months")
+    val (gy, gm) = months.head
+    // every fact row of one month vanishes (a full retraction); the
+    // refresh must delete that mart partition, not leave it stale
+    val fct2 = fct.filter(!(col("year") === gy && col("month") === gm))
+    Marts.refreshDailyPartitions(spark, fct2,
+      col("year") === gy && col("month") === gm, path)
+    val after = spark.read.parquet(path)
+      .select("year", "month").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(after == months - ((gy, gm)), s"expected ${months - ((gy, gm))}, got $after")
+  }
+
   test("plausible() applies the declared var bounds, nulls pass") {
     import graft.model.Intermediate
     val df = Seq(

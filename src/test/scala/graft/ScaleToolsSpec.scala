@@ -85,6 +85,19 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("similarity top-k is bounded partial aggregation, not a ranking window") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 13 + j) % 7 - 3) / 2.0f)))
+      .toDF("vec_id", "embedding")
+    val knn = graft.operators.Similarity.knnBrute(vecs, vecs.filter($"vec_id" < 3), k = 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    // the per-query cut must be the TopKAggregator's map-side partials
+    // (≤k per query before the shuffle) — a ranking window would shuffle
+    // every scored candidate row
+    assert(!plan.contains("Window"), s"ranking window crept back in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"bounded aggregator missing in:\n$plan")
+  }
+
   test("minhashLsh reuses the persisted shingle pipeline; ngram df-cut is a broadcast anti join") {
     val docs = (1L to 30L).map(i =>
       (i, "en", s"alpha$i beta$i gamma delta epsilon zeta eta theta"))
