@@ -150,6 +150,26 @@ object DataPipelineEntries {
       reverse(substring(col("text"), 1, 8)).as("head_rev"))),
     // -- multimodal plumbing ---------------------------------------------
     "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // REAL decode path, oracle-graded: deterministic in-entry containers
+    // (gradient PNG, PCM WAV, animated GIF as the multi-frame video
+    // stand-in, plus a corrupt payload for the skip policy) through
+    // extractReal — container metadata is an exact function of the
+    // generator arguments, so the oracle pins it as VALUES. Encoder-
+    // dependent columns (byte_len, content_hash, embedding) are excluded:
+    // they vary with the codec build, container semantics don't.
+    "mm_real_decode" -> q { (s, d) =>
+      import s.implicits._
+      val recs = Seq(
+        graft.operators.MediaRecord(1L, "image", graft.operators.MediaPayloads.png(16, 9)),
+        graft.operators.MediaRecord(2L, "audio", graft.operators.MediaPayloads.wav(8000, 1600)),
+        graft.operators.MediaRecord(3L, "video", graft.operators.MediaPayloads.gif(8, 5, 3)),
+        graft.operators.MediaRecord(4L, "image",
+          "definitely not a media container".getBytes("UTF-8")))
+      Multimodal.extractReal(s.createDataset(recs).repartition(2)).toDF()
+        .select(col("doc_id"), col("media_type"), col("decoded"),
+          col("width"), col("height"), col("channels"),
+          col("sample_rate"), col("n_frames"))
+    },
     // -- structured streaming (§2.11) ------------------------------------
     // Bounded replay of the events table through a real streaming query:
     // file source → tumbling totals → memory sink (Complete mode,
@@ -492,6 +512,22 @@ object DataPipelineEntries {
         |  contains(text, 'spark') AS mentions_spark,
         |  reverse(substr(text, 1, 8)) AS head_rev
         |FROM documents""".stripMargin,
+    // Decoded values pinned from the deterministic generators: PNG(16,9)
+    // → 3-channel 16×9 still; WAV(8000 Hz, 1600 frames) → mono PCM;
+    // GIF(8,5,3 frames) → 3-channel multi-frame; corrupt bytes → the
+    // zeroed skip row.
+    "mm_real_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type, decoded,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate,
+        |  CAST(n_frames AS BIGINT) AS n_frames
+        |FROM (VALUES
+        |  (1, 'image', true,  16, 9, 3, 0,    1),
+        |  (2, 'audio', true,  0,  0, 1, 8000, 1600),
+        |  (3, 'video', true,  8,  5, 3, 0,    3),
+        |  (4, 'image', false, 0,  0, 0, 0,    0)
+        |) AS t(doc_id, media_type, decoded, width, height, channels, sample_rate, n_frames)""".stripMargin,
         "mm_features" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'

@@ -93,6 +93,32 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Streaming upsert (§2.11): the same delete+insert merge driven
+    // through a real streaming query — file source → foreachBatch →
+    // deleteInsert, Trigger.AvailableNow, one checkpoint. Two sequential
+    // replays (initial load, then the doubled month-6/7 batch) exercise
+    // checkpoint resume: the second run processes ONLY the new files.
+    // Final table must equal the batch taxi_incr_delete_insert result.
+    "taxi_stream_upsert" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow
+      val srcDir = tmpPath("supsert_src", d, s)
+      val path = tmpPath("supsert_tbl", d, s)
+      val ckpt = tmpPath("supsert_ckpt", d, s)
+      def replay(): Unit =
+        graft.streaming.StreamingEvents.upsertStream(
+          s.readStream.schema(stg.schema).parquet(srcDir), path, "trip_id", ckpt)
+          .awaitTermination()
+      stg.write.mode("append").parquet(srcDir)
+      replay()
+      stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2)
+        .write.mode("append").parquet(srcDir)
+      replay()
+      s.read.parquet(path)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // P3 incremental cut: write a multi-year target, cut the full source
     // against it (survivors: (year, month) >= the target's calendar max),
     // aggregate the survivors.
@@ -101,6 +127,51 @@ object TaxiEntries {
       val path = tmpPath("cut", d, s)
       IncrementalWriter.appendPartitioned(stg.filter(col("year") < 1998), path)
       IncrementalWriter.incrementalCut(s, stg, path)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // S1 HTTP source fetch, oracle-graded end-to-end: a loopback HTTP
+    // server serves two months of the yellow feed as real parquet bytes
+    // (the reference's CDN naming scheme); month 3 returns 404 and must
+    // skip-as-success. BulkIngest fetches + ingests into the partitioned
+    // raw layer; graded by aggregating the resulting table — equal to the
+    // served months' staging rows by construction.
+    "taxi_bulk_ingest" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow
+      val srcDir = tmpPath("bulk_src", d, s)
+      def monthBytes(m: Int): Array[Byte] = {
+        val dir = s"$srcDir/m$m"
+        stg.filter(col("year") === 1996 && col("month") === m)
+          .drop("year", "month", "loaded_at")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.readAllBytes(f.toPath)
+      }
+      val served = Seq(1, 2)
+        .map(m => graft.ingest.HttpFetch.monthlyFileName("yellow", 1996, m) -> monthBytes(m))
+        .toMap
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+        def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+          served.get(ex.getRequestURI.getPath.stripPrefix("/")) match {
+            case Some(bytes) =>
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes); ex.close()
+            case None => ex.sendResponseHeaders(404, -1); ex.close()
+          }
+      })
+      val rawBase = tmpPath("bulk_wh", d, s)
+      server.start()
+      try graft.ingest.BulkIngest.run(s,
+        s"http://127.0.0.1:${server.getAddress.getPort}", rawBase,
+        Seq("yellow"), Seq((1996, 1), (1996, 2), (1996, 3)),
+        retries = 0, retryDelayMs = 0L,
+        workDir = java.nio.file.Paths.get(tmpPath("bulk_dl", d, s)))
+      finally server.stop(0)
+      s.read.parquet(graft.ingest.BulkIngest.rawTablePath(rawBase, "yellow"))
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
@@ -151,13 +222,15 @@ object TaxiEntries {
     },
     // S11 source freshness: all four raw feeds (reference declares
     // freshness on each — sources.yml:20-53); data loaded this session
-    // classifies "pass" under the warn>2d / error>5d thresholds.
+    // classifies "pass" under the warn>2d / error>5d thresholds. One
+    // unioned aggregate pass covers all four feeds (not four actions).
     "taxi_freshness" -> q { (s, d) =>
       import s.implicits._
       val m = models(s, d)
-      Seq(("yellow", m.stgYellow), ("green", m.stgGreen),
-          ("fhv", m.stgFhv), ("fhvhv", m.stgFhvhv))
-        .map { case (n, df) => (n, 2.0, 5.0, IncrementalWriter.freshnessStatus(df)) }
+      IncrementalWriter.freshnessStatusAll(
+        Seq(("yellow", m.stgYellow), ("green", m.stgGreen),
+            ("fhv", m.stgFhv), ("fhvhv", m.stgFhvhv)))
+        .map { case (n, status) => (n, 2.0, 5.0, status) }
         .toDF("source_table", "warn_after_days", "error_after_days", "status")
     },
     // Ad-hoc SQL entry point (SURVEY §3 EP3): the engine's models exposed
@@ -220,6 +293,11 @@ object TaxiEntries {
          |SELECT CAST(pickup_datetime AS DATE) AS trip_date, taxi_type, year, month,
          |  count(*) AS total_trips, ${rndSum("total_amount", 2)} AS total_revenue
          |FROM fct2 GROUP BY 1, 2, 3, 4""".stripMargin),
+    // served months only — the 404'd month must be absent
+    "taxi_bulk_ingest" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE year = 1996 AND month IN (1, 2)
+         |GROUP BY 1, 2""".stripMargin),
     "taxi_part_probe" -> o(
       """SELECT t.y AS year, t.m AS month,
         |  EXISTS(SELECT 1 FROM stg_yellow
@@ -241,6 +319,16 @@ object TaxiEntries {
         |  CAST(max(total_trips) AS BIGINT) AS busiest_day_trips
         |FROM fct_trips_daily GROUP BY taxi_type""".stripMargin),
         "taxi_incr_delete_insert" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // the streaming upsert must land byte-identical table state to the
+    // batch delete+insert — same oracle by construction
+    "taxi_stream_upsert" -> o(
       s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
          |            FROM stg_yellow WHERE month IN (6, 7)),
          |  result AS (

@@ -88,36 +88,81 @@ object Marts {
     * fact row, so the dynamic overwrite would never mention it and the
     * stale mart partition would survive. To detect those, the predicate
     * is also evaluated against the STORED mart (its rows carry the same
-    * partition/grain columns): mart partitions the predicate claims that
-    * no longer intersect any fact row are deleted explicitly before the
-    * overwrite. A predicate over fact-only columns cannot be resolved
-    * against the mart — it falls back to new-fact partitions only (the
-    * pre-existing contract, documented limit). */
+    * partition/grain columns). A mart partition the predicate claims but
+    * the new facts don't is then split by what the FACT table still holds
+    * there (any rows at all, not just predicate-matching ones):
+    *  - facts still present ⇒ the predicate retracted only a subset of
+    *    the partition (e.g. one taxi_type) — the partition is added to
+    *    the REWRITE set and re-aggregated from the surviving facts;
+    *  - no facts at all ⇒ a full retraction — the mart partition is
+    *    deleted, AFTER the overwrite succeeds, so a crash mid-refresh
+    *    leaves the mart stale-but-complete rather than missing data.
+    * A predicate over fact-only columns cannot be resolved against the
+    * mart — it falls back to new-fact partitions only (the pre-existing
+    * contract, documented limit), and the fallback is reported in the
+    * returned summary. */
   def refreshDailyPartitions(spark: org.apache.spark.sql.SparkSession, fct: DataFrame,
-                             touched: Column, path: String): Unit = {
-    val newParts = fct.filter(touched).select(col("year"), col("month")).distinct()
-    val newSet = newParts.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+                             touched: Column, path: String): RefreshSummary = {
+    val newSet = fct.filter(touched).select(col("year"), col("month")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    var probeFellBack = false
     val martSet: Set[(Int, Int)] =
       if (!graft.write.IncrementalWriter.tableExists(spark, path)) Set.empty
       else try {
         spark.read.parquet(path).filter(touched)
           .select(col("year"), col("month")).distinct()
           .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-      } catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
-    val emptied = martSet -- newSet
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          probeFellBack = true; Set.empty
+      }
+    val candidates = martSet -- newSet
+    // Deleting on `martSet -- newSet` alone would destroy partitions where
+    // the predicate matched mart rows but only RETRACTED a slice of the
+    // facts (other rows the predicate never claimed still live there).
+    // Split candidates by whether the fact table holds ANY row in the
+    // partition — the unfiltered probe is partition-pruned, so it reads
+    // one directory's metadata per candidate, not the table.
+    val stillLive: Set[(Int, Int)] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val candPred = candidates
+          .map { case (y, m) => col("year") === y && col("month") === m }
+          .reduce(_ || _)
+        fct.filter(candPred).select(col("year"), col("month")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      }
+    val emptied = candidates -- stillLive
+    val rewrite = newSet ++ stillLive
+    if (rewrite.nonEmpty) {
+      import spark.implicits._
+      val rewriteParts = rewrite.toSeq.toDF("year", "month")
+      val fullPartitions = fct.join(broadcast(rewriteParts), Seq("year", "month"))
+      graft.write.IncrementalWriter.overwritePartitions(spark,
+        fctTripsDaily(fullPartitions).drop("created_at"), path)
+    }
     if (emptied.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { case (y, m) =>
+        System.err.println(s"[refresh] deleting emptied mart partition year=$y/month=$m under $path")
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/year=$y/month=$m"), true)
       }
     }
-    if (newSet.nonEmpty) {
-      val fullPartitions = fct.join(broadcast(newParts), Seq("year", "month"))
-      graft.write.IncrementalWriter.overwritePartitions(spark,
-        fctTripsDaily(fullPartitions).drop("created_at"), path)
-    }
+    if (probeFellBack)
+      System.err.println(s"[refresh] mart-side probe unresolvable for predicate; " +
+        "emptied-partition detection skipped for this refresh")
+    RefreshSummary(rewrite, emptied, probeFellBack)
   }
+
+  /** What a [[refreshDailyPartitions]] run actually did — which mart
+    * partitions were re-aggregated, which were deleted as fully
+    * retracted, and whether the mart-side emptied-partition probe had to
+    * fall back (predicate over fact-only columns). Makes a half-applied
+    * or downgraded refresh observable to the caller. */
+  case class RefreshSummary(rewritten: Set[(Int, Int)],
+                            deleted: Set[(Int, Int)],
+                            martProbeFellBack: Boolean)
 
   /** Sketch-based daily variant for the 100 TB path: HLL++ distinct counts
     * (single aggregation pass, no Expand) — a faithful *superset*, not the

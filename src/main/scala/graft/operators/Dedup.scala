@@ -233,6 +233,7 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
+    var labelsCheckpointed = false
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -246,15 +247,33 @@ object Dedup {
       // pointer jumping: follow label -> label(label) so a chain's min
       // propagates exponentially, not one hop per round (a label is
       // always a doc_id, so the self-join below always resolves)
-      val next = pulled.alias("n")
+      val nextPlan = pulled.alias("n")
         .join(pulled.select(col("doc_id").as("label"), col("label").as("ll")).alias("m"),
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // persist alone keeps the LOGICAL lineage threading through every
+      // prior iteration — after executor loss at scale, recomputing a lost
+      // partition would walk the whole chain back to iteration 0. A
+      // localCheckpoint every 5 rounds cuts the lineage at the cached
+      // blocks, bounding the recompute walk while amortizing the eager
+      // materialization (~O(log diameter) rounds total, so most runs
+      // checkpoint at most once). Trade-off (Spark-documented): if an
+      // executor holding checkpoint blocks dies, the job fails and
+      // retries from scratch instead of recomputing — acceptable for an
+      // iterative job this short.
+      val willCheckpoint = (iter + 1) % 5 == 0
+      val next =
+        if (willCheckpoint) nextPlan.localCheckpoint(eager = true)
+        else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      // a checkpointed predecessor is unrecomputable once unpersisted —
+      // force FULL materialization of `next` first (the limit(1) count
+      // above may have touched only some partitions)
+      if (labelsCheckpointed && !willCheckpoint) next.count()
       labels.unpersist()
       labels = next
+      labelsCheckpointed = willCheckpoint
       converged = changed == 0
       iter += 1
     }

@@ -34,13 +34,17 @@ final case class DecodedMedia(doc_id: Long, media_type: String, byte_len: Int,
   * Two decode paths:
   *  - [[decodeReal]] — REAL decoding with JDK-native codecs: images via
   *    `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF), audio via
-  *    `javax.sound.sampled.AudioSystem` (WAV/PCM); plus [[resizeImage]]
-  *    and the thumbnail-embedding feature extraction. Video remains the
-  *    one honest gap — the JDK ships no video codec — and falls through
-  *    to the undecodable policy.
+  *    `javax.sound.sampled.AudioSystem` (WAV/PCM), and multi-frame
+  *    containers (animated GIF — the JDK's native "video" stand-in)
+  *    via [[decodeFrames]] with exact frame counts; plus [[resizeImage]]
+  *    and the thumbnail-embedding feature extraction. True video codecs
+  *    (H.264 etc.) don't ship with the JDK — such payloads take the
+  *    skip-don't-crash `decoded = false` row.
   *  - [[decodeStub]] — deterministic pseudo-metadata from the byte
   *    stream, kept for the oracle-checked `mm_features` entry (the
-  *    driver corpus's payloads are text bytes, not real containers).
+  *    driver corpus's payloads are text bytes, not real containers);
+  *    the REAL path is oracle-checked by `mm_real_decode` over
+  *    deterministic in-entry PNG/WAV/GIF payloads ([[MediaPayloads]]).
   */
 object Multimodal extends Serializable {
 
@@ -88,22 +92,57 @@ object Multimodal extends Serializable {
     * None for bytes no installed reader accepts. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
-      val thumb = new java.awt.image.BufferedImage(8, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = thumb.createGraphics()
-      try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
-      val emb = Array.tabulate(64) { i =>
-        val rgb = thumb.getRGB(i % 8, i / 8)
-        // ITU-R BT.601 luma, normalized to [0, 1]
-        (((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000f) / 255f
-      }
-      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, emb)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+        thumbEmbedding(img))
     } catch {
       // ImageIO.read returns null only when NO reader claims the bytes; a
       // recognized-but-corrupt payload (valid magic, truncated body)
       // THROWS from the reader instead — both are the same skip case
       case _: Exception => None
     }
+
+  /** 64-dim grayscale 8×8-thumbnail embedding (ITU-R BT.601 luma,
+    * normalized to [0, 1]) — the classic perceptual-feature baseline. */
+  private def thumbEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
+    val thumb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = thumb.createGraphics()
+    try g.drawImage(img, 0, 0, 8, 8, null) finally g.dispose()
+    Array.tabulate(64) { i =>
+      val rgb = thumb.getRGB(i % 8, i / 8)
+      (((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000f) / 255f
+    }
+  }
+
+  /** Multi-frame image-container decode (animated GIF — the one
+    * multi-frame format the JDK decodes natively, standing in for the
+    * video branch): first-frame dimensions/channels/embedding plus the
+    * EXACT frame count via `ImageReader.getNumImages(true)`. The input
+    * is opened non-seek-forward-only so the reader may scan the whole
+    * stream to count frames. None when no installed reader claims the
+    * bytes or the container holds no frames. */
+  def decodeFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Array[Float])] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val img = reader.read(0)
+              Some((img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, n.toLong, thumbEmbedding(img)))
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
   /** Decode an audio payload with `AudioSystem` (WAV/AIFF/AU PCM):
     * (channels, sample rate Hz, frame count). None for unsupported bytes. */
@@ -130,9 +169,12 @@ object Multimodal extends Serializable {
       bos.toByteArray
     } catch { case _: Exception => None }
 
-  /** Real decode dispatch. Video payloads and undecodable bytes take the
-    * `decoded = false` row — skip-don't-crash, with the payload hash kept
-    * so corrupt items stay traceable. `digest` is passed in so
+  /** Real decode dispatch. Undecodable bytes take the `decoded = false`
+    * row — skip-don't-crash, with the payload hash kept so corrupt items
+    * stay traceable. The video branch decodes multi-frame containers
+    * (animated GIF) with exact frame counts via [[decodeFrames]]; true
+    * video codecs don't ship with the JDK, so such payloads fall into
+    * the same skip row as corrupt ones. `digest` is passed in so
     * [[extractReal]] amortizes one instance per partition. */
   def decodeReal(r: MediaRecord, digest: MessageDigest): DecodedMedia = {
     digest.reset()
@@ -149,7 +191,10 @@ object Multimodal extends Serializable {
         case (ch, rate, frames) => DecodedMedia(r.doc_id, r.media_type, len,
           decoded = true, 0, 0, ch, rate, frames, Array.empty, hash)
       }
-      case _ => undecoded // video: no JDK codec — documented gap
+      case _ => decodeFrames(r.content).fold(undecoded) {
+        case (w, h, ch, n, emb) => DecodedMedia(r.doc_id, r.media_type, len,
+          decoded = true, w, h, ch, 0, n, emb, hash)
+      }
     }
   }
 

@@ -51,10 +51,16 @@ object Similarity {
     * candidate — where a ranking window would shuffle and sort the whole
     * candidate expansion (N×Q for brute force) just to discard all but k.
     * Ordering (cos desc, neighbor_id asc) matches the ranking-window
-    * formulation exactly, ties included. */
+    * formulation exactly, ties included. NULL scores (dimension-mismatched
+    * or, in legacy mode, zero-norm vectors) are dropped before the
+    * aggregation: the aggregator's input encoder carries a primitive
+    * non-nullable Double, and under `cos DESC NULLS LAST` a null could
+    * never outrank a real candidate anyway, so the filter preserves
+    * ranking-window parity exactly. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(graft.expr.TopKAggregator(k))
     scored
+      .filter(col("cos").isNotNull)
       .groupBy(col("query_id"))
       .agg(agg(col("cos"), col("neighbor_id"), lit("")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))

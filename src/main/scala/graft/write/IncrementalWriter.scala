@@ -176,10 +176,35 @@ object IncrementalWriter {
     * with no `loaded_at` at all (empty) errors. */
   def freshnessStatus(df: DataFrame, warnAfterDays: Double = 2.0,
                       errorAfterDays: Double = 5.0): String =
-    freshnessDays(df) match {
-      case None => "error"
-      case Some(age) if age > errorAfterDays => "error"
-      case Some(age) if age > warnAfterDays => "warn"
-      case _ => "pass"
+    classify(freshnessDays(df), warnAfterDays, errorAfterDays)
+
+  private def classify(age: Option[Double], warnAfterDays: Double,
+                       errorAfterDays: Double): String = age match {
+    case None => "error"
+    case Some(a) if a > errorAfterDays => "error"
+    case Some(a) if a > warnAfterDays => "warn"
+    case _ => "pass"
+  }
+
+  /** S11 over ALL declared sources in one pass (`sources.yml:20-53`
+    * declares freshness per feed): union the feeds' (source_table,
+    * loaded_at) projections and take every max in a single aggregate —
+    * one job over one pruned column per table, where per-feed probes
+    * would recompute each staging chain separately. A feed contributing
+    * no rows classifies "error", matching [[freshnessStatus]]'s
+    * empty-source rule. Returned in the declared feed order. */
+  def freshnessStatusAll(feeds: Seq[(String, DataFrame)],
+                         warnAfterDays: Double = 2.0,
+                         errorAfterDays: Double = 5.0): Seq[(String, String)] = {
+    val maxes = feeds.map { case (n, df) =>
+      df.select(lit(n).as("source_table"), col("loaded_at")) }
+      .reduce(_ unionByName _)
+      .groupBy("source_table").agg(max("loaded_at").as("max_ts"))
+      .collect().map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    val now = System.currentTimeMillis()
+    feeds.map { case (n, _) =>
+      val age = maxes.getOrElse(n, None).map(ts => (now - ts.getTime) / 86400000.0)
+      n -> classify(age, warnAfterDays, errorAfterDays)
     }
+  }
 }

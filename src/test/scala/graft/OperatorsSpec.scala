@@ -275,6 +275,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.map(_.getLong(2)).toSeq == Seq(3L, 1L))
   }
 
+  test("knnBrute drops null-cosine candidates instead of failing") {
+    // vec 9 has a mismatched dimension → cosine NULL against 2-d queries;
+    // the bounded aggregator's input is a primitive Double, so an
+    // unfiltered null would throw at runtime. It must simply be excluded
+    // (ranking-window parity: nulls sorted last could never place).
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (9L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.knnBrute(vecs, vecs.filter($"vec_id" === 0), k = 5)
+      .orderBy("rn").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L))
+  }
+
   test("ivf search returns bucket-local exact results") {
     // centroids at ids 0 (x-axis) and 2 (y-axis); others cluster around them
     val vecs = Seq(
@@ -399,18 +412,24 @@ class OperatorsSpec extends AnyFunSuite {
     val media = Seq(
       MediaRecord(1L, "image", png),
       MediaRecord(2L, "audio", wbos.toByteArray),
-      MediaRecord(3L, "video", Array[Byte](1, 2, 3)),
+      // real multi-frame container in the video branch: animated GIF,
+      // frames counted exactly via ImageReader.getNumImages(true)
+      MediaRecord(3L, "video", graft.operators.MediaPayloads.gif(8, 5, 4)),
       MediaRecord(4L, "image", Array[Byte](9, 9)),
       // valid PNG magic, truncated body: the reader THROWS (vs returning
       // null) — must still take the skip row, not kill the task
-      MediaRecord(5L, "image", png.take(30))).toDS()
+      MediaRecord(5L, "image", png.take(30)),
+      // genuinely undecodable video bytes (no JDK codec claims them)
+      MediaRecord(6L, "video", Array[Byte](1, 2, 3))).toDS()
     val got = Multimodal.extractReal(media).collect().sortBy(_.doc_id)
     assert(got(0).decoded && got(0).width == 20 && got(0).height == 10 &&
       got(0).channels == 3 && got(0).embedding.length == 64)
     assert(got(0).embedding.forall(v => v >= 0f && v <= 1f))
     assert(got(1).decoded && got(1).channels == 1 &&
       got(1).sample_rate == 8000 && got(1).n_frames == 800L)
-    assert(!got(2).decoded && !got(3).decoded && !got(4).decoded) // skip-don't-crash
+    assert(got(2).decoded && got(2).width == 8 && got(2).height == 5 &&
+      got(2).n_frames == 4L && got(2).embedding.length == 64)
+    assert(!got(3).decoded && !got(4).decoded && !got(5).decoded) // skip-don't-crash
     assert(got(3).content_hash.length == 32)   // corrupt items stay traceable
     // resize re-encodes; re-decoding sees the new dimensions
     val resized = graft.operators.Multimodal.resizeImage(png, 8, 4).get

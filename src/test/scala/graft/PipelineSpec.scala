@@ -158,6 +158,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(after == months - ((gy, gm)), s"expected ${months - ((gy, gm))}, got $after")
   }
 
+  test("refreshDailyPartitions re-aggregates partially retracted partitions instead of deleting them") {
+    val path = Files.createTempDirectory("graft_refresh_part").toString + "/daily"
+    IncrementalWriter.overwriteTablePartitioned(
+      Marts.fctTripsDaily(fct).drop("created_at"), path)
+    // a (year, month) holding more than one taxi type — retracting one
+    // type's rows must leave the others' aggregates intact
+    val pick = fct.groupBy("year", "month")
+      .agg(countDistinct("taxi_type").as("nt")).filter(col("nt") >= 2)
+      .select("year", "month").head()
+    val (gy, gm) = (pick.getInt(0), pick.getInt(1))
+    val types = fct.filter(col("year") === gy && col("month") === gm)
+      .select("taxi_type").distinct().as[String].collect().sorted
+    val gone = types.head
+    val pred = col("year") === gy && col("month") === gm && col("taxi_type") === gone
+    val fct2 = fct.filter(!pred)
+    val summary = Marts.refreshDailyPartitions(spark, fct2, pred, path)
+    assert(summary.deleted.isEmpty,
+      s"partition ($gy,$gm) still holds ${types.tail.toSeq} facts — must not be deleted")
+    assert(summary.rewritten.contains((gy, gm)))
+    val after = spark.read.parquet(path)
+      .filter(col("year") === gy && col("month") === gm)
+    val expected = Marts.fctTripsDaily(fct2).drop("created_at")
+      .filter(col("year") === gy && col("month") === gm)
+    val aligned = after.select(expected.columns.map(col).toIndexedSeq: _*)
+    assert(expected.count() > 0)
+    assert(aligned.exceptAll(expected).isEmpty && expected.exceptAll(aligned).isEmpty,
+      "rewritten partition must equal a full rebuild over the surviving facts")
+  }
+
   test("plausible() applies the declared var bounds, nulls pass") {
     import graft.model.Intermediate
     val df = Seq(
