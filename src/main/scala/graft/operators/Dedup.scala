@@ -221,9 +221,23 @@ object Dedup {
     * isolated docs (the overwhelming majority of a deduplicated corpus)
     * are trivially their own cluster and are unioned back at the end,
     * so every iteration's join runs over the pair graph's vertex set,
-    * not the corpus. */
+    * not the corpus.
+    *
+    * Small-graph fast path: the pair list is the OUTPUT of dedup — tiny
+    * relative to the corpus (near-dup rates are single-digit percent,
+    * and each pair is two longs). When it fits comfortably on the driver
+    * (≤ `driverMaxEdges`, ~16 MB at the default), connected components
+    * run as a local union-find and ship back as one broadcast mapping —
+    * one job instead of O(log diameter) iterations of join + aggregate,
+    * each a full distributed stage. Graphs above the cap take the
+    * iterative distributed path; both produce the identical min-doc_id
+    * labeling. */
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
-                      maxIter: Int = 20): DataFrame = {
+                      maxIter: Int = 20,
+                      driverMaxEdges: Long = 1000000L): DataFrame = {
+    val probeCap = math.min(driverMaxEdges, Int.MaxValue - 1L)
+    if (pairs.limit(probeCap.toInt + 1).count() <= probeCap)
+      return clustersViaUnionFind(pairs, docIds)
     // undirected edges, both directions
     val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
@@ -292,6 +306,39 @@ object Dedup {
       .union(docIds.select(col("doc_id"))
         .join(paired, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id")))
+  }
+
+  /** Driver-side connected components for small pair graphs: union-find
+    * with path compression, roots canonicalized to each component's min
+    * doc_id — the identical labeling the distributed propagation
+    * converges to. The resulting mapping (one row per PAIRED doc, not
+    * per corpus doc) broadcasts into a single left join; isolated docs
+    * default to themselves via the coalesce. */
+  private def clustersViaUnionFind(pairs: DataFrame, docIds: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // attach the larger root under the smaller: every tree root stays
+      // the min doc_id of its component by induction
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val mapping = parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "cluster_id")
+    docIds.select(col("doc_id"))
+      .join(broadcast(mapping), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** 16-bit SimHash fingerprint per document over its distinct words:

@@ -170,10 +170,17 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"doc_id" === $"cluster_id").select("doc_id").as[Long].collect().toSet
     assert(keepers == Set(1L, 4L, 5L))
     // a 30-link chain (diameter 29) converges well inside the default
-    // budget thanks to pointer jumping — one-hop-only would need 29 rounds
+    // budget thanks to pointer jumping — one-hop-only would need 29 rounds.
+    // driverMaxEdges = 0 forces the DISTRIBUTED propagation path (the
+    // small graph would otherwise take the union-find fast path)
     val chain = (1L until 30L).map(i => (i, i + 1, 0.9)).toDF("doc_i", "doc_j", "jaccard")
-    val chainGot = Dedup.nearDupClusters(chain, (1L to 30L).toDF("doc_id"), maxIter = 8)
+    val chainGot = Dedup.nearDupClusters(chain, (1L to 30L).toDF("doc_id"),
+      maxIter = 8, driverMaxEdges = 0L)
     assert(chainGot.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    // both paths produce the identical labeling on the same graph
+    val viaDistributed = Dedup.nearDupClusters(pairs, ids, driverMaxEdges = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaDistributed == got)
   }
 
   test("simhash: identical token multisets share a fingerprint") {
