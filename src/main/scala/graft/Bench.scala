@@ -23,9 +23,12 @@ object Bench {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     // Warmup OUTSIDE the timed loop: populate the memoized taxi model DAG
-    // (staging/fct/daily/monthly persists) and pay first-job JVM/codegen
-    // costs once, so per-query timings measure the query — not whichever
-    // alphabetically-first entry happened to trigger the cache populate.
+    // (staging/fct/daily/monthly persists — the dbt-style materialize-once
+    // cost no single query should absorb) and pay first-job JVM/codegen
+    // overhead once. Deliberately NOT warmed: the dedup pairsCache — the
+    // n-gram pair computation is genuine query work and stays inside the
+    // timed total (its populate lands on the alphabetically-first dedup
+    // entry).
     Seq("taxi_fct_daily", "taxi_fct_monthly").foreach { w =>
       try graft.entries.TaxiEntries.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

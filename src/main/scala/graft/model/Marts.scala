@@ -121,8 +121,10 @@ object Marts {
     // the predicate matched mart rows but only RETRACTED a slice of the
     // facts (other rows the predicate never claimed still live there).
     // Split candidates by whether the fact table holds ANY row in the
-    // partition — the unfiltered probe is partition-pruned, so it reads
-    // one directory's metadata per candidate, not the table.
+    // partition. When `fct` is a partitioned file scan the (year, month)
+    // disjunction partition-prunes to the candidate directories; a
+    // derived in-memory plan pays one filtered pass instead — bounded by
+    // the candidate months, not the full history, either way.
     val stillLive: Set[(Int, Int)] =
       if (candidates.isEmpty) Set.empty
       else {

@@ -226,18 +226,25 @@ object Dedup {
     * Small-graph fast path: the pair list is the OUTPUT of dedup — tiny
     * relative to the corpus (near-dup rates are single-digit percent,
     * and each pair is two longs). When it fits comfortably on the driver
-    * (≤ `driverMaxEdges`, ~16 MB at the default), connected components
+    * (≤ `driverMaxEdges`; the default 500k edges costs on the order of
+    * 100 MB transient driver heap for the collected rows plus the boxed
+    * union-find map — size the cap to the driver), connected components
     * run as a local union-find and ship back as one broadcast mapping —
     * one job instead of O(log diameter) iterations of join + aggregate,
-    * each a full distributed stage. Graphs above the cap take the
-    * iterative distributed path; both produce the identical min-doc_id
-    * labeling. */
+    * each a full distributed stage. The size probe IS the edge fetch
+    * (one `limit(cap+1).collect()`), so an un-persisted pairs plan is
+    * evaluated once, not once to count and again to collect. Graphs
+    * above the cap take the iterative distributed path; both produce
+    * the identical min-doc_id labeling and id type. */
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
                       maxIter: Int = 20,
-                      driverMaxEdges: Long = 1000000L): DataFrame = {
-    val probeCap = math.min(driverMaxEdges, Int.MaxValue - 1L)
-    if (pairs.limit(probeCap.toInt + 1).count() <= probeCap)
-      return clustersViaUnionFind(pairs, docIds)
+                      driverMaxEdges: Long = 500000L): DataFrame = {
+    val probeCap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
+    val probe = pairs.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
+      .limit(probeCap + 1).collect()
+    if (probe.length <= probeCap)
+      return clustersViaUnionFind(pairs.sparkSession,
+        probe.map(r => (r.getLong(0), r.getLong(1))), docIds)
     // undirected edges, both directions
     val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
@@ -247,7 +254,6 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
-    var labelsCheckpointed = false
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -271,23 +277,20 @@ object Dedup {
       // localCheckpoint every 5 rounds cuts the lineage at the cached
       // blocks, bounding the recompute walk while amortizing the eager
       // materialization (~O(log diameter) rounds total, so most runs
-      // checkpoint at most once). Trade-off (Spark-documented): if an
-      // executor holding checkpoint blocks dies, the job fails and
-      // retries from scratch instead of recomputing — acceptable for an
-      // iterative job this short.
-      val willCheckpoint = (iter + 1) % 5 == 0
+      // checkpoint at most once). The unpersist below never touches
+      // checkpoint storage: Dataset.unpersist drops cache-manager
+      // entries only, and checkpoint blocks live at the RDD level until
+      // the RDD is GC'd. Trade-off (Spark-documented): if an executor
+      // holding checkpoint blocks dies, the job fails and retries from
+      // scratch instead of recomputing — acceptable for an iterative job
+      // this short.
       val next =
-        if (willCheckpoint) nextPlan.localCheckpoint(eager = true)
+        if ((iter + 1) % 5 == 0) nextPlan.localCheckpoint(eager = true)
         else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      // a checkpointed predecessor is unrecomputable once unpersisted —
-      // force FULL materialization of `next` first (the limit(1) count
-      // above may have touched only some partitions)
-      if (labelsCheckpointed && !willCheckpoint) next.count()
       labels.unpersist()
       labels = next
-      labelsCheckpointed = willCheckpoint
       converged = changed == 0
       iter += 1
     }
@@ -313,12 +316,12 @@ object Dedup {
     * doc_id — the identical labeling the distributed propagation
     * converges to. The resulting mapping (one row per PAIRED doc, not
     * per corpus doc) broadcasts into a single left join; isolated docs
-    * default to themselves via the coalesce. */
-  private def clustersViaUnionFind(pairs: DataFrame, docIds: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+    * default to themselves via the coalesce. Output doc_id/cluster_id
+    * carry `docIds`' id type, matching the distributed path's schema. */
+  private def clustersViaUnionFind(spark: org.apache.spark.sql.SparkSession,
+                                   es: Array[(Long, Long)],
+                                   docIds: DataFrame): DataFrame = {
     import spark.implicits._
-    val es = pairs.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -334,7 +337,9 @@ object Dedup {
       // the min doc_id of its component by induction
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
+    val idType = docIds.schema("doc_id").dataType
     val mapping = parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(idType), col("cluster_id").cast(idType))
     docIds.select(col("doc_id"))
       .join(broadcast(mapping), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -54,9 +54,11 @@ object Similarity {
     * formulation exactly, ties included. NULL scores (dimension-mismatched
     * or, in legacy mode, zero-norm vectors) are dropped before the
     * aggregation: the aggregator's input encoder carries a primitive
-    * non-nullable Double, and under `cos DESC NULLS LAST` a null could
-    * never outrank a real candidate anyway, so the filter preserves
-    * ranking-window parity exactly. */
+    * non-nullable Double, and a null could never outrank a real candidate
+    * under `cos DESC NULLS LAST`. (One deliberate divergence from the
+    * window form: a query with fewer than k real candidates returns only
+    * the real ones, where a ranking window would pad the tail with
+    * null-scored rows — unrankable neighbors are not results.) */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(graft.expr.TopKAggregator(k))
     scored
