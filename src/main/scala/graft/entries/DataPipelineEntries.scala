@@ -148,6 +148,48 @@ object DataPipelineEntries {
       regexp_replace(substring(col("text"), 1, 20), " ", "_").as("head_snake"),
       col("text").contains("spark").as("mentions_spark"),
       reverse(substring(col("text"), 1, 8)).as("head_rev"))),
+    // PII redaction: deterministic synthetic PII (email, IPv4, phone —
+    // pure functions of doc_id) prepended to every document, scrubbed
+    // with the shared-pattern regexp chain; graded on the scrubbed head
+    // plus per-kind match counts over the full text.
+    "text_pii_scrub" -> q { (s, d) =>
+      val pii = concat(
+        lit("Contact: user"), col("doc_id").cast("string"),
+        lit("@mail.example.org from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel +1 555 01"), lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" -- "), col("text"))
+      Tables.documents(s, d).select(col("doc_id"), pii.as("pii_text"))
+        .select(
+          col("doc_id"),
+          substring(TextAnalysis.scrubPii(col("pii_text")), 1, 90).as("scrubbed_head"),
+          size(regexp_extract_all(col("pii_text"),
+            lit(TextAnalysis.EmailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("pii_text"),
+            lit(TextAnalysis.Ipv4Pattern), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("pii_text"),
+            lit(TextAnalysis.PhonePattern), lit(0))).as("n_phones"))
+    },
+    // Deterministic hash-based train/val/test split: stable assignment,
+    // graded by per-split counts + token totals + id range.
+    "sample_split" -> q((s, d) => Tables.documents(s, d)
+      .withColumn("split", graft.operators.Sampling.splitAssign(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+    // Corpus filter funnel — the standard pre-training data triage
+    // (language → quality → length), each stage cumulative, ONE aggregate
+    // pass over the corpus (map-side conditional sums, no per-stage scan).
+    "corpus_funnel" -> q { (s, d) =>
+      val en = TextAnalysis.langId(col("text")) === "en"
+      val qOk = en && TextAnalysis.qualityScore(col("text")) >= 50
+      val lenOk = qOk && TextAnalysis.tokenCount(col("text")) >= 20
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(en, 1L).otherwise(0L)).as("n_lang_en"),
+        sum(when(qOk, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(lenOk, 1L).otherwise(0L)).as("n_length"))
+    },
     // -- multimodal plumbing ---------------------------------------------
     "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
     // REAL decode path, oracle-graded: deterministic in-entry containers
@@ -512,6 +554,53 @@ object DataPipelineEntries {
         |  contains(text, 'spark') AS mentions_spark,
         |  reverse(substr(text, 1, 8)) AS head_rev
         |FROM documents""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'Contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.org from 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7 tel +1 555 01' ||
+         |    lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' -- ' || text AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  substr(regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'), 1, 90) AS scrubbed_head,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.EmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.Ipv4Pattern}')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.PhonePattern}')) AS INTEGER) AS n_phones
+         |FROM p""".stripMargin,
+    // mirror of Sampling.splitAssign: portableHash(doc_id, seed 7) % 100,
+    // [0,80) train / [80,90) val / rest test
+    "sample_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)) AS BIGINT) % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM b GROUP BY 1""".stripMargin,
+    // cumulative language → quality → length funnel; stage predicates
+    // mirror text_lang_id ('en' wins ties as first marker language) and
+    // text_quality exactly
+    "corpus_funnel" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    len($toks) AS n_tokens,
+         |    $stopRatioSql AS stopword_ratio,
+         |    $langScoreSql
+         |  FROM documents),
+         |b AS (SELECT *, $langBestSql AS best,
+         |  ${rnd("least(CAST(1.0 AS DOUBLE), n_tokens / 50.0) * (1.0 - stopword_ratio) * 100", 2)} AS q
+         |  FROM s)
+         |SELECT count(*) AS n_total,
+         |  CAST(sum(CASE WHEN s_en = best AND best > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+         |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
+         |FROM b""".stripMargin,
     // Decoded values pinned from the deterministic generators: PNG(16,9)
     // → 3-channel 16×9 still; WAV(8000 Hz, 1600 frames) → mono PCM;
     // GIF(8,5,3 frames) → 3-channel multi-frame; corrupt bytes → the

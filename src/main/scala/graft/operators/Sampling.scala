@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training corpora.
+  *
+  * The split is a pure function of the document id (seeded portable
+  * hash → percent bucket), NOT a random draw: assignments are stable
+  * across runs, cluster sizes, and engines — re-shuffling data between
+  * train and eval silently invalidates every checkpoint trained so far,
+  * so reproducibility is the entire point of the operator. Map-side
+  * expression, zero shuffle; the hash goes through
+  * [[Dedup.portableHash]] so a DuckDB oracle reproduces it bit-exactly.
+  */
+object Sampling {
+
+  /** Percent bucket in [0, 100) for an id column. */
+  def bucket(id: Column, seed: Int): Column =
+    pmod(Dedup.portableHash(id.cast("string"), seed), lit(100L))
+
+  /** 'train' / 'val' / 'test' assignment by hash bucket:
+    * [0, trainPct) → train, [trainPct, trainPct + valPct) → val,
+    * the rest → test. */
+  def splitAssign(id: Column, seed: Int = 7,
+                  trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percents: train=$trainPct val=$valPct")
+    val b = bucket(id, seed)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}

@@ -86,4 +86,25 @@ object TextAnalysis {
     * formatting" documents. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII patterns in the Java-regex ∩ RE2 subset (char classes, bounded
+    * quantifiers — no lookaround), so the DuckDB oracle can apply the
+    * byte-identical expressions. Heuristic coverage, the training-corpus
+    * norm: redaction must be cheap enough to run over every document. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhonePattern = "\\+\\d[\\d ]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses, and international-format phone
+    * numbers with typed placeholder tokens. Order matters: emails first
+    * (so their host dots aren't half-eaten as IPs), then IPs, then
+    * phones (placeholders contain no digits, so earlier redactions can't
+    * create new phone matches). Pure codegen'd regexp_replace chain —
+    * zero shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 }

@@ -183,6 +183,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaDistributed == got)
   }
 
+  test("scrubPii redacts emails, IPs, and phones; clean text untouched") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.co.uk now"),
+      (2L, "server at 192.168.10.254 port 8080"),
+      (3L, "call +1 555 0199 22 today"),
+      (4L, "no pii here, just 42 words and 3.14"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.scrubPii($"text").as("t"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> port 8080")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "no pii here, just 42 words and 3.14") // 3.14 is not an IP
+  }
+
+  test("splitAssign is deterministic, exhaustive, and roughly proportional") {
+    import graft.operators.Sampling
+    val ids = (0L until 1000L).toDF("doc_id")
+    val counts = ids.select(Sampling.splitAssign($"doc_id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000L)
+    // hash buckets are uniform-ish; generous bounds, deterministic seed
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // stability: identical assignment on re-evaluation
+    val again = ids.select(Sampling.splitAssign($"doc_id").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("simhash: identical token multisets share a fingerprint") {
     val df = docs((1L, "en", "a b c d"), (2L, "en", "d c b a"), (3L, "en", "w x y z"))
     val sig = Dedup.simhashFingerprint(df).orderBy("doc_id").as[(Long, Long)].collect()
