@@ -181,14 +181,20 @@ object DataPipelineEntries {
     // (language → quality → length), each stage cumulative, ONE aggregate
     // pass over the corpus (map-side conditional sums, no per-stage scan).
     "corpus_funnel" -> q { (s, d) =>
-      val en = TextAnalysis.langId(col("text")) === "en"
-      val qOk = en && TextAnalysis.qualityScore(col("text")) >= 50
-      val lenOk = qOk && TextAnalysis.tokenCount(col("text")) >= 20
-      Tables.documents(s, d).agg(
+      // project each expensive predicate ONCE before the aggregate
+      // (subexpression elimination across separate agg expressions'
+      // conditional branches is not guaranteed, and langId alone is five
+      // marker scans over the token array); the cumulative stages are
+      // cheap boolean ANDs over the projected columns
+      val staged = Tables.documents(s, d).select(
+        (TextAnalysis.langId(col("text")) === "en").as("en"),
+        (TextAnalysis.qualityScore(col("text")) >= 50).as("q50"),
+        (TextAnalysis.tokenCount(col("text")) >= 20).as("t20"))
+      staged.agg(
         count(lit(1)).as("n_total"),
-        sum(when(en, 1L).otherwise(0L)).as("n_lang_en"),
-        sum(when(qOk, 1L).otherwise(0L)).as("n_quality"),
-        sum(when(lenOk, 1L).otherwise(0L)).as("n_length"))
+        sum(when(col("en"), 1L).otherwise(0L)).as("n_lang_en"),
+        sum(when(col("en") && col("q50"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("en") && col("q50") && col("t20"), 1L).otherwise(0L)).as("n_length"))
     },
     // -- multimodal plumbing ---------------------------------------------
     "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
@@ -570,15 +576,14 @@ object DataPipelineEntries {
          |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.Ipv4Pattern}')) AS INTEGER) AS n_ips,
          |  CAST(len(regexp_extract_all(pii_text, '${TextAnalysis.PhonePattern}')) AS INTEGER) AS n_phones
          |FROM p""".stripMargin,
-    // mirror of Sampling.splitAssign: portableHash(doc_id, seed 7) % 100,
-    // [0,80) train / [80,90) val / rest test
+    // mirror of Sampling.splitAssign, generated from its own parameters
     "sample_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, text,
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)) AS BIGINT) % 100 AS bucket
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultSeed)} % 100 AS bucket
          |  FROM documents)
-         |SELECT CASE WHEN bucket < 80 THEN 'train'
-         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |SELECT CASE WHEN bucket < ${graft.operators.Sampling.DefaultTrainPct} THEN 'train'
+         |            WHEN bucket < ${graft.operators.Sampling.DefaultTrainPct + graft.operators.Sampling.DefaultValPct} THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs,
          |  CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Default split parameters — referenced by the harness oracle SQL so
+    * Spark side and oracle cannot drift independently. */
+  val DefaultSeed = 7
+  val DefaultTrainPct = 80
+  val DefaultValPct = 10
+
   /** Percent bucket in [0, 100) for an id column. */
   def bucket(id: Column, seed: Int): Column =
     pmod(Dedup.portableHash(id.cast("string"), seed), lit(100L))
@@ -22,8 +28,8 @@ object Sampling {
   /** 'train' / 'val' / 'test' assignment by hash bucket:
     * [0, trainPct) → train, [trainPct, trainPct + valPct) → val,
     * the rest → test. */
-  def splitAssign(id: Column, seed: Int = 7,
-                  trainPct: Int = 80, valPct: Int = 10): Column = {
+  def splitAssign(id: Column, seed: Int = DefaultSeed,
+                  trainPct: Int = DefaultTrainPct, valPct: Int = DefaultValPct): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percents: train=$trainPct val=$valPct")
     val b = bucket(id, seed)
