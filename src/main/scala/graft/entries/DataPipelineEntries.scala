@@ -196,6 +196,17 @@ object DataPipelineEntries {
         sum(when(col("en") && col("q50"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("en") && col("q50") && col("t20"), 1L).otherwise(0L)).as("n_length"))
     },
+    // Sequence packing: fixed-boundary pack assignment within hash
+    // shards (one window shuffle, shards pack in parallel), graded by
+    // per-pack document counts and token totals.
+    "corpus_pack" -> q((s, d) =>
+      graft.operators.Packing.packAssign(
+        Tables.documents(s, d),
+        col("doc_id"), TextAnalysis.tokenCount(col("text")))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))),
     // -- multimodal plumbing ---------------------------------------------
     "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
     // REAL decode path, oracle-graded: deterministic in-entry containers
@@ -606,6 +617,22 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
          |FROM b""".stripMargin,
+    // mirror of Packing.packAssign, generated from its own parameters
+    "corpus_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Packing.DefaultSeed)} % ${graft.operators.Packing.DefaultShards} AS shard
+         |  FROM documents),
+         |c AS (SELECT *,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT shard,
+         |  CAST(cum_before // ${graft.operators.Packing.DefaultMaxTokens} AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
     // Decoded values pinned from the deterministic generators: PNG(16,9)
     // → 3-channel 16×9 still; WAV(8000 Hz, 1600 frames) → mono PCM;
     // GIF(8,5,3 frames) → 3-channel multi-frame; corrupt bytes → the

@@ -215,6 +215,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("packAssign applies the fixed-boundary rule per shard deterministically") {
+    import graft.operators.Packing
+    // one shard so the boundary arithmetic is directly checkable:
+    // tokens 5,5,5 with maxTokens=8 → cum_before 0,5,10 → packs 0,0,1
+    val df = Seq((1L, "a b c d e"), (2L, "f g h i j"), (3L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val got = Packing.packAssign(df, $"doc_id",
+      graft.operators.TextAnalysis.tokenCount($"text"), maxTokens = 8, nShards = 1)
+      .orderBy("doc_id").select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    // multi-shard: every doc appears exactly once, pack token totals are
+    // bounded-ish (a pack exceeds maxTokens only via its last straddling
+    // doc), and re-evaluation is stable
+    val many = (0L until 200L).map(i => (i, ("w " * (1 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "text")
+    val packed = Packing.packAssign(many, $"doc_id",
+      graft.operators.TextAnalysis.tokenCount($"text"), maxTokens = 16, nShards = 4)
+    assert(packed.count() == 200)
+    assert(packed.select("shard").distinct().count() == 4)
+    val perPack = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("t")).as[(Long, Long, Long)].collect()
+    // fixed-boundary: tokens before a pack's last doc stay < maxTokens + max doc len
+    assert(perPack.forall(_._3 < 16 + 7))
+    val again = Packing.packAssign(many, $"doc_id",
+      graft.operators.TextAnalysis.tokenCount($"text"), maxTokens = 16, nShards = 4)
+      .select("doc_id", "shard", "pack_id").collect().toSet
+    assert(again == packed.select("doc_id", "shard", "pack_id").collect().toSet)
+  }
+
   test("simhash: identical token multisets share a fingerprint") {
     val df = docs((1L, "en", "a b c d"), (2L, "en", "d c b a"), (3L, "en", "w x y z"))
     val sig = Dedup.simhashFingerprint(df).orderBy("doc_id").as[(Long, Long)].collect()
