@@ -47,6 +47,10 @@ object DataPipelineEntries {
   // bucket size at graded SFs (near-dup clusters are pairs/triples), so
   // results are unchanged while the quadratic-bucket bound is exercised.
   private val lshMaxBand = 100
+  // Domain-mixing target percentages (corpus_mixture entry + oracle —
+  // interpolated into both so they cannot drift).
+  private val mixtureWeights = Seq(
+    "en" -> 100, "de" -> 60, "fr" -> 40, "es" -> 30, "zh" -> 20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ---------------------------------------------------
@@ -195,6 +199,27 @@ object DataPipelineEntries {
         sum(when(col("en"), 1L).otherwise(0L)).as("n_lang_en"),
         sum(when(col("en") && col("q50"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("en") && col("q50") && col("t20"), 1L).otherwise(0L)).as("n_length"))
+    },
+    // Int8 quantization of the embedding column, graded on per-vector
+    // quantized checksums + the scale reference (arrays aggregated to
+    // scalars so the compare is value-exact without list-type coupling).
+    "emb_quantize" -> q { (s, d) =>
+      val q = graft.operators.Embeddings.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"),
+        round(graft.operators.Embeddings.absMax(col("embedding")), 6).as("abs_max"))
+    },
+    // Weighted domain mixture: deterministic per-source down-sampling,
+    // graded by per-language total vs kept counts.
+    "corpus_mixture" -> q { (s, d) =>
+      val keep = graft.operators.Sampling.mixtureKeep(
+        col("doc_id"), col("lang"), mixtureWeights.toMap)
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
     },
     // Sequence packing: fixed-boundary pack assignment within hash
     // shards (one window shuffle, shards pack in parallel), graded by
@@ -617,6 +642,37 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
          |FROM b""".stripMargin,
+    // mirror of Embeddings.quantizeInt8: same expression text, same
+    // left-to-right double ops; round-half-up via floor(x + 0.5) avoids
+    // engine rounding-mode differences
+    "emb_quantize" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, amax,
+         |    CASE WHEN amax > 0
+         |      THEN list_transform(e, x -> CAST(floor(x / amax * 127 + 0.5) AS INTEGER))
+         |      ELSE list_transform(e, x -> CAST(0 AS INTEGER)) END AS qv
+         |  FROM n)
+         |SELECT vec_id,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  CAST(list_min(qv) AS INTEGER) AS q_min,
+         |  CAST(list_max(qv) AS INTEGER) AS q_max,
+         |  ${rnd("amax", 6)} AS abs_max
+         |FROM q""".stripMargin,
+    // mirror of Sampling.mixtureKeep with the shared weight table
+    "corpus_mixture" ->
+      s"""WITH b AS (
+         |  SELECT lang,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultMixtureSeed)} % 100 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN bucket <
+         |    CASE ${mixtureWeights.map { case (k, w) => s"WHEN lang = '$k' THEN $w" }.mkString(" ")} ELSE 0 END
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM b GROUP BY 1""".stripMargin,
     // mirror of Packing.packAssign, generated from its own parameters
     "corpus_pack" ->
       s"""WITH t AS (

@@ -21,6 +21,12 @@ object Sampling {
   val DefaultTrainPct = 80
   val DefaultValPct = 10
 
+  /** Seed for mixture weighting — deliberately distinct from
+    * [[DefaultSeed]] so mixture inclusion is independent of the
+    * train/val/test assignment (correlated buckets would skew the kept
+    * corpus toward one split). */
+  val DefaultMixtureSeed = 13
+
   /** Percent bucket in [0, 100) for an id column. */
   def bucket(id: Column, seed: Int): Column =
     pmod(Dedup.portableHash(id.cast("string"), seed), lit(100L))
@@ -36,5 +42,20 @@ object Sampling {
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
+  }
+
+  /** Weighted mixture inclusion — the domain-mixing step of a training
+    * corpus: keep a row iff its hash bucket falls under its source's
+    * target percentage (e.g. keep 100% of English, 40% of French).
+    * Deterministic down-sampling per source; sources absent from
+    * `weights` get 0 and are dropped. */
+  def mixtureKeep(id: Column, source: Column, weights: Map[String, Int],
+                  seed: Int = DefaultMixtureSeed): Column = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"mixture weights must be percentages: $weights")
+    val pct = weights.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(source === k, lit(w)).otherwise(acc)
+    }
+    bucket(id, seed) < pct
   }
 }

@@ -215,6 +215,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("quantizeInt8 and l2Normalize handle known and zero vectors") {
+    import graft.operators.Embeddings
+    val df = Seq(
+      (1L, Array(1f, -0.5f, 0f)),
+      (2L, Array(3f, 4f)),
+      (3L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val q = df.select($"vec_id", Embeddings.quantizeInt8($"embedding").as("q"))
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect()
+    assert(q(0)._2 == Seq(127, -63, 0)) // floor(-63.5 + 0.5) = -63
+    assert(q(1)._2 == Seq(95, 127))     // floor(3.0/4.0*127 + 0.5) = 95
+    assert(q(2)._2 == Seq(0, 0))        // zero vector: guarded divide
+    val n = df.select($"vec_id", Embeddings.l2Normalize($"embedding").as("n"))
+      .orderBy("vec_id").as[(Long, Option[Seq[Double]])].collect()
+    assert(n(1)._2.get.map(v => math.round(v * 100) / 100.0) == Seq(0.6, 0.8))
+    assert(n(2)._2.isEmpty) // zero-norm → NULL, not a divide error
+  }
+
+  test("mixtureKeep keeps by per-source percentage, drops unknown sources") {
+    import graft.operators.Sampling
+    val df = (0L until 300L).map(i =>
+      (i, Seq("keep_all", "half", "other")((i % 3).toInt))).toDF("doc_id", "src")
+    val kept = df.filter(Sampling.mixtureKeep($"doc_id", $"src",
+        Map("keep_all" -> 100, "half" -> 50)))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("keep_all") == 100L)          // weight 100 ⇒ every row
+    assert(!kept.contains("other"))           // absent source ⇒ weight 0
+    assert(kept("half") > 25 && kept("half") < 75) // hash-proportional
+  }
+
   test("packAssign applies the fixed-boundary rule per shard deterministically") {
     import graft.operators.Packing
     // one shard so the boundary arithmetic is directly checkable:
