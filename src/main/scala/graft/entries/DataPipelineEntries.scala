@@ -200,6 +200,23 @@ object DataPipelineEntries {
         sum(when(col("en") && col("q50"), 1L).otherwise(0L)).as("n_quality"),
         sum(when(col("en") && col("q50") && col("t20"), 1L).otherwise(0L)).as("n_length"))
     },
+    // Within-document repetition (duplicate 3-gram fraction) — the
+    // Gopher/C4-style quality signal; zero-shuffle map pass.
+    "text_repetition" -> q((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.shingleTotal(col("text")).as("n_3grams"),
+      TextAnalysis.dupShingleFraction(col("text")).as("dup_3gram_frac"))),
+    // Overlapping fixed-window character chunking (200-char windows,
+    // 150-char stride) — the pre-embedding chunk table, graded per chunk.
+    "text_chunks" -> q { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val chunk = TextAnalysis.chunkAt(col("text"), col("chunk_idx"), 200, 150)
+      docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), TextAnalysis.chunkCount(col("text"), 150) - 1))
+          .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+          length(chunk).as("chunk_len"), md5(chunk).as("chunk_hash"))
+    },
     // Int8 quantization of the embedding column, graded on per-vector
     // quantized checksums + the scale reference (arrays aggregated to
     // scalars so the compare is value-exact without list-type coupling).
@@ -642,6 +659,22 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
          |FROM b""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(greatest(len($toks) - 2, 0) AS INTEGER) AS n_3grams,
+         |  CASE WHEN len($toks) - 2 > 0
+         |    THEN ${rnd(s"1.0 - len($shinglesSql)::DOUBLE / (len($toks) - 2)", 4)}
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
+         |FROM documents""".stripMargin,
+    "text_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(floor((length(text) - 1) / 150.0) AS BIGINT) + 1, 1))) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS INTEGER) AS chunk_len,
+        |  md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_hash
+        |FROM c""".stripMargin,
     // mirror of Embeddings.quantizeInt8: same expression text, same
     // left-to-right double ops; round-half-up via floor(x + 0.5) avoids
     // engine rounding-mode differences

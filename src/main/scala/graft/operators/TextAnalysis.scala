@@ -87,6 +87,34 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Total 3-gram count (with repeats): tokens − 2, floored at 0. */
+  def shingleTotal(text: Column, n: Int = 3): Column =
+    greatest(size(tokens(text)) - (n - 1), lit(0))
+
+  /** Within-document repetition: fraction of n-gram occurrences that are
+    * duplicates of an earlier one (1 − distinct/total), 4 dp — the
+    * classic pre-training quality signal for boilerplate and degenerate
+    * repetition. 0 for documents too short to shingle. */
+  def dupShingleFraction(text: Column, n: Int = 3): Column = {
+    val total = shingleTotal(text, n)
+    when(total > 0,
+      round(lit(1.0) - size(shingles(text, n)).cast("double") / total, 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Number of fixed-stride character chunks covering the text (≥ 1 —
+    * an empty document still yields one empty chunk; the floor guard also
+    * keeps Spark's `sequence` from counting DOWN on a negative bound). */
+  def chunkCount(text: Column, stride: Int): Column =
+    greatest(floor((length(text) - 1) / lit(stride.toDouble)).cast("long") + 1, lit(1L))
+
+  /** The chunk at `idx`: `size` characters starting at idx·stride + 1 —
+    * overlapping windows when size > stride, the standard pre-embedding
+    * chunking shape. Composes with `explode(sequence(0, chunkCount-1))`
+    * into a corpus-wide chunk table, one map-side pass. */
+  def chunkAt(text: Column, idx: Column, size: Int, stride: Int): Column =
+    text.substr(idx.cast("int") * stride + 1, lit(size))
+
   /** PII patterns in the Java-regex ∩ RE2 subset (char classes, bounded
     * quantifiers — no lookaround), so the DuckDB oracle can apply the
     * byte-identical expressions. Heuristic coverage, the training-corpus

@@ -215,6 +215,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == counts)
   }
 
+  test("dupShingleFraction scores repetition; chunking tiles with overlap") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 3-grams, 3 distinct → 4/7 duplicated
+      (2L, "all distinct words here now"), // 3 3-grams, all distinct → 0
+      (3L, "too short")) // no 3-grams
+      .toDF("doc_id", "text")
+    val rep = df.select($"doc_id",
+      TextAnalysis.shingleTotal($"text").as("n"),
+      TextAnalysis.dupShingleFraction($"text").as("f"))
+      .orderBy("doc_id").as[(Long, Int, Double)].collect()
+    assert(rep(0) == ((1L, 7, math.rint((1.0 - 3.0 / 7) * 10000) / 10000)))
+    assert(rep(1) == ((2L, 3, 0.0)))
+    assert(rep(2) == ((3L, 0, 0.0)))
+    // chunking: 320 chars, stride 150, size 200 → starts 1/151/301,
+    // lengths 200/170/20 — consecutive chunks overlap by 50
+    val text = "x" * 320
+    val one = Seq((9L, text)).toDF("doc_id", "text")
+    val n = one.select(TextAnalysis.chunkCount($"text", 150)).as[Long].head()
+    assert(n == 3L)
+    val lens = one.select($"doc_id", explode(sequence(lit(0L), lit(n - 1))).as("i"))
+      .select(length(TextAnalysis.chunkAt(lit(text), $"i", 200, 150)))
+      .as[Int].collect().toSeq
+    assert(lens == Seq(200, 170, 20))
+    // empty doc still yields exactly one (empty) chunk
+    assert(Seq((1L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.chunkCount($"text", 150)).as[Long].head() == 1L)
+  }
+
   test("quantizeInt8 and l2Normalize handle known and zero vectors") {
     import graft.operators.Embeddings
     val df = Seq(
