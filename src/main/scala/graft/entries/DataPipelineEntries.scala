@@ -51,6 +51,10 @@ object DataPipelineEntries {
   // interpolated into both so they cannot drift).
   private val mixtureWeights = Seq(
     "en" -> 100, "de" -> 60, "fr" -> 40, "es" -> 30, "zh" -> 20)
+  // Chunk window geometry (text_chunks entry + oracle — shared so the
+  // two cannot drift).
+  private val chunkSize = 200
+  private val chunkStride = 150
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ---------------------------------------------------
@@ -210,9 +214,9 @@ object DataPipelineEntries {
     // 150-char stride) — the pre-embedding chunk table, graded per chunk.
     "text_chunks" -> q { (s, d) =>
       val docs = Tables.documents(s, d)
-      val chunk = TextAnalysis.chunkAt(col("text"), col("chunk_idx"), 200, 150)
+      val chunk = TextAnalysis.chunkAt(col("text"), col("chunk_idx"), chunkSize, chunkStride)
       docs.select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), TextAnalysis.chunkCount(col("text"), 150) - 1))
+        explode(sequence(lit(0L), TextAnalysis.chunkCount(col("text"), chunkStride) - 1))
           .as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
           length(chunk).as("chunk_len"), md5(chunk).as("chunk_hash"))
@@ -221,13 +225,21 @@ object DataPipelineEntries {
     // quantized checksums + the scale reference (arrays aggregated to
     // scalars so the compare is value-exact without list-type coupling).
     "emb_quantize" -> q { (s, d) =>
-      val q = graft.operators.Embeddings.quantizeInt8(col("embedding"))
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"),
-        round(graft.operators.Embeddings.absMax(col("embedding")), 6).as("abs_max"))
+      // project the scale, then the quantized array, then aggregate —
+      // each expensive expression evaluates once per row (the three
+      // aggregates read the projected q column, not three copies of the
+      // quantization tree)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          graft.operators.Embeddings.absMax(col("embedding")).as("amax"))
+        .select(col("vec_id"),
+          graft.operators.Embeddings.quantizeInt8(col("embedding"), col("amax")).as("qv"),
+          col("amax"))
+        .select(col("vec_id"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"),
+          round(col("amax"), 6).as("abs_max"))
     },
     // Weighted domain mixture: deterministic per-source down-sampling,
     // graded by per-language total vs kept counts.
@@ -667,14 +679,14 @@ object DataPipelineEntries {
          |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
          |FROM documents""".stripMargin,
     "text_chunks" ->
-      """WITH c AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, greatest(CAST(floor((length(text) - 1) / 150.0) AS BIGINT) + 1, 1))) AS i
-        |  FROM documents)
-        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |  CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS INTEGER) AS chunk_len,
-        |  md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_hash
-        |FROM c""".stripMargin,
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, greatest(CAST(floor((length(text) - 1) / $chunkStride.0) AS BIGINT) + 1, 1))) AS i
+         |  FROM documents)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  CAST(length(substr(text, CAST(i * $chunkStride + 1 AS INTEGER), $chunkSize)) AS INTEGER) AS chunk_len,
+         |  md5(substr(text, CAST(i * $chunkStride + 1 AS INTEGER), $chunkSize)) AS chunk_hash
+         |FROM c""".stripMargin,
     // mirror of Embeddings.quantizeInt8: same expression text, same
     // left-to-right double ops; round-half-up via floor(x + 0.5) avoids
     // engine rounding-mode differences
@@ -690,7 +702,7 @@ object DataPipelineEntries {
          |      ELSE list_transform(e, x -> CAST(0 AS INTEGER)) END AS qv
          |  FROM n)
          |SELECT vec_id,
-         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
          |  CAST(list_min(qv) AS INTEGER) AS q_min,
          |  CAST(list_max(qv) AS INTEGER) AS q_max,
          |  ${rnd("amax", 6)} AS abs_max

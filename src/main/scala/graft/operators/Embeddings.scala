@@ -28,11 +28,20 @@ object Embeddings {
 
   /** Symmetric int8 quantization: q_i = floor(x_i / absMax · 127 + 0.5)
     * (round-half-up, deterministic in both engines — no banker's-rounding
-    * ambiguity). An all-zero vector quantizes to zeros (guarded divide). */
-  def quantizeInt8(v: Column): Column = {
-    val amax = absMax(v)
+    * ambiguity). An all-zero vector quantizes to zeros (guarded divide).
+    *
+    * Pass `amax` as a PROJECTED column (`select(absMax(v).as("amax"))`
+    * upstream) on hot paths: higher-order-function lambdas get no
+    * common-subexpression elimination, so an inline scale expression
+    * would re-run the O(d) max once per element — O(d²) per vector. The
+    * two references to `amax` here also keep CollapseProject from
+    * inlining an expensive upstream projection back into the lambda. */
+  def quantizeInt8(v: Column, amax: Column): Column =
     when(amax > 0,
       transform(v, x => floor(x.cast("double") / amax * 127 + 0.5).cast("int")))
       .otherwise(transform(v, _ => lit(0)))
-  }
+
+  /** Convenience form computing the scale inline — fine for ad-hoc use;
+    * see the two-arg overload for the projection note. */
+  def quantizeInt8(v: Column): Column = quantizeInt8(v, absMax(v))
 }

@@ -105,15 +105,19 @@ object TextAnalysis {
   /** Number of fixed-stride character chunks covering the text (≥ 1 —
     * an empty document still yields one empty chunk; the floor guard also
     * keeps Spark's `sequence` from counting DOWN on a negative bound). */
-  def chunkCount(text: Column, stride: Int): Column =
+  def chunkCount(text: Column, stride: Int): Column = {
+    require(stride > 0, s"chunk stride must be positive: $stride")
     greatest(floor((length(text) - 1) / lit(stride.toDouble)).cast("long") + 1, lit(1L))
+  }
 
   /** The chunk at `idx`: `size` characters starting at idx·stride + 1 —
     * overlapping windows when size > stride, the standard pre-embedding
     * chunking shape. Composes with `explode(sequence(0, chunkCount-1))`
     * into a corpus-wide chunk table, one map-side pass. */
-  def chunkAt(text: Column, idx: Column, size: Int, stride: Int): Column =
+  def chunkAt(text: Column, idx: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0, s"chunk size/stride must be positive: $size/$stride")
     text.substr(idx.cast("int") * stride + 1, lit(size))
+  }
 
   /** PII patterns in the Java-regex ∩ RE2 subset (char classes, bounded
     * quantifiers — no lookaround), so the DuckDB oracle can apply the
