@@ -218,8 +218,12 @@ object DataPipelineEntries {
       docs.select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), TextAnalysis.chunkCount(col("text"), chunkStride) - 1))
           .as("chunk_idx"))
+        // project the chunk once; the two downstream references keep
+        // CollapseProject from inlining the substring twice
         .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
-          length(chunk).as("chunk_len"), md5(chunk).as("chunk_hash"))
+          chunk.as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_hash"))
     },
     // Int8 quantization of the embedding column, graded on per-vector
     // quantized checksums + the scale reference (arrays aggregated to
