@@ -85,6 +85,21 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
   }
 
+  test("sequence packing's aggregate reuses the shard partitioning (one exchange total)") {
+    val docs = (1L to 100L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+    val packed = graft.operators.Packing.packAssign(docs, $"doc_id",
+        graft.operators.TextAnalysis.tokenCount($"text"))
+      .groupBy($"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("pack_tokens"))
+    val plan = packed.queryExecution.executedPlan.toString
+    // the window partitions by shard; (shard, pack_id) grouping is
+    // sub-partitioned by shard, so Catalyst must NOT add a second
+    // exchange for the aggregate — the property that keeps packing one
+    // shuffle end-to-end at corpus scale
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles in:\n$plan")
+  }
+
   test("similarity top-k is bounded partial aggregation, not a ranking window") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(8)(j => ((i * 13 + j) % 7 - 3) / 2.0f)))
