@@ -231,26 +231,45 @@ object Dedup {
     * union-find map — size the cap to the driver), connected components
     * run as a local union-find and ship back as one broadcast mapping —
     * one job instead of O(log diameter) iterations of join + aggregate,
-    * each a full distributed stage. The size probe IS the edge fetch
-    * (one `limit(cap+1).collect()`), so an un-persisted pairs plan is
-    * evaluated once, not once to count and again to collect. Graphs
-    * above the cap take the iterative distributed path; both produce
-    * the identical min-doc_id labeling and id type. */
+    * each a full distributed stage. The pairs projection is PERSISTED
+    * before the probe, so an expensive pairs plan is evaluated once
+    * whichever path runs — the probe's partial evaluation seeds the
+    * cache the distributed path then reads, instead of a probe pass
+    * plus a from-scratch re-evaluation. Graphs above the cap take the
+    * iterative distributed path; both produce the identical min-doc_id
+    * labeling and id type.
+    *
+    * Driver sizing: the collected edge rows plus the boxed union-find
+    * map cost on the order of 200 bytes per edge — the 500k default is
+    * ~100 MB transient driver heap. Size `driverMaxEdges` to the
+    * driver (or set it per session via
+    * `spark.graft.clusters.driverMaxEdges`, which overrides the
+    * argument; `0` disables the fast path entirely). */
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
                       maxIter: Int = 20,
                       driverMaxEdges: Long = 500000L): DataFrame = {
-    val probeCap = math.min(driverMaxEdges, Int.MaxValue - 1L).toInt
-    val probe = pairs.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
+    val capConf = pairs.sparkSession.conf
+      .getOption("spark.graft.clusters.driverMaxEdges").map(_.toLong)
+    val probeCap = math.min(capConf.getOrElse(driverMaxEdges), Int.MaxValue - 1L).toInt
+    // persisted: the probe below partially evaluates this plan; without
+    // the cache an over-cap graph would pay the (expensive) pairs plan
+    // twice — once probing, once again in the iterations
+    val pr = pairs.select(col("doc_i"), col("doc_j"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probe = pr.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
       .limit(probeCap + 1).collect()
-    if (probe.length <= probeCap)
-      return clustersViaUnionFind(pairs.sparkSession,
+    if (probe.length <= probeCap) {
+      val out = clustersViaUnionFind(pr.sparkSession,
         probe.map(r => (r.getLong(0), r.getLong(1))), docIds)
+      pr.unpersist()
+      return out
+    }
     // undirected edges, both directions
-    val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
-      .union(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
+    val edges = pr.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .union(pr.select(col("doc_j").as("a"), col("doc_i").as("b")))
     val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val paired = pairs.select(col("doc_i").as("doc_id"))
-      .union(pairs.select(col("doc_j").as("doc_id")))
+    val paired = pr.select(col("doc_i").as("doc_id"))
+      .union(pr.select(col("doc_j").as("doc_id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
@@ -295,6 +314,7 @@ object Dedup {
       iter += 1
     }
     edgesP.unpersist()
+    pr.unpersist()
     if (!converged) {
       labels.unpersist() // don't leak the last iteration on the abort path
       throw new IllegalStateException(

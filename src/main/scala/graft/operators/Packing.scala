@@ -34,6 +34,12 @@ object Packing {
                  nShards: Int = DefaultShards,
                  seed: Int = DefaultSeed): DataFrame = {
     require(maxTokens > 0 && nShards > 0, "maxTokens and nShards must be positive")
+    // withColumn REPLACES an existing same-named column silently — refuse
+    // rather than clobber caller data
+    val clash = Seq("shard", "n_tokens", "pack_id", "cum_before")
+      .filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"packAssign generates columns ${clash.mkString(", ")} which already exist on the input; rename them first")
     val w = Window.partitionBy(col("shard")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

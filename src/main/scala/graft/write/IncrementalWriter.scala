@@ -196,6 +196,11 @@ object IncrementalWriter {
   def freshnessStatusAll(feeds: Seq[(String, DataFrame)],
                          warnAfterDays: Double = 2.0,
                          errorAfterDays: Double = 5.0): Seq[(String, String)] = {
+    if (feeds.isEmpty) return Seq.empty
+    // duplicate names would silently merge into one max(loaded_at) group —
+    // refuse so each declared feed gets its own classification
+    val dups = feeds.map(_._1).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate feed names: ${dups.mkString(", ")}")
     val maxes = feeds.map { case (n, df) =>
       df.select(lit(n).as("source_table"), col("loaded_at")) }
       .reduce(_ unionByName _)
