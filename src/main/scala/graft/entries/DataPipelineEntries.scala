@@ -91,6 +91,19 @@ object DataPipelineEntries {
     "dedup_minhash_lsh" -> q((s, d) =>
       Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
         threshold = 0.5, maxBandSize = lshMaxBand)),
+    // Incremental cross-corpus dedup: batch 1 (even ids) seeds the
+    // persisted band index, batch 2 (odd ids) dedups against it without
+    // re-signaturing batch 1; the unioned outputs must equal the
+    // one-shot recompute over the full corpus — graded by the SAME
+    // oracle SQL as dedup_minhash_lsh.
+    "dedup_lsh_incremental" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val idx = Scratch.tmpPath("lsh_idx", d, s)
+      def run(b: DataFrame) = Dedup.minhashLshIncremental(b, idx,
+        numHashes = 12, rowsPerBand = 2, threshold = 0.5, maxBandSize = lshMaxBand)
+      run(docs.filter(col("doc_id") % 2 === 0))
+        .union(run(docs.filter(col("doc_id") % 2 === 1)))
+    },
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
     // -- similarity search ----------------------------------------------
@@ -104,6 +117,18 @@ object DataPipelineEntries {
       val assigned = Similarity.ivfAssign(emb, centroids)
       Similarity.ivfSearch(assigned, centroids,
         emb.filter(col("vec_id") < knnQueryCut), k = 3, nProbe = 2)
+    },
+    // ANN recall gate: recall@3 of the IVF search against the exact
+    // brute-force top-3, per query — pinned in CORRECTNESS so index
+    // tuning cannot silently trade recall away.
+    "sim_recall" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < knnQueryCut)
+      val centroids = emb.filter(col("vec_id") % centroidMod === 0)
+      val brute = Similarity.knnBrute(emb, queries, k = 3)
+      val ivf = Similarity.ivfSearch(
+        Similarity.ivfAssign(emb, centroids), centroids, queries, k = 3, nProbe = 2)
+      Similarity.recallAtK(brute, ivf)
     },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
@@ -266,7 +291,17 @@ object DataPipelineEntries {
           sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"))),
     // -- multimodal plumbing ---------------------------------------------
-    "mm_features" -> q((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // Corpus-wide REAL decode: deterministic PNG/WAV/GIF containers fan
+    // out of the document table (payload geometry a pure function of
+    // doc_id, with a corrupt-id cycle for the skip policy) and run the
+    // production JDK codec path. Graded on container metadata — exact by
+    // construction; encoder-build-dependent columns (byte_len,
+    // content_hash, embedding) excluded, same policy as mm_real_decode.
+    "mm_features" -> q((s, d) =>
+      Multimodal.features(Tables.spread(Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"), col("decoded"),
+          col("width"), col("height"), col("channels"),
+          col("sample_rate"), col("n_frames"))),
     // REAL decode path, oracle-graded: deterministic in-entry containers
     // (gradient PNG, PCM WAV, animated GIF as the multi-frame video
     // stand-in, plus a corrupt payload for the skip policy) through
@@ -416,6 +451,70 @@ object DataPipelineEntries {
     s"SELECT doc_id, $b AS band_idx, md5(concat_ws('-', mh${2 * b}, mh${2 * b + 1})) AS band_key FROM sig"
   }.mkString("\n  UNION ALL ")
 
+  /** Brute-force KNN mirror — shared by `sim_knn_brute` and (top-3 cut)
+    * the `sim_recall` gate. */
+  private lazy val simKnnSql =
+    s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |            FROM embeddings WHERE vec_id < $knnQueryCut),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+       |      FROM qs JOIN c ON query_id != neighbor_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
+       |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 5""".stripMargin
+
+  /** IVF ANN mirror — shared by `sim_ivf_ann` and the `sim_recall`
+    * gate. */
+  private lazy val simIvfSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
+       |asg AS (SELECT vec_id, v, centroid_id FROM (
+       |    SELECT e.vec_id, e.v, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
+       |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+       |probes AS (SELECT query_id, qv, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
+       |    FROM (SELECT * FROM e WHERE vec_id < $knnQueryCut) q CROSS JOIN cent c)
+       |  WHERE prn <= 2),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
+       |      FROM probes p JOIN asg a
+       |        ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
+       |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 3""".stripMargin
+
+  /** Full-corpus MinHash+LSH mirror — shared verbatim by
+    * `dedup_minhash_lsh` and `dedup_lsh_incremental` (the incremental
+    * run's unioned batches must reproduce the one-shot recompute). */
+  private lazy val minhashLshSql =
+    s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+       |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+       |hashed AS (SELECT doc_id, lang, n_sh,
+       |      $doubleHashSql
+       |    FROM e),
+       |sig AS (SELECT doc_id, lang, n_sh,
+       |    $minhashCols
+       |  FROM hashed GROUP BY 1, 2, 3),
+       |bands AS (
+       |  $bandSelects),
+       |bc AS (SELECT * FROM bands
+       |       QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= $lshMaxBand),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+       |         FROM bc x JOIN bc y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |              AND x.doc_id < y.doc_id),
+       |v AS (SELECT c.doc_i, c.doc_j,
+       |             len(list_intersect(si.sh, sj.sh)) AS inter,
+       |             len(si.sh) AS n_i, len(sj.sh) AS n_j
+       |      FROM cand c
+       |      JOIN s si ON si.doc_id = c.doc_i
+       |      JOIN s sj ON sj.doc_id = c.doc_j)
+       |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
+       |FROM v WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin
+
   private val simhashBitSums = (0 until 16).map(j =>
     s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
 
@@ -473,31 +572,10 @@ object DataPipelineEntries {
          |  UNION
          |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a)
          |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
-         |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
-         |hashed AS (SELECT doc_id, lang, n_sh,
-         |      $doubleHashSql
-         |    FROM e),
-         |sig AS (SELECT doc_id, lang, n_sh,
-         |    $minhashCols
-         |  FROM hashed GROUP BY 1, 2, 3),
-         |bands AS (
-         |  $bandSelects),
-         |bc AS (SELECT * FROM bands
-         |       QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= $lshMaxBand),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
-         |         FROM bc x JOIN bc y
-         |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-         |              AND x.doc_id < y.doc_id),
-         |v AS (SELECT c.doc_i, c.doc_j,
-         |             len(list_intersect(si.sh, sj.sh)) AS inter,
-         |             len(si.sh) AS n_i, len(sj.sh) AS n_j
-         |      FROM cand c
-         |      JOIN s si ON si.doc_id = c.doc_i
-         |      JOIN s sj ON sj.doc_id = c.doc_j)
-         |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
-         |FROM v WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    // incremental(batch1 → batch2) must reproduce the full recompute —
+    // identical oracle by design
+    "dedup_lsh_incremental" -> minhashLshSql,
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($toks)) AS w FROM documents),
          |h AS (SELECT doc_id, ${pHash("w", 0)} AS h FROM w),
@@ -505,35 +583,19 @@ object DataPipelineEntries {
          |    $simhashBitSums
          |  FROM h GROUP BY 1)
          |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM b""".stripMargin,
-    "sim_knn_brute" ->
-      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |            FROM embeddings WHERE vec_id < $knnQueryCut),
-         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
-         |      FROM qs JOIN c ON query_id != neighbor_id),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
-         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 5""".stripMargin,
-    "sim_ivf_ann" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
-         |asg AS (SELECT vec_id, v, centroid_id FROM (
-         |    SELECT e.vec_id, e.v, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
-         |    FROM e CROSS JOIN cent c) WHERE crn = 1),
-         |probes AS (SELECT query_id, qv, centroid_id FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
-         |    FROM (SELECT * FROM e WHERE vec_id < $knnQueryCut) q CROSS JOIN cent c)
-         |  WHERE prn <= 2),
-         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p.qv", "a.v")} AS cos
-         |      FROM probes p JOIN asg a
-         |        ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
-         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 3""".stripMargin,
+    "sim_knn_brute" -> simKnnSql,
+    "sim_ivf_ann" -> simIvfSql,
+    // recall@3 of IVF vs brute force, composed from the SAME two mirrors
+    // (top-3 of the brute top-5 ≡ a k=3 brute run: identical ordering)
+    "sim_recall" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id FROM ($simKnnSql) WHERE rn <= 3),
+         |iv AS (SELECT query_id, neighbor_id FROM ($simIvfSql)),
+         |h AS (SELECT b.query_id, count(*) AS n_hits
+         |      FROM b JOIN iv USING (query_id, neighbor_id) GROUP BY 1),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM b GROUP BY 1)
+         |SELECT nb.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${rnd("coalesce(h.n_hits, 0)::DOUBLE / nb.n_brute", 6)} AS recall
+         |FROM nb LEFT JOIN h ON nb.query_id = h.query_id""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, ${cosSql("a.v", "b.v")} AS cos
@@ -742,6 +804,13 @@ object DataPipelineEntries {
     // → 3-channel 16×9 still; WAV(8000 Hz, 1600 frames) → mono PCM;
     // GIF(8,5,3 frames) → 3-channel multi-frame; corrupt bytes → the
     // zeroed skip row.
+    // JDK assumption behind channels=3: ImageIO's PNG reader surfaces a
+    // TYPE_INT_RGB-compatible ComponentColorModel (3 components, no
+    // alpha) for RGB PNGs, and its GIF reader an IndexColorModel whose
+    // getNumComponents is 3 for a palette written without transparency —
+    // both stable across JDK 11–21. If a future JDK changes either color
+    // model, re-pin these VALUES from `graft.tools.ProbeMedia`, which
+    // prints the decoded metadata for exactly these generator arguments.
     "mm_real_decode" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type, decoded,
         |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
@@ -754,16 +823,34 @@ object DataPipelineEntries {
         |  (3, 'video', true,  8,  5, 3, 0,    3),
         |  (4, 'image', false, 0,  0, 0, 0,    0)
         |) AS t(doc_id, media_type, decoded, width, height, channels, sample_rate, n_frames)""".stripMargin,
-        "mm_features" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
-        |       ELSE 'video' END AS media_type,
-        |  CAST(strlen(text) AS INTEGER) AS byte_len,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + strlen(text) % 577 END AS INTEGER) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + strlen(text) % 433 END AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN strlen(text) % 1000
-        |       ELSE strlen(text) % 30 + 1 END AS INTEGER) AS n_frames,
-        |  md5(text) AS content_hash
-        |FROM documents""".stripMargin)
+    // Container metadata pinned arithmetically from the generator's
+    // geometry constants (interpolated from Multimodal so Spark and
+    // oracle cannot drift). channels relies on the same JDK color-model
+    // behavior documented at mm_real_decode above (PNG RGB → 3, GIF
+    // palette → 3, WAV mono → 1).
+    "mm_features" -> {
+      import Multimodal._
+      val corrupt = s"doc_id % $CorruptMod = $CorruptResidue"
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  NOT ($corrupt) AS decoded,
+         |  CAST(CASE WHEN $corrupt THEN 0
+         |            WHEN doc_id % 3 = 0 THEN $ImgWBase + doc_id % $ImgWMod
+         |            WHEN doc_id % 3 = 2 THEN $GifWBase + doc_id % $GifWMod
+         |            ELSE 0 END AS INTEGER) AS width,
+         |  CAST(CASE WHEN $corrupt THEN 0
+         |            WHEN doc_id % 3 = 0 THEN $ImgHBase + doc_id % $ImgHMod
+         |            WHEN doc_id % 3 = 2 THEN $GifHBase + doc_id % $GifHMod
+         |            ELSE 0 END AS INTEGER) AS height,
+         |  CAST(CASE WHEN $corrupt THEN 0
+         |            WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+         |  CAST(CASE WHEN $corrupt THEN 0
+         |            WHEN doc_id % 3 = 1 THEN $WavRate ELSE 0 END AS INTEGER) AS sample_rate,
+         |  CAST(CASE WHEN $corrupt THEN 0
+         |            WHEN doc_id % 3 = 0 THEN 1
+         |            WHEN doc_id % 3 = 1 THEN $WavFramesBase + doc_id % $WavFramesMod
+         |            ELSE $GifFramesBase + doc_id % $GifFramesMod END AS BIGINT) AS n_frames
+         |FROM documents""".stripMargin
+    })
 }

@@ -242,9 +242,12 @@ object TaxiEntries {
               |  CAST(max(total_trips) AS BIGINT) AS busiest_day_trips
               |FROM graft_daily GROUP BY taxi_type""".stripMargin)
     },
-    // sketch-based distinct-count variant (the 100 TB escape hatch for A3)
-    // — oracle is rows-only (HLL estimates are engine-specific).
-    "taxi_daily_approx" -> q((s, d) => Marts.dailyApprox(models(s, d).fctTrips)))
+    // sketch-based distinct-count variant (the 100 TB escape hatch for
+    // A3), graded via its error bound: the output carries exact distinct
+    // counts plus per-group within-bound flags the oracle pins true —
+    // HLL estimates themselves are engine-specific, their accuracy
+    // contract is not.
+    "taxi_daily_approx" -> q((s, d) => Marts.dailyApproxChecked(models(s, d).fctTrips)))
 
   import TaxiSql.{select => o}
   import TaxiSql.Dialect.rndSum
@@ -313,6 +316,19 @@ object TaxiEntries {
         |  ('fhv',    CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass'),
         |  ('fhvhv',  CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE), 'pass')
         |) AS t(source_table, warn_after_days, error_after_days, status)""".stripMargin),
+    // exact distinct counts mirror the checked columns; the within-bound
+    // flags are pinned TRUE — a sketch drifting outside |hll − exact| ≤
+    // 3·rsd·exact + 2 (hybrid bound, see Marts.dailyApproxChecked)
+    // hash-mismatches here
+    "taxi_daily_approx" -> o(
+      s"""SELECT CAST(pickup_datetime AS DATE) AS trip_date, taxi_type, year, month,
+         |  count(*) AS total_trips,
+         |  count(DISTINCT pickup_location_id) AS unique_pickup_exact,
+         |  count(DISTINCT dropoff_location_id) AS unique_dropoff_exact,
+         |  true AS pickup_within_bound,
+         |  true AS dropoff_within_bound,
+         |  ${rndSum("total_amount", 2)} AS total_revenue
+         |FROM fct_trips GROUP BY 1, 2, 3, 4""".stripMargin),
     "taxi_sql_adhoc" -> o(
       """SELECT taxi_type, count(*) AS days,
         |  CAST(sum(total_trips) AS BIGINT) AS trips,

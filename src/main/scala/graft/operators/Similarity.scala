@@ -136,6 +136,26 @@ object Similarity {
         .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** recall@k gate for an ANN variant: per query, the fraction of the
+    * exact top-k (from [[knnBrute]]) the ANN result recovered —
+    * `|ann ∩ brute| / |brute|`. Both inputs carry (query_id,
+    * neighbor_id); extra columns are ignored. Grading this output pins
+    * the index's accuracy so IVF tuning (nProbe, centroid count) cannot
+    * silently trade recall away. Cost is two aggregations over k·|Q|
+    * rows — noise next to the searches themselves. */
+  def recallAtK(brute: DataFrame, ann: DataFrame): DataFrame = {
+    val b = brute.select(col("query_id"), col("neighbor_id"))
+    val hits = b.join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    b.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_brute"), 6)
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (`label`
     * here; at scale: an LSH bucket or coarse IVF cell), threshold
     * inclusive. */

@@ -103,6 +103,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((30L, 31L)))
   }
 
+  test("incremental LSH over batches reproduces the one-shot recompute and splits pairs by batch") {
+    val aBase = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val bBase = "one two three four five six seven eight nine"
+    val cBase = "red green blue cyan magenta yellow black white gray"
+    // three near-dup families: (2,4) intra-even, (1,3) intra-odd, (6,7) cross-batch
+    val df = docs(
+      (2L, "en", s"$aBase kappa"), (4L, "en", s"$aBase lambda"),
+      (1L, "en", s"$bBase ten"), (3L, "en", s"$bBase eleven"),
+      (6L, "en", s"$cBase silver"), (7L, "en", s"$cBase gold"),
+      (5L, "en", "totally unrelated words sharing nothing with any family"))
+    def pairs(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq.sorted
+    val full = pairs(Dedup.minhashLsh(df).collect())
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString + "/idx"
+    val r1 = pairs(Dedup.minhashLshIncremental(df.filter($"doc_id" % 2 === 0), idx).collect())
+    val r2 = pairs(Dedup.minhashLshIncremental(df.filter($"doc_id" % 2 === 1), idx).collect())
+    assert((r1 ++ r2).sorted == full && full.size == 3)
+    // batch 1 sees only intra-batch pairs; the cross pair lands with the
+    // batch holding its later member
+    assert(r1.forall { case (i, j, _) => i % 2 == 0 && j % 2 == 0 })
+    assert(r2.map(p => (p._1, p._2)).contains((6L, 7L)))
+    // the index persisted both tables, one row set per batch
+    assert(spark.read.parquet(s"$idx/shingles").count() == 7)
+    assert(spark.read.parquet(s"$idx/bands").select("doc_id").distinct().count() == 7)
+  }
+
   test("minhash map-side signatures equal the exploded-agg formulation") {
     val df = docs(
       (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
@@ -585,12 +611,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
-  test("multimodal stub decode is deterministic and typed per media kind") {
-    val df = docs((0L, "en", "abcdef"), (1L, "en", "abcdef"), (2L, "en", "abcdef"))
-    val r = Multimodal.features(df).orderBy("doc_id").collect()
-    assert(r.map(_.getString(1)).toSeq == Seq("image", "audio", "video"))
-    assert(r.forall(_.getInt(2) == 6)) // byte_len
-    assert(r(1).getInt(3) == 0 && r(1).getInt(5) == 1) // audio: no width, 1 channel
-    assert(r(0).getString(7).length == 32) // md5 hex
+  test("corpus media fan-out: real containers per kind, geometry from doc_id, corrupt cycle skips") {
+    import graft.operators.Multimodal._
+    // ids 0/1/2 hit the three kinds; 5 is on the corrupt cycle (5 % 31 == 5)
+    val df = docs((0L, "en", "a"), (1L, "en", "b"), (2L, "en", "c"), (5L, "en", "d"))
+    val r = Multimodal.features(df).orderBy("doc_id")
+      .select("doc_id", "media_type", "decoded", "width", "height",
+        "channels", "sample_rate", "n_frames").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("image", "audio", "video", "video"))
+    // image 0: PNG of (ImgWBase, ImgHBase), 3 channels, 1 frame
+    assert(r(0).getBoolean(2) && r(0).getInt(3) == ImgWBase &&
+      r(0).getInt(4) == ImgHBase && r(0).getInt(5) == 3 && r(0).getLong(7) == 1L)
+    // audio 1: mono WAV at WavRate with WavFramesBase + 1 frames
+    assert(r(1).getBoolean(2) && r(1).getInt(5) == 1 &&
+      r(1).getInt(6) == WavRate && r(1).getLong(7) == (WavFramesBase + 1).toLong)
+    // video 2: GIF of (GifWBase+2, GifHBase+2) with GifFramesBase+2 frames
+    assert(r(2).getBoolean(2) && r(2).getInt(3) == GifWBase + 2 &&
+      r(2).getInt(4) == GifHBase + 2 && r(2).getLong(7) == (GifFramesBase + 2).toLong)
+    // corrupt 5: undecodable bytes take the zeroed skip row
+    assert(!r(3).getBoolean(2) && r(3).getInt(3) == 0 && r(3).getLong(7) == 0L)
+    // determinism: the same id yields byte-identical payloads
+    assert(java.util.Arrays.equals(mediaFor(7L).content, mediaFor(7L).content) &&
+      mediaFor(7L).media_type == "audio")
   }
 }

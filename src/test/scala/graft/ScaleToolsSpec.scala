@@ -129,6 +129,50 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"df-cut not a broadcast anti join in:\n$ngPlan")
   }
 
+  test("hash split assignment is a zero-shuffle map pass") {
+    val docs = (1L to 100L).map(i => (i, s"w$i x y z")).toDF("doc_id", "text")
+    val split = docs.withColumn("split",
+      graft.operators.Sampling.splitAssign($"doc_id"))
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
+  }
+
+  test("corpus funnel is one aggregate pass: single exchange, no Expand") {
+    val docs = (1L to 100L).map(i => (i, "the a is and of to in w" + i))
+      .toDF("doc_id", "text")
+    // same shape as the corpus_funnel entry: expensive predicates
+    // projected once, cumulative stages as conditional sums over booleans
+    val staged = docs.select(
+      (graft.operators.TextAnalysis.langId($"text") === "en").as("en"),
+      (graft.operators.TextAnalysis.qualityScore($"text") >= 50).as("q50"),
+      (graft.operators.TextAnalysis.tokenCount($"text") >= 20).as("t20"))
+    val funnel = staged.agg(
+      count(lit(1)).as("n_total"),
+      sum(when($"en", 1L).otherwise(0L)).as("n_lang_en"),
+      sum(when($"en" && $"q50", 1L).otherwise(0L)).as("n_quality"),
+      sum(when($"en" && $"q50" && $"t20", 1L).otherwise(0L)).as("n_length"))
+    val plan = funnel.queryExecution.executedPlan.toString
+    // a count(distinct)-style rewrite would inject Expand (input × N);
+    // more than one exchange means the partial agg stopped being map-side
+    assert(!plan.contains("Expand"), s"Expand crept into the funnel:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (partial→final agg), got $exchanges in:\n$plan")
+  }
+
+  test("document chunking is a zero-shuffle map pass") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 50L).map(i => (i, "x " * 250)).toDF("doc_id", "text")
+    val chunk = TextAnalysis.chunkAt($"text", $"chunk_idx", 200, 150)
+    val chunks = docs.select($"doc_id", $"text",
+        explode(sequence(lit(0L), TextAnalysis.chunkCount($"text", 150) - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"), chunk.as("chunk"))
+      .select($"doc_id", $"chunk_idx", length($"chunk").as("chunk_len"),
+        md5($"chunk").as("chunk_hash"))
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
+  }
+
   test("asof join shuffles exactly once, on the key") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val left = (1 to 500).map(i => (i.toLong, i % 9, ts(i * 1000L))).toDF("lid", "k", "ts")
