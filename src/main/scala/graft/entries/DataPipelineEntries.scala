@@ -55,6 +55,13 @@ object DataPipelineEntries {
   // two cannot drift).
   private val chunkSize = 200
   private val chunkStride = 150
+  // RAG-prep composite geometry (rag_chunk_search entry + oracle):
+  // hash-featurizer dimensionality/modulus, the chunk-id span
+  // (vec_id = doc_id·span + chunk_idx), and the query-doc cut.
+  private val ragDims = 8
+  private val ragHashMod = 997
+  private val ragIdSpan = 1000
+  private val ragQueryDocs = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ---------------------------------------------------
@@ -249,6 +256,38 @@ object DataPipelineEntries {
           chunk.as("chunk"))
         .select(col("doc_id"), col("chunk_idx"),
           length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_hash"))
+    },
+    // Composite RAG-prep pipeline — the shape these operators exist for,
+    // graded end-to-end: overlapping chunking → per-chunk embedding →
+    // int8-quantized storage → dequantize → exact top-k search. The
+    // embedding is a deterministic hash featurizer (a model encoder
+    // isn't DuckDB-mirrorable; the graded substance is the pipeline
+    // plumbing and the quantize→search numerics, which run exactly the
+    // production path).
+    "rag_chunk_search" -> q { (s, d) =>
+      import graft.operators.{Embeddings => E}
+      val chunkE = TextAnalysis.chunkAt(col("text"), col("chunk_idx"), chunkSize, chunkStride)
+      val chunks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), TextAnalysis.chunkCount(col("text"), chunkStride) - 1))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"), chunkE.as("chunk"))
+      val emb = array((0 until ragDims).map(j =>
+        ((Dedup.portableHash(col("chunk"), j) % ragHashMod).cast("double") / ragHashMod)
+          .cast("float")): _*)
+      // quantized at rest, dequantized for scoring — int8 + per-vector
+      // scale, each expensive expression projected once (HOF lambdas get
+      // no subexpression elimination)
+      val stored = chunks
+        .select((col("doc_id") * ragIdSpan + col("chunk_idx")).as("vec_id"), emb.as("embedding"))
+        .select(col("vec_id"), col("embedding"), E.absMax(col("embedding")).as("amax"))
+        .select(col("vec_id"), E.quantizeInt8(col("embedding"), col("amax")).as("qv"), col("amax"))
+        .select(col("vec_id"),
+          transform(col("qv"), v => (v * col("amax") / lit(127.0)).cast("float")).as("embedding"))
+      Similarity.knnBrute(stored,
+        stored.filter(col("vec_id") % ragIdSpan === 0 &&
+          col("vec_id") < ragQueryDocs * ragIdSpan),
+        k = 3)
     },
     // Int8 quantization of the embedding column, graded on per-vector
     // quantized checksums + the scale reference (arrays aggregated to
@@ -753,6 +792,41 @@ object DataPipelineEntries {
          |  CAST(length(substr(text, CAST(i * $chunkStride + 1 AS INTEGER), $chunkSize)) AS INTEGER) AS chunk_len,
          |  md5(substr(text, CAST(i * $chunkStride + 1 AS INTEGER), $chunkSize)) AS chunk_hash
          |FROM c""".stripMargin,
+    // mirror of the full composite: chunk CTE from text_chunks, hash
+    // featurizer from portableHash, quantize/dequantize from
+    // emb_quantize, search tail from sim_knn_brute — every stage's
+    // arithmetic in the same order as the Spark side, REAL casts
+    // matching the float32 storage type
+    "rag_chunk_search" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    substr(text, CAST(i * $chunkStride + 1 AS INTEGER), $chunkSize) AS chunk
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(CAST(floor((length(text) - 1) / $chunkStride.0) AS BIGINT) + 1, 1))) AS i
+         |        FROM documents)),
+         |ve AS (SELECT doc_id * $ragIdSpan + chunk_idx AS vec_id,
+         |         list_transform(range(0, $ragDims), j ->
+         |           CAST(CAST(CAST(('0x' || substr(md5(chunk || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % $ragHashMod AS DOUBLE) / $ragHashMod AS REAL)) AS e
+         |       FROM c),
+         |n AS (SELECT vec_id, CAST(e AS DOUBLE[]) AS ed,
+         |        list_max(list_transform(CAST(e AS DOUBLE[]), x -> abs(x))) AS amax
+         |      FROM ve),
+         |qz AS (SELECT vec_id, amax,
+         |        CASE WHEN amax > 0
+         |          THEN list_transform(ed, x -> CAST(floor(x / amax * 127 + 0.5) AS INTEGER))
+         |          ELSE list_transform(ed, x -> CAST(0 AS INTEGER)) END AS qv
+         |       FROM n),
+         |dq AS (SELECT vec_id,
+         |         list_transform(qv, v -> CAST(CAST(v AS DOUBLE) * amax / 127.0 AS REAL)) AS emb
+         |       FROM qz),
+         |qs AS (SELECT vec_id AS query_id, CAST(emb AS DOUBLE[]) AS qv2 FROM dq
+         |       WHERE vec_id % $ragIdSpan = 0 AND vec_id < ${ragQueryDocs * ragIdSpan}),
+         |cc AS (SELECT vec_id AS neighbor_id, CAST(emb AS DOUBLE[]) AS cv FROM dq),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qv2", "cv")} AS cos
+         |       FROM qs JOIN cc ON query_id != neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM sc)
+         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 3""".stripMargin,
     // mirror of Embeddings.quantizeInt8: same expression text, same
     // left-to-right double ops; round-half-up via floor(x + 0.5) avoids
     // engine rounding-mode differences
