@@ -62,6 +62,9 @@ object DataPipelineEntries {
   private val ragHashMod = 997
   private val ragIdSpan = 1000
   private val ragQueryDocs = 3
+  // Decontamination probe cut + overlap threshold (entry + oracle).
+  private val decontProbeCut = 5
+  private val decontMinOverlap = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ---------------------------------------------------
@@ -113,6 +116,15 @@ object DataPipelineEntries {
     },
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
+    // Benchmark decontamination: the probe "eval set" is docs with
+    // doc_id < decontProbeCut; corpus docs sharing ≥ decontMinOverlap
+    // distinct word-3-gram shingles with it are flagged (probe docs
+    // trivially self-flag).
+    "text_decontaminate" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      Dedup.contamination(docs, docs.filter(col("doc_id") < decontProbeCut),
+        minOverlap = decontMinOverlap)
+    },
     // -- similarity search ----------------------------------------------
     "sim_knn_brute" -> q { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -615,6 +627,17 @@ object DataPipelineEntries {
     // incremental(batch1 → batch2) must reproduce the full recompute —
     // identical oracle by design
     "dedup_lsh_incremental" -> minhashLshSql,
+    // probe shingle set ∩ per-doc distinct shingles; shingles() is
+    // already distinct per doc, so the count is distinct-overlap
+    "text_decontaminate" ->
+      s"""WITH p AS (SELECT DISTINCT unnest(sh) AS s FROM
+         |       (SELECT $shinglesSql AS sh FROM documents WHERE doc_id < $decontProbeCut)),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM
+         |       (SELECT doc_id, $shinglesSql AS sh FROM documents)),
+         |o AS (SELECT doc_id, count(*) AS n_overlap FROM e JOIN p USING (s) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  coalesce(o.n_overlap, 0) >= $decontMinOverlap AS contaminated
+         |FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($toks)) AS w FROM documents),
          |h AS (SELECT doc_id, ${pHash("w", 0)} AS h FROM w),

@@ -226,7 +226,13 @@ object Dedup {
     * collisions), verifies them with exact Jaccard over the combined
     * shingle store, APPENDS the batch's bands and shingles to the index,
     * and returns the verified new pairs. Candidate generation stays a
-    * bounded hash join: the probe side is the batch, never history.
+    * bounded hash join: the probe side is the batch, never history, and
+    * the stored band table is semi-join-pruned to the batch's band keys
+    * before any aggregation — per-batch cost scales with the buckets
+    * the batch touches, not the index size. The shingle store is
+    * consumed only through the verification join on candidate ids; at
+    * index sizes where that scan matters, store it bucketed by doc_id
+    * so the join prunes instead of scanning.
     *
     * Equivalence: running batches B1, B2, … through this and unioning
     * the outputs yields exactly what [[minhashLsh]] emits on B1 ∪ B2 ∪ …
@@ -252,11 +258,30 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsNew = bandRowsFor(shNew, numHashes, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandsAll = if (hasIndex) bandsNew.union(spark.read.parquet(bandsPath)) else bandsNew
+    // Only buckets containing ≥1 NEW doc can emit candidates, so the
+    // stored side is pruned to the batch's band keys up front (semi-join;
+    // Catalyst broadcasts the distinct new-key set when it is small —
+    // the daily-batch case). Per-batch work is then bounded by the
+    // buckets the batch touches, not the full index history: without the
+    // prune, every batch would re-aggregate and re-self-join the entire
+    // stored band table. Semantics are unchanged — untouched buckets
+    // produce no pairs and their hotness is irrelevant, while a touched
+    // bucket keeps ALL its stored members, so cap decisions and
+    // candidates match the unpruned formulation exactly.
+    val newKeys = bandsNew.select(col("band_idx"), col("band_key")).distinct()
+    val storedRelevant =
+      if (hasIndex)
+        spark.read.parquet(bandsPath).join(newKeys, Seq("band_idx", "band_key"), "left_semi")
+          // the USING-join fronts the key columns — re-project to the
+          // band-table order so the positional union below aligns
+          .select(col("doc_id"), col("band_idx"), col("band_key"))
+      else null
+    val bandsAll = if (hasIndex) bandsNew.union(storedRelevant) else bandsNew
     val shAll = if (hasIndex) shNew.union(spark.read.parquet(shinglesPath)) else shNew
     try {
-      // cap over the as-of-this-batch index state (stored ∪ new) — the
-      // same rule a full recompute over the union would apply
+      // cap over the as-of-this-batch index state (stored ∪ new, touched
+      // buckets) — the same rule a full recompute over the union would
+      // apply to these buckets
       val hotBands = bandsAll.groupBy(col("band_idx"), col("band_key"))
         .agg(count(lit(1)).as("bs"))
         .filter(col("bs") > maxBandSize)
@@ -467,6 +492,32 @@ object Dedup {
       .join(broadcast(mapping), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Benchmark decontamination — the train-set hygiene pass an LLM
+    * pipeline runs before training: flag corpus documents sharing word
+    * n-gram shingles with a probe set (eval benchmarks, held-out test
+    * sets). Output is one row per corpus doc: the count of its distinct
+    * shingles that appear anywhere in the probe set, and a
+    * `contaminated` flag at `>= minOverlap`.
+    *
+    * Scale shape: the probe side is tiny relative to a 100 TB corpus
+    * (benchmarks are megabytes), so its distinct shingle set BROADCASTS
+    * and the corpus is consumed in one map pass (shingle explode +
+    * broadcast hash semi-lookup) plus one partial-agg groupBy on
+    * doc_id — no corpus-side shuffle of shingles, no inverted index. */
+  def contamination(docs: DataFrame, probes: DataFrame, minOverlap: Int = 1): DataFrame = {
+    val probeSh = probes
+      .select(explode(TextAnalysis.shingles(col("text"))).as("s")).distinct()
+    val overlaps = docs
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"))).as("s"))
+      .join(broadcast(probeSh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
   /** 16-bit SimHash fingerprint per document over its distinct words:

@@ -129,6 +129,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/bands").select("doc_id").distinct().count() == 7)
   }
 
+  test("contamination flags probe-overlapping docs, leaves clean docs at zero") {
+    val evalText = "the capital of france is paris and the capital of spain is madrid"
+    val df = docs(
+      (1L, "en", evalText),                                        // the probe itself
+      (2L, "en", s"trivia dump says $evalText among other things"), // contains the probe verbatim
+      (3L, "en", "the capital of germany is berlin not lyon at all"), // one shared shingle
+      (4L, "en", "completely unrelated text about spark dataframes here"))
+    val r = Dedup.contamination(df, df.filter($"doc_id" === 1L), minOverlap = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getBoolean(2) && r(1).getBoolean(2))      // probe + verbatim superset
+    assert(r(1).getLong(1) >= r(0).getLong(1))            // superset shares all probe shingles
+    assert(r(2).getLong(1) > 0 && !r(2).getBoolean(2))    // partial overlap below threshold
+    assert(r(3).getLong(1) == 0 && !r(3).getBoolean(2))   // clean doc
+  }
+
   test("minhash map-side signatures equal the exploded-agg formulation") {
     val df = docs(
       (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
