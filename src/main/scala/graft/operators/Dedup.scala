@@ -243,12 +243,30 @@ object Dedup {
     * earlier pairs, where a full recompute would suppress them
     * retroactively. Incremental output is append-only by contract.
     *
-    * The returned pairs are MATERIALIZED (persisted + counted) before
+    * Failure/retry contract: pass a stable `batchId` and each batch's
+    * rows land in their own `batch=<id>` subdirectory via OVERWRITE —
+    * re-running a failed or doubted batch replaces its own files instead
+    * of appending duplicates (duplicated index rows would double-count
+    * bucket sizes and could wrongly suppress buckets near the cap), and
+    * the retry's stored-side reads partition-prune that subdirectory
+    * away, so the recompute runs against exactly the pre-batch index
+    * state and reproduces the original output.
+    * Shingles are written BEFORE bands: a crash between the two writes
+    * leaves shingle rows without band rows, which are inert (no
+    * candidate ever references them) and are repaired by the retry —
+    * the reverse order would leave band rows whose candidate pairs
+    * silently vanish in the verification join. Without `batchId` the
+    * writes are plain appends (single-writer, no-retry callers). Pick
+    * ONE mode per index — parquet partition discovery rejects a
+    * directory mixing root-level files with `batch=` subdirectories.
+    *
+    * The returned pairs are MATERIALIZED (eager localCheckpoint) before
     * the index append, so the result cannot observe its own batch's
     * append and is stable however late the caller consumes it. */
   def minhashLshIncremental(newDocs: DataFrame, indexPath: String,
                             numHashes: Int = 12, rowsPerBand: Int = 2,
-                            threshold: Double = 0.5, maxBandSize: Int = 100): DataFrame = {
+                            threshold: Double = 0.5, maxBandSize: Int = 100,
+                            batchId: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val bandsPath = s"$indexPath/bands"
     val shinglesPath = s"$indexPath/shingles"
@@ -268,16 +286,42 @@ object Dedup {
     // produce no pairs and their hotness is irrelevant, while a touched
     // bucket keeps ALL its stored members, so cap decisions and
     // candidates match the unpruned formulation exactly.
+    // Explicit selects on both stored reads: batch=<id> subdirectories
+    // surface as a discovered partition column, and the USING-join
+    // fronts its keys — both would silently misalign the positional
+    // unions below.
     val newKeys = bandsNew.select(col("band_idx"), col("band_key")).distinct()
-    val storedRelevant =
+    // Stored-side read: a RETRIED batch's own prior rows are excluded by
+    // partition-pruning away its batch=<id> subdirectory — otherwise the
+    // recompute would see each batch doc twice (its live rows plus the
+    // stale stored copy) and emit duplicated pairs before the overwrite
+    // lands. First runs have no such subdirectory; the filter is free.
+    def readStored(table: String, cols: String*): DataFrame = {
+      val base = spark.read.parquet(table)
+      val ownBatchExcluded = batchId match {
+        case Some(id) if base.columns.contains("batch") =>
+          base.filter(col("batch") =!= id)
+        case _ => base
+      }
+      ownBatchExcluded.select(cols.map(col): _*)
+    }
+    // persisted like the one-shot path's shared inputs: the pruned
+    // stored bands feed the bucket profile AND the candidate join, and
+    // the combined shingle store feeds BOTH sides of the verification
+    // join — un-persisted, each consumer re-runs the stored scan
+    val bandsAll =
       if (hasIndex)
-        spark.read.parquet(bandsPath).join(newKeys, Seq("band_idx", "band_key"), "left_semi")
-          // the USING-join fronts the key columns — re-project to the
-          // band-table order so the positional union below aligns
-          .select(col("doc_id"), col("band_idx"), col("band_key"))
-      else null
-    val bandsAll = if (hasIndex) bandsNew.union(storedRelevant) else bandsNew
-    val shAll = if (hasIndex) shNew.union(spark.read.parquet(shinglesPath)) else shNew
+        bandsNew.union(
+          readStored(bandsPath, "doc_id", "band_idx", "band_key")
+            .join(newKeys, Seq("band_idx", "band_key"), "left_semi")
+            .select(col("doc_id"), col("band_idx"), col("band_key")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else bandsNew
+    val shAll =
+      if (hasIndex)
+        shNew.union(readStored(shinglesPath, "doc_id", "sh", "n_sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else shNew
     try {
       // cap over the as-of-this-batch index state (stored ∪ new, touched
       // buckets) — the same rule a full recompute over the union would
@@ -305,10 +349,19 @@ object Dedup {
       // checkpoint replaces the plan with a LogicalRDD holding no path
       // dependency, so the result is sealed before the index mutates.
       val out = verifyPairs(cand, shAll, threshold).localCheckpoint(eager = true)
-      bandsNew.write.mode("append").parquet(bandsPath)
-      shNew.write.mode("append").parquet(shinglesPath)
+      // release the stored-side caches BEFORE the append: recacheByPath
+      // would otherwise rebuild the invalidated entries over post-append
+      // files — wasted work for blocks nothing will read again
+      if (hasIndex) { bandsAll.unpersist(); shAll.unpersist() }
+      def writeTo(df: DataFrame, table: String): Unit = batchId match {
+        case Some(id) => df.write.mode("overwrite").parquet(s"$table/batch=$id")
+        case None => df.write.mode("append").parquet(table)
+      }
+      writeTo(shNew, shinglesPath) // shingles first — see the retry contract
+      writeTo(bandsNew, bandsPath)
       out
     } finally {
+      if (hasIndex) { bandsAll.unpersist(); shAll.unpersist() }
       bandsNew.unpersist()
       shNew.unpersist()
     }

@@ -117,8 +117,11 @@ class OperatorsSpec extends AnyFunSuite {
       r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq.sorted
     val full = pairs(Dedup.minhashLsh(df).collect())
     val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString + "/idx"
-    val r1 = pairs(Dedup.minhashLshIncremental(df.filter($"doc_id" % 2 === 0), idx).collect())
-    val r2 = pairs(Dedup.minhashLshIncremental(df.filter($"doc_id" % 2 === 1), idx).collect())
+    def run(half: Long, id: String) =
+      pairs(Dedup.minhashLshIncremental(df.filter($"doc_id" % 2 === half), idx,
+        batchId = Some(id)).collect())
+    val r1 = run(0L, "b1")
+    val r2 = run(1L, "b2")
     assert((r1 ++ r2).sorted == full && full.size == 3)
     // batch 1 sees only intra-batch pairs; the cross pair lands with the
     // batch holding its later member
@@ -127,6 +130,12 @@ class OperatorsSpec extends AnyFunSuite {
     // the index persisted both tables, one row set per batch
     assert(spark.read.parquet(s"$idx/shingles").count() == 7)
     assert(spark.read.parquet(s"$idx/bands").select("doc_id").distinct().count() == 7)
+    // retry contract: re-running a batch under the same batchId replaces
+    // its own index files (no duplicate rows) and reproduces its pairs
+    assert(run(1L, "b2") == r2)
+    assert(spark.read.parquet(s"$idx/shingles").count() == 7)
+    assert(spark.read.parquet(s"$idx/bands").count() ==
+      spark.read.parquet(s"$idx/bands").dropDuplicates("doc_id", "band_idx", "band_key").count())
   }
 
   test("contamination flags probe-overlapping docs, leaves clean docs at zero") {

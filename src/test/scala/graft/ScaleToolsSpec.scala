@@ -160,12 +160,9 @@ class ScaleToolsSpec extends AnyFunSuite {
   }
 
   test("document chunking is a zero-shuffle map pass") {
-    import graft.operators.TextAnalysis
+    // pins the plan of the SAME chunk table the graded entries consume
     val docs = (1L to 50L).map(i => (i, "x " * 250)).toDF("doc_id", "text")
-    val chunk = TextAnalysis.chunkAt($"text", $"chunk_idx", 200, 150)
-    val chunks = docs.select($"doc_id", $"text",
-        explode(sequence(lit(0L), TextAnalysis.chunkCount($"text", 150) - 1)).as("chunk_idx"))
-      .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"), chunk.as("chunk"))
+    val chunks = graft.entries.DataPipelineEntries.chunkTable(docs)
       .select($"doc_id", $"chunk_idx", length($"chunk").as("chunk_len"),
         md5($"chunk").as("chunk_hash"))
     val plan = chunks.queryExecution.executedPlan.toString
