@@ -91,6 +91,9 @@ object DataPipelineEntries {
   // Decontamination probe cut + overlap threshold (entry + oracle).
   private val decontProbeCut = 5
   private val decontMinOverlap = 3
+  // Corpus-shuffle shard count + checksum modulus (entry + oracle).
+  private val shuffleShards = 8
+  private val shuffleCkMod = 1000000L
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -347,6 +350,25 @@ object DataPipelineEntries {
       Tables.documents(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
           sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+    },
+    // Deterministic corpus shuffle: seeded hash permutation key +
+    // independent hash sharding (the order a training-example writer
+    // streams each shard in). Graded per shard by size, the first doc
+    // in shuffled order, and a position-weighted checksum that pins the
+    // ENTIRE within-shard order — any transposition changes it.
+    "corpus_shuffle" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val S = graft.operators.Sampling
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        S.shuffleKey(col("doc_id")).as("h"),
+        S.shuffleShard(col("doc_id"), shuffleShards).as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+          sum(col("pos").cast("long") * (col("h") % shuffleCkMod))
+            .cast("long").as("order_checksum"))
     },
     // Sequence packing: fixed-boundary pack assignment within hash
     // shards (one window shuffle, shards pack in parallel), graded by
@@ -899,6 +921,19 @@ object DataPipelineEntries {
          |    CASE ${mixtureWeights.map { case (k, w) => s"WHEN lang = '$k' THEN $w" }.mkString(" ")} ELSE 0 END
          |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM b GROUP BY 1""".stripMargin,
+    // mirror of Sampling.shuffleKey/shuffleShard with the operator's own
+    // seeds; the checksum pins the full within-shard order
+    "corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultShuffleSeed)} AS h,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultShuffleShardSeed)} % $shuffleShards AS shard
+         |  FROM documents),
+         |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |      FROM k)
+         |SELECT shard, count(*) AS n_docs,
+         |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+         |  CAST(sum(pos * (h % $shuffleCkMod)) AS BIGINT) AS order_checksum
+         |FROM p GROUP BY 1""".stripMargin,
     // mirror of Packing.packAssign, generated from its own parameters
     "corpus_pack" ->
       s"""WITH t AS (

@@ -44,6 +44,32 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Seeds for the corpus shuffle: the permutation key and the shard
+    * assignment hash are independent (a shared hash would make shard
+    * membership a function of within-shard position). Distinct from
+    * every other sampling seed for the same independence reason. */
+  val DefaultShuffleSeed = 29
+  val DefaultShuffleShardSeed = 31
+
+  /** Deterministic corpus shuffle key: sorting by
+    * `(shuffleKey(id), id)` is a reproducible pseudo-random global
+    * order — the "shuffle before writing training examples" step,
+    * carrying no RNG state: any engine, run, or cluster size derives
+    * the identical order. At scale the global sort is never executed
+    * as one range sort: assign shards with [[shuffleShard]] (one hash
+    * partition step) and order WITHIN each shard by the key — writers
+    * then stream shards independently, exactly how packed training
+    * shards are laid down. */
+  def shuffleKey(id: Column, seed: Int = DefaultShuffleSeed): Column =
+    Dedup.portableHash(id.cast("string"), seed)
+
+  /** Shard assignment for the shuffled corpus (independent hash). */
+  def shuffleShard(id: Column, nShards: Int,
+                   seed: Int = DefaultShuffleShardSeed): Column = {
+    require(nShards > 0, "nShards must be positive")
+    pmod(Dedup.portableHash(id.cast("string"), seed), lit(nShards.toLong))
+  }
+
   /** Weighted mixture inclusion — the domain-mixing step of a training
     * corpus: keep a row iff its hash bucket falls under its source's
     * target percentage (e.g. keep 100% of English, 40% of French).

@@ -311,6 +311,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n(2)._2.isEmpty) // zero-norm → NULL, not a divide error
   }
 
+  test("corpus shuffle order is deterministic, seed-sensitive, and split-independent") {
+    import graft.operators.Sampling
+    val df = (1L to 50L).toDF("doc_id")
+    def order(seed: Int) = df
+      .select($"doc_id", Sampling.shuffleKey($"doc_id", seed).as("h"))
+      .orderBy($"h", $"doc_id").select($"doc_id").as[Long].collect().toSeq
+    val o1 = order(Sampling.DefaultShuffleSeed)
+    assert(o1 == order(Sampling.DefaultShuffleSeed))       // reproducible
+    assert(o1 != order(Sampling.DefaultShuffleSeed + 1))   // seed changes the permutation
+    assert(o1.sorted == (1L to 50L))                       // it IS a permutation
+    assert(o1 != (1L to 50L))                              // and not the identity
+    // shard assignment uses an independent hash: within any shard, the
+    // shuffle keys are not a function of membership
+    val shards = df.select(Sampling.shuffleShard($"doc_id", 4).as("s"))
+      .distinct().as[Long].collect().toSet
+    assert(shards.subsetOf((0L until 4L).toSet) && shards.size > 1)
+  }
+
   test("mixtureKeep keeps by per-source percentage, drops unknown sources") {
     import graft.operators.Sampling
     val df = (0L until 300L).map(i =>

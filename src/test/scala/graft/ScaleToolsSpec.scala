@@ -170,6 +170,23 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
   }
 
+  test("corpus shuffle's per-shard aggregate reuses the shard partitioning (one exchange total)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val keyed = docs.select($"doc_id",
+      Sampling.shuffleKey($"doc_id").as("h"),
+      Sampling.shuffleShard($"doc_id", 8).as("shard"))
+    val agg = keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h", $"doc_id")))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"pos".cast("long") * ($"h" % 1000000L)).as("ck"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles in:\n$plan")
+  }
+
   test("asof join shuffles exactly once, on the key") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val left = (1 to 500).map(i => (i.toLong, i % 9, ts(i * 1000L))).toDF("lid", "k", "ts")
