@@ -21,44 +21,35 @@ object DataPipelineEntries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftSession.tune(s); f(s, d) }
 
-  /** N-gram near-dup pairs memoized per (session, sfDir): the pair list
-    * is consumed by both the pairs entry and the clustering entry, and
-    * the result is tiny (a handful of rows) while the computation is the
-    * most expensive in the suite — compute once, persist. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Results memoized per (key, session, sfDir) — ONE cache (TrieMap +
+    * stopped-session eviction + MEMORY_AND_DISK persist) for every
+    * result consumed by more than one entry: the n-gram pair list
+    * (pairs + clustering entries; the most expensive computation in the
+    * suite) and the brute/IVF searches (standalone entries + the recall
+    * gate). */
+  private val memoCache =
+    scala.collection.concurrent.TrieMap.empty[(String, SparkSession, String), DataFrame]
 
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    pairsCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairsCache.remove)
-    pairsCache.getOrElseUpdate((s, d),
-      Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)),
-        threshold = 0.5, maxDocFreq = ngramMaxDf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def memo(key: String, s: SparkSession, d: String)(f: => DataFrame): DataFrame = {
+    memoCache.keys.filter(_._2.sparkContext.isStopped).foreach(memoCache.remove)
+    memoCache.getOrElseUpdate((key, s, d),
+      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = memo("pairs", s, d) {
+    Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)),
+      threshold = 0.5, maxDocFreq = ngramMaxDf)
   }
 
   private val knnQueryCut = 8
   private val centroidMod = 50
 
-  /** Brute top-5 and IVF top-3 search results memoized per
-    * (session, sfDir): each is consumed by its standalone entry AND the
-    * recall gate (same pattern as [[pairsCache]]) — the N×Q brute
-    * scoring and the corpus-wide IVF assignment run once per run, not
-    * once per consuming entry. */
-  private val simCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
-  private def simMemo(key: String, s: SparkSession, d: String)(f: => DataFrame): DataFrame = {
-    simCache.keys.filter(_._1.sparkContext.isStopped).foreach(simCache.remove)
-    simCache.getOrElseUpdate((s, d, key),
-      f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
-
-  private def knnBrute5(s: SparkSession, d: String): DataFrame = simMemo("knn", s, d) {
+  private def knnBrute5(s: SparkSession, d: String): DataFrame = memo("knn", s, d) {
     val emb = Tables.embeddings(s, d)
     Similarity.knnBrute(emb, emb.filter(col("vec_id") < knnQueryCut), k = 5)
   }
 
-  private def ivfTop3(s: SparkSession, d: String): DataFrame = simMemo("ivf", s, d) {
+  private def ivfTop3(s: SparkSession, d: String): DataFrame = memo("ivf", s, d) {
     val emb = Tables.embeddings(s, d)
     val centroids = emb.filter(col("vec_id") % centroidMod === 0)
     Similarity.ivfSearch(Similarity.ivfAssign(emb, centroids), centroids,
@@ -367,8 +358,11 @@ object DataPipelineEntries {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
-          sum(col("pos").cast("long") * (col("h") % shuffleCkMod))
-            .cast("long").as("order_checksum"))
+          // DECIMAL(38,0) accumulation: a long sum would wrap silently
+          // past ~4M docs/shard while DuckDB's HUGEINT sum doesn't —
+          // decimal is overflow-free to 38 digits in both engines
+          sum((col("pos").cast("long") * (col("h") % shuffleCkMod))
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("order_checksum"))
     },
     // Sequence packing: fixed-boundary pack assignment within hash
     // shards (one window shuffle, shards pack in parallel), graded by
@@ -932,7 +926,7 @@ object DataPipelineEntries {
          |      FROM k)
          |SELECT shard, count(*) AS n_docs,
          |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
-         |  CAST(sum(pos * (h % $shuffleCkMod)) AS BIGINT) AS order_checksum
+         |  CAST(sum(CAST(pos * (h % $shuffleCkMod) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS order_checksum
          |FROM p GROUP BY 1""".stripMargin,
     // mirror of Packing.packAssign, generated from its own parameters
     "corpus_pack" ->

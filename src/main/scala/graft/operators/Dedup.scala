@@ -245,12 +245,19 @@ object Dedup {
     *
     * Failure/retry contract: pass a stable `batchId` and each batch's
     * rows land in their own `batch=<id>` subdirectory via OVERWRITE —
-    * re-running a failed or doubted batch replaces its own files instead
-    * of appending duplicates (duplicated index rows would double-count
+    * re-running a failed batch replaces its own files instead of
+    * appending duplicates (duplicated index rows would double-count
     * bucket sizes and could wrongly suppress buckets near the cap), and
     * the retry's stored-side reads partition-prune that subdirectory
     * away, so the recompute runs against exactly the pre-batch index
-    * state and reproduces the original output.
+    * state and reproduces the original output. The contract covers the
+    * MOST RECENT batch only — the real failure case, where nothing ran
+    * after it. Re-running an older batch after later ones landed is not
+    * a retry: the later batches' rows are (correctly) visible as stored
+    * index, so the re-run re-emits pairs those batches already reported.
+    * `batchId` must not look numeric/temporal ("1", "2024-01-01"):
+    * parquet partition-value type inference would coerce distinct
+    * spellings ("1"/"01") to one value and mis-prune; enforced below.
     * Shingles are written BEFORE bands: a crash between the two writes
     * leaves shingle rows without band rows, which are inert (no
     * candidate ever references them) and are repaired by the retry —
@@ -267,6 +274,12 @@ object Dedup {
                             numHashes: Int = 12, rowsPerBand: Int = 2,
                             threshold: Double = 0.5, maxBandSize: Int = 100,
                             batchId: Option[String] = None): DataFrame = {
+    // letter-first ids keep partition-value inference on STRING, so the
+    // own-batch exclusion filter compares exact spellings — a numeric or
+    // date-like id would let "1" and "01" collapse to one typed value
+    batchId.foreach(id => require(id.matches("[A-Za-z_][A-Za-z0-9_-]*"),
+      s"batchId must match [A-Za-z_][A-Za-z0-9_-]* (got '$id') — " +
+        "numeric/date-like ids break partition-exact retry exclusion"))
     val spark = newDocs.sparkSession
     val bandsPath = s"$indexPath/bands"
     val shinglesPath = s"$indexPath/shingles"
