@@ -188,6 +188,24 @@ object DataPipelineEntries {
     // -- events ----------------------------------------------------------
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
+    // Sliding windows: 1-hour windows every 30 minutes — each event in
+    // exactly two windows, expanded map-side before ONE shuffle.
+    "ev_sliding" -> q((s, d) => Events.sliding(Tables.events(s, d), "1 hour", "30 minutes")),
+    // Per-event rolling features: trailing avg/sum over the previous 3
+    // events + current, delta and gap from the previous event.
+    "ev_rolling" -> q((s, d) => Events.rollingFeatures(Tables.events(s, d), 3)),
+    // SCD2 dimension build: runs of equal per-user event_type collapse
+    // into validity intervals with versions (one shuffle, two reused
+    // window passes).
+    "ev_scd2" -> q((s, d) =>
+      graft.operators.Scd.scd2(Tables.events(s, d),
+        keyCol = "user_id", tsCol = "ts", attrCol = "event_type", tieCol = "event_id")),
+    // Quantile sketch gate: exact per-type percentiles anchor the
+    // oracle; the approx_percentile sketch must land inside the exact
+    // p±0.01 envelope (≈100× its guaranteed rank error — see Sketches).
+    "ev_quantile_gate" -> q((s, d) =>
+      graft.operators.Sketches.quantileGate(Tables.events(s, d),
+        col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
     // Group-wise top-k via the bounded typed aggregator (same semantics
     // as ev_topk_per_user, shuffle carries only k items per key).
@@ -256,6 +274,13 @@ object DataPipelineEntries {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+    // Stratified exact-N sample: the 5 smallest (hash, id) docs per
+    // language — deterministic uniform draw with exact stratum sizes.
+    "sample_stratified" -> q((s, d) =>
+      graft.operators.Sampling.stratifiedTake(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        stratum = col("lang"), id = col("doc_id"), n = 5)
+        .select(col("lang"), col("rank_in_stratum"), col("doc_id"), col("n_chars"))),
     // Corpus filter funnel — the standard pre-training data triage
     // (language → quality → length), each stage cumulative, ONE aggregate
     // pass over the corpus (map-side conditional sums, no per-stage scan).
@@ -426,6 +451,23 @@ object DataPipelineEntries {
       sq.awaitTermination()
       s.table(name)
     },
+    // Sliding-window twin of stream_tumbling: overlapping 1 h windows
+    // every 30 min through a real streaming query, graded against the
+    // same batch oracle as ev_sliding.
+    "stream_sliding" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d)
+      val dir = Scratch.tmpPath("stream_sliding_src", d, s)
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+      val name = "graft_stream_sliding"
+      val sq = graft.streaming.StreamingEvents
+        .slidingTotals(src, "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
     // Streaming exact dedup: stateful dropDuplicates emits the first
     // occurrence of each key — the streaming twin of dedup_exact. (The
     // bounded-state production variant is dropDuplicatesWithinWatermark;
@@ -521,6 +563,18 @@ object DataPipelineEntries {
   private val langBestSql =
     TextAnalysis.LangMarkers.map { case (lang, _) => s"s_$lang" }
       .mkString("greatest(", ", ", ")")
+
+  /** Shared by ev_sliding (batch) and stream_sliding (streaming replay):
+    * identical values, not just "the stream ran". */
+  private val slidingSql =
+    s"""WITH u AS (
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+       |         event_type, value FROM events)
+       |SELECT ws AS window_start, event_type,
+       |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+       |FROM u GROUP BY 1, 2""".stripMargin
 
   /** Mirror of [[Dedup.minhashSlots]]: seeded md5 k yields slots 2k
     * (hex 1-12) and 2k+1 (hex 13-24). */
@@ -713,6 +767,46 @@ object DataPipelineEntries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event lands in exactly two 1 h windows: the ones starting at
+    // its 30-min bucket and 30 min before (time_bucket's default origin
+    // is a whole multiple of 30 min from the epoch, matching Spark's
+    // epoch-aligned window())
+    "ev_sliding" -> slidingSql,
+    "stream_sliding" -> slidingSql,
+    "ev_rolling" ->
+      s"""SELECT user_id, event_id, ts, value,
+         |  round((sum(CAST(value AS DECIMAL(38,10))) OVER w4)::DOUBLE
+         |        / count(value) OVER w4, 6) AS roll_avg,
+         |  (round(sum(CAST(value AS DECIMAL(38,10))) OVER w4, 6))::DOUBLE AS roll_sum,
+         |  round(value - lag(value) OVER wo, 6) AS delta_value,
+         |  (epoch_us(ts) - epoch_us(lag(ts) OVER wo)) // 1000000 AS secs_since_prev
+         |FROM events
+         |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |       w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // mirror of Scd.scd2: run starts survive where the attribute IS
+    // DISTINCT FROM its predecessor; validity intervals + versions are
+    // windows over the survivors
+    "ev_scd2" ->
+      """WITH o AS (SELECT *,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM r""".stripMargin,
+    // exact quantiles anchor the comparison; the bound flags assert the
+    // sketch landed inside the p±margin exact envelope, so the oracle
+    // emits TRUE — same shape as the HLL gate in taxi_daily_approx
+    "ev_quantile_gate" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50, true AS p50_within_bound,
+        |  round(quantile_cont(value, 0.9), 6) AS p90, true AS p90_within_bound,
+        |  round(quantile_cont(value, 0.99), 6) AS p99, true AS p99_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
@@ -815,6 +909,16 @@ object DataPipelineEntries {
          |  CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM b GROUP BY 1""".stripMargin,
+    // mirror of Sampling.stratifiedTake, generated from its own seed
+    "sample_stratified" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultStratifiedSeed)}, doc_id) AS INTEGER)
+         |      AS rank_in_stratum
+         |  FROM documents)
+         |SELECT lang, rank_in_stratum, doc_id, n_chars
+         |FROM r WHERE rank_in_stratum <= 5""".stripMargin,
     // cumulative language → quality → length funnel; stage predicates
     // mirror text_lang_id ('en' wins ties as first marker language) and
     // text_quality exactly

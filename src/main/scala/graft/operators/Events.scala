@@ -68,6 +68,50 @@ object Events {
         stableRoundedSum(col("value"), 2).as("total_value"))
       .select("user_id", "session_start", "session_end", "n_events", "total_value")
 
+  /** Sliding time windows: width `width`, advancing every `slide` —
+    * each event lands in `width / slide` overlapping windows (Spark's
+    * `window()` with a slide duration expands map-side, so this is still
+    * ONE shuffle on the window key, with the input amplified by the
+    * overlap factor before the partial aggregation — no self-joins).
+    * Same output shape as [[tumbling]]. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts").cast("timestamp"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        stableRoundedSum(col("value"), 2).as("total_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-event rolling features — the feature-engineering pass over an
+    * event log: a trailing moving average/sum of `value` over the
+    * previous `nPrev` events plus the current one, the delta from the
+    * previous event's value, and the seconds elapsed since it. One
+    * shuffle on `user_id`; every feature comes from the same
+    * window-sort pass (row frames over the total order `(ts,
+    * event_id)`). The frame sums accumulate in decimal, not double —
+    * engines are free to reassociate sliding-frame aggregation (segment
+    * trees vs sequential), and decimal accumulation makes the result
+    * independent of that order, the same trick as
+    * [[graft.expr.Functions.stableRoundedSum]]. */
+  def rollingFeatures(events: DataFrame, nPrev: Int = 3): DataFrame = {
+    require(nPrev > 0, "nPrev must be positive")
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trail = order.rowsBetween(-nPrev, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(order)
+    val decSum = sum(col("value").cast("decimal(38,10)")).over(trail)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      round(decSum.cast("double") / count(col("value")).over(trail), 6).as("roll_avg"),
+      round(decSum, 6).cast("double").as("roll_sum"),
+      round(col("value") - lag(col("value"), 1).over(order), 6).as("delta_value"),
+      // floor-division to whole seconds (gaps are non-negative under the
+      // window order, so floor == truncate and matches DuckDB's `//`)
+      floor((epochUs(col("ts")) - epochUs(prevTs)) / lit(1000000L))
+        .cast("long").as("secs_since_prev"))
+  }
+
   /** Group-wise top-k: the k highest-value events per user
     * (`row_number` ranking window, total-ordered by the unique event_id
     * tiebreak). */

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / split assignment for training corpora.
@@ -83,5 +84,32 @@ object Sampling {
       when(source === k, lit(w)).otherwise(acc)
     }
     bucket(id, seed) < pct
+  }
+
+  /** Seed for stratified sampling — independent of every other sampling
+    * seed (a shared hash would correlate the per-stratum sample with
+    * split/mixture/shuffle membership). */
+  val DefaultStratifiedSeed = 17
+
+  /** Stratified exact-N sample: the `n` rows per stratum with the
+    * smallest `(portableHash(id), id)` — a deterministic uniform draw
+    * with an EXACT per-stratum size (hash-percent sampling like
+    * [[mixtureKeep]] only hits its rate in expectation, which is wrong
+    * for "give me 10k eval docs per language"). Needs a DataFrame (not
+    * a Column): the rank is a window over the stratum.
+    *
+    * One shuffle on the stratum key. Strata are typically few and
+    * large, so the ranking window is the skew risk at 100 TB; when a
+    * stratum outweighs a partition, pre-filter with a hash-bucket cut
+    * (keep the smallest buckets only, sized to overshoot `n`) before
+    * ranking — same two-phase shape as a top-k. Output adds
+    * `rank_in_stratum` (1-based). */
+  def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
+                     seed: Int = DefaultStratifiedSeed): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(stratum)
+      .orderBy(Dedup.portableHash(id.cast("string"), seed), id)
+    df.withColumn("rank_in_stratum", row_number().over(w).cast("int"))
+      .filter(col("rank_in_stratum") <= n)
   }
 }

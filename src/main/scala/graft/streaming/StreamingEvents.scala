@@ -74,6 +74,21 @@ object StreamingEvents extends Serializable {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming twin of [[graft.operators.Events.sliding]]: overlapping
+    * windows of `width` advancing every `slide`, with the same
+    * order-independent decimal sum, so a bounded replay is
+    * bit-comparable to the batch oracle. Like [[tumblingTotals]], no
+    * watermark — Complete-mode verification replays; add a watermark
+    * for unbounded Append-mode deployments. */
+  def slidingTotals(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts").cast("timestamp"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.expr.Functions.stableRoundedSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based streaming sessionization with explicit state. Events
     * within a batch are processed in event-time order; a gap >
     * `gapMinutes` closes the running session. The final open session per

@@ -676,4 +676,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(mediaFor(7L).content, mediaFor(7L).content) &&
       mediaFor(7L).media_type == "audio")
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2 collapses runs, versions re-instated values, null-safe changes") {
+    val ch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some("A"), 1L),
+      (1L, ts("2024-01-02 00:00:00"), Some("A"), 2L), // same run
+      (1L, ts("2024-01-03 00:00:00"), Some("B"), 3L), // change
+      (1L, ts("2024-01-04 00:00:00"), Some("A"), 4L), // re-instated ⇒ NEW version
+      (2L, ts("2024-01-01 00:00:00"), None, 5L),      // first row, null attr
+      (2L, ts("2024-01-02 00:00:00"), None, 6L),      // null → null is NOT a change
+      (2L, ts("2024-01-03 00:00:00"), Some("X"), 7L)
+    ).toDF("user_id", "ts", "status", "event_id")
+    val got = Scd.scd2(ch, "user_id", "ts", "status", "event_id")
+      .orderBy("user_id", "version").collect()
+    assert(got.length == 5)
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(u1.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+    // valid_to chains to the next run's valid_from; only the last is open
+    assert(u1(0).getTimestamp(3) == ts("2024-01-03 00:00:00"))
+    assert(u1(1).getTimestamp(3) == ts("2024-01-04 00:00:00"))
+    assert(u1(2).isNullAt(3) && u1(2).getBoolean(5) && !u1(0).getBoolean(5))
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length == 2 && u2(0).isNullAt(1) && u2(1).getString(1) == "X")
+    assert(u2(0).getTimestamp(2) == ts("2024-01-01 00:00:00") &&
+      u2(0).getTimestamp(3) == ts("2024-01-03 00:00:00"))
+  }
+
+  test("rollingFeatures: trailing frame stats and previous-event deltas") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 00:00:10"), 2.0),
+      (1L, 12L, ts("2024-01-01 00:01:00"), 4.0),
+      (2L, 13L, ts("2024-01-01 00:00:00"), 7.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Events.rollingFeatures(ev, nPrev = 3)
+      .orderBy("user_id", "event_id").collect()
+    // first event per user: frame is itself; no previous row
+    assert(got(0).getDouble(4) == 1.0 && got(0).getDouble(5) == 1.0 &&
+      got(0).isNullAt(6) && got(0).isNullAt(7))
+    assert(got(1).getDouble(4) == 1.5 && got(1).getDouble(5) == 3.0 &&
+      got(1).getDouble(6) == 1.0 && got(1).getLong(7) == 10L)
+    // avg(1,2,4) = 7/3 rounded to 6; gap 00:00:10 → 00:01:00 is 50 s
+    assert(got(2).getDouble(4) == 2.333333 && got(2).getDouble(5) == 7.0 &&
+      got(2).getDouble(6) == 2.0 && got(2).getLong(7) == 50L)
+    assert(got(3).getDouble(4) == 7.0 && got(3).isNullAt(6))
+  }
+
+  test("sliding windows place each event in width/slide overlapping windows") {
+    val ev = Seq((20L, ts("2024-01-01 00:40:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sliding(ev, "1 hour", "30 minutes")
+      .orderBy("window_start").collect()
+    // 00:40 falls in the 1 h windows starting 00:00 and 00:30 — exactly two
+    assert(got.length == 2)
+    assert(got.map(_.getAs[java.time.LocalDateTime]("window_start").toString).toSeq ==
+      Seq("2024-01-01T00:00", "2024-01-01T00:30"))
+    assert(got.forall(r => r.getLong(2) == 1L && r.getDouble(3) == 1.0))
+  }
+
+  test("stratifiedTake draws exact-size, deterministic, seed-sensitive strata") {
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val a = Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 3)
+    val b = Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 3)
+    val got = a.orderBy("lang", "rank_in_stratum").collect()
+    assert(got.length == 6) // exactly n per stratum, not in expectation
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 1, 2, 3))
+    assert(a.collect().toSet == b.collect().toSet) // stable across runs
+    val other = Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 3, seed = 99)
+    assert(other.select("doc_id").as[Long].collect().toSet !=
+      a.select("doc_id").as[Long].collect().toSet) // seed moves the draw
+    // n >= stratum size degrades to the full stratum
+    assert(Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 100).count() == 40)
+  }
+
+  test("quantileGate anchors exact percentiles and bounds the sketch") {
+    val df = (1 to 1000).map(i => ("a", ((i * 7919) % 1000 + 1).toDouble))
+      .toDF("g", "v")
+    val r = Sketches.quantileGate(df, $"g", $"v").head()
+    assert(r.getLong(1) == 1000L)
+    // exact interpolated percentiles of a 1..1000 permutation
+    assert(r.getDouble(2) == 500.5 && r.getBoolean(3))   // p50
+    assert(r.getDouble(4) == 900.1 && r.getBoolean(5))   // p90
+    assert(r.getDouble(6) == 990.01 && r.getBoolean(7))  // p99
+  }
 }

@@ -68,6 +68,37 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 11:00:00"), "view", 2L)))
   }
 
+  test("streaming sliding totals equal the batch sliding aggregation") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:40:00"), 7L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 11:10:00"), 7L, "click", 2.5, "{}"))
+    val dir = Files.createTempDirectory("graft_sliding").toString
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode("overwrite").parquet(dir)
+
+    val q = StreamingEvents.slidingTotals(
+        spark.readStream.schema(df.schema).parquet(dir), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sliding_test").orderBy("window_start").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start").toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    // 10:40 → windows 10:00/10:30; 11:10 → 10:30/11:00 (10:30 holds both)
+    assert(got == Seq(
+      ("2024-01-01T10:00", 1L, 1.5),
+      ("2024-01-01T10:30", 2L, 4.0),
+      ("2024-01-01T11:00", 1L, 2.5)))
+    // bit-comparable to the batch twin on the same input
+    val batch = graft.operators.Events.sliding(spark.read.parquet(dir),
+      "1 hour", "30 minutes").orderBy("window_start").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start").toString,
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(batch == got)
+  }
+
   test("streaming sessionize emits closed sessions, holds the open one") {
     val input = MemoryStream[Ev](spark)
     val q = StreamingEvents.sessionize(input.toDS(), gapMinutes = 30)
