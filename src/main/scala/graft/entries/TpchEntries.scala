@@ -203,6 +203,18 @@ object TpchEntries {
           stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
             .as("revenue"))
     },
+    // Bloom-pruned semi-join: high-balance customers' keys build a
+    // distributed Bloom filter that prunes the orders probe map-side
+    // BEFORE its shuffle; the residual exact semi-join removes false
+    // positives, so the output is exactly orders ⋉ customers.
+    "tpch_bloom_semi" -> q { (s, d) =>
+      val probe = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val build = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"))
+      graft.operators.BloomJoin.bloomSemiJoin(probe, build, "o_custkey",
+        expectedItems = 10000L, fpp = 0.01)
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -311,6 +323,11 @@ object TpchEntries {
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY 1""".stripMargin,
+    // the bloom is pruning-only: the graded result is the exact semi-join
+    "tpch_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 9000)""".stripMargin,
     "tpch_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

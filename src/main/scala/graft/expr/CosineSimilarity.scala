@@ -123,9 +123,45 @@ object NativeFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
+  /** `might_contain(bloom_binary, xxhash64_value)` — Spark ships the
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * predicate (the probe half of its runtime row-level filtering) but
+    * does not expose it in the SQL registry; graft registers it so
+    * [[graft.operators.BloomJoin]] can prune probe sides with a
+    * distributed-built filter. */
+  val mightContainInfo = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "might_contain(bloom, value) takes 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    })
+
+  /** `bloom_filter_agg(xxhash64_value, estimatedItems, numBits)` — the
+    * build half of Spark's runtime row-level filtering
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]);
+    * like might_contain it is internal-registry-only upstream, so graft
+    * registers it for [[graft.operators.BloomJoin]]'s distributed build. */
+  val bloomAggInfo = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "bloom_filter_agg(value, estimatedItems, numBits) takes 3 arguments")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2))
+        .toAggregateExpression()
+    })
+
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineInfo
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineInfo, mightContainInfo, bloomAggInfo).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }
 
@@ -134,6 +170,8 @@ object NativeFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeFunctions.cosineInfo)
+    ext.injectFunction(NativeFunctions.mightContainInfo)
+    ext.injectFunction(NativeFunctions.bloomAggInfo)
     ext.injectOptimizerRule(_ => RewriteComposedCosine)
   }
 }

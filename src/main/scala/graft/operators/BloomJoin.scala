@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-pruned semi-join — the pattern behind Spark's own runtime
+  * row-level filtering, exposed as an operator: when the build side is
+  * selective but too large to broadcast as a hash set, a Bloom filter
+  * over its keys cuts the probe side BEFORE the shuffle, and an exact
+  * semi-join afterwards removes the false positives, so the output is
+  * exactly `probe ⋉ build`.
+  *
+  * Scale shape: the filter is built DISTRIBUTED (`bloom_filter_agg`,
+  * mergeable map-side partials — never a driver-side key collect); only
+  * the finished bitmap (numBits/8 bytes, independent of build-side row
+  * count) comes back to the driver and ships to executors as a literal
+  * in the task closure. The probe scan then drops ~(1 − fpp) of its
+  * non-matching rows map-side, so the exact semi-join shuffles only
+  * survivors — at 100 TB the probe-side shuffle is the dominant cost
+  * and the bloom cuts it by the key-selectivity factor. The residual
+  * semi-join keeps the result exact whatever the fpp, so the filter is
+  * purely an optimization, never a correctness knob.
+  */
+object BloomJoin {
+
+  /** `probe ⋉ build` on `key` (column name present on BOTH sides),
+    * bloom-pruned before the exact semi-join. `expectedItems` sizes the
+    * filter for the build side's distinct key count; `fpp` is the
+    * target false-positive rate at that size. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, key: String,
+                    expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
+    // standard Bloom sizing: m = -n·ln(p) / (ln 2)²
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bf = build
+      .agg(expr(s"bloom_filter_agg(xxhash64($key), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty build side: the aggregate yields NULL — the join result is
+    // empty, so prune everything without a pass over the probe
+    if (bf == null) return probe.filter(lit(false))
+    probe
+      .filter(call_function("might_contain", lit(bf), xxhash64(col(key))))
+      .join(build.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+}

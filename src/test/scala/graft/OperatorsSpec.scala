@@ -753,6 +753,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 100).count() == 40)
   }
 
+  test("bloomSemiJoin equals the exact semi-join; empty build side yields empty") {
+    val probe = (1L to 500L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val build = Seq(3L, 7L, 450L, 999L).toDF("k") // 999 has no probe match
+    val got = BloomJoin.bloomSemiJoin(probe, build, "k",
+      expectedItems = 10L, fpp = 0.01)
+    val want = probe.join(build, Seq("k"), "left_semi")
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.count() == 3)
+    // duplicate build keys must not duplicate probe rows (semi semantics)
+    val dup = Seq(3L, 3L, 7L).toDF("k")
+    assert(BloomJoin.bloomSemiJoin(probe, dup, "k", 10L).count() == 2)
+    assert(BloomJoin.bloomSemiJoin(probe, probe.filter(lit(false)).select("k"),
+      "k", 10L).count() == 0)
+  }
+
   test("quantileGate anchors exact percentiles and bounds the sketch") {
     val df = (1 to 1000).map(i => ("a", ((i * 7919) % 1000 + 1).toDouble))
       .toDF("g", "v")
