@@ -207,6 +207,30 @@ object DataPipelineEntries {
       graft.operators.Sketches.quantileGate(Tables.events(s, d),
         col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Ranking-function family beyond row_number: rank/dense_rank/
+    // percent_rank/cume_dist over the per-user value ordering (ties are
+    // REAL — equal values share ranks), plus ntile over the tie-broken
+    // total order (ntile on ties is row-order-dependent, so its spec
+    // must be total to stay deterministic). One shuffle; the tie-broken
+    // sort satisfies both window specs as a prefix.
+    "ev_rank_funcs" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byValue = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc)
+      val total = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("value"),
+        rank().over(byValue).cast("int").as("rnk"),
+        dense_rank().over(byValue).cast("int").as("drnk"),
+        round(percent_rank().over(byValue), 6).as("pct_rank"),
+        round(cume_dist().over(byValue), 6).as("cume"),
+        ntile(4).over(total).cast("int").as("quartile"))
+    },
+    // Per-doc top-3 TF-IDF terms: smoothed idf over the corpus, ranked
+    // with term tiebreak — vocabulary-sized intermediates only.
+    "text_tfidf" -> q((s, d) =>
+      TextAnalysis.tfIdfTop(Tables.spread(Tables.documents(s, d)), k = 3)),
     // Group-wise top-k via the bounded typed aggregator (same semantics
     // as ev_topk_per_user, shuffle carries only k items per key).
     "ev_topk_agg" -> q((s, d) => Events.topKPerUserAgg(Tables.events(s, d), 3)),
@@ -846,6 +870,28 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    "ev_rank_funcs" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(rank() OVER v AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER v AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER v, 6) AS pct_rank,
+        |  round(cume_dist() OVER v, 6) AS cume,
+        |  CAST(ntile(4) OVER t AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
+        |       t AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+    // smoothed idf mirrors tfIdfTop's formula term-for-term
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |         round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) AS tfidf
+         |       FROM tf JOIN dfx USING (term), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term) AS INTEGER) AS rn FROM sc)
+         |SELECT doc_id, rn, term, tf, df, tfidf FROM r WHERE rn <= 3""".stripMargin,
     "emb_array_stats" ->
       s"""SELECT vec_id,
          |  CAST(len(embedding) AS INTEGER) AS dim,

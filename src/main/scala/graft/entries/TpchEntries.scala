@@ -203,6 +203,28 @@ object TpchEntries {
           stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
             .as("revenue"))
     },
+    // Grouping-sets family: ROLLUP emits (seg, nation) → (seg) → ()
+    // subtotal levels in ONE pass (Expand before the aggregation — no
+    // per-level re-scan); grouping() flags disambiguate real NULL keys
+    // from subtotal rows.
+    "tpch_rollup" -> q { (s, d) =>
+      Tables.customer(s, d)
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          stableRoundedSum(col("c_acctbal"), 2).as("sum_bal"),
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          grouping(col("c_nationkey")).cast("int").as("g_nat"))
+    },
+    // CUBE adds the (nation)-only level — all 2² grouping sets, still
+    // one Expand + one aggregation pass.
+    "tpch_cube" -> q { (s, d) =>
+      Tables.customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          stableRoundedSum(col("c_acctbal"), 2).as("sum_bal"),
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          grouping(col("c_nationkey")).cast("int").as("g_nat"))
+    },
     // Bloom-pruned semi-join: high-balance customers' keys build a
     // distributed Bloom filter that prunes the orders probe map-side
     // BEFORE its shuffle; the residual exact semi-join removes false
@@ -323,6 +345,18 @@ object TpchEntries {
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY 1""".stripMargin,
+    "tpch_rollup" ->
+      s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+         |  ${rndSum("c_acctbal", 2)} AS sum_bal,
+         |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+         |  CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat
+         |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin,
+    "tpch_cube" ->
+      s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+         |  ${rndSum("c_acctbal", 2)} AS sum_bal,
+         |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+         |  CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat
+         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
     // the bloom is pruning-only: the graded result is the exact semi-join
     "tpch_bloom_semi" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

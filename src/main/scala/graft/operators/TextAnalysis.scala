@@ -139,4 +139,36 @@ object TextAnalysis {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
+
+  /** Per-document top-k TF-IDF terms — the classic relevance/keyword
+    * extraction pass: `tf · (ln((N+1)/(df+1)) + 1)` (smoothed idf, so a
+    * term in every document still scores > 0), ranked per doc with the
+    * term string as tiebreak.
+    *
+    * Scale shape: term frequencies aggregate on (doc, term) — one
+    * shuffle over the exploded tokens with map-side combine; document
+    * frequencies reduce THAT result (vocabulary-sized, not corpus-
+    * sized) with a second small shuffle; the idf join is on the term
+    * key and broadcasts when the vocabulary fits (Catalyst/AQE decide);
+    * the final ranking window shuffles once on doc_id. The corpus count
+    * is a 1-row broadcast cross join. No step is ever quadratic in
+    * corpus size.
+    */
+  def tfIdfTop(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

@@ -768,6 +768,27 @@ class OperatorsSpec extends AnyFunSuite {
       "k", 10L).count() == 0)
   }
 
+  test("tfIdfTop ranks rare terms above common ones with smoothed idf") {
+    val df = docs(
+      (1L, "en", "apple apple banana shared"),
+      (2L, "en", "banana cherry shared"),
+      (3L, "en", "shared cherry"))
+    val got = TextAnalysis.tfIdfTop(df, k = 2)
+      .orderBy("doc_id", "rn").collect()
+    assert(got.length == 6)
+    // doc 1: apple df=1 tf=2 beats banana df=2 tf=1
+    assert(got(0).getString(2) == "apple" && got(0).getLong(3) == 2L && got(0).getLong(4) == 1L)
+    assert(got(1).getString(2) == "banana")
+    // 'shared' appears in every doc: smoothed idf keeps it positive but last
+    val d1 = TextAnalysis.tfIdfTop(df, k = 10).filter($"doc_id" === 1L)
+      .orderBy($"rn".desc).head()
+    assert(d1.getString(2) == "shared" && d1.getDouble(5) > 0)
+    // tfidf value check: tf=2, df=1, N=3 → 2·(ln(4/2)+1)
+    val want = BigDecimal(2 * (math.log(2.0) + 1)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(5) == want)
+  }
+
   test("quantileGate anchors exact percentiles and bounds the sketch") {
     val df = (1 to 1000).map(i => ("a", ((i * 7919) % 1000 + 1).toDouble))
       .toDF("g", "v")
