@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.operators.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
-import graft.oracle.TaxiSql.Dialect.{rnd, rndSum}
+import graft.oracle.TaxiSql.Dialect.{decSum, rnd, rndSum, stableAvg => oStableAvg}
 
 /** Driver-harness entries for the LLM-training-data pipeline operators
   * (SURVEY §7.6): text analysis, dedup (exact / n-gram Jaccard / MinHash
@@ -231,6 +231,33 @@ object DataPipelineEntries {
     // with term tiebreak — vocabulary-sized intermediates only.
     "text_tfidf" -> q((s, d) =>
       TextAnalysis.tfIdfTop(Tables.spread(Tables.documents(s, d)), k = 3)),
+    // Corpus-trained bigram LM fluency score (add-one smoothing),
+    // decimal-summed per doc so the average is order-independent.
+    "text_lm_score" -> q((s, d) =>
+      TextAnalysis.bigramScore(Tables.spread(Tables.documents(s, d)))),
+    // Fixed-bucket value histogram via width_bucket: [0, 500) in 10
+    // buckets — one partial-agg pass.
+    "ev_histogram" -> q((s, d) => Tables.events(s, d)
+      .select(width_bucket(col("value"), lit(0.0), lit(500.0), lit(10)).as("bucket"),
+        col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.expr.Functions.stableRoundedSum(col("value"), 2).as("total_value"))),
+    // Per-type z-score outlier flags: group stats via the
+    // order-independent decimal mean/stddev (built-in stddev_samp is
+    // partition-order-dependent in its last ulps), broadcast back onto
+    // the stream — the scale shape for low-cardinality group stats.
+    "ev_zscore" -> q { (s, d) =>
+      import graft.expr.Functions.{stableAvg, stableStddev}
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+        stableAvg(col("value")).as("mean"), stableStddev(col("value")).as("sd"))
+      ev.select(col("event_id"), col("event_type"), col("value"))
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"),
+          (abs((col("value") - col("mean")) / col("sd")) > 2).as("is_outlier"))
+    },
     // Group-wise top-k via the bounded typed aggregator (same semantics
     // as ev_topk_per_user, shuffle carries only k items per key).
     "ev_topk_agg" -> q((s, d) => Events.topKPerUserAgg(Tables.events(s, d), 3)),
@@ -588,6 +615,24 @@ object DataPipelineEntries {
     TextAnalysis.LangMarkers.map { case (lang, _) => s"s_$lang" }
       .mkString("greatest(", ", ", ")")
 
+  /** Mirror of [[graft.expr.Functions.stableStddev]] + stableAvg for the
+    * ev_zscore oracle — the decimal-sum mean and the
+    * `sqrt((Σx² − (Σx)²/n)/(n−1))` stddev, with the square written as
+    * `s*s` (NOT pow: pow(x,2) can differ from x*x in the last ulp). */
+  private val zscoreSql = {
+    val s = s"CAST(${decSum("value")} AS DOUBLE)"
+    val sq = s"CAST(${decSum("value * value")} AS DOUBLE)"
+    val n = "count(value)"
+    s"""WITH st AS (
+       |  SELECT event_type, $s / $n AS mean,
+       |    sqrt(($sq - ($s) * ($s) / $n) / ($n - 1)) AS sd
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, e.event_type, value,
+       |  ${rnd("(value - mean) / sd", 6)} AS z,
+       |  abs((value - mean) / sd) > 2 AS is_outlier
+       |FROM events e JOIN st USING (event_type)""".stripMargin
+  }
+
   /** Shared by ev_sliding (batch) and stream_sliding (streaming replay):
     * identical values, not just "the stream ran". */
   private val slidingSql =
@@ -880,6 +925,31 @@ object DataPipelineEntries {
         |FROM events
         |WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
         |       t AS (PARTITION BY user_id ORDER BY value DESC, event_id)""".stripMargin,
+    // mirror of bigramScore: bigrams by position index, add-one
+    // smoothing against the prefix counts and corpus vocabulary
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+         |         SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |         FROM t WHERE len(l) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1x AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(l) AS w FROM t)),
+         |sc AS (SELECT doc_id, ln((c12 + 1)::DOUBLE / (c1 + v)) AS logp
+         |       FROM bg JOIN c12 USING (w1, w2) JOIN c1x USING (w1), v),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |          ${rnd(oStableAvg("logp"), 6)} AS avg_logp
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id, agg.n_bigrams, agg.avg_logp
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+    // width_bucket mirror: 10 even buckets over [0, 500) — value/50
+    // and Spark's (value-min)/((max-min)/n) agree bit-for-bit on this
+    // range (boundaries are exact doubles)
+    "ev_histogram" ->
+      s"""SELECT CAST(least(floor(value / 50.0), 9) + 1 AS BIGINT) AS bucket,
+         |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM events GROUP BY 1""".stripMargin,
+    "ev_zscore" -> zscoreSql,
     // smoothed idf mirrors tfIdfTop's formula term-for-term
     "text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),

@@ -203,6 +203,24 @@ object TpchEntries {
           stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
             .as("revenue"))
     },
+    // Row-level MERGE: deterministic source derived from orders —
+    // every 7th key updated (status 'U', price +10%), every 21st
+    // deleted, every 11th re-inserted under a shifted key — applied via
+    // one full-outer join; output is the post-merge table.
+    "tpch_merge_upsert" -> q { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val target = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+          (col("o_orderkey") % 21 === 0).as("_del"))
+      val inserts = orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+          lit(false).as("_del"))
+      graft.operators.Merge.upsert(target, updates.unionAll(inserts),
+        "o_orderkey", deleteCol = Some("_del"))
+    },
     // Grouping-sets family: ROLLUP emits (seg, nation) → (seg) → ()
     // subtotal levels in ONE pass (Expand before the aggregation — no
     // per-level re-scan); grouping() flags disambiguate real NULL keys
@@ -345,6 +363,26 @@ object TpchEntries {
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY 1""".stripMargin,
+    "tpch_merge_upsert" ->
+      s"""WITH src AS (
+         |  SELECT o_orderkey, 'U' AS o_orderstatus,
+         |    ${rnd("o_totalprice * 1.1", 2)} AS o_totalprice,
+         |    o_orderkey % 21 = 0 AS del
+         |  FROM orders WHERE o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000000, 'N', 1.0, false
+         |  FROM orders WHERE o_orderkey % 11 = 0),
+         |m AS (
+         |  SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+         |         ELSE t.o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+         |         ELSE t.o_totalprice END AS o_totalprice,
+         |    s.del
+         |  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
+         |  FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m
+         |WHERE del IS DISTINCT FROM true""".stripMargin,
     "tpch_rollup" ->
       s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
          |  ${rndSum("c_acctbal", 2)} AS sum_bal,

@@ -141,4 +141,18 @@ object Functions {
   /** `avg(x)` with order-independent accumulation: exact decimal sum,
     * one double division at the end. */
   def stableAvg(c: Column): Column = stableSum(c).cast("double") / count(c)
+
+  /** Sample standard deviation with order-independent accumulation:
+    * `sqrt((Σx² − (Σx)²/n) / (n−1))` over exact decimal sums (the
+    * square is taken per row in double — deterministic — and summed in
+    * decimal). Built-in `stddev_samp` accumulates with Welford updates
+    * whose result depends on partition order, so two runs (or two
+    * engines) disagree in the last ulps; this formulation is
+    * reproducible bit-for-bit. Null for n ≤ 1. */
+  def stableStddev(c: Column): Column = {
+    val n = count(c)
+    val s = stableSum(c).cast("double")
+    val sq = sum((c * c).cast("decimal(38,10)")).cast("double")
+    when(n > 1, sqrt((sq - s * s / n) / (n - lit(1))))
+  }
 }

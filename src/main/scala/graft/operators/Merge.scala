@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE (upsert) as a pure transform — the dbt `merge`
+  * incremental strategy and the lakehouse `MERGE INTO` statement,
+  * expressed as one full-outer join:
+  *
+  *  - key matched in both → the SOURCE row wins (update),
+  *  - source-only key → inserted,
+  *  - target-only key → kept unchanged,
+  *  - source row with the delete flag set → dropped from the result
+  *    (whether or not the key existed — an insert+delete is a no-op).
+  *
+  * Scale shape: ONE shuffle of each side on the merge key, no
+  * driver-side state; at 100 TB the usual deployment partition-prunes
+  * the target to the key ranges the source touches first (see
+  * [[graft.write.IncrementalWriter]] for the partition-level variant —
+  * delete+insert by partition — which this row-level merge
+  * complements). */
+object Merge {
+
+  /** Row-level merge of `source` into `target` on `key`. Both sides
+    * must carry `key` and the same data columns; `source` may
+    * additionally carry `deleteCol` (boolean) marking rows to drop. */
+  def upsert(target: DataFrame, source: DataFrame, key: String,
+             deleteCol: Option[String] = None): DataFrame = {
+    val dataCols = target.columns.filterNot(_ == key).toSeq
+    val required = key +: dataCols
+    val missing = required.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"source is missing merge columns: ${missing.mkString(", ")}")
+    val src = deleteCol match {
+      case Some(dc) => source.select((required.map(col) :+ col(dc).as("graft_del")): _*)
+      case None => source.select(required.map(col): _*)
+        .withColumn("graft_del", lit(false))
+    }
+    val t = target.alias("t")
+    val s = src.alias("s")
+    val matchedSrc = col(s"s.$key").isNotNull
+    t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
+      // null-safe drop test: unmatched target rows carry a null flag
+      .filter(!coalesce(col("s.graft_del"), lit(false)))
+      .select(coalesce(col(s"s.$key"), col(s"t.$key")).as(key) +:
+        dataCols.map(c =>
+          when(matchedSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+  }
+}

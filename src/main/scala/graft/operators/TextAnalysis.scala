@@ -140,6 +140,45 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Corpus-trained bigram language-model quality score — the KenLM-
+    * style fluency filter of a pre-training pipeline, self-contained:
+    * bigram counts are estimated from the corpus itself, and each
+    * document scores the average add-one-smoothed log-probability of
+    * its own bigrams, `avg ln((C(w₁w₂)+1) / (C(w₁·)+V))` (V = corpus
+    * vocabulary size). Fluent text repeating common continuations
+    * scores high; shuffled or character-noise text scores low.
+    *
+    * Scale shape: bigram and unigram-prefix counts are VOCABULARY-sized
+    * aggregations of the exploded bigram stream (map-side combine, one
+    * shuffle each); the per-doc score re-joins the stream on the term
+    * keys (broadcast when the model fits) and aggregates per doc with
+    * the order-independent decimal sum, so results are reproducible
+    * across engines and partitionings. Docs under 2 tokens score null
+    * via an outer join (no bigrams to judge). */
+  def bigramScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col("text"))
+    val bg = docs
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("w1"),
+          slice(t, lit(2), size(t) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(t).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(graft.expr.Functions.stableAvg(col("logp")), 6).as("avg_logp"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+  }
+
   /** Per-document top-k TF-IDF terms — the classic relevance/keyword
     * extraction pass: `tf · (ln((N+1)/(df+1)) + 1)` (smoothed idf, so a
     * term in every document still scores > 0), ranked per doc with the

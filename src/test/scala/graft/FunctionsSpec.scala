@@ -118,4 +118,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0).getDouble(0) == 3.0)
     assert(got(1).getDouble(0) == 4.0)
   }
+
+  test("stableStddev matches the textbook sample stddev; null for n<=1") {
+    import graft.expr.Functions.stableStddev
+    // stddev_samp(2,4,4,4,5,5,7,9) = 2.138089935299395
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("x")
+    val got = df.agg(stableStddev($"x")).head().getDouble(0)
+    assert(math.abs(got - 2.138089935299395) < 1e-12)
+    // order-independent: reversed input gives the identical bits
+    val rev = Seq(9.0, 7.0, 5.0, 5.0, 4.0, 4.0, 4.0, 2.0).toDF("x")
+      .agg(stableStddev($"x")).head().getDouble(0)
+    assert(got == rev)
+    assert(Seq(1.0).toDF("x").agg(stableStddev($"x")).head().isNullAt(0))
+  }
 }

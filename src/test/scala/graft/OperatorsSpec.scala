@@ -768,6 +768,39 @@ class OperatorsSpec extends AnyFunSuite {
       "k", 10L).count() == 0)
   }
 
+  test("merge upsert: update, insert, delete, and untouched rows") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "st", "price")
+    val source = Seq(
+      (2L, "B", 99.0, false), // update
+      (3L, "x", 0.0, true),   // delete existing
+      (4L, "d", 40.0, false), // insert
+      (5L, "e", 50.0, true)   // insert+delete = no-op
+    ).toDF("k", "st", "price", "del")
+    val got = Merge.upsert(target, source, "k", deleteCol = Some("del"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 10.0), (2L, "B", 99.0), (4L, "d", 40.0)))
+    // missing data columns in the source are refused, not nulled
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(target, source.drop("price"), "k", Some("del"))
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
+  test("bigramScore ranks fluent repetition above noise; short docs null") {
+    val df = docs(
+      (1L, "en", "the cat sat and the cat sat and the cat sat"),
+      (2L, "en", "cat the sat zq sat wv the qz cat xy"),
+      (3L, "en", "solo"))
+    val got = TextAnalysis.bigramScore(df).orderBy("doc_id").collect()
+    assert(got.length == 3)
+    // doc 1's bigrams all repeat corpus-wide → higher avg logp than noise
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+    assert(got(0).getLong(1) == 10L) // 11 tokens → 10 bigrams
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2)) // <2 tokens: null score
+  }
+
   test("tfIdfTop ranks rare terms above common ones with smoothed idf") {
     val df = docs(
       (1L, "en", "apple apple banana shared"),
