@@ -392,6 +392,11 @@ object DataPipelineEntries {
     // Int8 quantization of the embedding column, graded on per-vector
     // quantized checksums + the scale reference (arrays aggregated to
     // scalars so the compare is value-exact without list-type coupling).
+    // JL-sketch dimensionality reduction: 64 → 8 dims through the
+    // deterministic hash-sign matrix (zero shuffle, literal matrix).
+    "emb_random_proj" -> q((s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        graft.operators.Embeddings.randomProject(col("embedding"), inDim = 64).as("proj"))),
     "emb_quantize" -> q { (s, d) =>
       // project the scale, then the quantized array, then aggregate —
       // each expensive expression evaluates once per row (the three
@@ -962,6 +967,16 @@ object DataPipelineEntries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |        ORDER BY tfidf DESC, term) AS INTEGER) AS rn FROM sc)
          |SELECT doc_id, rn, term, tf, df, tfidf FROM r WHERE rn <= 3""".stripMargin,
+    // sign matrix interpolated from projectionSigns — the Spark side and
+    // the oracle share one generator, so the matrix cannot drift
+    "emb_random_proj" -> {
+      val signs = graft.operators.Embeddings.projectionSigns(64, 8, 41)
+      val dots = signs.map { sj =>
+        rnd(s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
+          s"[${sj.mkString(", ")}])", 6)
+      }.mkString(",\n    ")
+      s"SELECT vec_id, [\n    $dots] AS proj FROM embeddings"
+    },
     "emb_array_stats" ->
       s"""SELECT vec_id,
          |  CAST(len(embedding) AS INTEGER) AS dim,

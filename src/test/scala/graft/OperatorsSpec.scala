@@ -768,6 +768,20 @@ class OperatorsSpec extends AnyFunSuite {
       "k", 10L).count() == 0)
   }
 
+  test("randomProject matches the literal-matrix dot product; dim mismatch nulls") {
+    val v = (0 until 64).map(i => (i % 5) * 0.5).toArray
+    val df = Seq((1L, v), (2L, v.take(10))).toDF("vec_id", "emb")
+    val got = df.select($"vec_id",
+      Embeddings.randomProject($"emb", inDim = 64, outDim = 8).as("p"))
+      .orderBy("vec_id").collect()
+    val want = Embeddings.projectionSigns(64, 8, 41).map { sj =>
+      val dot = sj.zip(v).map { case (s, x) => s * x }.sum // same L-to-R order
+      BigDecimal.valueOf(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq
+    assert(got(0).getSeq[Double](1) == want)
+    assert(got(1).isNullAt(1)) // 10-dim vector against a 64-dim matrix
+  }
+
   test("merge upsert: update, insert, delete, and untouched rows") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "st", "price")

@@ -198,6 +198,48 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), s"inequality nested loop crept in:\n$plan")
   }
 
+  test("scd2 runs on ONE shuffle and ONE sort (second window reuses both)") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ch = (1 to 300).map(i => (i % 7L, ts(i * 60000L), s"s${i % 3}", i.toLong))
+      .toDF("user_id", "ts", "status", "event_id")
+    val plan = graft.operators.Scd.scd2(ch, "user_id", "ts", "status", "event_id")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in:\n$plan")
+    assert(sorts == 1, s"expected the run-start filter to preserve the sort, got $sorts in:\n$plan")
+  }
+
+  test("rollingFeatures is a single window pass: one shuffle, one sort") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ev = (1 to 300).map(i => (i % 7L, i.toLong, ts(i * 1000L), i * 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val plan = graft.operators.Events.rollingFeatures(ev, 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("\\bSort \\[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("bloomSemiJoin prunes the probe with a might_contain filter below the join") {
+    // parquet-backed probe: over a LocalRelation the optimizer would
+    // constant-fold the bloom filter away and the pin would be vacuous
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (1L to 2000L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir)
+    val build = Seq(5L, 10L).toDF("k")
+    val joined = graft.operators.BloomJoin.bloomSemiJoin(probe, build, "k", 10L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing from plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact residual semi-join missing:\n$plan")
+    // the bloom predicate must sit on the probe SIDE, not above the join:
+    // everything after the join node must be free of might_contain
+    val afterJoin = plan.substring(plan.indexOf("LeftSemi"))
+    val joinCond = afterJoin.takeWhile(_ != '\n')
+    assert(!joinCond.contains("might_contain"),
+      s"bloom test must prune below the join, not in its condition:\n$plan")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
