@@ -101,7 +101,7 @@ object DataPipelineEntries {
       .select(col("doc_id"), col("chunk_idx"), chunk.as("chunk"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = EntryMap(
     // -- text analysis ---------------------------------------------------
     "text_token_stats" -> q((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
@@ -207,6 +207,10 @@ object DataPipelineEntries {
       graft.operators.Sketches.quantileGate(Tables.events(s, d),
         col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // First-touch behavioral funnel view → click → purchase: one
+    // per-user aggregation, constant-size unpivoted output.
+    "ev_funnel_steps" -> q((s, d) =>
+      Events.funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))),
     // Ranking-function family beyond row_number: rank/dense_rank/
     // percent_rank/cume_dist over the per-user value ordering (ties are
     // REAL — equal values share ranks), plus ntile over the tie-broken
@@ -734,7 +738,7 @@ object DataPipelineEntries {
   private val simhashAssemble = (0 until 16).map(j =>
     s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = EntryMap(
     "text_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS INTEGER) AS n_tokens,
@@ -920,6 +924,25 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    // first-ts per step, progressive ordered depth, UNPIVOT to long form
+    "ev_funnel_steps" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1),
+        |d AS (SELECT CASE WHEN t0 IS NULL THEN 0
+        |        WHEN t1 IS NULL OR t1 < t0 THEN 1
+        |        WHEN t2 IS NULL OR t2 < t1 THEN 2
+        |        ELSE 3 END AS depth FROM f),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1_view",
+        |    CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2_click",
+        |    CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS "3_purchase"
+        |  FROM d)
+        |SELECT step, n_users FROM w
+        |UNPIVOT (n_users FOR step IN ("1_view", "2_click", "3_purchase"))""".stripMargin,
     "ev_rank_funcs" ->
       """SELECT user_id, event_id, value,
         |  CAST(rank() OVER v AS INTEGER) AS rnk,

@@ -51,7 +51,7 @@ object TaxiEntries {
   private def tmpPath(tag: String, d: String, s: SparkSession): String =
     Scratch.tmpPath(tag, d, s)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = EntryMap(
     "taxi_stg_yellow" -> q((s, d) => models(s, d).stgYellow.drop("loaded_at")),
     "taxi_stg_green" -> q((s, d) => models(s, d).stgGreen.drop("loaded_at")),
     "taxi_stg_fhv" -> q((s, d) => models(s, d).stgFhv.drop("loaded_at")),
@@ -252,7 +252,7 @@ object TaxiEntries {
   import TaxiSql.{select => o}
   import TaxiSql.Dialect.rndSum
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = EntryMap(
     "taxi_stg_yellow" -> o("SELECT * FROM stg_yellow"),
     "taxi_stg_green" -> o("SELECT * FROM stg_green"),
     "taxi_stg_fhv" -> o("SELECT * FROM stg_fhv"),

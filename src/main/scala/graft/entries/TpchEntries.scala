@@ -22,7 +22,7 @@ object TpchEntries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftSession.tune(s); f(s, d) }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = EntryMap(
     // TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline.
     "tpch_q1_pricing" -> q { (s, d) =>
       Tables.lineitem(s, d)
@@ -221,23 +221,13 @@ object TpchEntries {
       graft.operators.Merge.upsert(target, updates.unionAll(inserts),
         "o_orderkey", deleteCol = Some("_del"))
     },
-    // Grouping-sets family: ROLLUP emits (seg, nation) → (seg) → ()
-    // subtotal levels in ONE pass (Expand before the aggregation — no
-    // per-level re-scan); grouping() flags disambiguate real NULL keys
-    // from subtotal rows.
-    "tpch_rollup" -> q { (s, d) =>
+    // ROLLUP with grouping() flags — unlike tpch_rollup's 'ALL'
+    // labeling, the flags disambiguate REAL null keys from subtotal
+    // rows (the label trick is lossy when a key can itself be null).
+    // Same one-Expand-one-aggregation pass.
+    "tpch_grouping_flags" -> q { (s, d) =>
       Tables.customer(s, d)
         .rollup(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n_cust"),
-          stableRoundedSum(col("c_acctbal"), 2).as("sum_bal"),
-          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
-          grouping(col("c_nationkey")).cast("int").as("g_nat"))
-    },
-    // CUBE adds the (nation)-only level — all 2² grouping sets, still
-    // one Expand + one aggregation pass.
-    "tpch_cube" -> q { (s, d) =>
-      Tables.customer(s, d)
-        .cube(col("c_mktsegment"), col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
           stableRoundedSum(col("c_acctbal"), 2).as("sum_bal"),
           grouping(col("c_mktsegment")).cast("int").as("g_seg"),
@@ -274,7 +264,7 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_orders"))
     })
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = EntryMap(
     "tpch_bucketed_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${rndSum("o_totalprice", 2)} AS revenue
@@ -383,18 +373,12 @@ object TpchEntries {
          |  FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m
          |WHERE del IS DISTINCT FROM true""".stripMargin,
-    "tpch_rollup" ->
+    "tpch_grouping_flags" ->
       s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
          |  ${rndSum("c_acctbal", 2)} AS sum_bal,
          |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
          |  CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat
          |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin,
-    "tpch_cube" ->
-      s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
-         |  ${rndSum("c_acctbal", 2)} AS sum_bal,
-         |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
-         |  CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat
-         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
     // the bloom is pruning-only: the graded result is the exact semi-join
     "tpch_bloom_semi" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

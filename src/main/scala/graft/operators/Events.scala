@@ -112,6 +112,43 @@ object Events {
         .cast("long").as("secs_since_prev"))
   }
 
+  /** Ordered-step behavioral funnel: how many users performed steps
+    * 1..k IN ORDER (each step's first occurrence at or after the
+    * previous step's first occurrence — the standard first-touch
+    * funnel). Output is one row per step, `step` labeled
+    * `"<idx>_<event_type>"`, with the cumulative user count reaching
+    * it; the wide→long reshape is Spark's `unpivot`.
+    *
+    * Scale shape: ONE shuffle (per-user conditional-min aggregation
+    * with map-side combine), then a single global 1-row aggregate and
+    * a constant-size unpivot — output size is the step count however
+    * large the event log. */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.distinct.size == steps.size,
+      s"funnel needs >= 2 distinct steps: $steps")
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t$i")
+    }
+    val perUser = events.filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    // progressive depth: step i+1 only counts if its first ts exists and
+    // is at-or-after step i's (a null first-ts fails the comparison)
+    val depth = {
+      var e = when(col("t0").isNull, 0)
+      for (i <- 1 until steps.size)
+        e = e.when(col(s"t$i").isNull || col(s"t$i") < col(s"t${i - 1}"), i)
+      e.otherwise(steps.size)
+    }
+    val labels = steps.zipWithIndex.map { case (s, i) => s"${i + 1}_$s" }
+    val countCols = labels.zipWithIndex.map { case (l, i) =>
+      sum(when(col("depth") >= i + 1, 1).otherwise(0)).cast("long").as(l)
+    }
+    perUser.select(depth.as("depth"))
+      .agg(countCols.head, countCols.tail: _*)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        labels.map(col).toArray, "step", "n_users")
+  }
+
   /** Group-wise top-k: the k highest-value events per user
     * (`row_number` ranking window, total-ordered by the unique event_id
     * tiebreak). */

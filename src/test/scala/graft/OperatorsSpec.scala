@@ -768,6 +768,43 @@ class OperatorsSpec extends AnyFunSuite {
       "k", 10L).count() == 0)
   }
 
+  test("entry maps refuse duplicate keys, within and across objects") {
+    val e = intercept[IllegalArgumentException] {
+      graft.entries.EntryMap("a" -> 1, "b" -> 2, "a" -> 3)
+    }
+    assert(e.getMessage.contains("a"))
+    // cross-object collisions would silently drop entries in the ++ too
+    val parts = Seq(graft.entries.TaxiEntries.queries,
+      graft.entries.TpchEntries.queries,
+      graft.entries.DataPipelineEntries.queries)
+    assert(SparkEntry.queries.size == parts.map(_.size).sum,
+      "an entry name is re-used across entry objects")
+    // every graded query has oracle SQL (no silent rows-only downgrades)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("funnelSteps counts ordered first-touch progression per user") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: clicked BEFORE first view — stops at depth 1
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:40:00"), 2L, "purchase", 1.0, "{}"),
+      // user 3: view+click in order, never purchased
+      (7L, ts("2024-01-01 08:00:00"), 3L, "view", 1.0, "{}"),
+      (8L, ts("2024-01-01 08:30:00"), 3L, "click", 1.0, "{}"),
+      // user 4: purchase only — depth 0, still counted in no step
+      (9L, ts("2024-01-01 07:00:00"), 4L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
   test("randomProject matches the literal-matrix dot product; dim mismatch nulls") {
     val v = (0 until 64).map(i => (i % 5) * 0.5).toArray
     val df = Seq((1L, v), (2L, v.take(10))).toDF("vec_id", "emb")
