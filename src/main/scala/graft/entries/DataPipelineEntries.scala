@@ -207,6 +207,16 @@ object DataPipelineEntries {
       graft.operators.Sketches.quantileGate(Tables.events(s, d),
         col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Attribution interval join: clicks within 10 min of a same-user
+    // view — equi-join on the key with the time bound as residual (one
+    // shuffle); the streaming twin (StreamingSpec) bounds its state
+    // with the same condition + watermarks.
+    "ev_interval_join" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.StreamingEvents.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "user_id", withinMinutes = 10)
+    },
     // First-touch behavioral funnel view → click → purchase: one
     // per-user aggregation, constant-size unpivoted output.
     "ev_funnel_steps" -> q((s, d) =>
@@ -924,6 +934,11 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    "ev_interval_join" ->
+      """SELECT v.user_id, v.ts AS l_ts, c.ts AS r_ts, c.value
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
     // first-ts per step, progressive ordered depth, UNPIVOT to long form
     "ev_funnel_steps" ->
       """WITH f AS (SELECT user_id,

@@ -31,6 +31,10 @@ object Merge {
     val missing = required.filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"source is missing merge columns: ${missing.mkString(", ")}")
+    // the internal delete-flag name must not collide with a data column
+    // (the select below would emit two graft_del columns)
+    require(!required.contains("graft_del"),
+      "merge reserves the column name graft_del; rename it on the target first")
     val src = deleteCol match {
       case Some(dc) => source.select((required.map(col) :+ col(dc).as("graft_del")): _*)
       case None => source.select(required.map(col): _*)

@@ -107,6 +107,8 @@ object Sampling {
   def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
                      seed: Int = DefaultStratifiedSeed): DataFrame = {
     require(n > 0, "n must be positive")
+    require(!df.columns.contains("rank_in_stratum"),
+      "stratifiedTake generates rank_in_stratum, which already exists on the input; rename it first")
     val w = Window.partitionBy(stratum)
       .orderBy(Dedup.portableHash(id.cast("string"), seed), id)
     df.withColumn("rank_in_stratum", row_number().over(w).cast("int"))

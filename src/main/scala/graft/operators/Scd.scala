@@ -37,6 +37,13 @@ object Scd {
     * versions — runs compare ADJACENT values only. */
   def scd2(changes: DataFrame, keyCol: String, tsCol: String,
            attrCol: String, tieCol: String): DataFrame = {
+    // withColumn REPLACES same-named columns silently — refuse inputs
+    // already carrying the generated (or internal) names, same contract
+    // as Packing.packAssign
+    val clash = Seq("valid_from", "valid_to", "version", "is_current",
+      "graft_prev_attr", "graft_is_first").filter(changes.columns.contains)
+    require(clash.isEmpty,
+      s"scd2 generates columns ${clash.mkString(", ")} which already exist on the input; rename them first")
     val order = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val runStarts = changes
       .withColumn("graft_prev_attr", lag(col(attrCol), 1).over(order))

@@ -157,6 +157,11 @@ object TextAnalysis {
     * via an outer join (no bigrams to judge). */
   def bigramScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = tokens(col("text"))
+    // persisted: the exploded bigram stream feeds THREE consumers (the
+    // bigram counts, the prefix counts, and the scoring join) —
+    // un-persisted, Catalyst re-runs the tokenize+zip+explode per
+    // consumer (same caching contract as Dedup's shingle pipeline;
+    // blocks live until the session clears its cache)
     val bg = docs
       .filter(size(t) >= 2)
       .select(col("doc_id"),
@@ -164,6 +169,7 @@ object TextAnalysis {
           slice(t, lit(1), size(t) - 1).as("w1"),
           slice(t, lit(2), size(t) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = docs.select(explode(t).as("w"))
@@ -195,9 +201,12 @@ object TextAnalysis {
     */
   def tfIdfTop(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
+    // persisted: tf feeds both the document-frequency profile and the
+    // scoring join — un-persisted, the explode+aggregate runs twice
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

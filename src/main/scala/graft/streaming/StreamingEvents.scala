@@ -89,6 +89,30 @@ object StreamingEvents extends Serializable {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — the attribution shape (impressions ⨝
+    * clicks within a time window): equal keys AND the right timestamp
+    * inside `[left.ts, left.ts + withinMinutes]`. BOTH the watermarks
+    * and the two-sided time bound are load-bearing at scale: the
+    * watermark lets Spark expire left-side state once no matching right
+    * row can still arrive, and the interval condition bounds how long a
+    * buffered row is joinable — without either, stream-stream join
+    * state grows without bound. Output columns: the key, `l_ts`,
+    * `r_ts`, and the right side's `value`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   withinMinutes: Int = 10,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key), col("ts").cast("timestamp").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col(key).as(s"graft_r_$key"),
+        col("ts").cast("timestamp").as("r_ts"), col("value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col(key) === col(s"graft_r_$key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"interval $withinMinutes minutes"))
+      .select(col(key), col("l_ts"), col("r_ts"), col("value"))
+  }
+
   /** Gap-based streaming sessionization with explicit state. Events
     * within a batch are processed in event-time order; a gap >
     * `gapMinutes` closes the running session. The final open session per

@@ -99,6 +99,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("stream-stream interval join equals the batch join on a bounded replay") {
+    val imps = Seq((7L, ts("2024-01-01 10:00:00"), 0.0),
+      (8L, ts("2024-01-01 10:00:00"), 0.0))
+    val clicks = Seq(
+      (7L, ts("2024-01-01 10:05:00"), 1.5), // inside the 10 min window
+      (7L, ts("2024-01-01 10:20:00"), 2.5), // outside — dropped
+      (9L, ts("2024-01-01 10:01:00"), 3.5)) // no impression — dropped
+    val base = Files.createTempDirectory("graft_ssjoin")
+    val (ldir, rdir) = (s"$base/l", s"$base/r")
+    imps.toDF("user_id", "ts", "value").write.parquet(ldir)
+    clicks.toDF("user_id", "ts", "value").write.parquet(rdir)
+    def src(dir: String) =
+      spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(dir)
+    val q = StreamingEvents.intervalJoin(src(ldir), src(rdir), "user_id", 10)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3))).toSeq
+    assert(got == Seq((7L, ts("2024-01-01 10:05:00"), 1.5)))
+    // identical to the batch interval join on the same inputs
+    val batch = StreamingEvents.intervalJoin(
+      spark.read.parquet(ldir), spark.read.parquet(rdir), "user_id", 10)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getDouble(3))).toSeq
+    assert(batch == got)
+  }
+
   test("streaming sessionize emits closed sessions, holds the open one") {
     val input = MemoryStream[Ev](spark)
     val q = StreamingEvents.sessionize(input.toDS(), gapMinutes = 30)
