@@ -644,7 +644,7 @@ object DataPipelineEntries {
     val n = "count(value)"
     s"""WITH st AS (
        |  SELECT event_type, $s / $n AS mean,
-       |    sqrt(($sq - ($s) * ($s) / $n) / ($n - 1)) AS sd
+       |    sqrt(greatest($sq - ($s) * ($s) / $n, 0) / ($n - 1)) AS sd
        |  FROM events GROUP BY 1)
        |SELECT event_id, e.event_type, value,
        |  ${rnd("(value - mean) / sd", 6)} AS z,
@@ -863,10 +863,9 @@ object DataPipelineEntries {
     "stream_sliding" -> slidingSql,
     "ev_rolling" ->
       s"""SELECT user_id, event_id, ts, value,
-         |  round((sum(CAST(value AS DECIMAL(38,10))) OVER w4)::DOUBLE
-         |        / count(value) OVER w4, 6) AS roll_avg,
+         |  ${rnd("(sum(CAST(value AS DECIMAL(38,10))) OVER w4)::DOUBLE / (count(value) OVER w4)", 6)} AS roll_avg,
          |  (round(sum(CAST(value AS DECIMAL(38,10))) OVER w4, 6))::DOUBLE AS roll_sum,
-         |  round(value - lag(value) OVER wo, 6) AS delta_value,
+         |  ${rnd("value - lag(value) OVER wo", 6)} AS delta_value,
          |  (epoch_us(ts) - epoch_us(lag(ts) OVER wo)) // 1000000 AS secs_since_prev
          |FROM events
          |WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
@@ -890,10 +889,10 @@ object DataPipelineEntries {
     // sketch landed inside the p±margin exact envelope, so the oracle
     // emits TRUE — same shape as the HLL gate in taxi_daily_approx
     "ev_quantile_gate" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(quantile_cont(value, 0.5), 6) AS p50, true AS p50_within_bound,
-        |  round(quantile_cont(value, 0.9), 6) AS p90, true AS p90_within_bound,
-        |  round(quantile_cont(value, 0.99), 6) AS p99, true AS p99_within_bound
+      s"""SELECT event_type, count(*) AS n,
+        |  ${rnd("quantile_cont(value, 0.5)", 6)} AS p50, true AS p50_within_bound,
+        |  ${rnd("quantile_cont(value, 0.9)", 6)} AS p90, true AS p90_within_bound,
+        |  ${rnd("quantile_cont(value, 0.99)", 6)} AS p99, true AS p99_within_bound
         |FROM events GROUP BY 1""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -959,11 +958,11 @@ object DataPipelineEntries {
         |SELECT step, n_users FROM w
         |UNPIVOT (n_users FOR step IN ("1_view", "2_click", "3_purchase"))""".stripMargin,
     "ev_rank_funcs" ->
-      """SELECT user_id, event_id, value,
+      s"""SELECT user_id, event_id, value,
         |  CAST(rank() OVER v AS INTEGER) AS rnk,
         |  CAST(dense_rank() OVER v AS INTEGER) AS drnk,
-        |  round(percent_rank() OVER v, 6) AS pct_rank,
-        |  round(cume_dist() OVER v, 6) AS cume,
+        |  ${rnd("percent_rank() OVER v", 6)} AS pct_rank,
+        |  ${rnd("cume_dist() OVER v", 6)} AS cume,
         |  CAST(ntile(4) OVER t AS INTEGER) AS quartile
         |FROM events
         |WINDOW v AS (PARTITION BY user_id ORDER BY value DESC),
@@ -985,11 +984,15 @@ object DataPipelineEntries {
          |        FROM sc GROUP BY 1)
          |SELECT d.doc_id, agg.n_bigrams, agg.avg_logp
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
-    // width_bucket mirror: 10 even buckets over [0, 500) — value/50
-    // and Spark's (value-min)/((max-min)/n) agree bit-for-bit on this
-    // range (boundaries are exact doubles)
+    // width_bucket mirror INCLUDING the out-of-range buckets (0 below
+    // min, n+1 at-or-above max — sf0.1 carries values >= 500, so
+    // clamping into bucket 10 would mis-grade there); in range,
+    // value/50 and Spark's (value-min)/((max-min)/n) agree bit-for-bit
+    // (boundaries are exact doubles)
     "ev_histogram" ->
-      s"""SELECT CAST(least(floor(value / 50.0), 9) + 1 AS BIGINT) AS bucket,
+      s"""SELECT CAST(CASE WHEN value < 0 THEN 0
+         |            WHEN value >= 500 THEN 11
+         |            ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1""".stripMargin,
     "ev_zscore" -> zscoreSql,

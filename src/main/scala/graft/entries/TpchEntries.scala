@@ -44,6 +44,56 @@ object TpchEntries {
         .agg(count(lit(1)).as("order_cnt"),
           stableRoundedSum(col("o_totalprice"), 2).as("revenue"))
     },
+    // Clustered-layout roundtrip: orders rewritten range-clustered on
+    // o_totalprice (disjoint per-file ranges — the min/max pruning
+    // precondition), then scanned back through a range predicate that
+    // can skip non-covering files at footer time.
+    "tpch_clustered_scan" -> q { (s, d) =>
+      val dir = Scratch.tmpPath("clustered_orders", d, s)
+      graft.write.IncrementalWriter.overwriteClustered(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderdate"),
+        dir, "o_totalprice", nFiles = 8)
+      s.read.parquet(dir).filter(col("o_totalprice") > 300000)
+    },
+    // TPC-H Q3 shape (shipping priority): selective dim filter, two
+    // fact joins with date predicates pushed to both scans, top-10 by
+    // revenue — the classic join+agg+TakeOrdered composite.
+    "tpch_q3_shipping" -> q { (s, d) =>
+      val cut = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+    // TPC-H Q5 shape (local supplier volume): five-way join where the
+    // supplier must share the customer's nation — the extra equality
+    // rides the supplier join as a residual, nation broadcasts.
+    "tpch_q5_local_supplier" -> q { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"))
+    },
     // Sort/limit → TakeOrderedAndProject (no global sort materialized).
     "tpch_topk_orders" -> q { (s, d) =>
       Tables.orders(s, d)
@@ -352,6 +402,29 @@ object TpchEntries {
       s"""SELECT s_nationkey, count(*) AS n_lines,
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1""".stripMargin,
+    "tpch_clustered_scan" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_totalprice > 300000""".stripMargin,
+    "tpch_q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5_local_supplier" ->
+      s"""SELECT n_name AS nation, count(*) AS n_lines,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE year(o_orderdate) = 1997
          |GROUP BY 1""".stripMargin,
     "tpch_merge_upsert" ->
       s"""WITH src AS (

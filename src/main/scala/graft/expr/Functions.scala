@@ -148,11 +148,15 @@ object Functions {
     * decimal). Built-in `stddev_samp` accumulates with Welford updates
     * whose result depends on partition order, so two runs (or two
     * engines) disagree in the last ulps; this formulation is
-    * reproducible bit-for-bit. Null for n ≤ 1. */
+    * reproducible bit-for-bit. Null for n ≤ 1.
+    *
+    * The variance numerator is clamped at 0: for a constant-valued
+    * group the double-precision `s·s/n` can land one ulp above `sq`,
+    * and sqrt of that tiny negative would poison the group with NaN. */
   def stableStddev(c: Column): Column = {
     val n = count(c)
     val s = stableSum(c).cast("double")
     val sq = sum((c * c).cast("decimal(38,10)")).cast("double")
-    when(n > 1, sqrt((sq - s * s / n) / (n - lit(1))))
+    when(n > 1, sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1))))
   }
 }

@@ -31,6 +31,14 @@ object BloomJoin {
                     expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
+    // xxhash64 is TYPE-sensitive: an int and a long with equal values
+    // hash differently, so a width mismatch would make the bloom reject
+    // true matches — and the residual semi-join can only remove false
+    // positives, never recover false negatives. Refuse rather than
+    // silently drop rows.
+    val (pt, bt) = (probe.schema(key).dataType, build.schema(key).dataType)
+    require(pt == bt,
+      s"bloomSemiJoin key '$key' types differ (probe=$pt, build=$bt); cast one side first")
     // standard Bloom sizing: m = -n·ln(p) / (ln 2)²
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -41,8 +49,11 @@ object BloomJoin {
     // empty build side: the aggregate yields NULL — the join result is
     // empty, so prune everything without a pass over the probe
     if (bf == null) return probe.filter(lit(false))
+    // no .distinct() on the build side: left-semi already emits each
+    // probe row at most once whatever the build-side multiplicity, and
+    // a distinct would cost a full extra shuffle of the build side
     probe
       .filter(call_function("might_contain", lit(bf), xxhash64(col(key))))
-      .join(build.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(build.select(col(key)), Seq(key), "left_semi")
   }
 }

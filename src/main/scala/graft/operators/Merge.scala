@@ -35,6 +35,15 @@ object Merge {
     // (the select below would emit two graft_del columns)
     require(!required.contains("graft_del"),
       "merge reserves the column name graft_del; rename it on the target first")
+    // SQL MERGE raises on multiple source matches per key; the full-outer
+    // join would instead silently FAN OUT the matched target row. Enforce
+    // the same contract up front (one aggregate over the source — the
+    // small batch side by construction).
+    val dup = source.groupBy(col(key)).count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has multiple rows for $key=${dup.headOption.map(_.get(0)).orNull}; " +
+        "deduplicate the source first (MERGE semantics forbid multiple matches)")
     val src = deleteCol match {
       case Some(dc) => source.select((required.map(col) :+ col(dc).as("graft_del")): _*)
       case None => source.select(required.map(col): _*)

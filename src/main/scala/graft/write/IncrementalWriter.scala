@@ -61,6 +61,24 @@ object IncrementalWriter {
   def overwriteTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Clustered table layout: range-partition on `clusterCol` into
+    * `nFiles` files, each sorted within itself — so every file (and
+    * every parquet row group inside it) covers a DISJOINT value range.
+    * That disjointness is the precondition for min/max scan pruning: a
+    * point or range predicate on the cluster column then skips all but
+    * the covering files at planning/footer time, which at 100 TB is the
+    * difference between reading one file and reading the table. This is
+    * the single-column core of what table formats call clustering /
+    * Z-ordering (one `repartitionByRange` shuffle; the range sampler
+    * balances file sizes even under value skew). */
+  def overwriteClustered(df: DataFrame, path: String, clusterCol: String,
+                         nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def overwriteTablePartitioned(df: DataFrame, path: String): Unit =
     byPartition(df).write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
 

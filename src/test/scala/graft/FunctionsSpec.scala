@@ -130,5 +130,9 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(stableStddev($"x")).head().getDouble(0)
     assert(got == rev)
     assert(Seq(1.0).toDF("x").agg(stableStddev($"x")).head().isNullAt(0))
+    // constant group: s·s/n can exceed Σx² by an ulp in double — the
+    // clamp must yield 0.0, never NaN
+    val const = Seq.fill(1000)(0.07).toDF("x").agg(stableStddev($"x")).head().getDouble(0)
+    assert(const == 0.0, s"constant column stddev must be 0, got $const")
   }
 }

@@ -766,6 +766,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(BloomJoin.bloomSemiJoin(probe, dup, "k", 10L).count() == 2)
     assert(BloomJoin.bloomSemiJoin(probe, probe.filter(lit(false)).select("k"),
       "k", 10L).count() == 0)
+    // xxhash64 is type-sensitive: an int build key against a long probe
+    // key would bloom-reject every true match — refused up front
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(probe, build.select($"k".cast("int").as("k")), "k", 10L)
+    }
+    assert(e.getMessage.contains("types differ"))
   }
 
   test("entry maps refuse duplicate keys, within and across objects") {
@@ -837,6 +843,12 @@ class OperatorsSpec extends AnyFunSuite {
       Merge.upsert(target, source.drop("price"), "k", Some("del"))
     }
     assert(e.getMessage.contains("price"))
+    // duplicate source keys would fan out the matched target row —
+    // refused like SQL MERGE's multiple-match error
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.upsert(target, source.unionAll(source), "k", Some("del"))
+    }
+    assert(e2.getMessage.contains("multiple"))
   }
 
   test("bigramScore ranks fluent repetition above noise; short docs null") {

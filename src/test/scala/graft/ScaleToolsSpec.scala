@@ -240,6 +240,30 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"bloom test must prune below the join, not in its condition:\n$plan")
   }
 
+  test("clustered layout yields disjoint per-file ranges and prunes point scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString + "/t"
+    val df = (1 to 4000).map(i => ((i * 2654435761L) % 10000, i)).toDF("v", "payload")
+    graft.write.IncrementalWriter.overwriteClustered(df, dir, "v", nFiles = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 clustered files, got ${files.length}")
+    // per-file [min, max] ranges must be pairwise disjoint — the
+    // precondition for footer-level min/max pruning
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("v")), max(col("v"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+    // content round-trips and a point read touches ONE file's rows
+    assert(spark.read.parquet(dir).count() == 4000)
+    val probe = df.head().getLong(0)
+    val hit = spark.read.parquet(dir).filter(col("v") === probe)
+    assert(hit.count() >= 1)
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
     val right = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("id", "rv")
