@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    // the production variant of stream_dedup_exact: state for a key is
+    // dropped once the watermark passes it, so state is bounded by the
+    // watermark horizon instead of the full key history
+    val rows = Seq(
+      ("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 10:05:00")), // dup within the horizon
+      ("b", ts("2024-01-01 10:30:00")))
+    val dir = Files.createTempDirectory("graft_wmdedup").toString
+    rows.toDF("k", "ts").write.mode("overwrite").parquet(dir)
+    val q = spark.readStream.schema("k STRING, ts TIMESTAMP").parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("memory").queryName("wmdedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("wmdedup_test").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b"))
+  }
+
   test("stream-stream interval join equals the batch join on a bounded replay") {
     val imps = Seq((7L, ts("2024-01-01 10:00:00"), 0.0),
       (8L, ts("2024-01-01 10:00:00"), 0.0))
