@@ -170,6 +170,18 @@ object DataPipelineEntries {
     // -- similarity search ----------------------------------------------
     "sim_knn_brute" -> q((s, d) => knnBrute5(s, d)),
     "sim_ivf_ann" -> q((s, d) => ivfTop3(s, d)),
+    // Persisted-index roundtrip: build + store the IVF index (the
+    // expensive corpus pass), search the SAME queries from the stored
+    // index — must equal the live sim_ivf_ann result, so the shared
+    // oracle grades the persistence cycle.
+    "sim_ivf_stored" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % centroidMod === 0)
+      val dir = Scratch.tmpPath("ivf_index", d, s)
+      Similarity.ivfIndexWrite(emb, centroids, dir)
+      Similarity.ivfSearchStored(s, dir,
+        emb.filter(col("vec_id") < knnQueryCut), k = 3, nProbe = 2)
+    },
     // ANN recall gate: recall@3 of the IVF search against the exact
     // brute-force top-3 (top-3 of the memoized top-5 — identical
     // ordering), per query — pinned in CORRECTNESS so index tuning
@@ -823,6 +835,8 @@ object DataPipelineEntries {
          |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM b""".stripMargin,
     "sim_knn_brute" -> simKnnSql,
     "sim_ivf_ann" -> simIvfSql,
+    // identical output contract to the live search — same oracle
+    "sim_ivf_stored" -> simIvfSql,
     // recall@3 of IVF vs brute force, composed from the SAME two mirrors
     // (top-3 of the brute top-5 ≡ a k=3 brute run: identical ordering)
     "sim_recall" ->

@@ -136,6 +136,29 @@ object Similarity {
         .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** Persist an IVF index: `centroids/` + the corpus bucket assignment
+    * (`assigned/`). The assignment is the expensive corpus-wide pass
+    * (one cosine per vector per centroid); storing it amortizes that
+    * cost across every later query batch — the serving split of an ANN
+    * system. At scale, write `assigned/` partitioned (or clustered —
+    * [[graft.write.IncrementalWriter.overwriteClustered]]) by
+    * `centroid_id` so a probe's bucket join prunes to the probed
+    * buckets' files instead of scanning the assignment table. */
+  def ivfIndexWrite(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, centroids)
+      .write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Search a stored IVF index ([[ivfIndexWrite]]) — identical results
+    * to [[ivfSearch]] over the live assignment, no corpus re-pass. */
+  def ivfSearchStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int = 3, nProbe: Int = 2): DataFrame =
+    ivfSearch(
+      spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"), queries, k, nProbe)
+
   /** recall@k gate for an ANN variant: per query, the fraction of the
     * exact top-k (from [[knnBrute]]) the ANN result recovered —
     * `|ann ∩ brute| / |brute|`. Both inputs carry (query_id,
