@@ -358,6 +358,24 @@ object DataPipelineEntries {
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
         stratum = col("lang"), id = col("doc_id"), n = 5)
         .select(col("lang"), col("rank_in_stratum"), col("doc_id"), col("n_chars"))),
+    // Weighted sampling without replacement: 5 docs per language with
+    // inclusion probability proportional to n_chars (Efraimidis–
+    // Spirakis priorities from the portable hash — deterministic).
+    "sample_weighted" -> q((s, d) =>
+      graft.operators.Sampling.weightedTake(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        stratum = col("lang"), id = col("doc_id"), weight = col("n_chars"), n = 5)
+        .select(col("lang"), col("rank_in_stratum"), col("doc_id"), col("n_chars"))),
+    // Stable Pearson correlation of value vs hour-of-day per type —
+    // all five moments in decimal sums (built-in corr is
+    // partition-order-dependent in its co-moment updates).
+    "ev_corr" -> q((s, d) => Tables.events(s, d)
+      .select(col("event_type"), col("value").as("x"),
+        hour(col("ts")).cast("double").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.expr.Functions.stableCorr(col("x"), col("y")), 6)
+          .as("corr_value_hour"))),
     // Corpus filter funnel — the standard pre-training data triage
     // (language → quality → length), each stage cumulative, ONE aggregate
     // pass over the corpus (map-side conditional sums, no per-stage scan).
@@ -662,6 +680,21 @@ object DataPipelineEntries {
        |  ${rnd("(value - mean) / sd", 6)} AS z,
        |  abs((value - mean) / sd) > 2 AS is_outlier
        |FROM events e JOIN st USING (event_type)""".stripMargin
+  }
+
+  /** Mirror of [[graft.expr.Functions.stableCorr]] over (value,
+    * hour(ts)) — five decimal-sum moments, variance clamps, identical
+    * operation order. The events table carries no nulls, so the plain
+    * sums equal the pairwise-complete Spark formulation. */
+  private val corrSql = {
+    def d(x: String) = s"CAST(${decSum(x)} AS DOUBLE)"
+    val n = "count(*)"
+    val (sx, sy) = (d("x"), d("y"))
+    val (sxx, syy, sxy) = (d("x * x"), d("y * y"), d("x * y"))
+    s"""WITH e AS (SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y FROM events)
+       |SELECT event_type, count(*) AS n,
+       |  ${rnd(s"($n * $sxy - $sx * $sy) / (sqrt(greatest($n * $sxx - $sx * $sx, 0)) * sqrt(greatest($n * $syy - $sy * $sy, 0)))", 6)} AS corr_value_hour
+       |FROM e GROUP BY 1""".stripMargin
   }
 
   /** Shared by ev_sliding (batch) and stream_sliding (streaming replay):
@@ -1095,6 +1128,18 @@ object DataPipelineEntries {
          |  CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM b GROUP BY 1""".stripMargin,
+    // mirror of Sampling.weightedTake: same hash→uniform→power chain
+    "sample_weighted" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY pow((${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultWeightedSeed)} + 1)
+         |                   / 1152921504606846976.0, 1.0 / n_chars) DESC, doc_id) AS INTEGER)
+         |      AS rank_in_stratum
+         |  FROM documents)
+         |SELECT lang, rank_in_stratum, doc_id, n_chars
+         |FROM r WHERE rank_in_stratum <= 5""".stripMargin,
+    "ev_corr" -> corrSql,
     // mirror of Sampling.stratifiedTake, generated from its own seed
     "sample_stratified" ->
       s"""WITH r AS (

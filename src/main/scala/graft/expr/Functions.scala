@@ -159,4 +159,23 @@ object Functions {
     val sq = sum((c * c).cast("decimal(38,10)")).cast("double")
     when(n > 1, sqrt(greatest(sq - s * s / n, lit(0.0)) / (n - lit(1))))
   }
+
+  /** Pearson correlation with order-independent accumulation — the
+    * same decimal-sum treatment as [[stableStddev]] applied to all five
+    * moments: `(n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`.
+    * Built-in `corr` uses streaming co-moment updates whose result
+    * depends on partition order. Null when either variance is 0
+    * (constant column — correlation undefined) or n ≤ 1. Rows where
+    * EITHER side is null are excluded (pairwise-complete, matching the
+    * SQL `corr` contract). */
+  def stableCorr(x: Column, y: Column): Column = {
+    val both = when(x.isNotNull && y.isNotNull, lit(1))
+    val n = count(both)
+    def dsum(c: Column) = sum(when(both.isNotNull, c).cast("decimal(38,10)")).cast("double")
+    val (sx, sy) = (dsum(x), dsum(y))
+    val (sxx, syy, sxy) = (dsum(x * x), dsum(y * y), dsum(x * y))
+    val vx = greatest(n * sxx - sx * sx, lit(0.0))
+    val vy = greatest(n * syy - sy * sy, lit(0.0))
+    when(n > 1 && vx > 0 && vy > 0, (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)))
+  }
 }

@@ -104,6 +104,29 @@ object Sampling {
     * (keep the smallest buckets only, sized to overshoot `n`) before
     * ranking — same two-phase shape as a top-k. Output adds
     * `rank_in_stratum` (1-based). */
+  /** Seed for weighted sampling — independent like every other seed. */
+  val DefaultWeightedSeed = 19
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): the
+    * `n` rows per stratum with the largest `u^(1/w)` where `u` is the
+    * portable-hash uniform in (0, 1] and `w` the row's weight —
+    * inclusion probability proportional to weight, deterministic, no
+    * RNG state. The +1 on the hash keeps `u` strictly positive so the
+    * power is defined. Weights must be positive. Same one-shuffle
+    * ranking-window shape (and skew note) as [[stratifiedTake]]. */
+  def weightedTake(df: DataFrame, stratum: Column, id: Column, weight: Column,
+                   n: Int, seed: Int = DefaultWeightedSeed): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(!df.columns.contains("rank_in_stratum"),
+      "weightedTake generates rank_in_stratum, which already exists on the input; rename it first")
+    val u = (Dedup.portableHash(id.cast("string"), seed) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val priority = pow(u, lit(1.0) / weight)
+    val w = Window.partitionBy(stratum).orderBy(priority.desc, id)
+    df.withColumn("rank_in_stratum", row_number().over(w).cast("int"))
+      .filter(col("rank_in_stratum") <= n)
+  }
+
   def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
                      seed: Int = DefaultStratifiedSeed): DataFrame = {
     require(n > 0, "n must be positive")

@@ -135,4 +135,21 @@ class FunctionsSpec extends AnyFunSuite {
     val const = Seq.fill(1000)(0.07).toDF("x").agg(stableStddev($"x")).head().getDouble(0)
     assert(const == 0.0, s"constant column stddev must be 0, got $const")
   }
+
+  test("stableCorr: perfect/anti correlation, constant-column null, order-independent") {
+    import graft.expr.Functions.stableCorr
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    assert(math.abs(df.agg(stableCorr($"x", $"y")).head().getDouble(0) - 1.0) < 1e-12)
+    val anti = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(math.abs(anti.agg(stableCorr($"x", $"y")).head().getDouble(0) + 1.0) < 1e-12)
+    // constant y: correlation undefined → null (built-in corr gives NaN)
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(const.agg(stableCorr($"x", $"y")).head().isNullAt(0))
+    // identical bits whatever the input order
+    val a = Seq((1.0, 9.0), (2.0, 3.0), (5.0, 7.0), (8.0, 1.0)).toDF("x", "y")
+      .agg(stableCorr($"x", $"y")).head().getDouble(0)
+    val b = Seq((8.0, 1.0), (5.0, 7.0), (2.0, 3.0), (1.0, 9.0)).toDF("x", "y")
+      .agg(stableCorr($"x", $"y")).head().getDouble(0)
+    assert(a == b)
+  }
 }

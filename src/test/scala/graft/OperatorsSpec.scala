@@ -753,6 +753,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.stratifiedTake(df, $"lang", $"doc_id", n = 100).count() == 40)
   }
 
+  test("weightedTake favors heavy rows and stays deterministic") {
+    // one extreme weight per stratum: u^(1/w) → 1 as w grows, so the
+    // heavy doc must be drawn; tiny weights are effectively never drawn
+    val df = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", if (i == 2L || i == 3L) 1000000L else 1L))
+      .toDF("doc_id", "lang", "w")
+    val got = Sampling.weightedTake(df, $"lang", $"doc_id", $"w", n = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+    val again = Sampling.weightedTake(df, $"lang", $"doc_id", $"w", n = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    // exact-size draw per stratum
+    assert(Sampling.weightedTake(df, $"lang", $"doc_id", $"w", n = 3).count() == 6)
+  }
+
   test("bloomSemiJoin equals the exact semi-join; empty build side yields empty") {
     val probe = (1L to 500L).map(i => (i, s"p$i")).toDF("k", "payload")
     val build = Seq(3L, 7L, 450L, 999L).toDF("k") // 999 has no probe match
