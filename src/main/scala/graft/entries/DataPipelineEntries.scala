@@ -219,6 +219,20 @@ object DataPipelineEntries {
       graft.operators.Sketches.quantileGate(Tables.events(s, d),
         col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Array/string aggregation surface, made deterministic: collect_set
+    // and collect_list have NO ordering guarantee in Spark, so the set
+    // is sorted after collection and the journey string is rebuilt from
+    // a sorted struct array ((ts, event_id) total order) — the only
+    // formulations whose output is stable across partitionings and
+    // engines. One shuffle with map-side partials.
+    "ev_user_profile" -> q((s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_set(col("event_type"))).as("types"),
+        concat_ws(">",
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("journey"))),
     // Attribution interval join: clicks within 10 min of a same-user
     // view — equi-join on the key with the time bound as residual (one
     // shuffle); the streaming twin (StreamingSpec) bounds its state
@@ -980,6 +994,11 @@ object DataPipelineEntries {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    "ev_user_profile" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  list(DISTINCT event_type ORDER BY event_type) AS types,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        |FROM events GROUP BY 1""".stripMargin,
     "ev_interval_join" ->
       """SELECT v.user_id, v.ts AS l_ts, c.ts AS r_ts, c.value
         |FROM events v JOIN events c ON v.user_id = c.user_id
