@@ -85,6 +85,8 @@ object DataPipelineEntries {
   // Corpus-shuffle shard count + checksum modulus (entry + oracle).
   private val shuffleShards = 8
   private val shuffleCkMod = 1000000L
+  // Weighted-sample per-stratum cut (entry + oracle).
+  private val WeightedTakeN = 5
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -378,7 +380,8 @@ object DataPipelineEntries {
     "sample_weighted" -> q((s, d) =>
       graft.operators.Sampling.weightedTake(
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
-        stratum = col("lang"), id = col("doc_id"), weight = col("n_chars"), n = 5)
+        stratum = col("lang"), id = col("doc_id"), weight = col("n_chars"),
+        n = WeightedTakeN)
         .select(col("lang"), col("rank_in_stratum"), col("doc_id"), col("n_chars"))),
     // Stable Pearson correlation of value vs hour-of-day per type —
     // all five moments in decimal sums (built-in corr is
@@ -698,17 +701,25 @@ object DataPipelineEntries {
 
   /** Mirror of [[graft.expr.Functions.stableCorr]] over (value,
     * hour(ts)) — five decimal-sum moments, variance clamps, identical
-    * operation order. The events table carries no nulls, so the plain
+    * operation order, INCLUDING the n>1 / nonzero-variance NULL guard
+    * (a single-row or constant-valued group must be NULL on both
+    * sides, not a divide-by-zero NaN that poisons the VARCHAR→DECIMAL
+    * rounding cast). The events table carries no nulls, so the plain
     * sums equal the pairwise-complete Spark formulation. */
   private val corrSql = {
     def d(x: String) = s"CAST(${decSum(x)} AS DOUBLE)"
-    val n = "count(*)"
-    val (sx, sy) = (d("x"), d("y"))
-    val (sxx, syy, sxy) = (d("x * x"), d("y * y"), d("x * y"))
-    s"""WITH e AS (SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y FROM events)
-       |SELECT event_type, count(*) AS n,
-       |  ${rnd(s"($n * $sxy - $sx * $sy) / (sqrt(greatest($n * $sxx - $sx * $sx, 0)) * sqrt(greatest($n * $syy - $sy * $sy, 0)))", 6)} AS corr_value_hour
-       |FROM e GROUP BY 1""".stripMargin
+    s"""WITH e AS (SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y FROM events),
+       |m AS (
+       |  SELECT event_type, count(*) AS n,
+       |    ${d("x")} AS sx, ${d("y")} AS sy,
+       |    ${d("x * x")} AS sxx, ${d("y * y")} AS syy, ${d("x * y")} AS sxy
+       |  FROM e GROUP BY 1)
+       |SELECT event_type, n,
+       |  CASE WHEN n > 1 AND greatest(n * sxx - sx * sx, 0) > 0
+       |            AND greatest(n * syy - sy * sy, 0) > 0
+       |    THEN ${rnd("(n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0)) * sqrt(greatest(n * syy - sy * sy, 0)))", 6)}
+       |  END AS corr_value_hour
+       |FROM m""".stripMargin
   }
 
   /** Shared by ev_sliding (batch) and stream_sliding (streaming replay):
@@ -1147,17 +1158,18 @@ object DataPipelineEntries {
          |  CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM b GROUP BY 1""".stripMargin,
-    // mirror of Sampling.weightedTake: same hash→uniform→power chain
+    // mirror of Sampling.weightedTake: same hash→uniform→power chain,
+    // every constant interpolated from the operator itself
     "sample_weighted" ->
       s"""WITH r AS (
          |  SELECT lang, doc_id, n_chars,
          |    CAST(row_number() OVER (PARTITION BY lang
-         |      ORDER BY pow((${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultWeightedSeed)} + 1)
-         |                   / 1152921504606846976.0, 1.0 / n_chars) DESC, doc_id) AS INTEGER)
+         |      ORDER BY pow((${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultWeightedSeed)} + ${graft.operators.Sampling.HashUniformOffset})
+         |                   / ${graft.operators.Sampling.HashUniformDenominator}, 1.0 / n_chars) DESC, doc_id) AS INTEGER)
          |      AS rank_in_stratum
          |  FROM documents)
          |SELECT lang, rank_in_stratum, doc_id, n_chars
-         |FROM r WHERE rank_in_stratum <= 5""".stripMargin,
+         |FROM r WHERE rank_in_stratum <= $WeightedTakeN""".stripMargin,
     "ev_corr" -> corrSql,
     // mirror of Sampling.stratifiedTake, generated from its own seed
     "sample_stratified" ->

@@ -169,9 +169,9 @@ object Functions {
     * EITHER side is null are excluded (pairwise-complete, matching the
     * SQL `corr` contract). */
   def stableCorr(x: Column, y: Column): Column = {
-    val both = when(x.isNotNull && y.isNotNull, lit(1))
-    val n = count(both)
-    def dsum(c: Column) = sum(when(both.isNotNull, c).cast("decimal(38,10)")).cast("double")
+    val ok = x.isNotNull && y.isNotNull
+    val n = count(when(ok, lit(1)))
+    def dsum(c: Column) = sum(when(ok, c).cast("decimal(38,10)")).cast("double")
     val (sx, sy) = (dsum(x), dsum(y))
     val (sxx, syy, sxy) = (dsum(x * x), dsum(y * y), dsum(x * y))
     val vx = greatest(n * sxx - sx * sx, lit(0.0))

@@ -107,21 +107,32 @@ object Sampling {
   /** Seed for weighted sampling — independent like every other seed. */
   val DefaultWeightedSeed = 19
 
+  /** [[Dedup.portableHash]] emits 60-bit values; `(hash + 1) / 2^60`
+    * is the uniform-in-(0, 1] transform. Interpolated into the
+    * `sample_weighted` oracle so the two sides cannot drift. */
+  val HashUniformOffset = 1
+  val HashUniformDenominator = "1152921504606846976.0" // 2^60, exact in double
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis): the
     * `n` rows per stratum with the largest `u^(1/w)` where `u` is the
     * portable-hash uniform in (0, 1] and `w` the row's weight —
     * inclusion probability proportional to weight, deterministic, no
     * RNG state. The +1 on the hash keeps `u` strictly positive so the
-    * power is defined. Weights must be positive. Same one-shuffle
-    * ranking-window shape (and skew note) as [[stratifiedTake]]. */
+    * power is defined. Weights must be positive and are enforced
+    * per-row (`w <= 0` raises rather than silently never-sampling the
+    * row via `pow(u, 1/0) = 0` — or, for negative `w`, inverting the
+    * sampling order). Same one-shuffle ranking-window shape (and skew
+    * note) as [[stratifiedTake]]. */
   def weightedTake(df: DataFrame, stratum: Column, id: Column, weight: Column,
                    n: Int, seed: Int = DefaultWeightedSeed): DataFrame = {
     require(n > 0, "n must be positive")
     require(!df.columns.contains("rank_in_stratum"),
       "weightedTake generates rank_in_stratum, which already exists on the input; rename it first")
-    val u = (Dedup.portableHash(id.cast("string"), seed) + 1).cast("double") /
-      lit(1152921504606846976.0) // 2^60
-    val priority = pow(u, lit(1.0) / weight)
+    val u = (Dedup.portableHash(id.cast("string"), seed) + HashUniformOffset)
+      .cast("double") / lit(HashUniformDenominator).cast("double")
+    val wChecked = when(weight > 0, weight).otherwise(raise_error(concat(
+      lit("weightedTake requires positive weights; got "), weight.cast("string"))))
+    val priority = pow(u, lit(1.0) / wChecked)
     val w = Window.partitionBy(stratum).orderBy(priority.desc, id)
     df.withColumn("rank_in_stratum", row_number().over(w).cast("int"))
       .filter(col("rank_in_stratum") <= n)
