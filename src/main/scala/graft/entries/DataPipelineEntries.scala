@@ -87,6 +87,10 @@ object DataPipelineEntries {
   private val shuffleCkMod = 1000000L
   // Weighted-sample per-stratum cut (entry + oracle).
   private val WeightedTakeN = 5
+  // Segment-dedup word-window width (entry + oracle).
+  private val segDedupWords = 6
+  // Uniform negative-sampling partners per document (entry + oracle).
+  private val negativeK = 3
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -128,6 +132,10 @@ object DataPipelineEntries {
       .orderBy(col("df").desc, col("ngram")).limit(20)),
     // -- dedup -----------------------------------------------------------
     "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
+    // C4-style sub-document dedup: fixed word-window segments, corpus-
+    // wide first occurrence kept, documents reassembled from survivors.
+    "dedup_segments" -> q((s, d) =>
+      Dedup.dedupSegments(Tables.spread(Tables.documents(s, d)), segDedupWords)),
     "dedup_ngram_pairs" -> q((s, d) => ngramPairs(s, d)),
     // Pairs → clusters: one keeper (min doc_id) per connected component
     // of the near-dup graph — the step that turns pair detection into an
@@ -190,6 +198,13 @@ object DataPipelineEntries {
     // cannot silently trade recall away.
     "sim_recall" -> q((s, d) =>
       Similarity.recallAtK(knnBrute5(s, d).filter(col("rn") <= 3), ivfTop3(s, d))),
+    // Hard-negative mining: per query, the 5 most-similar vectors with
+    // a DIFFERENT label — the contrastive-batch counterpart of the
+    // uniform draw in sample_negatives.
+    "sim_hard_negatives" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < knnQueryCut), k = 5)
+    },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
     // Array-function surface over the embedding vectors.
@@ -383,6 +398,11 @@ object DataPipelineEntries {
         stratum = col("lang"), id = col("doc_id"), weight = col("n_chars"),
         n = WeightedTakeN)
         .select(col("lang"), col("rank_in_stratum"), col("doc_id"), col("n_chars"))),
+    // Uniform contrastive negatives: k deterministic partner ids per
+    // document over the dense id domain — zero data shuffles.
+    "sample_negatives" -> q((s, d) =>
+      graft.operators.Sampling.negativePairs(
+        Tables.documents(s, d).select(col("doc_id")), k = negativeK)),
     // Stable Pearson correlation of value vs hour-of-day per type —
     // all five moments in decimal sums (built-in corr is
     // partition-order-dependent in its co-moment updates).
@@ -846,6 +866,20 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // mirror of Dedup.dedupSegments: same word-window geometry, same
+    // (doc_id, seg_idx) first-occurrence rule, same in-order reassembly
+    "dedup_segments" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(ws[(i*$segDedupWords+1):((i+1)*$segDedupWords)], ' ') AS seg
+         |  FROM ws, unnest(range(CAST(ceil(len(ws) / $segDedupWords.0) AS BIGINT))) t(i)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY seg
+         |        ORDER BY doc_id, seg_idx) AS rn FROM seg)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_segs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS text_dedup
+         |FROM r GROUP BY 1""".stripMargin,
     "text_top_ngrams" ->
       s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |e AS (SELECT unnest(sh) AS ngram FROM s)
@@ -892,6 +926,19 @@ object DataPipelineEntries {
          |  FROM h GROUP BY 1)
          |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM b""".stripMargin,
     "sim_knn_brute" -> simKnnSql,
+    // simKnnSql with the label-mismatch predicate on the join — the
+    // hard-negative variant
+    "sim_hard_negatives" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |                   label AS ql
+         |            FROM embeddings WHERE vec_id < $knnQueryCut),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         |             label AS cl FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM qs JOIN c ON query_id != neighbor_id AND ql != cl),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
+         |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 5""".stripMargin,
     "sim_ivf_ann" -> simIvfSql,
     // identical output contract to the live search — same oracle
     "sim_ivf_stored" -> simIvfSql,
@@ -1170,6 +1217,18 @@ object DataPipelineEntries {
          |  FROM documents)
          |SELECT lang, rank_in_stratum, doc_id, n_chars
          |FROM r WHERE rank_in_stratum <= $WeightedTakeN""".stripMargin,
+    // mirror of Sampling.negativePairs: same hash-offset draw over the
+    // dense id domain, one SELECT per partner unrolled from negativeK
+    "sample_negatives" -> {
+      val picks = (0 until negativeK).map { j =>
+        s"""SELECT doc_id, ${j + 1} AS neg_rank,
+           |  (doc_id + 1 + ${pHash(s"CAST(doc_id AS VARCHAR) || '#$j'",
+                graft.operators.Sampling.DefaultNegativeSeed)} % (n - 1)) % n AS neg_id
+           |FROM documents, nn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents)
+         |$picks""".stripMargin
+    },
     "ev_corr" -> corrSql,
     // mirror of Sampling.stratifiedTake, generated from its own seed
     "sample_stratified" ->

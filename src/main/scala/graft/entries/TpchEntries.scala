@@ -3,8 +3,8 @@ package graft.entries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.expr.Functions.{stableAvg, stableRoundedSum}
-import graft.oracle.TaxiSql.Dialect.{rnd, rndSum, stableAvg => oStableAvg}
+import graft.expr.Functions.{stableAvg, stableRoundedSum, stableSum}
+import graft.oracle.TaxiSql.Dialect.{decSum, rnd, rndSum, stableAvg => oStableAvg}
 
 /** General relational-operator entries over the TPC-H-ish corpus: hash
   * aggregation, shuffled and broadcast joins, semi/anti joins, window
@@ -295,6 +295,54 @@ object TpchEntries {
       graft.operators.BloomJoin.bloomSemiJoin(probe, build, "o_custkey",
         expectedItems = 10000L, fpp = 0.01)
     },
+    // TPC-H Q4 shape (order priority checking): orders with at least
+    // one line shipped >90 days after the order date — an EXISTS whose
+    // predicate spans both tables, so the semi-join carries the
+    // inequality as a residual condition on the equi-join. One shuffle
+    // pair on the order key; the count group-by is low-cardinality.
+    "tpch_q4_late_orders" -> q { (s, d) =>
+      val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, d)
+        .join(late, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    // TPC-H Q17 shape (small-quantity revenue): a correlated scalar avg
+    // subquery, de-correlated into a per-part aggregate joined back —
+    // the brand slice of lineitem is scanned twice but never shuffled
+    // wide (the per-part cut is small after the brand filter, and the
+    // final agg is a single global row). stableAvg keeps the
+    // l_quantity < 0.2·avg comparison boundary bit-identical.
+    "tpch_q17_small_qty" -> q { (s, d) =>
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val cuts = li.groupBy(col("l_partkey").as("cut_partkey"))
+        .agg((lit(0.2) * stableAvg(col("l_quantity"))).as("qty_cut"))
+      li.join(cuts, col("l_partkey") === col("cut_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(round(stableSum(col("l_extendedprice")).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+    },
+    // TPC-H Q18 shape (large-volume orders): HAVING on a grouped sum
+    // feeding an IN-subquery join — expressed as the aggregate joined
+    // back to orders/customer, top-100 by order value. The quantity
+    // HAVING boundary rides the order-independent decimal sum.
+    "tpch_q18_large_orders" -> q { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(stableSum(col("l_quantity")).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -468,5 +516,34 @@ object TpchEntries {
       s"""SELECT c_mktsegment, count(*) AS n_cust,
          |  count(DISTINCT c_nationkey) AS n_nations,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
-         |FROM customer GROUP BY 1""".stripMargin)
+         |FROM customer GROUP BY 1""".stripMargin,
+    "tpch_q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+    "tpch_q17_small_qty" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#1'),
+         |cuts AS (
+         |  SELECT l_partkey AS cut_partkey,
+         |    0.2 * ${oStableAvg("l_quantity")} AS qty_cut
+         |  FROM li GROUP BY 1)
+         |SELECT ${rnd(s"CAST(${decSum("l_extendedprice")} AS DOUBLE) / 7.0", 2)} AS avg_yearly
+         |FROM li JOIN cuts ON l_partkey = cut_partkey
+         |WHERE l_quantity < qty_cut""".stripMargin,
+    "tpch_q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, CAST(${decSum("l_quantity")} AS DOUBLE) AS total_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(${decSum("l_quantity")} AS DOUBLE) > 250)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
 }

@@ -79,6 +79,52 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Segment-level exact dedup with document reassembly (the C4-style
+    * sub-document pass: boilerplate repeated ACROSS documents is removed
+    * while each document's unique remainder survives). Documents are cut
+    * into fixed `segWords`-word segments (the corpus has no paragraph
+    * delimiters; for delimited text substitute the split expression);
+    * the corpus-wide FIRST occurrence of each distinct segment — by
+    * (doc_id, seg_idx) — is kept, every later occurrence is dropped, and
+    * survivors are rejoined in order per document.
+    *
+    * Output: (doc_id, n_segs, n_kept, text_dedup), `text_dedup` null
+    * when every segment of the document was seen earlier.
+    *
+    * Two shuffles by construction: one on the segment for the
+    * first-occurrence ranking, one on doc_id for reassembly. At 100 TB
+    * shuffle (digest(seg), doc_id, seg_idx) instead of raw segment text
+    * for the ranking, then rejoin survivors to the exploded segments on
+    * doc_id — same plan shape, ~16-byte shuffle keys. Everything here is
+    * built-in expressions (split/slice/array_join + one ranking window
+    * + one aggregation), so the whole pass stays in codegen. */
+  def dedupSegments(docs: DataFrame, segWords: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nSegs = ceil(size(col("ws")) / lit(segWords.toDouble)).cast("int")
+    val segs = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), nSegs - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("ws"), col("seg_idx") * segWords + 1, lit(segWords)), " ")
+          .as("seg"))
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("joined"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).as("text_dedup"))
+  }
+
   /** Per-doc distinct word 3-gram shingles with their count. */
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),

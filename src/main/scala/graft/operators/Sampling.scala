@@ -138,6 +138,40 @@ object Sampling {
       .filter(col("rank_in_stratum") <= n)
   }
 
+  /** Seed for uniform negative sampling — independent like every other
+    * seed. */
+  val DefaultNegativeSeed = 23
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * `k` pseudo-random partner ids per document, never the document
+    * itself. Requires DENSE ids `[0, N)` (validated up front with one
+    * scalar aggregate — non-dense corpora reindex first): negative `j`
+    * of id `i` is `(i + 1 + hash(i#j) mod (N−1)) mod N`, so the offset
+    * lands in `[1, N−1]` and self-pairs are structurally impossible.
+    * Zero data shuffles — the draw is a pure per-row expression over the
+    * id DOMAIN, where an index-table formulation (the non-dense path)
+    * would pay a global row-number plus a join. Output: (doc_id,
+    * neg_rank 1..k, neg_id). */
+  def negativePairs(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id",
+                    seed: Int = DefaultNegativeSeed): DataFrame = {
+    require(k > 0, "k must be positive")
+    val stats = docs.agg(
+      count(lit(1)), min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    val n = stats.getLong(0)
+    require(n > 1, s"need at least 2 documents, got $n")
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"negativePairs requires dense ids [0, $n); got [${stats.getLong(1)}, ${stats.getLong(2)}]")
+    val negs = (0 until k).map { j =>
+      (col(idCol) + 1 +
+        Dedup.portableHash(concat(col(idCol).cast("string"), lit("#" + j)), seed)
+          % (n - 1)) % n
+    }
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(array(negs: _*)).as(Seq("j", "neg_id")))
+      .select(col("doc_id"), (col("j") + 1).cast("int").as("neg_rank"), col("neg_id"))
+  }
+
   def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
                      seed: Int = DefaultStratifiedSeed): DataFrame = {
     require(n > 0, "n must be positive")

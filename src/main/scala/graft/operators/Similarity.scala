@@ -83,6 +83,24 @@ object Similarity {
         .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the `k`
+    * MOST similar corpus vectors carrying a DIFFERENT label — the
+    * near-miss negatives that make a contrastive batch informative
+    * (uniform negatives are mostly trivially far). Same plan shape as
+    * [[knnBrute]]: queries broadcast, label mismatch rides the join
+    * condition so same-label candidates are dropped before scoring, and
+    * the per-query cut is the bounded aggregator. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("label").as("q_label"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label").as("c_label"))
+    topKPerQuery(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
+          col("q_label") =!= col("c_label"))
+        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
   /** The centroid set collapsed to ONE row holding an array of
     * (centroid_id, centroid_vector) structs — broadcast as the build side
     * of a single-row nested-loop join, each task then scans the array in

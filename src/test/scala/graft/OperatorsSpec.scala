@@ -767,6 +767,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == got)
     // exact-size draw per stratum
     assert(Sampling.weightedTake(df, $"lang", $"doc_id", $"w", n = 3).count() == 6)
+    // non-positive weights raise instead of silently never sampling
+    val bad = Seq((1L, "en", 0L), (2L, "en", 5L)).toDF("doc_id", "lang", "w")
+    val e = intercept[Throwable] {
+      Sampling.weightedTake(bad, $"lang", $"doc_id", $"w", n = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("positive weights")))
+  }
+
+  test("dedupSegments keeps the corpus-wide first occurrence and reassembles in order") {
+    val df = docs((1L, "en", "a b c d"), (2L, "en", "c d e f"), (3L, "en", "a b"))
+    val got = Dedup.dedupSegments(df, segWords = 2).orderBy("doc_id").collect()
+    // doc 1 owns the first occurrence of both its segments
+    assert(got(0).getInt(1) == 2 && got(0).getInt(2) == 2 &&
+      got(0).getString(3) == "a b c d")
+    // doc 2 loses 'c d' (first seen in doc 1), keeps 'e f'
+    assert(got(1).getInt(1) == 2 && got(1).getInt(2) == 1 &&
+      got(1).getString(3) == "e f")
+    // doc 3's only segment was seen earlier → null remainder
+    assert(got(2).getInt(1) == 1 && got(2).getInt(2) == 0 && got(2).isNullAt(3))
+    // a repeat within the SAME document drops too (first by seg_idx wins)
+    val r = Dedup.dedupSegments(docs((1L, "en", "x y x y z")), segWords = 2).head()
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2 && r.getString(3) == "x y z")
+  }
+
+  test("hardNegatives ranks only different-label neighbors") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0.01f), 0), // same label: nearest overall, must be excluded
+      (3L, Array(0.9f, 0.1f), 1), // different label: the hard negative
+      (4L, Array(0f, 1f), 1),
+      (5L, Array(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 1), k = 2)
+      .orderBy("rn").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 4L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("negativePairs draws k in-range non-self partners; non-dense ids refused") {
+    val df = (0L until 10L).toDF("doc_id")
+    val rows = Sampling.negativePairs(df, k = 3).collect()
+    assert(rows.length == 30)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 10 &&
+      r.getLong(2) != r.getLong(0)))
+    // deterministic across runs, moved by the seed
+    assert(Sampling.negativePairs(df, k = 3).collect().toSet == rows.toSet)
+    assert(Sampling.negativePairs(df, k = 3, seed = 99).collect().toSet != rows.toSet)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.negativePairs((1L to 5L).toDF("doc_id"), k = 1)
+    }
+    assert(e.getMessage.contains("dense"))
   }
 
   test("bloomSemiJoin equals the exact semi-join; empty build side yields empty") {

@@ -170,6 +170,22 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
   }
 
+  test("negativePairs is a zero-shuffle map pass over the id domain") {
+    val docs = (0L until 50L).toDF("doc_id")
+    val plan = graft.operators.Sampling.negativePairs(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"negative draw must not shuffle:\n$plan")
+  }
+
+  test("dedupSegments runs on exactly two exchanges (rank by segment, regroup by doc)") {
+    val docs = (1L to 50L).map(i => (i, "en", s"w$i x y z a b c d"))
+      .toDF("doc_id", "lang", "text")
+    val plan = graft.operators.Dedup.dedupSegments(docs, segWords = 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges in:\n$plan")
+  }
+
   test("corpus shuffle's per-shard aggregate reuses the shard partitioning (one exchange total)") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Sampling
