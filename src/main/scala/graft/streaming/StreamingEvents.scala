@@ -89,6 +89,23 @@ object StreamingEvents extends Serializable {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment join — the lookup shape every production
+    * pipeline has (events ⨝ dimension): each micro-batch joins a
+    * STATIC bounded dimension, broadcast per batch, so the join adds
+    * ZERO streaming state — only the downstream windowed aggregate
+    * holds any. Inner semantics: stream rows without a dim match drop
+    * (the dim defines the enrichment domain). Tumbling totals per
+    * (window, tier) with the order-independent decimal sum, so a
+    * bounded replay is bit-comparable to the batch oracle. */
+  def tierTotals(stream: DataFrame, dim: DataFrame,
+                 width: String = "1 hour"): DataFrame =
+    stream.join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("ts").cast("timestamp"), width), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.expr.Functions.stableRoundedSum(col("value"), 2).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("tier"), col("n_events"), col("total_value"))
+
   /** Stream-stream interval join — the attribution shape (impressions ⨝
     * clicks within a time window): equal keys AND the right timestamp
     * inside `[left.ts, left.ts + withinMinutes]`. BOTH the watermarks

@@ -777,6 +777,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chain(e).exists(m => m != null && m.contains("positive weights")))
   }
 
+  test("heavyHitters finds every guaranteed hitter exactly, across partitionings") {
+    // 2000 'hot' + 1000 'warm' + 1000 singletons: with capacity 16 the
+    // error bound is n/16 = 250, so both hot and warm are guaranteed
+    val items = (Seq.fill(2000)("hot") ++ Seq.fill(1000)("warm") ++
+      (1 to 1000).map(i => s"cold$i"))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.toDF("word").repartition(parts)
+      val got = Sketches.heavyHitters(df, "word", capacity = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("hot") == 2000L && got("warm") == 1000L,
+        s"guaranteed hitters missing/miscounted at $parts partitions: $got")
+      // counts are EXACT for every emitted candidate (pass 2 is exact)
+      assert(got.forall { case (w, n) =>
+        n == items.count(_ == w)
+      }, s"candidate counts not exact: $got")
+    }
+    // threshold n/4 = 1000: only 'hot' survives a caller-side cut
+    val df = items.toDF("word")
+    val cut = Sketches.heavyHitters(df, "word", capacity = 16)
+      .filter($"n_occurrences" > items.length / 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut == Seq("hot"))
+  }
+
   test("dedupSegments keeps the corpus-wide first occurrence and reassembles in order") {
     val df = docs((1L, "en", "a b c d"), (2L, "en", "c d e f"), (3L, "en", "a b"))
     val got = Dedup.dedupSegments(df, segWords = 2).orderBy("doc_id").collect()

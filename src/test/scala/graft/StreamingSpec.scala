@@ -99,6 +99,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("stream-static enrichment join drops unmapped types, aggregates per tier") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.25, "{}"),
+      (2L, ts("2024-01-01 10:25:00"), 8L, "view", 2.25, "{}"),
+      (3L, ts("2024-01-01 10:45:00"), 7L, "purchase", 10.0, "{}"),
+      (4L, ts("2024-01-01 10:50:00"), 9L, "unmapped", 99.0, "{}")) // no dim row
+    val dir = Files.createTempDirectory("graft_static_join").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq("click" -> "engagement", "view" -> "engagement",
+      "purchase" -> "conversion").toDF("event_type", "tier")
+    val q = StreamingEvents.tierTotals(StreamingEvents.fromParquetDir(spark, dir), dim)
+      .writeStream.format("memory").queryName("static_join_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("static_join_test")
+      .select($"tier", $"n_events", $"total_value")
+      .orderBy("tier").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("conversion", 1L, 10.0), ("engagement", 2L, 3.5)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     // the production variant of stream_dedup_exact: state for a key is
     // dropped once the watermark passes it, so state is bounded by the
