@@ -103,6 +103,18 @@ object DataPipelineEntries {
   // the two-pass result is exact.
   private val hhCapacity = 64
   private val hhThresholdDiv = 32
+  // Resize target geometry (mm_resize entry + oracle).
+  private val resizeW = 12
+  private val resizeH = 10
+  // Debounce burst window (ev_debounce entry + oracle) — sized to the
+  // corpus's sparse per-(user, type) cadence so bursts actually form.
+  private val debounceSecs = 86400L
+  // Winsorization percentile envelope (ev_winsorize entry + oracle).
+  private val winsorLo = 0.05
+  private val winsorHi = 0.95
+  // Fuzzy-match probe vocabulary and distance cut (entry + oracle).
+  private val fuzzyProbes = Seq("tabel", "qury", "windw", "joinn", "filtr")
+  private val fuzzyMaxDist = 2
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -142,6 +154,16 @@ object DataPipelineEntries {
       .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(20)),
+    // Fuzzy vocabulary match: each distinct corpus word to its best
+    // probe within edit distance 2 (typo normalization on the built-in
+    // levenshtein; probes broadcast).
+    "text_fuzzy_match" -> q { (s, d) =>
+      import s.implicits._
+      TextAnalysis.fuzzyMatch(
+        Tables.spread(Tables.documents(s, d))
+          .select(explode(split(col("text"), " ")).as("word")),
+        fuzzyProbes.toDF("probe"), fuzzyMaxDist)
+    },
     // Two-pass heavy hitters: Misra–Gries candidate pass (bounded
     // state, no full-cardinality shuffle) + exact count of candidates
     // only; thresholded at total/32 > n/capacity, where the superset
@@ -241,6 +263,16 @@ object DataPipelineEntries {
       round(Similarity.l2Norm(col("embedding")), 6).as("l2"))),
     // -- events ----------------------------------------------------------
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
+    // Burst debounce: same lag+cumsum shape as sessionize per
+    // (user, type); only each burst's first event survives.
+    "ev_debounce" -> q((s, d) =>
+      Events.debounce(Tables.events(s, d), withinSeconds = debounceSecs)),
+    // Percentile winsorization: values clamped into the per-type
+    // [p05, p95] envelope, cuts rounded to pin the boundary.
+    "ev_winsorize" -> q((s, d) =>
+      graft.operators.Sketches.winsorize(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"), winsorLo, winsorHi)),
     "ev_tumbling" -> q((s, d) => Events.tumbling(Tables.events(s, d), "1 hour")),
     // Sliding windows: 1-hour windows every 30 minutes — each event in
     // exactly two windows, expanded map-side before ONE shuffle.
@@ -574,6 +606,14 @@ object DataPipelineEntries {
         .select(col("doc_id"), col("media_type"), col("decoded"),
           col("width"), col("height"), col("channels"),
           col("sample_rate"), col("n_frames"))),
+    // Resize stage over the corpus containers: image payloads re-encoded
+    // at (resizeW, resizeH) and DECODED AGAIN — the graded geometry is
+    // the round-tripped container's, catching a codec that mangles the
+    // resize; audio/video/corrupt payloads take the resized=false row.
+    "mm_resize" -> q((s, d) =>
+      Multimodal.resizeAll(
+        Multimodal.corpusMedia(Tables.spread(Tables.documents(s, d))),
+        resizeW, resizeH).toDF()),
     // REAL decode path, oracle-graded: deterministic in-entry containers
     // (gradient PNG, PCM WAV, animated GIF as the multi-frame video
     // stand-in, plus a corrupt payload for the skip policy) through
@@ -909,6 +949,18 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // mirror of TextAnalysis.fuzzyMatch: both engines implement unit
+    // edit distance exactly, so only the ranking tie-break needs care
+    "text_fuzzy_match" -> {
+      val values = fuzzyProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+         |p(probe) AS (VALUES $values),
+         |d AS (SELECT word, probe, CAST(levenshtein(word, probe) AS INTEGER) AS dist
+         |      FROM w CROSS JOIN p),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY word ORDER BY dist, probe) AS rn
+         |      FROM d WHERE dist <= $fuzzyMaxDist)
+         |SELECT word, probe, dist FROM r WHERE rn = 1""".stripMargin
+    },
     // exact heavy hitters: the sketch is candidate generation only, so
     // the oracle is the plain thresholded count — any sketch defect
     // that loses a guaranteed hitter (or the threshold drifting under
@@ -1025,6 +1077,35 @@ object DataPipelineEntries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    // mirror of Events.debounce: same burst boundary, first-of-burst
+    // survivor, burst size
+    "ev_debounce" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+         |             ORDER BY ts, event_id) AS prev FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > ${debounceSecs * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id, event_type
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_idx
+         |      FROM f),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst_idx
+         |        ORDER BY ts, event_id) AS rn,
+         |        count(*) OVER (PARTITION BY user_id, event_type, burst_idx) AS burst_size
+         |      FROM x)
+         |SELECT user_id, event_type, event_id, ts, burst_idx, burst_size
+         |FROM r WHERE rn = 1""".stripMargin,
+    // mirror of Sketches.winsorize: cuts rounded to 6 before the clip
+    // comparison — the pin that keeps the boundary engine-independent
+    "ev_winsorize" ->
+      s"""WITH cuts AS (SELECT event_type,
+         |    ${rnd(s"quantile_cont(value, $winsorLo)", 6)} AS lo_cut,
+         |    ${rnd(s"quantile_cont(value, $winsorHi)", 6)} AS hi_cut
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, e.event_type, value, lo_cut, hi_cut,
+         |  least(greatest(value, lo_cut), hi_cut) AS clipped,
+         |  (value < lo_cut OR value > hi_cut) AS is_clipped
+         |FROM events e JOIN cuts USING (event_type)""".stripMargin,
     // each event lands in exactly two 1 h windows: the ones starting at
     // its 30-min bucket and 30 min before (time_bucket's default origin
     // is a whole multiple of 30 min from the epoch, matching Spark's
@@ -1453,6 +1534,18 @@ object DataPipelineEntries {
         |  (3, 'video', true,  8,  5, 3, 0,    3),
         |  (4, 'image', false, 0,  0, 0, 0,    0)
         |) AS t(doc_id, media_type, decoded, width, height, channels, sample_rate, n_frames)""".stripMargin,
+    // Resize mirror from the same geometry: image-kind non-corrupt ids
+    // round-trip at exactly the target (resizeW, resizeH) with PNG
+    // RGB → 3 channels; everything else takes the skip row.
+    "mm_resize" -> {
+      import Multimodal._
+      val resized = s"(doc_id % 3 = 0 AND NOT doc_id % $CorruptMod = $CorruptResidue)"
+      s"""SELECT doc_id, $resized AS resized,
+         |  CAST(CASE WHEN $resized THEN $resizeW ELSE 0 END AS INTEGER) AS width,
+         |  CAST(CASE WHEN $resized THEN $resizeH ELSE 0 END AS INTEGER) AS height,
+         |  CAST(CASE WHEN $resized THEN 3 ELSE 0 END AS INTEGER) AS channels
+         |FROM documents""".stripMargin
+    },
     // Container metadata pinned arithmetically from the generator's
     // geometry constants (interpolated from Multimodal so Spark and
     // oracle cannot drift). channels relies on the same JDK color-model

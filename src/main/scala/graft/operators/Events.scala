@@ -39,6 +39,32 @@ object Events {
         stableRoundedSum(col("value"), 2).as("total_value"))
   }
 
+  /** Burst debounce — telemetry cleaning: events of the same
+    * (user_id, event_type) arriving within `withinSeconds` of their
+    * predecessor form one burst; only the burst's FIRST event survives,
+    * annotated with the burst size. The burst boundary is the same
+    * lag+cumsum shape as [[sessionize]] (a burst is a micro-session),
+    * so the whole pass is one shuffle on the user key and two window
+    * functions over the same partitioning — no self-joins, no second
+    * exchange. */
+  def debounce(events: DataFrame, withinSeconds: Long = 300L): DataFrame = {
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    val order = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(order)
+    val gapUs = withinSeconds * 1000000L
+    events
+      .withColumn("is_new",
+        when(prev.isNull || epochUs(col("ts")) - epochUs(prev) > gapUs, 1).otherwise(0))
+      .withColumn("burst_idx", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("event_type"), col("burst_idx"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        count(lit(1)).as("burst_size"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("event_id"), col("first.ts").as("ts"),
+        col("burst_idx"), col("burst_size"))
+  }
+
   /** Tumbling time windows via Spark's `window()` operator (epoch-aligned,
     * so a 1-hour window starts on the hour). Output key is the window
     * start, zone-less. */

@@ -19,6 +19,13 @@ final case class DecodedMedia(doc_id: Long, media_type: String, byte_len: Int,
                               channels: Int, sample_rate: Int, n_frames: Long,
                               embedding: Array[Float], content_hash: String)
 
+/** A resized-and-reverified media item: the re-encoded container was
+  * decoded again, so the recorded geometry is what a downstream
+  * consumer will actually read. `resized = false` for non-image or
+  * undecodable payloads (skip-don't-crash). */
+final case class ResizedMedia(doc_id: Long, resized: Boolean,
+                              width: Int, height: Int, channels: Int)
+
 /** Multimodal-column plumbing: schema, partition-preserving batch shape,
   * and the decode/feature-extract pass as typed `mapPartitions` (the
   * Scala analogue of a vectorized Python `mapInPandas` stage — one
@@ -177,6 +184,25 @@ object Multimodal extends Serializable {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     } catch { case _: Exception => None }
+
+  /** The resize stage as a typed per-partition pass: image payloads are
+    * re-encoded at (w, h) via [[resizeImage]] and then DECODED AGAIN —
+    * the recorded geometry comes from the round-tripped container, not
+    * from trusting the encoder, so a codec that silently mangles the
+    * resize fails the pass visibly. Non-image and undecodable payloads
+    * take the `resized = false` row. */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out =
+        if (r.media_type == "image") resizeImage(r.content, w, h).flatMap(decodeImage)
+        else None
+      out match {
+        case Some((dw, dh, ch, _)) => ResizedMedia(r.doc_id, resized = true, dw, dh, ch)
+        case None => ResizedMedia(r.doc_id, resized = false, 0, 0, 0)
+      }
+    })
+  }
 
   /** Real decode dispatch. Undecodable bytes take the `decoded = false`
     * row — skip-don't-crash, with the payload hash kept so corrupt items

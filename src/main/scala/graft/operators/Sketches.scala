@@ -59,6 +59,35 @@ object Sketches {
     df.groupBy(group).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Percentile winsorization — outlier clipping for feature columns:
+    * every value clamped into its group's `[pLo, pHi]` exact-percentile
+    * envelope, with the original value and an `is_clipped` flag kept
+    * for audit. The cuts are ROUNDED to 6 decimals before comparing:
+    * interpolated quantiles agree across engines only to ~1e-7, and an
+    * unrounded cut would make the clip boundary engine-dependent — the
+    * same pinning trick as the rest of the oracle surface. Two passes
+    * over the input (cut aggregation + broadcast-join application);
+    * exact percentiles hold per-group values in memory — the
+    * [[quantileGate]] class doc records why the approx sketch is the
+    * 100 TB path for the CUT side while this exact form anchors
+    * grading. Adds (lo_cut, hi_cut, clipped, is_clipped). */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 < pLo && pLo < pHi && pHi < 1,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    val clash = Seq("lo_cut", "hi_cut", "clipped", "is_clipped", "w_group")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"winsorize generates ${clash.mkString(", ")}, which already exist on the input; rename first")
+    val cuts = df.groupBy(group.as("w_group"))
+      .agg(round(percentile(value, lit(pLo)), 6).as("lo_cut"),
+        round(percentile(value, lit(pHi)), 6).as("hi_cut"))
+    df.join(broadcast(cuts), group === col("w_group"))
+      .withColumn("clipped", least(greatest(value, col("lo_cut")), col("hi_cut")))
+      .withColumn("is_clipped", value < col("lo_cut") || value > col("hi_cut"))
+      .drop("w_group")
+  }
+
   /** Mergeable Misra–Gries frequency summary of capacity `k`: after any
     * sequence of reduces and merges (prune-to-k on merge), every item
     * with true frequency > n/k is guaranteed a surviving entry — the

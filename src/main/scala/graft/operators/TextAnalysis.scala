@@ -219,4 +219,27 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Fuzzy vocabulary matching: each distinct `word` paired with its
+    * best `probe` at edit distance ≤ `maxDist` (ties → lexicographically
+    * smallest probe) — the typo-normalization / query-correction step,
+    * entirely on the codegen'd built-in `levenshtein`. The probe side
+    * broadcasts (it is a curated list, never corpus-sized), so the
+    * corpus side is never shuffled for the pairing; the only exchanges
+    * are the word `distinct` and the per-word ranking window. Output:
+    * (word, probe, dist). */
+  def fuzzyMatch(words: org.apache.spark.sql.DataFrame,
+                 probes: org.apache.spark.sql.DataFrame,
+                 maxDist: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("dist"), col("probe"))
+    words.select(col("word")).distinct()
+      .crossJoin(broadcast(probes.select(col("probe"))))
+      .withColumn("dist", levenshtein(col("word"), col("probe")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("word"), col("probe"), col("dist"))
+  }
 }

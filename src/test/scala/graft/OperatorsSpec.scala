@@ -777,6 +777,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chain(e).exists(m => m != null && m.contains("positive weights")))
   }
 
+  test("debounce keeps each burst's first event with the burst size") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0), // burst 1 head
+      (2L, ts("2024-01-01 10:01:00"), 7L, "click", 1.0), // suppressed
+      (3L, ts("2024-01-01 10:03:00"), 7L, "click", 1.0), // suppressed (chained)
+      (4L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0), // burst 2 head
+      (5L, ts("2024-01-01 10:00:30"), 7L, "view", 1.0),  // other type: own burst
+      (6L, ts("2024-01-01 10:00:30"), 8L, "click", 1.0)) // other user: own burst
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.debounce(ev, withinSeconds = 300)
+      .select("event_id", "burst_size").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("winsorize clamps into the rounded percentile envelope") {
+    val df = (1 to 100).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "g", "v")
+    val got = Sketches.winsorize(df, $"g", $"v")
+    val cuts = got.select("lo_cut", "hi_cut").head()
+    assert(cuts.getDouble(0) == 5.95 && cuts.getDouble(1) == 95.05)
+    val clipped = got.filter($"is_clipped").select("v").as[Double].collect().toSet
+    assert(clipped == ((1 to 5) ++ (96 to 100)).map(_.toDouble).toSet)
+    // clamped values sit exactly on the cuts
+    assert(got.filter($"v" === 1.0).head().getAs[Double]("clipped") == 5.95)
+    assert(got.filter($"v" === 100.0).head().getAs[Double]("clipped") == 95.05)
+    assert(got.filter($"v" === 50.0).head().getAs[Double]("clipped") == 50.0)
+    // reserved output columns refused
+    val e = intercept[IllegalArgumentException] {
+      Sketches.winsorize(df.withColumn("clipped", lit(1)), $"g", $"v")
+    }
+    assert(e.getMessage.contains("clipped"))
+  }
+
+  test("fuzzyMatch pairs words with their closest probe within the cut") {
+    val words = Seq("table", "query", "zzz", "query").toDF("word")
+    val probes = Seq("tabel", "qury").toDF("probe")
+    val got = TextAnalysis.fuzzyMatch(words, probes, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("table", "tabel", 2), ("query", "qury", 1)))
+  }
+
+  test("resizeAll round-trips images at the target geometry, skips the rest") {
+    val recs = Seq(
+      MediaRecord(1L, "image", MediaPayloads.png(16, 9)),
+      MediaRecord(2L, "audio", MediaPayloads.wav(8000, 100)),
+      MediaRecord(3L, "image", "not an image".getBytes("UTF-8")))
+    val got = Multimodal.resizeAll(spark.createDataset(recs), 4, 3)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L) == ResizedMedia(1L, resized = true, 4, 3, 3))
+    assert(!got(2L).resized && !got(3L).resized)
+  }
+
   test("heavyHitters finds every guaranteed hitter exactly, across partitionings") {
     // 2000 'hot' + 1000 'warm' + 1000 singletons: with capacity 16 the
     // error bound is n/16 = 250, so both hot and warm are guaranteed
