@@ -115,6 +115,9 @@ object DataPipelineEntries {
   // Fuzzy-match probe vocabulary and distance cut (entry + oracle).
   private val fuzzyProbes = Seq("tabel", "qury", "windw", "joinn", "filtr")
   private val fuzzyMaxDist = 2
+  // Budget water-fill fraction (corpus_budget entry + oracle): half
+  // the corpus, so some sources saturate and some float at every SF.
+  private val budgetFrac = 0.5
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -460,6 +463,19 @@ object DataPipelineEntries {
     "sample_negatives" -> q((s, d) =>
       graft.operators.Sampling.negativePairs(
         Tables.documents(s, d).select(col("doc_id")), k = negativeK)),
+    // Token-budget allocation: per-source token caps (one aggregation
+    // pass) water-filled against mixture weights derived from the
+    // source id — min(cap, λ·w) with λ at the saturation crossing.
+    "corpus_budget" -> q { (s, d) =>
+      val stats = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).cast("double").as("cap"))
+        .withColumn("w",
+          (lit(1) + lit(2) * (substring(col("source"), 4, 10).cast("int") % 5))
+            .cast("double"))
+      graft.operators.Sampling.waterFill(
+        stats.select("source", "w", "cap"), budgetFrac)
+    },
     // Stable Pearson correlation of value vs hour-of-day per type —
     // all five moments in decimal sums (built-in corr is
     // partition-order-dependent in its co-moment updates).
@@ -1359,6 +1375,32 @@ object DataPipelineEntries {
          |  FROM documents)
          |SELECT lang, rank_in_stratum, doc_id, n_chars
          |FROM r WHERE rank_in_stratum <= $WeightedTakeN""".stripMargin,
+    // mirror of Sampling.waterFill: same saturation-order windows, same
+    // crossing rule; sums over integer-valued doubles are exact, so the
+    // λ comparison cannot drift between engines
+    "corpus_budget" ->
+      s"""WITH stats AS (
+         |  SELECT source,
+         |    CAST(1 + 2 * (CAST(substr(source, 4) AS INTEGER) % 5) AS DOUBLE) AS w,
+         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS cap
+         |  FROM documents GROUP BY 1),
+         |b AS (SELECT *, cap / w AS ratio,
+         |        CAST(row_number() OVER (ORDER BY cap / w, source) AS INTEGER) AS rn
+         |      FROM stats),
+         |l AS (SELECT *,
+         |        ((SELECT sum(cap) FROM stats) * $budgetFrac
+         |          - coalesce(sum(cap) OVER (ORDER BY ratio, source
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+         |        / sum(w) OVER (ORDER BY ratio, source
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lam
+         |      FROM b),
+         |f AS (SELECT *, min(CASE WHEN lam < ratio THEN rn END) OVER () AS first_pos FROM l),
+         |g AS (SELECT *, min(CASE WHEN rn = first_pos THEN lam END) OVER () AS lam_star,
+         |        (first_pos IS NULL OR rn < first_pos) AS saturated FROM f)
+         |SELECT source, w, cap,
+         |  ${rnd("CASE WHEN saturated THEN cap ELSE lam_star * w END", 2)} AS alloc,
+         |  saturated
+         |FROM g""".stripMargin,
     // mirror of Sampling.negativePairs: same hash-offset draw over the
     // dense id domain, one SELECT per partner unrolled from negativeK
     "sample_negatives" -> {

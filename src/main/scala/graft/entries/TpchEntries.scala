@@ -22,6 +22,24 @@ object TpchEntries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { GraftSession.tune(s); f(s, d) }
 
+  /** The deterministic merge fixture shared by `tpch_merge_upsert` and
+    * `tpch_table_diff`: every 7th key updated (status 'U', price +10%),
+    * every 21st deleted, every 11th re-inserted under a shifted key. */
+  private def mergedOrders(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val target = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
+        (col("o_orderkey") % 21 === 0).as("_del"))
+    val inserts = orders.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
+        lit(false).as("_del"))
+    graft.operators.Merge.upsert(target, updates.unionAll(inserts),
+      "o_orderkey", deleteCol = Some("_del"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = EntryMap(
     // TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline.
     "tpch_q1_pricing" -> q { (s, d) =>
@@ -257,19 +275,15 @@ object TpchEntries {
     // every 7th key updated (status 'U', price +10%), every 21st
     // deleted, every 11th re-inserted under a shifted key — applied via
     // one full-outer join; output is the post-merge table.
-    "tpch_merge_upsert" -> q { (s, d) =>
-      val orders = Tables.orders(s, d)
-      val target = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val updates = orders.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          round(col("o_totalprice") * 1.1, 2).as("o_totalprice"),
-          (col("o_orderkey") % 21 === 0).as("_del"))
-      val inserts = orders.filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice"),
-          lit(false).as("_del"))
-      graft.operators.Merge.upsert(target, updates.unionAll(inserts),
-        "o_orderkey", deleteCol = Some("_del"))
+    "tpch_merge_upsert" -> q((s, d) => mergedOrders(s, d)),
+    // Keyed table diff (reconciliation): the pre-merge orders table
+    // diffed against the post-merge one — updates surface as
+    // `changed`, deletes as `only_left`, shifted-key inserts as
+    // `only_right`; the untouched mass is never emitted.
+    "tpch_table_diff" -> q { (s, d) =>
+      val target = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Merge.tableDiff(target, mergedOrders(s, d), "o_orderkey")
     },
     // ROLLUP with grouping() flags — unlike tpch_rollup's 'ALL'
     // labeling, the flags disambiguate REAL null keys from subtotal
@@ -493,26 +507,19 @@ object TpchEntries {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE year(o_orderdate) = 1997
          |GROUP BY 1""".stripMargin,
-    "tpch_merge_upsert" ->
-      s"""WITH src AS (
-         |  SELECT o_orderkey, 'U' AS o_orderstatus,
-         |    ${rnd("o_totalprice * 1.1", 2)} AS o_totalprice,
-         |    o_orderkey % 21 = 0 AS del
-         |  FROM orders WHERE o_orderkey % 7 = 0
-         |  UNION ALL
-         |  SELECT o_orderkey + 1000000000, 'N', 1.0, false
-         |  FROM orders WHERE o_orderkey % 11 = 0),
-         |m AS (
-         |  SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-         |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
-         |         ELSE t.o_orderstatus END AS o_orderstatus,
-         |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
-         |         ELSE t.o_totalprice END AS o_totalprice,
-         |    s.del
-         |  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
-         |  FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
-         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m
-         |WHERE del IS DISTINCT FROM true""".stripMargin,
+    "tpch_merge_upsert" -> mergeResultSql,
+    "tpch_table_diff" ->
+      s"""WITH merged AS ($mergeResultSql),
+         |t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |j AS (SELECT t.o_orderkey AS lk, m.o_orderkey AS rk,
+         |        CASE WHEN m.o_orderkey IS NULL THEN 'only_left'
+         |             WHEN t.o_orderkey IS NULL THEN 'only_right'
+         |             WHEN NOT (t.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+         |                       AND t.o_totalprice IS NOT DISTINCT FROM m.o_totalprice)
+         |             THEN 'changed' END AS diff_status
+         |      FROM t FULL OUTER JOIN merged m ON t.o_orderkey = m.o_orderkey)
+         |SELECT coalesce(lk, rk) AS o_orderkey, diff_status
+         |FROM j WHERE diff_status IS NOT NULL""".stripMargin,
     "tpch_grouping_flags" ->
       s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
          |  ${rndSum("c_acctbal", 2)} AS sum_bal,
@@ -575,4 +582,27 @@ object TpchEntries {
          |JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+
+  /** Post-merge orders — the `tpch_merge_upsert` oracle, reused as a
+    * CTE by the `tpch_table_diff` oracle. */
+  private lazy val mergeResultSql =
+    s"""WITH src AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus,
+       |    ${rnd("o_totalprice * 1.1", 2)} AS o_totalprice,
+       |    o_orderkey % 21 = 0 AS del
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000, 'N', 1.0, false
+       |  FROM orders WHERE o_orderkey % 11 = 0),
+       |m AS (
+       |  SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+       |         ELSE t.o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+       |         ELSE t.o_totalprice END AS o_totalprice,
+       |    s.del
+       |  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
+       |  FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM m
+       |WHERE del IS DISTINCT FROM true""".stripMargin
 }

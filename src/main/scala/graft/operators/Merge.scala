@@ -59,4 +59,35 @@ object Merge {
         dataCols.map(c =>
           when(matchedSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
+
+  /** Keyed table diff — the reconciliation operator (migration
+    * validation, replica drift detection, CDC audit): one full-outer
+    * join on the key, each matched pair compared null-safely column by
+    * column. Emits ONLY disagreeing keys with a status —
+    * `only_left` / `only_right` / `changed` — so the common case
+    * (tables agree) returns an empty frame and never materializes the
+    * agreeing mass. One shuffle per side on the key; the comparison is
+    * a codegen'd conjunction, no row serialization or hashing pass.
+    * Both sides must share `key` and `compareCols` (defaults to every
+    * non-key column of `left`, which must then exist on `right`). */
+  def tableDiff(left: DataFrame, right: DataFrame, key: String,
+                compareCols: Seq[String] = Nil): DataFrame = {
+    val cols = if (compareCols.nonEmpty) compareCols
+      else left.columns.filterNot(_ == key).toSeq
+    val missing = (key +: cols).filterNot(c =>
+      left.columns.contains(c) && right.columns.contains(c))
+    require(missing.isEmpty,
+      s"tableDiff columns absent from a side: ${missing.mkString(", ")}")
+    val l = left.select((key +: cols).map(col): _*).alias("l")
+    val r = right.select((key +: cols).map(col): _*).alias("r")
+    val same = cols.map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    l.join(r, col(s"l.$key") === col(s"r.$key"), "full_outer")
+      .withColumn("diff_status",
+        when(col(s"r.$key").isNull, "only_left")
+          .when(col(s"l.$key").isNull, "only_right")
+          .when(!same, "changed"))
+      .filter(col("diff_status").isNotNull)
+      .select(coalesce(col(s"l.$key"), col(s"r.$key")).as(key), col("diff_status"))
+  }
 }

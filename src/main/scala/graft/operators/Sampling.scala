@@ -172,6 +172,47 @@ object Sampling {
       .select(col("doc_id"), (col("j") + 1).cast("int").as("neg_rank"), col("neg_id"))
   }
 
+  /** Token-budget allocation across corpus sources (water-filling): the
+    * mixture step that turns "weights + a global token budget" into
+    * per-source token allocations. Each source gets
+    * `min(cap, λ·w)` — proportional to its mixture weight `w` until its
+    * available tokens `cap` run out — with the water level λ chosen so
+    * the allocations sum to the budget (every source capped when the
+    * budget exceeds the total). Closed form, no iteration: sources
+    * sorted by cap/w (saturation order), the crossing found via prefix
+    * cap / suffix weight sums, λ read at the crossing row.
+    *
+    * `stats` is the PER-SOURCE profile (source, w, cap) — O(sources)
+    * rows, so the global-ordering windows here are bounded by the
+    * source count, never the corpus (the corpus-sized work is the
+    * aggregation that builds `stats`, which shuffles once on source).
+    * Adds (alloc rounded to 2, saturated); budget = total cap ×
+    * `budgetFraction`. */
+  def waterFill(stats: DataFrame, budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0, "budgetFraction must be positive")
+    val ord = Window.orderBy(col("ratio"), col("source"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
+      .withColumn("ratio", col("cap") / col("w"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("lam",
+        (sum(col("cap")).over(all) * budgetFraction
+          - coalesce(sum(col("cap")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+          / sum(col("w")).over(
+            ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("first_pos", min(when(col("lam") < col("ratio"), col("rn"))).over(all))
+      .withColumn("lam_star",
+        min(when(col("rn") === col("first_pos"), col("lam"))).over(all))
+      .withColumn("saturated",
+        col("first_pos").isNull || col("rn") < col("first_pos"))
+      .select(col("source"), col("w"), col("cap"),
+        round(when(col("saturated"), col("cap"))
+          .otherwise(col("lam_star") * col("w")), 2).as("alloc"),
+        col("saturated"))
+  }
+
   def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
                      seed: Int = DefaultStratifiedSeed): DataFrame = {
     require(n > 0, "n must be positive")

@@ -829,6 +829,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(2L).resized && !got(3L).resized)
   }
 
+  test("waterFill saturates small-ratio sources, floats the rest at λ·w") {
+    val stats = Seq(("A", 1.0, 10.0), ("B", 1.0, 100.0)).toDF("source", "w", "cap")
+    // budget = 0.5 · 110 = 55: A (ratio 10) saturates, B floats at
+    // λ = (55 − 10) / 1 = 45
+    val got = Sampling.waterFill(stats, 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got == Map("A" -> (10.0, true), "B" -> (45.0, false)))
+    // budget beyond the total: everyone capped
+    val full = Sampling.waterFill(stats, 2.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(full == Map("A" -> (10.0, true), "B" -> (100.0, true)))
+  }
+
+  test("tableDiff emits only disagreeing keys with their status") {
+    val left = Seq((1L, Some("a")), (2L, Some("b")), (4L, Some("d")), (5L, None))
+      .toDF("k", "v")
+    val right = Seq((1L, Some("a")), (2L, Some("B")), (6L, Some("f")), (5L, None))
+      .toDF("k", "v")
+    val got = Merge.tableDiff(left, right, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 1 agrees, key 5 agrees null-safely — neither emitted
+    assert(got == Map(2L -> "changed", 4L -> "only_left", 6L -> "only_right"))
+    val e = intercept[IllegalArgumentException] {
+      Merge.tableDiff(left, right.withColumnRenamed("v", "x"), "k")
+    }
+    assert(e.getMessage.contains("absent"))
+  }
+
   test("heavyHitters finds every guaranteed hitter exactly, across partitionings") {
     // 2000 'hot' + 1000 'warm' + 1000 singletons: with capacity 16 the
     // error bound is n/16 = 250, so both hot and warm are guaranteed
