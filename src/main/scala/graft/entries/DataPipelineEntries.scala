@@ -118,6 +118,9 @@ object DataPipelineEntries {
   // Budget water-fill fraction (corpus_budget entry + oracle): half
   // the corpus, so some sources saturate and some float at every SF.
   private val budgetFrac = 0.5
+  // Substring-search probe phrases (entry + oracle).
+  private val searchProbes = Seq(
+    "fast merge", "slow filter", "query window", "hash join", "sort key")
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -157,6 +160,26 @@ object DataPipelineEntries {
       .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(20)),
+    // Substring search through a PERSISTED trigram inverted index:
+    // probe trigram coverage generates candidates off the stored
+    // postings (probed trigrams pushed into the index scan), exact
+    // contains verifies — output must equal the plain LIKE scan.
+    "text_trigram_search" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val dir = Scratch.tmpPath("trigram_idx", d, s)
+      TextAnalysis.trigramIndexWrite(docs, dir)
+      TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
+    },
+    // Per-type OLS line of value on hour-of-day — trend extraction with
+    // the same stable-moment machinery as ev_corr.
+    "ev_linreg" -> q((s, d) => Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.expr.Functions.stableSlope(col("x"), col("y")), 6).as("slope"),
+        round(graft.expr.Functions.stableIntercept(col("x"), col("y")), 6)
+          .as("intercept"))),
     // Fuzzy vocabulary match: each distinct corpus word to its best
     // probe within edit distance 2 (typo normalization on the built-in
     // levenshtein; probes broadcast).
@@ -965,6 +988,32 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // the index is candidate generation only: the graded result is the
+    // exact substring scan
+    "text_trigram_search" -> {
+      val values = searchProbes.map(p => s"('$p')").mkString(", ")
+      s"""WITH p(probe) AS (VALUES $values)
+         |SELECT doc_id, probe FROM documents CROSS JOIN p
+         |WHERE contains(text, probe)""".stripMargin
+    },
+    // mirror of Functions.stableSlope/stableIntercept over (hour, value)
+    // — same moments, same degenerate-group guards as corrSql
+    "ev_linreg" -> {
+      def d(x: String) = s"CAST(${decSum(x)} AS DOUBLE)"
+      val vx = "greatest(n * sxx - sx * sx, 0)"
+      val slope = s"(n * sxy - sx * sy) / $vx"
+      s"""WITH e AS (SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+         |m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${d("x")} AS sx, ${d("y")} AS sy,
+         |    ${d("x * x")} AS sxx, ${d("x * y")} AS sxy
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n,
+         |  CASE WHEN n > 1 AND $vx > 0 THEN ${rnd(slope, 6)} END AS slope,
+         |  CASE WHEN n > 1 AND $vx > 0
+         |    THEN ${rnd(s"(sy - ($slope) * sx) / n", 6)} END AS intercept
+         |FROM m""".stripMargin
+    },
     // mirror of TextAnalysis.fuzzyMatch: both engines implement unit
     // edit distance exactly, so only the ranking tie-break needs care
     "text_fuzzy_match" -> {

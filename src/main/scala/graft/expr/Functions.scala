@@ -178,4 +178,27 @@ object Functions {
     val vy = greatest(n * syy - sy * sy, lit(0.0))
     when(n > 1 && vx > 0 && vy > 0, (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy)))
   }
+
+  /** OLS slope of `y` on `x` with the same order-independent decimal
+    * moment accumulation (and the same pairwise-complete / degenerate-
+    * group NULL guards) as [[stableCorr]]:
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`. */
+  def stableSlope(x: Column, y: Column): Column = {
+    val ok = x.isNotNull && y.isNotNull
+    val n = count(when(ok, lit(1)))
+    def dsum(c: Column) = sum(when(ok, c).cast("decimal(38,10)")).cast("double")
+    val (sx, sy, sxx, sxy) = (dsum(x), dsum(y), dsum(x * x), dsum(x * y))
+    val vx = greatest(n * sxx - sx * sx, lit(0.0))
+    when(n > 1 && vx > 0, (n * sxy - sx * sy) / vx)
+  }
+
+  /** OLS intercept companion of [[stableSlope]]:
+    * `(Σy − slope·Σx) / n` — null exactly when the slope is. */
+  def stableIntercept(x: Column, y: Column): Column = {
+    val ok = x.isNotNull && y.isNotNull
+    val n = count(when(ok, lit(1)))
+    def dsum(c: Column) = sum(when(ok, c).cast("decimal(38,10)")).cast("double")
+    val (sx, sy) = (dsum(x), dsum(y))
+    (sy - stableSlope(x, y) * sx) / n
+  }
 }

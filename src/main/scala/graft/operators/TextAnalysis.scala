@@ -220,6 +220,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Distinct character trigrams of a text column — the unit of the
+    * substring-search inverted index. Codegen'd built-ins only
+    * (sequence + substr + array_distinct); texts shorter than 3 chars
+    * contribute no trigrams. */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Build a persisted character-trigram inverted index — (trigram,
+    * doc_id) postings — over the corpus. Built once, amortized across
+    * every later [[trigramSearch]] batch; at 100 TB, write partitioned
+    * (or clustered) by trigram prefix so a probe's posting fetch prunes
+    * files instead of scanning the index. */
+  def trigramIndexWrite(docs: org.apache.spark.sql.DataFrame, path: String): Unit =
+    docs.select(col("doc_id"), explode(charTrigrams(col("text"))).as("trigram"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Substring search through the stored trigram index: a doc is a
+    * CANDIDATE for a probe when its postings cover every trigram of the
+    * probe (a necessary condition — trigram coverage can't false-
+    * negative), then candidates alone are verified with exact
+    * `contains` against the text. The probe trigram table is literal
+    * and broadcast; the explicit `isin` filter on the posting scan
+    * pushes the trigram set into the parquet reader, so the index scan
+    * touches only the probed postings. Never scans full texts except
+    * for the candidate verify join. Output: (doc_id, probe), exactly
+    * the rows `contains(text, probe)` would emit. */
+  def trigramSearch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    docs: org.apache.spark.sql.DataFrame,
+                    probes: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(probes.nonEmpty && probes.forall(_.length >= 3),
+      "probes must be non-empty strings of at least 3 characters")
+    import spark.implicits._
+    val probeTris = probes.map { p =>
+      p -> (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+    }
+    val pairs = probeTris.flatMap { case (p, ts) => ts.map(t => (p, t, ts.size)) }
+      .toDF("probe", "trigram", "n_tri")
+    val allTris = probeTris.flatMap(_._2).distinct
+    val postings = spark.read.parquet(indexPath)
+      .filter(col("trigram").isin(allTris: _*))
+    val cands = postings.join(broadcast(pairs), Seq("trigram"))
+      .groupBy(col("doc_id"), col("probe"), col("n_tri"))
+      .agg(countDistinct(col("trigram")).as("n_hit"))
+      .filter(col("n_hit") === col("n_tri"))
+      .select("doc_id", "probe")
+    cands.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("text").contains(col("probe")))
+      .select(col("doc_id"), col("probe"))
+  }
+
   /** Fuzzy vocabulary matching: each distinct `word` paired with its
     * best `probe` at edit distance ≤ `maxDist` (ties → lexicographically
     * smallest probe) — the typo-normalization / query-correction step,

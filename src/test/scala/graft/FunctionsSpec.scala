@@ -152,4 +152,16 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(stableCorr($"x", $"y")).head().getDouble(0)
     assert(a == b)
   }
+
+  test("stableSlope/stableIntercept recover a known line, null on degenerate groups") {
+    import graft.expr.Functions.{stableIntercept, stableSlope}
+    // y = 3x + 2 exactly
+    val df = Seq((0.0, 2.0), (1.0, 5.0), (2.0, 8.0), (3.0, 11.0)).toDF("x", "y")
+    val r = df.agg(stableSlope($"x", $"y"), stableIntercept($"x", $"y")).head()
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-12 && math.abs(r.getDouble(1) - 2.0) < 1e-12)
+    // constant x: slope undefined → both null
+    val const = Seq((4.0, 1.0), (4.0, 2.0)).toDF("x", "y")
+    val c = const.agg(stableSlope($"x", $"y"), stableIntercept($"x", $"y")).head()
+    assert(c.isNullAt(0) && c.isNullAt(1))
+  }
 }

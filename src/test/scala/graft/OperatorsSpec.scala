@@ -829,6 +829,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got(2L).resized && !got(3L).resized)
   }
 
+  test("trigramSearch through the stored index equals the plain substring scan") {
+    val df = docs(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "quick silver"),
+      (3L, "en", "a brown cow"),
+      (4L, "en", "qu")) // shorter than a trigram: indexes nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigram").toString + "/idx"
+    TextAnalysis.trigramIndexWrite(df, dir)
+    val probes = Seq("quick", "brown", "own c")
+    val got = TextAnalysis.trigramSearch(spark, dir, df, probes)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = df.collect().flatMap { r =>
+      probes.collect { case p if r.getString(2).contains(p) => (r.getLong(0), p) }
+    }.toSet
+    assert(got == want && want.nonEmpty)
+    // a probe whose trigrams all exist but never contiguously: coverage
+    // generates the candidate, the verify pass must kill it
+    assert(TextAnalysis.trigramSearch(spark, dir, df, Seq("quick brown")).count() == 1)
+    assert(TextAnalysis.trigramSearch(spark, dir, df, Seq("brown quick")).count() == 0)
+  }
+
   test("waterFill saturates small-ratio sources, floats the rest at λ·w") {
     val stats = Seq(("A", 1.0, 10.0), ("B", 1.0, 100.0)).toDF("source", "w", "cap")
     // budget = 0.5 · 110 = 55: A (ratio 10) saturates, B floats at
