@@ -170,6 +170,45 @@ object DataPipelineEntries {
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
     },
+    // Window value family: first/last/nth event value per user over the
+    // full ordered frame (deterministic via the event_id tiebreak).
+    "ev_first_last" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("user_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v")).distinct()
+    },
+    // Robust outlier scale: median absolute deviation per type, both
+    // medians rounded before reuse so the deviations are
+    // engine-independent.
+    "ev_mad" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type").as("m_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+      ev.join(broadcast(med), col("event_type") === col("m_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("median_value"),
+          round(percentile(abs(col("value") - col("med")), lit(0.5)), 6).as("mad"))
+    },
+    // First-order Markov transitions: (prev type → type) counts per
+    // consecutive pair within a user's ordered stream, with the
+    // per-prev-type transition probability.
+    "ev_transitions" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(o))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("prev_type"))).cast("double"), 6))
+    },
     // Per-type OLS line of value on hour-of-day — trend extraction with
     // the same stable-moment machinery as ev_corr.
     "ev_linreg" -> q((s, d) => Tables.events(s, d)
@@ -996,6 +1035,30 @@ object DataPipelineEntries {
          |SELECT doc_id, probe FROM documents CROSS JOIN p
          |WHERE contains(text, probe)""".stripMargin
     },
+    "ev_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // both medians rounded before the deviation pass, mirroring ev_mad
+    "ev_mad" ->
+      s"""WITH med AS (SELECT event_type, ${rnd("quantile_cont(value, 0.5)", 6)} AS med
+         |            FROM events GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n, min(med) AS median_value,
+         |  ${rnd("quantile_cont(abs(value - med), 0.5)", 6)} AS mad
+         |FROM events e JOIN med USING (event_type)
+         |GROUP BY 1""".stripMargin,
+    "ev_transitions" ->
+      s"""WITH o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+         |             ORDER BY ts, event_id) AS prev_type FROM events),
+         |c AS (SELECT prev_type, event_type, count(*) AS n FROM o
+         |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, event_type, n,
+         |  ${rnd("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)", 6)} AS p
+         |FROM c""".stripMargin,
     // mirror of Functions.stableSlope/stableIntercept over (hour, value)
     // — same moments, same degenerate-group guards as corrSql
     "ev_linreg" -> {

@@ -48,6 +48,15 @@ object TaxiEntries {
 
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = f
 
+  /** Columns profiled by `taxi_completeness` — shared by the entry and
+    * its oracle so the two cannot drift. The unified table's typed-null
+    * padding (columns carried by only some taxi types) makes the
+    * profile non-trivial by construction. */
+  private val completenessCols = Seq("vendor_id", "pickup_location_id",
+    "dropoff_location_id", "passenger_count", "trip_distance_miles",
+    "fare_amount", "total_amount", "base_passenger_fare",
+    "hvfhs_license_number", "dispatching_base_number")
+
   private def tmpPath(tag: String, d: String, s: SparkSession): String =
     Scratch.tmpPath(tag, d, s)
 
@@ -57,6 +66,21 @@ object TaxiEntries {
     "taxi_stg_fhv" -> q((s, d) => models(s, d).stgFhv.drop("loaded_at")),
     "taxi_stg_fhvhv" -> q((s, d) => models(s, d).stgFhvhv.drop("loaded_at")),
     "taxi_unified" -> q((s, d) => models(s, d).unified.drop("loaded_at")),
+    // Null-completeness profile of the unified table: ONE aggregate
+    // pass computes every column's null count (map-side conditional
+    // sums), then the single result row unpivots to a per-column
+    // profile — never a per-column scan.
+    "taxi_completeness" -> q { (s, d) =>
+      val u = models(s, d).unified
+      val aggs = count(lit(1)).as("n_total") +: completenessCols.map(c =>
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c"))
+      u.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(completenessCols.map(c =>
+          struct(lit(c).as("column_name"), col("n_total"),
+            col(s"null_$c").cast("long").as("n_null"))): _*)).as("r"))
+        .select(col("r.column_name"), col("r.n_total"), col("r.n_null"),
+          round(col("r.n_null").cast("double") / col("r.n_total"), 6).as("null_rate"))
+    },
     "taxi_enriched" -> q((s, d) => models(s, d).enriched.drop("loaded_at")),
     "taxi_cleaned" -> q((s, d) => models(s, d).cleaned.drop("loaded_at")),
     "taxi_fct_trips" -> q((s, d) => models(s, d).fctTrips.drop("loaded_at")),
@@ -258,6 +282,14 @@ object TaxiEntries {
     "taxi_stg_fhv" -> o("SELECT * FROM stg_fhv"),
     "taxi_stg_fhvhv" -> o("SELECT * FROM stg_fhvhv"),
     "taxi_unified" -> o("SELECT * FROM unified"),
+    // one UNION ALL branch per profiled column, generated from the same
+    // completenessCols list as the entry
+    "taxi_completeness" -> o(completenessCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  ${TaxiSql.Dialect.rnd(s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS null_rate
+         |FROM unified""".stripMargin
+    }.mkString("\nUNION ALL\n")),
     "taxi_enriched" -> o("SELECT * FROM enriched"),
     "taxi_cleaned" -> o("SELECT * FROM cleaned"),
     "taxi_fct_trips" -> o("SELECT * FROM fct_trips"),

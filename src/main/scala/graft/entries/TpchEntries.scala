@@ -376,6 +376,18 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_cust"),
           stableRoundedSum(col("c_acctbal"), 2).as("total_bal"))
     },
+    // Join-key skew profiler — the ops step BEFORE choosing a salted
+    // join: per-key row counts with each hot key's multiple of the mean
+    // (the frame under the global window is the key-count profile,
+    // bounded by the dimension's cardinality, never the fact table).
+    "tpch_skew_profile" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("x_mean", round(col("n_rows").cast("double") /
+          avg(col("n_rows")).over(Window.partitionBy()), 4))
+        .orderBy(col("n_rows").desc, col("l_suppkey")).limit(10)
+    },
     // Range join (bucketed, not nested-loop): orders counted into 90-day
     // windows sliding every 30 days — overlapping on purpose, so each
     // order matches up to 3 windows and the operator is a real interval
@@ -543,6 +555,11 @@ object TpchEntries {
          |  count(DISTINCT c_nationkey) AS n_nations,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
          |FROM customer GROUP BY 1""".stripMargin,
+    "tpch_skew_profile" ->
+      s"""WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1)
+         |SELECT l_suppkey, n_rows,
+         |  ${rnd("CAST(n_rows AS DOUBLE) / avg(n_rows) OVER ()", 4)} AS x_mean
+         |FROM c ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin,
     "tpch_q22_dormant" ->
       s"""SELECT c_nationkey, count(*) AS n_cust,
          |  ${rndSum("c_acctbal", 2)} AS total_bal
