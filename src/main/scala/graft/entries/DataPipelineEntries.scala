@@ -236,10 +236,8 @@ object DataPipelineEntries {
     "text_heavy_hitters" -> q { (s, d) =>
       val words = Tables.spread(Tables.documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
-      val counts = graft.operators.Sketches.heavyHitters(words, "word",
-        capacity = hhCapacity)
-      counts.join(broadcast(words.agg(count(lit(1)).as("hh_total"))))
-        .filter(col("n_occurrences") > floor(col("hh_total") / hhThresholdDiv).cast("long"))
+      graft.operators.Sketches.heavyHitters(words, "word", capacity = hhCapacity)
+        .filter(col("n_occurrences") > floor(col("n_total") / hhThresholdDiv).cast("long"))
         .select(col("word"), col("n_occurrences"))
     },
     // -- dedup -----------------------------------------------------------

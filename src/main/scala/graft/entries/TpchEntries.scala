@@ -584,7 +584,7 @@ object TpchEntries {
          |  WHERE p_brand = 'Brand#1'),
          |cuts AS (
          |  SELECT l_partkey AS cut_partkey,
-         |    0.2 * ${oStableAvg("l_quantity")} AS qty_cut
+         |    0.2 * (${oStableAvg("l_quantity")}) AS qty_cut
          |  FROM li GROUP BY 1)
          |SELECT ${rnd(s"CAST(${decSum("l_extendedprice")} AS DOUBLE) / 7.0", 2)} AS avg_yearly
          |FROM li JOIN cuts ON l_partkey = cut_partkey

@@ -193,8 +193,14 @@ object Sampling {
     val ord = Window.orderBy(col("ratio"), col("source"))
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // w <= 0 would poison λ with Inf/NaN far from the bad row — raise
+    // at the row instead (same per-row guard style as weightedTake)
+    val wChecked = when(col("w") > 0 && col("cap") >= 0, col("w"))
+      .otherwise(raise_error(concat(
+        lit("waterFill requires w > 0 and cap >= 0; got (w, cap) = ("),
+        col("w").cast("string"), lit(", "), col("cap").cast("string"), lit(")"))))
     stats
-      .withColumn("ratio", col("cap") / col("w"))
+      .withColumn("ratio", col("cap") / wChecked)
       .withColumn("rn", row_number().over(ord))
       .withColumn("lam",
         (sum(col("cap")).over(all) * budgetFraction

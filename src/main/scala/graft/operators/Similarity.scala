@@ -75,31 +75,36 @@ object Similarity {
     * The corpus side is never shuffled wide: queries broadcast, and the
     * per-query cut is the bounded aggregator ([[topKPerQuery]]), not a
     * ranking window over all N×Q scored candidates. */
-  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+  /** The shared broadcast-query brute-force pipeline behind
+    * [[knnBrute]] and [[hardNegatives]]: score corpus × broadcast
+    * queries under the join condition, bounded top-k per query. */
+  private def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        labelMismatch: Boolean): DataFrame = {
+    val extra: Seq[String] = if (labelMismatch) Seq("label") else Nil
+    val q = queries.select((col("vec_id").as("query_id") +:
+      col("embedding").as("qv") +: extra.map(c => col(c).as(s"q_$c"))): _*)
+    val c = corpus.select((col("vec_id").as("neighbor_id") +:
+      col("embedding").as("cv") +: extra.map(c => col(c).as(s"c_$c"))): _*)
+    val cond =
+      if (labelMismatch)
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("c_label")
+      else col("query_id") =!= col("neighbor_id")
     topKPerQuery(
-      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      c.join(broadcast(q), cond)
         .withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
+
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    bruteTopK(corpus, queries, k, labelMismatch = false)
 
   /** Hard-negative mining for contrastive training: per query, the `k`
     * MOST similar corpus vectors carrying a DIFFERENT label — the
     * near-miss negatives that make a contrastive batch informative
     * (uniform negatives are mostly trivially far). Same plan shape as
-    * [[knnBrute]]: queries broadcast, label mismatch rides the join
-    * condition so same-label candidates are dropped before scoring, and
-    * the per-query cut is the bounded aggregator. */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), col("label").as("q_label"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), col("label").as("c_label"))
-    topKPerQuery(
-      c.join(broadcast(q), col("query_id") =!= col("neighbor_id") &&
-          col("q_label") =!= col("c_label"))
-        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
-  }
+    * [[knnBrute]] (shared [[bruteTopK]]): the label mismatch rides the
+    * join condition so same-label candidates drop before scoring. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    bruteTopK(corpus, queries, k, labelMismatch = true)
 
   /** The centroid set collapsed to ONE row holding an array of
     * (centroid_id, centroid_vector) structs — broadcast as the build side

@@ -94,38 +94,64 @@ object Sketches {
     * classic mergeable-summaries result, so the candidate set is a
     * SUPERSET of the true heavy hitters regardless of partition count or
     * merge order. Estimates are order-dependent (and so never graded);
-    * only the guaranteed-superset key set leaves the sketch. */
+    * only the guaranteed-superset key set leaves the sketch.
+    *
+    * Buffer is (stored counts, offset, minStored): an eviction is the
+    * classic "decrement everything", implemented LAZILY as `offset += 1`
+    * with effective count = stored − offset — O(1) on the hot path
+    * where the eager formulation rebuilds the whole k-entry map per
+    * absent item. Entries are physically pruned (O(k)) only when the
+    * offset catches up with the tracked minimum, which amortizes to
+    * O(1) per row; the invariant between prunes is stored > offset for
+    * every entry. */
   private[operators] case class MisraGries(k: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Seq[String]] {
-    override def zero: Map[String, Long] = Map.empty
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, (Map[String, Long], Long, Long), Seq[String]] {
 
-    override def reduce(m: Map[String, Long], item: String): Map[String, Long] =
+    override def zero: (Map[String, Long], Long, Long) =
+      (Map.empty, 0L, Long.MaxValue)
+
+    override def reduce(buf: (Map[String, Long], Long, Long),
+                        item: String): (Map[String, Long], Long, Long) = {
+      val (m, off, mn) = buf
       m.get(item) match {
-        case Some(c) => m.updated(item, c + 1)
-        case None if m.size < k => m.updated(item, 1L)
-        // full and item absent: decrement all, drop zeros (the item
-        // itself is implicitly decremented to 0 and not inserted)
-        case None => m.flatMap { case (key, c) =>
-          if (c > 1) Some(key -> (c - 1)) else None
-        }
-      }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (acc, (key, c)) =>
-        acc.updated(key, acc.getOrElse(key, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        // subtract the (k+1)-th largest count from all, drop non-positive
-        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.flatMap { case (key, c) => if (c > cut) Some(key -> (c - cut)) else None }
+        case Some(c) => (m.updated(item, c + 1), off, mn)
+        case None if m.size < k =>
+          (m.updated(item, off + 1), off, math.min(mn, off + 1))
+        case None =>
+          // decrement-all as offset bump; the triggering item's implicit
+          // 1 − 1 = 0 means it is NOT inserted (classic MG)
+          val off2 = off + 1
+          if (off2 >= mn) {
+            val pruned = m.filter { case (_, c) => c > off2 }
+            (pruned, off2,
+              if (pruned.isEmpty) Long.MaxValue else pruned.values.min)
+          } else (m, off2, mn)
       }
     }
 
-    override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    override def merge(a: (Map[String, Long], Long, Long),
+                       b: (Map[String, Long], Long, Long)): (Map[String, Long], Long, Long) = {
+      def effective(x: (Map[String, Long], Long, Long)): Map[String, Long] =
+        x._1.collect { case (key, c) if c > x._2 => key -> (c - x._2) }
+      val sum = effective(b).foldLeft(effective(a)) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      val kept =
+        if (sum.size <= k) sum
+        else {
+          // subtract the (k+1)-th largest count from all, drop non-positive
+          val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.collect { case (key, c) if c > cut => key -> (c - cut) }
+        }
+      (kept, 0L, if (kept.isEmpty) Long.MaxValue else kept.values.min)
+    }
 
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def finish(buf: (Map[String, Long], Long, Long)): Seq[String] =
+      buf._1.collect { case (key, c) if c > buf._2 => key }.toSeq.sorted
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Map[String, Long], Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[String, Long], Long, Long)]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
@@ -141,13 +167,19 @@ object Sketches {
     * MG's superset guarantee (no item with frequency > n/capacity is
     * ever evicted) makes the two-pass result EXACT for any threshold
     * ≥ n/capacity — callers enforce theirs on the returned counts.
-    * Output: (`itemCol`, n_occurrences), candidates only. */
+    * The total row count rides the sketch aggregation (no third scan)
+    * and is replicated onto every output row so relative thresholds
+    * need no extra pass. Output: (`itemCol`, n_occurrences, n_total),
+    * candidates only. */
   def heavyHitters(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val mg = org.apache.spark.sql.functions.udaf(MisraGries(capacity))
-    val cands = df.select(mg(col(itemCol)).as("cands")).head().getSeq[String](0)
+    val head = df.select(mg(col(itemCol)).as("cands"),
+      count(lit(1)).as("n_total")).head()
+    val (cands, total) = (head.getSeq[String](0), head.getLong(1))
     df.filter(col(itemCol).isin(cands: _*))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("n_total", lit(total))
   }
 }
