@@ -170,6 +170,39 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"chunking must not window:\n$plan")
   }
 
+  test("debounce runs on ONE exchange: the finer burst group-by reuses the window partitioning") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = (1L to 200L).map(i => (i, new java.sql.Timestamp(ts.getTime + i * 1000), i % 7, s"t${i % 3}", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val plan = graft.operators.Events.debounce(ev, withinSeconds = 60)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected 1 exchange (HashPartitioning(user,type) already clusters (user,type,burst)), got $exchanges in:\n$plan")
+  }
+
+  test("winsorize applies cuts via broadcast: the value side is never shuffled") {
+    val df = (1 to 500).map(i => (i.toLong, s"g${i % 3}", i.toDouble)).toDF("id", "g", "v")
+    val plan = graft.operators.Sketches.winsorize(df, $"g", $"v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cuts not broadcast in:\n$plan")
+    // the only exchange is the cut aggregation's own (inside the
+    // broadcast build side); the probe side streams map-side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"probe side shuffled, got $exchanges exchanges in:\n$plan")
+  }
+
+  test("trigramSearch pushes the probed trigram set into the stored index scan") {
+    val docs = (1L to 50L).map(i => (i, "en", s"alpha beta w$i")).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri_pin").toString + "/idx"
+    graft.operators.TextAnalysis.trigramIndexWrite(docs, dir)
+    val q = graft.operators.TextAnalysis.trigramSearch(spark, dir, docs, Seq("alpha"))
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val idxScan = scans.find(s => s.contains(dir) || s.contains("trigram"))
+    assert(idxScan.exists(s => s.contains("PushedFilters") && s.contains("In(trigram")),
+      s"trigram In-filter not pushed into the index scan:\n${scans.mkString("\n")}")
+  }
+
   test("negativePairs is a zero-shuffle map pass over the id domain") {
     val docs = (0L until 50L).toDF("doc_id")
     val plan = graft.operators.Sampling.negativePairs(docs, k = 3)
