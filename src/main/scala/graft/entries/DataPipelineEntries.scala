@@ -170,6 +170,22 @@ object DataPipelineEntries {
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
     },
+    // Cohort retention: users grouped by first-seen week, distinct
+    // actives counted per (cohort, whole-week offset) — one window pass
+    // for the cohort anchor, one aggregation.
+    "ev_cohort_retention" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("first_ts", min(col("ts")).over(byUser))
+        .select(date_trunc("week", col("first_ts")).cast("timestamp_ntz").as("cohort_week"),
+          floor((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("first_ts").cast("timestamp")))
+            / lit(7L * 24 * 3600 * 1000000L)).as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
     // Window value family: first/last/nth event value per user over the
     // full ordered frame (deterministic via the event_id tiebreak).
     "ev_first_last" -> q { (s, d) =>
@@ -670,6 +686,30 @@ object DataPipelineEntries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"))),
+    // The end-to-end pretraining corpus pipeline as ONE graded entry —
+    // triage (language + quality + length) → corpus-wide exact dedup →
+    // train-split cut → sequence packing — the composition a user
+    // actually runs, graded on the final pack profile so a defect in
+    // ANY stage (or in how stages compose) hash-mismatches.
+    "corpus_e2e" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val kept = Tables.spread(Tables.documents(s, d))
+        .filter(TextAnalysis.langId(col("text")) === "en" &&
+          TextAnalysis.qualityScore(col("text")) >= 50 &&
+          TextAnalysis.tokenCount(col("text")) >= 20)
+      val firstPerText = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = kept.withColumn("rn", row_number().over(firstPerText))
+        .filter(col("rn") === 1)
+      val train = deduped
+        .filter(graft.operators.Sampling.splitAssign(col("doc_id")) === "train")
+        .select(col("doc_id"), col("text"))
+      graft.operators.Packing.packAssign(train, col("doc_id"),
+          TextAnalysis.tokenCount(col("text")))
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
     // -- multimodal plumbing ---------------------------------------------
     // Corpus-wide REAL decode: deterministic PNG/WAV/GIF containers fan
     // out of the document table (payload geometry a pure function of
@@ -1033,6 +1073,12 @@ object DataPipelineEntries {
          |SELECT doc_id, probe FROM documents CROSS JOIN p
          |WHERE contains(text, probe)""".stripMargin
     },
+    "ev_cohort_retention" ->
+      s"""WITH f AS (SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events)
+         |SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
+         |  (epoch_us(ts) - epoch_us(first_ts)) // ${7L * 24 * 3600 * 1000000L} AS week_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM f GROUP BY 1, 2""".stripMargin,
     "ev_first_last" ->
       """SELECT DISTINCT user_id,
         |  first_value(value) OVER w AS first_v,
@@ -1552,6 +1598,40 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(sum(CASE WHEN s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_length
          |FROM b""".stripMargin,
+    // the full pipeline chain, every stage the same generated fragment
+    // its standalone entry uses (funnel predicates, dedup rule, split
+    // hash, packing cumsum)
+    "corpus_e2e" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    len($toks) AS n_tokens,
+         |    $stopRatioSql AS stopword_ratio,
+         |    $langScoreSql
+         |  FROM documents),
+         |b AS (SELECT *, $langBestSql AS best,
+         |  ${rnd("least(CAST(1.0 AS DOUBLE), n_tokens / 50.0) * (1.0 - stopword_ratio) * 100", 2)} AS q
+         |  FROM s),
+         |kept AS (
+         |  SELECT doc_id, text, n_tokens FROM b
+         |  WHERE s_en = best AND best > 0 AND q >= 50 AND n_tokens >= 20),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |         ORDER BY doc_id) AS rn FROM kept),
+         |train AS (
+         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultSeed)} % 100 AS bucket,
+         |    ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Packing.DefaultSeed)} % ${graft.operators.Packing.DefaultShards} AS shard
+         |  FROM dd WHERE rn = 1),
+         |t AS (SELECT * FROM train WHERE bucket < ${graft.operators.Sampling.DefaultTrainPct}),
+         |c AS (SELECT *,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT shard,
+         |  CAST(cum_before // ${graft.operators.Packing.DefaultMaxTokens} AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id,
          |  CAST(greatest(len($toks) - 2, 0) AS INTEGER) AS n_3grams,
