@@ -118,6 +118,8 @@ object DataPipelineEntries {
   // Budget water-fill fraction (corpus_budget entry + oracle): half
   // the corpus, so some sources saturate and some float at every SF.
   private val budgetFrac = 0.5
+  // PageRank iteration count (graph_pagerank entry + oracle).
+  private val pageRankIters = 5
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -169,6 +171,27 @@ object DataPipelineEntries {
       val dir = Scratch.tmpPath("trigram_idx", d, s)
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
+    },
+    // Top session paths: the ordered event-type sequence of each
+    // session (same gap boundary as ev_sessionize) counted corpus-wide
+    // — the "what do users actually do" product-analytics query.
+    "ev_top_paths" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("ts"), 1).over(o)
+      val gapUs = 30 * 60 * 1000000L
+      Tables.events(s, d)
+        .withColumn("is_new", when(prev.isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(prev.cast("timestamp")) > gapUs, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
     },
     // Cohort retention: users grouped by first-seen week, distinct
     // actives counted per (cohort, whole-week offset) — one window pass
@@ -686,6 +709,17 @@ object DataPipelineEntries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"))),
+    // Fixed-iteration PageRank over the deterministic negative-pair
+    // graph (3-regular by construction, dangling-free): per iteration
+    // one rank⋈edges join + one stable-sum aggregation — the iterative
+    // fixed-point pattern as DataFrame loops.
+    "graph_pagerank" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      graft.operators.Graph.pageRank(
+        docs.select(col("doc_id").as("id")), edges, iters = pageRankIters)
+    },
     // The end-to-end pretraining corpus pipeline as ONE graded entry —
     // triage (language + quality + length) → corpus-wide exact dedup →
     // train-split cut → sequence packing — the composition a user
@@ -854,6 +888,19 @@ object DataPipelineEntries {
 
   /** DuckDB: whitespace tokens. */
   private val toks = "string_split_regex(text, '\\s+')"
+
+  /** Mirror of [[graft.operators.Sampling.negativePairs]] — shared by
+    * `sample_negatives` and, as the edge list, `graph_pagerank`. */
+  private lazy val negativesMirrorSql = {
+    val picks = (0 until negativeK).map { j =>
+      s"""SELECT doc_id, ${j + 1} AS neg_rank,
+         |  (doc_id + 1 + ${pHash(s"CAST(doc_id AS VARCHAR) || '#$j'",
+              graft.operators.Sampling.DefaultNegativeSeed)} % (n - 1)) % n AS neg_id
+         |FROM documents, nn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents)
+       |$picks""".stripMargin
+  }
 
   private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ", ", ")")
 
@@ -1073,6 +1120,22 @@ object DataPipelineEntries {
          |SELECT doc_id, probe FROM documents CROSS JOIN p
          |WHERE contains(text, probe)""".stripMargin
     },
+    // same session boundary as ev_sessionize; paths ordered by
+    // (ts, event_id) exactly like the struct sort
+    "ev_top_paths" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > ${30 * 60 * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |      FROM f),
+         |p AS (SELECT user_id, session_idx,
+         |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |      FROM x GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions FROM p
+         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "ev_cohort_retention" ->
       s"""WITH f AS (SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events)
          |SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,
@@ -1531,6 +1594,27 @@ object DataPipelineEntries {
          |  FROM documents)
          |SELECT lang, rank_in_stratum, doc_id, n_chars
          |FROM r WHERE rank_in_stratum <= $WeightedTakeN""".stripMargin,
+    // unrolled iteration mirror of Graph.pageRank: identical teleport /
+    // damping arithmetic (both engines evaluate the same IEEE
+    // expressions), inflows through the same decimal stable sum
+    "graph_pagerank" -> {
+      val nScalar = "(SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+      val iterCtes = (1 to pageRankIters).map { k =>
+        s"""r$k AS (
+           |  SELECT d.doc_id AS id,
+           |    (1.0 - 0.85) / $nScalar + 0.85 * coalesce(inflow.s, 0.0) AS rank
+           |  FROM documents d
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(${decSum("r.rank / deg.deg")} AS DOUBLE) AS s
+           |    FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg ON deg.src = e.src
+           |    GROUP BY 1) inflow ON inflow.id = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT doc_id AS id, 1.0 / $nScalar AS rank FROM documents),
+         |$iterCtes
+         |SELECT id, ${rnd("rank", 6)} AS rank FROM r$pageRankIters""".stripMargin
+    },
     // mirror of Sampling.waterFill: same saturation-order windows, same
     // crossing rule; sums over integer-valued doubles are exact, so the
     // λ comparison cannot drift between engines
@@ -1559,16 +1643,7 @@ object DataPipelineEntries {
          |FROM g""".stripMargin,
     // mirror of Sampling.negativePairs: same hash-offset draw over the
     // dense id domain, one SELECT per partner unrolled from negativeK
-    "sample_negatives" -> {
-      val picks = (0 until negativeK).map { j =>
-        s"""SELECT doc_id, ${j + 1} AS neg_rank,
-           |  (doc_id + 1 + ${pHash(s"CAST(doc_id AS VARCHAR) || '#$j'",
-                graft.operators.Sampling.DefaultNegativeSeed)} % (n - 1)) % n AS neg_id
-           |FROM documents, nn""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents)
-         |$picks""".stripMargin
-    },
+    "sample_negatives" -> negativesMirrorSql,
     "ev_corr" -> corrSql,
     // mirror of Sampling.stratifiedTake, generated from its own seed
     "sample_stratified" ->

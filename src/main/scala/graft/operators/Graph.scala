@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expr.Functions.stableSum
+
+/** Iterative graph analytics on DataFrames — the pattern for
+  * fixed-point computations (PageRank, label propagation, shortest
+  * paths) that a 100 TB graph runs as a sequence of joins +
+  * aggregations rather than a driver loop over rows.
+  *
+  * Scale shape per iteration: one join of the rank vector with the
+  * edge list on the source key, one aggregation of contributions on
+  * the destination key — both hash-partitioned; the rank vector is
+  * nodes-sized, never edges-sized. Determinism: inflow sums accumulate
+  * through [[stableSum]] (DECIMAL(38,10) of each double's shortest
+  * representation), so partition order cannot change results and a
+  * SQL oracle reproduces every iteration bit-for-bit. Long lineage is
+  * the known hazard of iterative DataFrame loops — cut it with
+  * `localCheckpoint` every few iterations (the clusters operator's
+  * pointer-jumping loop documents the same technique); the bounded
+  * iteration counts used here don't need it.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an edge multiset (src, dst) — every
+    * node must appear as a source (dangling-free, e.g. a k-regular
+    * generated graph; a general graph adds the dangling-mass term).
+    * Parallel edges contribute once each, matching the multiset
+    * semantics of the edge list. `nodes` supplies the vertex domain
+    * (single `id` column). Returns (id, rank) with rank rounded to
+    * `roundTo`. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               damping: Double = 0.85, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    val n = nodes.count()
+    require(n > 0, "empty vertex domain")
+    // computed ONCE on the driver and used verbatim by the oracle
+    // generator, so both engines see bit-identical constants
+    val teleport = (1.0 - damping) / n
+    val init = 1.0 / n
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), lit(init).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      ranks = nodes
+        .join(contribs.groupBy(col("id"))
+          .agg(stableSum(col("c")).cast("double").as("inflow")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
+  }
+
+  /** The (teleport, init) constants [[pageRank]] uses for a given
+    * (n, damping) — exposed so an oracle generator interpolates the
+    * SAME doubles instead of re-deriving them in SQL. */
+  def pageRankConstants(n: Long, damping: Double): (Double, Double) =
+    ((1.0 - damping) / n, 1.0 / n)
+}

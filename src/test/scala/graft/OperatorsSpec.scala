@@ -850,6 +850,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.trigramSearch(spark, dir, df, Seq("brown quick")).count() == 0)
   }
 
+  test("pageRank: uniform on regular graphs, mass-conserving, favors in-degree") {
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    // 3-cycle: regular → stationary uniform from any start
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val uni = Graph.pageRank(nodes, cycle, iters = 5)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(uni.forall(r => math.abs(r - 1.0 / 3) < 1e-6))
+    // node 0 receives two in-edges, node 2 none: rank0 > rank1 > rank2,
+    // total mass stays 1 (dangling-free)
+    val star = Seq((1L, 0L), (2L, 0L), (0L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(nodes, star, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) > got(1L) && got(1L) > got(2L), s"unexpected ranking: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
   test("waterFill saturates small-ratio sources, floats the rest at λ·w") {
     val stats = Seq(("A", 1.0, 10.0), ("B", 1.0, 100.0)).toDF("source", "w", "cap")
     // budget = 0.5 · 110 = 55: A (ratio 10) saturates, B floats at
