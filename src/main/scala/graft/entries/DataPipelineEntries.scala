@@ -356,6 +356,22 @@ object DataPipelineEntries {
     },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // Per-label centroid profile: element-wise stable mean via
+    // posexplode + (label, pos) aggregation — the label-prototype
+    // computation of a classification/contrastive pipeline, one
+    // shuffle over (label, pos) then a label-sized regroup.
+    "emb_centroids" -> q { (s, d) =>
+      import graft.expr.Functions.{stableAvg, stableSum}
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(stableAvg(col("v").cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("dim"),
+          round(sqrt(stableSum(col("m") * col("m")).cast("double")), 6)
+            .as("centroid_norm"),
+          round(max(when(col("pos") === 0, col("m"))), 6).as("c0"))
+    },
     // Array-function surface over the embedding vectors.
     "emb_array_stats" -> q((s, d) => Tables.embeddings(s, d).select(
       col("vec_id"),
@@ -1136,6 +1152,19 @@ object DataPipelineEntries {
          |      FROM x GROUP BY 1, 2)
          |SELECT path, count(*) AS n_sessions FROM p
          |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // posexplode is 0-based, generate_subscripts 1-based — only the c0
+    // probe references the position, adjusted there (DuckDB v1.0 has no
+    // WITH ORDINALITY; zipped SELECT-list unnests are the workaround)
+    "emb_centroids" ->
+      s"""WITH x AS (SELECT label,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |    generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |m AS (SELECT label, pos, ${oStableAvg("v")} AS m FROM x GROUP BY 1, 2)
+         |SELECT label, CAST(count(*) AS BIGINT) AS dim,
+         |  ${rnd(s"sqrt(CAST(${decSum("m * m")} AS DOUBLE))", 6)} AS centroid_norm,
+         |  ${rnd("max(CASE WHEN pos = 1 THEN m END)", 6)} AS c0
+         |FROM m GROUP BY 1""".stripMargin,
     "ev_cohort_retention" ->
       s"""WITH f AS (SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events)
          |SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,

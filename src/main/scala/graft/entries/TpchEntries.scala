@@ -376,6 +376,26 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_cust"),
           stableRoundedSum(col("c_acctbal"), 2).as("total_bal"))
     },
+    // TPC-H Q19 shape (disjunctive discounted revenue): OR-of-ANDs
+    // predicate spanning both join sides — the planner must push the
+    // part-only disjuncts below the join while keeping the residual
+    // mixed condition on it.
+    "tpch_q19_disjunctive" -> q { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
+            col("l_quantity").between(20, 40)))
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("revenue"))
+    },
     // Join-key skew profiler — the ops step BEFORE choosing a salted
     // join: per-key row counts with each hot key's multiple of the mean
     // (the frame under the global window is the key-count profile,
@@ -555,6 +575,16 @@ object TpchEntries {
          |  count(DISTINCT c_nationkey) AS n_nations,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
          |FROM customer GROUP BY 1""".stripMargin,
+    "tpch_q19_disjunctive" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |         AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+         |         AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+         |         AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "tpch_skew_profile" ->
       s"""WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1)
          |SELECT l_suppkey, n_rows,
