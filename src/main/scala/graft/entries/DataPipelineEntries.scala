@@ -118,8 +118,13 @@ object DataPipelineEntries {
   // Budget water-fill fraction (corpus_budget entry + oracle): half
   // the corpus, so some sources saturate and some float at every SF.
   private val budgetFrac = 0.5
-  // PageRank iteration count (graph_pagerank entry + oracle).
+  // PageRank iteration count and damping (graph_pagerank entry +
+  // oracle; the oracle interpolates the damping and the teleport
+  // NUMERATOR as shortest-repr Scala doubles so both engines run the
+  // same IEEE constants — DuckDB would otherwise evaluate 1.0 - 0.85
+  // in DECIMAL, one ulp away).
   private val pageRankIters = 5
+  private val pageRankDamping = 0.85
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -176,16 +181,7 @@ object DataPipelineEntries {
     // session (same gap boundary as ev_sessionize) counted corpus-wide
     // — the "what do users actually do" product-analytics query.
     "ev_top_paths" -> q { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val o = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("ts"), 1).over(o)
-      val gapUs = 30 * 60 * 1000000L
-      Tables.events(s, d)
-        .withColumn("is_new", when(prev.isNull ||
-          unix_micros(col("ts").cast("timestamp")) -
-            unix_micros(prev.cast("timestamp")) > gapUs, 1).otherwise(0))
-        .withColumn("session_idx", sum(col("is_new")).over(run))
+      Events.withSessionIndex(Tables.events(s, d))
         .groupBy(col("user_id"), col("session_idx"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
@@ -734,7 +730,8 @@ object DataPipelineEntries {
       val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
         .select(col("doc_id").as("src"), col("neg_id").as("dst"))
       graft.operators.Graph.pageRank(
-        docs.select(col("doc_id").as("id")), edges, iters = pageRankIters)
+        docs.select(col("doc_id").as("id")), edges,
+        iters = pageRankIters, damping = pageRankDamping)
     },
     // The end-to-end pretraining corpus pipeline as ONE graded entry —
     // triage (language + quality + length) → corpus-wide exact dedup →
@@ -1623,15 +1620,19 @@ object DataPipelineEntries {
          |  FROM documents)
          |SELECT lang, rank_in_stratum, doc_id, n_chars
          |FROM r WHERE rank_in_stratum <= $WeightedTakeN""".stripMargin,
-    // unrolled iteration mirror of Graph.pageRank: identical teleport /
-    // damping arithmetic (both engines evaluate the same IEEE
-    // expressions), inflows through the same decimal stable sum
+    // unrolled iteration mirror of Graph.pageRank: the damping factor
+    // and teleport numerator are interpolated as shortest-repr Scala
+    // doubles (CAST from VARCHAR-shaped literals), so both engines run
+    // the identical IEEE constants; inflows through the same decimal
+    // stable sum
     "graph_pagerank" -> {
       val nScalar = "(SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+      val damp = s"CAST(${pageRankDamping.toString} AS DOUBLE)"
+      val teleNum = s"CAST(${(1.0 - pageRankDamping).toString} AS DOUBLE)"
       val iterCtes = (1 to pageRankIters).map { k =>
         s"""r$k AS (
            |  SELECT d.doc_id AS id,
-           |    (1.0 - 0.85) / $nScalar + 0.85 * coalesce(inflow.s, 0.0) AS rank
+           |    $teleNum / $nScalar + $damp * coalesce(inflow.s, 0.0) AS rank
            |  FROM documents d
            |  LEFT JOIN (
            |    SELECT e.dst AS id, CAST(${decSum("r.rank / deg.deg")} AS DOUBLE) AS s
@@ -1640,7 +1641,7 @@ object DataPipelineEntries {
       }.mkString(",\n")
       s"""WITH e AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |r0 AS (SELECT doc_id AS id, 1.0 / $nScalar AS rank FROM documents),
+         |r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / $nScalar AS rank FROM documents),
          |$iterCtes
          |SELECT id, ${rnd("rank", 6)} AS rank FROM r$pageRankIters""".stripMargin
     },

@@ -19,10 +19,12 @@ object Events {
 
   private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
-  /** Gap-based sessionization: a new session starts when the gap since
-    * the user's previous event exceeds `gapMinutes`. Returns one row per
-    * (user_id, session_idx) with start/end/count/value totals. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** The session-boundary rule, shared by [[sessionize]] and every
+    * session-derived analytic (e.g. the path entry): annotates each
+    * event with `is_new` (gap since the user's previous event exceeds
+    * `gapMinutes`) and the running `session_idx`. ONE definition so
+    * consumers cannot drift on the boundary semantics. */
+  def withSessionIndex(events: DataFrame, gapMinutes: Int = DefaultGapMinutes): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("ts"), 1).over(order)
@@ -31,13 +33,22 @@ object Events {
       .withColumn("is_new",
         when(prev.isNull || epochUs(col("ts")) - epochUs(prev) > gapUs, 1).otherwise(0))
       .withColumn("session_idx", sum(col("is_new")).over(running))
+  }
+
+  /** Default session gap — shared with the harness oracles. */
+  val DefaultGapMinutes = 30
+
+  /** Gap-based sessionization: a new session starts when the gap since
+    * the user's previous event exceeds `gapMinutes`. Returns one row per
+    * (user_id, session_idx) with start/end/count/value totals. */
+  def sessionize(events: DataFrame, gapMinutes: Int = DefaultGapMinutes): DataFrame =
+    withSessionIndex(events, gapMinutes)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
         stableRoundedSum(col("value"), 2).as("total_value"))
-  }
 
   /** Burst debounce — telemetry cleaning: events of the same
     * (user_id, event_type) arriving within `withinSeconds` of their

@@ -36,8 +36,17 @@ object Graph {
     require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
     val n = nodes.count()
     require(n > 0, "empty vertex domain")
-    // computed ONCE on the driver and used verbatim by the oracle
-    // generator, so both engines see bit-identical constants
+    // the documented dangling-free contract, ENFORCED: a node with no
+    // out-edges would silently leak rank mass every iteration
+    val dangling = nodes
+      .join(edges.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .count()
+    require(dangling == 0,
+      s"$dangling dangling node(s) with no out-edges — add self-loops or a dangling-mass term first")
+    // teleport is (1.0 − damping) [one IEEE subtraction] / n [one IEEE
+    // division]; an oracle reproduces it bit-exactly by interpolating
+    // the SAME shortest-repr doubles and dividing by n in SQL — never
+    // by re-deriving `1.0 - damping` in DECIMAL arithmetic
     val teleport = (1.0 - damping) / n
     val init = 1.0 / n
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -55,10 +64,4 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
-
-  /** The (teleport, init) constants [[pageRank]] uses for a given
-    * (n, damping) — exposed so an oracle generator interpolates the
-    * SAME doubles instead of re-deriving them in SQL. */
-  def pageRankConstants(n: Long, damping: Double): (Double, Double) =
-    ((1.0 - damping) / n, 1.0 / n)
 }
