@@ -177,6 +177,20 @@ object DataPipelineEntries {
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
     },
+    // Behavioral diversity: Shannon entropy of each user's event-type
+    // distribution (exact probabilities, decimal-summed p·ln p terms —
+    // the log parity convention the TF-IDF entry established).
+    "ev_entropy" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("user_id")).cast("double"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"),
+          round(-graft.expr.Functions.stableSum(col("p") * log(col("p")))
+            .cast("double"), 6).as("entropy"))
+    },
     // Top session paths: the ordered event-type sequence of each
     // session (same gap boundary as ev_sessionize) counted corpus-wide
     // — the "what do users actually do" product-analytics query.
@@ -1133,6 +1147,14 @@ object DataPipelineEntries {
          |SELECT doc_id, probe FROM documents CROSS JOIN p
          |WHERE contains(text, probe)""".stripMargin
     },
+    "ev_entropy" ->
+      s"""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+         |p AS (SELECT user_id,
+         |        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+         |      FROM c)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+         |  ${rnd(s"-CAST(${decSum("p * ln(p)")} AS DOUBLE)", 6)} AS entropy
+         |FROM p GROUP BY 1""".stripMargin,
     // same session boundary as ev_sessionize; paths ordered by
     // (ts, event_id) exactly like the struct sort
     "ev_top_paths" ->

@@ -376,6 +376,19 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_cust"),
           stableRoundedSum(col("c_acctbal"), 2).as("total_bal"))
     },
+    // TPC-H Q6 shape (forecast revenue change): the canonical
+    // pure-filter scan aggregate — every predicate pushes to the
+    // parquet reader, no join, no group-by key.
+    "tpch_q6_forecast" -> q { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(col("l_extendedprice") * col("l_discount"), 2)
+            .as("revenue"))
+    },
     // TPC-H Q19 shape (disjunctive discounted revenue): OR-of-ANDs
     // predicate spanning both join sides — the planner must push the
     // part-only disjuncts below the join while keeping the residual
@@ -575,6 +588,14 @@ object TpchEntries {
          |  count(DISTINCT c_nationkey) AS n_nations,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
          |FROM customer GROUP BY 1""".stripMargin,
+    "tpch_q6_forecast" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${rndSum("l_extendedprice * l_discount", 2)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
     "tpch_q19_disjunctive" ->
       s"""SELECT count(*) AS n_lines,
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
