@@ -426,11 +426,13 @@ object DataPipelineEntries {
     // is sorted after collection and the journey string is rebuilt from
     // a sorted struct array ((ts, event_id) total order) — the only
     // formulations whose output is stable across partitionings and
-    // engines. One shuffle with map-side partials.
+    // engines. One shuffle with map-side partials. Graded columns are
+    // all strings/scalars — the driver's comparator cannot sort raw
+    // array columns, so the sorted type set is joined with commas.
     "ev_user_profile" -> q((s, d) => Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sort_array(collect_set(col("event_type"))).as("types"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
         concat_ws(">",
           transform(
             sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
@@ -673,9 +675,14 @@ object DataPipelineEntries {
     // scalars so the compare is value-exact without list-type coupling).
     // JL-sketch dimensionality reduction: 64 → 8 dims through the
     // deterministic hash-sign matrix (zero shuffle, literal matrix).
+    // Graded long-form as (vec_id, pos, value) rows — the driver's
+    // comparator requires atomic columns, so the 8-dim projection is
+    // posexploded (pos made 1-based to match generate_subscripts).
     "emb_random_proj" -> q((s, d) => Tables.embeddings(s, d)
       .select(col("vec_id"),
-        graft.operators.Embeddings.randomProject(col("embedding"), inDim = 64).as("proj"))),
+        posexplode(graft.operators.Embeddings.randomProject(col("embedding"), inDim = 64)))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col").as("value"))),
     "emb_quantize" -> q { (s, d) =>
       // project the scale, then the quantized array, then aggregate —
       // each expensive expression evaluates once per row (the three
@@ -720,9 +727,14 @@ object DataPipelineEntries {
           min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
           // DECIMAL(38,0) accumulation: a long sum would wrap silently
           // past ~4M docs/shard while DuckDB's HUGEINT sum doesn't —
-          // decimal is overflow-free to 38 digits in both engines
+          // decimal is overflow-free to 38 digits in both engines. The
+          // GRADED column is the string rendering: Spark decimals and
+          // DuckDB decimals reach the driver's comparator with
+          // different in-memory types (Decimal vs float64 coercion),
+          // so the hash diverges unless both sides compare as text.
           sum((col("pos").cast("long") * (col("h") % shuffleCkMod))
-            .cast("decimal(38,0)")).cast("decimal(38,0)").as("order_checksum"))
+            .cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("string").as("order_checksum"))
     },
     // Sequence packing: fixed-boundary pack assignment within hash
     // shards (one window shuffle, shards pack in parallel), graded by
@@ -1479,7 +1491,7 @@ object DataPipelineEntries {
         |  FROM events) WHERE rn <= 3""".stripMargin,
     "ev_user_profile" ->
       """SELECT user_id, count(*) AS n_events,
-        |  list(DISTINCT event_type ORDER BY event_type) AS types,
+        |  array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS types,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
         |FROM events GROUP BY 1""".stripMargin,
     "ev_interval_join" ->
@@ -1565,7 +1577,10 @@ object DataPipelineEntries {
         rnd(s"list_dot_product(CAST(embedding AS DOUBLE[]), " +
           s"[${sj.mkString(", ")}])", 6)
       }.mkString(",\n    ")
-      s"SELECT vec_id, [\n    $dots] AS proj FROM embeddings"
+      s"""WITH p AS (SELECT vec_id, [
+         |    $dots] AS proj FROM embeddings)
+         |SELECT vec_id, CAST(generate_subscripts(proj, 1) AS INTEGER) AS pos,
+         |  unnest(proj) AS value FROM p""".stripMargin
     },
     "emb_array_stats" ->
       s"""SELECT vec_id,
@@ -1852,7 +1867,7 @@ object DataPipelineEntries {
          |      FROM k)
          |SELECT shard, count(*) AS n_docs,
          |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
-         |  CAST(sum(CAST(pos * (h % $shuffleCkMod) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS order_checksum
+         |  CAST(CAST(sum(CAST(pos * (h % $shuffleCkMod) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS order_checksum
          |FROM p GROUP BY 1""".stripMargin,
     // mirror of Packing.packAssign, generated from its own parameters
     "corpus_pack" ->

