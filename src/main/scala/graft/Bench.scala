@@ -46,7 +46,9 @@ object Bench {
       // a failed query reports the -1 sentinel, never a misleadingly tiny
       // elapsed time, and is listed in "failed" so the driver can tell
       // fast from broken
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      TransientCache.drain() // free entry-scoped caches, outside the timing
+      (name, elapsed, ok)
     }
     // Locale.ROOT: a comma-decimal default locale would render 1,234 and
     // break the driver's JSON parse.

@@ -91,19 +91,6 @@ object Sampling {
     * split/mixture/shuffle membership). */
   val DefaultStratifiedSeed = 17
 
-  /** Stratified exact-N sample: the `n` rows per stratum with the
-    * smallest `(portableHash(id), id)` — a deterministic uniform draw
-    * with an EXACT per-stratum size (hash-percent sampling like
-    * [[mixtureKeep]] only hits its rate in expectation, which is wrong
-    * for "give me 10k eval docs per language"). Needs a DataFrame (not
-    * a Column): the rank is a window over the stratum.
-    *
-    * One shuffle on the stratum key. Strata are typically few and
-    * large, so the ranking window is the skew risk at 100 TB; when a
-    * stratum outweighs a partition, pre-filter with a hash-bucket cut
-    * (keep the smallest buckets only, sized to overshoot `n`) before
-    * ranking — same two-phase shape as a top-k. Output adds
-    * `rank_in_stratum` (1-based). */
   /** Seed for weighted sampling — independent like every other seed. */
   val DefaultWeightedSeed = 19
 
@@ -219,6 +206,19 @@ object Sampling {
         col("saturated"))
   }
 
+  /** Stratified exact-N sample: the `n` rows per stratum with the
+    * smallest `(portableHash(id), id)` — a deterministic uniform draw
+    * with an EXACT per-stratum size (hash-percent sampling like
+    * [[mixtureKeep]] only hits its rate in expectation, which is wrong
+    * for "give me 10k eval docs per language"). Needs a DataFrame (not
+    * a Column): the rank is a window over the stratum.
+    *
+    * One shuffle on the stratum key. Strata are typically few and
+    * large, so the ranking window is the skew risk at 100 TB; when a
+    * stratum outweighs a partition, pre-filter with a hash-bucket cut
+    * (keep the smallest buckets only, sized to overshoot `n`) before
+    * ranking — same two-phase shape as a top-k. Output adds
+    * `rank_in_stratum` (1-based). */
   def stratifiedTake(df: DataFrame, stratum: Column, id: Column, n: Int,
                      seed: Int = DefaultStratifiedSeed): DataFrame = {
     require(n > 0, "n must be positive")

@@ -160,16 +160,15 @@ object TextAnalysis {
     // persisted: the exploded bigram stream feeds THREE consumers (the
     // bigram counts, the prefix counts, and the scoring join) —
     // un-persisted, Catalyst re-runs the tokenize+zip+explode per
-    // consumer (same caching contract as Dedup's shingle pipeline;
-    // blocks live until the session clears its cache)
-    val bg = docs
+    // consumer. Entry-scoped cache: registered with TransientCache so
+    // multi-entry harnesses free the blocks after this query's action.
+    val bg = graft.TransientCache.register(docs
       .filter(size(t) >= 2)
       .select(col("doc_id"),
         explode(arrays_zip(
           slice(t, lit(1), size(t) - 1).as("w1"),
           slice(t, lit(2), size(t) - 1).as("w2"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = docs.select(explode(t).as("w"))
@@ -202,11 +201,11 @@ object TextAnalysis {
   def tfIdfTop(docs: org.apache.spark.sql.DataFrame, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
     // persisted: tf feeds both the document-frequency profile and the
-    // scoring join — un-persisted, the explode+aggregate runs twice
-    val tf = docs
+    // scoring join — un-persisted, the explode+aggregate runs twice.
+    // Entry-scoped (TransientCache): freed by harnesses after the query.
+    val tf = graft.TransientCache.register(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
