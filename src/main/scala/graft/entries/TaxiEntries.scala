@@ -271,7 +271,31 @@ object TaxiEntries {
     // counts plus per-group within-bound flags the oracle pins true —
     // HLL estimates themselves are engine-specific, their accuracy
     // contract is not.
-    "taxi_daily_approx" -> q((s, d) => Marts.dailyApproxChecked(models(s, d).fctTrips)))
+    "taxi_daily_approx" -> q((s, d) => Marts.dailyApproxChecked(models(s, d).fctTrips)),
+    // Snapshot isolation + rollback (the Iceberg capability the
+    // reference inherits from its catalog, ingest_spark_bulk.py:146-152):
+    // v1 good full load, v2 BAD dynamic partition overwrite (months 6-7
+    // corrupted), v3 rollback to v1 — a manifest re-point, zero data
+    // movement. Graded across ALL THREE versions via time travel: v2
+    // must show exactly the corrupted months (older partitions
+    // untouched), v3 must hash-match v1's pre-load state.
+    "taxi_snapshot_rollback" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val t = new graft.write.SnapshotTable(s, tmpPath("snap", d, s))
+      val v1 = t.commitOverwrite(stg)
+      val bad = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * lit(-100))
+      val v2 = t.commitOverwritePartitions(bad)
+      val v3 = t.rollbackTo(v1)
+      Seq(v1, v2, v3).map { v =>
+        t.readVersion(v)
+          .groupBy(col("year"), col("month"))
+          .agg(count(lit(1)).as("n"),
+            graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+          .withColumn("version", lit(v).cast("int"))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
+    })
 
   import TaxiSql.{select => o}
   import TaxiSql.Dialect.rndSum
@@ -383,5 +407,19 @@ object TaxiEntries {
          |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
-         |FROM result GROUP BY 1, 2""".stripMargin))
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // v1 = the good load, v2 = months 6-7 replaced by the corrupted
+    // batch (other partitions must be untouched), v3 = rollback ≡ v1
+    "taxi_snapshot_rollback" -> o(
+      s""", agg AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("fare_amount", 2)} AS fare_sum
+         |        FROM stg_yellow GROUP BY 1, 2),
+         |  bad AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("fare_amount * -100", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2),
+         |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
+         |         UNION ALL SELECT * FROM bad)
+         |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
+         |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
+         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin))
 }

@@ -35,18 +35,35 @@ object Maintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (pathP, tmpP, oldP) = (new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(old))
-    fs.delete(tmpP, true)
-    fs.delete(oldP, true)
-    df.repartition(col("year"), col("month"))
-      .write.partitionBy("year", "month").parquet(tmp)
-    require(fs.rename(pathP, oldP), s"rename $path -> $old failed")
-    require(fs.rename(tmpP, pathP), s"rename $tmp -> $path failed")
-    fs.delete(oldP, true)
-    val after = fileCount
-    // content must be invariant; column set too
-    require(spark.read.parquet(path).columns.sorted.sameElements(cols.sorted),
-      "compaction changed the schema")
-    (before, after)
+    // SINGLE-WRITER contract, enforced: the rename-aside swap assumes no
+    // concurrent compactor (two swaps interleaving can drop the live dir).
+    // The lock is an atomic create-exclusive marker — the same primitive
+    // SnapshotTable commits on — so a second compactor fails fast instead
+    // of corrupting. Concurrent WRITERS remain the caller's contract: use
+    // SnapshotTable when multiple writers are possible.
+    val lockP = new org.apache.hadoop.fs.Path(path + "_compact_lock")
+    val lockOut =
+      try fs.create(lockP, /*overwrite=*/ false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"another compaction holds $lockP (single-writer contract); " +
+            "remove the marker only if its owner is dead")
+      }
+    lockOut.close()
+    try {
+      fs.delete(tmpP, true)
+      fs.delete(oldP, true)
+      df.repartition(col("year"), col("month"))
+        .write.partitionBy("year", "month").parquet(tmp)
+      require(fs.rename(pathP, oldP), s"rename $path -> $old failed")
+      require(fs.rename(tmpP, pathP), s"rename $tmp -> $path failed")
+      fs.delete(oldP, true)
+      val after = fileCount
+      // content must be invariant; column set too
+      require(spark.read.parquet(path).columns.sorted.sameElements(cols.sorted),
+        "compaction changed the schema")
+      (before, after)
+    } finally fs.delete(lockP, false)
   }
 
   /** Row-count + per-partition file/row profile of a partitioned table —

@@ -1,0 +1,252 @@
+package graft.write
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned table over plain partitioned parquet — the
+  * capability the reference inherits from Iceberg for free (every write
+  * is a snapshot commit, `scripts/nyc_taxi/ingest_spark_bulk.py:146–152`;
+  * `trino/catalog/iceberg.properties:13–14` pins the catalog that makes
+  * `rollback_to_snapshot` a one-liner). Graft's in-place writers
+  * ([[IncrementalWriter]]) have no versioned recovery: a bad load is
+  * permanent. This class adds the Iceberg-shaped contract with a
+  * manifest-file design:
+  *
+  *  - Data is IMMUTABLE: every commit writes a fresh
+  *    `_data/d<version>` directory; nothing ever rewrites history.
+  *  - A manifest (`_manifests/v<version>.txt`) lists the data
+  *    directories composing that snapshot, each with an excluded
+  *    partition set (how dynamic partition overwrite masks replaced
+  *    months without touching their files).
+  *  - `_manifests/CURRENT` names the live version; readers resolve it,
+  *    writers flip it last. The flip is a temp-file + atomic rename.
+  *  - [[rollbackTo]] is ITSELF a commit whose entries are the target
+  *    version's — history is preserved (Iceberg semantics), data moves
+  *    zero bytes, and the rollback is visible in [[history]].
+  *
+  * Commit protocol (optimistic, single-winner): data dir first
+  * (invisible until referenced), then the manifest created with
+  * `overwrite = false` — the filesystem's atomic create-exclusive is the
+  * commit point, so two writers racing to version N+1 produce exactly
+  * one winner and one [[SnapshotConflictException]] (retry = re-read
+  * CURRENT, re-commit as N+2) — then the CURRENT flip. A crash between
+  * manifest create and CURRENT flip leaves an orphan manifest that
+  * blocks the next commit; [[repair]] re-points CURRENT at the newest
+  * complete manifest, mirroring how a catalog recovers.
+  *
+  * This holds on filesystems with atomic create/rename (HDFS, local,
+  * most POSIX). On S3-class object stores create-exclusive is not
+  * atomic; production tables there put the version pointer in a catalog
+  * with a conditional write (what Iceberg's HMS/REST catalogs do) and
+  * keep everything else here unchanged.
+  *
+  * At 100 TB the unit of work per commit is one data directory's write:
+  * commit metadata is O(retained versions × data dirs), never O(files),
+  * and rollback/time-travel never rewrite data. [[expire]] bounds the
+  * retained history like Iceberg's `expire_snapshots`.
+  */
+class SnapshotTable(spark: SparkSession, root: String,
+                    partCols: Seq[String] = Seq("year", "month")) {
+  require(partCols.nonEmpty, "partCols must be non-empty")
+
+  private val manifestDir = new Path(root, "_manifests")
+  private val dataDir = new Path(root, "_data")
+  private val fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One data directory + the partitions masked out of it (a dynamic
+    * partition overwrite excludes the replaced partitions from every
+    * OLDER dir instead of deleting their files). Partition values render
+    * as colon-joined strings, entries as `dir|p1,p2`. */
+  private case class Entry(dir: String, excluded: Set[Seq[String]])
+  private case class Manifest(version: Int, parent: Int, op: String,
+                              entries: Seq[Entry])
+
+  // ---- manifest serialization (line format: trivially greppable and
+  // parseable with zero dependencies; values are ints, dir names, and
+  // partition-value tuples, none of which need escaping) ----
+
+  private def manifestPath(v: Int) = new Path(manifestDir, f"v$v%05d.txt")
+
+  private def render(m: Manifest): String = {
+    val lines = Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}") ++
+      m.entries.map(e =>
+        s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}")
+    lines.mkString("", "\n", "\n")
+  }
+
+  private def parse(v: Int): Manifest = {
+    val in = fs.open(manifestPath(v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.filter(_.nonEmpty).toSeq.map { l =>
+      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+    }
+    def one(k: String) = kv.collectFirst { case (`k`, v0) => v0 }
+      .getOrElse(sys.error(s"manifest v$v missing $k"))
+    val entries = kv.collect { case ("entry", spec) =>
+      val bar = spec.indexOf('|')
+      val excl = spec.substring(bar + 1).split(",").filter(_.nonEmpty)
+        .map(_.split(":").toSeq).toSet
+      Entry(spec.substring(0, bar), excl)
+    }
+    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries)
+  }
+
+  // ---- pointer ----
+
+  private val currentPath = new Path(manifestDir, "CURRENT")
+
+  /** The live version, if the table exists. */
+  def currentVersion: Option[Int] =
+    if (!fs.exists(currentPath)) None
+    else {
+      val in = fs.open(currentPath)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+
+  private def flipCurrent(v: Int): Unit = {
+    val tmp = new Path(manifestDir, s"CURRENT.tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(currentPath, false) // rename-over is not portable; delete first
+    require(fs.rename(tmp, currentPath), s"CURRENT flip to v$v failed")
+  }
+
+  // ---- commits ----
+
+  private def writeData(df: DataFrame, version: Int): String = {
+    val dir = f"d$version%05d"
+    // co-locate each output partition's rows: 1 file per partition, not
+    // N_tasks × N_partitions small files (same rationale as
+    // IncrementalWriter.byPartition)
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    dir
+  }
+
+  private def commit(op: String, entries: Seq[Entry]): Int = {
+    val parent = currentVersion.getOrElse(0)
+    val next = parent + 1
+    fs.mkdirs(manifestDir)
+    val m = Manifest(next, parent, op, entries)
+    val out =
+      try fs.create(manifestPath(next), /*overwrite=*/ false)
+      catch { case _: java.io.IOException =>
+        throw new SnapshotConflictException(
+          s"commit of v$next lost the race (or an orphan manifest exists — " +
+            s"run repair()): ${manifestPath(next)}")
+      }
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    flipCurrent(next)
+    next
+  }
+
+  /** Full-table snapshot (CTAS / dbt `table` materialization shape). */
+  def commitOverwrite(df: DataFrame): Int = {
+    val v = currentVersion.getOrElse(0) + 1
+    commit("overwrite", Seq(Entry(writeData(df, v), Set.empty)))
+  }
+
+  /** Append snapshot: previous entries plus one new directory. */
+  def commitAppend(df: DataFrame): Int = {
+    val v = currentVersion.getOrElse(0) + 1
+    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    commit("append", prev :+ Entry(writeData(df, v), Set.empty))
+  }
+
+  /** Dynamic partition overwrite as a snapshot: the partitions present
+    * in `df` are masked out of every older entry (their files stay on
+    * disk for time travel) and the new directory carries their
+    * replacement — the reference's ingest overwrite mode
+    * (`ingest_spark_bulk.py:71–81`) with history. */
+  def commitOverwritePartitions(df: DataFrame): Int = {
+    val touched: Set[Seq[String]] = df
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    require(touched.nonEmpty, "batch has no partitions")
+    val v = currentVersion.getOrElse(0) + 1
+    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    val masked = prev.map(e => e.copy(excluded = e.excluded ++ touched))
+    commit("overwrite_partitions", masked :+ Entry(writeData(df, v), Set.empty))
+  }
+
+  /** Re-point the table at snapshot `v`'s state — a NEW commit with
+    * `v`'s entries, zero data movement, history preserved. */
+  def rollbackTo(v: Int): Int = {
+    val m = parse(v) // throws if expired/never existed
+    commit(s"rollback_to_$v", m.entries)
+  }
+
+  // ---- reads ----
+
+  /** The live snapshot. */
+  def read(): DataFrame =
+    readVersion(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
+
+  /** Time travel: the table exactly as of version `v`. Each data dir is
+    * read with its own partition discovery; exclusion predicates sit on
+    * partition columns so they prune directories at listing time, and
+    * `unionByName(allowMissingColumns)` lets appended batches evolve the
+    * schema with typed-null padding (raw-layer contract, see
+    * [[IncrementalWriter.readMerged]]). */
+  def readVersion(v: Int): DataFrame = {
+    val m = parse(v)
+    require(m.entries.nonEmpty, s"v$v is an empty snapshot")
+    m.entries.map { e =>
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(new Path(dataDir, e.dir).toString)
+      val excludePred = e.excluded.toSeq
+        .map(vals => partCols.zip(vals)
+          .map { case (c, x) => col(c).cast("string") === x }
+          .reduce(_ && _))
+        .reduceOption(_ || _)
+      excludePred.fold(df)(p => df.filter(!p))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** (version, op, parent) for every retained snapshot, oldest first. */
+  def history: Seq[(Int, String, Int)] =
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .sorted.toSeq
+      .map { v => val m = parse(v); (m.version, m.op, m.parent) }
+
+  /** Expire history: keep the newest `keepLast` snapshots, delete older
+    * manifests and any data directory no retained snapshot references —
+    * Iceberg's `expire_snapshots`, the operation that stops a daily
+    * 100 TB pipeline's storage growing without bound. The live version
+    * is always retained. */
+  def expire(keepLast: Int): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val versions = history.map(_._1)
+    val cur = currentVersion.getOrElse(return)
+    val keep = versions.sorted.takeRight(keepLast).toSet + cur
+    val dead = versions.filterNot(keep)
+    val referenced = keep.toSeq.flatMap(v => parse(v).entries.map(_.dir)).toSet
+    dead.foreach(v => fs.delete(manifestPath(v), false))
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath).foreach { p =>
+        if (!referenced(p.getName)) fs.delete(p, true)
+      }
+  }
+
+  /** Crash recovery: if an orphan manifest exists past CURRENT (a
+    * writer died between manifest create and pointer flip), re-point
+    * CURRENT at the newest manifest — the write WAS durable, finish it. */
+  def repair(): Unit = {
+    val latest = history.map(_._1).maxOption
+    (latest, currentVersion) match {
+      case (Some(l), Some(c)) if l > c => flipCurrent(l)
+      case (Some(l), None) => flipCurrent(l)
+      case _ => ()
+    }
+  }
+}
+
+/** A second writer committed the same version first — re-read and retry. */
+class SnapshotConflictException(msg: String) extends RuntimeException(msg)

@@ -331,4 +331,104 @@ class ScaleToolsSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("pageRank is 3 exchanges per iteration; the edge-list exchange is planned once") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
+      .toDF("src", "dst")
+    import graft.operators.Graph
+    val i2 = shuffles(Graph.pageRank(nodes, edges, iters = 2))
+    val i3 = shuffles(Graph.pageRank(nodes, edges, iters = 3))
+    // per iteration: the nodes-sized rank vector re-shuffles into the
+    // edge join on src, the edge-sized contributions shuffle into the
+    // inflow aggregate on dst, and the nodes left-join re-partitions the
+    // new ranks — 3 exchanges, all driven by nodes-sized or
+    // one-pass-over-edges data. The edge list and degree profile
+    // exchanges are identical subtrees across iterations, so Spark
+    // plans them once (ReusedExchange); a 4th per-iteration exchange
+    // would mean that reuse broke.
+    assert(i3 - i2 == 3, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
+    assert(i2 == 5, s"iteration-loop base plan drifted: i2=$i2")
+  }
+
+  test("top session paths and cohort retention each run on two exchanges") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ev = (1 to 300).map { i =>
+      (i.toLong, s"u${i % 10}", ts(i * 60000L), Seq("view", "click", "purchase")(i % 3), i * 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    // paths: the sessionize window shuffles on user_id; the per-session
+    // path aggregate groups on (user_id, session_idx) — a sub-partition
+    // of user_id, no new exchange — and the corpus-wide path count is
+    // the second exchange; the top-20 is TakeOrdered, not a sort.
+    val paths = graft.operators.Events.withSessionIndex(ev)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    assert(shuffles(paths) == 2, "ev_top_paths plan drifted")
+    // retention: the first-seen anchor window shuffles on user_id; the
+    // (cohort, offset) distinct-user aggregate is the second — no Expand
+    // (single countDistinct plans as two-phase agg, not grouping sets).
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val cohort = ev
+      .withColumn("first_ts", min(col("ts")).over(byUser))
+      .select(date_trunc("week", col("first_ts")).cast("timestamp_ntz").as("cohort_week"),
+        floor((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("first_ts").cast("timestamp")))
+          / lit(7L * 24 * 3600 * 1000000L)).as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val cohortPlan = cohort.queryExecution.executedPlan.toString
+    assert(shuffles(cohort) == 2, "ev_cohort_retention plan drifted")
+    assert(!cohortPlan.contains("Expand"), s"unexpected Expand in:\n$cohortPlan")
+  }
+
+  test("label centroids run on two vocabulary-sized exchanges, no Expand") {
+    import graft.expr.Functions.{stableAvg, stableSum}
+    val emb = (0L until 100L).map(i =>
+      (i, s"l${i % 5}", Array.tabulate(8)(j => ((i * 13 + j) % 7 - 3) / 2.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(stableAvg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("dim"),
+        round(sqrt(stableSum(col("m") * col("m")).cast("double")), 6).as("centroid_norm"),
+        round(max(when(col("pos") === 0, col("m"))), 6).as("c0"))
+    val plan = cent.queryExecution.executedPlan.toString
+    // exchange 1 carries the exploded stream into the (label, pos)
+    // partial-agg; exchange 2 regroups label×dim rows — label-sized, not
+    // corpus-sized. posexplode is a Generate node, never an Expand.
+    assert(shuffles(cent) == 2, s"emb_centroids plan drifted:\n$plan")
+    assert(!plan.contains("Expand"), s"unexpected Expand in:\n$plan")
+  }
+
+  test("incremental LSH prunes the stored band scan with an un-shuffled semi join") {
+    import java.nio.file.Files
+    val bandsPath = Files.createTempDirectory("graft_lshpin").toString + "/bands"
+    (1L to 500L).map(i => (i, (i % 12).toInt, s"k${i % 40}"))
+      .toDF("doc_id", "band_idx", "band_key")
+      .write.parquet(bandsPath)
+    val newKeys = Seq((0, "k1"), (1, "k2"), (2, "k3"))
+      .toDF("band_idx", "band_key").distinct()
+    val pruned = graft.operators.Dedup.storedBandsPruned(spark, bandsPath, newKeys, None)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"touched-bucket semi join missing:\n$plan")
+    // the only hash exchange allowed is the tiny new-key distinct (build
+    // side); the stored scan itself must reach the semi join unshuffled
+    // — that is the property that bounds per-batch cost by touched
+    // buckets rather than index history.
+    assert(shuffles(pruned) <= 1, s"stored band scan is being shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"new-key set not broadcast:\n$plan")
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.{Maintenance, SnapshotConflictException, SnapshotTable}
+
+/** Snapshot write-path contract: versioned commits, dynamic partition
+  * overwrite with history, time travel, rollback, optimistic-commit
+  * conflict, expiry, crash repair — and the compactor's enforced
+  * single-writer lock. */
+class SnapshotSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    s"$dir/tbl"
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Double)] =
+    df.select(col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("overwrite, append, and read round-trip with history recorded") {
+    val t = new SnapshotTable(spark, freshRoot("snap_rt"))
+    assert(t.currentVersion.isEmpty)
+    val a = frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0))
+    assert(t.commitOverwrite(a) == 1)
+    assert(state(t.read()) == state(a))
+    val b = frame((3, 2024, 3, 30.0))
+    assert(t.commitAppend(b) == 2)
+    assert(state(t.read()) == state(a) ++ state(b))
+    assert(t.history.map(h => (h._1, h._2)) == Seq(1 -> "overwrite", 2 -> "append"))
+  }
+
+  test("dynamic partition overwrite masks only touched partitions; time travel sees both states") {
+    val t = new SnapshotTable(spark, freshRoot("snap_dyn"))
+    val good = frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 25.0))
+    t.commitOverwrite(good)
+    val replacement = frame((9, 2024, 2, -1.0))
+    t.commitOverwritePartitions(replacement)
+    // untouched month survives; touched month fully replaced
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (9, 2024, 2, -1.0)))
+    // time travel: v1 still intact — the masked files were never deleted
+    assert(state(t.readVersion(1)) == state(good))
+  }
+
+  test("rollback restores the pre-load state as a new commit, zero data movement") {
+    val t = new SnapshotTable(spark, freshRoot("snap_rb"))
+    val good = frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0))
+    val v1 = t.commitOverwrite(good)
+    t.commitOverwritePartitions(frame((7, 2024, 2, 666.0)))
+    val v3 = t.rollbackTo(v1)
+    assert(v3 == 3)
+    assert(state(t.read()) == state(good))
+    assert(t.history.map(_._2) == Seq("overwrite", "overwrite_partitions", "rollback_to_1"))
+    // the bad snapshot remains reachable for audit until expired
+    assert(state(t.readVersion(2)) == Set((1, 2024, 1, 10.0), (7, 2024, 2, 666.0)))
+  }
+
+  test("optimistic commit: racing writers produce one winner, loser gets a conflict") {
+    val root = freshRoot("snap_race")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // simulate the racer that wins v2: its manifest lands first
+    val racerManifest = new Path(s"$root/_manifests/v00002.txt")
+    val out = fs(root).create(racerManifest, false)
+    out.write("version=2\nparent=1\nop=append\nentry=d00001|\n".getBytes("UTF-8"))
+    out.close()
+    intercept[SnapshotConflictException] {
+      t.commitAppend(frame((2, 2024, 2, 2.0)))
+    }
+    // loser retries after re-reading: repair() finishes the winner's
+    // interrupted commit (its CURRENT flip never happened), then the
+    // retry lands as v3
+    t.repair()
+    assert(t.currentVersion.contains(2))
+    assert(t.commitAppend(frame((2, 2024, 2, 2.0))) == 3)
+  }
+
+  test("expire keeps the newest snapshots and deletes unreferenced data dirs") {
+    val root = freshRoot("snap_exp")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))  // d00001
+    t.commitOverwrite(frame((2, 2024, 1, 2.0)))  // d00002
+    t.commitOverwrite(frame((3, 2024, 1, 3.0)))  // d00003
+    t.expire(keepLast = 2)
+    assert(t.history.map(_._1) == Seq(2, 3))
+    intercept[Exception] { t.readVersion(1) }
+    // v1's data dir is referenced by no retained snapshot — gone
+    assert(!fs(root).exists(new Path(s"$root/_data/d00001")))
+    assert(state(t.read()) == Set((3, 2024, 1, 3.0)))
+  }
+
+  test("repair re-points CURRENT after a crash between manifest and flip") {
+    val root = freshRoot("snap_fix")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    // crash simulation: CURRENT lost the flip back to v1
+    val cur = new Path(s"$root/_manifests/CURRENT")
+    fs(root).delete(cur, false)
+    val out = fs(root).create(cur, true); out.write("1".getBytes); out.close()
+    assert(t.currentVersion.contains(1))
+    t.repair()
+    assert(t.currentVersion.contains(2))
+    assert(state(t.read()).size == 2)
+  }
+
+  test("compact refuses to run concurrently: single-writer lock") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val path = s"$dir/t"
+    frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0))
+      .write.partitionBy("year", "month").parquet(path)
+    val lock = new Path(path + "_compact_lock")
+    val out = fs(path).create(lock, false); out.close()
+    intercept[IllegalStateException] { Maintenance.compact(spark, path) }
+    fs(path).delete(lock, false)
+    val (before, after) = Maintenance.compact(spark, path)
+    assert(before >= after && after == 2) // one file per (year, month)
+    // lock released on success — a later run can take it
+    assert(!fs(path).exists(lock))
+  }
+}
