@@ -438,6 +438,262 @@ object TpchEntries {
           bucketWidth = 64)
         .groupBy(col("ws"), col("we"))
         .agg(count(lit(1)).as("n_orders"))
+    },
+    // ---- the remaining TPC-H query shapes (Q2/Q7–Q16/Q20/Q21), adapted
+    // to this corpus's reduced schema: there is no partsupp table, so
+    // Q2/Q11/Q16/Q20 derive the part–supplier relation from lineitem
+    // (distinct pairs; unit cost = min extendedprice/quantity), and
+    // comment/phone/shipmode-based predicates substitute columns that
+    // exist (documented per entry). With these, all 22 TPC-H shapes have
+    // a graded entry. ----
+    // Q2: min-cost supplier per part within a region — correlated-min
+    // (window) over the derived supply relation, dims broadcast.
+    "tpch_q2_min_cost" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cost = Tables.lineitem(s, d).filter(col("l_quantity") > 0)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val eur = cost
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      // per-part min over the region's suppliers; the window shuffles on
+      // the part key only once (supply is pairs-sized, not fact-sized)
+      val best = eur
+        .withColumn("min_cost", min(col("unit_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("unit_cost") === col("min_cost"))
+      best.join(Tables.part(s, d).filter(col("p_type") === "STANDARD" && col("p_size") <= 15),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          round(col("unit_cost"), 6).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    // Q7: volume shipping between two nations, either direction, by year
+    // — double-dim join with a pair predicate, dims broadcast.
+    "tpch_q7_volume" -> q { (s, d) =>
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+            .as("volume"))
+    },
+    // Q8: a nation's market share inside a region's market by year —
+    // the conditional-sum ratio over a 6-way join, order-independent
+    // via decimal accumulation on BOTH numerator and denominator.
+    "tpch_q8_market_share" -> q { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(year(col("o_orderdate")).between(1995, 1996))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(stableSum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+            .cast("double") / stableSum(vol).cast("double"), 6).as("mkt_share"))
+    },
+    // Q9: profit by supplier nation × order year over parts matching a
+    // name pattern. No partsupp ⇒ supply cost is proxied as 1% of
+    // retail price × quantity (deterministic, engine-mirrorable).
+    "tpch_q9_profit" -> q { (s, d) =>
+      val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.01)
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          stableRoundedSum(amount, 2).as("sum_profit"))
+    },
+    // Q10: returned-item revenue per customer for one quarter, top 20 —
+    // join + agg + TakeOrdered with the custkey tiebreak.
+    "tpch_q10_returns" -> q { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+    // Q11: parts whose supply value from one nation exceeds a fraction
+    // of that nation's total — HAVING against a broadcast scalar, value
+    // from the lineitem-derived supply relation.
+    "tpch_q11_important_parts" -> q { (s, d) =>
+      val supply = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+      val perPart = supply.groupBy(col("l_partkey"))
+        .agg(stableSum(col("l_extendedprice")).cast("double").as("value_d"))
+      val total = perPart.agg(stableSum(col("value_d")).cast("double").as("total_d"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_d") > col("total_d") * lit(0.001))
+        .select(col("l_partkey"), round(col("value_d"), 2).as("part_value"))
+    },
+    // Q12 shape: lineitem attribute groups × order-priority urgency
+    // split (the corpus has no l_shipmode/commitdate; l_returnflag is
+    // the grouping stand-in and the late predicate rides l_shipdate).
+    "tpch_q12_priority_split" -> q { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    },
+    // Q13: customer order-count distribution — outer join with a
+    // join-side predicate, then a histogram of the per-customer counts.
+    "tpch_q13_order_dist" -> q { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    // Q14: promo revenue share in one month — conditional-sum ratio,
+    // decimal-accumulated on both sides.
+    "tpch_q14_promo" -> q { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(lit(100.0) * stableSum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)))
+            .cast("double") / stableSum(vol).cast("double"), 6).as("promo_share"))
+    },
+    // Q15: top supplier(s) by quarter revenue — revenue view + max
+    // scalar + equality keep, rounded BEFORE the compare on both sides.
+    "tpch_q15_top_supplier" -> q { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(stableRoundedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    },
+    // Q16: supplier count per (brand, type, size) bucket over the
+    // derived supply pairs, excluding flagged suppliers (negative
+    // balance proxies the comment-based complaint filter) via anti join.
+    "tpch_q16_supplier_cnt" -> q { (s, d) =>
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 17, 25, 33, 41, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // Q20: suppliers in one nation that shipped a significant volume of
+    // matching parts in one year — nested IN-subqueries as broadcast
+    // semi joins over the derived supply relation.
+    "tpch_q20_excess_supply" -> q { (s, d) =>
+      val partKeys = Tables.part(s, d).filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(partKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(stableSum(col("l_quantity")).cast("double").as("qty"))
+        .filter(col("qty") > 40.0)
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    },
+    // Q21 shape: suppliers alone responsible for a late line in a
+    // multi-supplier finished order. The classic 4-way self-join is
+    // re-expressed as ONE per-order profile aggregation (distinct
+    // suppliers / distinct late suppliers) — exists/not-exists become
+    // n_supps >= 2 AND n_late = 1, which shuffles lineitem once instead
+    // of three times (the formulation that survives a 100 TB fact).
+    // "Late" adapts to this schema as shipped > 60 days after order.
+    "tpch_q21_waiting" -> q { (s, d) =>
+      val lo = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val prof = lo.groupBy(col("l_orderkey").as("po"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      lo.filter(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(prof, col("l_orderkey") === col("po"))
+        .filter(col("n_supps") >= 2 && col("n_late") === 1)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
     })
 
   val oracleSql: Map[String, String] = EntryMap(
@@ -649,7 +905,168 @@ object TpchEntries {
          |FROM orders
          |JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
-         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_q2_min_cost" ->
+      s"""WITH cost AS (
+         |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+         |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+         |eur AS (
+         |  SELECT * FROM cost
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |best AS (SELECT *, min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+         |         FROM eur)
+         |SELECT s_acctbal, s_name, n_name, p_partkey,
+         |  ${rnd("unit_cost", 6)} AS cost
+         |FROM best JOIN part ON l_partkey = p_partkey
+         |WHERE p_type = 'STANDARD' AND p_size <= 15 AND unit_cost = min_cost
+         |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+    "tpch_q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  count(*) AS n_lines,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS volume
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "tpch_q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  count(*) AS n_lines,
+         |  ${rnd(
+             s"CAST(${decSum("CASE WHEN ns.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS DOUBLE)" +
+             s" / CAST(${decSum("l_extendedprice * (1.0 - l_discount)")} AS DOUBLE)", 6)} AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |JOIN region ON nc.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+         |  AND year(o_orderdate) BETWEEN 1995 AND 1996
+         |GROUP BY 1""".stripMargin,
+    "tpch_q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  count(*) AS n_lines,
+         |  ${rndSum(
+             "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * CAST(0.01 AS DOUBLE)",
+             2)} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
+    "tpch_q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q11_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey, CAST(${decSum("l_extendedprice")} AS DOUBLE) AS value_d
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(${decSum("value_d")} AS DOUBLE) AS total_d FROM v)
+         |SELECT l_partkey, ${rnd("value_d", 2)} AS part_value
+         |FROM v, t WHERE value_d > total_d * CAST(0.001 AS DOUBLE)""".stripMargin,
+    "tpch_q12_priority_split" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "tpch_q13_order_dist" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM c GROUP BY 1""".stripMargin,
+    "tpch_q14_promo" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${rnd(
+             s"(CAST(100.0 AS DOUBLE) * CAST(${decSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS DOUBLE))" +
+             s" / CAST(${decSum("l_extendedprice * (1.0 - l_discount)")} AS DOUBLE)", 6)} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "tpch_q15_top_supplier" ->
+      s"""WITH r AS (
+         |  SELECT l_suppkey, ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM r JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin,
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 17, 25, 33, 41, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "tpch_q20_excess_supply" ->
+      s"""SELECT s_suppkey, s_name
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_5'
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey FROM lineitem
+         |    WHERE year(l_shipdate) = 1997
+         |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |    GROUP BY l_partkey, l_suppkey
+         |    HAVING CAST(${decSum("l_quantity")} AS DOUBLE) > 40.0)""".stripMargin,
+    "tpch_q21_waiting" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |prof AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supps,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM lo GROUP BY 1),
+        |w AS (
+        |  SELECT DISTINCT lo.l_orderkey, l_suppkey
+        |  FROM lo JOIN prof USING (l_orderkey)
+        |  WHERE late AND n_supps >= 2 AND n_late = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 
   /** Post-merge orders — the `tpch_merge_upsert` oracle, reused as a
     * CTE by the `tpch_table_diff` oracle. */
