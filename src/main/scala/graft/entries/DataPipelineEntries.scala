@@ -877,6 +877,29 @@ object DataPipelineEntries {
       sq.awaitTermination()
       s.table(name)
     },
+    // Stream-STREAM interval join through a real streaming query: views
+    // and clicks replay as two independent file-source streams, joined
+    // on user_id with the time bound (watermarks bound both sides'
+    // state). Inner stream-stream joins emit eagerly, so the bounded
+    // replay is graded against the SAME batch oracle as
+    // ev_interval_join — identical values, not just "it ran".
+    "stream_interval_join" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d)
+      val ldir = Scratch.tmpPath("stream_ij_l", d, s)
+      val rdir = Scratch.tmpPath("stream_ij_r", d, s)
+      ev.filter(col("event_type") === "view").write.mode("overwrite").parquet(ldir)
+      ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(rdir)
+      val name = "graft_stream_ij"
+      val sq = graft.streaming.StreamingEvents.intervalJoin(
+          s.readStream.schema(ev.schema).parquet(ldir),
+          s.readStream.schema(ev.schema).parquet(rdir),
+          "user_id", withinMinutes = 10)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
     // Streaming exact dedup: stateful dropDuplicates emits the first
     // occurrence of each key — the streaming twin of dedup_exact. (The
     // bounded-state production variant is dropDuplicatesWithinWatermark;
@@ -1446,6 +1469,13 @@ object DataPipelineEntries {
          |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_dedup_exact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    // identical to ev_interval_join: the streaming replay must land the
+    // exact batch join result
+    "stream_interval_join" ->
+      """SELECT v.user_id, v.ts AS l_ts, c.ts AS r_ts, c.value
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
     // batch equivalent of the stream-static enrichment replay; the dim
     // VALUES are generated from the same eventTiers constant
     "stream_static_join" -> {

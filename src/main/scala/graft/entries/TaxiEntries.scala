@@ -295,6 +295,25 @@ object TaxiEntries {
           .withColumn("version", lit(v).cast("int"))
       }.reduce(_.unionByName(_))
         .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
+    },
+    // Snapshot changelog (CDC): the row-level diff a downstream consumer
+    // tails between two commits instead of re-reading the table. The
+    // corrupting overwrite rewrites months 6-7, so the log must contain
+    // exactly those months' rows — originals as deletes, corrupted
+    // copies as inserts — and NOTHING from untouched partitions.
+    // (coalesce makes every replaced row differ even at null fares, so
+    // the multiset diff is exactly the replaced partitions.)
+    "taxi_snapshot_changelog" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val t = new graft.write.SnapshotTable(s, tmpPath("snapcdc", d, s))
+      val v1 = t.commitOverwrite(stg)
+      val bad = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
+      val v2 = t.commitOverwritePartitions(bad)
+      t.changelog(v1, v2)
+        .groupBy(col("op"), col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     })
 
   import TaxiSql.{select => o}
@@ -421,5 +440,15 @@ object TaxiEntries {
          |         UNION ALL SELECT * FROM bad)
          |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
          |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
-         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin))
+         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin),
+    // deletes = the replaced months' original rows; inserts = their
+    // corrupted replacements; untouched partitions never appear
+    "taxi_snapshot_changelog" -> o(
+      s"""SELECT 'delete' AS op, year, month, count(*) AS n,
+         |  ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE month IN (6, 7) GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'insert' AS op, year, month, count(*) AS n,
+         |  ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
+         |FROM stg_yellow WHERE month IN (6, 7) GROUP BY 2, 3""".stripMargin))
 }

@@ -207,6 +207,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Change-data capture between two snapshots: every row of `toV` not
+    * in `fromV` as an `insert`, every row of `fromV` not in `toV` as a
+    * `delete` (Iceberg's incremental-read / changelog surface — what a
+    * downstream consumer tails instead of re-reading the table).
+    * MULTISET semantics via `exceptAll`: duplicate rows diff by count,
+    * and an unchanged row never appears. Both versions must share a
+    * schema (align evolved versions first). Scale shape: each direction
+    * is one hash-aggregation shuffle over the version pair — no join
+    * blowup, no key assumptions. */
+  def changelog(fromV: Int, toV: Int): DataFrame = {
+    val a = readVersion(fromV)
+    val b = readVersion(toV)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"changelog needs a shared schema between v$fromV and v$toV")
+    b.exceptAll(a.select(b.columns.map(col): _*)).withColumn("op", lit("insert"))
+      .unionByName(
+        a.exceptAll(b.select(a.columns.map(col): _*)).withColumn("op", lit("delete")))
+  }
+
   /** (version, op, parent) for every retained snapshot, oldest first. */
   def history: Seq[(Int, String, Int)] =
     if (!fs.exists(manifestDir)) Seq.empty

@@ -115,6 +115,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(state(t.read()).size == 2)
   }
 
+  test("changelog emits multiset inserts/deletes between versions; unchanged rows absent") {
+    val t = new SnapshotTable(spark, freshRoot("snap_cdc"))
+    // month 1 has a DUPLICATE row — multiset semantics must see one
+    // copy removed when only one survives
+    val v1 = t.commitOverwrite(frame(
+      (1, 2024, 1, 10.0), (1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val v2 = t.commitOverwritePartitions(frame((1, 2024, 1, 10.0), (9, 2024, 1, 99.0)))
+    val log = t.changelog(v1, v2)
+      .select(col("op"), col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sorted.toSeq
+    // month 2 untouched → absent; one of the duplicate (1,…) rows
+    // deleted, (9,…) inserted
+    assert(log == Seq(
+      ("delete", 1, 2024, 1, 10.0),
+      ("insert", 9, 2024, 1, 99.0)))
+    intercept[IllegalArgumentException] {
+      val t2 = new SnapshotTable(spark, freshRoot("snap_cdc2"))
+      t2.commitOverwrite(frame((1, 2024, 1, 1.0)))
+      t2.commitAppend(frame((2, 2024, 1, 2.0)).withColumn("extra", lit(1)))
+      t2.changelog(1, 2)
+    }
+  }
+
   test("compact refuses to run concurrently: single-writer lock") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val path = s"$dir/t"
