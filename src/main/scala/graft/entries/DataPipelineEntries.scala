@@ -590,6 +590,18 @@ object DataPipelineEntries {
     "sample_negatives" -> q((s, d) =>
       graft.operators.Sampling.negativePairs(
         Tables.documents(s, d).select(col("doc_id")), k = negativeK)),
+    // Temperature-flattened mixture (α = 0.5 via IEEE-exact sqrt): each
+    // language keeps rows at sqrt(n)/sqrt(n_max) — the multilingual
+    // rebalancing step. Graded per language by total, rate, and kept
+    // count; the keep decision is the portable-hash uniform vs the rate.
+    "corpus_temperature" -> q { (s, d) =>
+      graft.operators.Sampling.temperatureKeep(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")), "lang", col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          round(min(col("rate")), 6).as("rate"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    },
     // Token-budget allocation: per-source token caps (one aggregation
     // pass) water-filled against mixture weights derived from the
     // source id — min(cap, λ·w) with λ at the saturation crossing.
@@ -1677,6 +1689,24 @@ object DataPipelineEntries {
          |FROM b GROUP BY 1""".stripMargin,
     // mirror of Sampling.weightedTake: same hash→uniform→power chain,
     // every constant interpolated from the operator itself
+    // mirror of Sampling.temperatureKeep: sqrt is correctly rounded in
+    // IEEE-754 (bit-identical in both engines — the reason α is pinned
+    // at 0.5), the hash uniform is (h+1)/2^60 exactly as the operator
+    // computes it
+    "corpus_temperature" -> {
+      val u = s"(CAST(${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultTemperatureSeed)}" +
+        s" + ${graft.operators.Sampling.HashUniformOffset} AS DOUBLE)" +
+        s" / CAST('${graft.operators.Sampling.HashUniformDenominator}' AS DOUBLE))"
+      s"""WITH c AS (SELECT lang, count(*) AS n_src FROM documents GROUP BY 1),
+         |r AS (SELECT lang,
+         |        sqrt(CAST(n_src AS DOUBLE)) /
+         |          max(sqrt(CAST(n_src AS DOUBLE))) OVER () AS rate
+         |      FROM c)
+         |SELECT d.lang, count(*) AS n_total, ${rnd("min(rate)", 6)} AS rate,
+         |  CAST(sum(CASE WHEN $u <= rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |GROUP BY 1""".stripMargin
+    },
     "sample_weighted" ->
       s"""WITH r AS (
          |  SELECT lang, doc_id, n_chars,

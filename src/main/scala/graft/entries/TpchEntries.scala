@@ -446,6 +446,19 @@ object TpchEntries {
     // comment/phone/shipmode-based predicates substitute columns that
     // exist (documented per entry). With these, all 22 TPC-H shapes have
     // a graded entry. ----
+    // Z-ordered (Morton-curve) layout roundtrip: orders rewritten
+    // clustered on BOTH (o_custkey, o_totalprice), then scanned through
+    // a two-column predicate — min/max footer pruning bites on both
+    // dimensions, where 1-D clustering prunes only its own column. The
+    // graded result is the content (layout is a performance property);
+    // the per-file range narrowing is pinned in ScaleToolsSpec.
+    "tpch_zorder_scan" -> q { (s, d) =>
+      val dir = Scratch.tmpPath("zorder_orders", d, s)
+      graft.write.IncrementalWriter.overwriteZOrdered(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      s.read.parquet(dir).filter(col("o_custkey") < 200 && col("o_totalprice") > 200000)
+    },
     // Q2: min-cost supplier per part within a region — correlated-min
     // (window) over the derived supply relation, dims broadcast.
     "tpch_q2_min_cost" -> q { (s, d) =>
@@ -906,6 +919,9 @@ object TpchEntries {
          |JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tpch_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_custkey < 200 AND o_totalprice > 200000""".stripMargin,
     "tpch_q2_min_cost" ->
       s"""WITH cost AS (
          |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost

@@ -86,6 +86,41 @@ object Sampling {
     bucket(id, seed) < pct
   }
 
+  /** Seed for temperature sampling — independent like every other seed. */
+  val DefaultTemperatureSeed = 23
+
+  /** Temperature-flattened mixture sampling — the count^α rebalancing
+    * every multilingual / multi-source training corpus runs (as in
+    * multilingual-LM sampling): source `s` keeps rows at rate
+    * `sqrt(n_s) / sqrt(max_s n_s)`, i.e. α = 0.5, so the largest source
+    * keeps everything and a source 100× smaller keeps 10× its
+    * proportional share. α is FIXED at 0.5 deliberately: `sqrt` is
+    * correctly rounded in IEEE-754 (identical bits in any engine),
+    * while a general `pow(n, α)` is only faithfully rounded and may
+    * differ in the last ulp between libm implementations — which would
+    * flip keep-decisions on boundary hashes. The keep decision compares
+    * the row's portable-hash uniform in (0, 1] against its source's
+    * rate — deterministic, zero RNG state, stable across engines.
+    *
+    * Scale shape: one vocabulary-sized aggregate for the counts, the
+    * rate table broadcast back onto the corpus, keep as a map-side
+    * comparison — no corpus-sized shuffle. Output adds `rate` and
+    * `keep` (reserved names, refused if present). */
+  def temperatureKeep(df: DataFrame, sourceCol: String, id: Column,
+                      seed: Int = DefaultTemperatureSeed): DataFrame = {
+    val clash = Seq("rate", "keep", "n_src").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"temperatureKeep generates columns ${clash.mkString(", ")} which already exist; rename them first")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val rates = counts.withColumn("rate",
+      sqrt(col("n_src").cast("double")) /
+        max(sqrt(col("n_src").cast("double"))).over(Window.partitionBy()))
+    val u = (Dedup.portableHash(id.cast("string"), seed) + HashUniformOffset)
+      .cast("double") / lit(HashUniformDenominator).cast("double")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("keep", u <= col("rate")) // u ∈ (0,1] ⇒ the max source keeps ALL rows
+  }
+
   /** Seed for stratified sampling — independent of every other sampling
     * seed (a shared hash would correlate the per-stratum sample with
     * split/mixture/shuffle membership). */

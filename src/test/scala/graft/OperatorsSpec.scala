@@ -1105,4 +1105,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 900.1 && r.getBoolean(5))   // p90
     assert(r.getDouble(6) == 990.01 && r.getBoolean(7))  // p99
   }
+
+  test("temperatureKeep: sqrt-flattened rates, max source keeps all, reserved names refused") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 4) "tiny" else "big"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureKeep(df, "lang", $"doc_id")
+    val byLang = out.groupBy($"lang")
+      .agg(min($"rate").as("rlo"), max($"rate").as("rhi"),
+        sum(when($"keep", 1L).otherwise(0L)).as("kept"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (bLo, bHi, bKept, bN) = byLang("big")
+    assert(bLo == 1.0 && bHi == 1.0, "largest source must rate 1.0")
+    assert(bKept == bN, "rate-1.0 source must keep every row (u in (0,1])")
+    val (tLo, tHi, tKept, tN) = byLang("tiny")
+    assert(tLo == tHi && math.abs(tLo - math.sqrt(4.0) / math.sqrt(396.0)) < 1e-12)
+    assert(tKept <= tN)
+    val err = intercept[IllegalArgumentException] {
+      Sampling.temperatureKeep(df.withColumn("rate", lit(1)), "lang", $"doc_id")
+    }
+    assert(err.getMessage.contains("rate"))
+  }
 }

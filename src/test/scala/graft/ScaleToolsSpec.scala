@@ -412,6 +412,36 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), s"unexpected Expand in:\n$plan")
   }
 
+  test("z-order keeps BOTH cluster columns' per-file ranges narrow; 1-D clustering does not") {
+    import java.nio.file.Files
+    import graft.write.IncrementalWriter
+    // two independent uniform dimensions — the case where 1-D clustering
+    // is blind on the second column
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i * 2654435761L % 4096).toDouble, ((i * 40503L + 7) % 4096).toDouble)
+    }.toDF("id", "x", "y")
+    def spans(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .agg(avg($"sx"), avg($"sy")).head()
+      (perFile.getDouble(0) / 4096.0, perFile.getDouble(1) / 4096.0)
+    }
+    val zdir = Files.createTempDirectory("graft_z").toString + "/t"
+    IncrementalWriter.overwriteZOrdered(rows, zdir, Seq("x", "y"), nFiles = 16)
+    val (zx, zy) = spans(zdir)
+    // 16 files on a 2-D Morton curve ≈ a 4×4 tiling: each file covers
+    // ~1/4 of EACH dimension (plus curve-boundary slack)
+    assert(zx < 0.6 && zy < 0.6, s"z-order spans too wide: x=$zx y=$zy")
+    val cdir = Files.createTempDirectory("graft_z1").toString + "/t"
+    IncrementalWriter.overwriteClustered(rows, cdir, "x", nFiles = 16)
+    val (cx, cy) = spans(cdir)
+    // the contrast that justifies the operator: 1-D clustering is
+    // perfect on x but each file spans (almost) the whole y domain
+    assert(cx < 0.1, s"1-D clustering should be tight on its own column: $cx")
+    assert(cy > 0.9, s"expected ~full y span under 1-D clustering, got $cy")
+  }
+
   test("incremental LSH prunes the stored band scan with an un-shuffled semi join") {
     import java.nio.file.Files
     val bandsPath = Files.createTempDirectory("graft_lshpin").toString + "/bands"
