@@ -357,6 +357,25 @@ object DataPipelineEntries {
     // cannot silently trade recall away.
     "sim_recall" -> q((s, d) =>
       Similarity.recallAtK(knnBrute5(s, d).filter(col("rn") <= 3), ivfTop3(s, d))),
+    // Incremental index maintenance: initial index over HALF the corpus,
+    // the rest arriving as two appended batches assigned against the
+    // stored centroids only (batch×K cosines per append, no corpus
+    // re-pass; batch=<id> retry-overwrite subdirs like the LSH index).
+    // Assignment is per-vector independent, so the final search must
+    // equal the full one-shot rebuild — graded by the SAME oracle.
+    "sim_ivf_incremental" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") % centroidMod === 0)
+      val dir = Scratch.tmpPath("ivf_incr", d, s)
+      Similarity.ivfIndexWrite(emb.filter(col("vec_id") % 2 === 0), centroids, dir,
+        batchId = Some("a"))
+      Similarity.ivfIndexAppend(s, emb.filter(col("vec_id") % 4 === 1), dir,
+        batchId = Some("b"))
+      Similarity.ivfIndexAppend(s, emb.filter(col("vec_id") % 4 === 3), dir,
+        batchId = Some("c"))
+      Similarity.ivfSearchStored(s, dir,
+        emb.filter(col("vec_id") < knnQueryCut), k = 3, nProbe = 2)
+    },
     // Hard-negative mining: per query, the 5 most-similar vectors with
     // a DIFFERENT label — the contrastive-batch counterpart of the
     // uniform draw in sample_negatives.
@@ -1375,6 +1394,8 @@ object DataPipelineEntries {
     "sim_ivf_ann" -> simIvfSql,
     // identical output contract to the live search — same oracle
     "sim_ivf_stored" -> simIvfSql,
+    // per-vector-independent assignment ⇒ appended index ≡ full rebuild
+    "sim_ivf_incremental" -> simIvfSql,
     // recall@3 of IVF vs brute force, composed from the SAME two mirrors
     // (top-3 of the brute top-5 ≡ a k=3 brute run: identical ordering)
     "sim_recall" ->

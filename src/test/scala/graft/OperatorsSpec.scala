@@ -1126,4 +1126,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("rate"))
   }
+
+  test("ivfIndexAppend: batch retry overwrites itself; write modes cannot mix") {
+    import java.nio.file.Files
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 13 + j) % 7 - 3) / 2.0f))).toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" % 10 === 0)
+    val dir = Files.createTempDirectory("graft_ivf_incr").toString + "/idx"
+    Similarity.ivfIndexWrite(vecs.filter($"vec_id" < 20), cents, dir, batchId = Some("a"))
+    Similarity.ivfIndexAppend(spark, vecs.filter($"vec_id" >= 20), dir, batchId = Some("b"))
+    // RETRY batch b: overwrite, not duplicate
+    Similarity.ivfIndexAppend(spark, vecs.filter($"vec_id" >= 20), dir, batchId = Some("b"))
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == 40, "retried batch must replace its own rows")
+    assert(assigned.select("vec_id").distinct().count() == 40)
+    // appended index assigns identically to a one-shot pass
+    val oneShot = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "centroid_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = assigned.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == oneShot)
+    // root-append into a batch-dir index refused (parquet rejects a mix)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, vecs.filter($"vec_id" < 5), dir, batchId = None)
+    }
+    assert(err.getMessage.contains("mixes write modes"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, vecs, dir, batchId = Some("2024-01-01"))
+    }
+  }
 }
