@@ -440,6 +440,18 @@ object DataPipelineEntries {
       graft.operators.Sketches.quantileGate(Tables.events(s, d),
         col("event_type"), col("value"))),
     "ev_topk_per_user" -> q((s, d) => Events.topKPerUser(Tables.events(s, d), 3)),
+    // Equi-depth quantile binning: per-type quartile cuts (exact
+    // interpolated percentiles, rounded before the comparison like
+    // winsorize's clip boundary), each event assigned its bin — graded
+    // by per-(type, bin) population and value range.
+    "ev_quantile_bins" -> q((s, d) =>
+      graft.operators.Sketches.quantileBins(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        col("event_type"), col("value"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("bin_min"),
+          round(max(col("value")), 6).as("bin_max"))),
     // Array/string aggregation surface, made deterministic: collect_set
     // and collect_list have NO ordering guarantee in Spark, so the set
     // is sorted after collection and the journey string is rebuilt from
@@ -1490,6 +1502,23 @@ object DataPipelineEntries {
     // exact quantiles anchor the comparison; the bound flags assert the
     // sketch landed inside the p±margin exact envelope, so the oracle
     // emits TRUE — same shape as the HLL gate in taxi_daily_approx
+    // quantile_cont mirrors Spark's exact interpolated percentile (the
+    // pairing ev_quantile_gate already pins); cuts rounded to 6 on both
+    // sides before the bin comparison
+    "ev_quantile_bins" ->
+      s"""WITH cuts AS (SELECT event_type,
+         |    ${rnd("quantile_cont(value, 0.25)", 6)} AS c0,
+         |    ${rnd("quantile_cont(value, 0.5)", 6)} AS c1,
+         |    ${rnd("quantile_cont(value, 0.75)", 6)} AS c2
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |  CAST(((CASE WHEN value > c0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN value > c1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN value > c2 THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+         |  count(*) AS n, ${rnd("min(value)", 6)} AS bin_min,
+         |  ${rnd("max(value)", 6)} AS bin_max
+         |FROM events e JOIN cuts USING (event_type)
+         |GROUP BY 1, 2""".stripMargin,
     "ev_quantile_gate" ->
       s"""SELECT event_type, count(*) AS n,
         |  ${rnd("quantile_cont(value, 0.5)", 6)} AS p50, true AS p50_within_bound,

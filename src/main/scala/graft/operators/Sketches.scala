@@ -88,6 +88,34 @@ object Sketches {
       .drop("w_group")
   }
 
+  /** Equi-depth quantile binning — the discretization step of feature
+    * engineering: each row gets the bin index of its value among the
+    * group's exact interpolated percentile cuts (`bin` = number of cuts
+    * the value exceeds, so `probs.size + 1` bins of ~equal population).
+    * Cuts are rounded to 6 BEFORE the comparison so the bin boundary is
+    * engine-independent — the same contract as [[winsorize]]'s clip
+    * boundary. Cuts broadcast; the value side is never shuffled. Same
+    * scale caveat as the other exact-percentile ops (the cut aggregate
+    * buffers each group's values): at 100 TB swap in
+    * `approx_percentile` cuts and gate them with [[quantileGate]]. */
+  def quantileBins(df: DataFrame, group: Column, value: Column,
+                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
+      probs == probs.sorted && probs.distinct == probs,
+      s"probs must be sorted distinct in (0, 1): $probs")
+    val cutNames = probs.indices.map(i => s"cut_$i")
+    val clash = ("bin" +: "q_group" +: cutNames).filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"quantileBins generates ${clash.mkString(", ")}, which already exist on the input; rename first")
+    val cutCols = probs.zipWithIndex.map { case (p, i) =>
+      round(percentile(value, lit(p)), 6).as(s"cut_$i") }
+    val cuts = df.groupBy(group.as("q_group")).agg(cutCols.head, cutCols.tail: _*)
+    val bin = cutNames.map(c => when(value > col(c), 1).otherwise(0)).reduce(_ + _)
+    df.join(broadcast(cuts), group === col("q_group"))
+      .withColumn("bin", bin.cast("int"))
+      .drop("q_group" +: cutNames: _*)
+  }
+
   /** Mergeable Misra–Gries frequency summary of capacity `k`: after any
     * sequence of reduces and merges (prune-to-k on merge), every item
     * with true frequency > n/k is guaranteed a surviving entry — the

@@ -1155,4 +1155,23 @@ class OperatorsSpec extends AnyFunSuite {
       Similarity.ivfIndexAppend(spark, vecs, dir, batchId = Some("2024-01-01"))
     }
   }
+
+  test("quantileBins: equal-population bins, boundary values stay below the cut") {
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "value")
+    val out = Sketches.quantileBins(df, $"g", $"value")
+    val byBin = out.groupBy($"bin").agg(count(lit(1)).as("n"),
+      min($"value").as("lo"), max($"value").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byBin.keySet == Set(0, 1, 2, 3))
+    // quartiles of 1..100: cuts 25.75 / 50.5 / 75.25 -> 25/25/25/25
+    assert(byBin.values.map(_._1).toSeq.sorted == Seq(25L, 25L, 25L, 25L))
+    assert(byBin(0)._3 == 25.0 && byBin(3)._2 == 76.0)
+    // values AT a cut stay in the lower bin (strict > comparison)
+    intercept[IllegalArgumentException] {
+      Sketches.quantileBins(df.withColumn("bin", lit(1)), $"g", $"value")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.quantileBins(df, $"g", $"value", probs = Seq(0.5, 0.25))
+    }
+  }
 }
