@@ -43,6 +43,11 @@ object DataPipelineEntries {
 
   private val knnQueryCut = 8
   private val centroidMod = 50
+  // Lloyd k-means / SemDeDup constants — shared by the Spark entries and
+  // the generated unrolled-CTE oracles so the two sides cannot drift.
+  private val kmeansK = 8
+  private val kmeansIters = 3
+  private val semDedupCos = 0.4
 
   private def knnBrute5(s: SparkSession, d: String): DataFrame = memo("knn", s, d) {
     val emb = Tables.embeddings(s, d)
@@ -401,6 +406,21 @@ object DataPipelineEntries {
             .as("centroid_norm"),
           round(max(when(col("pos") === 0, col("m"))), 6).as("c0"))
     },
+    // Deterministic Lloyd k-means (no-RNG init, stable-mean update,
+    // total-order argmin): per-vector cluster + squared distance to the
+    // final learned centroid. Assignment is a zero-shuffle broadcast
+    // pass; one (cluster, dim) exchange per update round.
+    "emb_kmeans" -> q((s, d) =>
+      graft.operators.Clustering.kMeansAssign(
+        Tables.embeddings(s, d), kmeansK, kmeansIters)
+        .select(col("vec_id"), col("cid").as("cluster"),
+          round(col("d2"), 6).as("dist_sq"))),
+    // SemDeDup: semantic near-dup pruning blocked by the LEARNED
+    // clusters — pair space Σ|cluster|², not corpus²; greedy keep-first
+    // inside each cluster at cosine ≥ threshold.
+    "sem_dedup" -> q((s, d) =>
+      graft.operators.Clustering.semDedup(
+        Tables.embeddings(s, d), kmeansK, kmeansIters, semDedupCos)),
     // Array-function surface over the embedding vectors.
     "emb_array_stats" -> q((s, d) => Tables.embeddings(s, d).select(
       col("vec_id"),
@@ -1037,6 +1057,43 @@ object DataPipelineEntries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** DuckDB mirror of [[graft.operators.Clustering.sqDist]] — the same
+    * `(a·a − 2(a·b)) + b·b` association over the same dot primitive. */
+  private def d2Sql(a: String, b: String): String =
+    s"list_dot_product($a, $a) - CAST(2.0 AS DOUBLE) * list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** Unrolled-CTE mirror of [[graft.operators.Clustering.kMeansAssign]]
+    * (the [[Graph.pageRank]] oracle technique): `kc0` is the id-ordered
+    * init, each round is assignment (`ka_i`, argmin by (d², cid)) +
+    * stable-mean update (`km_i`/`kc_i`, emptied cluster keeps its
+    * centroid), `kaf` is the final assignment. Shared by `emb_kmeans`
+    * and `sem_dedup` so the two entries cannot drift. */
+  private lazy val kmeansCtes: String = {
+    def assignCte(name: String, centCte: String): String =
+      s"""$name AS (SELECT vec_id, v, cid, d2 FROM (
+         |    SELECT vec_id, v, cid, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT e.vec_id, e.v, c.cid, ${d2Sql("e.v", "c.cv")} AS d2
+         |          FROM ke e CROSS JOIN $centCte c)) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""ke AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |               v AS cv
+         |        FROM (SELECT * FROM ke ORDER BY vec_id LIMIT $kmeansK))""".stripMargin
+    val rounds = (1 to kmeansIters).map { i =>
+      s"""${assignCte(s"ka$i", s"kc${i - 1}")},
+         |km$i AS (SELECT cid, pos, ${oStableAvg("x")} AS m
+         |       FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+         |             FROM ka$i)
+         |       GROUP BY 1, 2),
+         |kc$i AS (SELECT c.cid, coalesce(n.mv, c.cv) AS cv
+         |       FROM kc${i - 1} c LEFT JOIN
+         |         (SELECT cid, list(m ORDER BY pos) AS mv FROM km$i GROUP BY 1) n
+         |         USING (cid))""".stripMargin
+    }
+    (init +: rounds :+ assignCte("kaf", s"kc$kmeansIters")).mkString(",\n")
+  }
+
   private val stopRatioSql =
     rnd(s"len(list_filter($toks, w -> w IN ${inList(TextAnalysis.Stopwords)}))::DOUBLE / len($toks)", 4)
 
@@ -1262,6 +1319,18 @@ object DataPipelineEntries {
          |  ${rnd(s"sqrt(CAST(${decSum("m * m")} AS DOUBLE))", 6)} AS centroid_norm,
          |  ${rnd("max(CASE WHEN pos = 1 THEN m END)", 6)} AS c0
          |FROM m GROUP BY 1""".stripMargin,
+    "emb_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster, ${rnd("d2", 6)} AS dist_sq FROM kaf""".stripMargin,
+    // kaf (the shared final assignment) blocks the pair space; the
+    // greedy keep-first rule is "any smaller-id cluster-mate at cos ≥ τ"
+    "sem_dedup" ->
+      s"""WITH $kmeansCtes,
+         |sd AS (SELECT DISTINCT b.vec_id
+         |       FROM kaf a JOIN kaf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       WHERE ${cosSql("a.v", "b.v")} >= CAST(${semDedupCos.toString} AS DOUBLE))
+         |SELECT k.vec_id, k.cid AS cluster, (sd.vec_id IS NOT NULL) AS is_dup
+         |FROM kaf k LEFT JOIN sd ON k.vec_id = sd.vec_id""".stripMargin,
     "ev_cohort_retention" ->
       s"""WITH f AS (SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM events)
          |SELECT CAST(date_trunc('week', first_ts) AS TIMESTAMP) AS cohort_week,

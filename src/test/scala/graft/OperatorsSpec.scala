@@ -1174,4 +1174,44 @@ class OperatorsSpec extends AnyFunSuite {
       Sketches.quantileBins(df, $"g", $"value", probs = Seq(0.5, 0.25))
     }
   }
+
+  test("kMeansAssign: converges on separated groups; ties and empty clusters are deterministic") {
+    // duplicated init centroid (ids 0 and 2 coincide): both survive as
+    // (0,0) centroids — the d2=0 tie must break to the smaller cid every
+    // round and the emptied cluster 2 must KEEP its centroid, not NaN
+    val tied = Seq(0L -> Array(0f, 0f), 1L -> Array(0.1f, 0f), 2L -> Array(0f, 0f))
+      .toDF("vec_id", "embedding")
+    val t = Clustering.kMeansAssign(tied, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(t(0L) == (0, 0.0) && t(2L) == (0, 0.0),
+      "tie at d2=0 must pick the smaller cid")
+    assert(t(1L) == (1, 0.0))
+    // k=2 over two separated groups: init splits inside the near group,
+    // two Lloyd rounds must pull every far point into one cluster and
+    // reunite the near group (incl. vec 1, the far-polluted init seed)
+    val grouped = Seq(
+      0L -> Array(0f, 0f), 1L -> Array(0.1f, 0f), 2L -> Array(0f, 0f),
+      3L -> Array(10f, 10f), 4L -> Array(10.1f, 10f), 5L -> Array(9.9f, 10f)
+    ).toDF("vec_id", "embedding")
+    val g = Clustering.kMeansAssign(grouped, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Seq(0L, 1L, 2L).map(g).distinct == Seq(0))
+    assert(Seq(3L, 4L, 5L).map(g).distinct == Seq(1))
+  }
+
+  test("semDedup: same-cluster near-identical vectors drop keep-first; singletons survive") {
+    // ids 0/1/2 seed three spread clusters; 3 joins 0's cluster, 4 joins
+    // 2's — each pair's LARGER id is the duplicate at cos >= 0.95
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f), 2L -> Array(-1f, 0f, 0f),
+      3L -> Array(1f, 0.01f, 0f), 4L -> Array(-1f, -0.01f, 0f)
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.semDedup(vecs, k = 3, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(3L)._1 == out(0L)._1 && out(3L)._2 && !out(0L)._2,
+      "larger id of a near-identical pair is the dup")
+    assert(out(4L)._1 == out(2L)._1 && out(4L)._2 && !out(2L)._2)
+    assert(!out(1L)._2)
+    assert(out(0L)._1 != out(2L)._1, "opposite-direction vectors sit in different clusters")
+  }
 }
