@@ -130,6 +130,15 @@ object DataPipelineEntries {
   // in DECIMAL, one ulp away).
   private val pageRankIters = 5
   private val pageRankDamping = 0.85
+  // BFS hop budget + source-id modulus (graph_bfs entry + oracle).
+  private val bfsIters = 4
+  private val bfsSourceMod = 97
+  // Count–Min sketch geometry/seed and probe-key cut (ev_countmin_gate
+  // entry + oracle).
+  private val cmsDepth = 4
+  private val cmsWidth = 64
+  private val cmsSeed = 73
+  private val cmsProbeCut = 20
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -821,6 +830,38 @@ object DataPipelineEntries {
       graft.operators.Graph.pageRank(
         docs.select(col("doc_id").as("id")), edges,
         iters = pageRankIters, damping = pageRankDamping)
+    },
+    // Fixed-iteration multi-source BFS over the same generated edge list
+    // as graph_pagerank: hop distance from the nearest source id
+    // (ids ≡ 0 mod bfsSourceMod) within bfsIters hops, -1 beyond —
+    // exact integers, every round replayed by the unrolled oracle.
+    "graph_bfs" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      graft.operators.Graph.bfsDistances(
+        docs.select(col("doc_id").as("id")), edges,
+        docs.filter(col("doc_id") % bfsSourceMod === 0)
+          .select(col("doc_id").as("id")),
+        iters = bfsIters)
+    },
+    // Count–Min sketch gate: the fixed-size frequency sketch
+    // (depth × width cells, map-side expansion over the full event
+    // stream) point-estimated for the probe users and graded against
+    // their exact counts — est ≥ true is the CMS invariant, pinned per
+    // key alongside the estimate itself.
+    "ev_countmin_gate" -> q { (s, d) =>
+      val S = graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      val cells = S.cmsBuild(ev, col("user_id"), cmsDepth, cmsWidth, cmsSeed)
+      val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+        .filter(col("user_id") < cmsProbeCut)
+      val est = S.cmsEstimate(cells, truth, col("user_id"),
+        cmsDepth, cmsWidth, cmsSeed)
+      truth.withColumn("k", col("user_id").cast("string"))
+        .join(est, Seq("k"))
+        .select(col("user_id"), col("true_n"), col("est_n"),
+          (col("est_n") >= col("true_n")).as("never_under"))
     },
     // The end-to-end pretraining corpus pipeline as ONE graded entry —
     // triage (language + quality + length) → corpus-wide exact dedup →
@@ -1860,6 +1901,54 @@ object DataPipelineEntries {
          |r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / $nScalar AS rank FROM documents),
          |$iterCtes
          |SELECT id, ${rnd("rank", 6)} AS rank FROM r$pageRankIters""".stripMargin
+    },
+    // BFS mirror: every hop round replayed as an unrolled CTE over the
+    // same generated edge list — exact integer distances, no float
+    // parity machinery needed
+    "graph_bfs" -> {
+      val iterCtes = (1 to bfsIters).map { k =>
+        s"""d$k AS (
+           |  SELECT d.id,
+           |    CASE WHEN d.dist IS NULL THEN h.hop
+           |         WHEN h.hop IS NULL THEN d.dist
+           |         WHEN h.hop < d.dist THEN h.hop ELSE d.dist END AS dist
+           |  FROM d${k - 1} d
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, min(r.dist + 1) AS hop
+           |    FROM e JOIN d${k - 1} r ON e.src = r.id
+           |    WHERE r.dist IS NOT NULL GROUP BY 1) h ON h.id = d.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |d0 AS (SELECT doc_id AS id,
+         |         CASE WHEN doc_id % $bfsSourceMod = 0 THEN 0 END AS dist
+         |       FROM documents),
+         |$iterCtes
+         |SELECT id, CAST(coalesce(dist, -1) AS INTEGER) AS dist FROM d$bfsIters""".stripMargin
+    },
+    // CMS mirror: the identical depth×width sketch built from the same
+    // seeded md5 family, one UNION ALL branch per hash row
+    "ev_countmin_gate" -> {
+      val buildBranches = (0 until cmsDepth).map { i =>
+        s"SELECT $i AS rw, ${pHash("CAST(user_id AS VARCHAR)", cmsSeed + i)} % $cmsWidth AS bucket FROM events"
+      }.mkString("\n    UNION ALL ")
+      val probeBranches = (0 until cmsDepth).map { i =>
+        s"SELECT user_id, $i AS rw, ${pHash("CAST(user_id AS VARCHAR)", cmsSeed + i)} % $cmsWidth AS bucket FROM t"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH cells AS (
+         |  SELECT rw, bucket, count(*) AS cnt FROM (
+         |    $buildBranches)
+         |  GROUP BY 1, 2),
+         |t AS (SELECT user_id, count(*) AS true_n FROM events
+         |      WHERE user_id < $cmsProbeCut GROUP BY 1),
+         |pb AS (
+         |    $probeBranches),
+         |est AS (SELECT pb.user_id, min(coalesce(c.cnt, CAST(0 AS BIGINT))) AS est_n
+         |        FROM pb LEFT JOIN cells c
+         |          ON c.rw = pb.rw AND c.bucket = pb.bucket
+         |        GROUP BY 1)
+         |SELECT t.user_id, t.true_n, est.est_n,
+         |  est.est_n >= t.true_n AS never_under
+         |FROM t JOIN est USING (user_id)""".stripMargin
     },
     // mirror of Sampling.waterFill: same saturation-order windows, same
     // crossing rule; sums over integer-valued doubles are exact, so the

@@ -64,4 +64,36 @@ object Graph {
     }
     ranks.select(col("id"), round(col("rank"), roundTo).as("rank"))
   }
+
+  /** Fixed-iteration multi-source BFS hop distances over an edge
+    * multiset (src, dst): after `iters` rounds, `dist` is the hop count
+    * from the nearest source for every node reachable within `iters`
+    * hops, and -1 for the rest. `nodes` supplies the vertex domain,
+    * `sources` the frontier seeds (both single `id` column).
+    *
+    * Same scale shape as [[pageRank]]: per iteration one join of the
+    * nodes-sized distance vector with the edge list on the source key
+    * plus one min-aggregation on the destination key, both
+    * hash-partitioned — never an edges-sized state. Distances are exact
+    * small integers, so results are bitwise engine-independent with no
+    * stable-summation machinery, and an unrolled SQL oracle replays
+    * every round exactly. */
+  def bfsDistances(nodes: DataFrame, edges: DataFrame, sources: DataFrame,
+                   iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    var dist = nodes
+      .join(sources.select(col("id"), lit(0).as("d")), Seq("id"), "left")
+      .select(col("id"), col("d").as("dist")) // null = not yet reached
+    for (_ <- 1 to iters) {
+      val hops = edges
+        .join(dist.filter(col("dist").isNotNull).withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1).as("hop"))
+        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
+      // least() skips nulls in Spark, so an unreached node adopts the
+      // new hop and a reached one keeps its minimum
+      dist = dist.join(hops, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), col("hop")).as("dist"))
+    }
+    dist.select(col("id"), coalesce(col("dist"), lit(-1)).cast("int").as("dist"))
+  }
 }

@@ -210,4 +210,44 @@ object Sketches {
       .agg(count(lit(1)).as("n_occurrences"))
       .withColumn("n_total", lit(total))
   }
+
+  /** Count–Min sketch cells over a key stream: each row increments
+    * `depth` cells — (hash row i, [[graft.operators.Dedup.portableHash]]
+    * of the key with seed `seed + i`, mod `width`) — and the cells
+    * aggregate to (row, bucket, cnt). The sketch is `depth × width`
+    * cells REGARDLESS of key cardinality: the expansion is map-side and
+    * the exchange carries at most `depth × width` partial rows per task,
+    * which is the whole point vs a full per-key count at 100 TB. The
+    * seeded md5 family makes the sketch deterministic and
+    * engine-portable, so a SQL oracle builds the identical sketch. */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int, width: Int,
+               seed: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(key.cast("string").as("k"))
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"),
+          (Dedup.portableHash(col("k"), seed + i) % width).cast("int")
+            .as("bucket"))): _*)).as("c"))
+      .select(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count–Min point estimates for a probe key set against [[cmsBuild]]
+    * cells: est(key) = min over the key's `depth` cells — by
+    * construction never an undercount. The cells frame is tiny
+    * (`depth × width` rows) and is broadcast; probes are never
+    * shuffled beyond the final per-key min. Output: (k, est_n). */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, key: Column,
+                  depth: Int, width: Int, seed: Int): DataFrame =
+    probes.select(key.cast("string").as("k"))
+      .select(col("k"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"),
+          (Dedup.portableHash(col("k"), seed + i) % width).cast("int")
+            .as("bucket"))): _*)).as("c"))
+      .join(broadcast(cells),
+        col("c.row") === cells("row") && col("c.bucket") === cells("bucket"),
+        "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
 }

@@ -866,6 +866,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("bfsDistances: exact hops within the budget, -1 beyond it") {
+    val nodes = (0L to 6L).toDF("id")
+    // path 0→1→2→3→4→5 plus isolated 6
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val src = Seq(0L).toDF("id")
+    val got = Graph.bfsDistances(nodes, edges, src, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> -1, 5L -> -1, 6L -> -1))
+    // two sources: every node adopts the NEAREST one
+    val two = Graph.bfsDistances(nodes, edges, Seq(0L, 4L).toDF("id"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two(4L) == 0 && two(5L) == 1 && two(3L) == 3)
+  }
+
+  test("count-min estimates never undercount and are exact on a sparse sketch") {
+    import graft.operators.Sketches
+    val df = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k0")
+    val cells = Sketches.cmsBuild(df, col("k0"), depth = 4, width = 512, seed = 7)
+    // depth×width cells only, however many keys stream through
+    assert(cells.count() <= 4 * 512)
+    val probes = df.select(col("k0")).distinct()
+    val est = Sketches.cmsEstimate(cells, probes, col("k0"),
+      depth = 4, width = 512, seed = 7)
+    val truth = df.groupBy(col("k0")).agg(count(lit(1)).as("n"))
+      .withColumn("k", col("k0").cast("string"))
+    val rows = truth.join(est, Seq("k"))
+      .select(col("n"), col("est_n")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) >= r.getLong(0)))
+    // 50 keys into 4×512 buckets: collisions are possible but the MIN
+    // over 4 independent rows resolving every key exactly is the
+    // overwhelmingly expected outcome — and deterministic given the
+    // fixed seed, so this is a regression pin, not a flake
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0)))
+  }
+
   test("waterFill saturates small-ratio sources, floats the rest at λ·w") {
     val stats = Seq(("A", 1.0, 10.0), ("B", 1.0, 100.0)).toDF("source", "w", "cap")
     // budget = 0.5 · 110 = 55: A (ratio 10) saturates, B floats at

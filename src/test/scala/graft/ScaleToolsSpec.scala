@@ -355,6 +355,20 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(i2 == 5, s"iteration-loop base plan drifted: i2=$i2")
   }
 
+  test("bfsDistances keeps the pageRank iteration shape: 3 exchanges per round") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
+      .toDF("src", "dst")
+    val src = Seq(0L, 30L).toDF("id")
+    import graft.operators.Graph
+    val i2 = shuffles(Graph.bfsDistances(nodes, edges, src, iters = 2))
+    val i3 = shuffles(Graph.bfsDistances(nodes, edges, src, iters = 3))
+    // frontier⋈edges on src, min-agg on dst, nodes left-join on id —
+    // the same nodes-sized-state loop as pageRank, minus its degree
+    // profile (so the base count is lower)
+    assert(i3 - i2 == 3, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
+  }
+
   test("top session paths and cohort retention each run on two exchanges") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val ev = (1 to 300).map { i =>
