@@ -94,6 +94,8 @@ object DataPipelineEntries {
   private val WeightedTakeN = 5
   // Segment-dedup word-window width (entry + oracle).
   private val segDedupWords = 6
+  // Repeated-span window width (dedup_repeated_spans entry + oracle).
+  private val spanWords = 6
   // Static enrichment dimension (stream_static_join entry + oracle):
   // event_type → tier, interpolated into the oracle's VALUES so the
   // two sides cannot drift.
@@ -309,6 +311,12 @@ object DataPipelineEntries {
     // wide first occurrence kept, documents reassembled from survivors.
     "dedup_segments" -> q((s, d) =>
       Dedup.dedupSegments(Tables.spread(Tables.documents(s, d)), segDedupWords)),
+    // Exact substring dedup signal: per-document profile of maximal
+    // word spans that appear verbatim in ≥2 documents (overlapping
+    // k-word windows, corpus-wide repeat detection, gaps-and-islands
+    // run collapse).
+    "dedup_repeated_spans" -> q((s, d) =>
+      Dedup.repeatedSpans(Tables.spread(Tables.documents(s, d)), spanWords)),
     "dedup_ngram_pairs" -> q((s, d) => ngramPairs(s, d)),
     // Pairs → clusters: one keeper (min doc_id) per connected component
     // of the near-dup graph — the step that turns pair detection into an
@@ -1454,6 +1462,34 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
          |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS text_dedup
          |FROM r GROUP BY 1""".stripMargin,
+    // mirror of Dedup.repeatedSpans: same windows, same ≥2-distinct-doc
+    // repeat rule, same gaps-and-islands run collapse
+    "dedup_repeated_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |win AS (
+         |  SELECT doc_id, p, array_to_string(ws[p:p+${spanWords - 1}], ' ') AS win
+         |  FROM w, unnest(range(1, len(ws) - ${spanWords - 2})) t(p)),
+         |rep AS (SELECT win FROM (
+         |          SELECT win, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1)
+         |        WHERE nd >= 2),
+         |m AS (SELECT doc_id, p FROM win JOIN rep USING (win)),
+         |runs AS (
+         |  SELECT doc_id, island, count(*) AS len FROM (
+         |    SELECT doc_id,
+         |      p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |    FROM m)
+         |  GROUP BY 1, 2),
+         |rs AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_repeated,
+         |         max(len) AS max_len
+         |       FROM runs GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+         |  coalesce(rs.n_repeated, CAST(0 AS BIGINT)) AS n_repeated,
+         |  coalesce(rs.max_len + ${spanWords - 1}, CAST(0 AS BIGINT)) AS max_run_words
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN rs ON rs.doc_id = d.doc_id""".stripMargin,
     "text_top_ngrams" ->
       s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |e AS (SELECT unnest(sh) AS ngram FROM s)

@@ -125,6 +125,58 @@ object Dedup {
         when(col("n_kept") > 0, col("joined")).as("text_dedup"))
   }
 
+  /** Cross-document repeated-span profile — exact substring dedup at
+    * word-window granularity (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" signal, over windows
+    * instead of suffix arrays, which distribute): every overlapping
+    * `k`-word window is grouped corpus-wide; a window occurring in ≥2
+    * distinct documents is "repeated", and each document's repeated
+    * window positions collapse into maximal runs (gaps-and-islands on
+    * `pos − row_number`), so `max_run_words` is the longest contiguous
+    * span of the document that also appears verbatim elsewhere
+    * (run length + k − 1 words). Output per document:
+    * (doc_id, n_windows, n_repeated, max_run_words).
+    *
+    * Scale shape: the window table is corpus-token-sized but never
+    * wider than (id, pos, window); one aggregation shuffle finds the
+    * repeated set, a semi join marks positions (repeated windows are a
+    * small fraction of the corpus, and hot boilerplate windows
+    * aggregate before the join — no posting-list blowup), and one
+    * per-document window pass collapses runs. No all-pairs stage
+    * anywhere. */
+  def repeatedSpans(docs: DataFrame, k: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "window width must be at least 1 word")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= k,
+            sequence(lit(1), size(col("ws")) - k + 1))
+          .otherwise(array().cast("array<int>"))).as("p"),
+        col("ws"))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("ws"), col("p"), lit(k)), " ").as("win"))
+    val repeated = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("win"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = wins.join(repeated, Seq("win"), "leftsemi")
+      .withColumn("island", col("p") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_repeated"), max(col("len")).as("max_len"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        coalesce(col("max_len") + (k - 1), lit(0L)).as("max_run_words"))
+  }
+
   /** Per-doc distinct word 3-gram shingles with their count. */
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),

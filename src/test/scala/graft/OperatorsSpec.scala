@@ -866,6 +866,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("repeatedSpans finds maximal cross-document runs, not within-doc repeats") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e x y"),   // "a b c d e" shared with doc 2 → run of 3 windows
+      (2L, "q a b c d e r"),
+      (3L, "u v w x y z"),     // nothing shared at 3-word granularity
+      (4L, "s t")              // shorter than the window → zero windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 5 windows, 3 repeated ("a b c","b c d","c d e") → max span 5 words
+    assert(got(1L) == (5L, 3L, 5L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (5L, 3L, 5L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (4L, 0L, 0L), s"doc3: ${got(3L)}")
+    assert(got(4L) == (0L, 0L, 0L), s"doc4: ${got(4L)}")
+  }
+
   test("bfsDistances: exact hops within the budget, -1 beyond it") {
     val nodes = (0L to 6L).toDF("id")
     // path 0→1→2→3→4→5 plus isolated 6
