@@ -141,6 +141,15 @@ object DataPipelineEntries {
   private val cmsWidth = 64
   private val cmsSeed = 73
   private val cmsProbeCut = 20
+  // BPE merge-rule count (text_bpe_* entries + oracle).
+  private val bpeMerges = 6
+  /** Word-frequency vocabulary shared by both BPE entries (the single
+    * corpus-sized pass of tokenizer training — memoized so the apply
+    * entry doesn't re-count the corpus). */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    memo("bpe_vocab", s, d) {
+      graft.operators.Bpe.wordVocab(Tables.documents(s, d))
+    }
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -192,6 +201,29 @@ object DataPipelineEntries {
       val dir = Scratch.tmpPath("trigram_idx", d, s)
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
+    },
+    // BPE tokenizer training: the merge table itself is graded — each
+    // round's argmax pair with its exact frequency-weighted count,
+    // replayed by an unrolled-CTE oracle (the PageRank/k-means
+    // technique). Only the initial word count touches the corpus;
+    // every round is vocabulary-sized with a one-row driver argmax.
+    "text_bpe_merges" -> q { (s, d) =>
+      val (learned, _) = graft.operators.Bpe.learnMerges(bpeVocab(s, d), bpeMerges)
+      import s.implicits._
+      learned.toDF("step", "lhs", "rhs", "pair_n")
+    },
+    // The trained tokenizer APPLIED: corpus token totals before/after
+    // the learned merges plus the final symbol-vocabulary size.
+    "text_bpe_apply" -> q { (s, d) =>
+      val (_, vocab) = graft.operators.Bpe.learnMerges(bpeVocab(s, d), bpeMerges)
+      val stats = vocab.agg(
+        count(lit(1)).as("n_word_forms"),
+        sum(col("n")).as("n_words"),
+        sum(col("n") * length(col("word"))).as("tokens_before"),
+        sum(col("n") * size(split(col("s"), " "))).as("tokens_after"))
+      val syms = vocab.select(explode(split(col("s"), " ")).as("sym"))
+        .agg(countDistinct(col("sym")).as("n_symbols"))
+      stats.crossJoin(syms)
     },
     // Behavioral diversity: Shannon entropy of each user's event-type
     // distribution (exact probabilities, decimal-summed p·ln p terms —
@@ -1102,6 +1134,37 @@ object DataPipelineEntries {
   private def pHash(x: String, seed: Int): String =
     s"CAST(('0x' || substr(md5($x || '#$seed'), 1, 15)) AS BIGINT)"
 
+  /** Unrolled BPE training CTEs through `s{bpeMerges}` — mirror of
+    * [[graft.operators.Bpe]]: same pair counting, same total-order
+    * argmax, same fixed number of non-overlapping replace passes per
+    * merge. Shared by the text_bpe_merges and text_bpe_apply oracles. */
+  private lazy val bpeCtes: String = {
+    val mergedExpr = (1 to graft.operators.Bpe.MergePasses)
+      .foldLeft("' ' || s || ' '") { (e, _) =>
+        s"replace($e, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')"
+      }
+    val rounds = (1 to bpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT lhs, rhs, sum(n) AS pn
+         |  FROM (SELECT x.n, x.sym[t.i] AS lhs, x.sym[t.i + 1] AS rhs
+         |        FROM (SELECT n, string_split(s, ' ') AS sym FROM s${k - 1}) x,
+         |             unnest(range(1, len(x.sym))) t(i))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs AS l, rhs AS r, pn FROM p$k
+         |        ORDER BY pn DESC, lhs, rhs LIMIT 1),
+         |s$k AS (SELECT word, n, trim($mergedExpr) AS s FROM s${k - 1}, b$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, n, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+       |       FROM v0),
+       |$rounds""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.cosine]] over DOUBLE[] vectors. */
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -1462,6 +1525,25 @@ object DataPipelineEntries {
          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
          |  string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS text_dedup
          |FROM r GROUP BY 1""".stripMargin,
+    // BPE mirrors: every training round replayed through the shared
+    // unrolled CTEs (bpeCtes)
+    "text_bpe_merges" -> {
+      val branches = (1 to bpeMerges).map { k =>
+        s"SELECT $k AS step, l AS lhs, r AS rhs, CAST(pn AS BIGINT) AS pair_n FROM b$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $bpeCtes
+         |$branches""".stripMargin
+    },
+    "text_bpe_apply" ->
+      s"""WITH $bpeCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_word_forms,
+         |  CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * length(word)) AS BIGINT) AS tokens_before,
+         |  CAST(sum(n * len(string_split(s, ' '))) AS BIGINT) AS tokens_after,
+         |  (SELECT CAST(count(DISTINCT sym) AS BIGINT)
+         |   FROM (SELECT unnest(string_split(s, ' ')) AS sym FROM s$bpeMerges) z)
+         |    AS n_symbols
+         |FROM s$bpeMerges""".stripMargin,
     // mirror of Dedup.repeatedSpans: same windows, same ≥2-distinct-doc
     // repeat rule, same gaps-and-islands run collapse
     "dedup_repeated_spans" ->

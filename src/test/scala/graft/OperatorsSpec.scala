@@ -866,6 +866,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("BPE learns the classic merge order and application is greedy-equivalent") {
+    import graft.operators.Bpe
+    // "low" ×5, "lower" ×2, "newest" ×6, "widest" ×3 — the Sennrich
+    // worked example family: "es" (9) then "est" (9) dominate, then
+    // "lo" (7)
+    val docs = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val vocab = Bpe.wordVocab(docs)
+    assert(vocab.count() == 4)
+    val (learned, finalVocab) = Bpe.learnMerges(vocab, merges = 3)
+    assert(learned.map(m => (m._2, m._3, m._4)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)),
+      s"unexpected merges: $learned")
+    val syms = finalVocab.select(col("word"), col("s")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(syms("newest") == "n e w est" && syms("low") == "lo w")
+    // same-symbol runs converge under the fixed replace passes:
+    // "aaaa" under merge (a,a) → "aa aa"
+    val run = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val (m2, v2) = Bpe.learnMerges(Bpe.wordVocab(run), merges = 1)
+    assert(m2.head._2 == "a" && m2.head._3 == "a")
+    assert(v2.select(col("s")).head().getString(0) == "aa aa")
+  }
+
   test("repeatedSpans finds maximal cross-document runs, not within-doc repeats") {
     import graft.operators.Dedup
     val docs = Seq(
