@@ -113,6 +113,8 @@ object DataPipelineEntries {
   // Resize target geometry (mm_resize entry + oracle).
   private val resizeW = 12
   private val resizeH = 10
+  // Audio RMS framing width in samples (mm_audio_energy entry + oracle).
+  private val audioWindow = 250
   // Debounce burst window (ev_debounce entry + oracle) — sized to the
   // corpus's sparse per-(user, type) cadence so bursts actually form.
   private val debounceSecs = 86400L
@@ -947,6 +949,15 @@ object DataPipelineEntries {
       Multimodal.resizeAll(
         Multimodal.corpusMedia(Tables.spread(Tables.documents(s, d))),
         resizeW, resizeH).toDF()),
+    // Audio feature framing on the REAL decode path: every corpus WAV
+    // decoded sample-exact via javax.sound, framed into fixed windows,
+    // per-window RMS energy graded — the generator's samples are pure
+    // integer arithmetic of the sample index, so the oracle recomputes
+    // them without any codec.
+    "mm_audio_energy" -> q((s, d) =>
+      Multimodal.audioWindows(
+        Multimodal.corpusMedia(Tables.spread(Tables.documents(s, d))),
+        audioWindow)),
     // REAL decode path, oracle-graded: deterministic in-entry containers
     // (gradient PNG, PCM WAV, animated GIF as the multi-frame video
     // stand-in, plus a corrupt payload for the skip policy) through
@@ -2305,6 +2316,25 @@ object DataPipelineEntries {
          |  CAST(CASE WHEN $resized THEN $resizeH ELSE 0 END AS INTEGER) AS height,
          |  CAST(CASE WHEN $resized THEN 3 ELSE 0 END AS INTEGER) AS channels
          |FROM documents""".stripMargin
+    },
+    // Audio-energy mirror: the WAV generator writes sample i as
+    // ((i % 256) − 128) · 128 (pure integer arithmetic,
+    // MediaPayloads.wav), so the oracle regenerates the samples from
+    // the interpolated geometry constants and frames them identically —
+    // no codec on the oracle side, the REAL decode on the Spark side.
+    "mm_audio_energy" -> {
+      import Multimodal._
+      s"""WITH a AS (
+         |  SELECT doc_id, $WavFramesBase + doc_id % $WavFramesMod AS frames
+         |  FROM documents
+         |  WHERE doc_id % 3 = 1 AND doc_id % $CorruptMod <> $CorruptResidue),
+         |s AS (
+         |  SELECT doc_id, t.i, ((t.i % 256) - 128) * 128 AS v
+         |  FROM a, unnest(range(frames)) t(i))
+         |SELECT doc_id, CAST(floor(i / $audioWindow) AS INTEGER) AS win_idx,
+         |  count(*) AS n_samples,
+         |  ${rnd(s"sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))", 6)} AS rms
+         |FROM s GROUP BY 1, 2""".stripMargin
     },
     // Container metadata pinned arithmetically from the generator's
     // geometry constants (interpolated from Multimodal so Spark and

@@ -171,6 +171,52 @@ object Multimodal extends Serializable {
       finally in.close()
     } catch { case _: Exception => None }
 
+  /** Decode a mono 16-bit little-endian PCM payload to its raw sample
+    * values (sign-extended to Int) — the input of audio feature
+    * extraction. None for unsupported bytes or a non-16-bit/-mono/-LE
+    * format (this corpus's WAVs are all mono 16-bit LE; a production
+    * pipeline would transcode first). */
+  def audioSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) None
+        else {
+          val data = in.readAllBytes()
+          Some(Array.tabulate(data.length / 2) { i =>
+            (data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)
+          })
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Windowed RMS energy over decoded audio — the framing step of audio
+    * feature extraction (VAD, loudness normalization, silence trimming),
+    * run on the REAL `javax.sound` decode path. Decode is the only
+    * per-row closure (same contract as [[extractReal]]); the windowing
+    * itself is declarative — posexplode to (doc_id, sample) rows, then
+    * ONE aggregation on (doc_id, window) — so Catalyst owns the
+    * parallelism and the shuffle carries window-sized partials.
+    * Undecodable payloads are skipped (the corpus-wide corrupt-row
+    * policy). Output: (doc_id, win_idx, n_samples, rms). */
+  def audioWindows(media: Dataset[MediaRecord], window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    import media.sparkSession.implicits._
+    media.filter(col("media_type") === "audio")
+      .map(r => (r.doc_id, audioSamples(r.content)))
+      .toDF("doc_id", "samples")
+      .filter(col("samples").isNotNull)
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "v")))
+      .groupBy(col("doc_id"),
+        floor(col("i") / window).cast("int").as("win_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(sqrt(sum(col("v") * col("v")).cast("double") / count(lit(1))), 6)
+          .as("rms"))
+  }
+
   /** Re-encode an image payload at (w, h) as PNG bytes — the resize stage
     * of a training-data pipeline, runnable inside the same typed
     * per-partition batches as the decode. */

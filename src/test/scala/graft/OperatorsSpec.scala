@@ -866,6 +866,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("audioSamples round-trips the generator's PCM and audioWindows frames it") {
+    import graft.operators.{MediaPayloads, MediaRecord, Multimodal}
+    val bytes = MediaPayloads.wav(8000, 600)
+    val smp = Multimodal.audioSamples(bytes).get
+    assert(smp.length == 600)
+    assert(smp.take(4).toSeq == Seq(-16384, -16256, -16128, -16000))
+    assert(Multimodal.audioSamples("nope".getBytes("UTF-8")).isEmpty)
+    val media = Seq(
+      MediaRecord(1L, "audio", bytes),
+      MediaRecord(2L, "audio", "corrupt".getBytes("UTF-8")),
+      MediaRecord(3L, "image", MediaPayloads.png(4, 4))).toDS()
+    val got = Multimodal.audioWindows(media, window = 250).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // 600 samples → windows of 250/250/100; corrupt and image rows skipped
+    assert(got.keySet == Set((1L, 0), (1L, 1), (1L, 2)))
+    assert(got((1L, 2))._1 == 100L)
+    val expRms0 = math.sqrt(
+      (0 until 250).map(i => math.pow((((i % 256) - 128) * 128).toDouble, 2)).sum / 250)
+    assert(math.abs(got((1L, 0))._2 - expRms0) < 1e-5)
+  }
+
   test("BPE learns the classic merge order and application is greedy-equivalent") {
     import graft.operators.Bpe
     // "low" ×5, "lower" ×2, "newest" ×6, "widest" ×3 — the Sennrich
