@@ -134,6 +134,9 @@ object DataPipelineEntries {
   // in DECIMAL, one ulp away).
   private val pageRankIters = 5
   private val pageRankDamping = 0.85
+  // PCA dimensionality + power-method rounds (emb_pca entry + oracle).
+  private val pcaDims = 64
+  private val pcaIters = 8
   // BFS hop budget + source-id modulus (graph_bfs entry + oracle).
   private val bfsIters = 4
   private val bfsSourceMod = 97
@@ -457,6 +460,14 @@ object DataPipelineEntries {
             .as("centroid_norm"),
           round(max(when(col("pos") === 0, col("m"))), 6).as("c0"))
     },
+    // Leading principal component of the embedding corpus: distributed
+    // covariance (ONE map-side centered-outer-product pass into dims²
+    // cells) + fixed power-method rounds on dims-sized frames — every
+    // round replayed by the unrolled oracle (PageRank/k-means
+    // technique).
+    "emb_pca" -> q((s, d) =>
+      graft.operators.Pca.leadingComponent(
+        Tables.embeddings(s, d), dims = pcaDims, iters = pcaIters)),
     // Deterministic Lloyd k-means (no-RNG init, stable-mean update,
     // total-order argmin): per-vector cluster + squared distance to the
     // final learned centroid. Assignment is a zero-shuffle broadcast
@@ -2030,6 +2041,40 @@ object DataPipelineEntries {
          |r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / $nScalar AS rank FROM documents),
          |$iterCtes
          |SELECT id, ${rnd("rank", 6)} AS rank FROM r$pageRankIters""".stripMargin
+    },
+    // PCA mirror: identical means / covariance cells / power rounds,
+    // all sums through the decimal-stable mirror, start vector and
+    // divisions interpolated as the same IEEE doubles
+    "emb_pca" -> {
+      val nScalar = "(SELECT count(*) FROM embeddings)"
+      val start = s"CAST(${(1.0 / math.sqrt(pcaDims.toDouble)).toString} AS DOUBLE)"
+      // the norm is a window aggregate OVER (), not a scalar subquery:
+      // each CTE is then referenced exactly once, keeping the unrolled
+      // plan linear in the round count on an engine that inlines CTEs
+      // (the Spark side pins the same shape by collecting the norm
+      // scalar per round — see Pca.leadingComponent)
+      val iterCtes = (1 to pcaIters).map { k =>
+        s"""w$k AS (
+           |  SELECT cells.i, CAST(${decSum("cells.cv * v.val")} AS DOUBLE) AS wv
+           |  FROM cells JOIN v${k - 1} v ON cells.j = v.i GROUP BY 1),
+           |v$k AS (
+           |  SELECT i,
+           |    wv / sqrt(CAST(${decSum("wv * wv")} OVER () AS DOUBLE)) AS val
+           |  FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |e AS (SELECT vec_id, CAST(generate_subscripts(x, 1) - 1 AS INTEGER) AS i,
+         |        unnest(x) AS v FROM x),
+         |m AS (SELECT i, ${oStableAvg("v")} AS m FROM e GROUP BY i),
+         |c AS (SELECT e.vec_id, e.i, e.v - m.m AS cv FROM e JOIN m USING (i)),
+         |cells AS (
+         |  SELECT a.i, b.i AS j,
+         |    CAST(${decSum("a.cv * b.cv")} AS DOUBLE) / ($nScalar - 1) AS cv
+         |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT i, $start AS val FROM m),
+         |$iterCtes
+         |SELECT CAST(i + 1 AS INTEGER) AS pos, ${rnd("val", 6)} AS loading
+         |FROM v$pcaIters""".stripMargin
     },
     // BFS mirror: every hop round replayed as an unrolled CTE over the
     // same generated edge list — exact integer distances, no float

@@ -866,6 +866,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("PCA leading component aligns with the dominant variance direction") {
+    import graft.operators.Pca
+    // variance overwhelmingly along an equal mix of dims 0 and 1,
+    // noise elsewhere: the leading loadings must put ~all weight
+    // there, split evenly, and stay unit-norm
+    val rows = (0 until 40).map { r =>
+      val v = (r % 7 - 3) * 10.0
+      (r.toLong, Array.tabulate(4)(d =>
+        (if (d == 0 || d == 1) v else (r * 31 % 5 - 2) * 0.01).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Pca.leadingComponent(emb, dims = 4, iters = 12)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1, 2, 3, 4))
+    val norm2 = got.values.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"not unit norm: $norm2")
+    assert(math.abs(math.abs(got(1)) - math.sqrt(0.5)) < 1e-3, s"dim0: ${got(1)}")
+    assert(math.abs(got(1) - got(2)) < 1e-6, "dims 0/1 must load equally")
+    assert(math.abs(got(3)) < 0.01 && math.abs(got(4)) < 0.01)
+  }
+
   test("audioSamples round-trips the generator's PCM and audioWindows frames it") {
     import graft.operators.{MediaPayloads, MediaRecord, Multimodal}
     val bytes = MediaPayloads.wav(8000, 600)
