@@ -1066,6 +1066,25 @@ object DataPipelineEntries {
       sq.awaitTermination()
       s.table(name)
     },
+    // Streaming per-key top-k: the bounded typed aggregator runs as a
+    // REAL streaming aggregation — its merge is order-insensitive and
+    // the state it shuffles/checkpoints is k items per key, so the
+    // result is independent of micro-batch slicing and the state store
+    // never grows past keys×k. Complete-mode memory sink, graded
+    // against the same batch oracle as ev_topk_agg.
+    "stream_topk" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d)
+      val dir = Scratch.tmpPath("stream_topk_src", d, s)
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+      val name = "graft_stream_topk"
+      val sq = Events.topKPerUserAgg(src, 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    },
     // Streaming exact dedup: stateful dropDuplicates emits the first
     // occurrence of each key — the streaming twin of dedup_exact. (The
     // bounded-state production variant is dropDuplicatesWithinWatermark;
@@ -1119,6 +1138,14 @@ object DataPipelineEntries {
 
   /** Mirror of [[graft.operators.Sampling.negativePairs]] — shared by
     * `sample_negatives` and, as the edge list, `graph_pagerank`. */
+  /** Shared mirror for ev_topk_agg and its streaming twin. */
+  private lazy val topkAggSql =
+    """SELECT user_id, rn, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin
+
   private lazy val negativesMirrorSql = {
     val picks = (0 until negativeK).map { j =>
       s"""SELECT doc_id, ${j + 1} AS neg_rank,
@@ -1931,12 +1958,10 @@ object DataPipelineEntries {
          |  ${rnd("CAST(list_max(embedding) AS DOUBLE)", 6)} AS max_val,
          |  ${rnd("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))", 6)} AS l2
          |FROM embeddings""".stripMargin,
-        "ev_topk_agg" ->
-      """SELECT user_id, rn, event_id, event_type, value FROM (
-        |  SELECT user_id, event_id, event_type, value,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY value DESC, event_id) AS INTEGER) AS rn
-        |  FROM events) WHERE rn <= 3""".stripMargin,
+        "ev_topk_agg" -> topkAggSql,
+    // streaming twin: identical result by construction (order-
+    // insensitive aggregator merges), so the identical mirror
+    "stream_topk" -> topkAggSql,
         "ev_json_extract" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,

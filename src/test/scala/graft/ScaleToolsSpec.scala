@@ -369,6 +369,34 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(i3 - i2 == 3, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
   }
 
+  test("round-8 operator plans: spans, CMS, BPE pairs, audio windows") {
+    import graft.operators.{Bpe, Dedup, Multimodal, Sketches}
+    val docs = (1 to 40).map(i =>
+      (i.toLong, (1 to 20).map(w => s"w${(i * 7 + w) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // repeatedSpans: window-table aggregate (repeat set), the leftsemi
+    // mark join, the islands window, the runs aggregates, and the
+    // per-doc join-backs — bounded at 8 exchanges, none corpus²
+    val spans = shuffles(Dedup.repeatedSpans(docs, k = 3))
+    assert(spans <= 8, s"repeatedSpans plan grew: $spans exchanges")
+    // CMS build: ONE exchange however many keys stream through, and
+    // the cells frame is sketch-sized
+    val cells = Sketches.cmsBuild(docs, col("doc_id"), depth = 4, width = 8, seed = 1)
+    assert(shuffles(cells) == 1, "cmsBuild must be a single aggregation exchange")
+    assert(cells.count() <= 32)
+    // BPE pair counting: one vocabulary-sized aggregation exchange on
+    // top of the (already aggregated) vocab input
+    val vocab = Bpe.wordVocab(docs).withColumn("s", Bpe.spacedChars(col("word")))
+    assert(shuffles(Bpe.pairCounts(vocab)) == 2,
+      "pairCounts must add exactly one exchange over the vocab aggregate")
+    // audio windowing: decode map + ONE (doc, window) aggregation
+    import spark.implicits._
+    val media = Seq(graft.operators.MediaRecord(1L, "audio",
+      graft.operators.MediaPayloads.wav(8000, 600))).toDS()
+    assert(shuffles(Multimodal.audioWindows(media, 250)) == 1,
+      "audioWindows must be a single aggregation exchange")
+  }
+
   test("top session paths and cohort retention each run on two exchanges") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val ev = (1 to 300).map { i =>
