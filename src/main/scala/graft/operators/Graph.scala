@@ -85,14 +85,20 @@ object Graph {
       .join(sources.select(col("id"), lit(0).as("d")), Seq("id"), "left")
       .select(col("id"), col("d").as("dist")) // null = not yet reached
     for (_ <- 1 to iters) {
-      val hops = edges
-        .join(dist.filter(col("dist").isNotNull).withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("dist") + 1).as("hop"))
-        .groupBy(col("id")).agg(min(col("hop")).as("hop"))
-      // least() skips nulls in Spark, so an unreached node adopts the
-      // new hop and a reached one keeps its minimum
-      dist = dist.join(hops, Seq("id"), "left")
-        .select(col("id"), least(col("dist"), col("hop")).as("dist"))
+      // the carry-forward rides the SAME min-aggregation as the new
+      // hops (a union branch, map-side), and the keep-unreached join is
+      // against the STATIC nodes frame — the pageRank loop shape. A
+      // least()-combine against the previous vector instead would put
+      // the distance vector on two join sides per round (6 exchanges,
+      // measured) vs this form's 3.
+      val frontier = dist.filter(col("dist").isNotNull)
+      val combined = edges
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1).as("d"))
+        .union(frontier.select(col("id"), col("dist").as("d")))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      dist = nodes.join(combined, Seq("id"), "left")
+        .select(col("id"), col("d").as("dist"))
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1)).cast("int").as("dist"))
   }

@@ -355,7 +355,7 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(i2 == 5, s"iteration-loop base plan drifted: i2=$i2")
   }
 
-  test("bfsDistances keeps the pageRank iteration shape: 3 exchanges per round") {
+  test("bfsDistances runs 4 nodes/edges-sized exchanges per round") {
     val nodes = (0L until 60L).toDF("id")
     val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
       .toDF("src", "dst")
@@ -363,10 +363,15 @@ class ScaleToolsSpec extends AnyFunSuite {
     import graft.operators.Graph
     val i2 = shuffles(Graph.bfsDistances(nodes, edges, src, iters = 2))
     val i3 = shuffles(Graph.bfsDistances(nodes, edges, src, iters = 3))
-    // frontier⋈edges on src, min-agg on dst, nodes left-join on id —
-    // the same nodes-sized-state loop as pageRank, minus its degree
-    // profile (so the base count is lower)
-    assert(i3 - i2 == 3, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
+    // per round: the frontier re-shuffles on src into the edge join,
+    // the hop stream + the unioned carry-forward shuffle into the
+    // min-aggregate on id, and the nodes left-join re-partitions both
+    // sides — one more than pageRank's 3 because the carry-forward
+    // union branch shuffles alongside the hops (a least()-combine
+    // against the previous vector instead measures 6: the distance
+    // vector lands on two join sides). All exchanges are nodes- or
+    // one-pass-over-edges-sized; the pin catches any drift back.
+    assert(i3 - i2 == 4, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
   }
 
   test("round-8 operator plans: spans, CMS, BPE pairs, audio windows") {
