@@ -314,6 +314,23 @@ object TaxiEntries {
         .groupBy(col("op"), col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // The CDC CONSUMER side of the changelog contract: a follower holding
+    // v1 applies changelog(v1, v2) and must land exactly on v2 — graded
+    // on the full per-partition profile of the RECONSTRUCTED table (any
+    // row the apply loses, duplicates, or fails to replace flips a
+    // count or a fare sum somewhere).
+    "taxi_changelog_apply" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val t = new graft.write.SnapshotTable(s, tmpPath("snapapply", d, s))
+      val v1 = t.commitOverwrite(stg)
+      val bad = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
+      val v2 = t.commitOverwritePartitions(bad)
+      t.applyChangelog(t.readVersion(v1), t.changelog(v1, v2))
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     })
 
   import TaxiSql.{select => o}
@@ -450,5 +467,13 @@ object TaxiEntries {
          |UNION ALL
          |SELECT 'insert' AS op, year, month, count(*) AS n,
          |  ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
-         |FROM stg_yellow WHERE month IN (6, 7) GROUP BY 2, 3""".stripMargin))
+         |FROM stg_yellow WHERE month IN (6, 7) GROUP BY 2, 3""".stripMargin),
+    // the reconstructed v2: replaced partitions carry the corrupted
+    // fares, untouched partitions the originals
+    "taxi_changelog_apply" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum(
+             "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +
+               "ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin))
 }

@@ -226,6 +226,21 @@ class SnapshotTable(spark: SparkSession, root: String,
         a.exceptAll(b.select(a.columns.map(col): _*)).withColumn("op", lit("delete")))
   }
 
+  /** CDC consumer — the downstream-materialization side of the
+    * [[changelog]] contract: applying `changelog(from, to)` to
+    * `readVersion(from)` reproduces `readVersion(to)` as a multiset
+    * (delete rows removed occurrence-for-occurrence via `exceptAll`,
+    * insert rows appended). This is how a derived table at another
+    * site/engine follows a snapshot table incrementally instead of
+    * re-reading it. Two hash-agg shuffles (the exceptAll), one union. */
+  def applyChangelog(base: DataFrame, log: DataFrame): DataFrame = {
+    val cols = base.columns
+    require(log.columns.contains("op"), "changelog frame must carry an op column")
+    val del = log.filter(col("op") === "delete").select(cols.map(col): _*)
+    val ins = log.filter(col("op") === "insert").select(cols.map(col): _*)
+    base.exceptAll(del).unionByName(ins)
+  }
+
   /** (version, op, parent) for every retained snapshot, oldest first. */
   def history: Seq[(Int, String, Int)] =
     if (!fs.exists(manifestDir)) Seq.empty

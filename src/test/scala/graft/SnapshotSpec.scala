@@ -139,6 +139,24 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("applyChangelog reconstructs the target version exactly, both directions") {
+    val t = new SnapshotTable(spark, freshRoot("snap_apply"))
+    val v1 = t.commitOverwrite(frame(
+      (1, 2024, 1, 10.0), (1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val v2 = t.commitOverwritePartitions(frame((1, 2024, 1, 10.0), (9, 2024, 1, 99.0)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("year"), col("month"), col("fare"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sorted.toSeq
+    // forward: v1 + changelog(v1→v2) == v2 (multiset — the surviving
+    // duplicate copy must survive exactly once)
+    assert(canon(t.applyChangelog(t.readVersion(v1), t.changelog(v1, v2))) ==
+      canon(t.readVersion(v2)))
+    // backward: v2 + changelog(v2→v1) == v1
+    assert(canon(t.applyChangelog(t.readVersion(v2), t.changelog(v2, v1))) ==
+      canon(t.readVersion(v1)))
+  }
+
   test("compact refuses to run concurrently: single-writer lock") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val path = s"$dir/t"
