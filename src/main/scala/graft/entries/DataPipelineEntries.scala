@@ -366,6 +366,12 @@ object DataPipelineEntries {
     "dedup_repeated_spans" -> q((s, d) =>
       Dedup.repeatedSpans(Tables.spread(Tables.documents(s, d)), spanWords)),
     "dedup_ngram_pairs" -> q((s, d) => ngramPairs(s, d)),
+    // The AllPairs/PPJoin prefix-filtered variant: same pair set by the
+    // exactness theorem, found through a rarity-first prefix index
+    // (~(1-t)x the postings) instead of the full inverted index.
+    "dedup_prefix_pairs" -> q((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.spread(Tables.documents(s, d)),
+        threshold = 0.5, maxDocFreq = ngramMaxDf)),
     // Pairs → clusters: one keeper (min doc_id) per connected component
     // of the near-dup graph — the step that turns pair detection into an
     // actionable drop list.
@@ -1199,6 +1205,13 @@ object DataPipelineEntries {
        |      FROM ec a JOIN ec b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** Shared mirror for dedup_ngram_pairs and its prefix-filtered
+    * variant (same result by the prefix-filter exactness theorem). */
+  private lazy val ngramPairsSelectSql =
+    s"""WITH $ngramPairsCtes
+       |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
+       |FROM p WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin
+
   /** DuckDB mirror of [[Dedup.portableHash]]. */
   private def pHash(x: String, seed: Int): String =
     s"CAST(('0x' || substr(md5($x || '#$seed'), 1, 15)) AS BIGINT)"
@@ -1646,10 +1659,11 @@ object DataPipelineEntries {
          |e AS (SELECT unnest(sh) AS ngram FROM s)
          |SELECT ngram, count(*) AS df FROM e GROUP BY 1
          |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
-    "dedup_ngram_pairs" ->
-      s"""WITH $ngramPairsCtes
-         |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
-         |FROM p WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin,
+    "dedup_ngram_pairs" -> ngramPairsSelectSql,
+    // prefix filtering is a candidate-pruning optimization with an
+    // exactness theorem — the graded result is the SAME pair set, so
+    // the identical mirror grades it
+    "dedup_prefix_pairs" -> ngramPairsSelectSql,
     // transitive closure over the undirected pair graph; cluster id =
     // min reachable doc_id — exactly what min-label propagation converges
     // to per connected component.

@@ -223,6 +223,63 @@ object Dedup {
       .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered Jaccard self-join — the AllPairs/PPJoin
+    * optimization of [[ngramJaccardPairs]], same result by theorem
+    * rather than by mirrored heuristic: any pair with
+    * J = inter/(n_i + n_j − inter) ≥ t has inter ≥ ⌈t·n_i⌉ (and
+    * symmetrically), and two sets with overlap ≥ α under a COMMON total
+    * order must each contain a shared element among their first
+    * |set| − α + 1 elements — so only each document's
+    * (m_i − ⌈t·n_i⌉ + 1)-element PREFIX of its df-cut shingle list
+    * (globally ordered rarity-first: (df, shingle)) needs indexing.
+    * The inverted index shrinks toward (1−t)·corpus (at t = 0.5, half),
+    * and rare-first ordering makes surviving posting lists the short
+    * ones — the standard set-similarity-join scaling lever on top of
+    * the df cut. Candidates are verified with the EXACT df-cut
+    * intersection, so output ≡ [[ngramJaccardPairs]] (same oracle).
+    *
+    * Same df-cut semantics as the plain form: hot shingles leave both
+    * the index and the intersection, set sizes n_i stay full. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                         maxDocFreq: Int = 100): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0, 1]: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingled(docs).select(
+      col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfProfile = ex.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df"))
+    val cut = ex.join(
+      broadcast(dfProfile.filter(col("df") > maxDocFreq).select(col("lang"), col("s"))),
+      Seq("lang", "s"), "left_anti")
+    // rarity-first global order; m = per-doc surviving-shingle count
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = cut
+      .join(dfProfile.filter(col("df") <= maxDocFreq), Seq("lang", "s"))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("m", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rk") <= col("m") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("lang"), col("s"), col("doc_id"), col("n_sh"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j"))
+      .distinct()
+    // exact verify over the full df-cut sets
+    val sets = cut.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_i"), col("ss").as("sa")), Seq("doc_i"))
+      .join(sets.select(col("doc_id").as("doc_j"), col("ss").as("sb")), Seq("doc_j"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_i") + col("n_j") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash + LSH near-dup pairs. `numHashes` minhash slots are banded
     * `rowsPerBand` at a time; docs colliding on any band become
     * candidates; candidates are verified with exact Jaccard ≥ threshold.

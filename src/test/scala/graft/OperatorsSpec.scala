@@ -934,6 +934,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(v2.select(col("s")).head().getString(0) == "aa aa")
   }
 
+  test("prefixJaccardPairs equals the full-index join on generated docs") {
+    import graft.operators.Dedup
+    // overlapping word streams so real near-dup pairs exist at 0.5
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 12).map(w => s"w${(i / 2 * 5 + w) % 40}")
+      (i.toLong, s"l${i % 2}", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val full = canon(Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxDocFreq = 100))
+    val pref = canon(Dedup.prefixJaccardPairs(docs, threshold = 0.5, maxDocFreq = 100))
+    assert(full.nonEmpty, "fixture must produce pairs")
+    assert(pref == full)
+    // and with a biting df-cut the variants must still agree
+    val fullCut = canon(Dedup.ngramJaccardPairs(docs, threshold = 0.5, maxDocFreq = 3))
+    val prefCut = canon(Dedup.prefixJaccardPairs(docs, threshold = 0.5, maxDocFreq = 3))
+    assert(prefCut == fullCut)
+  }
+
   test("repeatedSpans finds maximal cross-document runs, not within-doc repeats") {
     import graft.operators.Dedup
     val docs = Seq(
