@@ -304,12 +304,7 @@ object TaxiEntries {
     // (coalesce makes every replaced row differ even at null fares, so
     // the multiset diff is exactly the replaced partitions.)
     "taxi_snapshot_changelog" -> q { (s, d) =>
-      val stg = models(s, d).stgYellow.drop("loaded_at")
-      val t = new graft.write.SnapshotTable(s, tmpPath("snapcdc", d, s))
-      val v1 = t.commitOverwrite(stg)
-      val bad = stg.filter(col("month").isin(6, 7))
-        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
-      val v2 = t.commitOverwritePartitions(bad)
+      val (t, v1, v2) = snapCdcFixture(s, d)
       t.changelog(v1, v2)
         .groupBy(col("op"), col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -321,17 +316,33 @@ object TaxiEntries {
     // row the apply loses, duplicates, or fails to replace flips a
     // count or a fare sum somewhere).
     "taxi_changelog_apply" -> q { (s, d) =>
-      val stg = models(s, d).stgYellow.drop("loaded_at")
-      val t = new graft.write.SnapshotTable(s, tmpPath("snapapply", d, s))
-      val v1 = t.commitOverwrite(stg)
-      val bad = stg.filter(col("month").isin(6, 7))
-        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
-      val v2 = t.commitOverwritePartitions(bad)
+      val (t, v1, v2) = snapCdcFixture(s, d)
       t.applyChangelog(t.readVersion(v1), t.changelog(v1, v2))
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     })
+
+  /** The two-commit CDC fixture (clean v1, corrupted-partition v2),
+    * built ONCE per (session, sfDir) and shared by the changelog
+    * producer and consumer entries — the commits are the expensive
+    * part (two full table writes), and both entries only READ the
+    * versions afterward. */
+  private val snapCdcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.write.SnapshotTable, Int, Int)]
+
+  private def snapCdcFixture(s: SparkSession, d: String): (graft.write.SnapshotTable, Int, Int) = {
+    snapCdcCache.keys.filter(_._1.sparkContext.isStopped).foreach(snapCdcCache.remove)
+    snapCdcCache.getOrElseUpdate((s, d), {
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val t = new graft.write.SnapshotTable(s, tmpPath("snapcdc", d, s))
+      val v1 = t.commitOverwrite(stg)
+      val bad = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
+      val v2 = t.commitOverwritePartitions(bad)
+      (t, v1, v2)
+    })
+  }
 
   import TaxiSql.{select => o}
   import TaxiSql.Dialect.rndSum
