@@ -137,6 +137,12 @@ object DataPipelineEntries {
   // PCA dimensionality + power-method rounds (emb_pca entry + oracle).
   private val pcaDims = 64
   private val pcaIters = 8
+  // Product-quantization geometry (emb_pq entry + oracle): 8 subspaces
+  // of 8 dims, 8-centroid codebook each, 2 Lloyd rounds.
+  private val pqSubs = 8
+  private val pqSubDim = 8
+  private val pqK = 8
+  private val pqIters = 2
   // Hyperplane-LSH geometry (emb_lsh_pairs entry + oracle): 8 bands of
   // 4 sign bits catch ~75% of the corpus's cos ≥ 0.4 pairs (measured
   // deterministically: 47/66 at sf0.001, 706/920 at sf0.1); the bucket
@@ -503,6 +509,23 @@ object DataPipelineEntries {
         Tables.embeddings(s, d), kmeansK, kmeansIters)
         .select(col("vec_id"), col("cid").as("cluster"),
           round(col("d2"), 6).as("dist_sq"))),
+    // Product quantization: 8 independent per-subspace codebooks (the
+    // deterministic Lloyd trainer on each 8-dim slice) — the
+    // memory-compression layer of a billion-vector ANN index (64 floats
+    // → 8 codes). Graded long-form per (vector, subspace): the learned
+    // code and the exact quantization error, every subspace's training
+    // replayed by the parametric unrolled oracle.
+    "emb_pq" -> q { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      (0 until pqSubs).map { sub =>
+        graft.operators.Clustering.kMeansAssign(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), sub * pqSubDim + 1, pqSubDim).as("embedding")),
+          pqK, pqIters)
+          .select(col("vec_id"), lit(sub).cast("int").as("sub"),
+            col("cid").cast("int").as("code"), round(col("d2"), 6).as("d2"))
+      }.reduce(_ unionByName _)
+    },
     // SemDeDup: semantic near-dup pruning blocked by the LEARNED
     // clusters — pair space Σ|cluster|², not corpus²; greedy keep-first
     // inside each cluster at cosine ≥ threshold.
@@ -1262,30 +1285,39 @@ object DataPipelineEntries {
     * stable-mean update (`km_i`/`kc_i`, emptied cluster keeps its
     * centroid), `kaf` is the final assignment. Shared by `emb_kmeans`
     * and `sem_dedup` so the two entries cannot drift. */
-  private lazy val kmeansCtes: String = {
+  private lazy val kmeansCtes: String =
+    kmeansCtesFor("k", "CAST(embedding AS DOUBLE[])", kmeansK, kmeansIters)
+
+  /** Parametric form of the k-means mirror: CTE names are prefixed with
+    * `p` (`${p}e` input, `${p}c$i` centroids, `${p}af` final
+    * assignment) and the input vector is any DOUBLE[] expression over
+    * the embeddings table — which is what lets the PQ oracle train the
+    * SAME unrolled Lloyd rounds independently per subspace slice. */
+  private def kmeansCtesFor(p: String, vecExpr: String, k: Int,
+                            iters: Int): String = {
     def assignCte(name: String, centCte: String): String =
       s"""$name AS (SELECT vec_id, v, cid, d2 FROM (
          |    SELECT vec_id, v, cid, d2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |    FROM (SELECT e.vec_id, e.v, c.cid, ${d2Sql("e.v", "c.cv")} AS d2
-         |          FROM ke e CROSS JOIN $centCte c)) WHERE rn = 1)""".stripMargin
+         |          FROM ${p}e e CROSS JOIN $centCte c)) WHERE rn = 1)""".stripMargin
     val init =
-      s"""ke AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+      s"""${p}e AS (SELECT vec_id, $vecExpr AS v FROM embeddings),
+         |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          |               v AS cv
-         |        FROM (SELECT * FROM ke ORDER BY vec_id LIMIT $kmeansK))""".stripMargin
-    val rounds = (1 to kmeansIters).map { i =>
-      s"""${assignCte(s"ka$i", s"kc${i - 1}")},
-         |km$i AS (SELECT cid, pos, ${oStableAvg("x")} AS m
+         |        FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignCte(s"${p}a$i", s"${p}c${i - 1}")},
+         |${p}m$i AS (SELECT cid, pos, ${oStableAvg("x")} AS m
          |       FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-         |             FROM ka$i)
+         |             FROM ${p}a$i)
          |       GROUP BY 1, 2),
-         |kc$i AS (SELECT c.cid, coalesce(n.mv, c.cv) AS cv
-         |       FROM kc${i - 1} c LEFT JOIN
-         |         (SELECT cid, list(m ORDER BY pos) AS mv FROM km$i GROUP BY 1) n
+         |${p}c$i AS (SELECT c.cid, coalesce(n.mv, c.cv) AS cv
+         |       FROM ${p}c${i - 1} c LEFT JOIN
+         |         (SELECT cid, list(m ORDER BY pos) AS mv FROM ${p}m$i GROUP BY 1) n
          |         USING (cid))""".stripMargin
     }
-    (init +: rounds :+ assignCte("kaf", s"kc$kmeansIters")).mkString(",\n")
+    (init +: rounds :+ assignCte(s"${p}af", s"${p}c$iters")).mkString(",\n")
   }
 
   private val stopRatioSql =
@@ -1513,6 +1545,20 @@ object DataPipelineEntries {
          |  ${rnd(s"sqrt(CAST(${decSum("m * m")} AS DOUBLE))", 6)} AS centroid_norm,
          |  ${rnd("max(CASE WHEN pos = 1 THEN m END)", 6)} AS c0
          |FROM m GROUP BY 1""".stripMargin,
+    // PQ mirror: one parametric unrolled-Lloyd instance per subspace
+    // slice, unioned — identical init/argmin/mean rules per codebook
+    "emb_pq" -> {
+      val ctes = (0 until pqSubs).map { s =>
+        kmeansCtesFor(s"q$s",
+          s"(CAST(embedding AS DOUBLE[]))[${s * pqSubDim + 1}:${(s + 1) * pqSubDim}]",
+          pqK, pqIters)
+      }.mkString(",\n")
+      val branches = (0 until pqSubs).map { s =>
+        s"SELECT vec_id, $s AS sub, cid AS code, ${rnd("d2", 6)} AS d2 FROM q${s}af"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $ctes
+         |$branches""".stripMargin
+    },
     "emb_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster, ${rnd("d2", 6)} AS dist_sq FROM kaf""".stripMargin,
