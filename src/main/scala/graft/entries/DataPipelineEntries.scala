@@ -143,6 +143,9 @@ object DataPipelineEntries {
   private val pqSubDim = 8
   private val pqK = 8
   private val pqIters = 2
+  // ADC serving-path query cut and top-k (emb_pq_adc entry + oracle).
+  private val pqQueryCut = 4
+  private val pqTopK = 3
   // Hyperplane-LSH geometry (emb_lsh_pairs entry + oracle): 8 bands of
   // 4 sign bits catch ~75% of the corpus's cos ≥ 0.4 pairs (measured
   // deterministically: 47/66 at sf0.001, 706/920 at sf0.1); the bucket
@@ -525,6 +528,45 @@ object DataPipelineEntries {
           .select(col("vec_id"), lit(sub).cast("int").as("sub"),
             col("cid").cast("int").as("code"), round(col("d2"), 6).as("d2"))
       }.reduce(_ unionByName _)
+    },
+    // The PQ SERVING path — asymmetric distance computation: per query,
+    // a subs×K lookup table of exact subspace distances to the
+    // codebook; each stored vector's approximate distance is then just
+    // `subs` table lookups summed (decimal-stable, so the ranking is
+    // engine-exact) — how a billion-vector index scores candidates
+    // without touching raw vectors. Top-k per query graded.
+    "emb_pq_adc" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val C = graft.operators.Clustering
+      val emb = Tables.embeddings(s, d)
+      val parts = (0 until pqSubs).map { sub =>
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), sub * pqSubDim + 1, pqSubDim).as("embedding"))
+        // the codebook is trained once and cached: the encoding pass,
+        // the lookup table, and a re-training would otherwise each
+        // replay the Lloyd loop
+        val cents = graft.TransientCache.register(
+          C.kMeansCentroids(sliced, pqK, pqIters))
+        val codes = C.assignToCentroids(sliced, cents)
+          .select(col("vec_id"), col("cid"))
+        val lut = sliced.filter(col("vec_id") < pqQueryCut)
+          .select(col("vec_id").as("query_id"),
+            transform(col("embedding"), x => x.cast("double")).as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cid"),
+            C.sqDist(col("qv"), col("cv")).as("d2"))
+        codes.join(broadcast(lut), Seq("cid"))
+          .select(col("query_id"), col("vec_id"), col("d2"))
+      }
+      val byQuery = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      parts.reduce(_ unionByName _)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(graft.expr.Functions.stableSum(col("d2")).as("adc"))
+        .withColumn("rn", row_number().over(byQuery).cast("int"))
+        .filter(col("rn") <= pqTopK)
+        .select(col("query_id"), col("rn"), col("vec_id"),
+          round(col("adc").cast("double"), 6).as("adc_d2"))
     },
     // SemDeDup: semantic near-dup pruning blocked by the LEARNED
     // clusters — pair space Σ|cluster|², not corpus²; greedy keep-first
@@ -1558,6 +1600,36 @@ object DataPipelineEntries {
       }.mkString("\nUNION ALL ")
       s"""WITH $ctes
          |$branches""".stripMargin
+    },
+    // ADC mirror: the same per-subspace lookup tables (exact subspace
+    // distance from query slice to centroid) joined to the learned
+    // codes, decimal-summed, ranked (sum, vec_id)
+    "emb_pq_adc" -> {
+      val ctes = (0 until pqSubs).map { s =>
+        kmeansCtesFor(s"q$s",
+          s"(CAST(embedding AS DOUBLE[]))[${s * pqSubDim + 1}:${(s + 1) * pqSubDim}]",
+          pqK, pqIters)
+      }.mkString(",\n")
+      val branches = (0 until pqSubs).map { s =>
+        s"""SELECT l.query_id, a.vec_id, l.d2
+           |FROM q${s}af a JOIN (
+           |  SELECT q.vec_id AS query_id, c.cid, ${d2Sql("q.v", "c.cv")} AS d2
+           |  FROM q${s}e q CROSS JOIN q${s}c$pqIters c
+           |  WHERE q.vec_id < $pqQueryCut) l ON l.cid = a.cid""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $ctes,
+         |parts AS (
+         |$branches),
+         |summed AS (
+         |  SELECT query_id, vec_id, ${decSum("d2")} AS adc
+         |  FROM parts GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, vec_id) AS INTEGER) AS rn
+         |  FROM summed)
+         |SELECT query_id, rn, vec_id, ${rnd("CAST(adc AS DOUBLE)", 6)} AS adc_d2
+         |FROM ranked WHERE rn <= $pqTopK""".stripMargin
     },
     "emb_kmeans" ->
       s"""WITH $kmeansCtes

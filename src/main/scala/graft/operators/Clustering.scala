@@ -60,7 +60,21 @@ object Clustering {
 
   /** Fixed-iteration Lloyd assignment: (vec_id, v, cid, d2) after
     * `iters` rounds, d² against the FINAL centroids. */
-  def kMeansAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kMeansAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(toDoubleVec(vectors), kMeansCentroids(vectors, k, iters))
+
+  /** Nearest-centroid assignment of `vectors` against an EXISTING
+    * codebook (cid, cv) — the serving-path half of [[kMeansAssign]],
+    * for consumers that already hold the trained centroids (PQ
+    * encoding, IVF routing). Zero-shuffle broadcast pass. */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assign(toDoubleVec(vectors), cents)
+
+  /** The FINAL learned centroids (cid, cv) of the same fixed-iteration
+    * Lloyd loop — the codebook consumers (PQ ADC lookup tables, IVF
+    * routing) read, separated out so they can reuse it without
+    * re-deriving the assignment. */
+  def kMeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be at least 1: $k")
     require(iters >= 1, s"iters must be at least 1: $iters")
     val vecs = toDoubleVec(vectors)
@@ -81,7 +95,7 @@ object Clustering {
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
     }
-    assign(vecs, cents)
+    cents
   }
 
   /** SemDeDup-style semantic dedup: learn `k` clusters, then mark as
