@@ -36,6 +36,12 @@ object DataPipelineEntries {
       f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  private def hpPairs(s: SparkSession, d: String): DataFrame = memo("hp_pairs", s, d) {
+    Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), dims = pcaDims,
+      bits = hpBits, bands = hpBands, threshold = hpThreshold,
+      seed = hpSeed, maxBucket = hpMaxBucket)
+  }
+
   private def ngramPairs(s: SparkSession, d: String): DataFrame = memo("pairs", s, d) {
     Dedup.ngramJaccardPairs(Tables.spread(Tables.documents(s, d)),
       threshold = 0.5, maxDocFreq = ngramMaxDf)
@@ -475,10 +481,15 @@ object DataPipelineEntries {
     // generates candidates, exact cosine verifies — pair space is
     // Σ bucket², never corpus², the embedding-side twin of the MinHash
     // text dedup.
-    "emb_lsh_pairs" -> q((s, d) =>
-      Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), dims = pcaDims,
-        bits = hpBits, bands = hpBands, threshold = hpThreshold,
-        seed = hpSeed, maxBucket = hpMaxBucket)),
+    "emb_lsh_pairs" -> q((s, d) => hpPairs(s, d)),
+    // Pairs -> clusters on the embedding side: connected components of
+    // the hyperplane-LSH near-dup graph, one keeper label (min vec_id)
+    // per component — the same closure operator the text pairs feed.
+    "emb_dup_clusters" -> q((s, d) =>
+      Dedup.nearDupClusters(
+        hpPairs(s, d).select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")),
+        Tables.embeddings(s, d).select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     // Per-label centroid profile: element-wise stable mean via
     // posexplode + (label, pos) aggregation — the label-prototype
     // computation of a classification/contrastive pipeline, one
@@ -1277,6 +1288,36 @@ object DataPipelineEntries {
        |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
        |FROM p WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin
 
+  /** Hyperplane-LSH candidate/verify CTEs (final CTE `hpc` carries
+    * (vec_i, vec_j, cos)) — shared by emb_lsh_pairs and the embedding
+    * cluster closure so the two cannot drift. */
+  private lazy val hpPairsCtes: String = {
+    val signs = graft.operators.Embeddings.projectionSigns(pcaDims, hpBits, hpSeed)
+    val r = hpBits / hpBands
+    val dots = signs.zipWithIndex.map { case (sj, k) =>
+      s"${rnd(s"list_dot_product(v, [${sj.mkString(", ")}])", 6)} AS d${k + 1}"
+    }.mkString(",\n    ")
+    val bandBranches = (0 until hpBands).map { b =>
+      val bitsExpr = (1 to r).map(i =>
+        s"CASE WHEN d${b * r + i} > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"SELECT vec_id, $b AS band, $bitsExpr AS sig FROM hppr"
+    }.mkString("\n    UNION ALL ")
+    s"""hpe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hppr AS (SELECT vec_id,
+       |    $dots
+       |  FROM hpe),
+       |hpbk AS (
+       |    $bandBranches),
+       |hpsz AS (SELECT band, sig, count(*) AS n FROM hpbk GROUP BY 1, 2),
+       |hpok AS (SELECT hpbk.vec_id, hpbk.band, hpbk.sig FROM hpbk
+       |       JOIN hpsz USING (band, sig) WHERE hpsz.n <= $hpMaxBucket),
+       |hpp AS (SELECT DISTINCT a.vec_id AS vec_i, b.vec_id AS vec_j
+       |      FROM hpok a JOIN hpok b USING (band, sig) WHERE a.vec_id < b.vec_id),
+       |hpc AS (SELECT vec_i, vec_j, ${cosSql("ea.v", "eb.v")} AS cos
+       |      FROM hpp JOIN hpe ea ON ea.vec_id = hpp.vec_i
+       |             JOIN hpe eb ON eb.vec_id = hpp.vec_j)""".stripMargin
+  }
+
   /** DuckDB mirror of [[Dedup.portableHash]]. */
   private def pHash(x: String, seed: Int): String =
     s"CAST(('0x' || substr(md5($x || '#$seed'), 1, 15)) AS BIGINT)"
@@ -1850,34 +1891,22 @@ object DataPipelineEntries {
          |FROM nb LEFT JOIN h ON nb.query_id = h.query_id""".stripMargin,
     // hyperplane-LSH mirror: same ±1 matrix (shared generator), same
     // rounded-dot sign bits, same banded buckets/cap, same exact verify
-    "emb_lsh_pairs" -> {
-      val signs = graft.operators.Embeddings.projectionSigns(pcaDims, hpBits, hpSeed)
-      val r = hpBits / hpBands
-      val dots = signs.zipWithIndex.map { case (sj, k) =>
-        s"${rnd(s"list_dot_product(v, [${sj.mkString(", ")}])", 6)} AS d${k + 1}"
-      }.mkString(",\n    ")
-      val bandBranches = (0 until hpBands).map { b =>
-        val bitsExpr = (1 to r).map(i =>
-          s"CASE WHEN d${b * r + i} > 0 THEN '1' ELSE '0' END").mkString(" || ")
-        s"SELECT vec_id, $b AS band, $bitsExpr AS sig FROM pr"
-      }.mkString("\n    UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pr AS (SELECT vec_id,
-         |    $dots
-         |  FROM e),
-         |bk AS (
-         |    $bandBranches),
-         |sz AS (SELECT band, sig, count(*) AS n FROM bk GROUP BY 1, 2),
-         |ok AS (SELECT bk.vec_id, bk.band, bk.sig FROM bk
-         |       JOIN sz USING (band, sig) WHERE sz.n <= $hpMaxBucket),
-         |p AS (SELECT DISTINCT a.vec_id AS vec_i, b.vec_id AS vec_j
-         |      FROM ok a JOIN ok b USING (band, sig) WHERE a.vec_id < b.vec_id),
-         |c AS (SELECT vec_i, vec_j, ${cosSql("ea.v", "eb.v")} AS cos
-         |      FROM p JOIN e ea ON ea.vec_id = p.vec_i
-         |             JOIN e eb ON eb.vec_id = p.vec_j)
-         |SELECT vec_i, vec_j, ${rnd("cos", 6)} AS cos FROM c
-         |WHERE cos >= $hpThreshold""".stripMargin
-    },
+    "emb_lsh_pairs" ->
+      s"""WITH $hpPairsCtes
+         |SELECT vec_i, vec_j, ${rnd("cos", 6)} AS cos FROM hpc
+         |WHERE cos >= $hpThreshold""".stripMargin,
+    // transitive closure over the hyperplane-LSH pair graph — the
+    // embedding-side twin of dedup_clusters, same min-label contract
+    "emb_dup_clusters" ->
+      s"""WITH RECURSIVE $hpPairsCtes,
+         |np AS (SELECT vec_i, vec_j FROM hpc WHERE cos >= $hpThreshold),
+         |ed AS (SELECT vec_i AS a, vec_j AS b FROM np
+         |       UNION ALL SELECT vec_j, vec_i FROM np),
+         |reach(src, dst) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a)
+         |SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, ${cosSql("a.v", "b.v")} AS cos
