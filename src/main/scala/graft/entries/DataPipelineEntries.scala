@@ -742,6 +742,61 @@ object DataPipelineEntries {
       .agg(count(col("k")).as("n_with_k"),
         min("k").as("min_k"), max("k").as("max_k"),
         sum("k").cast("long").as("sum_k"))),
+    // Time-series resampling: each user's event stream regridded onto a
+    // dense daily axis over their own activity span — absent days get a
+    // zero row and the last-observed value carries forward (the
+    // gap-fill step before any rolling-feature computation). One
+    // aggregation, a per-user span explode, one fill window.
+    "ev_resample" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.expr.Functions.stableRoundedSum(col("value"), 2).as("day_sum"),
+          // deterministic in-day last: (ts, event_id) is a total order
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("day_last"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("day_sum"), lit(0.0)).as("day_sum"),
+          last(col("day_last"), ignoreNulls = true).over(fill).as("last_seen"))
+    },
+    // Mergeable-sketch rollup — the 100 TB cumulative-distinct pattern:
+    // one HLL sketch per day (map-side mergeable partials), then the
+    // running union re-aggregates SKETCHES, never raw ids; graded on
+    // the exact cumulative count plus an error-bound gate the estimate
+    // must pass (the taxi_daily_approx contract — the oracle cannot
+    // replay another engine's sketch, but it pins the bound).
+    "ev_hll_rollup" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val sketches = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val cum = sketches.alias("a")
+        .join(sketches.alias("b"), col("b.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("b.sk"))).as("est"))
+      val exactCum = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("nu"))
+        .join(ev.select(col("day")).distinct(), Seq("day"), "right")
+        .select(col("day"),
+          sum(coalesce(col("nu"), lit(0L))).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("exact_cum"))
+      exactCum.join(cum, Seq("day"))
+        .select(col("day"), col("exact_cum"),
+          (abs(col("est") - col("exact_cum")) <=
+            col("exact_cum") * lit(0.08) + lit(5)).as("within_bound"))
+    },
     // Pivot: per-day event counts fanned out to one column per type.
     "ev_pivot" -> q((s, d) => Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -2180,6 +2235,46 @@ object DataPipelineEntries {
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
+    // mirror of ev_resample: same daily aggregate, per-user dense grid,
+    // IGNORE NULLS forward fill
+    "ev_resample" ->
+      s"""WITH dl AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         |    ${rndSum("value", 2)} AS day_sum
+         |  FROM events GROUP BY 1, 2),
+         |dlast AS (SELECT user_id, day, value AS day_last FROM dl WHERE rn = 1),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, CAST(unnest(generate_series(
+         |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span)
+         |SELECT g.user_id, g.day,
+         |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+         |  coalesce(d.day_sum, 0.0) AS day_sum,
+         |  last_value(l.day_last IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+         |FROM grid g
+         |LEFT JOIN daily d USING (user_id, day)
+         |LEFT JOIN dlast l USING (user_id, day)""".stripMargin,
+    // mirror of ev_hll_rollup: exact cumulative distinct via the
+    // first-seen-day identity; the estimate itself is engine-local, so
+    // the oracle pins the BOUND column at true (a bound violation
+    // hash-mismatches) — the taxi_daily_approx contract
+    "ev_hll_rollup" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS nu FROM f GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT d.day,
+        |  CAST(sum(coalesce(nu.nu, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS exact_cum,
+        |  true AS within_bound
+        |FROM days d LEFT JOIN nu USING (day)""".stripMargin,
         "ev_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
