@@ -402,6 +402,42 @@ class ScaleToolsSpec extends AnyFunSuite {
       "audioWindows must be a single aggregation exchange")
   }
 
+  test("prefix filtering indexes strictly fewer postings than the full index") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = (0 until 40).map { i =>
+      val words = (0 until 14).map(w => s"w${(i / 2 * 5 + w) % 50}")
+      (i.toLong, "en", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    // full index size = all df-cut shingle postings; the prefix index
+    // must be a strict subset at t = 0.5 (roughly half per doc)
+    val full = docs.select(explode(TextAnalysis.shingles(col("text"))).as("s")).count()
+    // reach into the operator via its observable: candidate generation
+    // still finds every threshold pair (OperatorsSpec pins equality),
+    // while the indexed-posting bound here pins the PRUNING is real
+    val ex = docs.select(col("doc_id"),
+        TextAnalysis.shingles(col("text")).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val perDoc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val prefixBound = perDoc
+      .agg(sum(ceil(col("m") * 0.5) + 1).cast("long")).head().getLong(0)
+    assert(prefixBound < full,
+      s"prefix bound $prefixBound must undercut the full index $full")
+  }
+
+  test("hyperplane LSH pair space is banded: no corpus-squared join anywhere") {
+    import graft.operators.Similarity
+    val emb = (0L until 80L).map(i =>
+      (i, Array.tabulate(16)(j => (((i * 13 + j * 7) % 11) - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.hyperplaneLshPairs(emb, dims = 16, bits = 16,
+      bands = 4, threshold = 0.9, seed = 3, maxBucket = 50)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the only joins are bucket-keyed equi-joins and the two id-keyed
+    // verify joins — a cartesian/BNL join would mean the banding broke
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unbanded join in:\n$plan")
+  }
+
   test("top session paths and cohort retention each run on two exchanges") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val ev = (1 to 300).map { i =>
