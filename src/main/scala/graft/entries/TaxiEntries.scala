@@ -310,6 +310,27 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Retention: expire keeps the newest snapshots, deletes manifests
+    // and unreferenced data dirs — graded on the retained history AND
+    // each retained version staying fully readable (per-version row
+    // count), with the expired version gone. Builds its OWN table:
+    // expire mutates history, so the shared CDC fixture stays pristine.
+    "taxi_snapshot_expire" -> q { (s, d) =>
+      import s.implicits._
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val t = new graft.write.SnapshotTable(s, tmpPath("snapexp", d, s))
+      val v1 = t.commitOverwrite(stg)
+      val v2 = t.commitOverwritePartitions(stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * lit(-100)))
+      val v3 = t.rollbackTo(v1)
+      t.expire(keepLast = 2)
+      val hist = t.history.toDF("version", "op", "parent")
+        .select(col("version").cast("int").as("version"), col("op"),
+          col("parent").cast("int").as("parent"))
+      hist.withColumn("n_rows",
+        when(col("version") === v2, lit(t.readVersion(v2).count()))
+          .otherwise(lit(t.readVersion(v3).count())))
+    },
     // The CDC CONSUMER side of the changelog contract: a follower holding
     // v1 applies changelog(v1, v2) and must land exactly on v2 — graded
     // on the full per-partition profile of the RECONSTRUCTED table (any
@@ -479,6 +500,16 @@ object TaxiEntries {
          |SELECT 'insert' AS op, year, month, count(*) AS n,
          |  ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
          |FROM stg_yellow WHERE month IN (6, 7) GROUP BY 2, 3""".stripMargin),
+    // retained history is deterministic: expire(2) on [v1, v2, v3]
+    // keeps (v2 overwrite_partitions of v1, v3 rollback of v1 with
+    // parent v2); both retained versions read the full staging row
+    // count (the partition overwrite replaces months 6-7 row-for-row)
+    "taxi_snapshot_expire" -> o(
+      """SELECT CAST(t.v AS INTEGER) AS version, t.op,
+        |  CAST(t.p AS INTEGER) AS parent, c.n_rows
+        |FROM (VALUES (2, 'overwrite_partitions', 1),
+        |             (3, 'rollback_to_1', 2)) t(v, op, p)
+        |CROSS JOIN (SELECT count(*) AS n_rows FROM stg_yellow) c""".stripMargin),
     // the reconstructed v2: replaced partitions carry the corrupted
     // fares, untouched partitions the originals
     "taxi_changelog_apply" -> o(
