@@ -36,6 +36,20 @@ object DataPipelineEntries {
       f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Per-subspace slice of the embedding column (PQ geometry). */
+  private def pqSlice(s: SparkSession, d: String, sub: Int): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      slice(col("embedding"), sub * pqSubDim + 1, pqSubDim).as("embedding"))
+
+  /** Per-subspace PQ codebook, trained once per (session, sfDir) and
+    * shared by the encoding entry (emb_pq) and the ADC serving entry
+    * (emb_pq_adc) — the Lloyd loop is the expensive part; everything
+    * downstream is assignment against the cached k-row frame. */
+  private def pqCents(s: SparkSession, d: String, sub: Int): DataFrame =
+    memo(s"pq_cents_$sub", s, d) {
+      graft.operators.Clustering.kMeansCentroids(pqSlice(s, d, sub), pqK, pqIters)
+    }
+
   private def hpPairs(s: SparkSession, d: String): DataFrame = memo("hp_pairs", s, d) {
     Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), dims = pcaDims,
       bits = hpBits, bands = hpBands, threshold = hpThreshold,
@@ -530,12 +544,9 @@ object DataPipelineEntries {
     // code and the exact quantization error, every subspace's training
     // replayed by the parametric unrolled oracle.
     "emb_pq" -> q { (s, d) =>
-      val emb = Tables.embeddings(s, d)
       (0 until pqSubs).map { sub =>
-        graft.operators.Clustering.kMeansAssign(
-          emb.select(col("vec_id"),
-            slice(col("embedding"), sub * pqSubDim + 1, pqSubDim).as("embedding")),
-          pqK, pqIters)
+        graft.operators.Clustering.assignToCentroids(
+          pqSlice(s, d, sub), pqCents(s, d, sub))
           .select(col("vec_id"), lit(sub).cast("int").as("sub"),
             col("cid").cast("int").as("code"), round(col("d2"), 6).as("d2"))
       }.reduce(_ unionByName _)
@@ -549,15 +560,13 @@ object DataPipelineEntries {
     "emb_pq_adc" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val C = graft.operators.Clustering
-      val emb = Tables.embeddings(s, d)
       val parts = (0 until pqSubs).map { sub =>
-        val sliced = emb.select(col("vec_id"),
-          slice(col("embedding"), sub * pqSubDim + 1, pqSubDim).as("embedding"))
-        // the codebook is trained once and cached: the encoding pass,
-        // the lookup table, and a re-training would otherwise each
-        // replay the Lloyd loop
-        val cents = graft.TransientCache.register(
-          C.kMeansCentroids(sliced, pqK, pqIters))
+        val sliced = pqSlice(s, d, sub)
+        // the codebook is trained once per session (shared with the
+        // emb_pq encoding entry) — the encoding pass, the lookup
+        // table, and a re-training would otherwise each replay the
+        // Lloyd loop
+        val cents = pqCents(s, d, sub)
         val codes = C.assignToCentroids(sliced, cents)
           .select(col("vec_id"), col("cid"))
         val lut = sliced.filter(col("vec_id") < pqQueryCut)
