@@ -462,6 +462,18 @@ object DataPipelineEntries {
     // cannot silently trade recall away.
     "sim_recall" -> q((s, d) =>
       Similarity.recallAtK(knnBrute5(s, d).filter(col("rn") <= 3), ivfTop3(s, d))),
+    // Rank-weighted twin of the recall gate: NDCG@3 of the IVF ranking
+    // against the exact ordering — recall catches MISSING neighbors,
+    // NDCG catches the right set in the wrong ORDER. Discounts are
+    // driver-computed literals shared with the oracle (no libm drift).
+    "sim_ndcg" -> q((s, d) =>
+      Similarity.ndcgAtK(knnBrute5(s, d), ivfTop3(s, d), k = 3, bruteK = 5)),
+    // Label-noise scan (Confident Learning heuristic) over the
+    // hyperplane-LSH neighborhood graph: majority-mismatch
+    // neighborhoods flag likely-mislabeled vectors. Neighborhoods come
+    // from the memoized LSH pairs, so the scan is bucket-bounded.
+    "sim_label_noise" -> q((s, d) =>
+      Similarity.labelNoise(hpPairs(s, d), Tables.embeddings(s, d))),
     // Incremental index maintenance: initial index over HALF the corpus,
     // the rest arriving as two appended batches assigned against the
     // stored centroids only (batch×K cosines per append, no corpus
@@ -1953,6 +1965,45 @@ object DataPipelineEntries {
          |SELECT nb.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  ${rnd("coalesce(h.n_hits, 0)::DOUBLE / nb.n_brute", 6)} AS recall
          |FROM nb LEFT JOIN h ON nb.query_id = h.query_id""".stripMargin,
+    // NDCG@3 from the same two mirrors: relevance 6−exact_rn, position
+    // discounts interpolated from the SAME driver-computed doubles the
+    // Spark plan uses (cast ::DOUBLE so DuckDB's decimal literals don't
+    // re-round), gains rounded per term then summed order-independently
+    "sim_ndcg" -> {
+      def discCase(rank: String) = "CASE " +
+        Similarity.ndcgDiscounts(3).zipWithIndex.map { case (dv, i) =>
+          s"WHEN $rank = ${i + 1} THEN CAST($dv AS DOUBLE)"
+        }.mkString(" ") + " ELSE CAST(0 AS DOUBLE) END"
+      s"""WITH rel AS (SELECT query_id, neighbor_id, 6 - rn AS rel,
+         |                    rn AS exact_rn
+         |             FROM ($simKnnSql)),
+         |iv AS (SELECT query_id, neighbor_id, rn FROM ($simIvfSql)),
+         |d AS (SELECT iv.query_id,
+         |        ${rndSum(s"round(coalesce(rel.rel, 0) * ${discCase("iv.rn")}, 6)", 6)} AS dcg
+         |      FROM iv LEFT JOIN rel USING (query_id, neighbor_id)
+         |      GROUP BY 1),
+         |g AS (SELECT query_id,
+         |        ${rndSum(s"round(rel * ${discCase("exact_rn")}, 6)", 6)} AS idcg
+         |      FROM rel WHERE exact_rn <= 3 GROUP BY 1)
+         |SELECT d.query_id, d.dcg, g.idcg, ${rnd("d.dcg / g.idcg", 6)} AS ndcg
+         |FROM d JOIN g USING (query_id)""".stripMargin
+    },
+    // label-noise mirror over the SAME hyperplane-LSH pair CTEs
+    "sim_label_noise" ->
+      s"""WITH $hpPairsCtes,
+         |np AS (SELECT vec_i, vec_j FROM hpc WHERE cos >= $hpThreshold),
+         |sym AS (SELECT vec_i AS vec_id, vec_j AS nb_id FROM np
+         |        UNION ALL SELECT vec_j AS vec_id, vec_i AS nb_id FROM np),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |j AS (SELECT s.vec_id, a.label, b.label AS nb_label
+         |      FROM sym s JOIN lab a ON a.vec_id = s.vec_id
+         |                 JOIN lab b ON b.vec_id = s.nb_id)
+         |SELECT vec_id, label, count(*) AS n_nb,
+         |  count(*) FILTER (WHERE nb_label != label) AS n_diff,
+         |  ${rnd("(count(*) FILTER (WHERE nb_label != label))::DOUBLE / count(*)", 6)}
+         |    AS diff_frac,
+         |  (count(*) FILTER (WHERE nb_label != label)) * 2 > count(*) AS noisy
+         |FROM j GROUP BY 1, 2""".stripMargin,
     // hyperplane-LSH mirror: same ±1 matrix (shared generator), same
     // rounded-dot sign bits, same banded buckets/cap, same exact verify
     "emb_lsh_pairs" ->

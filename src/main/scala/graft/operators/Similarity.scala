@@ -246,6 +246,69 @@ object Similarity {
           .as("recall"))
   }
 
+  /** 1/log2(i+1) position discounts for i = 1..k, computed ONCE on the
+    * driver — the entry interpolates them into both the Spark plan and
+    * the oracle SQL as literals, so no per-engine transcendental (libm
+    * log2 vs JVM Math.log) can split the rounded gains by an ulp. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** NDCG@k of an ANN ranking against the exact search: graded
+    * relevance `rel = bruteK+1 − exact_rn` (0 for neighbors outside the
+    * exact top-`bruteK`), per-position gains `round(rel·disc(rn), 6)`
+    * summed order-independently. Complements [[recallAtK]]: recall
+    * catches MISSING neighbors, NDCG catches the right set in the
+    * WRONG ORDER, which recall cannot see. Cost is two k·|Q|-row
+    * aggregations over already-computed searches — noise next to the
+    * searches themselves. Output: (query_id, dcg, idcg, ndcg). */
+  def ndcgAtK(brute: DataFrame, ann: DataFrame, k: Int, bruteK: Int): DataFrame = {
+    val disc = ndcgDiscounts(k)
+    def gain(rel: Column, rank: Column): Column = {
+      val d = disc.zipWithIndex.tail.foldLeft(when(rank === 1, lit(disc.head))) {
+        case (w, (dv, i)) => w.when(rank === i + 1, lit(dv))
+      }.otherwise(lit(0.0))
+      round(rel.cast("double") * d, 6)
+    }
+    val rel = brute.select(col("query_id"), col("neighbor_id"),
+      (lit(bruteK + 1) - col("rn")).as("rel"), col("rn").as("exact_rn"))
+    val dcg = ann.filter(col("rn") <= k)
+      .join(rel.drop("exact_rn"), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(graft.expr.Functions.stableRoundedSum(
+        gain(coalesce(col("rel"), lit(0)), col("rn")), 6).as("dcg"))
+    val idcg = rel.filter(col("exact_rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.expr.Functions.stableRoundedSum(
+        gain(col("rel"), col("exact_rn")), 6).as("idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** Label-noise scan over a near-neighbor pair graph (the Confident
+    * Learning heuristic): for each vector with ≥1 near neighbor, the
+    * fraction of neighbors carrying a DIFFERENT label; a
+    * majority-mismatch neighborhood flags the row as likely mislabeled.
+    * `pairs` is any (vec_i < vec_j) pair frame — at scale the
+    * [[hyperplaneLshPairs]] output, so neighborhood size is
+    * LSH-bucket-bounded and the scan never goes corpus². Two hash
+    * joins on vec_id + one partial-aggregated groupBy.
+    * Output: (vec_id, label, n_nb, n_diff, diff_frac, noisy). */
+  def labelNoise(pairs: DataFrame, labeled: DataFrame): DataFrame = {
+    val lab = labeled.select(col("vec_id"), col("label"))
+    val sym = pairs.select(col("vec_i").as("vec_id"), col("vec_j").as("nb_id"))
+      .unionByName(pairs.select(col("vec_j").as("vec_id"), col("vec_i").as("nb_id")))
+    sym.join(lab, Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("nb_id"), col("label").as("nb_label")),
+        Seq("nb_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_nb"),
+        count(when(col("nb_label") =!= col("label"), 1)).as("n_diff"))
+      .select(col("vec_id"), col("label"), col("n_nb"), col("n_diff"),
+        round(col("n_diff").cast("double") / col("n_nb"), 6).as("diff_frac"),
+        (col("n_diff") * 2 > col("n_nb")).as("noisy"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (`label`
     * here; at scale: an LSH bucket or coarse IVF cell), threshold
     * inclusive. */

@@ -496,6 +496,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq == Seq(0L, 4L))
   }
 
+  test("ndcgAtK: perfect order scores 1, inverted order scores below 1") {
+    // exact top-3 for query 0: neighbors 10, 11, 12 (rel 5, 4, 3 with bruteK=5)
+    val brute = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
+      .toDF("query_id", "rn", "neighbor_id")
+    val perfect = brute
+    val inverted = Seq((0L, 1, 12L), (0L, 2, 11L), (0L, 3, 10L))
+      .toDF("query_id", "rn", "neighbor_id")
+    val p = Similarity.ndcgAtK(brute, perfect, k = 3, bruteK = 5).collect().head
+    assert(p.getDouble(p.fieldIndex("ndcg")) == 1.0)
+    val i = Similarity.ndcgAtK(brute, inverted, k = 3, bruteK = 5).collect().head
+    // inverted DCG = 3 + 4/log2(3) + 5/2 = 8.023719...; IDCG = 5 + 4/log2(3) + 3/2
+    val ndcg = i.getDouble(i.fieldIndex("ndcg"))
+    assert(ndcg > 0.8 && ndcg < 1.0)
+    // a miss (neighbor outside the exact list) contributes zero gain
+    val miss = Seq((0L, 1, 99L), (0L, 2, 10L), (0L, 3, 11L))
+      .toDF("query_id", "rn", "neighbor_id")
+    val m = Similarity.ndcgAtK(brute, miss, k = 3, bruteK = 5).collect().head
+    assert(m.getDouble(m.fieldIndex("ndcg")) < ndcg)
+  }
+
+  test("labelNoise flags majority-mismatch neighborhoods, strict majority") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L))
+      .toDF("vec_i", "vec_j")
+    val labeled = Seq((0L, 1), (1L, 2), (2L, 2), (3L, 7), (4L, 7))
+      .toDF("vec_id", "label")
+    val got = Similarity.labelNoise(pairs, labeled).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(got(0L) == ((2L, 2L, true)))   // both neighbors differ → noisy
+    assert(got(1L) == ((2L, 1L, false)))  // exactly half differ → NOT strict majority
+    assert(got(3L) == ((1L, 0L, false)))  // same-label pair → clean
+    assert(got(4L) == ((1L, 0L, false)))
+    assert(!got.contains(5L))             // isolated vectors don't appear
+  }
+
   test("asof join picks the latest right row at-or-before, inner semantics") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
