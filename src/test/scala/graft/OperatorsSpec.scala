@@ -496,6 +496,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq == Seq(0L, 4L))
   }
 
+  test("featureHashStats: counts, argmax tiebreak, empty docs dropped") {
+    val bucketOf = Seq("a", "b").toDF("tok")
+      .select($"tok", pmod(Dedup.portableHash($"tok", 31), lit(64)).as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = Seq((1L, "a a b"), (2L, "   "), (3L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHashStats(d, dims = 64, seed = 31).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(2L)) // all-whitespace doc yields no buckets
+    val r1 = got(1L)          // "a"×2 dominates regardless of bucket ids
+    assert(r1.getLong(r1.fieldIndex("nnz")) == (if (bucketOf("a") == bucketOf("b")) 1 else 2))
+    assert(r1.getLong(r1.fieldIndex("top_bucket")) == bucketOf("a"))
+    // equal weights → smallest bucket wins the argmax tie
+    val r3 = got(3L)
+    assert(r3.getLong(r3.fieldIndex("top_bucket")) == math.min(bucketOf("a"), bucketOf("b")))
+    assert(r3.getLong(r3.fieldIndex("top_w")) == (if (bucketOf("a") == bucketOf("b")) 2 else 1))
+  }
+
   test("ndcgAtK: perfect order scores 1, inverted order scores below 1") {
     // exact top-3 for query 0: neighbors 10, 11, 12 (rel 5, 4, 3 with bruteK=5)
     val brute = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L))
