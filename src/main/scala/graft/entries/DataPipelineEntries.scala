@@ -199,6 +199,13 @@ object DataPipelineEntries {
   // oracle — shared so bucketing cannot drift).
   private val fhDims = 64
   private val fhSeed = 31
+  // Content-defined chunking geometry (dedup_cdc_chunks entry + oracle):
+  // 4-word boundary windows, expected chunk ≈ 8 words, boilerplate cut
+  // at the same df bound as the other dedup paths.
+  private val cdcWindow = 4
+  private val cdcModulus = 8
+  private val cdcSeed = 41
+  private val cdcMaxDf = 100
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
@@ -441,6 +448,13 @@ object DataPipelineEntries {
     },
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
+    // Content-defined chunking (rsync/LBFS boundaries): shift-robust
+    // shared-chunk detection — the partial-overlap complement of the
+    // whole-document LSH paths; chunking is one zero-shuffle projection.
+    "dedup_cdc_chunks" -> q((s, d) =>
+      Dedup.cdcChunkPairs(Tables.spread(Tables.documents(s, d)),
+        window = cdcWindow, modulus = cdcModulus, seed = cdcSeed,
+        maxChunkDf = cdcMaxDf)),
     // Benchmark decontamination: the probe "eval set" is docs with
     // doc_id < decontProbeCut; corpus docs sharing ≥ decontMinOverlap
     // distinct word-3-gram shingles with it are flagged (probe docs
@@ -1917,6 +1931,32 @@ object DataPipelineEntries {
          |e AS (SELECT unnest(sh) AS ngram FROM s)
          |SELECT ngram, count(*) AS df FROM e GROUP BY 1
          |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // CDC mirror via window functions instead of array folds — same
+    // boundary rule (portable hash of the window-word gram ENDING at p,
+    // cut after p), so identical chunks; a word's chunk index is the
+    // count of boundaries STRICTLY before it
+    "dedup_cdc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS p FROM w),
+         |g AS (SELECT doc_id, p, ws[p] AS word,
+         |        CASE WHEN p >= $cdcWindow AND
+         |          ${pHash(s"array_to_string(ws[p - ${cdcWindow - 1}:p], ' ')", cdcSeed)}
+         |            % $cdcModulus = 0
+         |        THEN 1 ELSE 0 END AS bnd
+         |      FROM pos),
+         |c AS (SELECT doc_id, p, word,
+         |        coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |      FROM g),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |         md5(string_agg(word, ' ' ORDER BY p)) AS ck
+         |       FROM c GROUP BY 1, 2),
+         |post AS (SELECT DISTINCT doc_id, ck FROM ch),
+         |ok AS (SELECT * FROM post
+         |       QUALIFY count(*) OVER (PARTITION BY ck) <= $cdcMaxDf)
+         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS shared_chunks
+         |FROM ok a JOIN ok b ON a.ck = b.ck AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_ngram_pairs" -> ngramPairsSelectSql,
     // prefix filtering is a candidate-pruning optimization with an
     // exactness theorem — the graded result is the SAME pair set, so

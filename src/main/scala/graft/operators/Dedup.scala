@@ -784,4 +784,56 @@ object Dedup {
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     bitSums.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Content-defined chunking (CDC) dedup — the rsync/LBFS principle:
+    * a chunk boundary falls AFTER word `p` wherever the hash of the
+    * `window` words ending at `p` is ≡ 0 (mod `modulus`). The rule is
+    * content-LOCAL, so an edit early in a document reflows chunks only
+    * until the next surviving boundary — fixed-width blocks would shift
+    * every later block and miss all downstream sharing. Expected chunk
+    * length ≈ `modulus` words.
+    *
+    * Chunking is fully map-side and array-native: boundary positions,
+    * cut spans, and chunk strings are computed in ONE projection over
+    * codegen'd higher-order functions (filter/transform/slice) — zero
+    * shuffle until the posting aggregation. A per-word Rabin rolling
+    * hash would be O(1)/word instead of O(window)/word; the seeded-md5
+    * w-gram hash keeps the identical boundary contract while staying
+    * engine-portable ([[portableHash]]), and `window` is a small
+    * constant. Shared-chunk pairs then follow the standard dedup path:
+    * distinct (doc, chunk-hash) postings, a `maxChunkDf` frequency cut
+    * dropping boilerplate chunks before the bucket join (the same
+    * quadratic-skew bound as the shingle/LSH paths), pair counts.
+    * Output: (doc_i, doc_j, shared_chunks). */
+  def cdcChunkPairs(docs: DataFrame, window: Int, modulus: Int, seed: Int,
+                    maxChunkDf: Int): DataFrame = {
+    require(window >= 1, "window must be at least 1 word")
+    require(modulus >= 1, "modulus must be positive")
+    require(maxChunkDf >= 1, "maxChunkDf must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = size(col("ws"))
+    // boundary positions, ascending (sequence counts DOWN for n < window
+    // — guard to empty); a boundary at n coincides with the document end,
+    // deduped below so no empty trailing chunk forms
+    val bnds = when(n >= window,
+      filter(sequence(lit(window), n), p =>
+        pmod(portableHash(
+          array_join(slice(col("ws"), p - window + 1, lit(window)), " "), seed),
+          lit(modulus)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val cuts = concat(array(lit(0)), array_distinct(concat(bnds, array(n))))
+    val chunks = transform(sequence(lit(0), size(cuts) - 2), i =>
+      array_join(slice(col("ws"), element_at(cuts, i + 1) + 1,
+        element_at(cuts, i + 2) - element_at(cuts, i + 1)), " "))
+    val post = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ck")).distinct()
+    val ok = post.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("ck"))))
+      .filter(col("nd") <= maxChunkDf).drop("nd")
+    ok.select(col("ck"), col("doc_id").as("doc_i"))
+      .join(ok.select(col("ck"), col("doc_id").as("doc_j")), Seq("ck"))
+      .filter(col("doc_i") < col("doc_j"))
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(count(lit(1)).as("shared_chunks"))
+  }
 }

@@ -496,6 +496,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).toSeq == Seq(0L, 4L))
   }
 
+  test("cdcChunkPairs: identical docs share every chunk, disjoint docs none") {
+    val d = docs(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "en", "one two three four five six seven eight nine ten"),
+      (4L, "en", "solo"))
+    val pairs = Dedup.cdcChunkPairs(d, window = 4, modulus = 8, seed = 41,
+        maxChunkDf = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L))) // only the exact twins share chunks
+    assert(pairs((1L, 2L)) >= 1)          // every chunk shared; at least one chunk
+    // the df cap drops a chunk present in too many docs
+    val capped = Dedup.cdcChunkPairs(d, window = 4, modulus = 8, seed = 41,
+      maxChunkDf = 1).collect()
+    assert(capped.isEmpty)
+  }
+
   test("featureHashStats: counts, argmax tiebreak, empty docs dropped") {
     val bucketOf = Seq("a", "b").toDF("tok")
       .select($"tok", pmod(Dedup.portableHash($"tok", 31), lit(64)).as("bucket"))
