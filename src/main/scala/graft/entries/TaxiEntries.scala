@@ -244,6 +244,29 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Schema evolution across append eras (the add-column capability a
+    // long-lived table accrues — the reference inherits it from
+    // Iceberg): months ≤6 land WITHOUT congestion_fee, the later era
+    // arrives WITH it; the mergeSchema read unifies the table, padding
+    // history with typed nulls. Graded per month on row counts plus the
+    // evolved column's null-count and sum — a dropped row, mis-padded
+    // null, or lost column value flips a cell somewhere.
+    "taxi_schema_evolution" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val path = tmpPath("evolve", d, s)
+      IncrementalWriter.appendPartitioned(stg.filter(col("month") <= 6), path)
+      IncrementalWriter.appendPartitioned(
+        stg.filter(col("month") > 6)
+          .withColumn("congestion_fee", round(col("fare_amount") * 0.02, 2)),
+        path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("congestion_fee").isNull, 1).otherwise(0)).cast("long")
+            .as("n_fee_null"),
+          graft.expr.Functions.stableRoundedSum(
+            coalesce(col("congestion_fee"), lit(0.0)), 2).as("fee_sum"))
+    },
     // S11 source freshness: all four raw feeds (reference declares
     // freshness on each — sources.yml:20-53); data loaded this session
     // classifies "pass" under the warn>2d / error>5d thresholds. One
@@ -366,7 +389,7 @@ object TaxiEntries {
   }
 
   import TaxiSql.{select => o}
-  import TaxiSql.Dialect.rndSum
+  import TaxiSql.Dialect.{rnd, rndSum}
 
   val oracleSql: Map[String, String] = EntryMap(
     "taxi_stg_yellow" -> o("SELECT * FROM stg_yellow"),
@@ -466,6 +489,20 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // mergeSchema ≡ union-by-name with typed-null padding for the era
+    // that predates the column
+    "taxi_schema_evolution" -> o(
+      s""", evo AS (
+         |    SELECT year, month, CAST(NULL AS DOUBLE) AS congestion_fee
+         |    FROM stg_yellow WHERE month <= 6
+         |    UNION ALL
+         |    SELECT year, month, ${rnd("fare_amount * 0.02", 2)} AS congestion_fee
+         |    FROM stg_yellow WHERE month > 6)
+         |SELECT year, month, count(*) AS n,
+         |  CAST(sum(CASE WHEN congestion_fee IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fee_null,
+         |  ${rndSum("coalesce(congestion_fee, 0)", 2)} AS fee_sum
+         |FROM evo GROUP BY 1, 2""".stripMargin),
     // the streaming upsert must land byte-identical table state to the
     // batch delete+insert — same oracle by construction
     "taxi_stream_upsert" -> o(
