@@ -128,6 +128,20 @@ object TpchEntries {
         .filter(col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
     },
+    // Skew-safe group-wise top-k: the salted two-stage formulation
+    // (local top-k per sub-group, exact re-rank of the k·salts
+    // survivors) — must equal the plain-window result row-for-row, so
+    // the tpch_window_topk-shaped oracle grades the rewrite's
+    // exactness. Group = customer nation via a fact-side join.
+    "tpch_salted_topk" -> q { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.SkewJoin.saltedTopK(joined, Seq("c_nationkey"),
+          orderCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
+        .select("c_nationkey", "rn", "o_orderkey", "o_totalprice")
+    },
     // Left-semi: orders having at least one high-quantity line.
     "tpch_semi_join" -> q { (s, d) =>
       Tables.orders(s, d)
@@ -793,6 +807,14 @@ object TpchEntries {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
         |         ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    // the salted rewrite must be indistinguishable from the plain window
+    "tpch_salted_topk" ->
+      """SELECT c_nationkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_nationkey, o.o_orderkey, o.o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c.c_nationkey
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |WHERE rn <= 3""".stripMargin,
     "tpch_skew_join" ->
       s"""SELECT s_nationkey, count(*) AS n_lines,
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue

@@ -42,4 +42,36 @@ object SkewJoin {
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, SaltCol), how).drop(SaltCol)
   }
+
+  /** Per-group top-k under group skew. A plain ranking window shuffles
+    * EVERY row of a group to one task — a 10⁹-row hot group lands on a
+    * single reducer. Two stages instead: rows salt into `salts`
+    * sub-groups, stage 1 keeps a LOCAL top-k per (group, salt) — at
+    * most k·salts survivors per group — stage 2 ranks only the
+    * survivors. Every true global top-k row is in its sub-group's local
+    * top-k, so the result equals the plain window top-k row-for-row
+    * while the hot group's bulk never converges on one task.
+    *
+    * The salt is content-derived, not random — same retry-safety
+    * rationale as [[saltedJoin]]. The (orderCol DESC, tieCol ASC) order
+    * must be total within a group (tieCol unique, e.g. a key column) or
+    * rank assignment at equal sort keys is nondeterministic — true of
+    * the plain window formulation too. Appends an `rn` column. */
+  def saltedTopK(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                 tieCol: String, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy((groupCols :+ SaltCol).map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol))
+    val global = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol))
+    df.withColumn(SaltCol,
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      .withColumn("__local_rn", row_number().over(local))
+      .filter(col("__local_rn") <= k)
+      .drop(SaltCol, "__local_rn")
+      .withColumn("rn", row_number().over(global).cast("int"))
+      .filter(col("rn") <= k)
+  }
 }

@@ -25,6 +25,24 @@ class ScaleToolsSpec extends AnyFunSuite {
       large.join(small, Seq("k"), "left").count())
   }
 
+  test("saltedTopK equals the plain window top-k on a hot group") {
+    // one hot group with 5k rows, two small groups; unique tie key
+    val df = ((1 to 5000).map(i => (1L, i.toLong, i.toDouble % 97)) ++
+      (1 to 10).map(i => (2L, 10000L + i, i.toDouble)) ++
+      Seq((3L, 20000L, 5.0)))
+      .toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id")
+    val plain = df.withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= 4)
+      .select("g", "rn", "id", "score").orderBy("g", "rn").collect().toSeq
+    val salted = SkewJoin.saltedTopK(df, Seq("g"), "score", "id", k = 4, salts = 8)
+      .select("g", "rn", "id", "score").orderBy("g", "rn").collect().toSeq
+    assert(salted == plain)
+    // groups smaller than k return all their rows, exactly ranked
+    assert(salted.count(_.getLong(0) == 3L) == 1)
+  }
+
   test("partition pruning and predicate pushdown reach the scan") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("graft_prune").toString + "/t"
