@@ -199,6 +199,21 @@ object DataPipelineEntries {
   // oracle — shared so bucketing cannot drift).
   private val fhDims = 64
   private val fhSeed = 31
+  // PMI collocation cut (text_collocations entry + oracle): hapax and
+  // near-hapax bigrams score arbitrarily high PMI, so rank only pairs
+  // seen at least this often.
+  private val collocMinCount = 5
+  // EWMA geometry (ev_ewma entry + oracle): smoothing factor and the
+  // fixed lag horizon. 8 lags carry >= 90% of the infinite-history
+  // weight at alpha 0.25 ((1-a)^8 ≈ 0.100), so the bounded window is
+  // the scale-correct truncation of the recursive form — constant
+  // per-row state instead of an unbounded sequential scan.
+  private val ewmaAlpha = 0.25
+  private val ewmaLags = 8
+  /** The shared lag weights a(1-a)^i, interpolated into both engines
+    * from the SAME doubles so the weighted sums agree bit-for-bit. */
+  private lazy val ewmaWeights: Seq[Double] =
+    (0 until ewmaLags).map(i => ewmaAlpha * math.pow(1 - ewmaAlpha, i))
   // Content-defined chunking geometry (dedup_cdc_chunks entry + oracle):
   // 4-word boundary windows, expected chunk ≈ 8 words, boilerplate cut
   // at the same df bound as the other dedup paths.
@@ -248,6 +263,20 @@ object DataPipelineEntries {
       .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(20)),
+    // Top bigram collocations by pointwise mutual information (min-
+    // count cut): multi-word-expression mining — vocabulary-sized
+    // count tables, totals reduced FROM those tables (no third corpus
+    // pass), top-k by the exact score via TakeOrdered.
+    "text_collocations" -> q((s, d) =>
+      TextAnalysis.collocations(Tables.spread(Tables.documents(s, d)),
+        minCount = collocMinCount, k = 20)),
+    // Multinomial naive Bayes language classifier (add-one smoothing,
+    // trained on the corpus's labeled lang column, resubstitution
+    // scored) graded by its confusion matrix — the cheap bag-of-words
+    // classifier pattern; model is vocabulary×classes-sized, scoring
+    // is one token-stream join + stable-summed aggregation.
+    "text_nb_confusion" -> q((s, d) =>
+      TextAnalysis.nbLangConfusion(Tables.spread(Tables.documents(s, d)))),
     // Substring search through a PERSISTED trigram inverted index:
     // probe trigram coverage generates candidates off the stored
     // postings (probed trigrams pushed into the index scan), exact
@@ -696,6 +725,24 @@ object DataPipelineEntries {
           transform(
             sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type"))).as("journey"))),
+    // Exponentially weighted moving average per user over the last 8
+    // events — the fixed-horizon truncation of the recursive EWMA
+    // (constant per-row state; the exact recursion is an unbounded
+    // sequential scan no engine parallelizes). Weights are the SAME
+    // doubles in both engines, summed in the same left-assoc order, so
+    // values agree bit-for-bit before the rounding.
+    "ev_ewma" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lags = (0 until ewmaLags).map(i =>
+        if (i == 0) col("value") else lag(col("value"), i).over(w))
+      val num = lags.zip(ewmaWeights).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      val den = lags.zip(ewmaWeights).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+        round(num / den, 6).as("ewma"))
+    },
     // Attribution interval join: clicks within 10 min of a same-user
     // view — equi-join on the key with the time bound as residual (one
     // shuffle); the streaming twin (StreamingSpec) bounds its state
@@ -1098,6 +1145,18 @@ object DataPipelineEntries {
         docs.filter(col("doc_id") % bfsSourceMod === 0)
           .select(col("doc_id").as("id")),
         iters = bfsIters)
+    },
+    // Per-node triangle counts over the same generated edge list:
+    // degree-ordered (compact-forward) wedge enumeration, so the
+    // self-join fan-out is capped at O(sqrt(m)) per key even on a
+    // power-law graph. The triangle set is orientation-independent,
+    // so the oracle replays it with the simpler id-ordered join.
+    "graph_triangles" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      graft.operators.Graph.triangleCounts(
+        docs.select(col("doc_id").as("id")), edges)
     },
     // Count–Min sketch gate: the fixed-size frequency sketch
     // (depth × width cells, map-side expansion over the full event
@@ -1931,6 +1990,68 @@ object DataPipelineEntries {
          |e AS (SELECT unnest(sh) AS ngram FROM s)
          |SELECT ngram, count(*) AS df FROM e GROUP BY 1
          |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // PMI mirror: identical count tables and the identical fixed
+    // division order before ln (log parity convention); ranked by the
+    // EXACT score, rounding only the reported column
+    "text_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS l FROM documents),
+         |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+         |         SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+         |         FROM t WHERE len(l) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w, count(*) AS c
+         |       FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM c1) AS t_toks,
+         |               (SELECT sum(n) FROM c12) AS b_toks),
+         |sc AS (SELECT w1, w2, n,
+         |         ln((CAST(n AS DOUBLE) / b_toks) /
+         |            ((CAST(a.c AS DOUBLE) / t_toks) *
+         |             (CAST(b2.c AS DOUBLE) / t_toks))) AS pmi_exact
+         |       FROM c12 JOIN c1 a ON a.w = w1 JOIN c1 b2 ON b2.w = w2
+         |       CROSS JOIN tot
+         |       WHERE n >= $collocMinCount)
+         |SELECT w1, w2, n, ${rnd("pmi_exact", 6)} AS pmi FROM sc
+         |ORDER BY pmi_exact DESC, w1, w2 LIMIT 20""".stripMargin,
+    // naive Bayes mirror: identical count tables, the identical
+    // smoothing division before ln (bigramScore's parity shape), the
+    // same decimal-stable per-(doc, class) sum, class-name tiebreak
+    "text_nb_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents),
+         |wc AS (SELECT lang AS cls, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |tokc AS (SELECT cls, sum(cnt) AS toks_c FROM wc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM wc),
+         |cl AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
+         |pri AS (SELECT cls,
+         |          ln(CAST(n_docs AS DOUBLE) / (SELECT count(*) FROM documents)) AS log_prior
+         |        FROM cl),
+         |sc AS (SELECT t.doc_id, t.lang AS true_lang, c.cls,
+         |         CAST(${decSum("ln((coalesce(wc.cnt, 0) + 1)::DOUBLE / (tokc.toks_c + v.v))")}
+         |           AS DOUBLE) AS s
+         |       FROM t CROSS JOIN (SELECT cls FROM cl) c
+         |       LEFT JOIN wc ON wc.cls = c.cls AND wc.w = t.w
+         |       JOIN tokc ON tokc.cls = c.cls CROSS JOIN v
+         |       GROUP BY 1, 2, 3),
+         |fin AS (SELECT true_lang, sc.cls,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY s + log_prior DESC, sc.cls) AS rn
+         |        FROM sc JOIN pri ON pri.cls = sc.cls)
+         |SELECT true_lang, cls AS predicted, count(*) AS n_docs
+         |FROM fin WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    // EWMA mirror: the same interpolated lag weights, the same
+    // left-assoc weighted sums, value itself standing in for lag 0
+    "ev_ewma" -> {
+      def lagRef(i: Int) = if (i == 0) "value" else s"lag(value, $i) OVER w"
+      val num = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN ${lagRef(i)} IS NOT NULL THEN ${lagRef(i)} * CAST(${wt.toString} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      }.mkString("\n    + ")
+      val den = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN ${lagRef(i)} IS NOT NULL THEN CAST(${wt.toString} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      }.mkString("\n    + ")
+      s"""SELECT user_id, event_id,
+         |  ${rnd(s"($num)\n / ($den)", 6)} AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
     // CDC mirror via window functions instead of array folds — same
     // boundary rule (portable hash of the window-word gram ENDING at p,
     // cut after p), so identical chunks; a word's chunk index is the
@@ -2553,6 +2674,22 @@ object DataPipelineEntries {
          |$iterCtes
          |SELECT id, CAST(coalesce(dist, -1) AS INTEGER) AS dist FROM d$bfsIters""".stripMargin
     },
+    // triangle mirror: id-ordered closing-edge join — same triangle
+    // set as the Spark side's degree-ordered enumeration (orientation
+    // changes cost, never the result)
+    "graph_triangles" ->
+      s"""WITH e0 AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM e0 WHERE src <> dst),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |        FROM und e1 JOIN und e2 ON e2.u = e1.v
+         |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |m AS (SELECT x AS id FROM tri
+         |      UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri),
+         |c AS (SELECT id, count(*) AS n FROM m GROUP BY 1)
+         |SELECT d.doc_id AS id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
+         |FROM documents d LEFT JOIN c ON c.id = d.doc_id""".stripMargin,
     // CMS mirror: the identical depth×width sketch built from the same
     // seeded md5 family, one UNION ALL branch per hash row
     "ev_countmin_gate" -> {

@@ -102,4 +102,78 @@ object Graph {
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1)).cast("int").as("dist"))
   }
+
+  /** Per-node triangle counts over an edge multiset (src, dst),
+    * treated as an undirected simple graph (self-loops and parallel /
+    * reversed duplicates collapse first).
+    *
+    * Enumeration is DEGREE-ORDERED (compact-forward): every undirected
+    * edge is oriented from its (degree, id)-smaller endpoint to the
+    * larger, wedges are generated only at each triangle's unique apex
+    * (the vertex that out-points to both others), and the closing edge
+    * is probed in its one canonical direction. The orientation is why
+    * this survives a power-law 100 TB graph: out-degree under the
+    * (deg, id) total order is bounded by O(sqrt(m)) regardless of how
+    * skewed the raw degree distribution is, so the wedge self-join's
+    * per-key fan-out — the quadratic blowup that kills the naive
+    * formulation on celebrity nodes — is capped. The undirected
+    * distinct and the oriented list are entry-scoped persisted
+    * (multiple consumers each; see the inline notes), leaving 5
+    * unique exchanges (pinned in ScaleToolsSpec); state never exceeds
+    * the wedge set, which the orientation keeps near the triangle
+    * count. The triangle SET is orientation-independent, so an
+    * id-ordered SQL oracle reproduces the result without mirroring
+    * the degree machinery.
+    *
+    * Returns (id, triangles) for every node in `nodes` (0 for nodes in
+    * no triangle), each triangle counted once per member vertex. */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // undirected simple edge set, canonical as u < v — THE expensive
+    // corpus-sized intermediate, so entry-scoped persisted: it feeds
+    // the degree profile (twice, via the u- and v-side joins), the
+    // orientation join, and the closing-edge probe; un-persisted each
+    // consumer re-runs the corpus-wide distinct.
+    val und = graft.TransientCache.register(
+      edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient a -> b iff (deg(a), a) < (deg(b), b). Entry-scoped
+    // persist (TransientCache): the oriented list feeds BOTH sides of
+    // the wedge self-join — un-persisted, Catalyst inlines the
+    // distinct+degree subtree once per side.
+    val oriented = graft.TransientCache.register(und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")))
+    // wedges at the apex: unordered out-neighbor pairs, canonicalized
+    // by plain id; each triangle has exactly ONE apex (the vertex
+    // out-pointing to the other two), so probing the closing edge
+    // {b1, b2} against the id-canonical UNDIRECTED set counts it once
+    // — and the probe side is the cheap distinct, not the
+    // degree-joined list
+    val wedges = oriented.select(col("a"), col("b").as("b1"))
+      .join(oriented.select(col("a"), col("b").as("b2")), "a")
+      .filter(col("b1") < col("b2"))
+    val triangles = wedges.join(
+      und.select(col("u").as("b1"), col("v").as("b2")),
+      Seq("b1", "b2"), "left_semi")
+    // explode, NOT a 3-way union: a union would inline the whole
+    // wedge-join subtree once per branch (measured 65 exchanges vs
+    // explode's 9 — exchange reuse does not rescue a union of three
+    // differently-projected scans of the same join)
+    val members = triangles
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    nodes.join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("triangles"))
+  }
 }

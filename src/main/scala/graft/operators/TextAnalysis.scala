@@ -219,6 +219,106 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Multinomial naive Bayes language classifier, trained and applied
+    * on the corpus itself and graded by its confusion matrix against
+    * the labeled `lang` column — the supervised counterpart to the
+    * n-gram-heuristic [[langId]], and the shape of every cheap
+    * bag-of-words quality/domain classifier a 100 TB curation pipeline
+    * runs before anything neural. Add-one smoothing over the corpus
+    * vocabulary; score(d, c) = ln p(c) + Σ_tokens ln p(w|c).
+    *
+    * Scale shape: the model is VOCABULARY×CLASSES-sized aggregations
+    * of one exploded token stream (map-side combine); scoring re-joins
+    * the stream against the model on the (class, word) key — the
+    * token×classes stream is the only corpus-sized intermediate, and
+    * it flows through a single aggregation with map-side partials.
+    * The per-(doc, class) log-likelihood accumulates through
+    * [[graft.expr.Functions.stableSum]] so partition order cannot
+    * change scores, the argmax breaks ties on the class name, and
+    * every ln sees the identical IEEE double in both engines (log
+    * parity convention). Output: (true_lang, predicted, n_docs). */
+  def nbLangConfusion(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.expr.Functions.stableSum
+    // persisted: the exploded stream feeds the model counts AND the
+    // scoring join. Entry-scoped (TransientCache): freed after the query.
+    val toks0 = graft.TransientCache.register(docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w")))
+    val wc = toks0.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val tokc = wc.groupBy(col("cls")).agg(sum(col("cnt")).as("toks_c"))
+    val vocab = wc.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val classes = docs.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val priors = classes.crossJoin(broadcast(nDocs))
+      .select(col("cls"), log(col("n_docs").cast("double") / col("n")).as("log_prior"))
+    val scored = toks0.select(col("doc_id"), col("lang").as("true_lang"), col("w"))
+      .crossJoin(broadcast(classes.select(col("cls"))))
+      .join(wc, Seq("cls", "w"), "left")
+      .join(broadcast(tokc), "cls")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("toks_c") + col("v"))))
+      .groupBy(col("doc_id"), col("true_lang"), col("cls"))
+      .agg(stableSum(col("logp")).as("s"))
+      .join(broadcast(priors), "cls")
+      .withColumn("score", col("s").cast("double") + col("log_prior"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_lang"), col("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_lang"), col("cls").as("predicted"), col("n_docs"))
+  }
+
+  /** Top-k bigram collocations by pointwise mutual information —
+    * the corpus-statistics pass that surfaces multi-word expressions
+    * ("new york", "machine learning") for tokenizer curricula and
+    * boilerplate diagnosis. PMI = ln(p(w1,w2) / (p(w1) p(w2))) with
+    * probabilities from raw corpus counts; a `minCount` cut keeps the
+    * rare-pair noise (hapax bigrams score arbitrarily high PMI) out of
+    * the ranking.
+    *
+    * Scale shape: unigram and bigram counts are VOCABULARY-sized
+    * aggregations of the two exploded token streams (map-side combine,
+    * one shuffle each); the totals T and B reduce those counts again
+    * (no third corpus pass), the probability joins run on the term
+    * keys (broadcast when the vocabulary fits), and the final top-k is
+    * TakeOrdered — never a full sort. PMI is computed with one
+    * division per probability in a fixed order, so both engines
+    * evaluate the identical IEEE double before ln (the established log
+    * parity convention); the ranking orders by the EXACT score,
+    * rounding only the reported column. */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Int,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(k > 0, "k must be positive")
+    val t = tokens(col("text"))
+    val bg = docs.filter(size(t) >= 2)
+      .select(explode(arrays_zip(
+        slice(t, lit(1), size(t) - 1).as("w1"),
+        slice(t, lit(2), size(t) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val c1 = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // totals reduce the COUNT tables (vocabulary-sized), not the corpus
+    val totals = c1.agg(sum(col("c")).as("t_toks"))
+      .crossJoin(c12.agg(sum(col("n")).as("b_toks")))
+    val pmi = log(
+      (col("n").cast("double") / col("b_toks")) /
+        ((col("ca").cast("double") / col("t_toks")) *
+          (col("cb").cast("double") / col("t_toks"))))
+    c12.filter(col("n") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_exact", pmi)
+      .orderBy(col("pmi_exact").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n"), round(col("pmi_exact"), 6).as("pmi"))
+  }
+
   /** Hashing-trick featurizer (the fixed-dimension bag-of-words that
     * needs NO vocabulary): each whitespace token lands in bucket
     * `portableHash(token, seed) mod dims`, per-document bucket counts

@@ -1052,6 +1052,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(two(4L) == 0 && two(5L) == 1 && two(3L) == 3)
   }
 
+  test("collocations ranks high-PMI pairs first and applies the min-count cut") {
+    import graft.operators.TextAnalysis
+    // "aa bb" always co-occur (max PMI); "cc" pairs promiscuously with
+    // dd/ee so its pairs score lower; "ff gg" appears only 4 times
+    // (under the cut of 5)
+    val docs = (
+      Seq.fill(6)("aa bb xx") ++
+      Seq.fill(5)("cc dd xx") ++ Seq.fill(5)("cc ee xx") ++
+      Seq.fill(4)("ff gg xx")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 5, k = 10).collect()
+    assert(got.head.getString(0) == "aa" && got.head.getString(1) == "bb")
+    val pairs = got.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("ff", "gg")), "min-count cut failed")
+    // PMI must strictly decrease from the exclusive pair to the shared ones
+    val pmiOf = got.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(pmiOf(("aa", "bb")) > pmiOf(("cc", "dd")))
+  }
+
+  test("nbLangConfusion separates disjoint-vocabulary classes perfectly") {
+    import graft.operators.TextAnalysis
+    val docs = (
+      Seq.fill(8)(("en", "the quick brown fox jumps")) ++
+      Seq.fill(8)(("de", "der schnelle braune fuchs springt"))
+    ).zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nbLangConfusion(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", "en") -> 8L, ("de", "de") -> 8L),
+      s"confusion matrix not diagonal: $got")
+  }
+
+  test("ewma entry semantics: constant series is a fixed point") {
+    // mirror of the ev_ewma entry's lag formulation on a constant
+    // series: whatever subset of lags is available, num/den == c
+    val alpha = 0.25
+    val wts = (0 until 8).map(i => alpha * math.pow(1 - alpha, i))
+    val events = (1 to 20).map(i => (1L, i.toLong, 5.5)).toDF("user_id", "event_id", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val lags = (0 until 8).map(i =>
+      if (i == 0) col("value") else lag(col("value"), i).over(w))
+    val num = lags.zip(wts).map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = lags.zip(wts).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val got = events.select(round(num / den, 6).as("ewma"))
+      .collect().map(_.getDouble(0))
+    assert(got.forall(_ == 5.5), s"constant series must be an EWMA fixed point: ${got.toSeq}")
+  }
+
+  test("triangleCounts: exact per-node counts, dup/reversed/self edges collapse") {
+    val nodes = (0L to 5L).toDF("id")
+    // K4 on {0,1,2,3} (4 triangles, 3 per node) + pendant 4 + isolated 5;
+    // noise: self-loop, a reversed duplicate, and a parallel duplicate
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val edges = (k4 ++ Seq((3L, 4L), (2L, 2L), (1L, 0L), (0L, 2L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+    // global invariant: member counts sum to 3× the triangle count (K4 has 4)
+    assert(got.values.sum == 12L)
+  }
+
   test("count-min estimates never undercount and are exact on a sparse sketch") {
     import graft.operators.Sketches
     val df = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k0")

@@ -392,6 +392,32 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(i3 - i2 == 4, s"per-iteration exchange count drifted: i2=$i2 i3=$i3")
   }
 
+  test("triangleCounts: 5 unique exchanges; the edge-set distinct populates once") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
+      .toDF("src", "dst")
+    import graft.operators.Graph
+    val plan = Graph.triangleCounts(nodes, edges).queryExecution.executedPlan.toString
+    // The cached edge-set populate plan reprints inside every
+    // InMemoryTableScan, so a raw text count of exchanges overstates
+    // the work (13 appearances here); plan_ids dedupe the reprints.
+    // The 5 real exchanges: the undirected distinct (populated ONCE —
+    // entry-scoped persist; it reprints under 7 cache scans), the two
+    // degree aggregations (canonically identical — AQE's exchange
+    // reuse collapses them at runtime), the triangle-member count, and
+    // the vertex-domain side of the final left join. The wedge
+    // self-join and closing-edge semi-join ride those partitionings;
+    // the degree orientation caps the wedge fan-out at O(sqrt(m)) per
+    // apex. Upward drift = a join stopped sharing its partitioning;
+    // a BroadcastNestedLoop = the semi-join lost its equi-keys.
+    val uniq = raw"Exchange hashpartitioning\([^)]*\), [A-Z_]+, \[plan_id=(\d+)\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(uniq == 5, s"triangle plan unique exchange count drifted: $uniq\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "closing-edge probe lost its equi-join keys")
+    graft.TransientCache.drain() // free the operator's entry-scoped caches
+  }
+
   test("round-8 operator plans: spans, CMS, BPE pairs, audio windows") {
     import graft.operators.{Bpe, Dedup, Multimodal, Sketches}
     val docs = (1 to 40).map(i =>
