@@ -62,6 +62,10 @@ object DataPipelineEntries {
   }
 
   private val knnQueryCut = 8
+  // Reciprocal-rank-fusion constants (sim_rrf_fusion entry + oracle):
+  // the standard k=60 damping and the per-list depth.
+  private val rrfK = 60
+  private val rrfListK = 5
   private val centroidMod = 50
   // Lloyd k-means / SemDeDup constants — shared by the Spark entries and
   // the generated unrolled-CTE oracles so the two sides cannot drift.
@@ -186,6 +190,33 @@ object DataPipelineEntries {
   private val cmsWidth = 64
   private val cmsSeed = 73
   private val cmsProbeCut = 20
+  // Join-size-estimation sketch geometry (ev_join_estimate entry +
+  // oracle). Wider than the point-estimate sketch: inner-product
+  // collision mass scales with |R|·|S|/width, so width 64 would bury
+  // the true size in noise; 1024 puts the expected excess well under
+  // it at every graded SF. jeErrMult≈e bounds the observed excess the
+  // way quantileGate's envelope bounds rank error (min over jeDepth
+  // rows beats the per-row Markov bound with prob ≈ 1-e^-depth; for
+  // the fixed corpus+seed it is deterministic and re-checked at every
+  // graded SF).
+  private val jeDepth = 4
+  private val jeWidth = 1024
+  private val jeSeed = 91
+  private val jeErrMult = 3
+  // Winnowing geometry (dedup_winnow entry + oracle): 3-word grams,
+  // window of 4 gram hashes — detection guarantee for any shared run
+  // of >= 6 words, pick density ~2/(window+1).
+  private val wnWindow = 4
+  private val wnSeed = 53
+  // k-core peel rounds (graph_kcore entry + oracle): peel below
+  // degree 4 for 3 simultaneous rounds over the ~5-6-mean-degree
+  // generated graph, so each round removes real mass.
+  private val kcK = 4
+  private val kcIters = 3
+  // Vocabulary-drift cut (text_vocab_drift entry + oracle): terms
+  // with a combined count under this stay out of the chi-square
+  // ranking (sparse cells make chi-square meaningless).
+  private val driftMinCount = 20
   // BPE merge-rule count (text_bpe_* entries + oracle).
   private val bpeMerges = 6
   /** Word-frequency vocabulary shared by both BPE entries (the single
@@ -277,6 +308,35 @@ object DataPipelineEntries {
     // is one token-stream join + stable-summed aggregation.
     "text_nb_confusion" -> q((s, d) =>
       TextAnalysis.nbLangConfusion(Tables.spread(Tables.documents(s, d)))),
+    // Vocabulary drift monitor: chi-square divergence of per-term
+    // counts between the two doc_id-parity halves of the corpus — the
+    // batch-over-batch data-quality check that catches a source
+    // changing under you. Vocabulary-sized throughout; min-count cut
+    // keeps sparse cells out; top-20 by the exact statistic.
+    "text_vocab_drift" -> q { (s, d) =>
+      val toks0 = Tables.spread(Tables.documents(s, d))
+        .select((col("doc_id") % 2 === 0).as("is_a"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = toks0.groupBy(col("w")).agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val tots = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      // fixed op order everywhere (cast → mul → div; square via self-
+      // multiply, a-branch + b-branch) so both engines see identical
+      // IEEE doubles
+      val scored = counts.filter(col("ca") + col("cb") >= driftMinCount)
+        .crossJoin(broadcast(tots))
+        .withColumn("ea",
+          (col("ca") + col("cb")).cast("double") * col("ta") / (col("ta") + col("tb")))
+        .withColumn("eb",
+          (col("ca") + col("cb")).cast("double") * col("tb") / (col("ta") + col("tb")))
+        .withColumn("chi2",
+          (col("ca") - col("ea")) * (col("ca") - col("ea")) / col("ea") +
+            (col("cb") - col("eb")) * (col("cb") - col("eb")) / col("eb"))
+      scored.orderBy(col("chi2").desc, col("w")).limit(20)
+        .select(col("w").as("term"), col("ca"), col("cb"),
+          round(col("chi2"), 6).as("chi2"))
+    },
     // Substring search through a PERSISTED trigram inverted index:
     // probe trigram coverage generates candidates off the stored
     // postings (probed trigrams pushed into the index scan), exact
@@ -475,6 +535,14 @@ object DataPipelineEntries {
       run(docs.filter(col("doc_id") % 2 === 0), "b1")
         .union(run(docs.filter(col("doc_id") % 2 === 1), "b2"))
     },
+    // Winnowing fingerprint profile (MOSS selection): window-min gram
+    // hashes with rightmost tie-break — every shared run of >=
+    // gram+window-1 words is GUARANTEED a common fingerprint, unlike
+    // the probabilistic 1-in-p rolling-hash sample. Graded per doc by
+    // pick count + fingerprint checksum.
+    "dedup_winnow" -> q((s, d) =>
+      Dedup.winnowProfile(Tables.spread(Tables.documents(s, d)),
+        gramWords = 3, window = wnWindow, seed = wnSeed)),
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
     // Content-defined chunking (rsync/LBFS boundaries): shift-robust
@@ -520,6 +588,50 @@ object DataPipelineEntries {
     // driver-computed literals shared with the oracle (no libm drift).
     "sim_ndcg" -> q((s, d) =>
       Similarity.ndcgAtK(knnBrute5(s, d), ivfTop3(s, d), k = 3, bruteK = 5)),
+    // Hybrid retrieval: reciprocal-rank fusion of the dense cosine
+    // top-5 (the memoized brute KNN) with a lexical 3-gram-Jaccard
+    // top-5 over the id-aligned documents — the two-tower retrieval
+    // composite every RAG stack runs. The lexical side probes only the
+    // broadcast query shingles (decontaminate's shape), never all
+    // pairs; RRF = Σ 1/(60+rank) with list membership pinned.
+    "sim_rrf_fusion" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"))).as("s"))
+      val nsh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val qsh = sh.filter(col("doc_id") < knnQueryCut)
+        .select(col("doc_id").as("query_id"), col("s"))
+      val inter = sh.join(broadcast(qsh), Seq("s"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      val jac = inter
+        .join(nsh.select(col("doc_id").as("query_id"), col("n_sh").as("nq")), "query_id")
+        .join(nsh, "doc_id")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("nq") + col("n_sh") - col("inter")))
+      val wj = Window.partitionBy(col("query_id")).orderBy(col("jac").desc, col("doc_id"))
+      val lex = jac.withColumn("lex_rn", row_number().over(wj).cast("int"))
+        .filter(col("lex_rn") <= rrfListK)
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("lex_rn"))
+      val dense = knnBrute5(s, d)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("rn").as("dense_rn"))
+      // fixed dense-then-lex addition order so both engines sum the
+      // same doubles the same way
+      val fused = dense.join(lex, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf",
+          when(col("dense_rn").isNotNull,
+            lit(1.0) / (lit(rrfK) + col("dense_rn"))).otherwise(lit(0.0)) +
+          when(col("lex_rn").isNotNull,
+            lit(1.0) / (lit(rrfK) + col("lex_rn"))).otherwise(lit(0.0)))
+      val wr = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
+      fused.withColumn("rn", row_number().over(wr).cast("int"))
+        .filter(col("rn") <= rrfListK)
+        .select(col("query_id"), col("rn"), col("cand_id"),
+          round(col("rrf"), 6).as("rrf"),
+          col("dense_rn").isNotNull.as("in_dense"),
+          col("lex_rn").isNotNull.as("in_lex"))
+    },
     // Label-noise scan (Confident Learning heuristic) over the
     // hyperplane-LSH neighborhood graph: majority-mismatch
     // neighborhoods flag likely-mislabeled vectors. Neighborhoods come
@@ -1158,6 +1270,17 @@ object DataPipelineEntries {
       graft.operators.Graph.triangleCounts(
         docs.select(col("doc_id").as("id")), edges)
     },
+    // Fixed-round k-core peel over the same edge list: simultaneous
+    // sub-k-degree removal per round, survival + surviving-subgraph
+    // degree graded — exact integers, every round replayed by the
+    // unrolled oracle (the BFS technique).
+    "graph_kcore" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      graft.operators.Graph.kCoreRounds(
+        docs.select(col("doc_id").as("id")), edges, k = kcK, iters = kcIters)
+    },
     // Count–Min sketch gate: the fixed-size frequency sketch
     // (depth × width cells, map-side expansion over the full event
     // stream) point-estimated for the probe users and graded against
@@ -1175,6 +1298,35 @@ object DataPipelineEntries {
         .join(est, Seq("k"))
         .select(col("user_id"), col("true_n"), col("est_n"),
           (col("est_n") >= col("true_n")).as("never_under"))
+    },
+    // CMS inner-product JOIN-SIZE estimate: |views ⋈ clicks on user|
+    // predicted from two depth×width sketches instead of a key-count
+    // join — the pre-flight cardinality guard. Graded against the
+    // exact size with the CMS one-sided invariant (never undercounts)
+    // and an error envelope, both pinned as booleans; the exact size
+    // itself is computed from per-key counts (one shuffle), never by
+    // materializing the join.
+    "ev_join_estimate" -> q { (s, d) =>
+      val S = graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+      val clicks = ev.filter(col("event_type") === "click")
+      val est = S.cmsJoinSize(
+        S.cmsBuild(views, col("user_id"), jeDepth, jeWidth, jeSeed),
+        S.cmsBuild(clicks, col("user_id"), jeDepth, jeWidth, jeSeed))
+      val nv = views.groupBy(col("user_id")).agg(count(lit(1)).as("nv"))
+      val nc = clicks.groupBy(col("user_id")).agg(count(lit(1)).as("nc"))
+      val tru = nv.join(nc, "user_id")
+        .agg(coalesce(sum(col("nv") * col("nc")), lit(0L)).as("true_n"))
+      val tot = nv.agg(sum(col("nv")).as("na"))
+        .crossJoin(nc.agg(sum(col("nc")).as("nb")))
+      // integer-only envelope compare: (est-true)·width ≤ mult·|R|·|S|
+      // (no division, so both engines stay in exact BIGINT arithmetic)
+      est.crossJoin(tru).crossJoin(tot)
+        .select(col("true_n"), col("est_n"),
+          (col("est_n") >= col("true_n")).as("never_under"),
+          ((col("est_n") - col("true_n")) * lit(jeWidth.toLong) <=
+            lit(jeErrMult.toLong) * col("na") * col("nb")).as("within_bound"))
     },
     // The end-to-end pretraining corpus pipeline as ONE graded entry —
     // triage (language + quality + length) → corpus-wide exact dedup →
@@ -2012,6 +2164,28 @@ object DataPipelineEntries {
          |       WHERE n >= $collocMinCount)
          |SELECT w1, w2, n, ${rnd("pmi_exact", 6)} AS pmi FROM sc
          |ORDER BY pmi_exact DESC, w1, w2 LIMIT 20""".stripMargin,
+    // drift mirror: same parity split, same fixed-order chi-square
+    // arithmetic; ranked by the exact statistic, rounded in the
+    // projection only
+    "text_vocab_drift" ->
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS is_a, unnest($toks) AS w FROM documents),
+         |c AS (SELECT w,
+         |        CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |               CAST(sum(cb) AS BIGINT) AS tb FROM c),
+         |sc AS (SELECT w, ca, cb,
+         |         CAST(ca + cb AS DOUBLE) * ta / (ta + tb) AS ea,
+         |         CAST(ca + cb AS DOUBLE) * tb / (ta + tb) AS eb
+         |       FROM c, tot WHERE ca + cb >= $driftMinCount),
+         |x AS (SELECT w, ca, cb,
+         |        (ca - ea) * (ca - ea) / ea + (cb - eb) * (cb - eb) / eb AS chi2
+         |      FROM sc),
+         |r AS (SELECT w, ca, cb, chi2,
+         |        row_number() OVER (ORDER BY chi2 DESC, w) AS rn FROM x)
+         |SELECT w AS term, ca, cb, ${rnd("chi2", 6)} AS chi2
+         |FROM r WHERE rn <= 20""".stripMargin,
     // naive Bayes mirror: identical count tables, the identical
     // smoothing division before ln (bigramScore's parity shape), the
     // same decimal-stable per-(doc, class) sum, class-name tiebreak
@@ -2112,6 +2286,31 @@ object DataPipelineEntries {
          |SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) >= $decontMinOverlap AS contaminated
          |FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id""".stripMargin,
+    // winnowing mirror: the same packed (hash mod 2^40) · 2^20 +
+    // (2^20-1 - p) key, the same complete-window min, integer
+    // unpacking via // (Spark: shiftright)
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |g AS (SELECT doc_id, p, array_to_string(ws[p:p+2], ' ') AS gram,
+         |        len(ws) - 2 AS n_grams
+         |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS p
+         |            FROM t WHERE len(ws) >= 3)),
+         |h AS (SELECT doc_id, p, n_grams,
+         |        (${pHash("gram", wnSeed)} % ${1L << 40}) * ${1L << 20}
+         |          + (${(1L << 20) - 1} - p) AS comb
+         |      FROM g),
+         |m AS (SELECT doc_id, p, n_grams,
+         |        min(comb) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS BETWEEN CURRENT ROW AND ${wnWindow - 1} FOLLOWING) AS m
+         |      FROM h),
+         |sel AS (SELECT DISTINCT doc_id, m FROM m
+         |        WHERE p <= n_grams - ${wnWindow - 1}),
+         |prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |           CAST(sum(m // ${1L << 20}) AS BIGINT) AS fp_sum
+         |         FROM sel GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(prof.n_fp, 0) AS BIGINT) AS n_fp,
+         |  CAST(coalesce(prof.fp_sum, 0) AS BIGINT) AS fp_sum
+         |FROM documents d LEFT JOIN prof USING (doc_id)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($toks)) AS w FROM documents),
          |h AS (SELECT doc_id, ${pHash("w", 0)} AS h FROM w),
@@ -2120,6 +2319,46 @@ object DataPipelineEntries {
          |  FROM h GROUP BY 1)
          |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM b""".stripMargin,
     "sim_knn_brute" -> simKnnSql,
+    // RRF mirror: the dense list is the shared KNN mirror (nested
+    // CTE), the lexical list the same query-probed shingle Jaccard,
+    // fused with the identical dense-then-lex double addition
+    "sim_rrf_fusion" ->
+      s"""WITH s0 AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |sh AS (SELECT doc_id, unnest(sh) AS s FROM s0),
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |q AS (SELECT doc_id AS query_id, s FROM sh WHERE doc_id < $knnQueryCut),
+         |i AS (SELECT q.query_id, sh.doc_id, count(*) AS inter
+         |      FROM sh JOIN q USING (s) WHERE q.query_id != sh.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT i.query_id, i.doc_id AS cand_id,
+         |        CAST(inter AS DOUBLE) / (nq.n_sh + nd.n_sh - inter) AS jac
+         |      FROM i JOIN n nq ON nq.doc_id = i.query_id
+         |      JOIN n nd ON nd.doc_id = i.doc_id),
+         |lex AS (SELECT query_id, cand_id, lex_rn FROM (
+         |    SELECT query_id, cand_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY jac DESC, cand_id) AS INTEGER) AS lex_rn
+         |    FROM j) WHERE lex_rn <= $rrfListK),
+         |dense AS (SELECT query_id, neighbor_id AS cand_id, rn AS dense_rn
+         |          FROM ($simKnnSql)),
+         |f AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         |        coalesce(d.cand_id, l.cand_id) AS cand_id,
+         |        d.dense_rn, l.lex_rn
+         |      FROM dense d FULL OUTER JOIN lex l
+         |        ON d.query_id = l.query_id AND d.cand_id = l.cand_id),
+         |sc AS (SELECT query_id, cand_id,
+         |         CASE WHEN dense_rn IS NOT NULL
+         |           THEN CAST(1.0 AS DOUBLE) / ($rrfK + dense_rn)
+         |           ELSE CAST(0.0 AS DOUBLE) END
+         |         + CASE WHEN lex_rn IS NOT NULL
+         |           THEN CAST(1.0 AS DOUBLE) / ($rrfK + lex_rn)
+         |           ELSE CAST(0.0 AS DOUBLE) END AS rrf,
+         |         dense_rn IS NOT NULL AS in_dense,
+         |         lex_rn IS NOT NULL AS in_lex
+         |       FROM f),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, cand_id) AS INTEGER) AS rn FROM sc)
+         |SELECT query_id, rn, cand_id, ${rnd("rrf", 6)} AS rrf, in_dense, in_lex
+         |FROM r WHERE rn <= $rrfListK""".stripMargin,
     // simKnnSql with the label-mismatch predicate on the join — the
     // hard-negative variant
     "sim_hard_negatives" ->
@@ -2690,6 +2929,31 @@ object DataPipelineEntries {
          |c AS (SELECT id, count(*) AS n FROM m GROUP BY 1)
          |SELECT d.doc_id AS id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
          |FROM documents d LEFT JOIN c ON c.id = d.doc_id""".stripMargin,
+    // k-core mirror: every simultaneous peel round unrolled — degrees
+    // within the prior alive set, filter at k, exact integers
+    "graph_kcore" -> {
+      val rounds = (1 to kcIters).map { i =>
+        s"""d$i AS (SELECT s.a, count(*) AS deg FROM sym s
+           |  JOIN a${i - 1} x ON x.id = s.a
+           |  JOIN a${i - 1} y ON y.id = s.b GROUP BY 1),
+           |a$i AS (SELECT a AS id FROM d$i WHERE deg >= $kcK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM e0 WHERE src <> dst),
+         |sym AS (SELECT u AS a, v AS b FROM und
+         |        UNION ALL SELECT v AS a, u AS b FROM und),
+         |a0 AS (SELECT doc_id AS id FROM documents),
+         |$rounds,
+         |fin AS (SELECT s.a, count(*) AS deg FROM sym s
+         |  JOIN a$kcIters x ON x.id = s.a
+         |  JOIN a$kcIters y ON y.id = s.b GROUP BY 1)
+         |SELECT d.doc_id AS id, (al.id IS NOT NULL) AS in_core,
+         |  CAST(coalesce(f.deg, 0) AS INTEGER) AS deg
+         |FROM documents d
+         |LEFT JOIN a$kcIters al ON al.id = d.doc_id
+         |LEFT JOIN fin f ON f.a = d.doc_id""".stripMargin
+    },
     // CMS mirror: the identical depth×width sketch built from the same
     // seeded md5 family, one UNION ALL branch per hash row
     "ev_countmin_gate" -> {
@@ -2714,6 +2978,36 @@ object DataPipelineEntries {
          |SELECT t.user_id, t.true_n, est.est_n,
          |  est.est_n >= t.true_n AS never_under
          |FROM t JOIN est USING (user_id)""".stripMargin
+    },
+    // join-size mirror: both sketches rebuilt from the same seeded
+    // md5 family, the same row-wise inner products, the same
+    // integer-only envelope compare
+    "ev_join_estimate" -> {
+      def branches(etype: String) = (0 until jeDepth).map { i =>
+        s"SELECT $i AS rw, ${pHash("CAST(user_id AS VARCHAR)", jeSeed + i)} % $jeWidth AS bucket FROM events WHERE event_type = '$etype'"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH va AS (SELECT rw, bucket, count(*) AS cnt FROM (
+         |    ${branches("view")})
+         |  GROUP BY 1, 2),
+         |vb AS (SELECT rw, bucket, count(*) AS cnt FROM (
+         |    ${branches("click")})
+         |  GROUP BY 1, 2),
+         |ip AS (SELECT va.rw, CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS ip
+         |       FROM va JOIN vb ON va.rw = vb.rw AND va.bucket = vb.bucket
+         |       GROUP BY 1),
+         |est AS (SELECT min(ip) AS est_n FROM ip),
+         |nv AS (SELECT user_id, count(*) AS nv FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |nc AS (SELECT user_id, count(*) AS nc FROM events
+         |       WHERE event_type = 'click' GROUP BY 1),
+         |tru AS (SELECT CAST(coalesce(sum(nv * nc), 0) AS BIGINT) AS true_n
+         |        FROM nv JOIN nc USING (user_id)),
+         |tot AS (SELECT (SELECT CAST(sum(nv) AS BIGINT) FROM nv) AS na,
+         |               (SELECT CAST(sum(nc) AS BIGINT) FROM nc) AS nb)
+         |SELECT true_n, est_n,
+         |  est_n >= true_n AS never_under,
+         |  (est_n - true_n) * $jeWidth <= $jeErrMult * na * nb AS within_bound
+         |FROM est, tru, tot""".stripMargin
     },
     // mirror of Sampling.waterFill: same saturation-order windows, same
     // crossing rule; sums over integer-valued doubles are exact, so the

@@ -836,4 +836,57 @@ object Dedup {
       .groupBy(col("doc_i"), col("doc_j"))
       .agg(count(lit(1)).as("shared_chunks"))
   }
+
+  /** Winnowing fingerprint profile (the MOSS selection rule): hash
+    * every `gramWords`-word gram at its position, slide a window of
+    * `window` consecutive gram hashes, and in each complete window
+    * select the minimum hash — rightmost position on ties — then
+    * dedupe the selected (hash, position) picks. Winnowing's guarantee
+    * is what plain 1-in-p hash sampling (the [[fingerprint]] rolling
+    * hash) lacks: every shared substring of at least
+    * `gramWords + window - 1` words contributes at least one IDENTICAL
+    * selected fingerprint in both documents, so overlap detection has
+    * a hard detection threshold instead of a probabilistic one.
+    *
+    * Per document the picks are a ~2/(window+1) density sample of its
+    * gram stream. The (hash, tie-broken position) pair packs into one
+    * long — hash mod 2^40 shifted over a 2^20 position field — so the
+    * window min is a single native `min` (no struct comparator in the
+    * codegen hot path); documents are assumed under 2^20 grams (split
+    * longer ones upstream, as the chunking operators do). Scale shape:
+    * one posexplode, two window passes over the per-doc sort (count +
+    * min — same window frame family, one shuffle), a distinct, and a
+    * per-doc aggregate. Output: (doc_id, n_fp, fp_sum) with zeros for
+    * docs too short for one complete window. */
+  def winnowProfile(docs: DataFrame, gramWords: Int, window: Int,
+                    seed: Int): DataFrame = {
+    require(gramWords >= 1, "gramWords must be at least 1")
+    require(window >= 1, "window must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val t = split(col("text"), "\\s+")
+    val grams = docs.select(col("doc_id"), posexplode(
+      when(size(t) >= gramWords,
+        transform(sequence(lit(0), size(t) - gramWords), i =>
+          concat_ws(" ", slice(t, i + 1, lit(gramWords)))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+    val comb = pmod(portableHash(col("gram"), seed), lit(1L << 40)) *
+      lit(1L << 20) + (lit((1L << 20) - 1) - col("p"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val sel = grams
+      .withColumn("comb", comb)
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("m", min(col("comb"))
+        .over(byPos.rowsBetween(Window.currentRow, window - 1)))
+      .filter(col("p") <= col("n_grams") - (window - 1))
+      .select(col("doc_id"), col("m")).distinct()
+    val prof = sel.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"),
+      sum(shiftright(col("m"), 20)).as("fp_sum"))
+    docs.select(col("doc_id")).join(prof, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+  }
 }

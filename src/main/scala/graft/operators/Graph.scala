@@ -103,6 +103,59 @@ object Graph {
     dist.select(col("id"), coalesce(col("dist"), lit(-1)).cast("int").as("dist"))
   }
 
+  /** Fixed-round k-core peel: `iters` rounds of SIMULTANEOUSLY
+    * removing every vertex whose degree within the surviving subgraph
+    * is below `k` — the degeneracy-ordering primitive behind
+    * community cores, graph sparsification, and spam-farm detection.
+    * After the rounds, reports each vertex's survival and its degree
+    * in the surviving subgraph (0 once peeled). A bounded round count
+    * is the honest distributed contract: full coreness convergence is
+    * data-dependent, while each round here is one degree aggregation
+    * + one filter — the pageRank loop shape, nodes-sized state, exact
+    * integers, so an unrolled SQL oracle replays every round.
+    *
+    * Scale shape per round: the symmetrized edge list semi-joins the
+    * alive set on BOTH endpoints (hash-partitioned), then one degree
+    * aggregation; edges stream through, state is the alive vertex
+    * set. Lineage grows linearly in `iters` — cut with localCheckpoint
+    * past ~10 rounds (the clusters operator documents the technique).
+    *
+    * Returns (id, in_core, deg) for every node in `nodes`. */
+  def kCoreRounds(nodes: DataFrame, edges: DataFrame, k: Int,
+                  iters: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(iters >= 1, "iters must be at least 1")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    // both directions, so degree is one groupBy on the source slot
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    var alive = nodes.select(col("id"))
+    for (_ <- 1 to iters) {
+      val degAlive = sym
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      alive = degAlive.filter(col("deg") >= k).select(col("a").as("id"))
+    }
+    // final-subgraph degree for survivors — recomputed AFTER the last
+    // peel, so it may sit below k where the last round removed
+    // neighbors (that is the signal the next round would act on);
+    // peeled vertices report 0
+    val fin = sym
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    nodes
+      .join(alive.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .join(fin.select(col("a").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("deg"), lit(0L)).cast("int").as("deg"))
+  }
+
   /** Per-node triangle counts over an edge multiset (src, dst),
     * treated as an undirected simple graph (self-loops and parallel /
     * reversed duplicates collapse first).

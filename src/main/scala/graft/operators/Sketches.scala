@@ -238,6 +238,27 @@ object Sketches {
     * construction never an undercount. The cells frame is tiny
     * (`depth × width` rows) and is broadcast; probes are never
     * shuffled beyond the final per-key min. Output: (k, est_n). */
+  /** Count–Min inner-product JOIN-SIZE estimate: for two sketches
+    * built by [[cmsBuild]] with the SAME (depth, width, seed),
+    * `est = min over hash rows i of Σ_bucket A[i,b]·B[i,b]` estimates
+    * `|R ⋈ S on key| = Σ_k r_k·s_k` — the cardinality-estimation
+    * primitive a planner (or a pre-flight join guard at 100 TB) wants
+    * BEFORE paying for the join: two `depth × width` sketches replace
+    * a corpus-sized key-count join. By construction every row's inner
+    * product equals the true size plus non-negative collision mass,
+    * so the estimate NEVER undercounts; expected per-row excess is
+    * `|R|·|S| / width`. A hash row with no overlapping buckets proves
+    * the true join is empty, so the inner join over cells is exact in
+    * that edge too (the row's product is 0 and min takes it... it is
+    * simply absent, and any surviving row still bounds 0 from above).
+    * Output: 1 row, (est_n). */
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("row"), col("bucket"), col("cnt").as("ca"))
+      .join(cellsB.select(col("row"), col("bucket"), col("cnt").as("cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_n"))
+
   def cmsEstimate(cells: DataFrame, probes: DataFrame, key: Column,
                   depth: Int, width: Int, seed: Int): DataFrame =
     probes.select(key.cast("string").as("k"))

@@ -1117,6 +1117,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.sum == 12L)
   }
 
+  test("kCoreRounds peels simultaneously and reports surviving-subgraph degrees") {
+    // triangle {0,1,2} + pendant 3 on node 0: round 1 peels 3 (deg 1),
+    // the triangle is then a stable 2-core
+    val nodes = (0L to 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.kCoreRounds(nodes, edges, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    assert(got == Map(0L -> ((true, 2)), 1L -> ((true, 2)),
+      2L -> ((true, 2)), 3L -> ((false, 0))), s"$got")
+    // path 0-1-2-3 under k=2 erodes from both ends to nothing in 2 rounds
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gone = Graph.kCoreRounds(nodes, path, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gone.values.forall(_ == false), s"path must fully peel: $gone")
+  }
+
+  test("cmsJoinSize never undercounts and is exact on a collision-free sketch") {
+    import graft.operators.Sketches
+    // R: key i appears i times (i=1..10); S: key i appears 11-i times
+    val r = (1 to 10).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k0")
+    val s = (1 to 10).flatMap(i => Seq.fill(11 - i)(i.toLong)).toDF("k0")
+    val truth = (1 to 10).map(i => i * (11 - i)).sum // Σ r_k·s_k = 220
+    val wide = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(r, col("k0"), 4, 4096, 7),
+      Sketches.cmsBuild(s, col("k0"), 4, 4096, 7)).collect()(0).getLong(0)
+    assert(wide == truth, s"collision-free sketch must be exact: $wide vs $truth")
+    val narrow = Sketches.cmsJoinSize(
+      Sketches.cmsBuild(r, col("k0"), 4, 2, 7),
+      Sketches.cmsBuild(s, col("k0"), 4, 2, 7)).collect()(0).getLong(0)
+    assert(narrow >= truth, s"CMS inner product must never undercount: $narrow")
+  }
+
+  test("winnowProfile guarantees a shared fingerprint for long shared runs") {
+    import graft.operators.Dedup
+    // docs 1 and 2 share an 8-word run (>= gram+window-1 = 6 words ⇒
+    // guaranteed common pick); doc 3 is disjoint; doc 4 too short for
+    // a complete window (grams < window)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven eight nine"),
+      (3L, "red orange yellow green blue indigo violet pink brown black"),
+      (4L, "tiny doc here")
+    ).toDF("doc_id", "text")
+    val prof = Dedup.winnowProfile(docs, gramWords = 3, window = 4, seed = 53)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof(4L) == ((0L, 0L)), "short doc must profile to zero picks")
+    assert(prof(1L)._1 > 0 && prof(2L)._1 > 0 && prof(3L)._1 > 0)
+    // the guarantee is on the SELECTED HASHES: re-derive the pick sets
+    // and assert docs 1/2 intersect while 3 stays disjoint
+    val t = split(col("text"), "\\s+")
+    val grams = docs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", slice(t, i + 1, lit(3))))))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+    val comb = pmod(Dedup.portableHash(col("gram"), 53), lit(1L << 40)) *
+      lit(1L << 20) + (lit((1L << 20) - 1) - col("p"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val picks = grams.withColumn("comb", comb)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("m", min(col("comb")).over(byPos.rowsBetween(0, 3)))
+      .filter(col("p") <= col("n") - 3)
+      .select(col("doc_id"), shiftright(col("m"), 20).as("h")).distinct()
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((picks(1L) & picks(2L)).nonEmpty, "shared 8-word run must share a fingerprint")
+    assert((picks(1L) & picks(3L)).isEmpty, "disjoint docs must not collide")
+  }
+
   test("count-min estimates never undercount and are exact on a sparse sketch") {
     import graft.operators.Sketches
     val df = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k0")
