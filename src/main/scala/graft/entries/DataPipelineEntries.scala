@@ -1270,6 +1270,32 @@ object DataPipelineEntries {
       graft.operators.Graph.triangleCounts(
         docs.select(col("doc_id").as("id")), edges)
     },
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over the symmetrized edge list (each undirected edge contributes
+    // both orientations — the standard estimator). One degree agg +
+    // two nodes-sized joins + the decimal-stable moment pass.
+    "graph_assortativity" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      // entry-scoped cache: sym feeds the degree profile AND the
+      // correlation stream (triangleCounts' consumer-count rationale)
+      val sym = graft.TransientCache.register(
+        und.select(col("u").as("a"), col("v").as("b"))
+          .union(und.select(col("v").as("a"), col("u").as("b"))))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select(col("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("a").as("b"), col("deg").as("db")), "b")
+        .select(col("da").cast("double").as("x"), col("db").cast("double").as("y"))
+        .agg(count(lit(1)).as("n_ends"),
+          round(graft.expr.Functions.stableCorr(col("x"), col("y")), 6)
+            .as("assortativity"))
+    },
     // Fixed-round k-core peel over the same edge list: simultaneous
     // sub-k-degree removal per round, survival + surviving-subgraph
     // degree graded — exact integers, every round replayed by the
@@ -1298,6 +1324,28 @@ object DataPipelineEntries {
         .join(est, Seq("k"))
         .select(col("user_id"), col("true_n"), col("est_n"),
           (col("est_n") >= col("true_n")).as("never_under"))
+    },
+    // CMS mergeability gate: cells built per-half (even/odd users)
+    // and summed must equal the one-shot build EXACTLY — the linearity
+    // that lets a sketch accumulate across partitions, batches, and
+    // streams without a corpus-wide pass. Cell-level full-outer
+    // compare pinned to zero mismatches.
+    "ev_cms_merge" -> q { (s, d) =>
+      val S = graft.operators.Sketches
+      val ev = Tables.events(s, d)
+      def build(f: DataFrame): DataFrame =
+        S.cmsBuild(f, col("user_id"), cmsDepth, cmsWidth, cmsSeed)
+      val merged = build(ev.filter(col("user_id") % 2 === 0))
+        .union(build(ev.filter(col("user_id") % 2 === 1)))
+        .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cm"))
+      val direct = build(ev)
+        .select(col("row"), col("bucket"), col("cnt").as("cd"))
+      val cmp = merged.join(direct, Seq("row", "bucket"), "full_outer")
+      cmp.agg(count(lit(1)).as("n_cells"),
+        sum(when(coalesce(col("cm"), lit(0L)) =!= coalesce(col("cd"), lit(0L)),
+          1L).otherwise(0L)).as("n_mismatch"))
+        .select(col("n_cells"), col("n_mismatch"),
+          (col("n_mismatch") === 0).as("merge_exact"))
     },
     // CMS inner-product JOIN-SIZE estimate: |views ⋈ clicks on user|
     // predicted from two depth×width sketches instead of a key-count
@@ -1513,6 +1561,27 @@ object DataPipelineEntries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination()
       s.table(name)
+    },
+    // The CMS sketch as a STREAMING accumulator: the same depth×width
+    // cells built by a streaming aggregation over the event stream
+    // (complete mode — the sketch IS the bounded state, cells not
+    // keys), graded cell-for-cell against the batch build's oracle.
+    // With ev_cms_merge this closes the loop: linear sketches are the
+    // one aggregation family that needs NO reconciliation between the
+    // batch and streaming paths of a lambda pipeline.
+    "stream_cms" -> q { (s, d) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = Tables.events(s, d).select(col("user_id"))
+      val dir = Scratch.tmpPath("stream_cms", d, s)
+      batch.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(batch.schema).parquet(dir)
+      val cells = graft.operators.Sketches.cmsBuild(
+        src, col("user_id"), cmsDepth, cmsWidth, cmsSeed)
+      val name = "graft_stream_cms"
+      val sq = cells.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name).select(col("row").as("hash_row"), col("bucket"), col("cnt"))
     },
     // Bounded replay through the flatMapGroupsWithState sessionizer:
     // sessions closed by an in-batch gap are emitted immediately; the
@@ -2929,6 +2998,40 @@ object DataPipelineEntries {
          |c AS (SELECT id, count(*) AS n FROM m GROUP BY 1)
          |SELECT d.doc_id AS id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
          |FROM documents d LEFT JOIN c ON c.id = d.doc_id""".stripMargin,
+    // assortativity mirror: same symmetrized degree pairs, the same
+    // decimal-stable moment accumulation as the corr mirror
+    "graph_assortativity" -> {
+      def dd(x: String) = s"CAST(${decSum(x)} AS DOUBLE)"
+      s"""WITH e0 AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM e0 WHERE src <> dst),
+         |sym AS (SELECT u AS a, v AS b FROM und
+         |        UNION ALL SELECT v AS a, u AS b FROM und),
+         |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+         |p AS (SELECT CAST(da.deg AS DOUBLE) AS x, CAST(db.deg AS DOUBLE) AS y
+         |      FROM sym JOIN deg da ON da.a = sym.a
+         |      JOIN deg db ON db.a = sym.b),
+         |m AS (SELECT count(*) AS n, ${dd("x")} AS sx, ${dd("y")} AS sy,
+         |        ${dd("x * x")} AS sxx, ${dd("y * y")} AS syy,
+         |        ${dd("x * y")} AS sxy
+         |      FROM p)
+         |SELECT n AS n_ends,
+         |  CASE WHEN n > 1 AND greatest(n * sxx - sx * sx, 0) > 0
+         |            AND greatest(n * syy - sy * sy, 0) > 0
+         |    THEN ${rnd("(n * sxy - sx * sy) / (sqrt(greatest(n * sxx - sx * sx, 0)) * sqrt(greatest(n * syy - sy * sy, 0)))", 6)}
+         |  END AS assortativity
+         |FROM m""".stripMargin
+    },
+    // streaming-CMS mirror: the batch-side cell build — streaming and
+    // batch must agree cell-for-cell, no reconciliation
+    "stream_cms" -> {
+      val branches = (0 until cmsDepth).map { i =>
+        s"SELECT $i AS rw, CAST(${pHash("CAST(user_id AS VARCHAR)", cmsSeed + i)} % $cmsWidth AS INTEGER) AS bucket FROM events"
+      }.mkString("\n    UNION ALL ")
+      s"""SELECT rw AS hash_row, bucket, count(*) AS cnt FROM (
+         |    $branches)
+         |GROUP BY 1, 2""".stripMargin
+    },
     // k-core mirror: every simultaneous peel round unrolled — degrees
     // within the prior alive set, filter at k, exact integers
     "graph_kcore" -> {
@@ -2978,6 +3081,32 @@ object DataPipelineEntries {
          |SELECT t.user_id, t.true_n, est.est_n,
          |  est.est_n >= t.true_n AS never_under
          |FROM t JOIN est USING (user_id)""".stripMargin
+    },
+    // merge mirror: the same per-half and one-shot builds from the
+    // same seeded md5 family, the same cell-level compare
+    "ev_cms_merge" -> {
+      def branches(where: String) = (0 until cmsDepth).map { i =>
+        s"SELECT $i AS rw, ${pHash("CAST(user_id AS VARCHAR)", cmsSeed + i)} % $cmsWidth AS bucket FROM events WHERE $where"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH ca AS (SELECT rw, bucket, count(*) AS cnt FROM (
+         |    ${branches("user_id % 2 = 0")})
+         |  GROUP BY 1, 2),
+         |cb AS (SELECT rw, bucket, count(*) AS cnt FROM (
+         |    ${branches("user_id % 2 = 1")})
+         |  GROUP BY 1, 2),
+         |md AS (SELECT rw, bucket, CAST(sum(cnt) AS BIGINT) AS cm FROM (
+         |    SELECT * FROM ca UNION ALL SELECT * FROM cb)
+         |  GROUP BY 1, 2),
+         |dd AS (SELECT rw, bucket, count(*) AS cd FROM (
+         |    ${branches("TRUE")})
+         |  GROUP BY 1, 2),
+         |f AS (SELECT coalesce(md.cm, 0) AS cm, coalesce(dd.cd, 0) AS cd
+         |      FROM md FULL OUTER JOIN dd
+         |        ON md.rw = dd.rw AND md.bucket = dd.bucket)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CASE WHEN cm != cd THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  sum(CASE WHEN cm != cd THEN 1 ELSE 0 END) = 0 AS merge_exact
+         |FROM f""".stripMargin
     },
     // join-size mirror: both sketches rebuilt from the same seeded
     // md5 family, the same row-wise inner products, the same

@@ -864,19 +864,23 @@ object Dedup {
     require(window >= 1, "window must be at least 1")
     import org.apache.spark.sql.expressions.Window
     val t = split(col("text"), "\\s+")
-    val grams = docs.select(col("doc_id"), posexplode(
-      when(size(t) >= gramWords,
-        transform(sequence(lit(0), size(t) - gramWords), i =>
-          concat_ws(" ", slice(t, i + 1, lit(gramWords)))))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+    // n_grams rides along from BEFORE the explode (it is just a size()
+    // of the token array) — deriving it afterwards would cost a second,
+    // unordered window pass and its extra partition sort
+    val grams = docs
+      .select(col("doc_id"), (size(t) - (gramWords - 1)).as("n_grams"),
+        posexplode(
+          when(size(t) >= gramWords,
+            transform(sequence(lit(0), size(t) - gramWords), i =>
+              concat_ws(" ", slice(t, i + 1, lit(gramWords)))))
+            .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("n_grams"),
+        (col("pos") + 1).as("p"), col("col").as("gram"))
     val comb = pmod(portableHash(col("gram"), seed), lit(1L << 40)) *
       lit(1L << 20) + (lit((1L << 20) - 1) - col("p"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val sel = grams
       .withColumn("comb", comb)
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("m", min(col("comb"))
         .over(byPos.rowsBetween(Window.currentRow, window - 1)))
       .filter(col("p") <= col("n_grams") - (window - 1))

@@ -418,6 +418,37 @@ class ScaleToolsSpec extends AnyFunSuite {
     graft.TransientCache.drain() // free the operator's entry-scoped caches
   }
 
+  test("kCoreRounds: fixed exchanges per peel round; winnowProfile: one window sort") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
+      .toDF("src", "dst")
+    import graft.operators.{Dedup, Graph}
+    def uniq(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      raw"Exchange hashpartitioning\([^)]*\), [A-Z_]+, \[plan_id=(\d+)\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    }
+    val i2 = uniq(Graph.kCoreRounds(nodes, edges, k = 3, iters = 2))
+    val i3 = uniq(Graph.kCoreRounds(nodes, edges, k = 3, iters = 3))
+    // ONE new exchange per round — the degree aggregation; the
+    // alive-set semi-joins ride the cached sym/alive frames (both
+    // entry-scoped persisted: un-cached, each round inlines the prior
+    // round's plan TWICE — measured 12 unique exchanges per round —
+    // because alive sits on both semi-join endpoints). plan_id-deduped
+    // like the triangle pin.
+    assert(i3 - i2 == 1, s"per-round exchange count drifted: i2=$i2 i3=$i3")
+    assert(i2 == 5, s"peel base plan drifted: i2=$i2")
+    val wp = Dedup.winnowProfile(
+      Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text"),
+      gramWords = 3, window = 4, seed = 53)
+    val plan = wp.queryExecution.executedPlan.toString
+    // ONE sort — the ordered window-min pass; n_grams rides from
+    // before the explode, so no second (unordered-window) sort exists
+    val sorts = "Sort ".r.findAllIn(plan).size
+    assert(sorts == 1, s"winnow sort count drifted: $sorts\n$plan")
+    graft.TransientCache.drain()
+  }
+
   test("round-8 operator plans: spans, CMS, BPE pairs, audio windows") {
     import graft.operators.{Bpe, Dedup, Multimodal, Sketches}
     val docs = (1 to 40).map(i =>
