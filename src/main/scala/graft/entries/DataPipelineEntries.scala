@@ -208,6 +208,13 @@ object DataPipelineEntries {
   // of >= 6 words, pick density ~2/(window+1).
   private val wnWindow = 4
   private val wnSeed = 53
+  // Per-source minhash comparison (dedup_source_minhash entry +
+  // oracle): 12 signature slots (the doubleHashSql mirror's width);
+  // the per-pair envelope flag vs exact Jaccard is GRADED DATA, not
+  // an asserted invariant — at k=12 the bound is ~3 sigma, so a few
+  // tail pairs legitimately report false (3 of 190 at sf0.1) and the
+  // oracle must agree on exactly which ones.
+  private val mhSrcBound = 0.35
   // k-core peel rounds (graph_kcore entry + oracle): peel below
   // degree 4 for 3 simultaneous rounds over the ~5-6-mean-degree
   // generated graph, so each round removes real mass.
@@ -534,6 +541,45 @@ object DataPipelineEntries {
         batchId = Some(id))
       run(docs.filter(col("doc_id") % 2 === 0), "b1")
         .union(run(docs.filter(col("doc_id") % 2 === 1), "b2"))
+    },
+    // SOURCE-level minhash comparison: one 12-slot signature per
+    // source (vocabulary-sized agg over the distinct (source, shingle)
+    // stream) estimates every pairwise source Jaccard without touching
+    // the shingle sets again — "how similar are my feeds" at the cost
+    // of sources×slots state. Graded against the EXACT pairwise
+    // Jaccard (shared-shingle join, fan-out bounded by the source
+    // count) with the estimator's error envelope pinned per pair.
+    "dedup_source_minhash" -> q { (s, d) =>
+      val sh = graft.TransientCache.register(
+        Tables.spread(Tables.documents(s, d))
+          .select(col("source"), explode(TextAnalysis.shingles(col("text"))).as("sh"))
+          .distinct())
+      val slots = Dedup.minhashSlots(col("sh"), 12)
+      val aggs = count(lit(1)).as("n_sh") +:
+        slots.zipWithIndex.map { case (c, i) => min(c).as(s"m$i") }
+      val sig = sh.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      val a = sig.columns.foldLeft(sig)((df, c) => df.withColumnRenamed(c, s"a_$c"))
+      val b = sig.columns.foldLeft(sig)((df, c) => df.withColumnRenamed(c, s"b_$c"))
+      // sources-sized frames (tens of rows): the inequality pairing is
+      // a broadcast nested loop over signatures, never over shingles
+      val pairs = a.join(broadcast(b), col("a_source") < col("b_source"))
+      val inter = sh.select(col("source").as("src_i"), col("sh"))
+        .join(sh.select(col("source").as("src_j"), col("sh")), "sh")
+        .filter(col("src_i") < col("src_j"))
+        .groupBy(col("src_i"), col("src_j")).agg(count(lit(1)).as("inter"))
+      val eq = (0 until 12).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
+      pairs.join(inter,
+          col("a_source") === col("src_i") && col("b_source") === col("src_j"), "left")
+        .withColumn("n_inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jx", col("n_inter").cast("double") /
+          (col("a_n_sh") + col("b_n_sh") - col("n_inter")))
+        .withColumn("ex", eq.cast("double") / lit(12))
+        .select(col("a_source").as("source_i"), col("b_source").as("source_j"),
+          col("n_inter"),
+          round(col("jx"), 6).as("jaccard"),
+          round(col("ex"), 6).as("mh_est"),
+          (abs(col("ex") - col("jx")) <= lit(mhSrcBound)).as("within_bound"))
     },
     // Winnowing fingerprint profile (MOSS selection): window-min gram
     // hashes with rightmost tie-break — every shared run of >=
@@ -2355,6 +2401,39 @@ object DataPipelineEntries {
          |SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) >= $decontMinOverlap AS contaminated
          |FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id""".stripMargin,
+    // source-minhash mirror: the same slot family (doubleHashSql),
+    // the same exact-Jaccard join, the same envelope compare
+    "dedup_source_minhash" -> {
+      val eqSum = (0 until 12).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString("\n        + ")
+      s"""WITH d0 AS (SELECT source, unnest($shinglesSql) AS s FROM documents),
+         |sh AS (SELECT DISTINCT source, s FROM d0),
+         |h AS (SELECT source,
+         |      $doubleHashSql
+         |    FROM sh),
+         |sig AS (SELECT source, count(*) AS n_sh,
+         |    $minhashCols
+         |  FROM h GROUP BY 1),
+         |pr AS (SELECT a.source AS source_i, b.source AS source_j,
+         |         a.n_sh AS na, b.n_sh AS nb,
+         |         ($eqSum) AS eq
+         |       FROM sig a JOIN sig b ON a.source < b.source),
+         |iv AS (SELECT x.source AS source_i, y.source AS source_j,
+         |         count(*) AS inter
+         |       FROM sh x JOIN sh y ON x.s = y.s AND x.source < y.source
+         |       GROUP BY 1, 2),
+         |f AS (SELECT pr.source_i, pr.source_j,
+         |        CAST(coalesce(iv.inter, 0) AS BIGINT) AS n_inter,
+         |        CAST(coalesce(iv.inter, 0) AS DOUBLE)
+         |          / (na + nb - coalesce(iv.inter, 0)) AS jx,
+         |        CAST(eq AS DOUBLE) / 12 AS ex
+         |      FROM pr LEFT JOIN iv ON iv.source_i = pr.source_i
+         |        AND iv.source_j = pr.source_j)
+         |SELECT source_i, source_j, n_inter,
+         |  ${rnd("jx", 6)} AS jaccard, ${rnd("ex", 6)} AS mh_est,
+         |  abs(ex - jx) <= $mhSrcBound AS within_bound
+         |FROM f""".stripMargin
+    },
     // winnowing mirror: the same packed (hash mod 2^40) · 2^20 +
     // (2^20-1 - p) key, the same complete-window min, integer
     // unpacking via // (Spark: shiftright)
