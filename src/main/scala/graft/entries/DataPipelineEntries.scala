@@ -220,6 +220,10 @@ object DataPipelineEntries {
   // generated graph, so each round removes real mass.
   private val kcK = 4
   private val kcIters = 3
+  // Weighted-SSSP geometry (graph_sssp entry + oracle): hash weights
+  // 1..9 from this seed, relaxation bounded at 4 edges.
+  private val ssspSeed = 67
+  private val ssspIters = 4
   // Vocabulary-drift cut (text_vocab_drift entry + oracle): terms
   // with a combined count under this stay out of the chi-square
   // ranking (sparse cells make chi-square meaningless).
@@ -1315,6 +1319,42 @@ object DataPipelineEntries {
         .select(col("doc_id").as("src"), col("neg_id").as("dst"))
       graft.operators.Graph.triangleCounts(
         docs.select(col("doc_id").as("id")), edges)
+    },
+    // Weighted shortest paths (Bellman-Ford, bounded rounds) over the
+    // same edge list with deterministic hash weights 1..9 — min-cost
+    // within <= ssspIters edges, -1 beyond; exact integers, the BFS
+    // oracle pattern with weights in the relaxation.
+    "graph_sssp" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+        .withColumn("w", lit(1L) + pmod(Dedup.portableHash(
+          concat(col("src").cast("string"), lit("~"), col("dst").cast("string")),
+          ssspSeed), lit(9L)))
+      graft.operators.Graph.ssspRounds(
+        docs.select(col("doc_id").as("id")), edges,
+        docs.filter(col("doc_id") % bfsSourceMod === 0)
+          .select(col("doc_id").as("id")),
+        iters = ssspIters)
+    },
+    // SCD2 temporal dimension lookup: every event joined to the
+    // attribute version valid at its timestamp (valid_from <= ts <
+    // valid_to, [from, to) intervals partition each key's timeline so
+    // exactly one version matches) — the fact-enriched-by-slowly-
+    // changing-dimension pattern; equi-join on the key with the range
+    // bound as residual, one shuffle.
+    "ev_scd2_lookup" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.Scd.scd2(ev,
+          keyCol = "user_id", tsCol = "ts", attrCol = "event_type",
+          tieCol = "event_id")
+        .select(col("user_id"), col("event_type").as("attr"),
+          col("valid_from"), col("valid_to"), col("version"))
+      ev.select(col("user_id"), col("event_id"), col("ts"))
+        .join(dim, Seq("user_id"))
+        .filter(col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("user_id"), col("event_id"), col("version"), col("attr"))
     },
     // Degree assortativity: Pearson correlation of endpoint degrees
     // over the symmetrized edge list (each undirected edge contributes
@@ -3077,6 +3117,46 @@ object DataPipelineEntries {
          |c AS (SELECT id, count(*) AS n FROM m GROUP BY 1)
          |SELECT d.doc_id AS id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
          |FROM documents d LEFT JOIN c ON c.id = d.doc_id""".stripMargin,
+    // weighted-SSSP mirror: the BFS unroll with the same hash weights
+    // riding the relaxation — exact integer costs
+    "graph_sssp" -> {
+      val iterCtes = (1 to ssspIters).map { k =>
+        s"""d$k AS (
+           |  SELECT d.id,
+           |    CASE WHEN d.dist IS NULL THEN h.c
+           |         WHEN h.c IS NULL THEN d.dist
+           |         WHEN h.c < d.dist THEN h.c ELSE d.dist END AS dist
+           |  FROM d${k - 1} d
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, min(r.dist + e.w) AS c
+           |    FROM e JOIN d${k - 1} r ON e.src = r.id
+           |    WHERE r.dist IS NOT NULL GROUP BY 1) h ON h.id = d.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT src, dst,
+         |    1 + ${pHash("CAST(src AS VARCHAR) || '~' || CAST(dst AS VARCHAR)", ssspSeed)} % 9 AS w
+         |  FROM (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql))),
+         |d0 AS (SELECT doc_id AS id,
+         |         CASE WHEN doc_id % $bfsSourceMod = 0 THEN CAST(0 AS BIGINT) END AS dist
+         |       FROM documents),
+         |$iterCtes
+         |SELECT id, CAST(coalesce(dist, -1) AS INTEGER) AS dist FROM d$ssspIters""".stripMargin
+    },
+    // SCD2-lookup mirror: the scd2 run table as a CTE, the same
+    // [from, to) temporal join
+    "ev_scd2_lookup" ->
+      """WITH o AS (SELECT *,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |dim AS (SELECT user_id, event_type AS attr, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version
+        |  FROM r)
+        |SELECT e.user_id, e.event_id, dim.version, dim.attr
+        |FROM events e JOIN dim ON dim.user_id = e.user_id
+        |  AND dim.valid_from <= e.ts
+        |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)""".stripMargin,
     // assortativity mirror: same symmetrized degree pairs, the same
     // decimal-stable moment accumulation as the corr mirror
     "graph_assortativity" -> {

@@ -103,6 +103,35 @@ object Graph {
     dist.select(col("id"), coalesce(col("dist"), lit(-1)).cast("int").as("dist"))
   }
 
+  /** Fixed-round weighted shortest paths (Bellman–Ford relaxation):
+    * after `iters` rounds, `dist` is the minimum-cost path from the
+    * nearest source using AT MOST `iters` edges, -1 beyond — the
+    * weighted sibling of [[bfsDistances]] with the identical loop
+    * shape (the bounded-hop contract is the honest distributed form;
+    * full convergence needs diameter-many rounds). `edges` carries
+    * (src, dst, w) with non-negative integer weights; distances stay
+    * exact integers, so an unrolled SQL oracle replays every round.
+    * Same per-round scale shape as pageRank/bfs: one join of the
+    * nodes-sized frontier with the edge list, one min-aggregation. */
+  def ssspRounds(nodes: DataFrame, edges: DataFrame, sources: DataFrame,
+                 iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    var dist = nodes
+      .join(sources.select(col("id"), lit(0L).as("d")), Seq("id"), "left")
+      .select(col("id"), col("d").as("dist"))
+    for (_ <- 1 to iters) {
+      val frontier = dist.filter(col("dist").isNotNull)
+      val combined = edges
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("d"))
+        .union(frontier.select(col("id"), col("dist").as("d")))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      dist = nodes.join(combined, Seq("id"), "left")
+        .select(col("id"), col("d").as("dist"))
+    }
+    dist.select(col("id"), coalesce(col("dist"), lit(-1L)).cast("int").as("dist"))
+  }
+
   /** Fixed-round k-core peel: `iters` rounds of SIMULTANEOUSLY
     * removing every vertex whose degree within the surviving subgraph
     * is below `k` — the degeneracy-ordering primitive behind

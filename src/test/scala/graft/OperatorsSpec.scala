@@ -1117,6 +1117,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.sum == 12L)
   }
 
+  test("ssspRounds relaxes min-cost within the edge budget") {
+    val nodes = (0L to 3L).toDF("id")
+    // direct 0->2 costs 10; the 2-edge path 0->1->2 costs 6
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 10L)).toDF("src", "dst", "w")
+    val src = Seq(0L).toDF("id")
+    val one = Graph.ssspRounds(nodes, edges, src, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == Map(0L -> 0, 1L -> 5, 2L -> 10, 3L -> -1), s"$one")
+    val two = Graph.ssspRounds(nodes, edges, src, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two(2L) == 6, s"2-edge relaxation must beat the direct edge: $two")
+  }
+
   test("kCoreRounds peels simultaneously and reports surviving-subgraph degrees") {
     // triangle {0,1,2} + pendant 3 on node 0: round 1 peels 3 (deg 1),
     // the triangle is then a stable 2-core
