@@ -1056,6 +1056,20 @@ object DataPipelineEntries {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
       .na.fill(0L)),
+    // The melt inverse of ev_pivot: the SAME wide frame unpivoted back
+    // to long form through Dataset.unpivot — zero-filled cells survive
+    // the round trip, so the output is the full day × type lattice
+    // (the oracle rebuilds it as a dimension cross join).
+    "ev_unpivot" -> q { (s, d) =>
+      val wide = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        "event_type", "n")
+    },
     // String-function surface over documents.
     "text_string_funcs" -> q((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
@@ -2954,6 +2968,16 @@ object DataPipelineEntries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    // unpivot mirror: the full day × type lattice with zero fill —
+    // exactly what the melted zero-filled pivot yields
+    "ev_unpivot" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |t AS (SELECT unnest(['click', 'view', 'purchase', 'signup', 'error']) AS event_type),
+        |c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""".stripMargin,
     "text_string_funcs" ->
       """SELECT doc_id,
         |  upper(substr(text, 1, 12)) AS head_upper,
