@@ -1106,6 +1106,29 @@ object DataPipelineEntries {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+    // Contamination-safe split: after the hash split, any TRAIN doc
+    // sharing an LSH band bucket with a TEST doc is dropped — the
+    // leakage-prevention pass every eval-aware training pipeline needs
+    // between splitting and training. The test band set is the small
+    // side (semi-join); graded by per-split counts/checksums after
+    // cleaning, so a drift in split, signatures, or the drop rule all
+    // hash-mismatch.
+    "corpus_clean_split" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .withColumn("split", graft.operators.Sampling.splitAssign(col("doc_id")))
+      val bands = Dedup.bandRows(docs, numHashes = 12, rowsPerBand = 2)
+        .join(docs.select(col("doc_id"), col("split")), "doc_id")
+      val testBands = bands.filter(col("split") === "test")
+        .select(col("band_idx"), col("band_key")).distinct()
+      val leaky = bands.filter(col("split") === "train")
+        .join(testBands, Seq("band_idx", "band_key"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.join(leaky.withColumn("leak", lit(true)), Seq("doc_id"), "left")
+        .filter(!(col("split") === "train" && coalesce(col("leak"), lit(false))))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
     // Stratified exact-N sample: the 5 smallest (hash, id) docs per
     // language — deterministic uniform draw with exact stratum sizes.
     "sample_stratified" -> q((s, d) =>
@@ -2968,6 +2991,40 @@ object DataPipelineEntries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    // clean-split mirror: the LSH signature/band chain (shared with
+    // the minhash mirror), the split rule, the same band-bucket drop
+    "corpus_clean_split" ->
+      s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
+         |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+         |hashed AS (SELECT doc_id, lang, n_sh,
+         |      $doubleHashSql
+         |    FROM e),
+         |sig AS (SELECT doc_id, lang, n_sh,
+         |    $minhashCols
+         |  FROM hashed GROUP BY 1, 2, 3),
+         |bands AS (
+         |  $bandSelects),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN bucket < ${graft.operators.Sampling.DefaultTrainPct} THEN 'train'
+         |         WHEN bucket < ${graft.operators.Sampling.DefaultTrainPct +
+              graft.operators.Sampling.DefaultValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${pHash("CAST(doc_id AS VARCHAR)", graft.operators.Sampling.DefaultSeed)} % 100 AS bucket
+         |        FROM documents)),
+         |tb AS (SELECT DISTINCT band_idx, band_key
+         |       FROM bands JOIN sp USING (doc_id) WHERE sp.split = 'test'),
+         |leaky AS (SELECT DISTINCT b.doc_id
+         |          FROM bands b JOIN sp ON sp.doc_id = b.doc_id
+         |          JOIN tb ON tb.band_idx = b.band_idx AND tb.band_key = b.band_key
+         |          WHERE sp.split = 'train'),
+         |kept AS (SELECT d.doc_id, sp.split
+         |         FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+         |         WHERE NOT (sp.split = 'train'
+         |           AND d.doc_id IN (SELECT doc_id FROM leaky)))
+         |SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM kept GROUP BY 1""".stripMargin,
     // unpivot mirror: the full day × type lattice with zero fill —
     // exactly what the melted zero-filled pivot yields
     "ev_unpivot" ->

@@ -332,6 +332,15 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Public banded-signature rows (doc_id, band_idx, band_key) for
+    * consumers that need the LSH index state WITHOUT the pair join —
+    * e.g. contamination-safe splitting, where train docs sharing any
+    * band bucket with a test doc are dropped. Same map-side signature
+    * build as [[minhashLsh]]; shingle-less docs emit no rows. */
+  def bandRows(docs: DataFrame, numHashes: Int = 12,
+               rowsPerBand: Int = 2): DataFrame =
+    bandRowsFor(shingled(docs).filter(col("n_sh") > 0), numHashes, rowsPerBand)
+
   /** Banded minhash signatures as exploded rows (doc_id, band_idx,
     * band_key) — the LSH index state. Map-side signatures
     * ([[minhashSigCols]]): per-row array fold, no explode of shingles, no
