@@ -224,6 +224,17 @@ object DataPipelineEntries {
   // 1..9 from this seed, relaxation bounded at 4 edges.
   private val ssspSeed = 67
   private val ssspIters = 4
+  // Rendezvous-hash shard count / eviction / seed (corpus_rendezvous
+  // entry + oracle).
+  private val rvShards = 8
+  private val rvEvicted = 3
+  private val rvSeed = 83
+  // Watermark-lateness audit (ev_late_audit entry + oracle): the
+  // corpus arrives in order, so arrival is hash-permuted (the
+  // synthesize-then-measure pattern the PII entry established) and
+  // lateness is judged against a 10-minute watermark.
+  private val lateSeed = 29
+  private val lateWatermarkUs = 600000000L
   // Vocabulary-drift cut (text_vocab_drift entry + oracle): terms
   // with a combined count under this stay out of the chi-square
   // ranking (sparse cells make chi-square meaningless).
@@ -1106,6 +1117,63 @@ object DataPipelineEntries {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("total_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+    // Rendezvous (highest-random-weight) sharding: each doc goes to
+    // the shard maximizing hash(doc, shard) — the coordination-free
+    // stable assignment (no ring, no directory, pure map-side argmax).
+    // Graded with the property that makes HRW worth using: evicting
+    // one shard moves ONLY that shard's docs (minimal disruption),
+    // pinned as a boolean alongside the before/after shard profile.
+    "corpus_rendezvous" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def score(i: Int) = Dedup.portableHash(
+        concat(col("doc_id").cast("string"), lit("@" + i)), rvSeed)
+      // argmax via array_max over (score, -shard) structs: map-side,
+      // smallest shard id wins ties
+      def pick(shards: Seq[Int]) =
+        (array_max(array(shards.map(i =>
+          struct(score(i).as("h"), lit(-i).as("ns"))): _*))
+          .getField("ns") * -1).cast("int")
+      val j = docs
+        .withColumn("s_full", pick(0 until rvShards))
+        .withColumn("s_red", pick((0 until rvShards).filter(_ != rvEvicted)))
+      val gf = j.groupBy(col("s_full").as("shard")).agg(count(lit(1)).as("n_full"))
+      val gr = j.groupBy(col("s_red").as("shard")).agg(count(lit(1)).as("n_red"))
+      val inv = j.agg((sum(when(
+        col("s_full") =!= col("s_red") && col("s_full") =!= rvEvicted,
+        1L).otherwise(0L)) === 0).as("minimal_disruption"))
+      s.range(0, rvShards).select(col("id").cast("int").as("shard"))
+        .join(gf, Seq("shard"), "left").join(gr, Seq("shard"), "left")
+        .crossJoin(broadcast(inv))
+        .select(col("shard"),
+          coalesce(col("n_full"), lit(0L)).as("n_full"),
+          coalesce(col("n_red"), lit(0L)).as("n_red"),
+          col("minimal_disruption"))
+    },
+    // Watermark-lateness audit: how many events would a 10-minute
+    // watermark drop, and how late is the worst straggler — the batch
+    // twin of the streaming watermark contract, per event type. The
+    // per-user running max over the (hash-permuted, see lateSeed)
+    // arrival order is the per-key watermark; one window pass.
+    "ev_late_audit" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val arrival = Window.partitionBy(col("user_id"))
+        .orderBy(Dedup.portableHash(col("event_id").cast("string"), lateSeed),
+          col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
+      // is pinned UTC, so the cast is a pure type tag change and
+      // matches the oracle's epoch_us exactly
+      val tu = unix_micros(col("ts").cast("timestamp"))
+      val a = Tables.events(s, d)
+        .withColumn("tu", tu)
+        .withColumn("rm", max(tu).over(arrival))
+      a.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("rm") - col("tu") > lateWatermarkUs, 1L).otherwise(0L))
+          .as("n_late"),
+        coalesce(max(when(col("rm") - col("tu") > lateWatermarkUs,
+          col("rm") - col("tu"))), lit(0L)).as("max_late_us"))
+    },
     // Contamination-safe split: after the hash split, any TRAIN doc
     // sharing an LSH band bucket with a TEST doc is dropped — the
     // leakage-prevention pass every eval-aware training pipeline needs
@@ -2991,6 +3059,44 @@ object DataPipelineEntries {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    // rendezvous mirror: the same per-(doc, shard) hash family,
+    // argmax via row_number with the identical (h DESC, shard ASC)
+    // tie order as the struct max
+    "corpus_rendezvous" ->
+      s"""WITH sh AS (SELECT doc_id, CAST(s AS INTEGER) AS shard,
+         |    ${pHash("CAST(doc_id AS VARCHAR) || '@' || CAST(s AS VARCHAR)", rvSeed)} AS h
+         |  FROM documents, (SELECT unnest(range(0, $rvShards)) AS s)),
+         |fa AS (SELECT doc_id, shard FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, shard) AS rn FROM sh) WHERE rn = 1),
+         |ra AS (SELECT doc_id, shard FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, shard) AS rn
+         |    FROM (SELECT * FROM sh WHERE shard != $rvEvicted)) WHERE rn = 1),
+         |j AS (SELECT fa.doc_id, fa.shard AS s_full, ra.shard AS s_red
+         |      FROM fa JOIN ra USING (doc_id)),
+         |gf AS (SELECT s_full AS shard, count(*) AS n_full FROM j GROUP BY 1),
+         |gr AS (SELECT s_red AS shard, count(*) AS n_red FROM j GROUP BY 1),
+         |inv AS (SELECT sum(CASE WHEN s_full != s_red AND s_full != $rvEvicted
+         |          THEN 1 ELSE 0 END) = 0 AS minimal_disruption FROM j),
+         |sl AS (SELECT CAST(unnest(range(0, $rvShards)) AS INTEGER) AS shard)
+         |SELECT sl.shard, CAST(coalesce(gf.n_full, 0) AS BIGINT) AS n_full,
+         |  CAST(coalesce(gr.n_red, 0) AS BIGINT) AS n_red,
+         |  inv.minimal_disruption
+         |FROM sl LEFT JOIN gf USING (shard) LEFT JOIN gr USING (shard)
+         |CROSS JOIN inv""".stripMargin,
+    // lateness mirror: the same hash-permuted arrival order and
+    // per-user running-max watermark
+    "ev_late_audit" ->
+      s"""WITH a AS (SELECT event_type, epoch_us(ts) AS tu,
+         |    max(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ${pHash("CAST(event_id AS VARCHAR)", lateSeed)}, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN rm - tu > $lateWatermarkUs THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(coalesce(max(CASE WHEN rm - tu > $lateWatermarkUs THEN rm - tu END), 0) AS BIGINT) AS max_late_us
+         |FROM a GROUP BY 1""".stripMargin,
     // clean-split mirror: the LSH signature/band chain (shared with
     // the minhash mirror), the split rule, the same band-bucket drop
     "corpus_clean_split" ->
