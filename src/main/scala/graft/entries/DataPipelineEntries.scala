@@ -604,6 +604,39 @@ object DataPipelineEntries {
     "dedup_winnow" -> q((s, d) =>
       Dedup.winnowProfile(Tables.spread(Tables.documents(s, d)),
         gramWords = 3, window = wnWindow, seed = wnSeed)),
+    // LSH recall gate: the banded MinHash pair set measured against
+    // the EXACT corpus-wide Jaccard>=0.5 pair set (full inverted-index
+    // join — shingle df tops out at 14 on this corpus, so the exact
+    // truth is cheap here; at real scale this gate runs on a sampled
+    // stratum). Verified LSH pairs are a subset of the truth by
+    // construction (exact verify), pinned via all_verified; recall is
+    // what banding actually trades, pinned as graded data — the same
+    // role sim_recall plays for the ANN index.
+    "dedup_lsh_recall" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      val sh = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"))).as("s0"))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val exact = sh.select(col("doc_id").as("doc_i"), col("s0"))
+        .join(sh.select(col("doc_id").as("doc_j"), col("s0")), "s0")
+        .filter(col("doc_i") < col("doc_j"))
+        .groupBy(col("doc_i"), col("doc_j")).agg(count(lit(1)).as("inter"))
+        .join(n.select(col("doc_id").as("doc_i"), col("n_sh").as("ni")), "doc_i")
+        .join(n.select(col("doc_id").as("doc_j"), col("n_sh").as("nj")), "doc_j")
+        .filter(col("inter").cast("double") /
+          (col("ni") + col("nj") - col("inter")) >= 0.5)
+        .select(col("doc_i"), col("doc_j"))
+      val lsh = Dedup.minhashLsh(docs, numHashes = 12, rowsPerBand = 2,
+          threshold = 0.5, maxBandSize = lshMaxBand)
+        .select(col("doc_i"), col("doc_j"))
+      val both = exact.join(lsh, Seq("doc_i", "doc_j"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(both.agg(count(lit(1)).as("n_both")))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"),
+          (col("n_lsh") === col("n_both")).as("all_verified"))
+    },
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhashFingerprint(Tables.spread(Tables.documents(s, d)), bits = 16)),
     // Content-defined chunking (rsync/LBFS boundaries): shift-robust
@@ -2546,6 +2579,25 @@ object DataPipelineEntries {
          |SELECT d.doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  coalesce(o.n_overlap, 0) >= $decontMinOverlap AS contaminated
          |FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id""".stripMargin,
+    // recall-gate mirror: exact truth from the full inverted join,
+    // the LSH side nested verbatim from the shared mirror
+    "dedup_lsh_recall" ->
+      s"""WITH s0 AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s0),
+         |iv AS (SELECT x.doc_id AS doc_i, y.doc_id AS doc_j, count(*) AS inter,
+         |         any_value(x.n_sh) AS ni, any_value(y.n_sh) AS nj
+         |       FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT doc_i, doc_j FROM iv
+         |       WHERE CAST(inter AS DOUBLE) / (ni + nj - inter) >= 0.5),
+         |l AS (SELECT doc_i, doc_j FROM ($minhashLshSql)),
+         |b AS (SELECT doc_i, doc_j FROM ex
+         |      INTERSECT SELECT doc_i, doc_j FROM l)
+         |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |  CAST((SELECT count(*) FROM l) AS BIGINT) AS n_lsh,
+         |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_both,
+         |  ${rnd("CAST((SELECT count(*) FROM b) AS DOUBLE) / (SELECT count(*) FROM ex)", 6)} AS recall,
+         |  (SELECT count(*) FROM l) = (SELECT count(*) FROM b) AS all_verified""".stripMargin,
     // source-minhash mirror: the same slot family (doubleHashSql),
     // the same exact-Jaccard join, the same envelope compare
     "dedup_source_minhash" -> {

@@ -86,6 +86,20 @@ object TaxiEntries {
     "taxi_fct_trips" -> q((s, d) => models(s, d).fctTrips.drop("loaded_at")),
     "taxi_fct_daily" -> q((s, d) => models(s, d).fctDaily.drop("created_at")),
     "taxi_fct_monthly" -> q((s, d) => models(s, d).fctMonthly.drop("created_at")),
+    // Month-over-month growth: the period-over-period BI query on top
+    // of the monthly mart (lag window per taxi type). total_trips >= 1
+    // by construction (a group exists only with trips), so the percent
+    // division never hits zero.
+    "taxi_mom_growth" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("taxi_type")).orderBy(col("year"), col("month"))
+      models(s, d).fctMonthly
+        .select(col("taxi_type"), col("year"), col("month"), col("total_trips"))
+        .withColumn("prev_trips", lag(col("total_trips"), 1).over(w))
+        .withColumn("mom_pct", round(
+          (col("total_trips") - col("prev_trips")).cast("double") * 100 /
+            col("prev_trips"), 4))
+    },
     // §2.6 sort/limit — reference README.md:166 ad-hoc top-10, with a
     // taxi_type tiebreak so the cut is total-ordered.
     "taxi_daily_top10" -> q((s, d) => models(s, d).fctDaily.drop("created_at")
@@ -410,6 +424,12 @@ object TaxiEntries {
     "taxi_fct_trips" -> o("SELECT * FROM fct_trips"),
     "taxi_fct_daily" -> o("SELECT * FROM fct_trips_daily"),
     "taxi_fct_monthly" -> o("SELECT * FROM fct_trips_monthly"),
+    "taxi_mom_growth" -> o(
+      s"""SELECT taxi_type, year, month, total_trips,
+         |  lag(total_trips) OVER w AS prev_trips,
+         |  ${rnd("CAST(total_trips - lag(total_trips) OVER w AS DOUBLE) * 100 / (lag(total_trips) OVER w)", 4)} AS mom_pct
+         |FROM fct_trips_monthly
+         |WINDOW w AS (PARTITION BY taxi_type ORDER BY year, month)""".stripMargin),
     "taxi_daily_top10" -> o(
       "SELECT * FROM fct_trips_daily ORDER BY trip_date DESC, taxi_type LIMIT 10"),
     "taxi_chk_notnull_dropoff_loc" -> o(
