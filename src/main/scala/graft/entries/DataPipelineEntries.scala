@@ -224,6 +224,12 @@ object DataPipelineEntries {
   // 1..9 from this seed, relaxation bounded at 4 edges.
   private val ssspSeed = 67
   private val ssspIters = 4
+  // Link-prediction middle-degree cap (graph_link_predict entry +
+  // oracle): wedge fan-out is deg(middle)^2, so hub middles are cut —
+  // same never-binding-at-graded-SF contract as ngramMaxDf (mean
+  // degree ~5 here), so results are unchanged while the skew bound is
+  // exercised end-to-end.
+  private val lpMaxDeg = 100
   // Rendezvous-hash shard count / eviction / seed (corpus_rendezvous
   // entry + oracle).
   private val rvShards = 8
@@ -1493,6 +1499,60 @@ object DataPipelineEntries {
         .filter(col("valid_from") <= col("ts") &&
           (col("valid_to").isNull || col("ts") < col("valid_to")))
         .select(col("user_id"), col("event_id"), col("version"), col("attr"))
+    },
+    // Common-neighbor link prediction: the top non-edges ranked by
+    // neighbor-set Jaccard — the classic graph-ML candidate generator.
+    // Wedges enumerate at the middle vertex (fan-out deg(middle)^2,
+    // hub middles cut at lpMaxDeg — never binding at graded SFs, the
+    // ngramMaxDf contract); existing edges anti-join away; top-k by
+    // the exact score via TakeOrdered.
+    "graph_link_predict" -> q { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = graft.operators.Sampling.negativePairs(docs, k = negativeK)
+        .select(col("doc_id").as("src"), col("neg_id").as("dst"))
+      val und = graft.TransientCache.register(
+        edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct())
+      val sym = graft.TransientCache.register(
+        und.select(col("u").as("a"), col("v").as("b"))
+          .union(und.select(col("v").as("a"), col("u").as("b"))))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val mids = deg.filter(col("deg") <= lpMaxDeg).select(col("a").as("b"))
+      val capped = sym.join(broadcast(mids), Seq("b"), "left_semi")
+      val common = capped.select(col("a").as("cu"), col("b"))
+        .join(capped.select(col("a").as("cv"), col("b")), "b")
+        .filter(col("cu") < col("cv"))
+        .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("common"))
+      val nonEdges = common.join(
+        und.select(col("u").as("cu"), col("v").as("cv")),
+        Seq("cu", "cv"), "left_anti")
+      nonEdges
+        .join(deg.select(col("a").as("cu"), col("deg").as("du")), "cu")
+        .join(deg.select(col("a").as("cv"), col("deg").as("dv")), "cv")
+        .withColumn("jac", col("common").cast("double") /
+          (col("du") + col("dv") - col("common")))
+        .orderBy(col("jac").desc, col("cu"), col("cv"))
+        .limit(20)
+        .select(col("cu").as("u"), col("cv").as("v"), col("common"),
+          round(col("jac"), 6).as("jaccard"))
+    },
+    // Activity-streak profile: longest run of CONSECUTIVE active days
+    // per user — the gaps-and-islands date classic (day minus dense
+    // day-rank is constant within a streak). Distinct days first, one
+    // window pass, then a run-length aggregate.
+    "ev_streak" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val runs = days.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      runs.groupBy(col("user_id")).agg(
+        sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
     },
     // Degree assortativity: Pearson correlation of endpoint degrees
     // over the symmetrized edge list (each undirected edge contributes
@@ -3396,6 +3456,42 @@ object DataPipelineEntries {
         |FROM events e JOIN dim ON dim.user_id = e.user_id
         |  AND dim.valid_from <= e.ts
         |  AND (dim.valid_to IS NULL OR e.ts < dim.valid_to)""".stripMargin,
+    // link-prediction mirror: same wedge enumeration with the same
+    // middle cap, anti-join of existing edges, exact-score ranking
+    "graph_link_predict" ->
+      s"""WITH e0 AS (SELECT doc_id AS src, neg_id AS dst FROM ($negativesMirrorSql)),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |        FROM e0 WHERE src <> dst),
+         |sym AS (SELECT u AS a, v AS b FROM und
+         |        UNION ALL SELECT v AS a, u AS b FROM und),
+         |deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+         |mids AS (SELECT a FROM deg WHERE deg <= $lpMaxDeg),
+         |cp AS (SELECT a, b FROM sym WHERE b IN (SELECT a FROM mids)),
+         |cm AS (SELECT x.a AS cu, y.a AS cv, count(*) AS common
+         |       FROM cp x JOIN cp y ON x.b = y.b AND x.a < y.a
+         |       GROUP BY 1, 2),
+         |ne AS (SELECT cm.* FROM cm
+         |       LEFT JOIN und ON und.u = cm.cu AND und.v = cm.cv
+         |       WHERE und.u IS NULL),
+         |sc AS (SELECT cu, cv, common,
+         |         CAST(common AS DOUBLE) / (du.deg + dv.deg - common) AS jac
+         |       FROM ne JOIN deg du ON du.a = ne.cu
+         |       JOIN deg dv ON dv.a = ne.cv),
+         |r AS (SELECT *, row_number() OVER (ORDER BY jac DESC, cu, cv) AS rn
+         |      FROM sc)
+         |SELECT cu AS u, cv AS v, common, ${rnd("jac", 6)} AS jaccard
+         |FROM r WHERE rn <= 20""".stripMargin,
+    // streak mirror: the same day-minus-rank islands
+    "ev_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |      FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM runs GROUP BY 1""".stripMargin,
     // assortativity mirror: same symmetrized degree pairs, the same
     // decimal-stable moment accumulation as the corr mirror
     "graph_assortativity" -> {
