@@ -1,0 +1,93 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse-persisted table identity: a durable name → (path, format)
+  * registry stored UNDER the warehouse directory itself, so two
+  * sequential (or concurrent, see below) sessions pointed at the same
+  * warehouse resolve the same table names — the piece of metastore
+  * behavior the reference gets from its Hive Metastore + Iceberg
+  * catalog (`dbt/profiles.yml:10–11`,
+  * `scripts/nyc_taxi/ingest_spark_bulk.py:42–45`) and Spark's default
+  * in-memory catalog loses on session exit.
+  *
+  * Layout: one entry file per table at
+  * `<warehouse>/_graft_catalog/<namespace>/<table>` holding
+  * `path=<location>` / `format=<fmt>` lines. Registration writes a temp
+  * file and renames it into place — atomic on HDFS/POSIX (the
+  * [[graft.write.SnapshotTable]] commit-protocol contract), so a reader
+  * never observes a half-written entry; last-writer-wins on re-register,
+  * which is the metastore's own semantics for `ALTER TABLE SET
+  * LOCATION`. Entry files are metadata-sized (two lines), so listing a
+  * namespace is O(tables), never O(data).
+  *
+  * This deliberately stores LOCATIONS, not data: dropping a name leaves
+  * the files (an EXTERNAL table drop). Pair with [[graft.write
+  * .SnapshotTable]] at the location for versioned data under a durable
+  * name. */
+class PathCatalog(spark: SparkSession, warehouse: String) {
+  private val root = new Path(warehouse, "_graft_catalog")
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def check(id: String): String = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '_'),
+      s"identifier must be [A-Za-z0-9_]+: '$id'")
+    id
+  }
+
+  private def entryPath(ns: String, table: String) =
+    new Path(new Path(root, check(ns)), check(table))
+
+  /** Durably bind `ns.table` to a data location (external-table CTAS
+    * registration). Re-registering overwrites: last writer wins. */
+  def register(ns: String, table: String, location: String,
+               format: String = "parquet"): Unit = {
+    val p = entryPath(ns, table)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s"._${check(table)}.tmp")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(s"path=$location\nformat=$format\n".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"catalog entry flip failed for $ns.$table")
+  }
+
+  /** Resolve a name to its (location, format), if registered — works
+    * from ANY session handle over the same warehouse dir. */
+  def resolve(ns: String, table: String): Option[(String, String)] = {
+    val p = entryPath(ns, table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      Some((kv("path"), kv.getOrElse("format", "parquet")))
+    }
+  }
+
+  /** Read a registered table through its resolved location. */
+  def read(ns: String, table: String): DataFrame = {
+    val (loc, fmt) = resolve(ns, table)
+      .getOrElse(sys.error(s"no such table: $ns.$table under $warehouse"))
+    spark.read.format(fmt).load(loc)
+  }
+
+  /** Tables registered under a namespace, sorted. */
+  def list(ns: String): Seq[String] = {
+    val d = new Path(root, check(ns))
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filterNot(_.startsWith("._")).sorted.toSeq
+  }
+
+  /** Unbind the name (external-table drop: data files stay). */
+  def drop(ns: String, table: String): Unit =
+    fs.delete(entryPath(ns, table), false)
+}

@@ -317,13 +317,7 @@ object TaxiEntries {
     // must show exactly the corrupted months (older partitions
     // untouched), v3 must hash-match v1's pre-load state.
     "taxi_snapshot_rollback" -> q { (s, d) =>
-      val stg = models(s, d).stgYellow.drop("loaded_at")
-      val t = new graft.write.SnapshotTable(s, tmpPath("snap", d, s))
-      val v1 = t.commitOverwrite(stg)
-      val bad = stg.filter(col("month").isin(6, 7))
-        .withColumn("fare_amount", col("fare_amount") * lit(-100))
-      val v2 = t.commitOverwritePartitions(bad)
-      val v3 = t.rollbackTo(v1)
+      val (t, v1, v2, v3) = snapCdcFixture(s, d)
       Seq(v1, v2, v3).map { v =>
         t.readVersion(v)
           .groupBy(col("year"), col("month"))
@@ -341,7 +335,7 @@ object TaxiEntries {
     // (coalesce makes every replaced row differ even at null fares, so
     // the multiset diff is exactly the replaced partitions.)
     "taxi_snapshot_changelog" -> q { (s, d) =>
-      val (t, v1, v2) = snapCdcFixture(s, d)
+      val (t, v1, v2, _) = snapCdcFixture(s, d)
       t.changelog(v1, v2)
         .groupBy(col("op"), col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -350,16 +344,15 @@ object TaxiEntries {
     // Retention: expire keeps the newest snapshots, deletes manifests
     // and unreferenced data dirs — graded on the retained history AND
     // each retained version staying fully readable (per-version row
-    // count), with the expired version gone. Builds its OWN table:
-    // expire mutates history, so the shared CDC fixture stays pristine.
+    // count), with the expired version gone. Runs on a DEEP CLONE:
+    // expire mutates history, so the shared fixture stays pristine.
     "taxi_snapshot_expire" -> q { (s, d) =>
       import s.implicits._
-      val stg = models(s, d).stgYellow.drop("loaded_at")
-      val t = new graft.write.SnapshotTable(s, tmpPath("snapexp", d, s))
-      val v1 = t.commitOverwrite(stg)
-      val v2 = t.commitOverwritePartitions(stg.filter(col("month").isin(6, 7))
-        .withColumn("fare_amount", col("fare_amount") * lit(-100)))
-      val v3 = t.rollbackTo(v1)
+      // expire MUTATES history, so it works on a deep clone of the
+      // shared fixture — one filesystem copy instead of re-running the
+      // two full table-write commits the fixture already paid for.
+      val (src, _, v2, v3) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapexp", d, s))
       t.expire(keepLast = 2)
       val hist = t.history.toDF("version", "op", "parent")
         .select(col("version").cast("int").as("version"), col("op"),
@@ -374,22 +367,25 @@ object TaxiEntries {
     // row the apply loses, duplicates, or fails to replace flips a
     // count or a fare sum somewhere).
     "taxi_changelog_apply" -> q { (s, d) =>
-      val (t, v1, v2) = snapCdcFixture(s, d)
+      val (t, v1, v2, _) = snapCdcFixture(s, d)
       t.applyChangelog(t.readVersion(v1), t.changelog(v1, v2))
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     })
 
-  /** The two-commit CDC fixture (clean v1, corrupted-partition v2),
-    * built ONCE per (session, sfDir) and shared by the changelog
-    * producer and consumer entries — the commits are the expensive
-    * part (two full table writes), and both entries only READ the
-    * versions afterward. */
+  /** The three-commit snapshot fixture (clean full v1, corrupted-
+    * partition overwrite v2, rollback-to-v1 v3), built ONCE per
+    * (session, sfDir) and shared by the WHOLE snapshot family —
+    * rollback, changelog producer + consumer, and (via [[graft.write
+    * .SnapshotTable.deepClone]]) expire. The two data commits are the
+    * expensive part (full table writes); v3 is a manifest re-point and
+    * every consumer afterwards only reads versions. Entries that must
+    * MUTATE history (expire) clone the directory instead of recommitting. */
   private val snapCdcCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (graft.write.SnapshotTable, Int, Int)]
+    .empty[(SparkSession, String), (graft.write.SnapshotTable, Int, Int, Int)]
 
-  private def snapCdcFixture(s: SparkSession, d: String): (graft.write.SnapshotTable, Int, Int) = {
+  private def snapCdcFixture(s: SparkSession, d: String): (graft.write.SnapshotTable, Int, Int, Int) = {
     snapCdcCache.keys.filter(_._1.sparkContext.isStopped).foreach(snapCdcCache.remove)
     snapCdcCache.getOrElseUpdate((s, d), {
       val stg = models(s, d).stgYellow.drop("loaded_at")
@@ -398,7 +394,8 @@ object TaxiEntries {
       val bad = stg.filter(col("month").isin(6, 7))
         .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
       val v2 = t.commitOverwritePartitions(bad)
-      (t, v1, v2)
+      val v3 = t.rollbackTo(v1)
+      (t, v1, v2, v3)
     })
   }
 
@@ -540,7 +537,7 @@ object TaxiEntries {
          |          ${rndSum("fare_amount", 2)} AS fare_sum
          |        FROM stg_yellow GROUP BY 1, 2),
          |  bad AS (SELECT year, month, count(*) AS n,
-         |          ${rndSum("fare_amount * -100", 2)} AS fare_sum
+         |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
          |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2),
          |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
          |         UNION ALL SELECT * FROM bad)

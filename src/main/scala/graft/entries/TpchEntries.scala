@@ -228,6 +228,25 @@ object TpchEntries {
         .agg(count(lit(1)).as("n"),
           round(stableAvg(col("c_acctbal")), 2).as("avg_bal"))
     },
+    // Multi-session table identity: materialize under a durable
+    // path-catalog name, then resolve and read through a FRESH catalog
+    // handle over the same warehouse dir — the re-open a second session
+    // performs. Graded on the aggregate read through the re-opened
+    // handle, so a broken registration, resolution, or location flip
+    // all surface as a wrong/missing result.
+    "cat_path_roundtrip" -> q { (s, d) =>
+      val wh = Scratch.tmpPath("pathcat_wh", d, s)
+      val loc = s"$wh/data/customers_pos"
+      Tables.customer(s, d).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.parquet(loc)
+      new graft.catalog.PathCatalog(s, wh).register("sales", "customers_pos", loc)
+      // fresh handle = a second session re-opening the warehouse
+      new graft.catalog.PathCatalog(s, wh).read("sales", "customers_pos")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust_pos"),
+          round(stableAvg(col("c_acctbal")), 2).as("avg_bal_pos"))
+    },
     // Exact distinct aggregate per segment.
     "tpch_distinct_agg" -> q { (s, d) =>
       Tables.customer(s, d)
@@ -781,6 +800,10 @@ object TpchEntries {
         "cat_table_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n,
          |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal
+         |FROM customer WHERE c_acctbal > 0 GROUP BY 1""".stripMargin,
+    "cat_path_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n_cust_pos,
+         |  ${rnd(oStableAvg("c_acctbal"), 2)} AS avg_bal_pos
          |FROM customer WHERE c_acctbal > 0 GROUP BY 1""".stripMargin,
     "tpch_q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,

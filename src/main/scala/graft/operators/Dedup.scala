@@ -861,8 +861,11 @@ object Dedup {
     * gram stream. The (hash, tie-broken position) pair packs into one
     * long — hash mod 2^40 shifted over a 2^20 position field — so the
     * window min is a single native `min` (no struct comparator in the
-    * codegen hot path); documents are assumed under 2^20 grams (split
-    * longer ones upstream, as the chunking operators do). Scale shape:
+    * codegen hot path); documents MUST be under 2^20 grams (split
+    * longer ones upstream, as the chunking operators do) — the bound is
+    * ENFORCED with a raising assert, because a longer document would
+    * make the packed position field negative and silently corrupt both
+    * the tie-break and the unpacked hash. Scale shape:
     * one posexplode, two window passes over the per-doc sort (count +
     * min — same window frame family, one shuffle), a distinct, and a
     * per-doc aggregate. Output: (doc_id, n_fp, fp_sum) with zeros for
@@ -876,8 +879,18 @@ object Dedup {
     // n_grams rides along from BEFORE the explode (it is just a size()
     // of the token array) — deriving it afterwards would cost a second,
     // unordered window pass and its extra partition sort
+    // packing-bound guard: assert_true raises (fail loudly) instead of
+    // letting a >=2^20-gram document wrap the position field and emit a
+    // silently-wrong fingerprint; the when(...isNull) wrapper keeps the
+    // value column's type while forcing the assert's evaluation
+    val nGramsRaw = size(t) - (gramWords - 1)
+    val nGramsChecked = when(
+      assert_true(nGramsRaw < lit(1 << 20),
+        lit(s"winnowProfile: document has >= 2^20 grams — split upstream " +
+          s"(chunking operators) before fingerprinting")).isNull,
+      nGramsRaw)
     val grams = docs
-      .select(col("doc_id"), (size(t) - (gramWords - 1)).as("n_grams"),
+      .select(col("doc_id"), nGramsChecked.as("n_grams"),
         posexplode(
           when(size(t) >= gramWords,
             transform(sequence(lit(0), size(t) - gramWords), i =>

@@ -129,7 +129,10 @@ object Graph {
       dist = nodes.join(combined, Seq("id"), "left")
         .select(col("id"), col("d").as("dist"))
     }
-    dist.select(col("id"), coalesce(col("dist"), lit(-1L)).cast("int").as("dist"))
+    // distances return as LONG, matching the long weight column — an
+    // int cast here would silently wrap for large weights or many
+    // rounds in general operator-level use
+    dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
   /** Fixed-round k-core peel: `iters` rounds of SIMULTANEOUSLY

@@ -248,16 +248,22 @@ object Sketches {
     * product equals the true size plus non-negative collision mass,
     * so the estimate NEVER undercounts; expected per-row excess is
     * `|R|·|S| / width`. A hash row with no overlapping buckets proves
-    * the true join is empty, so the inner join over cells is exact in
-    * that edge too (the row's product is 0 and min takes it... it is
-    * simply absent, and any surviving row still bounds 0 from above).
+    * the true join is EMPTY, so its inner product must enter the min as
+    * an exact 0 — the row domain therefore left-joins the inner
+    * products (rows absent from the bucket-overlap join coalesce to 0)
+    * instead of letting the empty row vanish from the min, which would
+    * over-report (and yield NULL when every row is empty). An empty
+    * sketch (empty input relation) estimates 0, also exact.
     * Output: 1 row, (est_n). */
-  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
-    cellsA.select(col("row"), col("bucket"), col("cnt").as("ca"))
+  def cmsJoinSize(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val ip = cellsA.select(col("row"), col("bucket"), col("cnt").as("ca"))
       .join(cellsB.select(col("row"), col("bucket"), col("cnt").as("cb")),
         Seq("row", "bucket"))
       .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_n"))
+    cellsA.select(col("row")).distinct()
+      .join(ip, Seq("row"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L)).as("est_n"))
+  }
 
   def cmsEstimate(cells: DataFrame, probes: DataFrame, key: Column,
                   depth: Int, width: Int, seed: Int): DataFrame =

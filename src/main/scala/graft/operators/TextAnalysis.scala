@@ -397,7 +397,11 @@ object TextAnalysis {
       .agg(countDistinct(col("trigram")).as("n_hit"))
       .filter(col("n_hit") === col("n_tri"))
       .select("doc_id", "probe")
-    cands.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // verify: the CANDIDATE side broadcasts (it is probe-bounded and
+    // tiny), so the full-text scan stays distributed and un-shuffled —
+    // left to stats, Catalyst happily broadcasts the docs side instead,
+    // which is exactly the plan that cannot exist at corpus scale
+    docs.select(col("doc_id"), col("text")).join(broadcast(cands), Seq("doc_id"))
       .filter(col("text").contains(col("probe")))
       .select(col("doc_id"), col("probe"))
   }

@@ -269,6 +269,25 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
   }
 
+  /** Deep clone: copy the whole table (manifests + data) to `destRoot`
+    * and return a table handle over the copy — the `CREATE TABLE ...
+    * CLONE` shape (Delta/Snowflake). DEEP (files duplicated) so the
+    * clone's lifecycle is fully independent: expiring or corrupting the
+    * clone can never delete a data directory the source still
+    * references, which is the shallow-clone hazard. Cost is one
+    * filesystem copy of the referenced bytes — no Spark job, no
+    * recompute of the commits that built the source. */
+  def deepClone(destRoot: String): SnapshotTable = {
+    val dst = new Path(destRoot)
+    val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(dst)) dfs.delete(dst, true)
+    dfs.mkdirs(dst.getParent)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root), dfs, dst,
+      /*deleteSource=*/ false, spark.sparkContext.hadoopConfiguration),
+      s"deep clone $root -> $destRoot failed")
+    new SnapshotTable(spark, destRoot, partCols)
+  }
+
   /** Crash recovery: if an orphan manifest exists past CURRENT (a
     * writer died between manifest create and pointer flip), re-point
     * CURRENT at the newest manifest — the write WAS durable, finish it. */

@@ -1123,11 +1123,11 @@ class OperatorsSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (0L, 2L, 10L)).toDF("src", "dst", "w")
     val src = Seq(0L).toDF("id")
     val one = Graph.ssspRounds(nodes, edges, src, iters = 1)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(one == Map(0L -> 0, 1L -> 5, 2L -> 10, 3L -> -1), s"$one")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 0L, 1L -> 5L, 2L -> 10L, 3L -> -1L), s"$one")
     val two = Graph.ssspRounds(nodes, edges, src, iters = 2)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(two(2L) == 6, s"2-edge relaxation must beat the direct edge: $two")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(2L) == 6L, s"2-edge relaxation must beat the direct edge: $two")
   }
 
   test("kCoreRounds peels simultaneously and reports surviving-subgraph degrees") {

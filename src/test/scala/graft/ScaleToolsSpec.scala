@@ -619,4 +619,77 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"new-key set not broadcast:\n$plan")
   }
+
+  test("trigramSearch broadcasts the candidate side, never the corpus text") {
+    import java.nio.file.Files
+    val docs = (1L to 80L).map(i => (i, s"alpha bravo charlie doc$i needles"))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_tripin").toString + "/idx"
+    graft.operators.TextAnalysis.trigramIndexWrite(docs, idx)
+    val res = graft.operators.TextAnalysis.trigramSearch(spark, idx, docs, Seq("needles"))
+    val plan = res.queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"no broadcast in verify join:\n$plan")
+    // the broadcast (build) subtrees carry probe trigrams / candidate ids
+    // only; if the text column appears there, the corpus side is being
+    // broadcast — the plan that cannot exist at 100 TB
+    val buildSides = bhj.map(j =>
+      (if (j.buildSide.toString.contains("Right")) j.right else j.left).toString)
+    assert(!buildSides.exists(_.contains("text#")),
+      s"corpus text side is broadcast in:\n$plan")
+    assert(res.collect().map(_.getLong(0)).sorted.sameElements(1L to 80L))
+  }
+
+  test("graph_link_predict: hub-cap semi join sits below the wedge self-join") {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    val df = graft.SparkEntry.queries("graph_link_predict")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      val plan = df.queryExecution.sparkPlan
+      def caps(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
+      assert(caps(plan).nonEmpty, s"middle-degree cap semi join missing:\n$plan")
+      // the wedge join (the only quadratic step) must consume CAPPED
+      // inputs: some inner join has the LeftSemi cap in BOTH subtrees
+      val wedges = plan.collect {
+        case j: BaseJoinExec if j.joinType == Inner &&
+          caps(j.left).nonEmpty && caps(j.right).nonEmpty => j }
+      assert(wedges.nonEmpty,
+        s"wedge self-join does not sit above the hub cap:\n$plan")
+      assert(!plan.toString.contains("CartesianProduct") &&
+        !plan.toString.contains("BroadcastNestedLoopJoin"),
+        s"unbounded join in link prediction:\n$plan")
+    } finally TransientCache.drain()
+  }
+
+  test("graph triangle/assortativity entries keep bounded exchange counts") {
+    // exchange counts pinned (<=) so a rewrite that silently adds a
+    // shuffle per edge-pass — the graph-scale killer — fails here
+    val tri = graft.SparkEntry.queries("graph_triangles")(
+      spark, "/root/testdata/sf0.001")
+    val triN = shuffles(tri)
+    TransientCache.drain()
+    val ast = graft.SparkEntry.queries("graph_assortativity")(
+      spark, "/root/testdata/sf0.001")
+    val astN = shuffles(ast)
+    TransientCache.drain()
+    assert(triN <= 13, s"graph_triangles exchange count grew to $triN")
+    assert(astN <= 8, s"graph_assortativity exchange count grew to $astN")
+  }
+
+  test("corpus_clean_split builds the LSH signature pipeline once") {
+    val df = graft.SparkEntry.queries("corpus_clean_split")(
+      spark, "/root/testdata/sf0.001")
+    try {
+      df.count() // materialize so the entry-scoped caches populate
+      val plan = df.queryExecution.executedPlan.toString
+      // every consumer of the banded frame / split-assigned docs must
+      // read the entry-scoped cache, not re-derive shingle+md5 per branch
+      assert(plan.contains("InMemoryTableScan") ||
+        plan.contains("TableCacheQueryStage"),
+        s"banded signature pipeline not cached in:\n$plan")
+    } finally TransientCache.drain()
+  }
 }

@@ -171,4 +171,45 @@ class SnapshotSpec extends AnyFunSuite {
     // lock released on success — a later run can take it
     assert(!fs(path).exists(lock))
   }
+
+  test("commit protocol holds across filesystem schemes; deep clone is independent") {
+    // Parameterize the FULL commit cycle over two Hadoop FS
+    // implementations reached through explicit URI schemes:
+    // `file:` (checksummed LocalFileSystem) and `raw:`
+    // (RawLocalFileSystem, no CRC shadow files) — the commit protocol's
+    // documented contract is "any FS with atomic create-exclusive and
+    // rename" (Snapshots.scala), and this is the in-sandbox version of
+    // pointing the table at a second store.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.raw.impl", classOf[RawSchemeFs].getName)
+    for (scheme <- Seq("file", "raw")) {
+      val root = s"$scheme://" + freshRoot(s"snap_fs_$scheme")
+      val t = new SnapshotTable(spark, root)
+      val good = frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0))
+      val v1 = t.commitOverwrite(good)
+      t.commitOverwritePartitions(frame((9, 2024, 2, -1.0)))
+      val v3 = t.rollbackTo(v1)
+      assert(state(t.readVersion(v3)) == state(good), s"rollback under $scheme:")
+      // optimistic-commit conflict: create-exclusive must hold here too
+      val orphan = new Path(root, "_manifests/v00004.txt")
+      val out = fs(root).create(orphan, false); out.close()
+      intercept[SnapshotConflictException] { t.commitAppend(good) }
+      fs(root).delete(orphan, false)
+      // deep clone, then expire the CLONE: source history must be intact
+      val c = t.deepClone(s"$scheme://" + freshRoot(s"snap_fsc_$scheme"))
+      c.expire(keepLast = 2)
+      assert(c.history.size == 2 && t.history.size == 3,
+        s"clone expiry leaked into source under $scheme:")
+      assert(state(c.read()) == state(good), s"clone state under $scheme:")
+      assert(state(t.readVersion(1)) == state(good), s"source v1 under $scheme:")
+    }
+  }
+}
+
+/** RawLocalFileSystem mounted at a second URI scheme (`raw://`) — the
+  * in-sandbox stand-in for a non-default store: no CRC shadow files,
+  * its own rename/create code paths. RawLocalFileSystem hardcodes
+  * `file:///` as its URI, so the remount needs the override. */
+class RawSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("raw:///")
 }
