@@ -275,6 +275,12 @@ object DataPipelineEntries {
   // Hashing-trick featurizer geometry/seed (text_feature_hash entry +
   // oracle — shared so bucketing cannot drift).
   private val fhDims = 64
+  // Matryoshka audit prefix width (emb_matryoshka entry + oracle)
+  private val mrlDims = 32
+  // Zipf profile vocabulary cut (text_zipf entry + oracle)
+  private val zipfK = 64
+  // Containment verify threshold (dedup_containment entry + oracle)
+  private val containThresh = 0.8
   private val fhSeed = 31
   // PMI collocation cut (text_collocations entry + oracle): hapax and
   // near-hapax bigrams score arbitrarily high PMI, so rank only pairs
@@ -340,6 +346,29 @@ object DataPipelineEntries {
       .select(explode(TextAnalysis.shingles(col("text"))).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(20)),
+    // Zipf rank-frequency profile: OLS slope of ln(freq) on ln(rank)
+    // over the top-K vocabulary — the corpus-health fingerprint (a
+    // natural corpus sits near −1; TakeOrdered bounds the regression to
+    // a K-row frame, so the window rank runs on one task over K rows,
+    // never the vocabulary). The lns round to 9 decimals before the
+    // decimal moment sums so both engines regress identical values.
+    "text_zipf" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(zipfK)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("w"))))
+      val (lx, ly) = (round(log(col("rank")), 9), round(log(col("n")), 9))
+      ranked.agg(
+        count(lit(1)).as("n_terms"),
+        round(graft.expr.Functions.stableSlope(lx, ly), 6).as("zipf_slope"),
+        round(graft.expr.Functions.stableIntercept(lx, ly), 6).as("zipf_intercept"),
+        max(when(col("rank") === 1, col("w"))).as("top_term"),
+        max(when(col("rank") === 1, col("n"))).as("top_freq"))
+    },
     // Top bigram collocations by pointwise mutual information (min-
     // count cut): multi-word-expression mining — vocabulary-sized
     // count tables, totals reduced FROM those tables (no third corpus
@@ -564,6 +593,13 @@ object DataPipelineEntries {
     "dedup_minhash_lsh" -> q((s, d) =>
       Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
         threshold = 0.5, maxBandSize = lshMaxBand)),
+    // Subsumption detection: the SAME banded candidates verified with
+    // max-side containment |A∩B|/min(|A|,|B|) instead of Jaccard — the
+    // doc-inside-doc / boilerplate-wrapping case Jaccard under-scores.
+    "dedup_containment" -> q((s, d) =>
+      Dedup.containmentPairs(Tables.spread(Tables.documents(s, d)),
+        numHashes = 12, rowsPerBand = 2, threshold = containThresh,
+        maxBandSize = lshMaxBand)),
     // Incremental cross-corpus dedup: batch 1 (even ids) seeds the
     // persisted band index, batch 2 (odd ids) dedups against it without
     // re-signaturing batch 1; the unioned outputs must equal the
@@ -787,6 +823,29 @@ object DataPipelineEntries {
     },
     "sim_cosine_pairs" -> q((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // Matryoshka truncation audit: how much neighbor geometry survives
+    // at half the embedding width — per label, the mean/max deviation
+    // between full-width and prefix-width pair cosines (the
+    // dimension-budget question MRL-style serving asks before storing
+    // truncated vectors). Same label blocking as sim_cosine_pairs;
+    // per-pair cosines round before the decimal-stable aggregation so
+    // both engines aggregate identical values.
+    "emb_matryoshka" -> q { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
+        col("embedding").as("v"), slice(col("embedding"), 1, mrlDims).as("h"))
+      val a = e.select(col("label"), col("vec_id").as("vec_i"),
+        col("v").as("va"), col("h").as("ha"))
+      val b = e.select(col("label"), col("vec_id").as("vec_j"),
+        col("v").as("vb"), col("h").as("hb"))
+      a.join(b, Seq("label")).filter(col("vec_i") < col("vec_j"))
+        .select(col("label"),
+          abs(round(Similarity.cosine(col("va"), col("vb")), 6) -
+            round(Similarity.cosine(col("ha"), col("hb")), 6)).as("err"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.expr.Functions.stableAvg(col("err")), 6).as("mean_err"),
+          round(max(col("err")), 6).as("max_err"))
+    },
     // Label-free embedding near-dup blocking: random-hyperplane LSH
     // (banded sign signatures off the shared deterministic ±1 matrix)
     // generates candidates, exact cosine verifies — pair space is
@@ -1120,6 +1179,35 @@ object DataPipelineEntries {
         .select(col("day"), col("exact_cum"),
           (abs(col("est") - col("exact_cum")) <=
             col("exact_cum") * lit(0.08) + lit(5)).as("within_bound"))
+    },
+    // Sketch set algebra: distinct-user INTERSECTION of two behaviors
+    // estimated by inclusion-exclusion over mergeable HLL sketches
+    // (est∩ = estA + estB − est∪) — the audience-overlap question a
+    // 100 TB event store answers from three sketch-sized states instead
+    // of a distinct join. Graded: exact cohort sizes + the estimate's
+    // error envelope pinned true (the taxi_daily_approx contract —
+    // estimates are engine-local, their accuracy contract is not).
+    "ev_hll_intersect" -> q { (s, d) =>
+      val ev = Tables.events(s, d)
+      def sk(t: String) = ev.filter(col("event_type") === t)
+        .agg(hll_sketch_agg(col("user_id")).as(s"sk_$t"))
+      val est = sk("view").crossJoin(sk("click"))
+        .select(hll_sketch_estimate(col("sk_view")).as("est_a"),
+          hll_sketch_estimate(col("sk_click")).as("est_b"),
+          hll_sketch_estimate(
+            hll_union(col("sk_view"), col("sk_click"))).as("est_u"))
+        .select((col("est_a") + col("est_b") - col("est_u")).as("est_both"))
+      def users(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+      val exact = users("view").agg(count(lit(1)).as("n_view"))
+        .crossJoin(users("click").agg(count(lit(1)).as("n_click")))
+        .crossJoin(users("view").intersect(users("click"))
+          .agg(count(lit(1)).as("n_both")))
+      exact.crossJoin(est).select(
+        col("n_view"), col("n_click"), col("n_both"),
+        (abs(col("est_both") - col("n_both")) <=
+          (col("n_view") + col("n_click")).cast("double") * lit(0.05) + lit(8))
+          .as("within_bound"))
     },
     // Pivot: per-day event counts fanned out to one column per type.
     "ev_pivot" -> q((s, d) => Tables.events(s, d)
@@ -2215,7 +2303,10 @@ object DataPipelineEntries {
   /** Full-corpus MinHash+LSH mirror — shared verbatim by
     * `dedup_minhash_lsh` and `dedup_lsh_incremental` (the incremental
     * run's unioned batches must reproduce the one-shot recompute). */
-  private lazy val minhashLshSql =
+  /** Shared banded-LSH verify-pipeline mirror, parameterized by the
+    * exact verification score — Jaccard for [[minhashLshSql]], max-side
+    * containment for the dedup_containment entry. */
+  private def lshVerifySql(scoreExpr: String, outCol: String, thresh: String) =
     s"""WITH s AS (SELECT doc_id, lang, $shinglesSql AS sh FROM documents),
        |e AS (SELECT doc_id, lang, len(sh) AS n_sh, unnest(sh) AS s FROM s),
        |hashed AS (SELECT doc_id, lang, n_sh,
@@ -2238,8 +2329,15 @@ object DataPipelineEntries {
        |      FROM cand c
        |      JOIN s si ON si.doc_id = c.doc_i
        |      JOIN s sj ON sj.doc_id = c.doc_j)
-       |SELECT doc_i, doc_j, ${rnd("inter::DOUBLE / (n_i + n_j - inter)", 6)} AS jaccard
-       |FROM v WHERE inter::DOUBLE / (n_i + n_j - inter) >= 0.5""".stripMargin
+       |SELECT doc_i, doc_j, ${rnd(scoreExpr, 6)} AS $outCol
+       |FROM v WHERE $scoreExpr >= $thresh""".stripMargin
+
+  private lazy val minhashLshSql =
+    lshVerifySql("inter::DOUBLE / (n_i + n_j - inter)", "jaccard", "0.5")
+
+  private lazy val containmentSql =
+    lshVerifySql("inter::DOUBLE / least(n_i, n_j)", "containment",
+      containThresh.toString)
 
   private val simhashBitSums = (0 until 16).map(j =>
     s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
@@ -2436,6 +2534,32 @@ object DataPipelineEntries {
          |  CASE WHEN n > 1 AND $vx > 0 THEN ${rnd(slope, 6)} END AS slope,
          |  CASE WHEN n > 1 AND $vx > 0
          |    THEN ${rnd(s"(sy - ($slope) * sx) / n", 6)} END AS intercept
+         |FROM m""".stripMargin
+    },
+    // zipf mirror: same top-K cut and tie-break, same rounded-ln
+    // decimal-moment regression as ev_linreg
+    "text_zipf" -> {
+      def d(x: String) = s"CAST(${decSum(x)} AS DOUBLE)"
+      val vx = "greatest(n * sxx - sx * sx, 0)"
+      val slope = s"(n * sxy - sx * sy) / $vx"
+      s"""WITH w AS (SELECT w FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |t AS (SELECT w, count(*) AS n FROM w GROUP BY 1
+         |      ORDER BY n DESC, w LIMIT $zipfK),
+         |r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rank FROM t),
+         |l AS (SELECT w, n, rank, ${rnd("ln(rank)", 9)} AS lx, ${rnd("ln(n)", 9)} AS ly
+         |      FROM r),
+         |m AS (SELECT count(*) AS n, ${d("lx")} AS sx, ${d("ly")} AS sy,
+         |    ${d("lx * lx")} AS sxx, ${d("lx * ly")} AS sxy,
+         |    max(CASE WHEN rank = 1 THEN w END) AS top_term,
+         |    max(CASE WHEN rank = 1 THEN l.n END) AS top_freq
+         |  FROM l)
+         |SELECT n AS n_terms,
+         |  CASE WHEN n > 1 AND $vx > 0 THEN ${rnd(slope, 6)} END AS zipf_slope,
+         |  CASE WHEN n > 1 AND $vx > 0
+         |    THEN ${rnd(s"(sy - ($slope) * sx) / n", 6)} END AS zipf_intercept,
+         |  top_term, top_freq
          |FROM m""".stripMargin
     },
     // mirror of TextAnalysis.fuzzyMatch: both engines implement unit
@@ -2654,6 +2778,8 @@ object DataPipelineEntries {
          |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a)
          |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    // same candidate mirror, containment verify
+    "dedup_containment" -> containmentSql,
     // incremental(batch1 → batch2) must reproduce the full recompute —
     // identical oracle by design
     "dedup_lsh_incremental" -> minhashLshSql,
@@ -2884,6 +3010,18 @@ object DataPipelineEntries {
          |p AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j, ${cosSql("a.v", "b.v")} AS cos
          |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT vec_i, vec_j, ${rnd("cos", 6)} AS cos FROM p WHERE cos >= 0.4""".stripMargin,
+    // matryoshka mirror: the same label-blocked pairs, full vs prefix
+    // cosine rounded per pair before the decimal aggregation
+    "emb_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    (CAST(embedding AS DOUBLE[]))[1:$mrlDims] AS h FROM embeddings),
+         |p AS (SELECT a.label,
+         |    abs(${rnd(cosSql("a.v", "b.v"), 6)} - ${rnd(cosSql("a.h", "b.h"), 6)}) AS err
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, count(*) AS n_pairs,
+         |  ${rnd(oStableAvg("err"), 6)} AS mean_err,
+         |  ${rnd("max(err)", 6)} AS max_err
+         |FROM p GROUP BY 1""".stripMargin,
     "ev_sessionize" ->
       s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
          |           FROM events),
@@ -3183,6 +3321,15 @@ object DataPipelineEntries {
     // first-seen-day identity; the estimate itself is engine-local, so
     // the oracle pins the BOUND column at true (a bound violation
     // hash-mismatches) — the taxi_daily_approx contract
+    // intersection mirror: exact cohort sizes; the sketch estimate's
+    // envelope flag pinned true
+    "ev_hll_intersect" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM v WHERE user_id IN (SELECT user_id FROM c)) AS n_both,
+        |  true AS within_bound""".stripMargin,
     "ev_hll_rollup" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
         |nu AS (SELECT day, count(*) AS nu FROM f GROUP BY 1),

@@ -372,6 +372,24 @@ object TaxiEntries {
         .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // Incremental view maintenance: the per-partition aggregate mart
+    // maintained from the CDC changelog ALONE (insert=+1 / delete=-1
+    // signed delta-aggregate merged into the v1 aggregate) — refresh
+    // cost is O(changed rows), never O(table). Decimal accumulation on
+    // both sides makes base+delta ≡ full v2 recompute bit-for-bit, and
+    // the oracle IS the full recompute, so any drift in the delta
+    // algebra hash-mismatches.
+    "taxi_cdc_incr_agg" -> q { (s, d) =>
+      val (t, v1, v2, _) = snapCdcFixture(s, d)
+      val dec = graft.expr.Functions.stableSum(col("fare_amount"))
+      val base = t.readVersion(v1).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"), dec.as("fs"))
+      graft.write.Ivm.applyCountSumDelta(
+          base, t.changelog(v1, v2), Seq("year", "month"),
+          nCol = "n", sumCol = "fs", value = col("fare_amount").cast("decimal(38,10)"))
+        .select(col("year"), col("month"), col("n"),
+          round(col("fs"), 2).cast("double").as("fare_sum"))
     })
 
   /** The three-commit snapshot fixture (clean full v1, corrupted-
@@ -567,6 +585,13 @@ object TaxiEntries {
     // the reconstructed v2: replaced partitions carry the corrupted
     // fares, untouched partitions the originals
     "taxi_changelog_apply" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum(
+             "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +
+               "ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // IVM merged aggregate must land exactly on the full v2 recompute
+    "taxi_cdc_incr_agg" -> o(
       s"""SELECT year, month, count(*) AS n,
          |  ${rndSum(
              "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +

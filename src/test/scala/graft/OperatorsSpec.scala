@@ -64,6 +64,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ng.head.getDouble(2) == mh.head.getDouble(2))
   }
 
+  test("containmentPairs flags a document fully contained in a longer one") {
+    // doc 2's shingle set is a subset of doc 1's: containment = 1.0
+    // while its Jaccard (5/12 ≈ 0.42) sits BELOW the 0.5 dedup cut —
+    // the subsumption case the Jaccard verify misses
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val sub = "alpha beta gamma delta epsilon zeta eta"
+    val far = "one two three four five six seven eight nine ten"
+    val df = docs((1L, "en", big), (2L, "en", sub), (3L, "en", far))
+    val cp = Dedup.containmentPairs(df, threshold = 0.8).collect()
+    assert(cp.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0)))
+    assert(Dedup.minhashLsh(df, threshold = 0.5)
+      .filter($"doc_i" === 1L && $"doc_j" === 2L).isEmpty,
+      "planted pair must be a containment-only (sub-Jaccard) case")
+  }
+
   test("ngram df-cut drops hot boilerplate shingles from the index") {
     // 20 docs sharing an 8-token boilerplate prefix + 2 unique tokens:
     // per doc 8 shingles, 6 fully inside the boilerplate (df=20), so any

@@ -172,6 +172,39 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!fs(path).exists(lock))
   }
 
+  test("IVM delta merge equals the full recompute, drops emptied groups, adds new ones") {
+    import graft.write.Ivm
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("fare").cast("decimal(38,10)")).as("fs"))
+    val t = new SnapshotTable(spark, freshRoot("snap_ivm"))
+    val v1 = t.commitOverwrite(frame(
+      (1, 2024, 1, 10.0), (2, 2024, 1, 20.5), (3, 2024, 2, 30.0)))
+    // v2: month 1 partially rewritten, month 2 REMOVED (all rows replaced
+    // away is not expressible by partition overwrite alone — use a full
+    // overwrite), month 3 NEW
+    val v2 = t.commitOverwrite(frame(
+      (1, 2024, 1, 10.0), (9, 2024, 1, 99.9), (7, 2024, 3, 7.25)))
+    val merged = Ivm.applyCountSumDelta(
+      agg(t.readVersion(v1)), t.changelog(v1, v2), Seq("year", "month"),
+      nCol = "n", sumCol = "fs", value = col("fare").cast("decimal(38,10)"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("year"), col("month"), col("n"), col("fs").cast("string"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(canon(merged) == canon(agg(t.readVersion(v2))))
+    // emptied month 2 must be GONE, not present with n=0
+    assert(!merged.collect().exists(_.getInt(1) == 2))
+    // unknown ops fail loudly, not silently as zero
+    intercept[Exception] {
+      Ivm.applyCountSumDelta(agg(t.readVersion(v1)),
+        t.changelog(v1, v2).withColumn("op", lit("upsert")),
+        Seq("year", "month"), "n", "fs", col("fare").cast("decimal(38,10)"))
+        .collect()
+    }
+  }
+
   test("commit protocol holds across filesystem schemes; deep clone is independent") {
     // Parameterize the FULL commit cycle over two Hadoop FS
     // implementations reached through explicit URI schemes:
