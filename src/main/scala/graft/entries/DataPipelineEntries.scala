@@ -281,6 +281,8 @@ object DataPipelineEntries {
   private val zipfK = 64
   // Containment verify threshold (dedup_containment entry + oracle)
   private val containThresh = 0.8
+  // Trailing time-range window width in µs (ev_range_window entry + oracle)
+  private val rangeWinUs = 10L * 60 * 1000000
   private val fhSeed = 31
   // PMI collocation cut (text_collocations entry + oracle): hapax and
   // near-hapax bigrams score arbitrarily high PMI, so rank only pairs
@@ -1209,6 +1211,47 @@ object DataPipelineEntries {
           (col("n_view") + col("n_click")).cast("double") * lit(0.05) + lit(8))
           .as("within_bound"))
     },
+    // Time-RANGE window frame (vs the rows-frames elsewhere): per event,
+    // activity over the trailing 10 minutes of the SAME user by event
+    // TIME, not row count — peers at equal timestamps all join the
+    // frame, which rows-frames cannot express. One shuffle + sort per
+    // user; the sum accumulates in decimal so frame-internal order
+    // cannot flip a bit.
+    "ev_range_window" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+        .withColumn("tu", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tu"))
+        .rangeBetween(-rangeWinUs, 0)
+      e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        round(sum(col("value").cast("decimal(38,10)")).over(w), 6)
+          .cast("double").as("sum_10m"))
+    },
+    // Batch-to-batch embedding drift monitor: per label, the L2 distance
+    // between the centroid of the even-id batch and the odd-id batch —
+    // the distribution-shift gate an embedding pipeline runs before
+    // accepting a new encoder/batch. Per-dim stable means round before
+    // the cross-batch distance so both engines difference identical
+    // values.
+    "sim_centroid_drift" -> q { (s, d) =>
+      import graft.expr.Functions.{stableAvg, stableSum}
+      val emb = Tables.embeddings(s, d)
+      def centroid(p: Int, nm: String) =
+        emb.filter(pmod(col("vec_id"), lit(2)) === p)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(stableAvg(col("x").cast("double")), 9).as(nm))
+      val counts = emb.groupBy(col("label")).agg(
+        sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+      centroid(0, "ma").join(centroid(1, "mb"), Seq("label", "pos"))
+        .withColumn("d2", (col("ma") - col("mb")) * (col("ma") - col("mb")))
+        .groupBy(col("label"))
+        .agg(round(sqrt(stableSum(col("d2")).cast("double")), 6).as("drift"))
+        .join(counts, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"), col("drift"))
+    },
     // Pivot: per-day event counts fanned out to one column per type.
     "ev_pivot" -> q((s, d) => Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -1385,6 +1428,25 @@ object DataPipelineEntries {
         .agg(count(lit(1)).as("n_total"),
           round(min(col("rate")), 6).as("rate"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    },
+    // Curriculum staging: quality-quantile stage assignment (exact
+    // quartile cuts from ONE aggregate, broadcast, stage = cuts
+    // exceeded — never a global sort/ntile, which would funnel the
+    // corpus through one task) with a per-stage profile — the
+    // easy-to-hard data-ordering step curriculum training needs.
+    "corpus_curriculum" -> q { (s, d) =>
+      val scored = Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("nt"))
+      graft.operators.Sketches.quantileBins(scored, lit(1), col("q"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("q")), 2).as("min_q"),
+          round(max(col("q")), 2).as("max_q"),
+          round(graft.expr.Functions.stableAvg(col("nt").cast("double")), 4)
+            .as("avg_tokens"))
+        .select(col("bin").as("stage"), col("n_docs"), col("min_q"),
+          col("max_q"), col("avg_tokens"))
     },
     // Token-budget allocation: per-source token caps (one aggregation
     // pass) water-filled against mixture weights derived from the
@@ -2358,6 +2420,24 @@ object DataPipelineEntries {
          |FROM (SELECT doc_id, $stopRatioSql AS stopword_ratio,
          |             len($toks) AS n_tokens
          |      FROM documents)""".stripMargin,
+    // curriculum mirror: same score fragment as text_quality, same
+    // exact-quantile cuts + cuts-exceeded staging as ev_quantile_bins
+    "corpus_curriculum" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    ${rnd("least(CAST(1.0 AS DOUBLE), n_tokens / 50.0) * (1.0 - stopword_ratio) * 100", 2)} AS q,
+         |    n_tokens AS nt
+         |  FROM (SELECT doc_id, $stopRatioSql AS stopword_ratio,
+         |               len($toks) AS n_tokens FROM documents)),
+         |cuts AS (SELECT ${rnd("quantile_cont(q, 0.25)", 6)} AS c0,
+         |    ${rnd("quantile_cont(q, 0.5)", 6)} AS c1,
+         |    ${rnd("quantile_cont(q, 0.75)", 6)} AS c2 FROM s)
+         |SELECT CAST(((CASE WHEN q > c0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN q > c1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN q > c2 THEN 1 ELSE 0 END)) AS INTEGER) AS stage,
+         |  count(*) AS n_docs, ${rnd("min(q)", 2)} AS min_q,
+         |  ${rnd("max(q)", 2)} AS max_q,
+         |  ${rnd(oStableAvg("CAST(nt AS DOUBLE)"), 4)} AS avg_tokens
+         |FROM s, cuts GROUP BY 1""".stripMargin,
     "text_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang,
@@ -3321,6 +3401,36 @@ object DataPipelineEntries {
     // first-seen-day identity; the estimate itself is engine-local, so
     // the oracle pins the BOUND column at true (a bound violation
     // hash-mismatches) — the taxi_daily_approx contract
+    // range-frame mirror: same numeric RANGE frame over epoch µs, the
+    // same decimal-accumulated sum
+    "ev_range_window" ->
+      s"""SELECT user_id, event_id,
+         |  count(*) OVER w AS n_10m,
+         |  CAST(round(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,10))) OVER w, 6)
+         |    AS DOUBLE) AS sum_10m
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN $rangeWinUs PRECEDING AND CURRENT ROW)""".stripMargin,
+    // drift mirror: per-dim stable means rounded per batch, decimal-
+    // summed squared differences, IEEE-exact sqrt
+    "sim_centroid_drift" ->
+      s"""WITH x AS (SELECT label, vec_id % 2 AS p,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+         |    generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |ma AS (SELECT label, pos, ${rnd(oStableAvg("v"), 9)} AS m
+         |       FROM x WHERE p = 0 GROUP BY 1, 2),
+         |mb AS (SELECT label, pos, ${rnd(oStableAvg("v"), 9)} AS m
+         |       FROM x WHERE p = 1 GROUP BY 1, 2),
+         |c AS (SELECT label,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM embeddings GROUP BY 1),
+         |d AS (SELECT ma.label,
+         |    ${rnd(s"sqrt(CAST(${decSum("(ma.m - mb.m) * (ma.m - mb.m)")} AS DOUBLE))", 6)} AS drift
+         |  FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
+         |  GROUP BY 1)
+         |SELECT label, n_a, n_b, drift FROM c JOIN d USING (label)""".stripMargin,
     // intersection mirror: exact cohort sizes; the sketch estimate's
     // envelope flag pinned true
     "ev_hll_intersect" ->
