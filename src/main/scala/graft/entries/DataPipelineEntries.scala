@@ -297,6 +297,8 @@ object DataPipelineEntries {
   private val containThresh = 0.8
   // Trailing time-range window width in µs (ev_range_window entry + oracle)
   private val rangeWinUs = 10L * 60 * 1000000
+  // A/B variant hash seed (ev_ab_test entry + oracle)
+  private val abSeed = 77
   private val fhSeed = 31
   // PMI collocation cut (text_collocations entry + oracle): hapax and
   // near-hapax bigrams score arbitrarily high PMI, so rank only pairs
@@ -975,6 +977,58 @@ object DataPipelineEntries {
       round(Similarity.l2Norm(col("embedding")), 6).as("l2"))),
     // -- events ----------------------------------------------------------
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
+    // Spark's NATIVE session_window operator (vs the lag+cumsum
+    // formulation ev_sessionize grades): gap-merged per-user sessions
+    // with [min_ts, last_ts + gap) bounds. Session-window semantics
+    // close at exactly-gap (>= starts a new session), which the oracle
+    // mirrors — the one-boundary difference from the strict-> lag
+    // formulation, pinned here on purpose.
+    "ev_session_window" -> q { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast("timestamp"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("session_start"),
+          col("sw.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+    },
+    // Two-proportion A/B gate: users hash-split into variants (the
+    // sample_split machinery), conversion = any purchase; pooled
+    // two-sample z statistic from the four integer counts — every
+    // arithmetic step IEEE-exact from integers, so both engines land
+    // the same rounded z. The decision threshold is graded, not just
+    // the statistic.
+    "ev_ab_test" -> q { (s, d) =>
+      // conversion = ABOVE-MEAN purchaser, not "any purchase" — with
+      // ~70 events/user every user purchases, and a degenerate pooled
+      // rate of 1 zeroes the z variance (ANSI then rightly raises on
+      // the division). The mean cut is scale-invariant (works at every
+      // SF) and the se > 0 guard below keeps even a degenerate corpus
+      // well-defined (NULL z, NULL verdict).
+      val perUser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      val meanNp = perUser.agg(
+        graft.expr.Functions.stableAvg(col("np").cast("double")).as("mean_np"))
+      val users = perUser.crossJoin(broadcast(meanNp))
+        .select(when(col("np") > col("mean_np"), 1L).otherwise(0L).as("conv"),
+          pmod(Dedup.portableHash(col("user_id").cast("string"), abSeed), lit(2))
+            .as("variant"))
+      val agg = users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+      val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val z = (pa - pb) / se
+      agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0, round(z, 6)).as("z"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0, abs(z) > lit(1.96))
+          .as("significant"))
+    },
     // Burst debounce: same lag+cumsum shape as sessionize per
     // (user, type); only each burst's first event survives.
     "ev_debounce" -> q((s, d) =>
@@ -1488,6 +1542,37 @@ object DataPipelineEntries {
     // Corpus filter funnel — the standard pre-training data triage
     // (language → quality → length), each stage cumulative, ONE aggregate
     // pass over the corpus (map-side conditional sums, no per-stage scan).
+    // Dataset card: the one-row statistics summary published with a
+    // training corpus — sizes, source/language spread, token mass,
+    // mean quality, exact-dup rate, language entropy. One corpus pass
+    // for the profile row + one vocabulary-sized pass for the entropy;
+    // the scored projection is entry-scoped cached because both
+    // consume it.
+    "corpus_dataset_card" -> q { (s, d) =>
+      import graft.expr.Functions.{stableAvg, stableSum}
+      val docs = graft.TransientCache.register(
+        Tables.spread(Tables.documents(s, d)).select(col("doc_id"), col("lang"),
+          col("source"),
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          md5(col("text")).as("h")))
+      val basic = docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("nt").cast("long")).as("total_tokens"),
+          round(stableAvg(col("q")), 4).as("mean_quality"),
+          countDistinct(col("h")).as("n_unique_texts"))
+        .withColumn("dup_rate", round(
+          (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"), 6))
+      val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()).cast("double"))
+        .agg(round(-stableSum(col("p") * log(col("p"))).cast("double"), 6)
+          .as("lang_entropy"))
+      basic.crossJoin(langEnt)
+    },
     "corpus_funnel" -> q { (s, d) =>
       // project each expensive predicate ONCE before the aggregate
       // (subexpression elimination across separate agg expressions'
@@ -3128,6 +3213,49 @@ object DataPipelineEntries {
          |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
          |       count(*) AS n_events, ${rndSum("value", 2)} AS total_value
          |FROM x GROUP BY 1, 2""".stripMargin,
+    // native session_window mirror: >= gap closes (session-window
+    // semantics — the one boundary where it differs from the strict->
+    // lag formulation above), end = last event + gap
+    "ev_session_window" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) >= ${30 * 60 * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM f)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  count(*) AS n_events
+         |FROM x GROUP BY user_id, sid""".stripMargin,
+    // A/B mirror: identical hash split, identical operation order in
+    // the pooled z formula (IEEE-exact from the four integer counts)
+    "ev_ab_test" -> {
+      val pa = "CAST(conv_a AS DOUBLE) / n_a"
+      val pb = "CAST(conv_b AS DOUBLE) / n_b"
+      val pp = "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"
+      val se = s"sqrt(($pp) * (1.0 - ($pp)) * (1.0 / n_a + 1.0 / n_b))"
+      val z = s"(($pa) - ($pb)) / ($se)"
+      val ok = s"n_a > 0 AND n_b > 0 AND ($se) > 0"
+      s"""WITH u AS (SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT ${oStableAvg("CAST(np AS DOUBLE)")} AS mean_np FROM u),
+         |v AS (SELECT CASE WHEN np > mean_np THEN 1 ELSE 0 END AS conv,
+         |    ${pHash("CAST(user_id AS VARCHAR)", abSeed)} % 2 AS variant
+         |  FROM u, m),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM v)
+         |SELECT n_a, n_b, conv_a, conv_b,
+         |  CASE WHEN $ok THEN ${rnd(z, 6)} END AS z,
+         |  CASE WHEN $ok THEN abs($z) > 1.96 END AS significant
+         |FROM a""".stripMargin
+    },
     "ev_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events, ${rndSum("value", 2)} AS total_value
@@ -3977,6 +4105,32 @@ object DataPipelineEntries {
     // cumulative language → quality → length funnel; stage predicates
     // mirror text_lang_id ('en' wins ties as first marker language) and
     // text_quality exactly
+    // dataset-card mirror: same score/token fragments, same decimal
+    // entropy convention as ev_entropy
+    "corpus_dataset_card" ->
+      s"""WITH s AS (SELECT doc_id, lang, source, md5(text) AS h,
+         |    len($toks) AS nt, $stopRatioSql AS stopword_ratio
+         |  FROM documents),
+         |sq AS (SELECT *,
+         |    ${rnd("least(CAST(1.0 AS DOUBLE), nt / 50.0) * (1.0 - stopword_ratio) * 100", 2)} AS q
+         |  FROM s),
+         |b AS (SELECT count(*) AS n_docs,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT lang) AS n_langs,
+         |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |    ${rnd(oStableAvg("q"), 4)} AS mean_quality,
+         |    count(DISTINCT h) AS n_unique_texts
+         |  FROM sq),
+         |lp AS (SELECT CAST(count(*) AS DOUBLE) /
+         |         CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+         |       FROM s GROUP BY lang),
+         |le AS (SELECT ${rnd(s"-CAST(${decSum("p * ln(p)")} AS DOUBLE)", 6)} AS lang_entropy
+         |       FROM lp)
+         |SELECT n_docs, n_sources, n_langs, total_tokens, mean_quality,
+         |  n_unique_texts,
+         |  ${rnd("CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs", 6)} AS dup_rate,
+         |  lang_entropy
+         |FROM b, le""".stripMargin,
     "corpus_funnel" ->
       s"""WITH s AS (
          |  SELECT doc_id,

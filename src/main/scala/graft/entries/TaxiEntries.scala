@@ -390,6 +390,29 @@ object TaxiEntries {
           nCol = "n", sumCol = "fs", value = col("fare_amount").cast("decimal(38,10)"))
         .select(col("year"), col("month"), col("n"),
           round(col("fs"), 2).cast("double").as("fare_sum"))
+    },
+    // The STREAMING side of the IVM contract: the changelog arrives as
+    // a file stream (maxFilesPerTrigger=1 → several micro-batches),
+    // each foreachBatch delta-merges into a snapshot-versioned
+    // aggregate table. The delta algebra is abelian, so the final
+    // table is batch-slicing-independent and must equal the full v2
+    // recompute — the same oracle as the batch IVM entry.
+    "taxi_stream_ivm" -> q { (s, d) =>
+      val (t, v1, v2, _) = snapCdcFixture(s, d)
+      val logDir = tmpPath("sivm_log", d, s)
+      t.changelog(v1, v2).repartition(4).write.mode("overwrite").parquet(logDir)
+      val agg = new graft.write.SnapshotTable(s, tmpPath("sivm_agg", d, s))
+      agg.commitOverwrite(t.readVersion(v1).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableSum(col("fare_amount")).as("fs")))
+      val logSchema = s.read.parquet(logDir).schema
+      graft.streaming.StreamingEvents.ivmStream(
+        s.readStream.schema(logSchema).option("maxFilesPerTrigger", 1).parquet(logDir),
+        agg, Seq("year", "month"), nCol = "n", sumCol = "fs",
+        valueCol = "fare_amount", checkpoint = tmpPath("sivm_ckpt", d, s))
+        .awaitTermination()
+      agg.read().select(col("year"), col("month"), col("n"),
+        round(col("fs"), 2).cast("double").as("fare_sum"))
     })
 
   /** The three-commit snapshot fixture (clean full v1, corrupted-
@@ -592,6 +615,13 @@ object TaxiEntries {
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // IVM merged aggregate must land exactly on the full v2 recompute
     "taxi_cdc_incr_agg" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum(
+             "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +
+               "ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // streaming IVM: batch-slicing-independent ⇒ identical oracle
+    "taxi_stream_ivm" -> o(
       s"""SELECT year, month, count(*) AS n,
          |  ${rndSum(
              "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +

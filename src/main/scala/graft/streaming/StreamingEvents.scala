@@ -212,6 +212,35 @@ object StreamingEvents extends Serializable {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental view maintenance: each micro-batch of CDC
+    * changelog rows (op = insert/delete) delta-merges into a snapshot-
+    * versioned count/sum aggregate via [[graft.write.Ivm]] — the
+    * derived-mart maintenance loop a changelog consumer actually runs.
+    * State lives in the TABLE (one snapshot commit per batch; restart
+    * recovery = checkpoint replays unprocessed files against the
+    * committed aggregate), never in executor memory, and each batch
+    * costs O(batch rows), never O(table). Because the delta algebra is
+    * abelian, the final aggregate is independent of how the changelog
+    * was sliced into micro-batches. */
+  def ivmStream(stream: DataFrame, agg: graft.write.SnapshotTable,
+                keys: Seq[String], nCol: String, sumCol: String,
+                valueCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the merge consumes the batch twice (count + sum deltas ride
+        // one agg, but the plan also feeds the outer join probe)
+        val b = batch.toDF().persist()
+        try {
+          agg.commitOverwrite(graft.write.Ivm.applyCountSumDelta(
+            agg.read(), b, keys, nCol, sumCol,
+            col(valueCol).cast("decimal(38,10)")))
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-source stream over a directory of event parquet (µs
     * timestamps), for tests and replay. */
   def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
