@@ -73,6 +73,26 @@ object TpchEntries {
         dir, "o_totalprice", nFiles = 8)
       s.read.parquet(dir).filter(col("o_totalprice") > 300000)
     },
+    // FILE-level min/max data skipping (the Delta/Iceberg stats-index
+    // capability): orders clustered on o_custkey, a persisted per-file
+    // (min, max) index built once, then a selective range scan resolved
+    // through MinMaxFileIndex — non-overlapping files drop at PLANNING
+    // time, before any footer is opened. Values graded against the
+    // plain filter; the fewer-files-scanned plan property is pinned in
+    // ScaleToolsSpec.
+    "tpch_fileskip_scan" -> q { (s, d) =>
+      val dir = Scratch.tmpPath("fileskip_orders", d, s)
+      val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+      graft.write.IncrementalWriter.overwriteClustered(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        dataP, "o_custkey", nFiles = 8)
+      graft.sources.DataSkipping.buildStats(s, dataP, "o_custkey", statsP)
+      graft.sources.DataSkipping.read(s, dataP, "o_custkey", statsP)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          stableRoundedSum(col("o_totalprice"), 2).as("total"))
+    },
     // TPC-H Q3 shape (shipping priority): selective dim filter, two
     // fact joins with date predicates pushed to both scans, top-10 by
     // revenue — the classic join+agg+TakeOrdered composite.
@@ -846,6 +866,13 @@ object TpchEntries {
     "tpch_clustered_scan" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_totalprice > 300000""".stripMargin,
+    // skipping must be value-transparent: the index only prunes files
+    // the predicate could never match
+    "tpch_fileskip_scan" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${rndSum("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+         |GROUP BY 1""".stripMargin,
     "tpch_q3_shipping" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  ${rndSum("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue

@@ -679,6 +679,37 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(astN <= 8, s"graph_assortativity exchange count grew to $astN")
   }
 
+  test("min/max file skipping prunes files at planning time, values unchanged") {
+    import java.nio.file.Files
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_skip").toString
+    val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+    // 8 disjoint-range files on k (repartitionByRange + sortWithinPartitions
+    // = the clustered layout file skipping presumes)
+    (1L to 800L).map(i => (i, i * 2.5)).toDF("k", "v")
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+      .write.parquet(dataP)
+    DataSkipping.buildStats(spark, dataP, "k", statsP)
+    val skipped = DataSkipping.read(spark, dataP, "k", statsP)
+      .filter($"k" >= 341 && $"k" <= 360).select("k", "v")
+    val expect = spark.read.parquet(dataP)
+      .filter($"k" >= 341 && $"k" <= 360).select("k", "v")
+    assert(skipped.collect().sortBy(_.getLong(0)).toSeq ==
+      expect.collect().sortBy(_.getLong(0)).toSeq)
+    // planning-time pruning pin: the executed scan read FEWER files
+    // than the directory holds (the 20-key range spans at most 2 of 8)
+    val scan = skipped.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles <= 2,
+      s"expected <=2 of 8 files scanned, got $numFiles")
+    // a filter on an un-indexed column must not prune (conservative)
+    val other = DataSkipping.read(spark, dataP, "k", statsP)
+      .filter($"v" > 100.0)
+    assert(other.count() == spark.read.parquet(dataP).filter($"v" > 100.0).count())
+  }
+
   test("corpus_clean_split builds the LSH signature pipeline once") {
     val df = graft.SparkEntry.queries("corpus_clean_split")(
       spark, "/root/testdata/sf0.001")
