@@ -48,6 +48,11 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.expr.RewriteComposedCosine))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.expr.RewriteComposedCosine
+    // extraStrategies is the matching post-build path for planner
+    // strategies (the custom Sessionize whole-operator node)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.SessionizeStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.SessionizeStrategy
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -977,6 +977,19 @@ object DataPipelineEntries {
       round(Similarity.l2Norm(col("embedding")), 6).as("l2"))),
     // -- events ----------------------------------------------------------
     "ev_sessionize" -> q((s, d) => Events.sessionize(Tables.events(s, d), 30)),
+    // The CUSTOM Sessionize plan node (logical node + strategy +
+    // physical operator via SparkSessionExtensions): one exchange, one
+    // sort, one linear pass — must land on exactly the same sessions as
+    // the two-window composable formulation, so the ev_sessionize
+    // oracle grades it verbatim.
+    "ev_sessionize_native" -> q { (s, d) =>
+      graft.plans.Sessionize(Tables.events(s, d), Seq("user_id"), "ts",
+          gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          graft.expr.Functions.stableRoundedSum(col("value"), 2).as("total_value"))
+    },
     // Spark's NATIVE session_window operator (vs the lag+cumsum
     // formulation ev_sessionize grades): gap-merged per-user sessions
     // with [min_ts, last_ts + gap) bounds. Session-window semantics
@@ -3202,6 +3215,19 @@ object DataPipelineEntries {
          |  ${rnd("max(err)", 6)} AS max_err
          |FROM p GROUP BY 1""".stripMargin,
     "ev_sessionize" ->
+      s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |f AS (SELECT *, CASE WHEN prev IS NULL
+         |        OR epoch_us(ts) - epoch_us(prev) > ${30 * 60 * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |      FROM o),
+         |x AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |      FROM f)
+         |SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events, ${rndSum("value", 2)} AS total_value
+         |FROM x GROUP BY 1, 2""".stripMargin,
+    // custom-plan-node twin: identical session algebra ⇒ identical SQL
+    "ev_sessionize_native" ->
       s"""WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
          |           FROM events),
          |f AS (SELECT *, CASE WHEN prev IS NULL

@@ -173,5 +173,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(NativeFunctions.mightContainInfo)
     ext.injectFunction(NativeFunctions.bloomAggInfo)
     ext.injectOptimizerRule(_ => RewriteComposedCosine)
+    ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
   }
 }
