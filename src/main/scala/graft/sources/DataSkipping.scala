@@ -99,6 +99,8 @@ object DataSkipping {
         num(v).foreach(tightenHi)
       case EqualTo(a: AttributeReference, Literal(v, _)) if a.name == column =>
         num(v).foreach { x => tightenLo(x); tightenHi(x) }
+      case EqualTo(Literal(v, _), a: AttributeReference) if a.name == column =>
+        num(v).foreach { x => tightenLo(x); tightenHi(x) }
       case GreaterThan(Literal(v, _), a: AttributeReference) if a.name == column =>
         num(v).foreach(tightenHi)
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if a.name == column =>

@@ -269,6 +269,22 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
   }
 
+  /** Remove ORPHAN data directories — `_data/d*` dirs referenced by no
+    * retained manifest, the debris a writer crashed between data write
+    * and manifest create leaves behind (`expire` only collects dirs
+    * that WERE referenced). Never touches a referenced dir, so it is
+    * safe to run any time; this is Delta's `VACUUM` for the
+    * invisible-write case. Returns the removed dir names. */
+  def vacuum(): Seq[String] = {
+    if (!fs.exists(dataDir)) return Seq.empty
+    val referenced = history.map(_._1)
+      .flatMap(v => parse(v).entries.map(_.dir)).toSet
+    val orphans = fs.listStatus(dataDir).map(_.getPath)
+      .filterNot(p => referenced(p.getName)).toSeq
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.getName)
+  }
+
   /** Deep clone: copy the whole table (manifests + data) to `destRoot`
     * and return a table handle over the copy — the `CREATE TABLE ...
     * CLONE` shape (Delta/Snowflake). DEEP (files duplicated) so the

@@ -172,6 +172,20 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!fs(path).exists(lock))
   }
 
+  test("vacuum removes only orphan (never-committed) data dirs") {
+    val root = freshRoot("snap_vac")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    // crashed writer: data landed, manifest never created
+    frame((9, 2024, 3, 9.0)).write.parquet(s"$root/_data/d00099")
+    assert(t.vacuum() == Seq("d00099"))
+    assert(!fs(root).exists(new Path(s"$root/_data/d00099")))
+    // referenced dirs untouched; table fully readable; idempotent
+    assert(state(t.read()).size == 2)
+    assert(t.vacuum().isEmpty)
+  }
+
   test("IVM delta merge equals the full recompute, drops emptied groups, adds new ones") {
     import graft.write.Ivm
     def agg(df: org.apache.spark.sql.DataFrame) =
