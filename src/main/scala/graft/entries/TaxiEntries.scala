@@ -391,6 +391,22 @@ object TaxiEntries {
         .select(col("year"), col("month"), col("n"),
           round(col("fs"), 2).cast("double").as("fare_sum"))
     },
+    // VACUUM: a crashed writer leaves a data dir no manifest references
+    // (invisible to readers AND to expire); vacuum removes exactly that
+    // debris and the table stays fully readable — graded on the removed
+    // set plus the surviving row count, on a deep clone so the shared
+    // fixture stays pristine.
+    "taxi_snapshot_vacuum" -> q { (s, d) =>
+      import s.implicits._
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val root = tmpPath("snapvac", d, s)
+      val t = src.deepClone(root)
+      models(s, d).stgYellow.drop("loaded_at").limit(7)
+        .write.parquet(s"$root/_data/d00099")
+      val removed = t.vacuum()
+      Seq((removed.length, removed.sorted.mkString(","), t.read().count()))
+        .toDF("n_removed", "removed_dirs", "n_rows")
+    },
     // The STREAMING side of the IVM contract: the changelog arrives as
     // a file stream (maxFilesPerTrigger=1 → several micro-batches),
     // each foreachBatch delta-merges into a snapshot-versioned
@@ -620,6 +636,11 @@ object TaxiEntries {
              "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +
                "ELSE fare_amount END", 2)} AS fare_sum
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // vacuum removes exactly the planted orphan; current snapshot (v3 =
+    // rollback to v1) still reads the full staging row count
+    "taxi_snapshot_vacuum" -> o(
+      """SELECT CAST(1 AS INTEGER) AS n_removed, 'd00099' AS removed_dirs,
+        |  (SELECT count(*) FROM stg_yellow) AS n_rows""".stripMargin),
     // streaming IVM: batch-slicing-independent ⇒ identical oracle
     "taxi_stream_ivm" -> o(
       s"""SELECT year, month, count(*) AS n,
