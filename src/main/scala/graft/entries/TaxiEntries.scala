@@ -408,7 +408,7 @@ object TaxiEntries {
         .toDF("n_removed", "removed_dirs", "n_rows")
     },
     // The STREAMING side of the IVM contract: the changelog arrives as
-    // a file stream (maxFilesPerTrigger=1 → several micro-batches),
+    // a file stream (maxFilesPerTrigger=1 → one micro-batch per file),
     // each foreachBatch delta-merges into a snapshot-versioned
     // aggregate table. The delta algebra is abelian, so the final
     // table is batch-slicing-independent and must equal the full v2
@@ -416,7 +416,9 @@ object TaxiEntries {
     "taxi_stream_ivm" -> q { (s, d) =>
       val (t, v1, v2, _) = snapCdcFixture(s, d)
       val logDir = tmpPath("sivm_log", d, s)
-      snapCdcLog(s, d).repartition(4).write.mode("overwrite").parquet(logDir)
+      // two files → two micro-batches: enough to prove batch-slicing
+      // independence; each extra batch costs a full read+merge+commit
+      snapCdcLog(s, d).repartition(2).write.mode("overwrite").parquet(logDir)
       val agg = new graft.write.SnapshotTable(s, tmpPath("sivm_agg", d, s))
       agg.commitOverwrite(snapV1(s, d).groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
