@@ -26,35 +26,34 @@ object Ivm {
     * the changelog rows with their `op` column; `value` is the summed
     * expression over the log's columns (use the same decimal cast the
     * base aggregate used). Groups whose maintained count reaches 0 are
-    * dropped (the group no longer exists in the table). One
-    * changelog-sized aggregation + one outer merge join — never a scan
-    * of the base table. */
+    * dropped (the group no longer exists in the table).
+    *
+    * The merge is a UNION + SUM, deliberately not a join + `+`: Spark's
+    * decimal addition widens precision past 38 and silently rounds the
+    * scale down (38,10 + 38,10 → 38,9 — one lost decimal digit per
+    * merge, compounding across refreshes), while `sum` over
+    * decimal(38,10) keeps the scale. Decimal `sum` is also what makes
+    * the whole merge order-independent, so base + delta ≡ a full
+    * recompute BIT-FOR-BIT (pinned by a randomized multiset property in
+    * `PropertiesSpec`). One shuffle over (groups + changed rows) — never
+    * a scan of the base table. */
   def applyCountSumDelta(base: DataFrame, log: DataFrame, keys: Seq[String],
                          nCol: String, sumCol: String, value: Column): DataFrame = {
     require(keys.nonEmpty, "at least one group key")
     val sign = when(col("op") === "insert", lit(1L))
       .when(col("op") === "delete", lit(-1L))
       .otherwise(raise_error(concat(lit("unknown changelog op: "), col("op"))))
-    // NEGATE rather than multiply by the sign: decimal × integer widens
-    // precision past 38 and Spark silently REDUCES the scale to fit
-    // (38,10 → 38,6), losing exactly the digits the bit-exact merge
-    // contract needs; unary minus preserves the type
+    // NEGATE rather than multiply by the sign: decimal × integer also
+    // widens precision and silently reduces the scale (38,10 → 38,6);
+    // unary minus preserves the type exactly
     val signedValue = when(col("op") === "insert", value)
       .when(col("op") === "delete", -value)
-    val delta = log
+    val deltaRows = log.select(
+      keys.map(col) ++ Seq(sign.as(nCol), signedValue.as(sumCol)): _*)
+    base.select(keys.map(col) ++ Seq(col(nCol), col(sumCol)): _*)
+      .unionByName(deltaRows)
       .groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("_dn"), sum(signedValue).as("_ds"))
-    base.join(delta, keys, "full_outer")
-      .select(keys.map(col) ++ Seq(
-        (coalesce(col(nCol), lit(0L)) + coalesce(col("_dn"), lit(0L))).as(nCol),
-        // the + widens precision past 38 and Spark drops the scale to 9;
-        // cast restores the canonical (38,10) accumulation type
-        (coalesce(col(sumCol), lit(0).cast(ivmDec)) +
-          coalesce(col("_ds"), lit(0).cast(ivmDec))).cast(ivmDec).as(sumCol)): _*)
+      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
       .filter(col(nCol) > 0)
   }
-
-  /** The accumulation type shared by base and delta sums — must match
-    * [[graft.expr.Functions.stableSum]] so merged sums stay bit-exact. */
-  private val ivmDec = "decimal(38,10)"
 }

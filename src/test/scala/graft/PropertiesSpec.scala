@@ -40,6 +40,34 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("IVM delta merge equals the recompute for random multiset transitions") {
+    // random A → B multisets over a small key domain, changelog derived
+    // the way SnapshotTable.changelog does (multiset exceptAll both
+    // directions) — base agg + Ivm delta must equal B's agg bit-for-bit,
+    // including emptied and newly-created groups
+    import graft.write.Ivm
+    val dec = "decimal(38,10)"
+    for (seed <- 1L to 3L) {
+      val rowGen = for {
+        k <- Gen.chooseNum(1, 6)
+        v <- Gen.chooseNum(-1e4, 1e4)
+      } yield (k, v)
+      val a = sample(Gen.listOfN(120, rowGen), seed)
+      val b = sample(Gen.listOfN(110, rowGen), seed + 100)
+      val (dfA, dfB) = (a.toDF("k", "x"), b.toDF("k", "x"))
+      val log = dfB.exceptAll(dfA).withColumn("op", lit("insert"))
+        .unionByName(dfA.exceptAll(dfB).withColumn("op", lit("delete")))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"x".cast(dec)).as("s"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"n", $"s".cast("string"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      val merged = Ivm.applyCountSumDelta(agg(dfA), log, Seq("k"),
+        "n", "s", $"x".cast(dec))
+      assert(canon(merged) == canon(agg(dfB)), s"seed=$seed")
+    }
+  }
+
   test("isoDayOfWeek matches java.time for arbitrary dates") {
     for (seed <- 1L to 3L) {
       val ds = sample(Gen.listOfN(100, Gen.chooseNum(0L, 20000L)), seed)
