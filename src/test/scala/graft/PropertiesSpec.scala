@@ -68,6 +68,63 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("file skipping is value-transparent for random layouts and range filters") {
+    import graft.sources.DataSkipping
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(300, for {
+        k <- Gen.chooseNum(-500L, 500L); v <- Gen.chooseNum(-1e3, 1e3)
+      } yield (k, v)), seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_skipprop$seed").toString
+      val (dataP, statsP) = (s"$dir/d", s"$dir/s")
+      // unsorted multi-file layout: ranges OVERLAP, so pruning decisions
+      // are non-trivial and any off-by-one in the bound logic loses rows
+      rows.toDF("k", "v").repartition(5).write.parquet(dataP)
+      DataSkipping.buildStats(spark, dataP, "k", statsP)
+      val plain = spark.read.parquet(dataP)
+      val skip = DataSkipping.read(spark, dataP, "k", statsP)
+      val cuts = sample(Gen.listOfN(4, Gen.chooseNum(-600L, 600L)), seed + 7)
+      for (c <- cuts) {
+        def canon(df: org.apache.spark.sql.DataFrame,
+                  f: org.apache.spark.sql.Column) =
+          df.filter(f).collect().map(r => (r.getLong(0), r.getDouble(1)))
+            .sorted.toSeq
+        assert(canon(skip, $"k" >= c) == canon(plain, $"k" >= c), s"seed=$seed >=$c")
+        assert(canon(skip, $"k" < c) == canon(plain, $"k" < c), s"seed=$seed <$c")
+        assert(canon(skip, $"k" === c) == canon(plain, $"k" === c), s"seed=$seed =$c")
+        assert(canon(skip, $"k" > c && $"k" <= c + 100) ==
+          canon(plain, $"k" > c && $"k" <= c + 100), s"seed=$seed range@$c")
+      }
+    }
+  }
+
+  test("native Sessionize equals the lag+cumsum formulation on random event streams") {
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(250, for {
+        u <- Gen.chooseNum(1L, 8L); m <- Gen.chooseNum(0L, 5000L)
+      } yield (u, m)), seed)
+      val ev = rows.zipWithIndex
+        .map { case ((u, m), i) => (u, new Timestamp(m * 60000L), i.toLong) }
+        .toDF("user_id", "ts", "event_id")
+        .withColumn("ts", $"ts".cast("timestamp_ntz"))
+      val native = graft.plans.Sessionize(ev, Seq("user_id"), "ts", gapMinutes = 30)
+        .groupBy($"user_id", $"session_idx").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val composed = ev
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("is_new", when($"prev".isNull ||
+          unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"prev".cast("timestamp")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+        .withColumn("session_idx", sum($"is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_idx").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native == composed, s"seed=$seed")
+    }
+  }
+
   test("isoDayOfWeek matches java.time for arbitrary dates") {
     for (seed <- 1L to 3L) {
       val ds = sample(Gen.listOfN(100, Gen.chooseNum(0L, 20000L)), seed)
