@@ -171,6 +171,8 @@ object DataPipelineEntries {
   private val resizeH = 10
   // Audio RMS framing width in samples (mm_audio_energy entry + oracle).
   private val audioWindow = 250
+  // Video frame-sampling stride (mm_frame_sample entry + oracle).
+  private val mmFrameStride = 2
   // Debounce burst window (ev_debounce entry + oracle) — sized to the
   // corpus's sparse per-(user, type) cadence so bursts actually form.
   private val debounceSecs = 86400L
@@ -2004,6 +2006,15 @@ object DataPipelineEntries {
       Multimodal.audioWindows(
         Multimodal.corpusMedia(Tables.spread(Tables.documents(s, d))),
         audioWindow)),
+    // Video frame sampling on the REAL decode path: every 2nd frame of
+    // each corpus GIF container decoded individually (per-frame
+    // ImageReader.read, not just a frame count) — the sampling policy,
+    // per-frame decode success, and frame geometry are all graded; a
+    // corrupt container contributes no rows.
+    "mm_frame_sample" -> q((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.corpusMedia(Tables.spread(Tables.documents(s, d))),
+        mmFrameStride)),
     // REAL decode path, oracle-graded: deterministic in-entry containers
     // (gradient PNG, PCM WAV, animated GIF as the multi-frame video
     // stand-in, plus a corrupt payload for the skip policy) through
@@ -4376,6 +4387,20 @@ object DataPipelineEntries {
     // oracle cannot drift). channels relies on the same JDK color-model
     // behavior documented at mm_real_decode above (PNG RGB → 3, GIF
     // palette → 3, WAV mono → 1).
+    // frame-sampling mirror: the sampled index lattice and geometry are
+    // pure functions of the generator constants; a frame the Spark side
+    // fails to decode (or samples at the wrong stride) breaks a row
+    "mm_frame_sample" -> {
+      import Multimodal._
+      s"""SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  CAST($GifWBase + doc_id % $GifWMod AS INTEGER) AS width,
+         |  CAST($GifHBase + doc_id % $GifHMod AS INTEGER) AS height
+         |FROM (SELECT doc_id,
+         |        unnest(range(0, CAST($GifFramesBase + doc_id % $GifFramesMod AS INTEGER),
+         |                     $mmFrameStride)) AS fi
+         |      FROM documents
+         |      WHERE doc_id % 3 = 2 AND NOT doc_id % $CorruptMod = $CorruptResidue)""".stripMargin
+    },
     "mm_features" -> {
       import Multimodal._
       val corrupt = s"doc_id % $CorruptMod = $CorruptResidue"

@@ -160,6 +160,41 @@ object Multimodal extends Serializable {
       } finally iis.close()
     } catch { case _: Exception => None }
 
+  /** Frame SAMPLING over multi-frame containers — the video stage a
+    * training pipeline runs between ingest and feature extraction:
+    * every `stride`-th frame of each video payload is REALLY decoded
+    * (per-frame `ImageReader.read(i)`, not just the frame count) and
+    * emitted as its own row with the decoded frame's geometry. Corrupt
+    * or unreadable containers contribute no rows (skip-don't-crash,
+    * the [[features]] policy); per-row decode runs in executors, so
+    * the stage scales with frames, never with driver memory. Output:
+    * (doc_id, frame_idx, width, height). */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be at least 1")
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).map { i =>
+                val img = reader.read(i)
+                (r.doc_id, i, img.getWidth, img.getHeight)
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => Seq.empty }
+    }.toDF("doc_id", "frame_idx", "width", "height")
+  }
+
   /** Decode an audio payload with `AudioSystem` (WAV/AIFF/AU PCM):
     * (channels, sample rate Hz, frame count). None for unsupported bytes. */
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long)] =

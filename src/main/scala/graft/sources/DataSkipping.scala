@@ -56,6 +56,12 @@ object DataSkipping {
       .toMap
     val schema = spark.read.parquet(dataPath).schema
     val index = new MinMaxFileIndex(spark, new Path(dataPath), column, stats)
+    // targets the flat clustered-file layout (overwriteClustered); a
+    // hive-partitioned root would need the partition columns split out
+    // of the data schema — combine with partition pruning instead
+    require(index.partitionSchema.isEmpty,
+      s"DataSkipping.read expects an unpartitioned layout; $dataPath has " +
+        s"partition columns ${index.partitionSchema.fieldNames.mkString(", ")}")
     val relation = HadoopFsRelation(index, index.partitionSchema, schema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
