@@ -964,6 +964,51 @@ object DataPipelineEntries {
         .select(col("query_id"), col("rn"), col("vec_id"),
           round(col("adc").cast("double"), 6).as("adc_d2"))
     },
+    // The FULL modern ANN serving stack as one composite: IVF routing
+    // (each query probes its nProbe nearest coarse buckets) generates
+    // candidates, PQ ADC scores ONLY those candidates from codes +
+    // broadcast per-query lookup tables — raw vectors are never touched
+    // after routing, which is the property that serves million-QPS
+    // search off a compressed index. Candidate set is entry-scoped
+    // cached (all 8 subspace scoring branches consume it).
+    "sim_ivf_pq" -> q { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val C = graft.operators.Clustering
+      val emb = Tables.embeddings(s, d)
+      val ivfCents = emb.filter(col("vec_id") % centroidMod === 0)
+      val assigned = Similarity.ivfAssign(emb, ivfCents)
+        .select(col("vec_id"), col("centroid_id"))
+      val probes = Similarity.ivfProbes(
+          emb.filter(col("vec_id") < pqQueryCut), ivfCents, nProbe = 2)
+        .select(col("query_id"), col("centroid_id"))
+      val cand = graft.TransientCache.register(
+        assigned.join(broadcast(probes), Seq("centroid_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id")))
+      val parts = (0 until pqSubs).map { sub =>
+        val cents = pqCents(s, d, sub)
+        val codes = C.assignToCentroids(pqSlice(s, d, sub), cents)
+          .select(col("vec_id"), col("cid"))
+        val lut = pqSlice(s, d, sub).filter(col("vec_id") < pqQueryCut)
+          .select(col("vec_id").as("query_id"),
+            transform(col("embedding"), x => x.cast("double")).as("qv"))
+          .crossJoin(broadcast(cents))
+          .select(col("query_id"), col("cid"),
+            C.sqDist(col("qv"), col("cv")).as("d2"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "cid"))
+          .select(col("query_id"), col("vec_id"), col("d2"))
+      }
+      val byQuery = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      parts.reduce(_ unionByName _)
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(graft.expr.Functions.stableSum(col("d2")).as("adc"))
+        .withColumn("rn", row_number().over(byQuery).cast("int"))
+        .filter(col("rn") <= pqTopK)
+        .select(col("query_id"), col("rn"), col("vec_id"),
+          round(col("adc").cast("double"), 6).as("adc_d2"))
+    },
     // SemDeDup: semantic near-dup pruning blocked by the LEARNED
     // clusters — pair space Σ|cluster|², not corpus²; greedy keep-first
     // inside each cluster at cosine ≥ threshold.
@@ -2666,6 +2711,53 @@ object DataPipelineEntries {
            |  WHERE q.vec_id < $pqQueryCut) l ON l.cid = a.cid""".stripMargin
       }.mkString("\nUNION ALL ")
       s"""WITH $ctes,
+         |parts AS (
+         |$branches),
+         |summed AS (
+         |  SELECT query_id, vec_id, ${decSum("d2")} AS adc
+         |  FROM parts GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, vec_id) AS INTEGER) AS rn
+         |  FROM summed)
+         |SELECT query_id, rn, vec_id, ${rnd("CAST(adc AS DOUBLE)", 6)} AS adc_d2
+         |FROM ranked WHERE rn <= $pqTopK""".stripMargin
+    },
+    // IVF+PQ composite mirror: the sim_ivf_ann routing CTEs generate
+    // the candidate set, the emb_pq_adc codebook CTEs score it
+    "sim_ivf_pq" -> {
+      val ctes = (0 until pqSubs).map { s =>
+        kmeansCtesFor(s"q$s",
+          s"(CAST(embedding AS DOUBLE[]))[${s * pqSubDim + 1}:${(s + 1) * pqSubDim}]",
+          pqK, pqIters)
+      }.mkString(",\n")
+      val branches = (0 until pqSubs).map { s =>
+        s"""SELECT c.query_id, c.vec_id, l.d2
+           |FROM cand c JOIN q${s}af a ON a.vec_id = c.vec_id
+           |JOIN (
+           |  SELECT q.vec_id AS query_id, cc.cid, ${d2Sql("q.v", "cc.cv")} AS d2
+           |  FROM q${s}e q CROSS JOIN q${s}c$pqIters cc
+           |  WHERE q.vec_id < $pqQueryCut) l
+           |  ON l.query_id = c.query_id AND l.cid = a.cid""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
+         |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+         |probes AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
+         |    FROM (SELECT * FROM e WHERE vec_id < $pqQueryCut) q CROSS JOIN cent c)
+         |  WHERE prn <= 2),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |         FROM probes p JOIN asg a
+         |           ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
+         |$ctes,
          |parts AS (
          |$branches),
          |summed AS (

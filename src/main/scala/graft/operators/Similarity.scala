@@ -141,7 +141,23 @@ object Similarity {
     * not the probed buckets' full contents. */
   def ivfSearch(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
                 k: Int = 3, nProbe: Int = 2): DataFrame = {
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = ivfProbes(queries, centroids, nProbe)
+    topKPerQuery(
+      assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("centroid_id"))
+        .join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** Per-query probe set: the `nProbe` centroids nearest each query
+    * (the IVF routing half of [[ivfSearch]], exposed for composite
+    * serving stacks — e.g. IVF routing + PQ ADC scoring). Map-side
+    * like [[ivfAssign]]: a per-query sort of the K-element score array
+    * (K·log K in place) instead of a window shuffling queries×K rows.
+    * Sort key (−pcos, centroid_id) ascending ≡ (pcos desc,
+    * centroid_id asc). Output: (query_id, qv, centroid_id). */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame =
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(centroidArray(centroids)))
       // coalesce to +∞: a NULL cosine (dimension-mismatched centroid)
       // must sort LAST like the ranking-window formulation's
@@ -152,12 +168,6 @@ object Similarity {
           c.getField("cid").as("cid")))), 1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("top")).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("centroid_id"))
-    topKPerQuery(
-      assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("centroid_id"))
-        .join(broadcast(probes), Seq("centroid_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", cosine(col("qv"), col("cv"))), k)
-  }
 
   /** Persist an IVF index: `centroids/` + the corpus bucket assignment
     * (`assigned/`). The assignment is the expensive corpus-wide pass
