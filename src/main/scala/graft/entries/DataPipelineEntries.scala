@@ -105,6 +105,47 @@ object DataPipelineEntries {
   private val kmeansIters = 3
   private val semDedupCos = 0.4
 
+  /** IVF-routed + PQ-ADC-scored top-k, memoized per (session, sfDir) —
+    * shared by the serving entry (sim_ivf_pq) and its recall gate. */
+  private def ivfPqTop(s: SparkSession, d: String): DataFrame = memo("ivfpq", s, d) {
+    import org.apache.spark.sql.expressions.Window
+    val C = graft.operators.Clustering
+    val emb = Tables.embeddings(s, d)
+    val ivfCents = emb.filter(col("vec_id") % centroidMod === 0)
+    val assigned = Similarity.ivfAssign(emb, ivfCents)
+      .select(col("vec_id"), col("centroid_id"))
+    val probes = Similarity.ivfProbes(
+        emb.filter(col("vec_id") < pqQueryCut), ivfCents, nProbe = 2)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = graft.TransientCache.register(
+      assigned.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id")))
+    val parts = (0 until pqSubs).map { sub =>
+      val cents = pqCents(s, d, sub)
+      val codes = graft.operators.Clustering.assignToCentroids(pqSlice(s, d, sub), cents)
+        .select(col("vec_id"), col("cid"))
+      val lut = pqSlice(s, d, sub).filter(col("vec_id") < pqQueryCut)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("cid"),
+          C.sqDist(col("qv"), col("cv")).as("d2"))
+      cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "cid"))
+        .select(col("query_id"), col("vec_id"), col("d2"))
+    }
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    parts.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(graft.expr.Functions.stableSum(col("d2")).as("adc"))
+      .withColumn("rn", row_number().over(byQuery).cast("int"))
+      .filter(col("rn") <= pqTopK)
+      .select(col("query_id"), col("rn"), col("vec_id"),
+        round(col("adc").cast("double"), 6).as("adc_d2"))
+  }
+
   private def knnBrute5(s: SparkSession, d: String): DataFrame = memo("knn", s, d) {
     val emb = Tables.embeddings(s, d)
     Similarity.knnBrute(emb, emb.filter(col("vec_id") < knnQueryCut), k = 5)
@@ -971,43 +1012,36 @@ object DataPipelineEntries {
     // after routing, which is the property that serves million-QPS
     // search off a compressed index. Candidate set is entry-scoped
     // cached (all 8 subspace scoring branches consume it).
-    "sim_ivf_pq" -> q { (s, d) =>
+    "sim_ivf_pq" -> q((s, d) => ivfPqTop(s, d)),
+    // The approximation-audit gate for the composite: recall@k of the
+    // IVF+PQ result against the EXACT full-vector L2 top-k — pinned in
+    // CORRECTNESS, so neither coarser routing nor harder quantization
+    // can silently trade accuracy away (the sim_recall/dedup_lsh_recall
+    // contract, now covering the end-to-end serving stack). The
+    // absolute numbers are LOW on this corpus by construction — random
+    // uniform high-dim vectors are near-equidistant, so 8-dim/8-code
+    // quantized distances barely rank them (the same effect sim_recall
+    // pins for plain IVF); what the gate guards is that any parameter
+    // or algebra change shifts these pinned values visibly.
+    "sim_ivfpq_recall" -> q { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val C = graft.operators.Clustering
       val emb = Tables.embeddings(s, d)
-      val ivfCents = emb.filter(col("vec_id") % centroidMod === 0)
-      val assigned = Similarity.ivfAssign(emb, ivfCents)
-        .select(col("vec_id"), col("centroid_id"))
-      val probes = Similarity.ivfProbes(
-          emb.filter(col("vec_id") < pqQueryCut), ivfCents, nProbe = 2)
-        .select(col("query_id"), col("centroid_id"))
-      val cand = graft.TransientCache.register(
-        assigned.join(broadcast(probes), Seq("centroid_id"))
-          .filter(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id")))
-      val parts = (0 until pqSubs).map { sub =>
-        val cents = pqCents(s, d, sub)
-        val codes = C.assignToCentroids(pqSlice(s, d, sub), cents)
-          .select(col("vec_id"), col("cid"))
-        val lut = pqSlice(s, d, sub).filter(col("vec_id") < pqQueryCut)
-          .select(col("vec_id").as("query_id"),
-            transform(col("embedding"), x => x.cast("double")).as("qv"))
-          .crossJoin(broadcast(cents))
-          .select(col("query_id"), col("cid"),
-            C.sqDist(col("qv"), col("cv")).as("d2"))
-        cand.join(codes, Seq("vec_id"))
-          .join(broadcast(lut), Seq("query_id", "cid"))
-          .select(col("query_id"), col("vec_id"), col("d2"))
-      }
-      val byQuery = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc"), col("vec_id"))
-      parts.reduce(_ unionByName _)
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(graft.expr.Functions.stableSum(col("d2")).as("adc"))
-        .withColumn("rn", row_number().over(byQuery).cast("int"))
+      val qv = emb.filter(col("vec_id") < pqQueryCut)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+      val brute = emb
+        .select(col("vec_id").as("neighbor_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+        .crossJoin(broadcast(qv))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", C.sqDist(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))).cast("int"))
         .filter(col("rn") <= pqTopK)
-        .select(col("query_id"), col("rn"), col("vec_id"),
-          round(col("adc").cast("double"), 6).as("adc_d2"))
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.recallAtK(brute,
+        ivfPqTop(s, d).select(col("query_id"), col("vec_id").as("neighbor_id")))
     },
     // SemDeDup: semantic near-dup pruning blocked by the LEARNED
     // clusters — pair space Σ|cluster|², not corpus²; greedy keep-first
@@ -2530,6 +2564,55 @@ object DataPipelineEntries {
        |        ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn FROM s)
        |SELECT query_id, rn, neighbor_id, ${rnd("cos", 6)} AS cos FROM r WHERE rn <= 3""".stripMargin
 
+  /** IVF+PQ composite mirror — shared by `sim_ivf_pq` and its recall
+    * gate: the sim_ivf_ann routing CTEs generate the candidate set,
+    * the emb_pq_adc codebook CTEs score it. */
+  private lazy val simIvfPqSql = {
+    val ctes = (0 until pqSubs).map { s =>
+      kmeansCtesFor(s"q$s",
+        s"(CAST(embedding AS DOUBLE[]))[${s * pqSubDim + 1}:${(s + 1) * pqSubDim}]",
+        pqK, pqIters)
+    }.mkString(",\n")
+    val branches = (0 until pqSubs).map { s =>
+      s"""SELECT c.query_id, c.vec_id, l.d2
+         |FROM cand c JOIN q${s}af a ON a.vec_id = c.vec_id
+         |JOIN (
+         |  SELECT q.vec_id AS query_id, cc.cid, ${d2Sql("q.v", "cc.cv")} AS d2
+         |  FROM q${s}e q CROSS JOIN q${s}c$pqIters cc
+         |  WHERE q.vec_id < $pqQueryCut) l
+         |  ON l.query_id = c.query_id AND l.cid = a.cid""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
+       |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+       |probes AS (SELECT query_id, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
+       |    FROM (SELECT * FROM e WHERE vec_id < $pqQueryCut) q CROSS JOIN cent c)
+       |  WHERE prn <= 2),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |         FROM probes p JOIN asg a
+       |           ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
+       |$ctes,
+       |parts AS (
+       |$branches),
+       |summed AS (
+       |  SELECT query_id, vec_id, ${decSum("d2")} AS adc
+       |  FROM parts GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS INTEGER) AS rn
+       |  FROM summed)
+       |SELECT query_id, rn, vec_id, ${rnd("CAST(adc AS DOUBLE)", 6)} AS adc_d2
+       |FROM ranked WHERE rn <= $pqTopK""".stripMargin
+  }
+
   /** Full-corpus MinHash+LSH mirror — shared verbatim by
     * `dedup_minhash_lsh` and `dedup_lsh_incremental` (the incremental
     * run's unioned batches must reproduce the one-shot recompute). */
@@ -2726,51 +2809,23 @@ object DataPipelineEntries {
     },
     // IVF+PQ composite mirror: the sim_ivf_ann routing CTEs generate
     // the candidate set, the emb_pq_adc codebook CTEs score it
-    "sim_ivf_pq" -> {
-      val ctes = (0 until pqSubs).map { s =>
-        kmeansCtesFor(s"q$s",
-          s"(CAST(embedding AS DOUBLE[]))[${s * pqSubDim + 1}:${(s + 1) * pqSubDim}]",
-          pqK, pqIters)
-      }.mkString(",\n")
-      val branches = (0 until pqSubs).map { s =>
-        s"""SELECT c.query_id, c.vec_id, l.d2
-           |FROM cand c JOIN q${s}af a ON a.vec_id = c.vec_id
-           |JOIN (
-           |  SELECT q.vec_id AS query_id, cc.cid, ${d2Sql("q.v", "cc.cv")} AS d2
-           |  FROM q${s}e q CROSS JOIN q${s}c$pqIters cc
-           |  WHERE q.vec_id < $pqQueryCut) l
-           |  ON l.query_id = c.query_id AND l.cid = a.cid""".stripMargin
-      }.mkString("\nUNION ALL ")
+    "sim_ivf_pq" -> simIvfPqSql,
+    // recall of the composite vs the exact full-vector L2 top-k
+    "sim_ivfpq_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % $centroidMod = 0),
-         |asg AS (SELECT vec_id, centroid_id FROM (
-         |    SELECT e.vec_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.v", "c.centv")} DESC, c.centroid_id) AS crn
-         |    FROM e CROSS JOIN cent c) WHERE crn = 1),
-         |probes AS (SELECT query_id, centroid_id FROM (
-         |    SELECT q.vec_id AS query_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.v", "c.centv")} DESC, c.centroid_id) AS prn
-         |    FROM (SELECT * FROM e WHERE vec_id < $pqQueryCut) q CROSS JOIN cent c)
-         |  WHERE prn <= 2),
-         |cand AS (SELECT p.query_id, a.vec_id
-         |         FROM probes p JOIN asg a
-         |           ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id),
-         |$ctes,
-         |parts AS (
-         |$branches),
-         |summed AS (
-         |  SELECT query_id, vec_id, ${decSum("d2")} AS adc
-         |  FROM parts GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, vec_id, adc,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc, vec_id) AS INTEGER) AS rn
-         |  FROM summed)
-         |SELECT query_id, rn, vec_id, ${rnd("CAST(adc AS DOUBLE)", 6)} AS adc_d2
-         |FROM ranked WHERE rn <= $pqTopK""".stripMargin
-    },
+         |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $pqQueryCut),
+         |bd AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${d2Sql("q.qv", "x.v")}, x.vec_id) AS rn
+         |       FROM bq q JOIN e x ON x.vec_id != q.query_id),
+         |b AS (SELECT query_id, neighbor_id FROM bd WHERE rn <= $pqTopK),
+         |ann AS (SELECT query_id, vec_id AS neighbor_id FROM ($simIvfPqSql)),
+         |h AS (SELECT b.query_id, count(*) AS n_hits
+         |      FROM b JOIN ann USING (query_id, neighbor_id) GROUP BY 1),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM b GROUP BY 1)
+         |SELECT nb.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${rnd("coalesce(h.n_hits, 0)::DOUBLE / nb.n_brute", 6)} AS recall
+         |FROM nb LEFT JOIN h ON nb.query_id = h.query_id""".stripMargin,
     "emb_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster, ${rnd("d2", 6)} AS dist_sq FROM kaf""".stripMargin,
