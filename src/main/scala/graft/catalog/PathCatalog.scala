@@ -44,6 +44,12 @@ class PathCatalog(spark: SparkSession, warehouse: String) {
     * registration). Re-registering overwrites: last writer wins. */
   def register(ns: String, table: String, location: String,
                format: String = "parquet"): Unit = {
+    // the entry file is line-framed; a newline in either value would
+    // silently corrupt the record a later session resolves
+    require(!location.contains('\n') && !location.contains('\r'),
+      s"location must be newline-free: '$location'")
+    require(format.nonEmpty && format.forall(c => c.isLetterOrDigit || c == '-'),
+      s"format must be a simple token: '$format'")
     val p = entryPath(ns, table)
     fs.mkdirs(p.getParent)
     val tmp = new Path(p.getParent, s"._${check(table)}.tmp")
