@@ -93,6 +93,24 @@ object TpchEntries {
         .agg(count(lit(1)).as("n_orders"),
           stableRoundedSum(col("o_totalprice"), 2).as("total"))
     },
+    // Bloom-filter file skipping: point lookups on an UNCLUSTERED
+    // layout, where every file spans the full key range and min/max
+    // stats never prune — per-file Bloom filters prove the probed keys
+    // absent and drop those files at planning time (parquet's
+    // bloom_filter_enabled at the table-format level). Values graded
+    // against the plain IN filter; the ~1-of-8-files point-lookup plan
+    // property is pinned in ScaleToolsSpec.
+    "tpch_bloomskip_point" -> q { (s, d) =>
+      val dir = Scratch.tmpPath("bloomskip_orders", d, s)
+      val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8).write.parquet(dataP)
+      graft.sources.DataSkipping.buildBloomStats(s, dataP, "o_orderkey", statsP,
+        expectedPerFile = 1000000L, fpp = 0.01)
+      graft.sources.DataSkipping.readBloom(s, dataP, "o_orderkey", statsP)
+        .filter(col("o_orderkey").isin(1L, 2L, 3L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
     // TPC-H Q3 shape (shipping priority): selective dim filter, two
     // fact joins with date predicates pushed to both scans, top-10 by
     // revenue — the classic join+agg+TakeOrdered composite.
@@ -866,6 +884,10 @@ object TpchEntries {
     "tpch_clustered_scan" ->
       """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_totalprice > 300000""".stripMargin,
+    // bloom skipping must be value-transparent too
+    "tpch_bloomskip_point" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 2, 3)""".stripMargin,
     // skipping must be value-transparent: the index only prunes files
     // the predicate could never match
     "tpch_fileskip_scan" ->

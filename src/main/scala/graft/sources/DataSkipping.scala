@@ -72,6 +72,75 @@ object DataSkipping {
   private[sources] def normalize(uri: String): String =
     new Path(uri).toUri.getPath
 
+  // ---- Bloom-filter file skipping (point lookups on UNCLUSTERED data,
+  // where every file spans the full value range and min/max never
+  // prunes: a specific key lives in ~one file, and a per-file Bloom
+  // filter knows which — Parquet's own bloom_filter_enabled at the
+  // table-format level) ----
+
+  /** Build + persist per-file Bloom filters for `column` (hashed with
+    * the same seeded xxhash64 the probe side uses). One scan; the index
+    * is files × filter-bytes. */
+  def buildBloomStats(spark: SparkSession, dataPath: String, column: String,
+                      statsPath: String, expectedPerFile: Long = 100000L,
+                      fpp: Double = 0.01): Unit = {
+    require(expectedPerFile > 0 && fpp > 0 && fpp < 1,
+      s"invalid bloom sizing: items=$expectedPerFile fpp=$fpp")
+    val numBits = math.ceil(
+      -expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(expr(s"bloom_filter_agg(xxhash64($column), " +
+        s"CAST($expectedPerFile AS BIGINT), CAST($numBits AS BIGINT))").as("bf"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Read `dataPath` through the Bloom index: equality/IN predicates on
+    * the indexed column drop every file whose filter proves the probed
+    * keys absent. A Bloom "maybe" keeps the file (false positives cost
+    * a read, never a wrong result); non-equality predicates prune
+    * nothing. */
+  def readBloom(spark: SparkSession, dataPath: String, column: String,
+                statsPath: String): DataFrame = {
+    val filters = spark.read.parquet(statsPath)
+      .collect()
+      .flatMap { r =>
+        Option(r.getAs[Array[Byte]](1)).map { bytes =>
+          normalize(r.getString(0)) -> org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+        }
+      }.toMap
+    val schema = spark.read.parquet(dataPath).schema
+    val index = new BloomFileIndex(spark, new Path(dataPath), column, filters)
+    require(index.partitionSchema.isEmpty,
+      s"DataSkipping.readBloom expects an unpartitioned layout at $dataPath")
+    val relation = HadoopFsRelation(index, index.partitionSchema, schema,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** The equality/IN probe values a conjunct set implies for `column` —
+    * one Seq per CONJUNCT (each must be satisfiable independently), so
+    * a file is prunable when ANY conjunct's whole value set is proven
+    * absent. Non-equality shapes contribute nothing (conservative). */
+  private[sources] def probedValues(column: String,
+                                    filters: Seq[Expression]): Seq[Seq[Any]] =
+    filters.flatMap {
+      case EqualTo(a: AttributeReference, l @ Literal(v, _))
+          if a.name == column && v != null => Some(Seq[Any](l))
+      case EqualTo(l @ Literal(v, _), a: AttributeReference)
+          if a.name == column && v != null => Some(Seq[Any](l))
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, vs)
+          if a.name == column && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.collect { case l @ Literal(v, _) if v != null => l: Any })
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, _)
+          // InSet holds internal values without their Literal types;
+          // reconstructing the hash input is type-fragile — keep the file
+          => None
+      case _ => None
+    }
+
   /** The [lo, hi] interval (+ inclusivity) a conjunct set implies for
     * `column`; files whose stored range sits strictly outside drop.
     * Only top-level comparison conjuncts contribute — disjunctions or
@@ -119,6 +188,38 @@ object DataSkipping {
     }
     filters.foreach(walk)
     (lo, hi)
+  }
+
+  /** The probe-side hash of a literal — the SAME seeded xxhash64 the
+    * build side aggregated, evaluated on the driver. */
+  private[sources] def probeHash(lit: Literal): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit), 42L)
+      .eval(null).asInstanceOf[Long]
+}
+
+/** File index pruning on per-file Bloom filters for one indexed column:
+  * a file drops only when EVERY value of some equality/IN conjunct is
+  * proven absent from it. Files missing from the index are kept. */
+class BloomFileIndex(spark: SparkSession, root: Path, column: String,
+                     filters: Map[String, org.apache.spark.util.sketch.BloomFilter])
+    extends InMemoryFileIndex(spark, Seq(root), Map.empty, None) {
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val conjuncts = DataSkipping.probedValues(column, dataFilters)
+      .filter(_.nonEmpty)
+      .map(_.map(v => DataSkipping.probeHash(v.asInstanceOf[Literal])))
+    if (conjuncts.isEmpty) base
+    else base.map { pd =>
+      PartitionDirectory(pd.values, pd.files.filter { f =>
+        filters.get(DataSkipping.normalize(f.getPath.toString)) match {
+          case Some(bf) =>
+            conjuncts.forall(hashes => hashes.exists(bf.mightContainLong))
+          case None => true
+        }
+      })
+    }
   }
 }
 

@@ -710,6 +710,40 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(other.count() == spark.read.parquet(dataP).filter($"v" > 100.0).count())
   }
 
+  test("bloom file skipping prunes point lookups on unclustered data, values unchanged") {
+    import java.nio.file.Files
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_bloomskip").toString
+    val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+    // RANDOM layout: every file spans the whole key range, so min/max
+    // skipping can never prune — the bloom index's home turf
+    (1L to 800L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .repartition(8).write.parquet(dataP)
+    DataSkipping.buildBloomStats(spark, dataP, "k", statsP,
+      expectedPerFile = 200, fpp = 0.01)
+    val probe = DataSkipping.readBloom(spark, dataP, "k", statsP)
+      .filter($"k" === 437L).select("k", "v")
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((437L, 655.5)))
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan"))
+    val n = scan.metrics("numFiles").value
+    assert(n >= 1 && n <= 2, s"expected ~1 of 8 files for a point lookup, got $n")
+    // IN-list probes prune to the union of their files; values equal plain
+    val in = DataSkipping.readBloom(spark, dataP, "k", statsP)
+      .filter($"k".isin(3L, 555L, 799L))
+    assert(in.count() == 3)
+    // a probe key absent from the table prunes EVERY file
+    val absent = DataSkipping.readBloom(spark, dataP, "k", statsP)
+      .filter($"k" === 100000L)
+    assert(absent.count() == 0)
+    // non-equality predicates must not prune (conservative)
+    assert(DataSkipping.readBloom(spark, dataP, "k", statsP)
+      .filter($"v" > 600.0).count() ==
+      spark.read.parquet(dataP).filter($"v" > 600.0).count())
+  }
+
   test("corpus_clean_split builds the LSH signature pipeline once") {
     val df = graft.SparkEntry.queries("corpus_clean_split")(
       spark, "/root/testdata/sf0.001")
