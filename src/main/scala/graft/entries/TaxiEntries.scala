@@ -394,6 +394,27 @@ object TaxiEntries {
         .select(col("year"), col("month"), col("n"),
           round(col("fs"), 2).cast("double").as("fare_sum"))
     },
+    // Metadata pieces COMPOSED: the snapshot table registered under a
+    // durable path-catalog name, then a FRESH catalog handle (a second
+    // session) resolves the name and opens the versioned table at the
+    // recorded location — name durability (PathCatalog) over versioned
+    // data (SnapshotTable), which is exactly the metastore+Iceberg
+    // layering the reference deploys. Graded on the resolved table's
+    // CURRENT state (v3 = the rollback ≡ v1 pre-load profile).
+    "cat_snapshot_roundtrip" -> q { (s, d) =>
+      val (t, _, _, _) = snapCdcFixture(s, d)
+      val wh = tmpPath("snapcat_wh", d, s)
+      new graft.catalog.PathCatalog(s, wh)
+        .register("lake", "trips_snap", t.location, format = "graft-snapshot")
+      val (loc, fmt) = new graft.catalog.PathCatalog(s, wh)
+        .resolve("lake", "trips_snap")
+        .getOrElse(sys.error("re-open failed to resolve lake.trips_snap"))
+      require(fmt == "graft-snapshot", s"format round-trip broke: $fmt")
+      new graft.write.SnapshotTable(s, loc).read()
+        .groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // VACUUM: a crashed writer leaves a data dir no manifest references
     // (invisible to readers AND to expire); vacuum removes exactly that
     // debris and the table stays fully readable — graded on the removed
@@ -664,6 +685,11 @@ object TaxiEntries {
          |  ${rndSum(
              "CASE WHEN month IN (6, 7) THEN coalesce(fare_amount * -100, -1.0) " +
                "ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // the resolved table's CURRENT version is v3 ≡ v1 = the full
+    // staging profile
+    "cat_snapshot_roundtrip" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // vacuum removes exactly the planted orphan; current snapshot (v3 =
     // rollback to v1) still reads the full staging row count

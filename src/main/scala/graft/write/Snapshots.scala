@@ -50,6 +50,9 @@ class SnapshotTable(spark: SparkSession, root: String,
                     partCols: Seq[String] = Seq("year", "month")) {
   require(partCols.nonEmpty, "partCols must be non-empty")
 
+  /** The table's root directory — what a catalog entry records. */
+  def location: String = root
+
   private val manifestDir = new Path(root, "_manifests")
   private val dataDir = new Path(root, "_data")
   private val fs: FileSystem =
