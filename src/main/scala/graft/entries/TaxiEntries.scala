@@ -379,10 +379,11 @@ object TaxiEntries {
     // cost is O(changed rows), never O(table). Decimal accumulation on
     // both sides makes base+delta ≡ full v2 recompute bit-for-bit, and
     // the oracle IS the full recompute, so any drift in the delta
-    // algebra hash-mismatches. (Bench note: alphabetically FIRST of the
-    // snapshot/CDC family, so in a fresh session this entry absorbs the
-    // shared fixture build — two full table commits + the persisted
-    // changelog/v1 — that the rest of the family then reuses.)
+    // algebra hash-mismatches. (Bench note: the alphabetically-first
+    // consumer of snapCdcFixture in a run — currently
+    // cat_snapshot_roundtrip — absorbs the shared fixture build: two
+    // full table commits plus the persisted changelog/v1 the rest of
+    // the family then reuses.)
     "taxi_cdc_incr_agg" -> q { (s, d) =>
       val (t, v1, v2, _) = snapCdcFixture(s, d)
       val dec = graft.expr.Functions.stableSum(col("fare_amount"))
