@@ -40,6 +40,22 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.resolve("ns", "a.b") }
   }
 
+  test("locations containing '=' round-trip; newline locations are rejected") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_pathcat4").toString
+    val cat = new PathCatalog(spark, wh)
+    // '=' in a location (query-string-ish path) must survive the
+    // first-'=' line split
+    val loc = s"$wh/data/t%3Fv=1"
+    cat.register("ns", "eq", loc)
+    assert(cat.resolve("ns", "eq").contains((loc, "parquet")))
+    intercept[IllegalArgumentException] {
+      cat.register("ns", "bad", "a\nevil=/tmp")
+    }
+    intercept[IllegalArgumentException] {
+      cat.register("ns", "bad", "/x", format = "par quet")
+    }
+  }
+
   test("missing table resolves to None and read fails loudly") {
     val wh = java.nio.file.Files.createTempDirectory("graft_pathcat3").toString
     val cat = new PathCatalog(spark, wh)

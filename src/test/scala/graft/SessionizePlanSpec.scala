@@ -64,6 +64,22 @@ class SessionizePlanSpec extends AnyFunSuite {
       s"aggregation did not reuse the session partitioning:\n$aggStr")
   }
 
+  test("null timestamps sort first and land in the key's first session") {
+    val withNull = Seq(
+      (1L, Option.empty[Timestamp], 0.0),
+      (1L, Some(ts(0)), 1.0), (1L, Some(ts(100)), 2.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val got = Sessionize(withNull, Seq("user_id"), "ts", 30)
+      .orderBy($"ts".asc_nulls_first)
+      .collect().map(_.getLong(3)).toSeq
+    // null first (session 1), ts(0) joins it (any gap from MinValue is
+    // huge — so it opens session 2), ts(100) opens session 3
+    assert(got.head == 1L && got.distinct.sorted == got.distinct,
+      s"null-ts ordering broke: $got")
+    assert(got.size == 3)
+  }
+
   test("unknown column fails loudly; key change resets the index") {
     intercept[RuntimeException] { Sessionize(events, Seq("nope"), "ts", 30) }
     val idx = Sessionize(events, Seq("user_id"), "ts", 30)
