@@ -68,6 +68,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("containment dominates Jaccard on every shared LSH candidate pair") {
+    // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always; both verifies run the
+    // same banded candidates, so every Jaccard-passing pair must appear
+    // in the containment output (at threshold 0) with a >= score
+    import graft.operators.Dedup
+    for (seed <- 1L to 2L) {
+      val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map { i =>
+        val n = 6 + rnd.nextInt(8)
+        (i, "en", Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val jac = Dedup.minhashLsh(docs, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val con = Dedup.containmentPairs(docs, threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(jac.keySet == con.keySet, s"seed=$seed candidate sets differ")
+      for ((k, j) <- jac)
+        assert(con(k) >= j - 1e-9, s"seed=$seed pair=$k c=${con(k)} < j=$j")
+    }
+  }
+
   test("file skipping is value-transparent for random layouts and range filters") {
     import graft.sources.DataSkipping
     for (seed <- 1L to 3L) {
