@@ -1,11 +1,12 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** FILE-level min/max data skipping — the Delta/Iceberg capability
   * plain parquet directories lack: a persisted per-file stats index
@@ -28,22 +29,45 @@ import org.apache.spark.sql.functions._
   *    conjuncts on the indexed column prune, anything else keeps the
   *    file — so results are always exactly the plain read's.
   *
-  * Works on any column whose values embed losslessly in a double
-  * (int/long/date/timestamp up to 2^53) — the index stores doubles so
-  * one code path covers the numeric families. */
+  * Supported index columns: int/long/short/byte/float/double/decimal,
+  * plus date and timestamp. Stored bounds use the COLUMN TYPE'S
+  * CATALYST-INTERNAL unit — days since epoch for dates, MICROSECONDS
+  * for timestamps (what a pushed-down filter Literal carries), raw
+  * value otherwise — so the stored range and the probe literal always
+  * compare in the same unit. Anything else (strings, arrays) is
+  * rejected loudly at build time rather than mis-pruned at read time. */
 object DataSkipping {
+
+  /** The indexed column rendered in its Catalyst-internal unit, so the
+    * stored bounds compare 1:1 with filter Literal internals: dates →
+    * days since epoch (`Literal(Int)`), timestamps → µs since epoch
+    * (`Literal(Long)`; NTZ reinterprets through the session zone, which
+    * GraftSession pins to UTC — the same zone the NTZ literal's
+    * internal µs assume), numerics → the value itself. */
+  private[sources] def statColumn(dt: DataType, c: Column): Column = dt match {
+    case DateType => unix_date(c)
+    case TimestampType => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _: NumericType => c
+    case other => throw new IllegalArgumentException(
+      s"DataSkipping supports numeric/date/timestamp index columns; got $other " +
+        "(a min/max range on any other type cannot be compared against " +
+        "pushed-down filter literals without unit ambiguity)")
+  }
 
   /** Build + persist the per-file stats index for `column` over the
     * parquet directory `dataPath`. One scan; the index is file-count
-    * sized. */
+    * sized, and the write SHARDS across the aggregation's tasks (at
+    * millions of files a single-task index write would bottleneck the
+    * build and produce one giant file). */
   def buildStats(spark: SparkSession, dataPath: String, column: String,
-                 statsPath: String): Unit =
-    spark.read.parquet(dataPath)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(column)).cast("double").as("mn"),
-        max(col(column)).cast("double").as("mx"))
-      .coalesce(1)
+                 statsPath: String): Unit = {
+    val df = spark.read.parquet(dataPath)
+    val c = statColumn(df.schema(column).dataType, col(column))
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(c).cast("double").as("mn"), max(c).cast("double").as("mx"))
       .write.mode("overwrite").parquet(statsPath)
+  }
 
   /** Read `dataPath` through the stats index: scans resolve through a
     * [[MinMaxFileIndex]] that prunes non-overlapping files at planning
@@ -52,8 +76,14 @@ object DataSkipping {
            statsPath: String): DataFrame = {
     val stats = spark.read.parquet(statsPath)
       .collect()
-      .map(r => normalize(r.getString(0)) -> ((r.getDouble(1), r.getDouble(2))))
-      .toMap
+      .flatMap { r =>
+        // an all-null indexed column yields null bounds: no range to
+        // prune on — skip the row, and the absent-entry default keeps
+        // the file (conservative), instead of an NPE at index load
+        for (mn <- Option(r.get(1)); mx <- Option(r.get(2)))
+          yield normalize(r.getString(0)) ->
+            ((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+      }.toMap
     val schema = spark.read.parquet(dataPath).schema
     val index = new MinMaxFileIndex(spark, new Path(dataPath), column, stats)
     // targets the flat clustered-file layout (overwriteClustered); a
@@ -80,7 +110,11 @@ object DataSkipping {
 
   /** Build + persist per-file Bloom filters for `column` (hashed with
     * the same seeded xxhash64 the probe side uses). One scan; the index
-    * is files × filter-bytes. */
+    * is files × filter-bytes and the write shards across the
+    * aggregation's tasks — at the defaults a filter is ~117 KB, so a
+    * million-file table's index is ~100 GB: a `coalesce(1)` funnel here
+    * would be the build's bottleneck AND produce one unsplittable
+    * index file the probe job couldn't parallelize over. */
   def buildBloomStats(spark: SparkSession, dataPath: String, column: String,
                       statsPath: String, expectedPerFile: Long = 100000L,
                       fpp: Double = 0.01): Unit = {
@@ -92,7 +126,6 @@ object DataSkipping {
       .groupBy(input_file_name().as("file"))
       .agg(expr(s"bloom_filter_agg(xxhash64($column), " +
         s"CAST($expectedPerFile AS BIGINT), CAST($numBits AS BIGINT))").as("bf"))
-      .coalesce(1)
       .write.mode("overwrite").parquet(statsPath)
   }
 
@@ -100,24 +133,50 @@ object DataSkipping {
     * the indexed column drop every file whose filter proves the probed
     * keys absent. A Bloom "maybe" keeps the file (false positives cost
     * a read, never a wrong result); non-equality predicates prune
-    * nothing. */
+    * nothing.
+    *
+    * The filters themselves NEVER land on the driver: each probe runs
+    * as a distributed pass over the stats parquet ([[probeProvenAbsent]])
+    * and ships back only the pruned files' NAMES. Driver residency is
+    * O(pruned file paths), not O(files × filter bytes) — the difference
+    * between megabytes and ~100 GB at a million files. */
   def readBloom(spark: SparkSession, dataPath: String, column: String,
                 statsPath: String): DataFrame = {
-    val filters = spark.read.parquet(statsPath)
-      .collect()
-      .flatMap { r =>
-        Option(r.getAs[Array[Byte]](1)).map { bytes =>
-          normalize(r.getString(0)) -> org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
-        }
-      }.toMap
     val schema = spark.read.parquet(dataPath).schema
-    val index = new BloomFileIndex(spark, new Path(dataPath), column, filters)
+    val index = new BloomFileIndex(spark, new Path(dataPath), column, statsPath)
     require(index.partitionSchema.isEmpty,
       s"DataSkipping.readBloom expects an unpartitioned layout at $dataPath")
     val relation = HadoopFsRelation(index, index.partitionSchema, schema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Distributed Bloom probe: evaluate every per-file filter WHERE THE
+    * INDEX BYTES LIVE (executor-side deserialize + membership test) and
+    * return only the normalized paths of files PROVEN to contain none
+    * of some conjunct's probed values — the semi-join formulation of
+    * "which files can this point lookup skip". A null/absent filter
+    * keeps its file (never provable-absent). One job per distinct probe;
+    * the stats parquet is file-count sized and splittable, so the pass
+    * parallelizes like any scan. */
+  private[graft] def probeProvenAbsent(spark: SparkSession, statsPath: String,
+                                         conjuncts: Seq[Seq[Long]]): Set[String] = {
+    import spark.implicits._
+    val cj = conjuncts.map(_.toArray).toArray // plain arrays serialize lean
+    spark.read.parquet(statsPath)
+      .selectExpr("file", "bf")
+      .as[(String, Array[Byte])]
+      .filter { (row: (String, Array[Byte])) =>
+        row._2 != null && {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(row._2))
+          cj.exists(hashes => !hashes.exists(bf.mightContainLong))
+        }
+      }
+      .map(_._1)
+      .collect()
+      .map(normalize)
+      .toSet
   }
 
   /** The equality/IN probe values a conjunct set implies for `column` —
@@ -144,7 +203,12 @@ object DataSkipping {
   /** The [lo, hi] interval (+ inclusivity) a conjunct set implies for
     * `column`; files whose stored range sits strictly outside drop.
     * Only top-level comparison conjuncts contribute — disjunctions or
-    * expressions over other columns are ignored (conservative). */
+    * expressions over other columns are ignored (conservative).
+    *
+    * Literal INTERNALS are already in the unit [[statColumn]] stored:
+    * date literals carry days (Int), timestamp literals carry µs
+    * (Long), numerics carry themselves — so no conversion happens here
+    * and none may be added on one side only. */
   private[sources] def implied(column: String, filters: Seq[Expression]):
       (Option[Double], Option[Double]) = {
     var lo: Option[Double] = None
@@ -192,17 +256,32 @@ object DataSkipping {
 
   /** The probe-side hash of a literal — the SAME seeded xxhash64 the
     * build side aggregated, evaluated on the driver. */
-  private[sources] def probeHash(lit: Literal): Long =
+  private[graft] def probeHash(lit: Literal): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(lit), 42L)
       .eval(null).asInstanceOf[Long]
 }
 
 /** File index pruning on per-file Bloom filters for one indexed column:
   * a file drops only when EVERY value of some equality/IN conjunct is
-  * proven absent from it. Files missing from the index are kept. */
+  * proven absent from it. Files missing from the index are kept.
+  *
+  * LAZY by construction: this index holds only the stats PATH.
+  * Construction and non-equality scans never touch the stats parquet;
+  * an equality probe runs one distributed membership pass
+  * ([[DataSkipping.probeProvenAbsent]]) and retains only the pruned
+  * files' paths, memoized per distinct probe for the plan's lifetime
+  * (Catalyst calls `listFiles` more than once while planning). */
 class BloomFileIndex(spark: SparkSession, root: Path, column: String,
-                     filters: Map[String, org.apache.spark.util.sketch.BloomFilter])
+                     statsPath: String)
     extends InMemoryFileIndex(spark, Seq(root), Map.empty, None) {
+
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[Seq[Seq[Long]], Set[String]]
+
+  /** Names only — a ScaleToolsSpec pin asserts driver residency tracks
+    * this (pruned-path bytes), never the index's filter bytes. */
+  private[sources] def prunedPathBytes: Long =
+    probeCache.values.flatten.map(_.length.toLong).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -211,14 +290,13 @@ class BloomFileIndex(spark: SparkSession, root: Path, column: String,
       .filter(_.nonEmpty)
       .map(_.map(v => DataSkipping.probeHash(v.asInstanceOf[Literal])))
     if (conjuncts.isEmpty) base
-    else base.map { pd =>
-      PartitionDirectory(pd.values, pd.files.filter { f =>
-        filters.get(DataSkipping.normalize(f.getPath.toString)) match {
-          case Some(bf) =>
-            conjuncts.forall(hashes => hashes.exists(bf.mightContainLong))
-          case None => true
-        }
-      })
+    else {
+      val pruned = probeCache.getOrElseUpdate(conjuncts,
+        DataSkipping.probeProvenAbsent(spark, statsPath, conjuncts))
+      base.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filterNot(f =>
+          pruned(DataSkipping.normalize(f.getPath.toString))))
+      }
     }
   }
 }
@@ -228,7 +306,10 @@ class BloomFileIndex(spark: SparkSession, root: Path, column: String,
   * files ABSENT from the index are kept (safe on late-arriving files —
   * rebuild the index to regain their pruning). The strict-inequality
   * boundary is deliberately NOT exploited (a `>` bound prunes like
-  * `>=`): boundary files cost one extra read, never a wrong result. */
+  * `>=`): boundary files cost one extra read, never a wrong result.
+  * Driver residency is 3 doubles + one path per file — fine even at
+  * millions of files (unlike Bloom filter bytes, which stay off the
+  * driver entirely; see [[BloomFileIndex]]). */
 class MinMaxFileIndex(spark: SparkSession, root: Path, column: String,
                       stats: Map[String, (Double, Double)])
     extends InMemoryFileIndex(spark, Seq(root), Map.empty, None) {

@@ -744,6 +744,96 @@ class ScaleToolsSpec extends AnyFunSuite {
       spark.read.parquet(dataP).filter($"v" > 600.0).count())
   }
 
+  test("file skipping on timestamp/date columns compares in literal units") {
+    // Regression: stored bounds MUST use the Catalyst-internal unit a
+    // pushed-down Literal carries (µs for timestamps, days for dates).
+    // A seconds-based cast made every timestamp range filter prune
+    // every file — silently-empty results, the worst failure mode.
+    import java.nio.file.Files
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_skip_ts").toString
+    val rows = (0 until 400).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i / 14 + 1}%02d 06:00:${i % 14}%02d"),
+        java.sql.Date.valueOf(f"2024-02-${i / 14 + 1}%02d"), i.toLong)
+    }.toDF("ts", "d", "v")
+    for ((c, pred) <- Seq(
+        ("ts", col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp")),
+        ("d", col("d") >= lit("2024-02-10").cast("date") &&
+          col("d") < lit("2024-02-12").cast("date")))) {
+      val (dataP, statsP) = (s"$dir/${c}_data", s"$dir/${c}_stats")
+      rows.repartitionByRange(8, col(c)).sortWithinPartitions(col(c))
+        .write.parquet(dataP)
+      DataSkipping.buildStats(spark, dataP, c, statsP)
+      val skipped = DataSkipping.read(spark, dataP, c, statsP).filter(pred)
+      val expectN = spark.read.parquet(dataP).filter(pred).count()
+      assert(expectN > 0, s"degenerate fixture for $c")
+      // collect through THIS handle so the plan-metric pin below reads
+      // the executed scan, not a separate count() execution
+      assert(skipped.collect().length == expectN,
+        s"unit mismatch on $c: skipping changed the result")
+      val scan = skipped.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no file scan"))
+      val n = scan.metrics("numFiles").value
+      assert(n > 0 && n <= 2, s"$c: expected <=2 of 8 files scanned, got $n")
+    }
+    // unsupported index types are rejected at BUILD time, loudly
+    Seq(("a", 1L), ("b", 2L)).toDF("s", "v").write.parquet(s"$dir/str_data")
+    intercept[IllegalArgumentException] {
+      DataSkipping.buildStats(spark, s"$dir/str_data", "s", s"$dir/bad_stats")
+    }
+  }
+
+  test("an all-null indexed column in a file keeps the file, never crashes") {
+    import java.nio.file.Files
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_skip_null").toString
+    val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+    // file 0: real values; file 1: all-null k (null bounds in the index)
+    (1L to 50L).map(i => (Some(i), i * 1.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(dataP)
+    (1 to 20).map(_ => (Option.empty[Long], -1.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dataP)
+    DataSkipping.buildStats(spark, dataP, "k", statsP)
+    // index load must skip the null-bounds row; the null file is KEPT
+    // (conservative) so non-k predicates still see its rows
+    val r = DataSkipping.read(spark, dataP, "k", statsP)
+    assert(r.filter($"k" >= 10 && $"k" <= 12).count() == 3)
+    assert(r.filter($"v" < 0).count() == 20)
+  }
+
+  test("bloom index is lazy: no stats read without a probe, driver holds paths only") {
+    import java.nio.file.Files
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_bloom_lazy").toString
+    val (dataP, statsP) = (s"$dir/data", s"$dir/stats")
+    (1L to 800L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .repartition(8).write.parquet(dataP)
+    // 1) construction + non-equality scans never touch the stats path:
+    //    a MISSING index only fails when an equality probe needs it
+    val unprobed = DataSkipping.readBloom(spark, dataP, "k", statsP)
+    assert(unprobed.filter($"v" > 600.0).count() ==
+      spark.read.parquet(dataP).filter($"v" > 600.0).count())
+    // 2) the probe is a distributed pass returning pruned NAMES: driver
+    //    bytes scale with pruned paths, never files × filter bytes
+    DataSkipping.buildBloomStats(spark, dataP, "k", statsP,
+      expectedPerFile = 200, fpp = 0.01)
+    val hash = DataSkipping.probeHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(437L))
+    val pruned = DataSkipping.probeProvenAbsent(spark, statsPath = statsP,
+      conjuncts = Seq(Seq(hash)))
+    assert(pruned.size >= 6 && pruned.size <= 7,
+      s"a point key lives in ~1 of 8 files; pruned ${pruned.size}")
+    val statsBytes = Files.walk(java.nio.file.Paths.get(statsP)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].toFile)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val pathBytes = pruned.map(_.length.toLong).sum
+    assert(pathBytes * 10 < statsBytes,
+      s"driver-resident probe result ($pathBytes B) should be far below " +
+        s"the index's filter bytes ($statsBytes B)")
+  }
+
   test("corpus_clean_split builds the LSH signature pipeline once") {
     val df = graft.SparkEntry.queries("corpus_clean_split")(
       spark, "/root/testdata/sf0.001")
