@@ -111,6 +111,29 @@ object TpchEntries {
         .filter(col("o_orderkey").isin(1L, 2L, 3L))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
+    // Snapshot versioning COMPOSED with the stats index (the
+    // Iceberg-style table-format story): clustered commits build a
+    // per-dir min/max index at COMMIT time, and readSkipping resolves
+    // each data dir through it, pruning non-overlapping files at
+    // planning time — versioned data + planning-time skipping from one
+    // handle. Values graded against the plain filter over the same
+    // rows; the pruned-file-count plan property is pinned in
+    // SnapshotSpec.
+    "tpch_snapshot_skip" -> q { (s, d) =>
+      val root = Scratch.tmpPath("snapskip_orders", d, s)
+      val t = new graft.write.SnapshotTable(s, root)
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      t.commitOverwriteClustered(
+        ord.filter(col("o_orderkey") % 2 === 0), "o_custkey", nFiles = 8)
+      t.commitAppendClustered(
+        ord.filter(col("o_orderkey") % 2 === 1), "o_custkey", nFiles = 8)
+      t.readSkipping("o_custkey")
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          stableRoundedSum(col("o_totalprice"), 2).as("total"))
+    },
     // TPC-H Q3 shape (shipping priority): selective dim filter, two
     // fact joins with date predicates pushed to both scans, top-10 by
     // revenue — the classic join+agg+TakeOrdered composite.
@@ -888,6 +911,14 @@ object TpchEntries {
     "tpch_bloomskip_point" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey IN (1, 2, 3)""".stripMargin,
+    // versioned reads through the commit-time stats index must be
+    // value-transparent too: both clustered commits together hold
+    // exactly the orders table
+    "tpch_snapshot_skip" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${rndSum("o_totalprice", 2)} AS total
+         |FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+         |GROUP BY 1""".stripMargin,
     // skipping must be value-transparent: the index only prunes files
     // the predicate could never match
     "tpch_fileskip_scan" ->

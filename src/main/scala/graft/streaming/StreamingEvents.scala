@@ -221,25 +221,56 @@ object StreamingEvents extends Serializable {
     * committed aggregate), never in executor memory, and each batch
     * costs O(batch rows), never O(table). Because the delta algebra is
     * abelian, the final aggregate is independent of how the changelog
-    * was sliced into micro-batches. */
+    * was sliced into micro-batches.
+    *
+    * Exactly-once under `foreachBatch`'s at-least-once redelivery: the
+    * batch id is recorded IN the snapshot commit's op tag, so a batch
+    * replayed after a crash between commit and checkpoint write is
+    * recognized ([[ivmApplyBatch]]) and skipped — signed deltas are
+    * never double-applied. (The sibling [[upsertStream]] gets the same
+    * guarantee from `deleteInsert`'s per-batch idempotency instead.) */
   def ivmStream(stream: DataFrame, agg: graft.write.SnapshotTable,
                 keys: Seq[String], nCol: String, sumCol: String,
                 valueCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // the merge consumes the batch twice (count + sum deltas ride
-        // one agg, but the plan also feeds the outer join probe)
-        val b = batch.toDF().persist()
-        try {
-          agg.commitOverwrite(graft.write.Ivm.applyCountSumDelta(
-            agg.read(), b, keys, nCol, sumCol,
-            col(valueCol).cast("decimal(38,10)")))
-          ()
-        } finally { b.unpersist(); () }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ivmApplyBatch(agg, batch.toDF(), batchId, keys, nCol, sumCol, valueCol)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  private val IvmBatchTag = "ivm_batch_"
+
+  /** One IVM micro-batch, idempotent by batch id: returns false (no
+    * commit) when `batchId` is at or below the snapshot history's
+    * last-applied IVM batch — the at-least-once replay case. The tag
+    * rides the SAME durable object as the state it produced (one commit
+    * = state + high-water mark), so there is no second file to fall out
+    * of sync with the aggregate. */
+  private[graft] def ivmApplyBatch(agg: graft.write.SnapshotTable,
+                                   batch: DataFrame, batchId: Long,
+                                   keys: Seq[String], nCol: String,
+                                   sumCol: String, valueCol: String): Boolean = {
+    val lastApplied = agg.history.iterator.map(_._2)
+      .collect { case op if op.startsWith(IvmBatchTag) =>
+        op.stripPrefix(IvmBatchTag).toLong }
+      .maxOption
+    if (lastApplied.exists(_ >= batchId)) false
+    else {
+      // the merge consumes the batch twice (count + sum deltas ride
+      // one agg, but the plan also feeds the outer join probe)
+      val b = batch.persist()
+      try {
+        agg.commitOverwrite(graft.write.Ivm.applyCountSumDelta(
+          agg.read(), b, keys, nCol, sumCol,
+          col(valueCol).cast("decimal(38,10)")),
+          opTag = s"$IvmBatchTag$batchId")
+        true
+      } finally { b.unpersist(); () }
+    }
+  }
 
   /** File-source stream over a directory of event parquet (µs
     * timestamps), for tests and replay. */

@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   * most POSIX). On S3-class object stores create-exclusive is not
   * atomic; production tables there put the version pointer in a catalog
   * with a conditional write (what Iceberg's HMS/REST catalogs do) and
-  * keep everything else here unchanged.
+  * keep everything else here unchanged. The constructor PROBES the
+  * root's scheme and refuses known non-atomic stores with a clear error
+  * (opt back in via `graft.snapshots.allow.nonatomic=true` once the
+  * pointer lives in such a catalog) — fail-fast at open beats a
+  * silently unsafe flip under concurrency.
   *
   * At 100 TB the unit of work per commit is one data directory's write:
   * commit metadata is O(retained versions × data dirs), never O(files),
@@ -55,8 +59,34 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private val manifestDir = new Path(root, "_manifests")
   private val dataDir = new Path(root, "_data")
+  private val statsDir = new Path(root, "_stats")
   private val fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // Commit-safety probe (fail-fast at OPEN, not corrupt at commit): the
+  // protocol's two primitives — create-exclusive as the commit point and
+  // atomic rename as the pointer flip — do not exist on S3-class object
+  // stores (rename there is copy+delete; create is last-writer-wins), so
+  // two racing writers would BOTH believe they won and the CURRENT flip
+  // could be observed half-complete. The reference runs its warehouse on
+  // MinIO/S3 but gets safety from an Iceberg CATALOG's conditional
+  // write, not from the store (`trino/catalog/iceberg.properties`,
+  // `scripts/nyc_taxi/ingest_spark_bulk.py:123–133`); the equivalent
+  // deployment here keeps the pointer in such a catalog and sets
+  // `graft.snapshots.allow.nonatomic=true` to acknowledge the contract
+  // moved off the filesystem.
+  {
+    val scheme = Option(new Path(root).toUri.getScheme).getOrElse(fs.getScheme)
+    val unsafe = Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "wasb")
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(!unsafe.contains(scheme) ||
+        conf.getBoolean("graft.snapshots.allow.nonatomic", false),
+      s"SnapshotTable at $root: scheme '$scheme' lacks atomic rename/" +
+        "create-exclusive, so the commit protocol cannot guarantee a " +
+        "single winner. Point the version pointer at a conditional-write " +
+        "catalog and set graft.snapshots.allow.nonatomic=true, or use an " +
+        "HDFS/POSIX-semantics filesystem.")
+  }
 
   /** One data directory + the partitions masked out of it (a dynamic
     * partition overwrite excludes the replaced partitions from every
@@ -147,10 +177,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     next
   }
 
-  /** Full-table snapshot (CTAS / dbt `table` materialization shape). */
-  def commitOverwrite(df: DataFrame): Int = {
+  /** Full-table snapshot (CTAS / dbt `table` materialization shape).
+    * `opTag` rides the manifest's op line — a caller-visible marker in
+    * [[history]] that survives restarts, which is how the streaming IVM
+    * loop records its last-applied batch id WITH the state it produced
+    * (one durable object, no second file to fall out of sync). */
+  def commitOverwrite(df: DataFrame, opTag: String = "overwrite"): Int = {
+    require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
+      s"opTag must be a non-empty single line: '$opTag'")
     val v = currentVersion.getOrElse(0) + 1
-    commit("overwrite", Seq(Entry(writeData(df, v), Set.empty)))
+    commit(opTag, Seq(Entry(writeData(df, v), Set.empty)))
   }
 
   /** Append snapshot: previous entries plus one new directory. */
@@ -174,6 +210,70 @@ class SnapshotTable(spark: SparkSession, root: String,
     val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
     val masked = prev.map(e => e.copy(excluded = e.excluded ++ touched))
     commit("overwrite_partitions", masked :+ Entry(writeData(df, v), Set.empty))
+  }
+
+  // ---- clustered commits with a commit-time stats index (the
+  // Iceberg-style composition of the two metadata pieces this engine
+  // ships separately: snapshot versioning over immutable data dirs +
+  // file-level min/max skipping). Each clustered commit range-clusters
+  // its data dir on `clusterCol` (disjoint per-file ranges — the
+  // skipping precondition) and builds the per-file (min, max) index for
+  // that dir WHILE the rows are hot, so every later read prunes files
+  // at planning time without a separate index build. Clustered and
+  // hive-partitioned commit styles are alternatives, not mixable: the
+  // clustered layout has no partition directories for
+  // commitOverwritePartitions' exclusion masks to name. ----
+
+  private def statsPath(dir: String, column: String): Path =
+    new Path(new Path(statsDir, dir), column)
+
+  /** Full-table clustered snapshot: data range-clustered on
+    * `clusterCol` into `nFiles` disjoint-range files + the dir's stats
+    * index, one commit. */
+  def commitOverwriteClustered(df: DataFrame, clusterCol: String,
+                               nFiles: Int = 8): Int = {
+    val v = currentVersion.getOrElse(0) + 1
+    commit("overwrite_clustered", Seq(writeClustered(df, v, clusterCol, nFiles)))
+  }
+
+  /** Append a clustered data dir (its own stats index) to the current
+    * snapshot's entries. */
+  def commitAppendClustered(df: DataFrame, clusterCol: String,
+                            nFiles: Int = 8): Int = {
+    val v = currentVersion.getOrElse(0) + 1
+    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    commit("append_clustered", prev :+ writeClustered(df, v, clusterCol, nFiles))
+  }
+
+  private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
+                             nFiles: Int): Entry = {
+    val dir = f"d$version%05d"
+    val dataP = new Path(dataDir, dir).toString
+    IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
+    graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
+      statsPath(dir, clusterCol).toString)
+    Entry(dir, Set.empty)
+  }
+
+  /** Read the CURRENT snapshot through each data dir's stats index:
+    * predicates on `clusterCol` prune non-overlapping files per dir at
+    * planning time, before any footer opens — the versioned-table read
+    * path a selective query wants at 100 TB. A dir committed without a
+    * `clusterCol` index reads plain (conservative); results always
+    * equal [[read]]'s. */
+  def readSkipping(clusterCol: String): DataFrame = {
+    val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
+    require(m.entries.nonEmpty, s"current snapshot at $root is empty")
+    require(m.entries.forall(_.excluded.isEmpty),
+      "readSkipping covers clustered-commit tables; this snapshot has " +
+        "partition-exclusion masks — read() instead")
+    m.entries.map { e =>
+      val dataP = new Path(dataDir, e.dir).toString
+      val sp = statsPath(e.dir, clusterCol)
+      if (fs.exists(sp))
+        graft.sources.DataSkipping.read(spark, dataP, clusterCol, sp.toString)
+      else spark.read.parquet(dataP)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Re-point the table at snapshot `v`'s state — a NEW commit with
@@ -268,7 +368,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     dead.foreach(v => fs.delete(manifestPath(v), false))
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
-        if (!referenced(p.getName)) fs.delete(p, true)
+        if (!referenced(p.getName)) {
+          fs.delete(p, true)
+          // a clustered dir's stats index dies with its data dir
+          fs.delete(new Path(statsDir, p.getName), true)
+        }
       }
   }
 
@@ -284,7 +388,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       .flatMap(v => parse(v).entries.map(_.dir)).toSet
     val orphans = fs.listStatus(dataDir).map(_.getPath)
       .filterNot(p => referenced(p.getName)).toSeq
-    orphans.foreach(p => fs.delete(p, true))
+    orphans.foreach { p =>
+      fs.delete(p, true)
+      fs.delete(new Path(statsDir, p.getName), true)
+    }
     orphans.map(_.getName)
   }
 

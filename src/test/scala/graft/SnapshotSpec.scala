@@ -251,6 +251,88 @@ class SnapshotSpec extends AnyFunSuite {
       assert(state(t.readVersion(1)) == state(good), s"source v1 under $scheme:")
     }
   }
+
+  test("S3-class schemes are refused at open unless the catalog override is set") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FakeS3Fs].getName)
+    val root = "s3a://" + freshRoot("snap_s3")
+    val e = intercept[IllegalArgumentException] { new SnapshotTable(spark, root) }
+    assert(e.getMessage.contains("atomic rename"),
+      s"refusal must explain the missing primitive: ${e.getMessage}")
+    // explicit acknowledgement (pointer moved to a conditional-write
+    // catalog) re-enables the table over the same scheme
+    conf.setBoolean("graft.snapshots.allow.nonatomic", true)
+    try {
+      val t = new SnapshotTable(spark, root)
+      t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+      assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
+    } finally conf.setBoolean("graft.snapshots.allow.nonatomic", false)
+  }
+
+  test("clustered commits build a stats index; readSkipping prunes files, values equal read()") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_skip"))
+    val rows = (1 to 400).map(i => (i, 2024, i % 12 + 1, i * 1.5))
+      .toDF("id", "year", "month", "fare")
+    t.commitOverwriteClustered(rows.filter($"id" % 2 === 0), "id", nFiles = 4)
+    t.commitAppendClustered(rows.filter($"id" % 2 === 1), "id", nFiles = 4)
+    val pred = col("id") >= 100 && col("id") <= 120
+    val skipped = t.readSkipping("id").filter(pred)
+    val got = skipped.collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (100 to 120), s"readSkipping changed values: $got")
+    assert(t.read().filter(pred).count() == 21)
+    // plan pin: the 21-key range covers ~1 of 4 files per dir — both
+    // scans together must read fewer files than the 8 on disk
+    val scanned = skipped.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    assert(scanned > 0 && scanned <= 4, s"expected <=4 of 8 files, got $scanned")
+    // expire: the dead dir's stats index dies with it
+    t.commitOverwriteClustered(rows, "id", nFiles = 4)
+    t.expire(keepLast = 1)
+    val rootFs = fs(t.location)
+    assert(!rootFs.exists(new Path(t.location, "_stats/d00001")),
+      "expired dir's stats index leaked")
+    assert(rootFs.exists(new Path(t.location, "_stats/d00003")),
+      "live dir's stats index must survive expire")
+    assert(t.readSkipping("id").count() == 400)
+  }
+
+  test("ivm batch replay is detected by the commit's op tag and skipped") {
+    import spark.implicits._
+    val agg = new SnapshotTable(spark, freshRoot("snap_ivm_replay"))
+    agg.commitOverwrite(
+      Seq((2024, 1, 2L, BigDecimal("30.0")), (2024, 2, 1L, BigDecimal("5.0")))
+        .toDF("year", "month", "n", "fs")
+        .withColumn("fs", col("fs").cast("decimal(38,10)")))
+    val delta = Seq((2024, 1, "insert", 7.0), (2024, 2, "delete", 5.0))
+      .toDF("year", "month", "op", "fare")
+    def snap = agg.read().select("year", "month", "n", "fs")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSet
+    assert(graft.streaming.StreamingEvents.ivmApplyBatch(
+      agg, delta, batchId = 0L, Seq("year", "month"), "n", "fs", "fare"))
+    val afterFirst = snap
+    // (2024,2)'s count hits 0 → the group drops (Ivm contract)
+    assert(afterFirst == Set((2024, 1, 3L, 37.0)))
+    // the at-least-once replay: same batch id → no commit, state frozen
+    assert(!graft.streaming.StreamingEvents.ivmApplyBatch(
+      agg, delta, batchId = 0L, Seq("year", "month"), "n", "fs", "fare"))
+    assert(snap == afterFirst, "replayed batch double-applied its deltas")
+    assert(agg.history.count(_._2.startsWith("ivm_batch_")) == 1)
+    // the NEXT batch applies normally
+    assert(graft.streaming.StreamingEvents.ivmApplyBatch(
+      agg, delta, batchId = 1L, Seq("year", "month"), "n", "fs", "fare"))
+    assert(agg.history.map(_._2).last == "ivm_batch_1")
+  }
+}
+
+/** RawLocalFileSystem wearing the `s3a` scheme — the shim that lets the
+  * commit-safety probe's refusal path run in-sandbox (the probe keys on
+  * the SCHEME's rename/create semantics, not the implementation behind
+  * it). */
+class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
 }
 
 /** RawLocalFileSystem mounted at a second URI scheme (`raw://`) — the
