@@ -14,13 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout: one entry file per table at
   * `<warehouse>/_graft_catalog/<namespace>/<table>` holding
-  * `path=<location>` / `format=<fmt>` lines. Registration writes a temp
-  * file and renames it into place — atomic on HDFS/POSIX (the
-  * [[graft.write.SnapshotTable]] commit-protocol contract), so a reader
-  * never observes a half-written entry; last-writer-wins on re-register,
-  * which is the metastore's own semantics for `ALTER TABLE SET
-  * LOCATION`. Entry files are metadata-sized (two lines), so listing a
-  * namespace is O(tables), never O(data).
+  * `path=<location>` / `format=<fmt>` lines. Registration writes a
+  * per-attempt-unique temp file and flips it into place with an
+  * OVERWRITE-capable rename (POSIX `rename(2)` on local filesystems,
+  * `FileContext` + `Options.Rename.OVERWRITE` on HDFS-class stores —
+  * one atomic step either way, the [[graft.write.SnapshotTable]]
+  * commit-protocol contract), so a reader never observes a half-written
+  * OR transiently-missing entry, even mid-re-registration;
+  * last-writer-wins on re-register, which is the metastore's own
+  * semantics for `ALTER TABLE SET LOCATION`. Entry files are
+  * metadata-sized (two lines), so listing a namespace is O(tables),
+  * never O(data).
   *
   * This deliberately stores LOCATIONS, not data: dropping a name leaves
   * the files (an EXTERNAL table drop). Pair with [[graft.write
@@ -28,8 +32,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * name. */
 class PathCatalog(spark: SparkSession, warehouse: String) {
   private val root = new Path(warehouse, "_graft_catalog")
-  private val fs: FileSystem =
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // Entry files bypass ChecksumFileSystem's .crc shadows: the shadow is
+  // a SECOND file, and two files cannot flip atomically — a reader
+  // racing a re-register would hit transient checksum mismatches. Raw
+  // access keeps the whole entry in one inode; corruption protection
+  // for a two-line metadata file is the flip's atomicity itself.
+  private val fs: FileSystem = {
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+  }
 
   private def check(id: String): String = {
     require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '_'),
@@ -52,30 +66,71 @@ class PathCatalog(spark: SparkSession, warehouse: String) {
       s"format must be a simple token: '$format'")
     val p = entryPath(ns, table)
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s"._${check(table)}.tmp")
-    fs.delete(tmp, false)
+    // unique temp per ATTEMPT: two racing registers never share a
+    // staging file (a fixed name let one writer rename the other's
+    // half-written bytes into place)
+    val tmp = new Path(p.getParent,
+      s"._${check(table)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"path=$location\nformat=$format\n".getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p), s"catalog entry flip failed for $ns.$table")
+    // overwrite-capable rename: ONE atomic flip, so a concurrent
+    // resolve sees either the old entry or the new one — never the
+    // unbound window a delete-then-rename pair opens
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // POSIX rename(2) replaces the destination atomically; Hadoop's
+        // DEFAULT AbstractFileSystem.renameInternal(overwrite) is
+        // delete-then-rename (only HDFS overrides it server-side), so
+        // FileContext would re-open the window here
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      case _ =>
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no AbstractFileSystem binding for this scheme: fall back
+            // to delete+rename and accept a transient-miss window
+            // (documented; last-writer-wins still holds)
+            fs.delete(p, false)
+            require(fs.rename(tmp, p), s"catalog entry flip failed for $ns.$table")
+        }
+    }
   }
 
   /** Resolve a name to its (location, format), if registered — works
-    * from ANY session handle over the same warehouse dir. */
+    * from ANY session handle over the same warehouse dir. An absent
+    * entry returns None immediately (the flip is atomic, so "missing"
+    * is a real answer, not a race); a READ error retries bounded — a
+    * defensive net for stores whose register() had to take the
+    * documented delete+rename fallback. */
   def resolve(ns: String, table: String): Option[(String, String)] = {
     val p = entryPath(ns, table)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val kv = text.linesIterator.filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
-        .toMap
-      Some((kv("path"), kv.getOrElse("format", "parquet")))
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return None
+      try {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val kv = text.linesIterator.filter(_.contains("="))
+          .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+          .toMap
+        return Some((kv("path"), kv.getOrElse("format", "parquet")))
+      } catch {
+        case e: java.io.IOException if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(2L << attempt)
+      }
     }
+    None // unreachable
   }
 
   /** Read a registered table through its resolved location. */

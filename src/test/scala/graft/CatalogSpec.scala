@@ -56,6 +56,44 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("racing re-registrations never unbind the name for a concurrent reader") {
+    // the delete-then-rename implementation opened a window where
+    // resolve() observed "no such table" mid-re-register; the
+    // overwrite-rename flip must never show that window, and racing
+    // writers (each with a unique temp file) must always leave ONE
+    // intact winner
+    val wh = java.nio.file.Files.createTempDirectory("graft_pathcat5").toString
+    val cat = new PathCatalog(spark, wh)
+    cat.register("ns", "hot", "/loc/0")
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val corrupt = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        val c = new PathCatalog(spark, wh)
+        try while (!stop.get()) c.resolve("ns", "hot") match {
+          case None => misses.incrementAndGet()
+          case Some((loc, _)) if !loc.startsWith("/loc/") => corrupt.add(loc)
+          case _ => ()
+        } catch { case e: Throwable => corrupt.add(s"reader died: $e") }
+      })
+    }
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        var i = 0
+        try while (!stop.get()) { cat.register("ns", "hot", s"/loc/$w$i"); i += 1 }
+        catch { case e: Throwable => corrupt.add(s"writer died: $e") }
+      })
+    }
+    (readers ++ writers).foreach(_.start())
+    Thread.sleep(1500)
+    stop.set(true)
+    (readers ++ writers).foreach(_.join(10000))
+    assert(misses.get() == 0, s"resolve saw a missing entry ${misses.get()} times")
+    assert(corrupt.isEmpty, s"resolve saw torn entries: $corrupt")
+    assert(cat.resolve("ns", "hot").exists(_._1.startsWith("/loc/")))
+  }
+
   test("missing table resolves to None and read fails loudly") {
     val wh = java.nio.file.Files.createTempDirectory("graft_pathcat3").toString
     val cat = new PathCatalog(spark, wh)
