@@ -29,8 +29,12 @@ import org.apache.spark.sql.types.LongType
   * Semantics: within each key, a new session starts when
   * `ts − previous ts > gapUs` (strictly greater — the
   * [[graft.operators.Events.sessionize]] convention); `session_idx` is
-  * 1-based per key. NULL timestamps sort first and land in the key's
-  * first session. */
+  * 1-based per key. NULL timestamps sort first; a row whose PREDECESSOR
+  * has a null timestamp always opens a new session — exactly the lag
+  * formulation's behavior, where `lag(ts)` returns the null and
+  * `prev.isNull` fires `is_new` (so each null row is its own session
+  * and the first real timestamp starts fresh rather than being glued to
+  * the nulls by an overflowing `t − Long.MinValue` subtraction). */
 case class SessionizeNode(keys: Seq[Expression], ts: Expression, gapUs: Long,
                           sessionAttr: AttributeReference, child: LogicalPlan)
     extends UnaryNode {
@@ -69,19 +73,26 @@ case class SessionizeExec(keys: Seq[Expression], ts: Expression, gapUs: Long,
       val joined = new JoinedRow
       val idxRow = new GenericInternalRow(1)
       var curKey: UnsafeRow = null
-      var lastTs = Long.MinValue
+      var lastTs = 0L
+      var lastTsNull = true
       var idx = 0L
       iter.map { row =>
         val k = keyProj(row)
         val tv = boundTs.eval(row)
-        val t = if (tv == null) Long.MinValue else tv.asInstanceOf[Long]
         if (curKey == null || !k.equals(curKey)) {
           curKey = k.copy() // the projection reuses its buffer; detach
           idx = 1L
-        } else if (t - lastTs > gap) {
+        } else if (lastTsNull || tv == null ||
+            tv.asInstanceOf[Long] - lastTs > gap) {
+          // lastTsNull fires is_new exactly like `lag` returning null
+          // in the window formulation — no Long.MinValue sentinel, so
+          // no overflow on the null→non-null transition. (The tv==null
+          // arm is defensive: nulls sort first under the required
+          // ordering, so a null can't follow a non-null within a key.)
           idx += 1L
         }
-        lastTs = t
+        lastTsNull = tv == null
+        if (!lastTsNull) lastTs = tv.asInstanceOf[Long]
         idxRow.setLong(0, idx)
         outProj(joined(row, idxRow))
       }

@@ -64,7 +64,13 @@ class SessionizePlanSpec extends AnyFunSuite {
       s"aggregation did not reuse the session partitioning:\n$aggStr")
   }
 
-  test("null timestamps sort first and land in the key's first session") {
+  test("null timestamps match the lag formulation: successor of a null starts fresh") {
+    // lag semantics: a row whose predecessor's ts is null fires is_new
+    // (lag returns the null), so each null row is its own session and
+    // the first REAL timestamp opens a new one — pinned exactly, because
+    // the old Long.MinValue-sentinel implementation overflowed
+    // `t − lastTs` on the null→non-null boundary and glued ts(0) into
+    // the nulls' session
     val withNull = Seq(
       (1L, Option.empty[Timestamp], 0.0),
       (1L, Some(ts(0)), 1.0), (1L, Some(ts(100)), 2.0))
@@ -73,11 +79,21 @@ class SessionizePlanSpec extends AnyFunSuite {
     val got = Sessionize(withNull, Seq("user_id"), "ts", 30)
       .orderBy($"ts".asc_nulls_first)
       .collect().map(_.getLong(3)).toSeq
-    // null first (session 1), ts(0) joins it (any gap from MinValue is
-    // huge — so it opens session 2), ts(100) opens session 3
-    assert(got.head == 1L && got.distinct.sorted == got.distinct,
-      s"null-ts ordering broke: $got")
-    assert(got.size == 3)
+    assert(got == Seq(1L, 2L, 3L), s"null-boundary sessions broke: $got")
+    // consecutive nulls: every one fires is_new (lag hands each its
+    // predecessor's null), and the count restarts per key
+    val twoNulls = Seq(
+      (1L, Option.empty[Timestamp], 0.0), (1L, Option.empty[Timestamp], 0.0),
+      (1L, Some(ts(0)), 1.0),
+      (2L, Option.empty[Timestamp], 0.0), (2L, Some(ts(5)), 1.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val byKey = Sessionize(twoNulls, Seq("user_id"), "ts", 30)
+      // session_idx breaks the tie between the two equal null rows
+      .orderBy($"user_id", $"ts".asc_nulls_first, $"session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(byKey == Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L)),
+      s"consecutive-null sessions broke: $byKey")
   }
 
   test("unknown column fails loudly; key change resets the index") {
