@@ -507,6 +507,19 @@ object TaxiEntries {
   private def snapCdcLog(s: SparkSession, d: String): DataFrame = snapDerived(s, d, "log")
   private def snapV1(s: SparkSession, d: String): DataFrame = snapDerived(s, d, "v1")
 
+  /** Bench-only hook: materialize the cross-entry snapshot/CDC fixtures
+    * (three-commit table, persisted changelog + v1) OUTSIDE any timed
+    * entry, so the first-toucher entry's bench number reads as the
+    * OPERATOR's cost rather than absorbing two full table commits the
+    * whole family shares. Verify/tests never call this — entries stay
+    * self-sufficient. */
+  def prewarmSharedFixtures(s: SparkSession, d: String): Unit = {
+    snapCdcFixture(s, d)
+    snapCdcLog(s, d).count()
+    snapV1(s, d).count()
+    ()
+  }
+
   import TaxiSql.{select => o}
   import TaxiSql.Dialect.{rnd, rndSum}
 

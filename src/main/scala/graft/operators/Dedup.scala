@@ -138,12 +138,16 @@ object Dedup {
     * (doc_id, n_windows, n_repeated, max_run_words).
     *
     * Scale shape: the window table is corpus-token-sized but never
-    * wider than (id, pos, window); one aggregation shuffle finds the
-    * repeated set, a semi join marks positions (repeated windows are a
-    * small fraction of the corpus, and hot boilerplate windows
-    * aggregate before the join — no posting-list blowup), and one
-    * per-document window pass collapses runs. No all-pairs stage
-    * anywhere. */
+    * wider than (id, pos, window); the corpus-wide aggregation that
+    * finds the repeated set shuffles 64-BIT WINDOW HASHES, not the
+    * window strings (a k-word window is ~8k bytes of shuffle key —
+    * hashing cuts the wide shuffle's bytes by ~an order of magnitude),
+    * and the ≥2-doc survivors are EXACT-VERIFIED by string afterwards
+    * (survivors are a small fraction of the corpus, so the verify
+    * group-by and the position-marking semi join are broadcast-class;
+    * a hash collision can only send a few extra windows into the
+    * verify, never a wrong window into the output). One per-document
+    * window pass collapses runs. No all-pairs stage anywhere. */
   def repeatedSpans(docs: DataFrame, k: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "window width must be at least 1 word")
@@ -157,7 +161,18 @@ object Dedup {
         col("ws"))
       .select(col("doc_id"), col("p"),
         array_join(slice(col("ws"), col("p"), lit(k)), " ").as("win"))
-    val repeated = wins.groupBy(col("win"))
+    // stage 1 (hash-keyed, the big shuffle): candidate hashes seen in
+    // ≥2 docs; stage 2 (string-keyed, survivors only): exact verify, so
+    // colliding windows can't be conflated
+    val hotHashes = wins
+      .select(xxhash64(col("win")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val repeated = wins
+      .withColumn("h", xxhash64(col("win")))
+      .join(hotHashes, Seq("h"), "leftsemi")
+      .groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("win"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("p"))
