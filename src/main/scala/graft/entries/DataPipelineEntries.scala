@@ -628,6 +628,21 @@ object DataPipelineEntries {
     },
     // -- dedup -----------------------------------------------------------
     "dedup_exact" -> q((s, d) => Dedup.exact(Tables.spread(Tables.documents(s, d)))),
+    // Bloom-gated ingest dedup: an incoming batch anti-joined against
+    // the stored corpus on exact text. A Bloom "no" has no false
+    // negatives, so definitely-new docs pass the gate MAP-SIDE with
+    // zero shuffle; only the maybe-dups (true dups + an fpp sliver) pay
+    // the exact anti join — the gate's shuffle tracks the dup rate, not
+    // the batch size. fpp is an optimization knob, never a correctness
+    // one: graded against the plain NOT EXISTS.
+    "dedup_bloom_gate" -> q { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+      graft.operators.BloomJoin.bloomAntiJoin(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("text")),
+        "text", expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"), col("n_chars"))
+    },
     // C4-style sub-document dedup: fixed word-window segments, corpus-
     // wide first occurrence kept, documents reassembled from survivors.
     "dedup_segments" -> q((s, d) =>
@@ -2704,6 +2719,13 @@ object DataPipelineEntries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // the bloom gate must equal the plain anti join exactly — the
+    // filter only reroutes rows between the bypass and the verify
+    "dedup_bloom_gate" ->
+      """SELECT i.doc_id, i.n_chars FROM documents i
+        |WHERE i.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents s
+        |                  WHERE s.doc_id % 3 <> 0 AND s.text = i.text)""".stripMargin,
     // the index is candidate generation only: the graded result is the
     // exact substring scan
     "text_trigram_search" -> {

@@ -361,6 +361,27 @@ object TaxiEntries {
         when(col("version") === v2, lit(t.readVersion(v2).count()))
           .otherwise(lit(t.readVersion(v3).count())))
     },
+    // Right-to-be-forgotten erasure: purge rewrites EVERY retained
+    // version so no matching row survives anywhere in history — the
+    // compliance op time travel makes hard (a DELETE commit fixes only
+    // the current version; old manifests still reference old files).
+    // Graded on all three versions' post-purge profiles: erased rows
+    // gone from each (incl. through the rollback), every other row and
+    // the history structure intact. Runs on a DEEP CLONE: purge mutates
+    // history, the shared fixture stays pristine.
+    "taxi_snapshot_purge" -> q { (s, d) =>
+      val (src, v1, v2, v3) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snappurge", d, s))
+      t.purge(col("fare_amount") > 400)
+      Seq(v1, v2, v3).map { v =>
+        t.readVersion(v)
+          .groupBy(col("year"), col("month"))
+          .agg(count(lit(1)).as("n"),
+            graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+          .withColumn("version", lit(v).cast("int"))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
+    },
     // The CDC CONSUMER side of the changelog contract: a follower holding
     // v1 applies changelog(v1, v2) and must land exactly on v2 — graded
     // on the full per-partition profile of the RECONSTRUCTED table (any
@@ -660,6 +681,24 @@ object TaxiEntries {
          |  bad AS (SELECT year, month, count(*) AS n,
          |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
          |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2),
+         |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
+         |         UNION ALL SELECT * FROM bad)
+         |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
+         |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
+         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin),
+    // post-purge mirror of the rollback oracle: the >400 fares drop
+    // from every version (v2's corrupted replacements are negative, so
+    // none of them match — they all survive)
+    "taxi_snapshot_purge" -> o(
+      s""", agg AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("fare_amount", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE NOT coalesce(fare_amount > 400, FALSE)
+         |        GROUP BY 1, 2),
+         |  bad AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month IN (6, 7)
+         |          AND NOT (coalesce(fare_amount * -100, -1.0) > 400)
+         |        GROUP BY 1, 2),
          |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
          |         UNION ALL SELECT * FROM bad)
          |SELECT CAST(1 AS INTEGER) AS version, * FROM agg

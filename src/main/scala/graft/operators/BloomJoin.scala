@@ -56,4 +56,40 @@ object BloomJoin {
       .filter(call_function("might_contain", lit(bf), xxhash64(col(key))))
       .join(build.select(col(key)), Seq(key), "left_semi")
   }
+
+  /** `probe ▷ build` (anti join) on `key`, bloom-accelerated — the
+    * INGEST DEDUP GATE: which incoming rows are definitely new vs
+    * possibly already stored. The asymmetry with [[bloomSemiJoin]] is
+    * what makes this the scale win for dedup-at-ingest: a Bloom "no" is
+    * EXACT (no false negatives), so every definitely-new row passes the
+    * gate map-side with ZERO shuffle, and only the "maybe" rows — the
+    * true duplicates plus an fpp-sized sliver of false positives — pay
+    * the exact anti-join against the stored side. At 100 TB with a
+    * mostly-novel incoming batch, that turns a full batch×store shuffle
+    * into a shuffle of ~(dup rate + fpp) of the batch. Result is
+    * exactly `probe anti-join build` whatever the fpp. */
+  def bloomAntiJoin(probe: DataFrame, build: DataFrame, key: String,
+                    expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"invalid bloom sizing: items=$expectedItems fpp=$fpp")
+    val (pt, bt) = (probe.schema(key).dataType, build.schema(key).dataType)
+    require(pt == bt,
+      s"bloomAntiJoin key '$key' types differ (probe=$pt, build=$bt); cast one side first")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bf = build
+      .agg(expr(s"bloom_filter_agg(xxhash64($key), " +
+        s"CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty store: everything is new
+    if (bf == null) return probe
+    val hit = call_function("might_contain", lit(bf), xxhash64(col(key)))
+    // a null key never matches an equi-join, so it is definitely new;
+    // might_contain(null-hash) would return null and drop the row from
+    // BOTH branches — route nulls through the definite-new side
+    val definitelyNew = probe.filter(col(key).isNull || !hit)
+    val maybeDup = probe.filter(col(key).isNotNull && hit)
+      .join(build.select(col(key)), Seq(key), "left_anti")
+    definitelyNew.unionByName(maybeDup)
+  }
 }

@@ -74,16 +74,23 @@ object DataSkipping {
     * time. */
   def read(spark: SparkSession, dataPath: String, column: String,
            statsPath: String): DataFrame = {
-    val stats = spark.read.parquet(statsPath)
-      .collect()
-      .flatMap { r =>
-        // an all-null indexed column yields null bounds: no range to
-        // prune on — skip the row, and the absent-entry default keeps
-        // the file (conservative), instead of an NPE at index load
-        for (mn <- Option(r.get(1)); mx <- Option(r.get(2)))
-          yield normalize(r.getString(0)) ->
-            ((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
-      }.toMap
+    val stats =
+      try spark.read.parquet(statsPath)
+        .collect()
+        .flatMap { r =>
+          // an all-null indexed column yields null bounds: no range to
+          // prune on — skip the row, and the absent-entry default keeps
+          // the file (conservative), instead of an NPE at index load
+          for (mn <- Option(r.get(1)); mx <- Option(r.get(2)))
+            yield normalize(r.getString(0)) ->
+              ((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+        }.toMap
+      catch {
+        // a fileless stats dir (an index built over zero rows) carries
+        // no schema to infer — treat as an empty index: every file kept
+        case _: org.apache.spark.sql.AnalysisException =>
+          Map.empty[String, (Double, Double)]
+      }
     val schema = spark.read.parquet(dataPath).schema
     val index = new MinMaxFileIndex(spark, new Path(dataPath), column, stats)
     // targets the flat clustered-file layout (overwriteClustered); a

@@ -414,6 +414,82 @@ class SnapshotTable(spark: SparkSession, root: String,
     new SnapshotTable(spark, destRoot, partCols)
   }
 
+  /** Right-to-be-forgotten erasure: rewrite EVERY retained version so
+    * no row matching `condition` survives anywhere in history — the
+    * compliance operation time travel makes hard (a DELETE commit only
+    * changes the current version; the old manifests still reference the
+    * old files). Each referenced data dir is rewritten ONCE (dirs shared
+    * across versions pay once, not per version) to a purged twin, every
+    * manifest is swapped to reference the twins, and the originals are
+    * removed. Version numbers, ops, parents, and partition-exclusion
+    * masks are preserved; readers before/after see identical history
+    * minus the erased rows. Rows where the condition evaluates NULL are
+    * KEPT (erase only what is proven to match). Clustered dirs are
+    * re-clustered on their indexed column and their stats indexes
+    * rebuilt, so skipping reads keep pruning after the purge.
+    *
+    * SINGLE-WRITER operation like compaction: it mutates history in
+    * place — take the table offline for it. Cost: one read+write of the
+    * referenced bytes (the floor for physical erasure); at 100 TB this
+    * is the batch job compliance teams actually schedule, which is why
+    * sharing rewritten dirs across versions matters.
+    * Returns the number of data dirs rewritten. */
+  def purge(condition: org.apache.spark.sql.Column): Int = {
+    val versions = history.map(_._1)
+    require(versions.nonEmpty, s"no snapshots at $root")
+    val manifests = versions.map(parse)
+    val dirs = manifests.flatMap(_.entries.map(_.dir)).distinct
+    val mapping = dirs.map { dir =>
+      val purged = s"p$dir"
+      val src = new Path(dataDir, dir)
+      val dst = new Path(dataDir, purged)
+      fs.delete(dst, true)
+      val kept = spark.read.option("mergeSchema", "true").parquet(src.toString)
+        .filter(!coalesce(condition, lit(false)))
+      val dirStats = new Path(statsDir, dir)
+      val statCols =
+        if (fs.exists(dirStats))
+          fs.listStatus(dirStats).map(_.getPath.getName).toSeq.sorted
+        else Seq.empty
+      if (statCols.nonEmpty) {
+        // clustered dir: preserve the layout contract (disjoint ranges
+        // on the first indexed column) and rebuild every stats index
+        val nFiles = math.max(1, fs.listStatus(src)
+          .count(_.getPath.getName.endsWith(".parquet")))
+        IncrementalWriter.overwriteClustered(kept, dst.toString, statCols.head, nFiles)
+      } else {
+        kept.repartition(partCols.map(col): _*)
+          .write.partitionBy(partCols: _*).parquet(dst.toString)
+      }
+      // a dir whose EVERY row matched still needs a schema-bearing
+      // (zero-row) file — an empty directory breaks the parquet read of
+      // any version referencing it
+      val hasData = fs.exists(dst) &&
+        fs.listStatus(dst).exists(!_.getPath.getName.startsWith("_"))
+      if (!hasData)
+        kept.limit(0).coalesce(1).write.mode("overwrite").parquet(dst.toString)
+      if (statCols.nonEmpty && hasData)
+        statCols.foreach(c => graft.sources.DataSkipping.buildStats(
+          spark, dst.toString, c, statsPath(purged, c).toString))
+      dir -> purged
+    }.toMap
+    manifests.foreach { m =>
+      val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
+      val tmp = new Path(manifestDir, s".v${m.version}.purge.tmp")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(render(swapped).getBytes("UTF-8")) finally out.close()
+      fs.delete(manifestPath(m.version), false)
+      require(fs.rename(tmp, manifestPath(m.version)),
+        s"manifest swap failed for v${m.version}")
+    }
+    dirs.foreach { d =>
+      fs.delete(new Path(dataDir, d), true)
+      fs.delete(new Path(statsDir, d), true)
+    }
+    mapping.size
+  }
+
   /** Crash recovery: if an orphan manifest exists past CURRENT (a
     * writer died between manifest create and pointer flip), re-point
     * CURRENT at the newest manifest — the write WAS durable, finish it. */

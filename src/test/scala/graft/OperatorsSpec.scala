@@ -1355,6 +1355,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("types differ"))
   }
 
+  test("bloomAntiJoin equals the exact anti-join; nulls and empty store are new") {
+    val probe = ((1L to 500L).map(i => (Option(i), s"p$i")) :+
+      ((Option.empty[Long], "pnull"))).toDF("k", "payload")
+    val build = Seq(3L, 7L, 450L, 999L).toDF("k")
+    val got = BloomJoin.bloomAntiJoin(probe, build, "k",
+      expectedItems = 10L, fpp = 0.5) // high fpp: exercise the verify path
+    val want = probe.join(build, Seq("k"), "left_anti")
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.count() == 498) // 501 − the 3 stored matches; null row survives
+    // a null-keyed probe row never equi-matches: always new
+    assert(got.filter($"k".isNull).count() == 1)
+    // empty store: the whole batch is new, no shuffle needed
+    assert(BloomJoin.bloomAntiJoin(probe, build.filter(lit(false)), "k", 10L)
+      .count() == 501)
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomAntiJoin(probe, build.select($"k".cast("int").as("k")), "k", 10L)
+    }
+    assert(e.getMessage.contains("types differ"))
+  }
+
   test("entry maps refuse duplicate keys, within and across objects") {
     val e = intercept[IllegalArgumentException] {
       graft.entries.EntryMap("a" -> 1, "b" -> 2, "a" -> 3)

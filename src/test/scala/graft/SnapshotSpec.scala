@@ -298,6 +298,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.readSkipping("id").count() == 400)
   }
 
+  test("purge erases matching rows from every version; dirs rewritten once, originals gone") {
+    val t = new SnapshotTable(spark, freshRoot("snap_purge"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 99.0)))
+    t.commitOverwritePartitions(frame((9, 2024, 2, -1.0), (10, 2024, 2, 99.0)))
+    assert(t.purge(col("fare") === 99.0) == 2) // two referenced dirs, each once
+    // the 99.0 rows are gone from BOTH versions; everything else intact
+    assert(state(t.readVersion(1)) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    assert(state(t.readVersion(2)) == Set((1, 2024, 1, 10.0), (9, 2024, 2, -1.0)))
+    // physical erasure: the original dirs no longer exist
+    val rootFs = fs(t.location)
+    assert(!rootFs.exists(new Path(t.location, "_data/d00001")))
+    assert(!rootFs.exists(new Path(t.location, "_data/d00002")))
+    assert(rootFs.exists(new Path(t.location, "_data/pd00001")))
+    // history structure preserved (versions, ops, parents)
+    assert(t.history == Seq((1, "overwrite", 0), (2, "overwrite_partitions", 1)))
+    // purge-everything: zero-row versions stay readable (schema-bearing
+    // empty twin), and a second purge re-twins the purged dirs
+    t.purge(lit(true))
+    assert(t.readVersion(1).count() == 0 && t.readVersion(2).count() == 0)
+  }
+
+  test("purge on a clustered table re-clusters and rebuilds the stats index") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_purge_cl"))
+    val rows = (1 to 400).map(i => (i, 2024, i % 12 + 1, i * 1.5))
+      .toDF("id", "year", "month", "fare")
+    t.commitOverwriteClustered(rows, "id", nFiles = 4)
+    t.purge(col("id") % 10 === 0)
+    val got = t.readSkipping("id").filter(col("id") >= 100 && col("id") <= 120)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (100 to 120).filterNot(_ % 10 == 0), s"post-purge skipping read: $got")
+    // the rebuilt index still prunes: stats exist for the purged twin
+    val rootFs = fs(t.location)
+    assert(rootFs.exists(new Path(t.location, "_stats/pd00001/id")))
+    assert(!rootFs.exists(new Path(t.location, "_stats/d00001")))
+  }
+
   test("ivm batch replay is detected by the commit's op tag and skipped") {
     import spark.implicits._
     val agg = new SnapshotTable(spark, freshRoot("snap_ivm_replay"))
