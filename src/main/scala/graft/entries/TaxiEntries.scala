@@ -361,6 +361,29 @@ object TaxiEntries {
         when(col("version") === v2, lit(t.readVersion(v2).count()))
           .otherwise(lit(t.readVersion(v3).count())))
     },
+    // Write–audit–publish: a batch lands invisibly in _data, the audit
+    // queries the WOULD-BE table state, and only a passing batch
+    // becomes a commit — the Iceberg WAP workflow that keeps bad loads
+    // out of the table without a rollback scramble. The failing batch
+    // is abandoned and vacuum collects it as ordinary debris; the clean
+    // batch publishes with zero data movement. Graded on the final
+    // published state; the invisibility/audit/abandon mechanics are
+    // pinned in SnapshotSpec. Runs on a deep clone (publish mutates).
+    "taxi_snapshot_wap" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapwap", d, s))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val bad = t.stageAppend(stg.filter(col("month") === 1)
+        .withColumn("fare_amount", -abs(col("fare_amount"))), "bad_batch")
+      require(t.readWithStaged(bad).filter(col("fare_amount") < 0).count() > 0,
+        "audit fixture degenerate: no bad rows to catch")
+      t.vacuum() // audit failed: abandon — unreferenced debris
+      val good = t.stageAppend(stg.filter(col("month") === 1), "good_batch")
+      t.publishStaged(good) // audit passed
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Right-to-be-forgotten erasure: purge rewrites EVERY retained
     // version so no matching row survives anywhere in history — the
     // compliance op time travel makes hard (a DELETE commit fixes only
@@ -686,6 +709,14 @@ object TaxiEntries {
          |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
          |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
          |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin),
+    // the published state = the fixture's current (v3 = v1 = full
+    // staging) plus the clean month-1 append; the rejected batch never
+    // appears anywhere
+    "taxi_snapshot_wap" -> o(
+      s""", finalstate AS (SELECT year, month, fare_amount FROM stg_yellow
+         |  UNION ALL SELECT year, month, fare_amount FROM stg_yellow WHERE month = 1)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM finalstate GROUP BY 1, 2""".stripMargin),
     // post-purge mirror of the rollback oracle: the >400 fares drop
     // from every version (v2's corrupted replacements are negative, so
     // none of them match — they all survive)

@@ -276,6 +276,94 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  // ---- write–audit–publish (the Iceberg WAP workflow): a batch lands
+  // in `_data` with NO manifest referencing it — invisible to every
+  // reader — gets audited as the WOULD-BE table state, and only then
+  // becomes a commit. A failed audit just abandons the dir, which
+  // [[vacuum]] already collects as ordinary unreferenced debris. ----
+
+  /** Stage an append invisibly: the data dir is written (partitioned,
+    * same layout as a real append) but referenced by nothing. `name`
+    * keys the staged dir (`w_<name>`); staging an existing name fails
+    * loudly (parquet errorifexists) rather than silently merging. */
+  def stageAppend(df: DataFrame, name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"stage name must be [A-Za-z0-9_]+: '$name'")
+    val dir = s"w_$name"
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    dir
+  }
+
+  /** The would-be state if `stagedDir` published now: current snapshot
+    * plus the staged rows — what the audit step queries. Readable even
+    * before any commit exists (a first-load audit). */
+  def readWithStaged(stagedDir: String): DataFrame = {
+    val staged = spark.read.option("mergeSchema", "true")
+      .parquet(new Path(dataDir, stagedDir).toString)
+    currentVersion.map(readVersion)
+      .map(_.unionByName(staged, allowMissingColumns = true))
+      .getOrElse(staged)
+  }
+
+  /** Publish a staged dir as a real append commit — zero data movement
+    * (the bytes are already in `_data`); the manifest flip is the only
+    * thing the audit gate defers. */
+  def publishStaged(stagedDir: String): Int = {
+    require(fs.exists(new Path(dataDir, stagedDir)),
+      s"no staged dir '$stagedDir' under $dataDir (abandoned or never staged)")
+    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    require(!prev.exists(_.dir == stagedDir), s"'$stagedDir' is already published")
+    commit("publish_append", prev :+ Entry(stagedDir, Set.empty))
+  }
+
+  // ---- named refs (Iceberg tags): immutable name → version pointers,
+  // retained through expire like Iceberg's ref-aware expire_snapshots ----
+
+  private def tagPath(name: String) = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"tag name must be [A-Za-z0-9_]+: '$name'")
+    new Path(manifestDir, s"TAG_$name")
+  }
+
+  /** Pin `name` to an existing version. Tags are IMMUTABLE (re-tagging
+    * an existing name fails — create-exclusive, same primitive as the
+    * commit point); [[expire]] retains tagged versions. */
+  def tag(name: String, v: Int): Unit = {
+    parse(v) // must exist
+    val out =
+      try fs.create(tagPath(name), /*overwrite=*/ false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists (tags are immutable; pick a new name)")
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def resolveTag(name: String): Option[Int] = {
+    val p = tagPath(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Time travel by name. */
+  def readTag(name: String): DataFrame =
+    readVersion(resolveTag(name)
+      .getOrElse(sys.error(s"no tag '$name' at $root")))
+
+  /** All tags, (name, version), sorted by name. */
+  def tags: Seq[(String, Int)] =
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("TAG_") => n.stripPrefix("TAG_") }
+      .sorted.toSeq
+      .flatMap(n => resolveTag(n).map(n -> _))
+
   /** Re-point the table at snapshot `v`'s state — a NEW commit with
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
@@ -357,12 +445,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * manifests and any data directory no retained snapshot references —
     * Iceberg's `expire_snapshots`, the operation that stops a daily
     * 100 TB pipeline's storage growing without bound. The live version
-    * is always retained. */
+    * and every TAGGED version are always retained (Iceberg's ref-aware
+    * expire: a tag is a promise the snapshot stays readable). */
   def expire(keepLast: Int): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val versions = history.map(_._1)
     val cur = currentVersion.getOrElse(return)
-    val keep = versions.sorted.takeRight(keepLast).toSet + cur
+    val keep = versions.sorted.takeRight(keepLast).toSet + cur ++ tags.map(_._2)
     val dead = versions.filterNot(keep)
     val referenced = keep.toSeq.flatMap(v => parse(v).entries.map(_.dir)).toSet
     dead.foreach(v => fs.delete(manifestPath(v), false))
@@ -429,14 +518,20 @@ class SnapshotTable(spark: SparkSession, root: String,
     * rebuilt, so skipping reads keep pruning after the purge.
     *
     * SINGLE-WRITER operation like compaction: it mutates history in
-    * place — take the table offline for it. Cost: one read+write of the
-    * referenced bytes (the floor for physical erasure); at 100 TB this
-    * is the batch job compliance teams actually schedule, which is why
-    * sharing rewritten dirs across versions matters.
-    * Returns the number of data dirs rewritten. */
+    * place — take the table offline for it (any staged-but-unpublished
+    * dirs are vacuumed first: erasure must cover unreferenced bytes
+    * too, and a pending stage cannot outrank a deletion request). Cost:
+    * one read+write of the referenced bytes (the floor for physical
+    * erasure); at 100 TB this is the batch job compliance teams
+    * actually schedule, which is why sharing rewritten dirs across
+    * versions matters. Returns the number of data dirs rewritten. */
   def purge(condition: org.apache.spark.sql.Column): Int = {
     val versions = history.map(_._1)
     require(versions.nonEmpty, s"no snapshots at $root")
+    // erasure must also cover bytes no manifest references — staged
+    // (write–audit–publish) and crashed-writer dirs are invisible to
+    // readers but still on disk
+    vacuum()
     val manifests = versions.map(parse)
     val dirs = manifests.flatMap(_.entries.map(_.dir)).distinct
     val mapping = dirs.map { dir =>

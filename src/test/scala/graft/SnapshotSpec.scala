@@ -298,6 +298,44 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.readSkipping("id").count() == 400)
   }
 
+  test("write-audit-publish: staged batches invisible until published; abandoned stages vacuum away") {
+    val t = new SnapshotTable(spark, freshRoot("snap_wap"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val bad = t.stageAppend(frame((7, 2024, 2, -5.0)), "badb")
+    // invisible to every reader until published
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
+    // the audit queries the would-be state
+    assert(t.readWithStaged(bad).count() == 2)
+    assert(t.readWithStaged(bad).filter(col("fare") < 0).count() == 1)
+    // audit failed: abandon — vacuum collects exactly the staged dir
+    assert(t.vacuum() == Seq(bad))
+    intercept[IllegalArgumentException] { t.publishStaged(bad) }
+    // audit passed: publish is a manifest flip, zero data movement
+    val good = t.stageAppend(frame((8, 2024, 2, 5.0)), "goodb")
+    val v = t.publishStaged(good)
+    assert(v == 2)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (8, 2024, 2, 5.0)))
+    assert(t.history.map(_._2) == Seq("overwrite", "publish_append"))
+    // double publish and name reuse are loud
+    intercept[IllegalArgumentException] { t.publishStaged(good) }
+    intercept[Exception] { t.stageAppend(frame((9, 2024, 3, 1.0)), "goodb") }
+  }
+
+  test("tags are immutable named refs; expire retains tagged versions") {
+    val t = new SnapshotTable(spark, freshRoot("snap_tag"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.commitOverwrite(frame((2, 2024, 2, 20.0)))
+    t.commitOverwrite(frame((3, 2024, 3, 30.0)))
+    t.tag("baseline", v1)
+    intercept[IllegalArgumentException] { t.tag("baseline", 2) }
+    intercept[Exception] { t.tag("nope", 99) } // version must exist
+    assert(t.tags == Seq("baseline" -> 1))
+    t.expire(keepLast = 1)
+    // v1 survives BY ITS TAG; v2 expired; v3 is current
+    assert(t.history.map(_._1) == Seq(1, 3))
+    assert(state(t.readTag("baseline")) == Set((1, 2024, 1, 10.0)))
+  }
+
   test("purge erases matching rows from every version; dirs rewritten once, originals gone") {
     val t = new SnapshotTable(spark, freshRoot("snap_purge"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 99.0)))
