@@ -64,44 +64,17 @@ class PathCatalog(spark: SparkSession, warehouse: String) {
       s"location must be newline-free: '$location'")
     require(format.nonEmpty && format.forall(c => c.isLetterOrDigit || c == '-'),
       s"format must be a simple token: '$format'")
-    val p = entryPath(ns, table)
-    fs.mkdirs(p.getParent)
-    // unique temp per ATTEMPT: two racing registers never share a
-    // staging file (a fixed name let one writer rename the other's
-    // half-written bytes into place)
-    val tmp = new Path(p.getParent,
-      s"._${check(table)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"path=$location\nformat=$format\n".getBytes("UTF-8"))
-    finally out.close()
-    // overwrite-capable rename: ONE atomic flip, so a concurrent
-    // resolve sees either the old entry or the new one — never the
-    // unbound window a delete-then-rename pair opens
-    fs match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        // POSIX rename(2) replaces the destination atomically; Hadoop's
-        // DEFAULT AbstractFileSystem.renameInternal(overwrite) is
-        // delete-then-rename (only HDFS overrides it server-side), so
-        // FileContext would re-open the window here
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(p.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      case _ =>
-        try {
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri, spark.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        } catch {
-          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            // no AbstractFileSystem binding for this scheme: fall back
-            // to delete+rename and accept a transient-miss window
-            // (documented; last-writer-wins still holds)
-            fs.delete(p, false)
-            require(fs.rename(tmp, p), s"catalog entry flip failed for $ns.$table")
-        }
-    }
+    // overwrite-capable rename ([[graft.util.AtomicFlip]]): ONE atomic
+    // flip, so a concurrent resolve sees either the old entry or the
+    // new one — never the unbound window a delete-then-rename pair
+    // opens; unique temp per attempt, so two racing registers never
+    // share a staging file; the legacy `.table.crc` shadow a previous
+    // checksummed writer left behind is cleaned after the flip (a stale
+    // shadow would fail any reader still routing through
+    // ChecksumFileSystem with a checksum mismatch).
+    graft.util.AtomicFlip.writeAtomic(fs,
+      spark.sparkContext.hadoopConfiguration, entryPath(ns, table),
+      s"path=$location\nformat=$format\n".getBytes("UTF-8"))
   }
 
   /** Resolve a name to its (location, format), if registered — works

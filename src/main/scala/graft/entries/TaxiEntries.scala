@@ -365,10 +365,11 @@ object TaxiEntries {
     // queries the WOULD-BE table state, and only a passing batch
     // becomes a commit — the Iceberg WAP workflow that keeps bad loads
     // out of the table without a rollback scramble. The failing batch
-    // is abandoned and vacuum collects it as ordinary debris; the clean
-    // batch publishes with zero data movement. Graded on the final
-    // published state; the invisibility/audit/abandon mechanics are
-    // pinned in SnapshotSpec. Runs on a deep clone (publish mutates).
+    // is discarded with abandonStaged (maintenance deliberately spares
+    // pending stages — vacuum mid-audit must not destroy them); the
+    // clean batch publishes with zero data movement. Graded on the
+    // final published state; the invisibility/audit/abandon mechanics
+    // are pinned in SnapshotSpec. Runs on a deep clone (publish mutates).
     "taxi_snapshot_wap" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
       val t = src.deepClone(tmpPath("snapwap", d, s))
@@ -377,10 +378,28 @@ object TaxiEntries {
         .withColumn("fare_amount", -abs(col("fare_amount"))), "bad_batch")
       require(t.readWithStaged(bad).filter(col("fare_amount") < 0).count() > 0,
         "audit fixture degenerate: no bad rows to catch")
-      t.vacuum() // audit failed: abandon — unreferenced debris
+      t.abandonStaged(bad) // audit failed: deliberate discard
       val good = t.stageAppend(stg.filter(col("month") === 1), "good_batch")
       t.publishStaged(good) // audit passed
       t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // Snapshot-native compaction (Iceberg rewrite_data_files): the
+    // fixture's three commits leave the CURRENT state spread across
+    // per-commit data dirs; commitCompact rewrites it into ONE
+    // range-clustered dir + commit-time stats index as a NEW commit —
+    // history preserved (pre-compaction versions stay time-travelable
+    // until expire), content invariant. Graded on the post-compaction
+    // per-partition profile ≡ the pre-compaction read (same oracle
+    // pattern as taxi_compact); the single-entry shape, skipping-read
+    // pruning, and time-travel survival are pinned in SnapshotSpec.
+    // Runs on a deep clone (compaction adds a commit).
+    "taxi_snapshot_compact" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapcompact", d, s))
+      t.commitCompact("fare_amount")
+      t.readSkipping("fare_amount").groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
@@ -717,6 +736,13 @@ object TaxiEntries {
          |  UNION ALL SELECT year, month, fare_amount FROM stg_yellow WHERE month = 1)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM finalstate GROUP BY 1, 2""".stripMargin),
+    // compaction is content-invariant: the compacted CURRENT (v3 =
+    // rollback ≡ v1 = the full staging load) profiles exactly like the
+    // plain source — any row compaction loses, duplicates, or reorders
+    // into the wrong file flips a count or fare sum somewhere
+    "taxi_snapshot_compact" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // post-purge mirror of the rollback oracle: the >400 fares drop
     // from every version (v2's corrupted replacements are negative, so
     // none of them match — they all survive)

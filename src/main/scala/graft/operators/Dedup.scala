@@ -152,7 +152,12 @@ object Dedup {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, "window width must be at least 1 word")
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
+    // FOUR consumers read the window table (candidate hashes, exact
+    // verify, run collapse, per-doc window count); without the persist
+    // each would re-run the corpus-token-sized split+posexplode map
+    // side — four corpus scans where one suffices. Entry-scoped cache
+    // (TransientCache), same idiom as the minhash shingle persist.
+    val wins = graft.TransientCache.register(docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"),
         explode(when(size(col("ws")) >= k,
@@ -160,7 +165,7 @@ object Dedup {
           .otherwise(array().cast("array<int>"))).as("p"),
         col("ws"))
       .select(col("doc_id"), col("p"),
-        array_join(slice(col("ws"), col("p"), lit(k)), " ").as("win"))
+        array_join(slice(col("ws"), col("p"), lit(k)), " ").as("win")))
     // stage 1 (hash-keyed, the big shuffle): candidate hashes seen in
     // ≥2 docs; stage 2 (string-keyed, survivors only): exact verify, so
     // colliding windows can't be conflated
@@ -688,7 +693,12 @@ object Dedup {
     // clusters entry, inside the ±15% machine-noise band — the cache
     // build on the common under-cap path stays noise-level, so the
     // unconditional persist (which protects the rare over-cap path from
-    // double evaluation) is kept.
+    // double evaluation) is kept. (Those numbers predate the bench's
+    // fixture attribution: a run where the clusters entry is the FIRST
+    // consumer of the session-memoized n-gram pairs absorbs that whole
+    // populate — 54.7 s at sf0.1 in round 10. Bench now prewarms the
+    // pairs cache and reports it separately, so the per-entry number is
+    // the clustering cost alone again.)
     val pr = pairs.select(col("doc_i"), col("doc_j"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -47,7 +47,20 @@ object DataSkipping {
   private[sources] def statColumn(dt: DataType, c: Column): Column = dt match {
     case DateType => unix_date(c)
     case TimestampType => unix_micros(c)
-    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case TimestampNTZType =>
+      // the NTZ → TS cast reinterprets the wall-clock value through the
+      // SESSION zone; an NTZ filter literal's internal µs are zone-less
+      // (wall time as-if-UTC), so any non-UTC session would store bounds
+      // shifted relative to every probe — silent mis-pruning. Same
+      // loud-rejection policy as unsupported types: refuse at build
+      // time. (GraftSession pins UTC; this guards direct callers.)
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      require(tz == "UTC",
+        s"DataSkipping over a TIMESTAMP_NTZ column requires " +
+          s"spark.sql.session.timeZone=UTC (got '$tz'): the NTZ cast " +
+          "reinterprets via the session zone while probe literals carry " +
+          "zone-less micros, so non-UTC bounds would mis-prune")
+      unix_micros(c.cast(TimestampType))
     case _: NumericType => c
     case other => throw new IllegalArgumentException(
       s"DataSkipping supports numeric/date/timestamp index columns; got $other " +
@@ -91,17 +104,21 @@ object DataSkipping {
         case _: org.apache.spark.sql.AnalysisException =>
           Map.empty[String, (Double, Double)]
       }
-    val schema = spark.read.parquet(dataPath).schema
+    val fullSchema = spark.read.parquet(dataPath).schema
     val index = new MinMaxFileIndex(spark, new Path(dataPath), column, stats)
-    // targets the flat clustered-file layout (overwriteClustered); a
-    // hive-partitioned root would need the partition columns split out
-    // of the data schema — combine with partition pruning instead
-    require(index.partitionSchema.isEmpty,
-      s"DataSkipping.read expects an unpartitioned layout; $dataPath has " +
-        s"partition columns ${index.partitionSchema.fieldNames.mkString(", ")}")
-    val relation = HadoopFsRelation(index, index.partitionSchema, schema,
+    // a hive-partitioned root needs the partition columns split out of
+    // the data schema (HadoopFsRelation appends them back); the two
+    // pruning layers then COMPOSE — partition predicates prune
+    // directories in the base listing, min/max stats prune the
+    // surviving files
+    val partNames = index.partitionSchema.fieldNames.toSet
+    val dataSchema = StructType(fullSchema.filterNot(f => partNames(f.name)))
+    val relation = HadoopFsRelation(index, index.partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    // column ORDER must match the plain read's (partition columns land
+    // where parquet inference puts them, not appended last)
     spark.baseRelationToDataFrame(relation)
+      .select(fullSchema.fieldNames.map(col).toSeq: _*)
   }
 
   /** input_file_name() and FileStatus render the same local file as

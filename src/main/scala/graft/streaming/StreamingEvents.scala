@@ -253,10 +253,19 @@ object StreamingEvents extends Serializable {
                                    batch: DataFrame, batchId: Long,
                                    keys: Seq[String], nCol: String,
                                    sumCol: String, valueCol: String): Boolean = {
-    val lastApplied = agg.history.iterator.map(_._2)
-      .collect { case op if op.startsWith(IvmBatchTag) =>
-        op.stripPrefix(IvmBatchTag).toLong }
-      .maxOption
+    // newest-first walk, stopping at the first IVM-tagged commit: in
+    // the steady state the newest commit IS the last IVM batch, so the
+    // high-water-mark probe costs O(1) manifest reads per micro-batch
+    // instead of one parse per retained version (O(versions) FS reads
+    // per batch, O(n²) over a run). Batch ids apply in increasing
+    // order, so the newest tag carries the max. NOTE: expire() on the
+    // aggregate table must retain the last IVM-tagged commit for the
+    // replay guard to hold — it always does while that commit is
+    // CURRENT (expire keeps the live version); if maintenance commits
+    // (compaction) land between batches, either keep `keepLast` above
+    // the gap or pin the last IVM version with a tag().
+    val lastApplied = agg.findLatestOp(_.startsWith(IvmBatchTag))
+      .map(_._2.stripPrefix(IvmBatchTag).toLong)
     if (lastApplied.exists(_ >= batchId)) false
     else {
       // the merge consumes the batch twice (count + sum deltas ride

@@ -140,18 +140,46 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
 
   private def flipCurrent(v: Int): Unit = {
-    val tmp = new Path(manifestDir, s"CURRENT.tmp")
-    fs.delete(tmp, false)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(currentPath, false) // rename-over is not portable; delete first
-    require(fs.rename(tmp, currentPath), s"CURRENT flip to v$v failed")
+    // monotonic guard: a DELAYED flip (a writer descheduled between its
+    // manifest create and this write while a later committer flipped
+    // past it) must not regress CURRENT — readers would transiently see
+    // an older version and the next committer would hit a spurious
+    // conflict. Check-then-write is not atomic, but a lost race here
+    // only re-runs the interleaving it guards against, and the next
+    // flip/repair heals it; manifests are immutable so no data is ever
+    // at risk.
+    if (currentVersion.exists(_ >= v)) return
+    // one atomic overwrite-capable rename ([[graft.util.AtomicFlip]], the
+    // same mechanism as the path catalog's entry flip): a reader calling
+    // currentVersion/read() mid-flip sees the old version or the new one
+    // — never the transient "no snapshot" window a delete-then-rename
+    // pair opens — and a writer crash can no longer leave the table
+    // headless with the pointer deleted. The temp name is unique per
+    // attempt, so two concurrent flips (a racing repair()) never rename
+    // each other's half-written bytes into place.
+    graft.util.AtomicFlip.writeAtomic(fs,
+      spark.sparkContext.hadoopConfiguration, currentPath,
+      v.toString.getBytes("UTF-8"))
   }
 
   // ---- commits ----
 
+  /** Version prefix for human debugging + a uuid suffix so two RACING
+    * writers targeting the same next version never collide on the
+    * parquet write itself (dir names are decided BEFORE the manifest
+    * race picks the winner; the loser's dir becomes orphan debris
+    * [[vacuum]] collects) — the same reason Iceberg writes
+    * uuid-suffixed data files. */
+  private def dataDirName(version: Int): String =
+    f"d$version%05d" + "_" + java.util.UUID.randomUUID.toString.take(8)
+
+  /** The data dir names snapshot `v` references (test/debug
+    * introspection — names are attempt-unique, so asserting on layout
+    * must go through the manifest, not guessed literals). */
+  private[graft] def dataDirs(v: Int): Seq[String] = parse(v).entries.map(_.dir)
+
   private def writeData(df: DataFrame, version: Int): String = {
-    val dir = f"d$version%05d"
+    val dir = dataDirName(version)
     // co-locate each output partition's rows: 1 file per partition, not
     // N_tasks × N_partitions small files (same rationale as
     // IncrementalWriter.byPartition)
@@ -160,19 +188,27 @@ class SnapshotTable(spark: SparkSession, root: String,
     dir
   }
 
-  private def commit(op: String, entries: Seq[Entry]): Int = {
-    val parent = currentVersion.getOrElse(0)
+  /** The commit point, a compare-and-swap on the version number:
+    * `parent` is the version the caller's `entries` were computed
+    * AGAINST (not a re-read of CURRENT — re-reading here would let a
+    * commit that interleaved between the caller's read and this create
+    * silently vanish from the new manifest: a lost update that
+    * create-exclusive on a RE-numbered manifest would never catch).
+    * If anyone committed `parent + 1` first, the create-exclusive
+    * fails and the caller must recompute from the new current. */
+  private def commit(op: String, entries: Seq[Entry], parent: Int): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
     val m = Manifest(next, parent, op, entries)
-    val out =
-      try fs.create(manifestPath(next), /*overwrite=*/ false)
-      catch { case _: java.io.IOException =>
-        throw new SnapshotConflictException(
-          s"commit of v$next lost the race (or an orphan manifest exists — " +
-            s"run repair()): ${manifestPath(next)}")
-      }
-    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    // atomic-with-content exclusive publish: the manifest appears fully
+    // written or not at all (a bare create(overwrite=false) is visible
+    // and EMPTY until its stream closes — a concurrent parse() in that
+    // window read a torn manifest), and exactly one racing writer wins
+    if (!graft.util.AtomicFlip.publishExclusive(fs, manifestPath(next),
+        render(m).getBytes("UTF-8")))
+      throw new SnapshotConflictException(
+        s"commit of v$next lost the race (or an orphan manifest exists — " +
+          s"run repair()): ${manifestPath(next)}")
     flipCurrent(next)
     next
   }
@@ -185,15 +221,15 @@ class SnapshotTable(spark: SparkSession, root: String,
   def commitOverwrite(df: DataFrame, opTag: String = "overwrite"): Int = {
     require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
       s"opTag must be a non-empty single line: '$opTag'")
-    val v = currentVersion.getOrElse(0) + 1
-    commit(opTag, Seq(Entry(writeData(df, v), Set.empty)))
+    val base = currentVersion.getOrElse(0)
+    commit(opTag, Seq(Entry(writeData(df, base + 1), Set.empty)), base)
   }
 
   /** Append snapshot: previous entries plus one new directory. */
   def commitAppend(df: DataFrame): Int = {
-    val v = currentVersion.getOrElse(0) + 1
-    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
-    commit("append", prev :+ Entry(writeData(df, v), Set.empty))
+    val base = currentVersion.getOrElse(0)
+    val prev = if (base == 0) Seq.empty else parse(base).entries
+    commit("append", prev :+ Entry(writeData(df, base + 1), Set.empty), base)
   }
 
   /** Dynamic partition overwrite as a snapshot: the partitions present
@@ -206,10 +242,60 @@ class SnapshotTable(spark: SparkSession, root: String,
       .select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
     require(touched.nonEmpty, "batch has no partitions")
-    val v = currentVersion.getOrElse(0) + 1
-    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    val base = currentVersion.getOrElse(0)
+    val prev = if (base == 0) Seq.empty else parse(base).entries
     val masked = prev.map(e => e.copy(excluded = e.excluded ++ touched))
-    commit("overwrite_partitions", masked :+ Entry(writeData(df, v), Set.empty))
+    commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty), base)
+  }
+
+  /** Run a commit with bounded conflict retries — the loser's side of
+    * the optimistic protocol. `attempt` is any commit call on this
+    * table (it re-reads CURRENT on every evaluation, so each retry
+    * targets a fresh version). On [[SnapshotConflictException]] the
+    * helper first runs [[repair]] — the loser can only make progress
+    * once CURRENT advances past the contested version, and a winner
+    * that CRASHED between manifest create and pointer flip never
+    * advances it; repair finishes that flip — then backs off and
+    * retries. Two live writers therefore both land (v+1 and v+2), and
+    * a crashed winner's durable commit is finished rather than fought.
+    * Exhausting `maxAttempts` rethrows the last conflict. */
+  def commitWithRetry(maxAttempts: Int = 5)(attempt: => Int): Int = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var n = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: SnapshotConflictException =>
+          n += 1
+          if (n >= maxAttempts) throw e
+          repair()
+          Thread.sleep(math.min(5L << n, 200L)) // capped exponential backoff
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Snapshot-native compaction (Iceberg's `rewrite_data_files`, the
+    * maintenance op the reference gets from its catalog,
+    * `trino/catalog/iceberg.properties:13–14`): ONE new commit whose
+    * single entry is the CURRENT state rewritten into a range-clustered
+    * dir with its commit-time stats index. Without it, a table taking
+    * daily [[commitAppend]]s accumulates one data dir per commit
+    * forever — a year of appends makes every read a 365-way union with
+    * per-dir partition discovery; after compaction the read is one
+    * clustered dir and [[readSkipping]] prunes files on `clusterCol`.
+    * History is PRESERVED: pre-compaction versions stay time-travelable
+    * until [[expire]] reclaims their dirs (the old dirs are untouched —
+    * compaction rewrites no history, it adds a commit). Exclusion masks
+    * are folded in (the rewrite materializes the masked state), so the
+    * compacted entry carries none. An ordinary optimistic commit: safe
+    * under concurrency via create-exclusive, no table lock needed.
+    * Cost: one read+write of the live bytes — the same floor as any
+    * engine's rewrite_data_files. */
+  def commitCompact(clusterCol: String, nFiles: Int = 8): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    commit("compact",
+      Seq(writeClustered(readVersion(base), base + 1, clusterCol, nFiles)), base)
   }
 
   // ---- clustered commits with a commit-time stats index (the
@@ -232,22 +318,24 @@ class SnapshotTable(spark: SparkSession, root: String,
     * index, one commit. */
   def commitOverwriteClustered(df: DataFrame, clusterCol: String,
                                nFiles: Int = 8): Int = {
-    val v = currentVersion.getOrElse(0) + 1
-    commit("overwrite_clustered", Seq(writeClustered(df, v, clusterCol, nFiles)))
+    val base = currentVersion.getOrElse(0)
+    commit("overwrite_clustered",
+      Seq(writeClustered(df, base + 1, clusterCol, nFiles)), base)
   }
 
   /** Append a clustered data dir (its own stats index) to the current
     * snapshot's entries. */
   def commitAppendClustered(df: DataFrame, clusterCol: String,
                             nFiles: Int = 8): Int = {
-    val v = currentVersion.getOrElse(0) + 1
-    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
-    commit("append_clustered", prev :+ writeClustered(df, v, clusterCol, nFiles))
+    val base = currentVersion.getOrElse(0)
+    val prev = if (base == 0) Seq.empty else parse(base).entries
+    commit("append_clustered",
+      prev :+ writeClustered(df, base + 1, clusterCol, nFiles), base)
   }
 
   private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
                              nFiles: Int): Entry = {
-    val dir = f"d$version%05d"
+    val dir = dataDirName(version)
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
     graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
@@ -259,28 +347,58 @@ class SnapshotTable(spark: SparkSession, root: String,
     * predicates on `clusterCol` prune non-overlapping files per dir at
     * planning time, before any footer opens — the versioned-table read
     * path a selective query wants at 100 TB. A dir committed without a
-    * `clusterCol` index reads plain (conservative); results always
-    * equal [[read]]'s. */
+    * `clusterCol` index reads plain (conservative); partition-exclusion
+    * masks (dynamic-overwrite history) are applied per dir exactly as
+    * [[readVersion]] applies them, so the two commit styles COMPOSE:
+    * a hive-partitioned table indexed post-hoc by [[buildStatsIndex]]
+    * prunes files AND honors its masks. Results always equal
+    * [[read]]'s. */
   def readSkipping(clusterCol: String): DataFrame = {
     val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
     require(m.entries.nonEmpty, s"current snapshot at $root is empty")
-    require(m.entries.forall(_.excluded.isEmpty),
-      "readSkipping covers clustered-commit tables; this snapshot has " +
-        "partition-exclusion masks — read() instead")
     m.entries.map { e =>
       val dataP = new Path(dataDir, e.dir).toString
       val sp = statsPath(e.dir, clusterCol)
-      if (fs.exists(sp))
-        graft.sources.DataSkipping.read(spark, dataP, clusterCol, sp.toString)
-      else spark.read.parquet(dataP)
+      val df =
+        if (fs.exists(sp))
+          graft.sources.DataSkipping.read(spark, dataP, clusterCol, sp.toString)
+        else spark.read.option("mergeSchema", "true").parquet(dataP)
+      excludePred(e).fold(df)(p => df.filter(!p))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Build the per-file min/max stats index on `column` for every data
+    * dir of the CURRENT snapshot that lacks one — the post-hoc indexing
+    * path for hive-partitioned commit styles ([[commitAppend]],
+    * [[commitOverwritePartitions]]), whose writers don't range-cluster
+    * and so can't build the index at commit time the way clustered
+    * commits do. Data dirs are IMMUTABLE, so an index built once stays
+    * valid for every version referencing the dir; later commits' new
+    * dirs read plain until indexed (conservative). Pruning power over a
+    * non-clustered dir depends on how `column` correlates with file
+    * layout (per-partition files prune perfectly on columns aligned
+    * with the partitioning; random layouts prune little) — correctness
+    * never depends on it. One scan per missing dir; returns how many
+    * indexes were built. */
+  def buildStatsIndex(column: String): Int = {
+    val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
+    val missing = m.entries.map(_.dir).distinct
+      .filterNot(d => fs.exists(statsPath(d, column)))
+    missing.foreach { d =>
+      graft.sources.DataSkipping.buildStats(spark,
+        new Path(dataDir, d).toString, column, statsPath(d, column).toString)
+    }
+    missing.size
   }
 
   // ---- write–audit–publish (the Iceberg WAP workflow): a batch lands
   // in `_data` with NO manifest referencing it — invisible to every
   // reader — gets audited as the WOULD-BE table state, and only then
-  // becomes a commit. A failed audit just abandons the dir, which
-  // [[vacuum]] already collects as ordinary unreferenced debris. ----
+  // becomes a commit. A failed audit is discarded with
+  // [[abandonStaged]]; maintenance ([[vacuum]]/[[expire]]) deliberately
+  // SKIPS `w_*` dirs, so a concurrently-running cleanup can never
+  // destroy a batch mid-audit (Iceberg WAP snapshots likewise live in
+  // table metadata and survive maintenance). ----
 
   /** Stage an append invisibly: the data dir is written (partitioned,
     * same layout as a real append) but referenced by nothing. `name`
@@ -312,9 +430,10 @@ class SnapshotTable(spark: SparkSession, root: String,
   def publishStaged(stagedDir: String): Int = {
     require(fs.exists(new Path(dataDir, stagedDir)),
       s"no staged dir '$stagedDir' under $dataDir (abandoned or never staged)")
-    val prev = currentVersion.map(x => parse(x).entries).getOrElse(Seq.empty)
+    val base = currentVersion.getOrElse(0)
+    val prev = if (base == 0) Seq.empty else parse(base).entries
     require(!prev.exists(_.dir == stagedDir), s"'$stagedDir' is already published")
-    commit("publish_append", prev :+ Entry(stagedDir, Set.empty))
+    commit("publish_append", prev :+ Entry(stagedDir, Set.empty), base)
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -331,13 +450,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * commit point); [[expire]] retains tagged versions. */
   def tag(name: String, v: Int): Unit = {
     parse(v) // must exist
-    val out =
-      try fs.create(tagPath(name), /*overwrite=*/ false)
-      catch { case _: java.io.IOException =>
-        throw new IllegalArgumentException(
-          s"tag '$name' already exists (tags are immutable; pick a new name)")
-      }
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // atomic-with-content + exclusive, same primitive as the commit
+    // point; only the already-exists outcome means an immutability
+    // violation — a genuine I/O failure propagates as itself from
+    // inside the publish, never masquerading as "tag exists"
+    if (!graft.util.AtomicFlip.publishExclusive(fs, tagPath(name),
+        v.toString.getBytes("UTF-8")))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists (tags are immutable; pick a new name)")
   }
 
   /** The version a tag pins, if the tag exists. */
@@ -368,7 +488,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
     val m = parse(v) // throws if expired/never existed
-    commit(s"rollback_to_$v", m.entries)
+    commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0))
   }
 
   // ---- reads ----
@@ -389,13 +509,46 @@ class SnapshotTable(spark: SparkSession, root: String,
     m.entries.map { e =>
       val df = spark.read.option("mergeSchema", "true")
         .parquet(new Path(dataDir, e.dir).toString)
-      val excludePred = e.excluded.toSeq
-        .map(vals => partCols.zip(vals)
-          .map { case (c, x) => col(c).cast("string") === x }
-          .reduce(_ && _))
-        .reduceOption(_ || _)
-      excludePred.fold(df)(p => df.filter(!p))
+      excludePred(e).fold(df)(p => df.filter(!p))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** An entry's partition-exclusion mask as a predicate over the data
+    * frame (disjunction of per-partition conjunctions), or None for an
+    * unmasked entry. Sits on partition columns, so it prunes
+    * directories at listing time on hive-layout dirs and degrades to a
+    * row filter on clustered (flat) dirs, where the partition columns
+    * are ordinary data columns. */
+  private def excludePred(e: Entry): Option[org.apache.spark.sql.Column] =
+    e.excluded.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }
+        .reduce(_ && _))
+      .reduceOption(_ || _)
+
+  /** The newest commit (walking the parent chain back from CURRENT)
+    * whose op tag satisfies `p`, as (version, op) — O(1) manifest reads
+    * in the steady state where the matching commit is at or near the
+    * head, which is the streaming-IVM high-water-mark probe's shape
+    * (the IVM commit almost always IS the current commit). A chain
+    * broken by an expired intermediate manifest falls back to one full
+    * scan of the retained history (correct, never wrong — just the
+    * O(versions) cost this walk exists to avoid). */
+  def findLatestOp(p: String => Boolean): Option[(Int, String)] = {
+    try {
+      var v = currentVersion
+      while (v.isDefined) {
+        val m = parse(v.get)
+        if (p(m.op)) return Some((m.version, m.op))
+        if (m.parent <= 0) return None
+        v = Some(m.parent)
+      }
+      None
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        history.reverseIterator
+          .collectFirst { case (ver, op, _) if p(op) => (ver, op) }
+    }
   }
 
   /** Change-data capture between two snapshots: every row of `toV` not
@@ -457,7 +610,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     dead.foreach(v => fs.delete(manifestPath(v), false))
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
-        if (!referenced(p.getName)) {
+        // staged WAP dirs (`w_*`) are unreferenced BY DESIGN until
+        // their publish — maintenance must not destroy a pending batch
+        // mid-audit (Iceberg WAP snapshots likewise survive
+        // maintenance); abandonStaged() is the deliberate discard
+        if (!referenced(p.getName) && !p.getName.startsWith("w_")) {
           fs.delete(p, true)
           // a clustered dir's stats index dies with its data dir
           fs.delete(new Path(statsDir, p.getName), true)
@@ -468,20 +625,47 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Remove ORPHAN data directories — `_data/d*` dirs referenced by no
     * retained manifest, the debris a writer crashed between data write
     * and manifest create leaves behind (`expire` only collects dirs
-    * that WERE referenced). Never touches a referenced dir, so it is
-    * safe to run any time; this is Delta's `VACUUM` for the
+    * that WERE referenced). Never touches a referenced dir OR a staged
+    * write–audit–publish dir (`w_*` — pending-by-design until publish;
+    * [[abandonStaged]] is the deliberate discard), so it is safe to run
+    * any time, including mid-audit; this is Delta's `VACUUM` for the
     * invisible-write case. Returns the removed dir names. */
   def vacuum(): Seq[String] = {
     if (!fs.exists(dataDir)) return Seq.empty
     val referenced = history.map(_._1)
       .flatMap(v => parse(v).entries.map(_.dir)).toSet
     val orphans = fs.listStatus(dataDir).map(_.getPath)
-      .filterNot(p => referenced(p.getName)).toSeq
+      .filterNot(p => referenced(p.getName) || p.getName.startsWith("w_")).toSeq
     orphans.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(statsDir, p.getName), true)
     }
     orphans.map(_.getName)
+  }
+
+  /** All pending staged (write–audit–publish) dir names, sorted. */
+  def stagedDirs: Seq[String] = {
+    val published = history.map(_._1)
+      .flatMap(v => parse(v).entries.map(_.dir)).toSet
+    if (!fs.exists(dataDir)) Seq.empty
+    else fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("w_") && !published(n)).sorted.toSeq
+  }
+
+  /** Deliberately discard a staged batch (the failed-audit path) —
+    * the ONLY way a pending stage leaves disk besides [[publishStaged]]:
+    * [[vacuum]] and [[expire]] skip `w_*` dirs precisely so maintenance
+    * can never destroy a batch mid-audit. A no-op if already gone;
+    * refuses to delete a PUBLISHED stage's dir (it is table data now). */
+  def abandonStaged(stagedDir: String): Unit = {
+    require(stagedDir.startsWith("w_"), s"not a staged dir name: '$stagedDir'")
+    val published = history.map(_._1)
+      .flatMap(v => parse(v).entries.map(_.dir)).toSet
+    require(!published(stagedDir),
+      s"'$stagedDir' is published — its files are table data (expire/rollback " +
+        "manage committed history)")
+    fs.delete(new Path(dataDir, stagedDir), true)
+    ()
   }
 
   /** Deep clone: copy the whole table (manifests + data) to `destRoot`
@@ -530,8 +714,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(versions.nonEmpty, s"no snapshots at $root")
     // erasure must also cover bytes no manifest references — staged
     // (write–audit–publish) and crashed-writer dirs are invisible to
-    // readers but still on disk
+    // readers but still on disk. vacuum() deliberately spares w_* dirs
+    // for maintenance, but a deletion request outranks a pending stage:
+    // drop them explicitly here.
     vacuum()
+    stagedDirs.foreach(abandonStaged)
     val manifests = versions.map(parse)
     val dirs = manifests.flatMap(_.entries.map(_.dir)).distinct
     val mapping = dirs.map { dir =>
@@ -570,13 +757,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.toMap
     manifests.foreach { m =>
       val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
-      val tmp = new Path(manifestDir, s".v${m.version}.purge.tmp")
-      fs.delete(tmp, false)
-      val out = fs.create(tmp, true)
-      try out.write(render(swapped).getBytes("UTF-8")) finally out.close()
-      fs.delete(manifestPath(m.version), false)
-      require(fs.rename(tmp, manifestPath(m.version)),
-        s"manifest swap failed for v${m.version}")
+      // one atomic overwrite-rename per manifest: a reader racing the
+      // purge sees each version's old or new manifest in full, never a
+      // missing/torn one (same primitive as the CURRENT flip)
+      graft.util.AtomicFlip.writeAtomic(fs,
+        spark.sparkContext.hadoopConfiguration, manifestPath(m.version),
+        render(swapped).getBytes("UTF-8"))
     }
     dirs.foreach { d =>
       fs.delete(new Path(dataDir, d), true)

@@ -89,14 +89,15 @@ class SnapshotSpec extends AnyFunSuite {
   test("expire keeps the newest snapshots and deletes unreferenced data dirs") {
     val root = freshRoot("snap_exp")
     val t = new SnapshotTable(spark, root)
-    t.commitOverwrite(frame((1, 2024, 1, 1.0)))  // d00001
-    t.commitOverwrite(frame((2, 2024, 1, 2.0)))  // d00002
-    t.commitOverwrite(frame((3, 2024, 1, 3.0)))  // d00003
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitOverwrite(frame((2, 2024, 1, 2.0)))
+    t.commitOverwrite(frame((3, 2024, 1, 3.0)))
+    val v1Dir = t.dataDirs(1).head
     t.expire(keepLast = 2)
     assert(t.history.map(_._1) == Seq(2, 3))
     intercept[Exception] { t.readVersion(1) }
     // v1's data dir is referenced by no retained snapshot — gone
-    assert(!fs(root).exists(new Path(s"$root/_data/d00001")))
+    assert(!fs(root).exists(new Path(s"$root/_data/$v1Dir")))
     assert(state(t.read()) == Set((3, 2024, 1, 3.0)))
   }
 
@@ -288,36 +289,48 @@ class SnapshotSpec extends AnyFunSuite {
         f.metrics("numFiles").value }.sum
     assert(scanned > 0 && scanned <= 4, s"expected <=4 of 8 files, got $scanned")
     // expire: the dead dir's stats index dies with it
-    t.commitOverwriteClustered(rows, "id", nFiles = 4)
+    val v3 = t.commitOverwriteClustered(rows, "id", nFiles = 4)
+    val v1Dir = t.dataDirs(1).head
+    val v3Dir = t.dataDirs(v3).head
     t.expire(keepLast = 1)
     val rootFs = fs(t.location)
-    assert(!rootFs.exists(new Path(t.location, "_stats/d00001")),
+    assert(!rootFs.exists(new Path(t.location, s"_stats/$v1Dir")),
       "expired dir's stats index leaked")
-    assert(rootFs.exists(new Path(t.location, "_stats/d00003")),
+    assert(rootFs.exists(new Path(t.location, s"_stats/$v3Dir")),
       "live dir's stats index must survive expire")
     assert(t.readSkipping("id").count() == 400)
   }
 
-  test("write-audit-publish: staged batches invisible until published; abandoned stages vacuum away") {
+  test("write-audit-publish: staged batches invisible until published; maintenance spares pending stages") {
     val t = new SnapshotTable(spark, freshRoot("snap_wap"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0))) // second version so expire has something to drop
     val bad = t.stageAppend(frame((7, 2024, 2, -5.0)), "badb")
     // invisible to every reader until published
     assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
     // the audit queries the would-be state
     assert(t.readWithStaged(bad).count() == 2)
     assert(t.readWithStaged(bad).filter(col("fare") < 0).count() == 1)
-    // audit failed: abandon — vacuum collects exactly the staged dir
-    assert(t.vacuum() == Seq(bad))
+    // maintenance mid-audit must NOT destroy the pending stage (the
+    // Iceberg-WAP contract: staged batches survive vacuum/expire)
+    assert(t.vacuum().isEmpty, "vacuum collected a pending stage")
+    t.expire(keepLast = 1)
+    assert(t.stagedDirs == Seq(bad))
+    assert(t.readWithStaged(bad).count() == 2, "stage destroyed by maintenance")
+    // audit failed: abandonStaged is the DELIBERATE discard path
+    t.abandonStaged(bad)
+    assert(t.stagedDirs.isEmpty)
     intercept[IllegalArgumentException] { t.publishStaged(bad) }
     // audit passed: publish is a manifest flip, zero data movement
     val good = t.stageAppend(frame((8, 2024, 2, 5.0)), "goodb")
     val v = t.publishStaged(good)
-    assert(v == 2)
+    assert(v == 3)
     assert(state(t.read()) == Set((1, 2024, 1, 10.0), (8, 2024, 2, 5.0)))
     assert(t.history.map(_._2) == Seq("overwrite", "publish_append"))
-    // double publish and name reuse are loud
+    // double publish and name reuse are loud; a published stage's dir
+    // is table data — abandon refuses to touch it
     intercept[IllegalArgumentException] { t.publishStaged(good) }
+    intercept[IllegalArgumentException] { t.abandonStaged(good) }
     intercept[Exception] { t.stageAppend(frame((9, 2024, 3, 1.0)), "goodb") }
   }
 
@@ -340,15 +353,17 @@ class SnapshotSpec extends AnyFunSuite {
     val t = new SnapshotTable(spark, freshRoot("snap_purge"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 99.0)))
     t.commitOverwritePartitions(frame((9, 2024, 2, -1.0), (10, 2024, 2, 99.0)))
+    val origDirs = (t.dataDirs(1) ++ t.dataDirs(2)).distinct
     assert(t.purge(col("fare") === 99.0) == 2) // two referenced dirs, each once
     // the 99.0 rows are gone from BOTH versions; everything else intact
     assert(state(t.readVersion(1)) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
     assert(state(t.readVersion(2)) == Set((1, 2024, 1, 10.0), (9, 2024, 2, -1.0)))
-    // physical erasure: the original dirs no longer exist
+    // physical erasure: the original dirs no longer exist, the purged
+    // twins (p-prefixed) carry every version
     val rootFs = fs(t.location)
-    assert(!rootFs.exists(new Path(t.location, "_data/d00001")))
-    assert(!rootFs.exists(new Path(t.location, "_data/d00002")))
-    assert(rootFs.exists(new Path(t.location, "_data/pd00001")))
+    origDirs.foreach(d => assert(!rootFs.exists(new Path(t.location, s"_data/$d"))))
+    assert(t.dataDirs(1) == origDirs.take(1).map("p" + _))
+    assert(rootFs.exists(new Path(t.location, s"_data/${t.dataDirs(1).head}")))
     // history structure preserved (versions, ops, parents)
     assert(t.history == Seq((1, "overwrite", 0), (2, "overwrite_partitions", 1)))
     // purge-everything: zero-row versions stay readable (schema-bearing
@@ -363,14 +378,15 @@ class SnapshotSpec extends AnyFunSuite {
     val rows = (1 to 400).map(i => (i, 2024, i % 12 + 1, i * 1.5))
       .toDF("id", "year", "month", "fare")
     t.commitOverwriteClustered(rows, "id", nFiles = 4)
+    val origDir = t.dataDirs(1).head
     t.purge(col("id") % 10 === 0)
     val got = t.readSkipping("id").filter(col("id") >= 100 && col("id") <= 120)
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(got == (100 to 120).filterNot(_ % 10 == 0), s"post-purge skipping read: $got")
     // the rebuilt index still prunes: stats exist for the purged twin
     val rootFs = fs(t.location)
-    assert(rootFs.exists(new Path(t.location, "_stats/pd00001/id")))
-    assert(!rootFs.exists(new Path(t.location, "_stats/d00001")))
+    assert(rootFs.exists(new Path(t.location, s"_stats/p$origDir/id")))
+    assert(!rootFs.exists(new Path(t.location, s"_stats/$origDir")))
   }
 
   test("ivm batch replay is detected by the commit's op tag and skipped") {
@@ -399,6 +415,159 @@ class SnapshotSpec extends AnyFunSuite {
     assert(graft.streaming.StreamingEvents.ivmApplyBatch(
       agg, delta, batchId = 1L, Seq("year", "month"), "n", "fs", "fare"))
     assert(agg.history.map(_._2).last == "ivm_batch_1")
+    // the O(1) high-water-mark walk agrees with the full history scan
+    // even when a NON-IVM commit (compaction/rollback) is newest
+    agg.rollbackTo(2)
+    assert(agg.findLatestOp(_.startsWith("ivm_batch_"))
+      .map(_._2).contains("ivm_batch_1"))
+  }
+
+  test("racing readers never observe a missing or torn CURRENT during concurrent commits") {
+    // the delete-then-rename flip opened a window where currentVersion
+    // saw "no snapshot" mid-commit and a writer crash left the table
+    // headless; the atomic overwrite-rename must never show that window
+    // (mirror of CatalogSpec's 4-reader × 2-writer race)
+    val root = freshRoot("snap_fliprace")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val corrupt = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        val r = new SnapshotTable(spark, root)
+        try while (!stop.get()) r.currentVersion match {
+          case None => misses.incrementAndGet()
+          case Some(v) if v < 1 => corrupt.add(s"bad version $v")
+          case _ => ()
+        } catch { case e: Throwable => corrupt.add(s"reader died: $e") }
+      })
+    }
+    // rollbackTo is a metadata-only commit (entries reused, no data
+    // write), so the 1.5 s window exercises hundreds of pointer flips
+    val writers = (1 to 2).map { _ =>
+      new Thread(() => {
+        try while (!stop.get()) { t.commitWithRetry(1000)(t.rollbackTo(1)); () }
+        catch { case e: Throwable => corrupt.add(s"writer died: $e") }
+      })
+    }
+    (readers ++ writers).foreach(_.start())
+    Thread.sleep(1500)
+    stop.set(true)
+    (readers ++ writers).foreach(_.join(10000))
+    assert(misses.get() == 0, s"currentVersion saw no-snapshot ${misses.get()} times")
+    assert(corrupt.isEmpty, s"torn reads: $corrupt")
+    assert(t.currentVersion.exists(_ >= 2), "writers made no progress")
+  }
+
+  test("commitWithRetry repairs through a crashed winner and lands both live writers") {
+    val root = freshRoot("snap_retry")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // a winner that crashed between manifest create and pointer flip:
+    // its orphan manifest blocks every plain retry of v2 forever
+    // (CURRENT never advances), which is exactly the case repair-aware
+    // retry must make progress through
+    val out = fs(root).create(new Path(s"$root/_manifests/v00002.txt"), false)
+    out.write(s"version=2\nparent=1\nop=append\nentry=${t.dataDirs(1).head}|\n"
+      .getBytes("UTF-8"))
+    out.close()
+    intercept[SnapshotConflictException] { t.commitAppend(frame((2, 2024, 2, 2.0))) }
+    val v = t.commitWithRetry()(t.commitAppend(frame((2, 2024, 2, 2.0))))
+    assert(v == 3, s"retry should land past the repaired orphan, got v$v")
+    assert(t.currentVersion.contains(3))
+    // two LIVE writers: both eventually land (the loser re-reads and
+    // commits v+2), and both rows are durable
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ws = Seq(10, 11).map { id =>
+      new Thread(() => {
+        try results.add(
+          t.commitWithRetry(10)(t.commitAppend(frame((id, 2025, 1, id.toDouble)))))
+        catch { case e: Throwable => errors.add(s"writer $id died: $e") }
+      })
+    }
+    ws.foreach(_.start()); ws.foreach(_.join(60000))
+    assert(errors.isEmpty, s"$errors")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet == Set(4, 5),
+      s"both writers must land as v4/v5, got $results")
+    assert(state(t.read()).map(_._1).toSet.intersect(Set(10, 11)) == Set(10, 11))
+  }
+
+  test("commitCompact collapses the current state into one clustered dir, history preserved") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_compact"))
+    val rows = (1 to 300).map(i => (i, 2024, i % 3 + 1, i * 1.0))
+      .toDF("id", "year", "month", "fare")
+    // three appends + a masking partition overwrite: the worst-case
+    // entry list (multiple dirs, one with an exclusion mask)
+    t.commitOverwrite(rows.filter($"id" <= 100))
+    t.commitAppend(rows.filter($"id" > 100 && $"id" <= 200))
+    t.commitAppend(rows.filter($"id" > 200))
+    val v4 = t.commitOverwritePartitions(
+      rows.filter($"month" === 2).withColumn("fare", col("fare") + 1000))
+    def idFare(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("fare")).collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val before = idFare(t.read())
+    assert(t.dataDirs(v4).size == 4)
+    val v5 = t.commitCompact("id")
+    // content-invariant, single entry, masks folded in
+    assert(t.dataDirs(v5).size == 1)
+    assert(idFare(t.read()) == before)
+    // skipping read prunes on the cluster column post-compaction
+    // (metrics read from the SAME executed QueryExecution — a count()
+    // builds a different plan and leaves these at zero)
+    val skipped = t.readSkipping("id").filter(col("id") >= 10 && col("id") <= 20)
+    assert(skipped.collect().length == 11)
+    val scanned = skipped.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    assert(scanned >= 1 && scanned < 8, s"post-compaction skipping must prune, scanned $scanned")
+    // pre-compaction versions stay time-travelable (old dirs untouched)
+    assert(t.readVersion(1).count() == 100)
+    assert(idFare(t.readVersion(v4)) == before)
+    // expire reclaims the superseded dirs; the compacted table reads on
+    val oldDirs = t.dataDirs(v4)
+    t.expire(keepLast = 1)
+    oldDirs.foreach(d =>
+      assert(!fs(t.location).exists(new Path(t.location, s"_data/$d"))))
+    assert(t.read().count() == 300)
+  }
+
+  test("readSkipping composes with partition-exclusion masks after buildStatsIndex") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_maskskip"))
+    // hive-partitioned commit style: values correlate with partitions,
+    // so the post-hoc index prunes whole per-partition files
+    val rows = (1 to 300).map(i => (i, 2024, (i - 1) / 100 + 1, i * 1.0))
+      .toDF("id", "year", "month", "fare")
+    t.commitOverwrite(rows)
+    // dynamic overwrite masks month 2 out of the first dir
+    t.commitOverwritePartitions(
+      rows.filter($"month" === 2).withColumn("fare", col("fare") * -1))
+    assert(t.buildStatsIndex("id") == 2)
+    assert(t.buildStatsIndex("id") == 0) // idempotent: dirs immutable
+    // values equal read() exactly, masks honored (month 2 negated once)
+    val pred = col("id") >= 150 && col("id") <= 160
+    val viaSkip = t.readSkipping("id").filter(pred)
+      .select(col("id"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val viaRead = t.read().filter(pred)
+      .select(col("id"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(viaSkip == viaRead && viaSkip.forall(_._2 < 0),
+      s"mask/skip composition broke: $viaSkip vs $viaRead")
+    // and it PRUNES: the 11-id range lives in 1 of 3 partitions per dir
+    // (execute THIS instance, then read its scan metrics)
+    val pruned = t.readSkipping("id").filter(pred)
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    assert(scanned >= 1 && scanned <= 2,
+      s"expected <=2 files (1 per dir) after mask+stats pruning, got $scanned")
   }
 }
 
