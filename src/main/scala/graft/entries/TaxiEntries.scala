@@ -403,6 +403,50 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Snapshot MERGE (upsert by key): the versioned twin of
+    // taxi_incr_delete_insert — months 6-7 re-arrive with doubled
+    // fares and are merged by trip_id as ONE commit, copy-on-write
+    // scoped to the touched partitions (older versions keep the
+    // pre-merge rows via exclusion masks). Graded on the merged state;
+    // partition-scoped rewrite + time-travel survival + key-move
+    // handling are pinned in SnapshotSpec. Deep clone (merge mutates).
+    "taxi_snapshot_merge" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapmerge", d, s))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      t.commitMerge(stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2), Seq("trip_id"))
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // Consistency audit: fsck over the shared fixture must be clean
+    // (read-only — runs on the pristine fixture, no clone needed), and
+    // the table's structural profile (versions, current) rides along so
+    // the entry pins more than a zero. Damage DETECTION (missing dirs,
+    // lagging CURRENT, dangling stats, orphan tags) is pinned in
+    // SnapshotSpec where planting corruption is safe.
+    "taxi_snapshot_fsck" -> q { (s, d) =>
+      import s.implicits._
+      val (t, _, _, _) = snapCdcFixture(s, d)
+      Seq((t.fsck().length, t.history.length, t.currentVersion.getOrElse(-1)))
+        .toDF("n_problems", "n_versions", "current_version")
+    },
+    // Append-only incremental read: two daily-append commits land on
+    // the fixture clone, and appendsBetween reads EXACTLY the appended
+    // rows from the new data dirs alone — O(new data), vs changelog's
+    // two full version scans. The append-shaped-chain refusal (an
+    // overwrite in the chain fails loudly) is pinned in SnapshotSpec.
+    "taxi_snapshot_incr" -> q { (s, d) =>
+      val (src, _, _, v3) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapincr", d, s))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      t.commitAppend(stg.filter(col("month") === 1))
+      val v5 = t.commitAppend(stg.filter(col("month") === 2))
+      t.appendsBetween(v3, v5).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Right-to-be-forgotten erasure: purge rewrites EVERY retained
     // version so no matching row survives anywhere in history — the
     // compliance op time travel makes hard (a DELETE commit fixes only
@@ -743,6 +787,29 @@ object TaxiEntries {
     "taxi_snapshot_compact" -> o(
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // merge ≡ delete+insert by key over the fixture's current state
+    // (v3 = the full staging load): months 6-7 replaced by the doubled
+    // batch, every other row untouched — same algebra as the
+    // taxi_incr_delete_insert oracle
+    "taxi_snapshot_merge" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // a healthy three-commit fixture: zero problems, v3 current
+    "taxi_snapshot_fsck" -> o(
+      """SELECT CAST(0 AS INTEGER) AS n_problems,
+        |  CAST(3 AS INTEGER) AS n_versions,
+        |  CAST(3 AS INTEGER) AS current_version""".stripMargin),
+    // the incremental read returns exactly the two appended batches
+    // (months 1 and 2 re-appended onto the fixture), never the base
+    // table's rows
+    "taxi_snapshot_incr" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE month IN (1, 2) GROUP BY 1, 2""".stripMargin),
     // post-purge mirror of the rollback oracle: the >400 fares drop
     // from every version (v2's corrupted replacements are negative, so
     // none of them match — they all survive)

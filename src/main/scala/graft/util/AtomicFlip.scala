@@ -107,9 +107,15 @@ object AtomicFlip {
             false
         }
       case _ =>
-        val won =
+        // HDFS-class rename refuses an existing destination atomically;
+        // the exists pre-check just avoids burning the rename on an
+        // already-lost race (and guards stores whose rename overwrites
+        // — those shouldn't reach here, but a cheap check beats a
+        // silent double-winner)
+        val won = !rfs.exists(dest) && {
           try rfs.rename(tmp, dest)
           catch { case _: java.io.IOException => false }
+        }
         if (!won) rfs.delete(tmp, false)
         won
     }

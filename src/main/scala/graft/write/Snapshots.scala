@@ -248,6 +248,90 @@ class SnapshotTable(spark: SparkSession, root: String,
     commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty), base)
   }
 
+  /** Snapshot MERGE (upsert by key) — `MERGE INTO t USING batch WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` as one commit
+    * (the Iceberg/Delta upsert shape; the versioned twin of
+    * [[IncrementalWriter.deleteInsert]]): current rows whose `keyCols`
+    * tuple appears in `batch` are replaced by the batch's rows,
+    * unmatched batch rows are inserted, everything else is untouched.
+    *
+    * Copy-on-write scoped to TOUCHED PARTITIONS: only partitions that
+    * receive batch rows or hold a matched key are rewritten (masked out
+    * of every older entry, exactly the dynamic-overwrite mechanism, so
+    * time travel to pre-merge versions still works); untouched
+    * partitions move zero bytes. Cost shape at 100 TB: one column-
+    * pruned key-locate pass over the current state (`keyCols` +
+    * partition columns only — a parquet scan of a few columns, and the
+    * anti/semi joins broadcast when the batch is small), plus a
+    * read+write of the touched partitions — the standard copy-on-write
+    * MERGE cost; a daily upsert touching a handful of partitions pays
+    * for those partitions, never the table. Keys that MOVE partitions
+    * are handled (the old row's partition is rewritten too). Batch
+    * must not contain duplicate keys (it would insert both — same
+    * contract as deleteInsert). */
+  def commitMerge(batch: DataFrame, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "commitMerge needs at least one key column")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val cur = readVersion(base)
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    // partitions needing a rewrite: where batch rows land ∪ where
+    // matched (old) rows live — computed with partition cols + keys
+    // only, so the scan prunes to those columns
+    val touched: Set[Seq[String]] = batch
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .union(cur.join(keys, keyCols, "leftsemi")
+        .select(partCols.map(c => col(c).cast("string")): _*))
+      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    require(touched.nonEmpty, "merge batch is empty")
+    val inTouched = touched.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+      .reduce(_ || _)
+    // the touched partitions' surviving rows (matched keys dropped) +
+    // the whole batch = the replacement dir's contents
+    val kept = cur.filter(inTouched).join(keys, keyCols, "left_anti")
+    val newData = kept.unionByName(batch, allowMissingColumns = true)
+    val prev = parse(base).entries.map(e => e.copy(excluded = e.excluded ++ touched))
+    commit("merge", prev :+ Entry(writeData(newData, base + 1), Set.empty), base)
+  }
+
+  /** Append-only incremental read: the rows INSERTED between `fromV`
+    * and `toV`, read from the appended data dirs alone — O(new data),
+    * never a diff of two full versions (the scale path [[changelog]]
+    * cannot offer: its `exceptAll` reads both versions end to end,
+    * which for a daily append on a 100 TB table means two full scans
+    * to discover one day's rows). Every commit on the `fromV → toV`
+    * chain must be APPEND-SHAPED — the parent's entries appear
+    * unchanged (same dirs, same masks) as a prefix of the child's —
+    * which holds for [[commitAppend]], [[commitAppendClustered]], and
+    * [[publishStaged]]; any overwrite/merge/rollback/compact commit in
+    * between fails loudly with a pointer at [[changelog]] (refusing
+    * beats silently wrong increments). Chain walk is O(commits)
+    * metadata reads; expired intermediate manifests fail loudly. */
+  def appendsBetween(fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    parse(fromV) // must still exist — anchors the walk
+    var v = toV
+    var newDirs = List.empty[Entry]
+    while (v != fromV) {
+      val m = parse(v)
+      require(m.parent >= fromV,
+        s"v$fromV is not an ancestor of v$toV (chain jumps to v${m.parent})")
+      val pEntries = parse(m.parent).entries
+      require(m.entries.take(pEntries.size) == pEntries,
+        s"v$v (op=${m.op}) is not an append commit — its parent's entries " +
+          "changed (overwrite/merge/rollback/compact in the chain); use " +
+          "changelog() for general version diffs")
+      newDirs = m.entries.drop(pEntries.size).toList ++ newDirs
+      v = m.parent
+    }
+    require(newDirs.nonEmpty, s"no data appended between v$fromV and v$toV")
+    newDirs.map { e =>
+      spark.read.option("mergeSchema", "true")
+        .parquet(new Path(dataDir, e.dir).toString)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Run a commit with bounded conflict retries — the loser's side of
     * the optimistic protocol. `attempt` is any commit call on this
     * table (it re-reads CURRENT on every evaluation, so each retry
@@ -769,6 +853,68 @@ class SnapshotTable(spark: SparkSession, root: String,
       fs.delete(new Path(statsDir, d), true)
     }
     mapping.size
+  }
+
+  /** Consistency audit (fsck) — METADATA-ONLY, read-only, safe on a
+    * live table: walks every retained manifest and reports structural
+    * problems as human-readable strings (empty = healthy). Catches what
+    * the individual ops assume: an unparseable or version-mismatched
+    * manifest, a referenced data dir that is missing or empty (a read
+    * of that version would fail), a CURRENT pointer that is
+    * unparseable, behind the newest manifest (crashed writer —
+    * [[repair]] fixes), or pointing at a missing manifest, a tag
+    * naming an expired version, and dangling stats dirs (index without
+    * its data — harmless debris, reported so maintenance can collect).
+    * Cost is O(retained versions × entries) metadata reads + one
+    * listing per dir, never a data scan — runnable as a cron on a
+    * 100 TB table. */
+  def fsck(): Seq[String] = {
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    val versions =
+      if (!fs.exists(manifestDir)) Seq.empty[Int]
+      else fs.listStatus(manifestDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toInt }.sorted.toSeq
+    val parsed = versions.flatMap { v =>
+      try {
+        val m = parse(v)
+        if (m.version != v)
+          problems += s"manifest v$v declares version=${m.version}"
+        Some(m)
+      } catch { case e: Exception =>
+        problems += s"manifest v$v unreadable: ${e.getMessage}"
+        None
+      }
+    }
+    val referenced = parsed.flatMap(_.entries.map(_.dir)).toSet
+    referenced.toSeq.sorted.foreach { d =>
+      val p = new Path(dataDir, d)
+      if (!fs.exists(p)) problems += s"referenced data dir missing: $d"
+      else if (!fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
+        problems += s"referenced data dir empty (no data files): $d"
+    }
+    val cur =
+      try currentVersion
+      catch { case e: Exception =>
+        problems += s"CURRENT unreadable: ${e.getMessage}"; None }
+    (cur, versions.lastOption) match {
+      case (Some(c), _) if !versions.contains(c) =>
+        problems += s"CURRENT points at missing manifest v$c"
+      case (Some(c), Some(newest)) if c < newest =>
+        problems += s"CURRENT (v$c) is behind newest manifest v$newest — run repair()"
+      case (None, Some(newest)) =>
+        problems += s"no CURRENT but manifests exist up to v$newest — run repair()"
+      case _ => ()
+    }
+    tags.foreach { case (name, v) =>
+      if (!versions.contains(v)) problems += s"tag '$name' names missing version v$v"
+    }
+    if (fs.exists(statsDir))
+      fs.listStatus(statsDir).map(_.getPath.getName).sorted.foreach { d =>
+        if (!fs.exists(new Path(dataDir, d)))
+          problems += s"dangling stats index (no data dir): $d"
+      }
+    problems.toSeq
   }
 
   /** Crash recovery: if an orphan manifest exists past CURRENT (a

@@ -536,6 +536,76 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.read().count() == 300)
   }
 
+  test("commitMerge upserts by key: touched partitions rewritten, key moves handled, history intact") {
+    val t = new SnapshotTable(spark, freshRoot("snap_merge"))
+    val v1Rows = Set((1, 2024, 1, 10.0), (2, 2024, 1, 20.0), (3, 2024, 2, 30.0),
+      (4, 2024, 3, 40.0), (5, 2024, 4, 50.0))
+    t.commitOverwrite(frame(v1Rows.toSeq: _*))
+    // update id=2 in place, MOVE id=3 from month 2 to month 3, insert id=9
+    val batch = frame((2, 2024, 1, 21.0), (3, 2024, 3, 31.0), (9, 2024, 1, 90.0))
+    val v2 = t.commitMerge(batch, Seq("id"))
+    assert(v2 == 2)
+    assert(state(t.read()) == Set(
+      (1, 2024, 1, 10.0), (2, 2024, 1, 21.0), (3, 2024, 3, 31.0),
+      (4, 2024, 3, 40.0), (5, 2024, 4, 50.0), (9, 2024, 1, 90.0)))
+    // pre-merge version fully intact (copy-on-write, masks not deletes)
+    assert(state(t.readVersion(1)) == v1Rows)
+    // partition-scoped: ONE new dir; month 4 (untouched) still serves
+    // from the original dir through the mask
+    assert(t.dataDirs(v2).size == 2)
+    // duplicate-free contract: merging the same batch again is a no-op
+    // on values (matched rows replaced by identical ones)
+    t.commitMerge(batch, Seq("id"))
+    assert(state(t.read()).count(_._1 == 9) == 1)
+  }
+
+  test("appendsBetween reads only the appended dirs; refuses non-append chains") {
+    val t = new SnapshotTable(spark, freshRoot("snap_incr"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    val v2 = t.commitAppend(frame((2, 2024, 2, 2.0)))
+    val v3 = t.commitAppend(frame((3, 2024, 3, 3.0)))
+    assert(state(t.appendsBetween(v1, v3)) == Set((2, 2024, 2, 2.0), (3, 2024, 3, 3.0)))
+    assert(state(t.appendsBetween(v2, v3)) == Set((3, 2024, 3, 3.0)))
+    // publish_append is append-shaped too
+    val v4 = t.publishStaged(t.stageAppend(frame((4, 2024, 4, 4.0)), "s1"))
+    assert(state(t.appendsBetween(v3, v4)) == Set((4, 2024, 4, 4.0)))
+    // an overwrite in the chain refuses loudly (masks changed the
+    // parent's entries — an increment read would be silently wrong)
+    val v5 = t.commitOverwritePartitions(frame((9, 2024, 1, 9.0)))
+    intercept[IllegalArgumentException] { t.appendsBetween(v1, v5) }
+    // the pure-append suffix after the overwrite still reads
+    val v6 = t.commitAppend(frame((5, 2024, 5, 5.0)))
+    assert(state(t.appendsBetween(v5, v6)) == Set((5, 2024, 5, 5.0)))
+    intercept[IllegalArgumentException] { t.appendsBetween(v3, v3) }
+  }
+
+  test("fsck is silent on a healthy table and reports each planted damage class") {
+    val t = new SnapshotTable(spark, freshRoot("snap_fsck"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    t.tag("keep", 1)
+    assert(t.fsck().isEmpty, s"healthy table flagged: ${t.fsck()}")
+    val rootFs = fs(t.location)
+    // dangling stats dir (index without data)
+    rootFs.mkdirs(new Path(t.location, "_stats/zz_gone"))
+    // CURRENT regressed behind the newest manifest (crashed writer)
+    val cur = new Path(t.location, "_manifests/CURRENT")
+    rootFs.delete(cur, false)
+    val out = rootFs.create(cur, true); out.write("1".getBytes); out.close()
+    // a referenced data dir vanished
+    val lostDir = t.dataDirs(2).last
+    rootFs.delete(new Path(t.location, s"_data/$lostDir"), true)
+    val report = t.fsck()
+    assert(report.exists(_.contains(s"referenced data dir missing: $lostDir")), s"$report")
+    assert(report.exists(_.contains("behind newest manifest")), s"$report")
+    assert(report.exists(_.contains("dangling stats")), s"$report")
+    // repair clears the pointer finding; the data loss stays reported
+    t.repair()
+    val after = t.fsck()
+    assert(!after.exists(_.contains("behind newest")), s"$after")
+    assert(after.exists(_.contains("data dir missing")), s"$after")
+  }
+
   test("readSkipping composes with partition-exclusion masks after buildStatsIndex") {
     import spark.implicits._
     val t = new SnapshotTable(spark, freshRoot("snap_maskskip"))
