@@ -420,6 +420,24 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Branch refs (Iceberg branches / branch-based WAP): a two-batch
+    // load lands on a BRANCH — main is untouched mid-load — then
+    // fast-forward publishes the branch state as one main commit, zero
+    // data movement (the strict check holds: main never moved off the
+    // fork point). Isolation, racing-writer arbitration, divergence
+    // refusal, and maintenance retention are pinned in SnapshotSpec.
+    "taxi_snapshot_branch" -> q { (s, d) =>
+      val (src, _, _, v3) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapbranch", d, s))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      t.createBranch("load", v3)
+      t.commitAppendToBranch("load", stg.filter(col("month") === 1))
+      t.commitAppendToBranch("load", stg.filter(col("month") === 2))
+      t.fastForward("load") // strict: main is still at the fork point
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Consistency audit: fsck over the shared fixture must be clean
     // (read-only — runs on the pristine fixture, no clone needed), and
     // the table's structural profile (versions, current) rides along so
@@ -799,6 +817,14 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // the published state = the fixture's current (v3 = v1 = full
+    // staging) plus the branch's two appended months
+    "taxi_snapshot_branch" -> o(
+      s""", finalstate AS (SELECT year, month, fare_amount FROM stg_yellow
+         |  UNION ALL SELECT year, month, fare_amount FROM stg_yellow
+         |  WHERE month IN (1, 2))
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM finalstate GROUP BY 1, 2""".stripMargin),
     // a healthy three-commit fixture: zero problems, v3 current
     "taxi_snapshot_fsck" -> o(
       """SELECT CAST(0 AS INTEGER) AS n_problems,

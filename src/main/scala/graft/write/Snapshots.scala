@@ -109,14 +109,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     lines.mkString("", "\n", "\n")
   }
 
-  private def parse(v: Int): Manifest = {
-    val in = fs.open(manifestPath(v))
+  private def parse(v: Int): Manifest = parseAt(manifestPath(v), s"v$v")
+
+  private def parseAt(p: Path, label: String): Manifest = {
+    val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val kv = text.linesIterator.filter(_.nonEmpty).toSeq.map { l =>
       val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
     }
     def one(k: String) = kv.collectFirst { case (`k`, v0) => v0 }
-      .getOrElse(sys.error(s"manifest v$v missing $k"))
+      .getOrElse(sys.error(s"manifest $label missing $k"))
     val entries = kv.collect { case ("entry", spec) =>
       val bar = spec.indexOf('|')
       val excl = spec.substring(bar + 1).split(",").filter(_.nonEmpty)
@@ -568,6 +570,133 @@ class SnapshotTable(spark: SparkSession, root: String,
       .sorted.toSeq
       .flatMap(n => resolveTag(n).map(n -> _))
 
+  // ---- branches (Iceberg branch refs): MOVABLE named lineages over
+  // the same immutable data dirs — the complement of tags (immutable
+  // pointers). A branch forks from a main version and takes its own
+  // append commits in a PER-BRANCH manifest namespace
+  // (`bv_<name>_NNNNN.txt`), so branch commits get exactly the same
+  // single-winner create-exclusive CAS as main commits with zero
+  // version-number collisions against main. Main never sees branch
+  // state until [[fastForward]] publishes the branch head's entries as
+  // an ordinary main commit — zero data movement, arbitrated by main's
+  // own CAS. This is the mechanism behind branch-based WAP
+  // (`spark.wap.branch`): stage a whole multi-commit load on a branch,
+  // audit readBranch, publish or drop. Maintenance ([[expire]],
+  // [[vacuum]], [[purge]], [[fsck]]) treats branch-referenced dirs as
+  // live. ----
+
+  private def branchPrefix(name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"branch name must be [A-Za-z0-9_]+: '$name'")
+    s"bv_${name}_"
+  }
+
+  private def branchManifestPath(name: String, bv: Int) =
+    new Path(manifestDir, f"${branchPrefix(name)}$bv%05d.txt")
+
+  private def branchVersions(name: String): Seq[Int] = {
+    val pre = branchPrefix(name)
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith(pre) && n.endsWith(".txt") =>
+        n.stripPrefix(pre).stripSuffix(".txt").toInt }
+      .sorted.toSeq
+  }
+
+  private def parseBranch(name: String, bv: Int): Manifest =
+    parseAt(branchManifestPath(name, bv), s"$name@$bv")
+
+  /** All branches, (name, head branch-version), sorted by name. */
+  def branches: Seq[(String, Int)] =
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("bv_") && n.endsWith(".txt") =>
+        n.stripPrefix("bv_").stripSuffix(".txt") }
+      .flatMap { rest =>
+        val i = rest.lastIndexOf('_')
+        if (i <= 0) None else Some(rest.substring(0, i))
+      }
+      .distinct.sorted.toSeq
+      .flatMap(n => branchHead(n).map(n -> _))
+
+  /** Fork a branch from main version `fromV`. Exactly one of N
+    * concurrent creators wins (atomic-with-content exclusive publish —
+    * the tag primitive); the fork point is recorded in the first branch
+    * manifest's op. */
+  def createBranch(name: String, fromV: Int): Unit = {
+    val m = parse(fromV) // must exist
+    if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
+        render(Manifest(1, 0, s"branch_from_$fromV", m.entries)).getBytes("UTF-8")))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists (drop it first or pick a new name)")
+  }
+
+  /** The branch's head (its newest branch-version), if it exists. */
+  def branchHead(name: String): Option[Int] = branchVersions(name).maxOption
+
+  /** The branch's current state. */
+  def readBranch(name: String): DataFrame = {
+    val head = branchHead(name)
+      .getOrElse(sys.error(s"no branch '$name' at $root"))
+    readEntries(parseBranch(name, head).entries)
+  }
+
+  /** Append a batch to a branch — main is untouched; the branch head
+    * advances. Same optimistic single-winner protocol as main commits
+    * (create-exclusive on the next branch-version), so two writers on
+    * one branch produce one winner and one
+    * [[SnapshotConflictException]]. */
+  def commitAppendToBranch(name: String, df: DataFrame): Int = {
+    val head = branchHead(name)
+      .getOrElse(sys.error(s"no branch '$name' at $root"))
+    val prev = parseBranch(name, head).entries
+    val next = head + 1
+    val entry = Entry(writeData(df, next), Set.empty)
+    if (!graft.util.AtomicFlip.publishExclusive(fs,
+        branchManifestPath(name, next),
+        render(Manifest(next, head, "branch_append", prev :+ entry)).getBytes("UTF-8")))
+      throw new SnapshotConflictException(
+        s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
+    next
+  }
+
+  /** Publish the branch's state onto main as ONE ordinary commit, zero
+    * data movement (the dirs are already in `_data`). `strict` (the
+    * default, Iceberg's fast-forward contract) refuses when main moved
+    * past the branch's fork point — publishing would silently discard
+    * main's newer commits from the CURRENT state (they stay
+    * time-travelable, but that is rollback semantics, which a caller
+    * must opt into with `strict = false`). Returns the new main
+    * version. The branch itself is left intact; [[dropBranch]] when
+    * done. */
+  def fastForward(name: String, strict: Boolean = true): Int = {
+    val head = branchHead(name)
+      .getOrElse(sys.error(s"no branch '$name' at $root"))
+    if (strict) {
+      val fork = parseBranch(name, 1).op.stripPrefix("branch_from_").toInt
+      val cur = currentVersion.getOrElse(0)
+      require(cur == fork,
+        s"fast-forward of '$name' refused: main moved v$fork -> v$cur since " +
+          "the fork; rebase the branch or publish with strict = false " +
+          "(rollback semantics for main's newer commits)")
+    }
+    commit(s"fast_forward_$name", parseBranch(name, head).entries,
+      currentVersion.getOrElse(0))
+  }
+
+  /** Delete a branch's manifests. Its unpublished data dirs become
+    * unreferenced debris that [[vacuum]] collects. */
+  def dropBranch(name: String): Unit =
+    branchVersions(name).foreach(bv =>
+      fs.delete(branchManifestPath(name, bv), false))
+
+  /** Every data dir referenced by any branch manifest — maintenance
+    * must treat these as live. */
+  private def branchReferencedDirs: Set[String] =
+    branches.flatMap { case (n, _) =>
+      branchVersions(n).flatMap(bv => parseBranch(n, bv).entries.map(_.dir))
+    }.toSet
+
   /** Re-point the table at snapshot `v`'s state — a NEW commit with
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
@@ -590,12 +719,15 @@ class SnapshotTable(spark: SparkSession, root: String,
   def readVersion(v: Int): DataFrame = {
     val m = parse(v)
     require(m.entries.nonEmpty, s"v$v is an empty snapshot")
-    m.entries.map { e =>
+    readEntries(m.entries)
+  }
+
+  private def readEntries(entries: Seq[Entry]): DataFrame =
+    entries.map { e =>
       val df = spark.read.option("mergeSchema", "true")
         .parquet(new Path(dataDir, e.dir).toString)
       excludePred(e).fold(df)(p => df.filter(!p))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-  }
 
   /** An entry's partition-exclusion mask as a predicate over the data
     * frame (disjunction of per-partition conjunctions), or None for an
@@ -690,7 +822,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = currentVersion.getOrElse(return)
     val keep = versions.sorted.takeRight(keepLast).toSet + cur ++ tags.map(_._2)
     val dead = versions.filterNot(keep)
-    val referenced = keep.toSeq.flatMap(v => parse(v).entries.map(_.dir)).toSet
+    // branch-referenced dirs are LIVE regardless of main retention — a
+    // branch is a promise its state stays readable until dropped
+    val referenced = keep.toSeq.flatMap(v => parse(v).entries.map(_.dir)).toSet ++
+      branchReferencedDirs
     dead.foreach(v => fs.delete(manifestPath(v), false))
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
@@ -717,7 +852,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def vacuum(): Seq[String] = {
     if (!fs.exists(dataDir)) return Seq.empty
     val referenced = history.map(_._1)
-      .flatMap(v => parse(v).entries.map(_.dir)).toSet
+      .flatMap(v => parse(v).entries.map(_.dir)).toSet ++ branchReferencedDirs
     val orphans = fs.listStatus(dataDir).map(_.getPath)
       .filterNot(p => referenced(p.getName) || p.getName.startsWith("w_")).toSeq
     orphans.foreach { p =>
@@ -804,7 +939,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     vacuum()
     stagedDirs.foreach(abandonStaged)
     val manifests = versions.map(parse)
-    val dirs = manifests.flatMap(_.entries.map(_.dir)).distinct
+    // branch manifests reference dirs too — erasure must cover every
+    // lineage, not just main's
+    val branchMs = branches.flatMap { case (n, _) =>
+      branchVersions(n).map(bv => (n, bv, parseBranch(n, bv))) }
+    val dirs = (manifests.flatMap(_.entries.map(_.dir)) ++
+      branchMs.flatMap(_._3.entries.map(_.dir))).distinct
     val mapping = dirs.map { dir =>
       val purged = s"p$dir"
       val src = new Path(dataDir, dir)
@@ -848,6 +988,12 @@ class SnapshotTable(spark: SparkSession, root: String,
         spark.sparkContext.hadoopConfiguration, manifestPath(m.version),
         render(swapped).getBytes("UTF-8"))
     }
+    branchMs.foreach { case (n, bv, m) =>
+      val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
+      graft.util.AtomicFlip.writeAtomic(fs,
+        spark.sparkContext.hadoopConfiguration, branchManifestPath(n, bv),
+        render(swapped).getBytes("UTF-8"))
+    }
     dirs.foreach { d =>
       fs.delete(new Path(dataDir, d), true)
       fs.delete(new Path(statsDir, d), true)
@@ -886,7 +1032,16 @@ class SnapshotTable(spark: SparkSession, root: String,
         None
       }
     }
-    val referenced = parsed.flatMap(_.entries.map(_.dir)).toSet
+    val branchParsed = branches.flatMap { case (n, _) =>
+      branchVersions(n).flatMap { bv =>
+        try Some(parseBranch(n, bv))
+        catch { case e: Exception =>
+          problems += s"branch manifest $n@$bv unreadable: ${e.getMessage}"
+          None
+        }
+      }
+    }
+    val referenced = (parsed ++ branchParsed).flatMap(_.entries.map(_.dir)).toSet
     referenced.toSeq.sorted.foreach { d =>
       val p = new Path(dataDir, d)
       if (!fs.exists(p)) problems += s"referenced data dir missing: $d"

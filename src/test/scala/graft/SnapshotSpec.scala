@@ -579,6 +579,61 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.appendsBetween(v3, v3) }
   }
 
+  test("branches: isolated lineage, single-winner commits, maintenance keeps branch dirs") {
+    val t = new SnapshotTable(spark, freshRoot("snap_branch"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.createBranch("wip", v1)
+    intercept[IllegalArgumentException] { t.createBranch("wip", v1) }
+    t.commitAppendToBranch("wip", frame((2, 2024, 2, 2.0)))
+    t.commitAppendToBranch("wip", frame((3, 2024, 3, 3.0)))
+    // main untouched while the branch advances
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0)))
+    assert(state(t.readBranch("wip")) ==
+      Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0), (3, 2024, 3, 3.0)))
+    assert(t.branches == Seq("wip" -> 3))
+    assert(t.fsck().isEmpty)
+    // main diverges and expires its own history — branch state survives
+    // (a branch is a promise, like a tag)
+    t.commitOverwrite(frame((8, 2024, 8, 8.0)))
+    t.expire(keepLast = 1)
+    assert(t.vacuum().isEmpty, "vacuum collected branch-referenced dirs")
+    assert(state(t.readBranch("wip")).size == 3, "expire ate branch-referenced dirs")
+    // strict fast-forward refuses after main diverged; explicit opt-out
+    // publishes the branch state (rollback semantics for main's v2)
+    intercept[IllegalArgumentException] { t.fastForward("wip") }
+    val pub = t.fastForward("wip", strict = false)
+    assert(state(t.read()) ==
+      Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0), (3, 2024, 3, 3.0)))
+    // racing branch commits: create-exclusive arbitrates — each writer
+    // either lands (distinct head) or gets a conflict, and every landed
+    // writer's rows are in the branch (no lost update; a planted-file
+    // simulation can't exercise this because a durable branch manifest
+    // IS the new head — only a true interleaving races)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ws = Seq(20, 21).map { id =>
+      new Thread(() => {
+        try { t.commitAppendToBranch("wip", frame((id, 2025, 1, id.toDouble))); landed.incrementAndGet(); () }
+        catch { case _: SnapshotConflictException => errs.add(new RuntimeException(s"$id lost")); () }
+      })
+    }
+    ws.foreach(_.start()); ws.foreach(_.join(60000))
+    assert(landed.get() + errs.size == 2)
+    val branchIds = state(t.readBranch("wip")).map(_._1)
+    assert(Seq(20, 21).count(branchIds.contains) == landed.get(),
+      s"lost update: landed=${landed.get()} but branch has $branchIds")
+    // a conflict loser's already-written data dir is ordinary orphan
+    // debris — vacuum collects exactly one dir per loser
+    assert(t.vacuum().size == errs.size, "loser debris mismatch")
+    // a never-published branch's dirs become debris only after dropBranch
+    t.createBranch("scrap", pub)
+    t.commitAppendToBranch("scrap", frame((9, 2024, 9, 9.0)))
+    assert(t.vacuum().isEmpty)
+    t.dropBranch("scrap")
+    assert(t.vacuum().size == 1, "dropped branch's unpublished dir must vacuum away")
+    assert(t.branches.map(_._1) == Seq("wip"))
+  }
+
   test("fsck is silent on a healthy table and reports each planted damage class") {
     val t = new SnapshotTable(spark, freshRoot("snap_fsck"))
     t.commitOverwrite(frame((1, 2024, 1, 1.0)))
