@@ -187,7 +187,41 @@ class SnapshotTable(spark: SparkSession, root: String,
     // IncrementalWriter.byPartition)
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    writeSchemaSidecar(dir, df.schema)
     dir
+  }
+
+  // ---- schema-in-metadata (the Iceberg/Delta capability mergeSchema
+  // emulates expensively): each data dir records its writer's schema in
+  // an underscore-prefixed sidecar (invisible to parquet scans), so
+  // reads plan with an EXPLICIT schema — zero footer reads at planning
+  // time — instead of mergeSchema's footer fetch of every file, which
+  // at 100 TB is millions of object-store reads per query. Dirs without
+  // a sidecar (pre-sidecar history, purge twins from older binaries)
+  // fall back to mergeSchema: always correct, just slower. Schema
+  // EVOLUTION still happens across dirs via unionByName, exactly as
+  // before — the sidecar only replaces within-dir inference. ----
+
+  private def schemaSidecarPath(dir: String) =
+    new Path(new Path(dataDir, dir), "_graft_schema.ddl")
+
+  private def writeSchemaSidecar(dir: String,
+                                 schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(schemaSidecarPath(dir), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readDir(dir: String): DataFrame = {
+    val sp = schemaSidecarPath(dir)
+    val dataP = new Path(dataDir, dir).toString
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      val ddl =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(dataP)
+    } else spark.read.option("mergeSchema", "true").parquet(dataP)
   }
 
   /** The commit point, a compare-and-swap on the version number:
@@ -328,10 +362,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       v = m.parent
     }
     require(newDirs.nonEmpty, s"no data appended between v$fromV and v$toV")
-    newDirs.map { e =>
-      spark.read.option("mergeSchema", "true")
-        .parquet(new Path(dataDir, e.dir).toString)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    newDirs.map(e => readDir(e.dir))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Run a commit with bounded conflict retries — the loser's side of
@@ -424,6 +456,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dir = dataDirName(version)
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
+    writeSchemaSidecar(dir, df.schema)
     graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
       statsPath(dir, clusterCol).toString)
     Entry(dir, Set.empty)
@@ -496,6 +529,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dir = s"w_$name"
     df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    writeSchemaSidecar(dir, df.schema)
     dir
   }
 
@@ -503,8 +537,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * plus the staged rows — what the audit step queries. Readable even
     * before any commit exists (a first-load audit). */
   def readWithStaged(stagedDir: String): DataFrame = {
-    val staged = spark.read.option("mergeSchema", "true")
-      .parquet(new Path(dataDir, stagedDir).toString)
+    val staged = readDir(stagedDir)
     currentVersion.map(readVersion)
       .map(_.unionByName(staged, allowMissingColumns = true))
       .getOrElse(staged)
@@ -724,8 +757,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def readEntries(entries: Seq[Entry]): DataFrame =
     entries.map { e =>
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(new Path(dataDir, e.dir).toString)
+      val df = readDir(e.dir)
       excludePred(e).fold(df)(p => df.filter(!p))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -974,6 +1006,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         fs.listStatus(dst).exists(!_.getPath.getName.startsWith("_"))
       if (!hasData)
         kept.limit(0).coalesce(1).write.mode("overwrite").parquet(dst.toString)
+      writeSchemaSidecar(purged, kept.schema)
       if (statCols.nonEmpty && hasData)
         statCols.foreach(c => graft.sources.DataSkipping.buildStats(
           spark, dst.toString, c, statsPath(purged, c).toString))

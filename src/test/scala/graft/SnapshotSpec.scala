@@ -39,6 +39,18 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.commitAppend(b) == 2)
     assert(state(t.read()) == state(a) ++ state(b))
     assert(t.history.map(h => (h._1, h._2)) == Seq(1 -> "overwrite", 2 -> "append"))
+    // schema-in-metadata: every data dir carries its writer's schema
+    // sidecar (reads plan with an explicit schema — zero footer reads),
+    // and a LEGACY dir without one still reads via the mergeSchema
+    // fallback
+    val rootFs = fs(t.location)
+    (t.dataDirs(1) ++ t.dataDirs(2)).foreach { d =>
+      assert(rootFs.exists(new Path(t.location, s"_data/$d/_graft_schema.ddl")),
+        s"missing schema sidecar for $d")
+    }
+    rootFs.delete(new Path(t.location,
+      s"_data/${t.dataDirs(1).head}/_graft_schema.ddl"), false)
+    assert(state(t.read()) == state(a) ++ state(b), "legacy-dir fallback broke")
   }
 
   test("dynamic partition overwrite masks only touched partitions; time travel sees both states") {
