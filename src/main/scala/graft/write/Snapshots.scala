@@ -14,26 +14,40 @@ import org.apache.spark.sql.functions._
   * manifest-file design:
   *
   *  - Data is IMMUTABLE: every commit writes a fresh
-  *    `_data/d<version>` directory; nothing ever rewrites history.
+  *    `_data/d<version>_<uuid>` directory (the uuid suffix keeps two
+  *    racing writers off each other's parquet writes); nothing ever
+  *    rewrites history. Each dir carries its writer's schema in an
+  *    `_graft_schema.ddl` sidecar, so reads plan with an explicit
+  *    schema — zero planning-time footer reads — instead of
+  *    mergeSchema inference.
   *  - A manifest (`_manifests/v<version>.txt`) lists the data
   *    directories composing that snapshot, each with an excluded
   *    partition set (how dynamic partition overwrite masks replaced
   *    months without touching their files).
   *  - `_manifests/CURRENT` names the live version; readers resolve it,
-  *    writers flip it last. The flip is a temp-file + atomic rename.
+  *    writers flip it last — one atomic overwrite-capable rename
+  *    ([[graft.util.AtomicFlip.writeAtomic]]), monotonic, so a reader
+  *    never observes a missing or torn pointer.
   *  - [[rollbackTo]] is ITSELF a commit whose entries are the target
   *    version's — history is preserved (Iceberg semantics), data moves
   *    zero bytes, and the rollback is visible in [[history]].
+  *  - Named refs: immutable [[tag]]s and movable branch lineages
+  *    ([[createBranch]]/[[fastForward]]), both retained through
+  *    [[expire]].
   *
-  * Commit protocol (optimistic, single-winner): data dir first
-  * (invisible until referenced), then the manifest created with
-  * `overwrite = false` — the filesystem's atomic create-exclusive is the
-  * commit point, so two writers racing to version N+1 produce exactly
-  * one winner and one [[SnapshotConflictException]] (retry = re-read
-  * CURRENT, re-commit as N+2) — then the CURRENT flip. A crash between
-  * manifest create and CURRENT flip leaves an orphan manifest that
-  * blocks the next commit; [[repair]] re-points CURRENT at the newest
-  * complete manifest, mirroring how a catalog recovers.
+  * Commit protocol (optimistic, single-winner CAS): data dir first
+  * (invisible until referenced), then the manifest for version
+  * `base + 1` — where `base` is the version the entries were computed
+  * AGAINST, never a re-read — published atomically WITH its content via
+  * [[graft.util.AtomicFlip.publishExclusive]] (local: `link(2)`, EEXIST
+  * = lost; HDFS-class: no-overwrite rename — either way the manifest
+  * can never be observed half-written). Exactly one of N racing writers
+  * wins; losers get [[SnapshotConflictException]] and retry from the
+  * new current ([[commitWithRetry]] automates the repair-aware loop) —
+  * then the CURRENT flip. A crash between manifest publish and CURRENT
+  * flip leaves an orphan manifest that blocks the next commit;
+  * [[repair]] re-points CURRENT at the newest complete manifest,
+  * mirroring how a catalog recovers.
   *
   * This holds on filesystems with atomic create/rename (HDFS, local,
   * most POSIX). On S3-class object stores create-exclusive is not
