@@ -896,6 +896,20 @@ class SnapshotTable(spark: SparkSession, root: String,
     * any time, including mid-audit; this is Delta's `VACUUM` for the
     * invisible-write case. Returns the removed dir names. */
   def vacuum(): Seq[String] = {
+    // crash debris from the atomic-publish protocol: a writer that died
+    // between staging its `.…tmp` and the link/rename leaves the temp
+    // behind. An IN-FLIGHT publish's temp is milliseconds old, so only
+    // temps older than an hour are swept (metadata-sized files; the
+    // sweep is one listing).
+    if (fs.exists(manifestDir)) {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      fs.listStatus(manifestDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") && n.endsWith(".tmp") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      }
+    }
     if (!fs.exists(dataDir)) return Seq.empty
     val referenced = history.map(_._1)
       .flatMap(v => parse(v).entries.map(_.dir)).toSet ++ branchReferencedDirs
