@@ -646,6 +646,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.branches.map(_._1) == Seq("wip"))
   }
 
+  test("appendsBetween agrees with changelog's inserts on an append-only chain") {
+    // two independent implementations of the same semantics: the
+    // O(new data) dir read vs the full-diff exceptAll — on an
+    // append-only chain they must produce the same multiset (duplicate
+    // appended rows included), and the changelog must carry no deletes
+    val t = new SnapshotTable(spark, freshRoot("snap_incr_xval"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+    t.commitAppend(frame((3, 2024, 3, 3.0), (3, 2024, 3, 3.0)))
+    val v3 = t.commitAppend(frame((4, 2024, 1, 4.0)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("year"), col("month"), col("fare"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sorted.toSeq
+    val viaIncr = canon(t.appendsBetween(v1, v3))
+    val viaLog = canon(t.changelog(v1, v3).filter(col("op") === "insert").drop("op"))
+    assert(viaIncr == viaLog, s"$viaIncr vs $viaLog")
+    assert(viaIncr.count(_._1 == 3) == 2, "duplicate appended row lost")
+    assert(t.changelog(v1, v3).filter(col("op") === "delete").count() == 0)
+  }
+
   test("fsck is silent on a healthy table and reports each planted damage class") {
     val t = new SnapshotTable(spark, freshRoot("snap_fsck"))
     t.commitOverwrite(frame((1, 2024, 1, 1.0)))
