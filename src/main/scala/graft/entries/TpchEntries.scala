@@ -270,6 +270,40 @@ object TpchEntries {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
     },
+    // Sketch-based percentiles with a PINNED rank-error contract — the
+    // 100 TB escape hatch for exact percentile, whose per-group value
+    // buffer is unbounded (all values of a group on one node); the
+    // approx_percentile sketch is bounded by the accuracy parameter and
+    // guarantees rank error <= n/accuracy REGARDLESS of partition merge
+    // order. The graded output carries the EXACT percentiles
+    // (engine-portable) plus per-group within-bound flags the oracle
+    // pins true — sketch values themselves are engine-specific, their
+    // accuracy contract is not (same grading pattern as the HLL entry
+    // taxi_daily_approx). A second pass computes each approx value's
+    // true rank; the rank join broadcasts the group-sized sketch output.
+    "tpch_approx_quantiles" -> q { (s, d) =>
+      val acc = 1000
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+      val ap = base.groupBy(col("o_orderpriority")).agg(
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $acc)").as("ap"),
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      base.join(broadcast(ap), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          first(col("n")).as("n"),
+          first(col("p50")).as("p50"),
+          first(col("p90")).as("p90"),
+          sum(when(col("o_totalprice") <= col("ap")(0), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("o_totalprice") <= col("ap")(1), 1L).otherwise(0L)).as("r90"))
+        .select(col("o_orderpriority"), col("n"), col("p50"), col("p90"),
+          (abs(col("r50") - lit(0.5) * col("n")) <= col("n").cast("double") / acc + 2)
+            .as("p50_within_bound"),
+          (abs(col("r90") - lit(0.9) * col("n")) <= col("n").cast("double") / acc + 2)
+            .as("p90_within_bound"))
+    },
     // CUBE: all grouping-set combinations with subtotal rows.
     "tpch_cube" -> q { (s, d) =>
       Tables.orders(s, d)
@@ -852,6 +886,15 @@ object TpchEntries {
          |  ${rnd("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
          |  ${rnd("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
          |  ${rnd("quantile_cont(o_totalprice, 0.99)", 4)} AS p99
+         |FROM orders GROUP BY 1""".stripMargin,
+    // exact percentiles pinned by value; the sketch's rank-error
+    // contract pinned by flags that must be true at any merge order
+    "tpch_approx_quantiles" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${rnd("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+         |  ${rnd("quantile_cont(o_totalprice, 0.9)", 4)} AS p90,
+         |  true AS p50_within_bound,
+         |  true AS p90_within_bound
          |FROM orders GROUP BY 1""".stripMargin,
     "tpch_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
