@@ -659,7 +659,14 @@ class SnapshotSpec extends AnyFunSuite {
       df.select(col("id"), col("year"), col("month"), col("fare"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
         .sorted.toSeq
-    val viaIncr = canon(t.appendsBetween(v1, v3))
+    val incr = t.appendsBetween(v1, v3)
+    // the O(new data) claim, pinned on the actual scan set: every input
+    // file comes from the two APPENDED dirs — v1's dir is never touched
+    val newDirs = (t.dataDirs(2) ++ t.dataDirs(v3)).toSet -- t.dataDirs(v1).toSet
+    assert(incr.inputFiles.nonEmpty &&
+      incr.inputFiles.forall(f => newDirs.exists(f.contains)),
+      s"incremental read touched non-appended dirs: ${incr.inputFiles.toSeq}")
+    val viaIncr = canon(incr)
     val viaLog = canon(t.changelog(v1, v3).filter(col("op") === "insert").drop("op"))
     assert(viaIncr == viaLog, s"$viaIncr vs $viaLog")
     assert(viaIncr.count(_._1 == 3) == 2, "duplicate appended row lost")
