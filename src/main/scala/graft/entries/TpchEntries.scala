@@ -587,6 +587,24 @@ object TpchEntries {
         dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
       s.read.parquet(dir).filter(col("o_custkey") < 200 && col("o_totalprice") > 200000)
     },
+    // Z-ordered compaction of a VERSIONED table (Delta OPTIMIZE ZORDER
+    // BY shape): orders committed as a snapshot, rewritten into one
+    // Z-ordered dir with a stats index per clustered column, then read
+    // through file skipping with a predicate on BOTH dimensions —
+    // graded on the rows (layout is a performance property; values are
+    // invariant). File-count pruning per dimension is pinned in
+    // SnapshotSpec.
+    "tpch_snapshot_zorder" -> q { (s, d) =>
+      val t = new graft.write.SnapshotTable(s,
+        Scratch.tmpPath("snap_zorder", d, s), Seq("o_orderpriority"))
+      t.commitOverwrite(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+      t.commitCompactZ(Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      t.readSkipping("o_custkey")
+        .filter(col("o_custkey") < 200 && col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+    },
     // Q2: min-cost supplier per part within a region — correlated-min
     // (window) over the derived supply relation, dims broadcast.
     "tpch_q2_min_cost" -> q { (s, d) =>
@@ -1089,6 +1107,9 @@ object TpchEntries {
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "tpch_zorder_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_custkey < 200 AND o_totalprice > 200000""".stripMargin,
+    "tpch_snapshot_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
         |WHERE o_custkey < 200 AND o_totalprice > 200000""".stripMargin,
     "tpch_q2_min_cost" ->
       s"""WITH cost AS (

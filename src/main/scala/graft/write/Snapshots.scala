@@ -430,6 +430,29 @@ class SnapshotTable(spark: SparkSession, root: String,
       Seq(writeClustered(readVersion(base), base + 1, clusterCol, nFiles)), base)
   }
 
+  /** Multi-dimensional snapshot compaction — Delta's `OPTIMIZE ZORDER
+    * BY` over the versioned table: the CURRENT state rewritten into ONE
+    * Z-ordered dir ([[IncrementalWriter.overwriteZOrdered]]) carrying a
+    * min/max stats index for EVERY cluster column, as one commit.
+    * Where [[commitCompact]] makes one column's per-file ranges
+    * disjoint (perfect pruning there, none elsewhere), the Z-curve
+    * keeps every clustered column's per-file range narrow
+    * (~n^(1/dims) of its domain), so [[readSkipping]] prunes files on
+    * predicates over ANY of them — the layout a 100 TB table wants when
+    * queries filter on more than one dimension. History preserved,
+    * masks folded in, same optimistic commit as [[commitCompact]]. */
+  def commitCompactZ(clusterCols: Seq[String], nFiles: Int = 8): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val dir = dataDirName(base + 1)
+    val dataP = new Path(dataDir, dir).toString
+    val cur = readVersion(base)
+    IncrementalWriter.overwriteZOrdered(cur, dataP, clusterCols, nFiles)
+    writeSchemaSidecar(dir, cur.schema)
+    clusterCols.foreach(c => graft.sources.DataSkipping.buildStats(
+      spark, dataP, c, statsPath(dir, c).toString))
+    commit("compact_z", Seq(Entry(dir, Set.empty)), base)
+  }
+
   // ---- clustered commits with a commit-time stats index (the
   // Iceberg-style composition of the two metadata pieces this engine
   // ships separately: snapshot versioning over immutable data dirs +

@@ -646,6 +646,34 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.branches.map(_._1) == Seq("wip"))
   }
 
+  test("commitCompactZ: one dir, content invariant, prunes on either clustered column") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_zc"))
+    // fare decorrelated from id (Knuth-hash scramble), so pruning on
+    // fare cannot ride id's ordering — only the Z-curve explains it
+    val rows = (1 to 4096).map(i => (i, 2024, 1, (i * 2654435761L % 4096).toDouble))
+      .toDF("id", "year", "month", "fare")
+    t.commitOverwrite(rows.filter($"id" <= 2000))
+    t.commitAppend(rows.filter($"id" > 2000))
+    val v3 = t.commitCompactZ(Seq("id", "fare"), nFiles = 16)
+    assert(t.dataDirs(v3).size == 1)
+    assert(t.read().count() == 4096)
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value }.sum
+    }
+    val byId = t.readSkipping("id").filter(col("id") >= 100 && col("id") < 200)
+    assert(byId.collect().map(_.getInt(0)).sorted.toSeq == (100 until 200))
+    assert(scanned(t.readSkipping("id").filter(col("id") >= 100 && col("id") < 200)) < 16,
+      "no pruning on id")
+    val byFare = t.readSkipping("fare").filter(col("fare") >= 0 && col("fare") < 256)
+    assert(scanned(byFare) < 16, "no pruning on fare")
+    // pre-compaction history intact
+    assert(t.readVersion(1).count() == 2000)
+  }
+
   test("appendsBetween agrees with changelog's inserts on an append-only chain") {
     // two independent implementations of the same semantics: the
     // O(new data) dir read vs the full-diff exceptAll — on an
