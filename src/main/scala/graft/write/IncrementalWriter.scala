@@ -131,6 +131,37 @@ object IncrementalWriter {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Equi-depth bucket column for a SKEWED cluster dimension — the
+    * composition [[overwriteZOrdered]]'s scaladoc calls for: the
+    * Z-value's linear normalization assumes a roughly uniform domain,
+    * so a heavy-tailed column crowds most rows into a few Z-cells and
+    * pruning dies; mapping values through their approximate quantile
+    * rank first makes bucket populations near-equal REGARDLESS of the
+    * distribution (per-boundary rank error ≤ n/accuracy — the
+    * merge-order-independent sketch contract), value ties permitting
+    * (equal values always share a bucket). One approx_percentile pass
+    * (the driver holds nBuckets−1 doubles); the bucket expression is a
+    * constant-folded fold over the literal boundaries — pure map-side,
+    * no shuffle, no UDF. Pass the bucket column to
+    * [[overwriteZOrdered]] / [[overwriteClustered]]; range predicates
+    * on the ORIGINAL column translate to bucket-range predicates via
+    * the same boundaries. */
+  def equiDepthBucket(df: DataFrame, column: String, nBuckets: Int,
+                      as: String = "", accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val out = if (as.isEmpty) column + "_bucket" else as
+    require(!df.columns.contains(out), s"output column '$out' already exists")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df
+      .agg(expr(s"approx_percentile(CAST($column AS DOUBLE), " +
+        s"array(${ps.mkString(",")}), $accuracy)"))
+      .head().getSeq[Double](0)
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(column).cast("double") > lit(b), 1).otherwise(0)
+    }
+    df.withColumn(out, bucket)
+  }
+
   def overwriteTablePartitioned(df: DataFrame, path: String): Unit =
     byPartition(df).write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
 

@@ -679,6 +679,39 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(astN <= 8, s"graph_assortativity exchange count grew to $astN")
   }
 
+  test("equiDepthBucket balances a heavy-tailed column and composes with z-order skipping") {
+    import graft.write.IncrementalWriter
+    // cubic tail: linear Z-normalization would crowd ~87% of rows into
+    // the bottom cell of the v dimension — the bucketed rank is what
+    // makes v-pruning possible at all
+    val df = (1 to 4096).map(i => (i, i.toDouble * i * i)).toDF("id", "v")
+    val bucketed = IncrementalWriter.equiDepthBucket(df, "v", 16)
+    val sizes = bucketed.groupBy("v_bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(sizes.keySet == (0 until 16).toSet, s"missing buckets: $sizes")
+    // near-equal depth (256/bucket ± sketch slack)
+    assert(sizes.values.forall(n => n >= 200 && n <= 312),
+      s"unbalanced buckets: $sizes")
+    // deterministic: a second pass lands every row in the same bucket
+    assert(IncrementalWriter.equiDepthBucket(df, "v", 16)
+      .groupBy("v_bucket").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap == sizes)
+    // composition: Z-order on (id, v_bucket) + stats index on the
+    // bucket column prunes files for a v-range translated to buckets
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqd").toString + "/t"
+    IncrementalWriter.overwriteZOrdered(bucketed, dir, Seq("id", "v_bucket"), 16)
+    val statsP = dir + "_stats"
+    graft.sources.DataSkipping.buildStats(spark, dir, "v_bucket", statsP)
+    val pruned = graft.sources.DataSkipping.read(spark, dir, "v_bucket", statsP)
+      .filter(col("v_bucket") <= 3)
+    val got = pruned.collect()
+    assert(got.length == (0 to 3).map(sizes(_)).sum.toInt)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }.sum
+    assert(scanned < 16, s"no pruning on the bucketed dimension: $scanned")
+  }
+
   test("min/max file skipping prunes files at planning time, values unchanged") {
     import java.nio.file.Files
     import graft.sources.DataSkipping
