@@ -1700,6 +1700,24 @@ object DataPipelineEntries {
           .as("lang_entropy"))
       basic.crossJoin(langEnt)
     },
+    // Equi-depth bucketing (the skew-taming map for Z-order/clustered
+    // layouts): 8 near-equal-population buckets over the document
+    // length distribution. Bucket BOUNDARIES are sketch values (engine-
+    // specific), so the grade pins the operator's CONTRACT — all 8
+    // buckets populated, every row assigned, populations balanced
+    // (max <= 2x the even share, merge-order-independent) — same
+    // pattern as the HLL and approx-percentile entries. Balance and
+    // composition-with-skipping are pinned in ScaleToolsSpec.
+    "corpus_equidepth" -> q { (s, d) =>
+      val b = graft.write.IncrementalWriter.equiDepthBucket(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", 8)
+      val sizes = b.groupBy(col("n_chars_bucket")).agg(count(lit(1)).as("n"))
+      sizes.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).cast("long").as("n_rows"),
+        (max(col("n")) <= (sum(col("n")) / 8) * 2).as("balanced"))
+    },
     "corpus_funnel" -> q { (s, d) =>
       // project each expensive predicate ONCE before the aggregate
       // (subexpression elimination across separate agg expressions'
@@ -4355,6 +4373,10 @@ object DataPipelineEntries {
          |  ${rnd("CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs", 6)} AS dup_rate,
          |  lang_entropy
          |FROM b, le""".stripMargin,
+    "corpus_equidepth" ->
+      """SELECT CAST(8 AS BIGINT) AS n_buckets, count(*) AS n_rows,
+        |  true AS balanced
+        |FROM documents""".stripMargin,
     "corpus_funnel" ->
       s"""WITH s AS (
          |  SELECT doc_id,
