@@ -679,6 +679,38 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(astN <= 8, s"graph_assortativity exchange count grew to $astN")
   }
 
+  test("commitMerge's key-locate plan shape reads only key + partition columns") {
+    // replicate the locate pass (wide current state, semi join on the
+    // batch keys, partition-column projection) and pin that Catalyst
+    // prunes the scan to key + partition columns — the scaladoc's
+    // "column-pruned key-locate pass" claim, which is what keeps the
+    // pass cheap on a wide 100 TB table
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergeplan").toString + "/t"
+    (1 to 100).map(i => (i.toLong, 2024, i % 4 + 1, i * 1.5, s"pay-$i", s"x$i"))
+      .toDF("id", "year", "month", "fare", "payload", "extra")
+      .write.partitionBy("year", "month").parquet(dir)
+    val cur = spark.read.parquet(dir)
+    val keys = Seq(3L, 7L).toDF("id")
+    val locate = cur.join(keys, Seq("id"), "leftsemi")
+      .select(col("year").cast("string"), col("month").cast("string"))
+    locate.collect()
+    // descend through AQE wrappers and materialized query stages — the
+    // semi join's exchanges put the scans inside them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val wideScan = scans(locate.queryExecution.executedPlan)
+      .find(_.requiredSchema.fieldNames.contains("id"))
+      .getOrElse(fail("no scan over the wide table found"))
+    assert(wideScan.requiredSchema.fieldNames.toSet == Set("id"),
+      s"locate pass reads extra data columns: ${wideScan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("equiDepthBucket balances a heavy-tailed column and composes with z-order skipping") {
     import graft.write.IncrementalWriter
     // cubic tail: linear Z-normalization would crowd ~87% of rows into
