@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * (maxYear, maxMonth) with one tiny aggregate and gate the source scan —
   * a static partition-pruning predicate Catalyst pushes into the parquet
   * file listing.
+  *
+  * CONTRACT: these are IN-PLACE, NON-TRANSACTIONAL writers — the
+  * reference's pre-Iceberg storage shape. A crash mid-write can leave a
+  * partially-populated partition that the existence probe then treats
+  * as complete, and there is no versioned recovery from a bad load.
+  * Pipelines that need atomic visibility, crash recovery, time travel,
+  * or concurrent writers should ingest through
+  * [[graft.write.SnapshotTable]], which wraps the same partitioned
+  * layout in a commit protocol built for exactly those failures.
   */
 object IncrementalWriter {
 

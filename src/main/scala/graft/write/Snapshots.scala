@@ -737,8 +737,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * main's newer commits from the CURRENT state (they stay
     * time-travelable, but that is rollback semantics, which a caller
     * must opt into with `strict = false`). Returns the new main
-    * version. The branch itself is left intact; [[dropBranch]] when
-    * done. */
+    * version. The branch itself is left intact ([[dropBranch]] when
+    * done); its fork point does NOT advance, so for repeated
+    * branch → main sync cycles drop the branch after each publish and
+    * re-create it from the new main head — the next strict fast-forward
+    * then checks against the right fork. */
   def fastForward(name: String, strict: Boolean = true): Int = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
