@@ -420,6 +420,31 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Exactly-once STREAMING APPEND into a snapshot table — the
+    // transactional ingest shape (stream → foreachBatch → one append
+    // commit per batch, batch id in the op tag): readers see whole
+    // batches or nothing, every batch is time-travelable, downstream
+    // pulls exact per-batch increments via appendsBetween. Two
+    // sequential replays (months ≤6, then >6) exercise checkpoint
+    // resume; final state must equal the full staging profile.
+    // Replay-skip idempotency is pinned in SnapshotSpec.
+    "taxi_stream_append" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val srcDir = tmpPath("sappend_src", d, s)
+      val ckpt = tmpPath("sappend_ckpt", d, s)
+      val t = new graft.write.SnapshotTable(s, tmpPath("sappend_tbl", d, s))
+      def replay(): Unit =
+        graft.streaming.StreamingEvents.appendStream(
+          s.readStream.schema(stg.schema).parquet(srcDir), t, ckpt)
+          .awaitTermination()
+      stg.filter(col("month") <= 6).write.mode("append").parquet(srcDir)
+      replay()
+      stg.filter(col("month") > 6).write.mode("append").parquet(srcDir)
+      replay()
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Branch refs (Iceberg branches / branch-based WAP): a two-batch
     // load lands on a BRANCH — main is untouched mid-load — then
     // fast-forward publishes the branch state as one main commit, zero
@@ -817,6 +842,10 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // two streamed batches reassemble exactly the full staging table
+    "taxi_stream_append" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // the published state = the fixture's current (v3 = v1 = full
     // staging) plus the branch's two appended months
     "taxi_snapshot_branch" -> o(

@@ -212,6 +212,49 @@ object StreamingEvents extends Serializable {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  private val AppendBatchTag = "append_batch_"
+
+  /** Exactly-once STREAMING APPEND into a snapshot-versioned table —
+    * the transactional twin of a raw file-sink append: each micro-batch
+    * lands as ONE append commit, so readers see whole batches or
+    * nothing (never a partially-written directory), every batch is
+    * time-travelable, and downstream consumers pull exact per-batch
+    * increments with [[graft.write.SnapshotTable.appendsBetween]] at
+    * O(new data). The batch id rides the commit's op tag
+    * (`append_batch_<id>`), so `foreachBatch`'s at-least-once
+    * redelivery after a crash between commit and checkpoint write is
+    * recognized by the newest-first op-tag walk and skipped — a batch
+    * is never appended twice. State lives in the table; restart
+    * recovery is the checkpoint replaying unprocessed files. Completes
+    * the streaming-ingest trio with [[upsertStream]] (keyed merge) and
+    * [[ivmStream]] (delta-aggregate). */
+  def appendStream(stream: DataFrame, table: graft.write.SnapshotTable,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendApplyBatch(table, batch.toDF(), batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One streaming-append micro-batch, idempotent by batch id: returns
+    * false (no commit) when `batchId` is at or below the table's
+    * last-applied append batch — the at-least-once replay case. O(1)
+    * manifest reads in the steady state (the newest commit IS the last
+    * append batch). */
+  private[graft] def appendApplyBatch(table: graft.write.SnapshotTable,
+                                      batch: DataFrame, batchId: Long): Boolean = {
+    val lastApplied = table.findLatestOp(_.startsWith(AppendBatchTag))
+      .map(_._2.stripPrefix(AppendBatchTag).toLong)
+    if (lastApplied.exists(_ >= batchId)) false
+    else {
+      table.commitAppend(batch, opTag = s"$AppendBatchTag$batchId")
+      true
+    }
+  }
+
   /** Streaming incremental view maintenance: each micro-batch of CDC
     * changelog rows (op = insert/delete) delta-merges into a snapshot-
     * versioned count/sum aggregate via [[graft.write.Ivm]] — the

@@ -275,11 +275,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     commit(opTag, Seq(Entry(writeData(df, base + 1), Set.empty)), base)
   }
 
-  /** Append snapshot: previous entries plus one new directory. */
-  def commitAppend(df: DataFrame): Int = {
+  /** Append snapshot: previous entries plus one new directory. `opTag`
+    * (default "append") rides the manifest's op line, same contract as
+    * [[commitOverwrite]]'s — how the streaming append loop records its
+    * batch id WITH the data it landed (one durable object). */
+  def commitAppend(df: DataFrame, opTag: String = "append"): Int = {
+    require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
+      s"opTag must be a non-empty single line: '$opTag'")
     val base = currentVersion.getOrElse(0)
     val prev = if (base == 0) Seq.empty else parse(base).entries
-    commit("append", prev :+ Entry(writeData(df, base + 1), Set.empty), base)
+    commit(opTag, prev :+ Entry(writeData(df, base + 1), Set.empty), base)
   }
 
   /** Dynamic partition overwrite as a snapshot: the partitions present

@@ -701,6 +701,22 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.changelog(v1, v3).filter(col("op") === "delete").count() == 0)
   }
 
+  test("streaming append batches are exactly-once by op tag; increments readable") {
+    val t = new SnapshotTable(spark, freshRoot("snap_sappend"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    val b1 = frame((2, 2024, 2, 2.0))
+    assert(graft.streaming.StreamingEvents.appendApplyBatch(t, b1, 0L))
+    // at-least-once redelivery: same batch id -> no commit, no double rows
+    assert(!graft.streaming.StreamingEvents.appendApplyBatch(t, b1, 0L))
+    assert(t.read().count() == 2)
+    val v2 = t.currentVersion.get
+    assert(graft.streaming.StreamingEvents.appendApplyBatch(t, frame((3, 2024, 3, 3.0)), 1L))
+    // downstream pulls the exact per-batch increment
+    assert(state(t.appendsBetween(v2, t.currentVersion.get)) == Set((3, 2024, 3, 3.0)))
+    assert(t.history.map(_._2) ==
+      Seq("overwrite", "append_batch_0", "append_batch_1"))
+  }
+
   test("fsck is silent on a healthy table and reports each planted damage class") {
     val t = new SnapshotTable(spark, freshRoot("snap_fsck"))
     t.commitOverwrite(frame((1, 2024, 1, 1.0)))
