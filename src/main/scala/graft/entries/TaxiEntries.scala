@@ -463,6 +463,25 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // MERGE-ON-READ upsert: the same matched-update/unmatched-insert
+    // scenario as taxi_snapshot_merge, but the commit writes ONLY the
+    // batch plus a key-frame delete file (O(batch), no partition
+    // rewrite) and the read suppresses pre-merge key matches at query
+    // time — the Iceberg-v2 cost shape for tiny upserts on huge
+    // tables. Graded by the SAME oracle as the COW merge: the two
+    // strategies must be result-identical, only cost differs.
+    // Stacking, compaction clearing the debt, maintenance retention,
+    // and the purge refusal are pinned in SnapshotSpec.
+    "taxi_snapshot_mor" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapmor", d, s))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      t.commitMergeMor(stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2), Seq("trip_id"))
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Consistency audit: fsck over the shared fixture must be clean
     // (read-only — runs on the pristine fixture, no clone needed), and
     // the table's structural profile (versions, current) rides along so
@@ -854,6 +873,16 @@ object TaxiEntries {
          |  WHERE month IN (1, 2))
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM finalstate GROUP BY 1, 2""".stripMargin),
+    // merge-on-read ≡ copy-on-write by construction: same oracle
+    // algebra as taxi_snapshot_merge
+    "taxi_snapshot_mor" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
     // a healthy three-commit fixture: zero problems, v3 current
     "taxi_snapshot_fsck" -> o(
       """SELECT CAST(0 AS INTEGER) AS n_problems,

@@ -107,8 +107,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * OLDER dir instead of deleting their files). Partition values render
     * as colon-joined strings, entries as `dir|p1,p2`. */
   private case class Entry(dir: String, excluded: Set[Seq[String]])
+
+  /** A merge-on-read delete: every key tuple stored in `dir` suppresses
+    * matching rows — but only in the first `appliesTo` entries of the
+    * manifest (the entries that existed when the delete was committed;
+    * newer entries carry the keys' REPLACEMENT rows and must not be
+    * suppressed). The positional scope is Iceberg's sequence-number
+    * idea collapsed onto this manifest's ordered entry list. */
+  private case class DeleteRef(dir: String, keyCols: Seq[String], appliesTo: Int)
   private case class Manifest(version: Int, parent: Int, op: String,
-                              entries: Seq[Entry])
+                              entries: Seq[Entry],
+                              deletes: Seq[DeleteRef] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -119,7 +128,9 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def render(m: Manifest): String = {
     val lines = Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}") ++
       m.entries.map(e =>
-        s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}")
+        s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}") ++
+      m.deletes.map(d =>
+        s"delete=${d.dir}|${d.keyCols.mkString(",")}|${d.appliesTo}")
     lines.mkString("", "\n", "\n")
   }
 
@@ -139,7 +150,13 @@ class SnapshotTable(spark: SparkSession, root: String,
         .map(_.split(":").toSeq).toSet
       Entry(spec.substring(0, bar), excl)
     }
-    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries)
+    val deletes = kv.collect { case ("delete", spec) =>
+      val parts = spec.split("\\|", -1)
+      require(parts.length == 3, s"malformed delete line in $label: $spec")
+      DeleteRef(parts(0), parts(1).split(",").filter(_.nonEmpty).toSeq,
+        parts(2).toInt)
+    }
+    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries, deletes)
   }
 
   // ---- pointer ----
@@ -246,10 +263,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * create-exclusive on a RE-numbered manifest would never catch).
     * If anyone committed `parent + 1` first, the create-exclusive
     * fails and the caller must recompute from the new current. */
-  private def commit(op: String, entries: Seq[Entry], parent: Int): Int = {
+  private def commit(op: String, entries: Seq[Entry], parent: Int,
+                     deletes: Seq[DeleteRef] = Seq.empty): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
-    val m = Manifest(next, parent, op, entries)
+    val m = Manifest(next, parent, op, entries, deletes)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -283,8 +301,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
       s"opTag must be a non-empty single line: '$opTag'")
     val base = currentVersion.getOrElse(0)
-    val prev = if (base == 0) Seq.empty else parse(base).entries
-    commit(opTag, prev :+ Entry(writeData(df, base + 1), Set.empty), base)
+    val pm = if (base == 0) None else Some(parse(base))
+    commit(opTag,
+      pm.map(_.entries).getOrElse(Seq.empty) :+ Entry(writeData(df, base + 1), Set.empty),
+      base, pm.map(_.deletes).getOrElse(Seq.empty))
   }
 
   /** Dynamic partition overwrite as a snapshot: the partitions present
@@ -298,9 +318,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
     require(touched.nonEmpty, "batch has no partitions")
     val base = currentVersion.getOrElse(0)
-    val prev = if (base == 0) Seq.empty else parse(base).entries
-    val masked = prev.map(e => e.copy(excluded = e.excluded ++ touched))
-    commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty), base)
+    val pm = if (base == 0) None else Some(parse(base))
+    val masked = pm.map(_.entries).getOrElse(Seq.empty)
+      .map(e => e.copy(excluded = e.excluded ++ touched))
+    commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty),
+      base, pm.map(_.deletes).getOrElse(Seq.empty))
   }
 
   /** Snapshot MERGE (upsert by key) — `MERGE INTO t USING batch WHEN
@@ -346,8 +368,43 @@ class SnapshotTable(spark: SparkSession, root: String,
     // the whole batch = the replacement dir's contents
     val kept = cur.filter(inTouched).join(keys, keyCols, "left_anti")
     val newData = kept.unionByName(batch, allowMissingColumns = true)
-    val prev = parse(base).entries.map(e => e.copy(excluded = e.excluded ++ touched))
-    commit("merge", prev :+ Entry(writeData(newData, base + 1), Set.empty), base)
+    val pm = parse(base)
+    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ touched))
+    // prior MOR deletes carry: the rewrite materialized them only for
+    // the TOUCHED partitions; untouched partitions still rely on them
+    commit("merge", prev :+ Entry(writeData(newData, base + 1), Set.empty),
+      base, pm.deletes)
+  }
+
+  /** MERGE-ON-READ upsert — the other side of the COW/MOR trade-off
+    * [[commitMerge]] sits on (Iceberg v2's equality deletes): instead
+    * of rewriting every touched partition, the commit writes ONLY the
+    * batch plus a key-frame "delete file", and reads suppress matching
+    * rows in the pre-merge entries at query time. Write cost is
+    * O(batch) — a daily upsert touching 0.1% of keys on a 100 TB table
+    * stops paying partition rewrites — while reads pay one
+    * broadcast-class anti-join per accumulated delete until a
+    * [[commitCompact]]/[[commitCompactZ]] materializes the state and
+    * clears the debt (the standard MOR maintenance loop). The delete's
+    * scope is positional (`appliesTo` = the entry count at merge time),
+    * so the batch's own replacement rows are never suppressed and
+    * stacked MOR merges compose (a later merge's keys suppress earlier
+    * batches too). Same matched-update/unmatched-insert semantics as
+    * [[commitMerge]]; results are identical — only the cost shape
+    * differs. */
+  def commitMergeMor(batch: DataFrame, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "commitMergeMor needs at least one key column")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val delDir = "del" + f"${base + 1}%05d" + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    keys.write.parquet(new Path(dataDir, delDir).toString)
+    writeSchemaSidecar(delDir, keys.schema)
+    commit("merge_mor",
+      m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
+      base,
+      m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size))
   }
 
   /** Append-only incremental read: the rows INSERTED between `fromV`
@@ -372,11 +429,12 @@ class SnapshotTable(spark: SparkSession, root: String,
       val m = parse(v)
       require(m.parent >= fromV,
         s"v$fromV is not an ancestor of v$toV (chain jumps to v${m.parent})")
-      val pEntries = parse(m.parent).entries
-      require(m.entries.take(pEntries.size) == pEntries,
+      val pm = parse(m.parent)
+      val pEntries = pm.entries
+      require(m.entries.take(pEntries.size) == pEntries && m.deletes == pm.deletes,
         s"v$v (op=${m.op}) is not an append commit — its parent's entries " +
-          "changed (overwrite/merge/rollback/compact in the chain); use " +
-          "changelog() for general version diffs")
+          "or merge-on-read deletes changed (overwrite/merge/rollback/compact " +
+          "in the chain); use changelog() for general version diffs")
       newDirs = m.entries.drop(pEntries.size).toList ++ newDirs
       v = m.parent
     }
@@ -488,9 +546,10 @@ class SnapshotTable(spark: SparkSession, root: String,
   def commitAppendClustered(df: DataFrame, clusterCol: String,
                             nFiles: Int = 8): Int = {
     val base = currentVersion.getOrElse(0)
-    val prev = if (base == 0) Seq.empty else parse(base).entries
+    val pm = if (base == 0) None else Some(parse(base))
     commit("append_clustered",
-      prev :+ writeClustered(df, base + 1, clusterCol, nFiles), base)
+      pm.map(_.entries).getOrElse(Seq.empty) :+ writeClustered(df, base + 1, clusterCol, nFiles),
+      base, pm.map(_.deletes).getOrElse(Seq.empty))
   }
 
   private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
@@ -517,14 +576,14 @@ class SnapshotTable(spark: SparkSession, root: String,
   def readSkipping(clusterCol: String): DataFrame = {
     val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
     require(m.entries.nonEmpty, s"current snapshot at $root is empty")
-    m.entries.map { e =>
+    m.entries.zipWithIndex.map { case (e, i) =>
       val dataP = new Path(dataDir, e.dir).toString
       val sp = statsPath(e.dir, clusterCol)
       val df =
         if (fs.exists(sp))
           graft.sources.DataSkipping.read(spark, dataP, clusterCol, sp.toString)
         else spark.read.option("mergeSchema", "true").parquet(dataP)
-      excludePred(e).fold(df)(p => df.filter(!p))
+      applyDeletes(m, i, excludePred(e).fold(df)(p => df.filter(!p)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -592,9 +651,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(fs.exists(new Path(dataDir, stagedDir)),
       s"no staged dir '$stagedDir' under $dataDir (abandoned or never staged)")
     val base = currentVersion.getOrElse(0)
-    val prev = if (base == 0) Seq.empty else parse(base).entries
+    val pm = if (base == 0) None else Some(parse(base))
+    val prev = pm.map(_.entries).getOrElse(Seq.empty)
     require(!prev.exists(_.dir == stagedDir), s"'$stagedDir' is already published")
-    commit("publish_append", prev :+ Entry(stagedDir, Set.empty), base)
+    commit("publish_append", prev :+ Entry(stagedDir, Set.empty),
+      base, pm.map(_.deletes).getOrElse(Seq.empty))
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -701,7 +762,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   def createBranch(name: String, fromV: Int): Unit = {
     val m = parse(fromV) // must exist
     if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
-        render(Manifest(1, 0, s"branch_from_$fromV", m.entries)).getBytes("UTF-8")))
+        render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes))
+          .getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (drop it first or pick a new name)")
   }
@@ -713,7 +775,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def readBranch(name: String): DataFrame = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
-    readEntries(parseBranch(name, head).entries)
+    readManifest(parseBranch(name, head))
   }
 
   /** Append a batch to a branch — main is untouched; the branch head
@@ -724,12 +786,13 @@ class SnapshotTable(spark: SparkSession, root: String,
   def commitAppendToBranch(name: String, df: DataFrame): Int = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
-    val prev = parseBranch(name, head).entries
+    val pm = parseBranch(name, head)
     val next = head + 1
     val entry = Entry(writeData(df, next), Set.empty)
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
-        render(Manifest(next, head, "branch_append", prev :+ entry)).getBytes("UTF-8")))
+        render(Manifest(next, head, "branch_append", pm.entries :+ entry, pm.deletes))
+          .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
     next
@@ -758,8 +821,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           "the fork; rebase the branch or publish with strict = false " +
           "(rollback semantics for main's newer commits)")
     }
-    commit(s"fast_forward_$name", parseBranch(name, head).entries,
-      currentVersion.getOrElse(0))
+    val bm = parseBranch(name, head)
+    commit(s"fast_forward_$name", bm.entries, currentVersion.getOrElse(0), bm.deletes)
   }
 
   /** Delete a branch's manifests. Its unpublished data dirs become
@@ -772,14 +835,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * must treat these as live. */
   private def branchReferencedDirs: Set[String] =
     branches.flatMap { case (n, _) =>
-      branchVersions(n).flatMap(bv => parseBranch(n, bv).entries.map(_.dir))
+      branchVersions(n).flatMap { bv =>
+        val m = parseBranch(n, bv)
+        m.entries.map(_.dir) ++ m.deletes.map(_.dir)
+      }
     }.toSet
 
   /** Re-point the table at snapshot `v`'s state — a NEW commit with
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
     val m = parse(v) // throws if expired/never existed
-    commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0))
+    commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0), m.deletes)
   }
 
   // ---- reads ----
@@ -797,14 +863,26 @@ class SnapshotTable(spark: SparkSession, root: String,
   def readVersion(v: Int): DataFrame = {
     val m = parse(v)
     require(m.entries.nonEmpty, s"v$v is an empty snapshot")
-    readEntries(m.entries)
+    readManifest(m)
   }
 
-  private def readEntries(entries: Seq[Entry]): DataFrame =
-    entries.map { e =>
-      val df = readDir(e.dir)
-      excludePred(e).fold(df)(p => df.filter(!p))
+  /** Union of the manifest's entries with masks AND merge-on-read
+    * deletes applied. Each delete suppresses key matches only in the
+    * entries that PRECEDED it (`appliesTo` — newer entries carry the
+    * keys' replacement rows); the anti-joins are key-frame-sized, so
+    * AQE broadcasts them, and a compaction commit clears them all. */
+  private def readManifest(m: Manifest): DataFrame =
+    m.entries.zipWithIndex.map { case (e, i) =>
+      val base = readDir(e.dir)
+      val masked = excludePred(e).fold(base)(p => base.filter(!p))
+      applyDeletes(m, i, masked)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  private def applyDeletes(m: Manifest, entryIdx: Int,
+                           df: DataFrame): DataFrame =
+    m.deletes.filter(_.appliesTo > entryIdx).foldLeft(df) { (acc, d) =>
+      acc.join(readDir(d.dir), d.keyCols, "left_anti")
+    }
 
   /** An entry's partition-exclusion mask as a predicate over the data
     * frame (disjunction of per-partition conjunctions), or None for an
@@ -901,8 +979,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dead = versions.filterNot(keep)
     // branch-referenced dirs are LIVE regardless of main retention — a
     // branch is a promise its state stays readable until dropped
-    val referenced = keep.toSeq.flatMap(v => parse(v).entries.map(_.dir)).toSet ++
-      branchReferencedDirs
+    val referenced = keep.toSeq.flatMap { v =>
+      val m = parse(v); m.entries.map(_.dir) ++ m.deletes.map(_.dir)
+    }.toSet ++ branchReferencedDirs
     dead.foreach(v => fs.delete(manifestPath(v), false))
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath).foreach { p =>
@@ -943,7 +1022,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     if (!fs.exists(dataDir)) return Seq.empty
     val referenced = history.map(_._1)
-      .flatMap(v => parse(v).entries.map(_.dir)).toSet ++ branchReferencedDirs
+      .flatMap { v => val m = parse(v)
+        m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
+      branchReferencedDirs
     val orphans = fs.listStatus(dataDir).map(_.getPath)
       .filterNot(p => referenced(p.getName) || p.getName.startsWith("w_")).toSeq
     orphans.foreach { p =>
@@ -1022,6 +1103,17 @@ class SnapshotTable(spark: SparkSession, root: String,
   def purge(condition: org.apache.spark.sql.Column): Int = {
     val versions = history.map(_._1)
     require(versions.nonEmpty, s"no snapshots at $root")
+    // MOR delete files hold raw key tuples the erasure condition cannot
+    // be evaluated against (they lack the data columns), and the per-dir
+    // rewrite below cannot apply positional delete scopes — materialize
+    // first, then purge, rather than risk a wrong erasure
+    require(versions.map(parse).forall(_.deletes.isEmpty) &&
+        branches.forall { case (n, _) =>
+          branchVersions(n).forall(bv => parseBranch(n, bv).deletes.isEmpty) },
+      "purge over merge-on-read deletes is not supported: " +
+        "commitCompact to materialize the debt, expire() the " +
+        "delete-carrying history, and fast-forward or drop branches — " +
+        "then purge")
     // erasure must also cover bytes no manifest references — staged
     // (write–audit–publish) and crashed-writer dirs are invisible to
     // readers but still on disk. vacuum() deliberately spares w_* dirs
@@ -1133,7 +1225,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         }
       }
     }
-    val referenced = (parsed ++ branchParsed).flatMap(_.entries.map(_.dir)).toSet
+    val referenced = (parsed ++ branchParsed)
+      .flatMap(m => m.entries.map(_.dir) ++ m.deletes.map(_.dir)).toSet
     referenced.toSeq.sorted.foreach { d =>
       val p = new Path(dataDir, d)
       if (!fs.exists(p)) problems += s"referenced data dir missing: $d"

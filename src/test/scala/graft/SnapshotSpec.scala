@@ -571,6 +571,53 @@ class SnapshotSpec extends AnyFunSuite {
     assert(state(t.read()).count(_._1 == 9) == 1)
   }
 
+  test("commitMergeMor: O(batch) writes, COW-identical semantics, compaction clears the debt") {
+    val t = new SnapshotTable(spark, freshRoot("snap_mor"))
+    val v1Rows = Set((1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
+      (3, 2024, 2, 30.0), (4, 2024, 3, 40.0))
+    t.commitOverwrite(frame(v1Rows.toSeq: _*))
+    // update id=2, MOVE id=3 to month 3, insert id=9 — same scenario as
+    // the COW merge test; results must be identical, only cost differs
+    val v2 = t.commitMergeMor(
+      frame((2, 2024, 1, 21.0), (3, 2024, 3, 31.0), (9, 2024, 1, 90.0)), Seq("id"))
+    val expected2 = Set((1, 2024, 1, 10.0), (2, 2024, 1, 21.0),
+      (3, 2024, 3, 31.0), (4, 2024, 3, 40.0), (9, 2024, 1, 90.0))
+    assert(state(t.read()) == expected2)
+    assert(state(t.readVersion(1)) == v1Rows, "pre-merge version damaged")
+    // O(batch): the base dir is untouched — entries are base + batch
+    assert(t.dataDirs(v2).size == 2)
+    // stacked MOR merges compose: a later merge's keys suppress the
+    // earlier batch's rows too
+    val v3 = t.commitMergeMor(frame((2, 2024, 1, 22.0)), Seq("id"))
+    val expected3 = expected2 - ((2, 2024, 1, 21.0)) + ((2, 2024, 1, 22.0))
+    assert(state(t.read()) == expected3)
+    // incremental read refuses across a MOR merge (delete set changed)
+    intercept[IllegalArgumentException] { t.appendsBetween(1, v3) }
+    // erasure refuses over live delete files (keys lack data columns)
+    intercept[IllegalArgumentException] { t.purge(col("fare") === 10.0) }
+    // maintenance keeps delete dirs alive
+    t.commitAppend(frame((5, 2024, 4, 50.0)))
+    t.expire(keepLast = 2)
+    assert(t.vacuum().isEmpty, "maintenance collected a live delete dir")
+    val expected4 = expected3 + ((5, 2024, 4, 50.0))
+    assert(state(t.read()) == expected4, "deletes lost after expire/vacuum")
+    // compaction materializes the state and clears the delete debt:
+    // one dir, same rows, and the append-only chain afterwards is
+    // readable again (delete sets equal) — purge works again too
+    val vc = t.commitCompact("id")
+    assert(t.dataDirs(vc).size == 1)
+    assert(state(t.read()) == expected4)
+    val v6 = t.commitAppend(frame((6, 2024, 5, 60.0)))
+    assert(state(t.appendsBetween(vc, v6)) == Set((6, 2024, 5, 60.0)))
+    // pre-compaction manifests still reference the delete files for
+    // time travel, so purge stays refused until they expire
+    intercept[IllegalArgumentException] { t.purge(col("fare") === 10.0) }
+    t.expire(keepLast = 1)
+    t.purge(col("fare") === 10.0)
+    assert(!state(t.read()).contains((1, 2024, 1, 10.0)))
+    assert(state(t.read()).contains((6, 2024, 5, 60.0)))
+  }
+
   test("appendsBetween reads only the appended dirs; refuses non-append chains") {
     val t = new SnapshotTable(spark, freshRoot("snap_incr"))
     val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
