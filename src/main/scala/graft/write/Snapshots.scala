@@ -394,6 +394,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * differs. */
   def commitMergeMor(batch: DataFrame, keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMergeMor needs at least one key column")
+    // an empty batch would land an empty data dir + empty delete frame —
+    // a no-op commit whose dirs fsck would flag as damage (same guard
+    // shape as commitMerge's touched.nonEmpty)
+    require(!batch.isEmpty, "merge batch is empty")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val m = parse(base)
     val delDir = "del" + f"${base + 1}%05d" + "_" +

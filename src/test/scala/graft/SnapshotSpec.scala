@@ -583,6 +583,8 @@ class SnapshotSpec extends AnyFunSuite {
     val expected2 = Set((1, 2024, 1, 10.0), (2, 2024, 1, 21.0),
       (3, 2024, 3, 31.0), (4, 2024, 3, 40.0), (9, 2024, 1, 90.0))
     assert(state(t.read()) == expected2)
+    assert(t.fsck().isEmpty, "MOR table flagged by fsck")
+    intercept[IllegalArgumentException] { t.commitMergeMor(frame(), Seq("id")) }
     assert(state(t.readVersion(1)) == v1Rows, "pre-merge version damaged")
     // O(batch): the base dir is untouched — entries are base + batch
     assert(t.dataDirs(v2).size == 2)
