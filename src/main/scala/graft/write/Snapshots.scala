@@ -577,9 +577,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * a hive-partitioned table indexed post-hoc by [[buildStatsIndex]]
     * prunes files AND honors its masks. Results always equal
     * [[read]]'s. */
-  def readSkipping(clusterCol: String): DataFrame = {
-    val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
-    require(m.entries.nonEmpty, s"current snapshot at $root is empty")
+  def readSkipping(clusterCol: String): DataFrame =
+    readSkippingVersion(
+      currentVersion.getOrElse(sys.error(s"no snapshot at $root")), clusterCol)
+
+  /** Time-traveled skipping read: [[readSkipping]] against snapshot
+    * `v` — stats indexes live per immutable data dir, so every retained
+    * version prunes with the same indexes its dirs were committed (or
+    * post-hoc built) with. */
+  def readSkippingVersion(v: Int, clusterCol: String): DataFrame = {
+    val m = parse(v)
+    require(m.entries.nonEmpty, s"v$v at $root is an empty snapshot")
     m.entries.zipWithIndex.map { case (e, i) =>
       val dataP = new Path(dataDir, e.dir).toString
       val sp = statsPath(e.dir, clusterCol)

@@ -537,8 +537,10 @@ class SnapshotSpec extends AnyFunSuite {
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.metrics("numFiles").value }.sum
     assert(scanned >= 1 && scanned < 8, s"post-compaction skipping must prune, scanned $scanned")
-    // pre-compaction versions stay time-travelable (old dirs untouched)
+    // pre-compaction versions stay time-travelable (old dirs untouched),
+    // including through the time-traveled SKIPPING read
     assert(t.readVersion(1).count() == 100)
+    assert(t.readSkippingVersion(1, "id").count() == 100)
     assert(idFare(t.readVersion(v4)) == before)
     // expire reclaims the superseded dirs; the compacted table reads on
     val oldDirs = t.dataDirs(v4)
