@@ -482,6 +482,14 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // DESCRIBE HISTORY: the metadata-introspection table (Delta
+    // DESCRIBE HISTORY / Iceberg snapshots) over the shared fixture —
+    // read-only, graded on the exact commit lineage: ops, parents,
+    // entry counts, and delete counts are all deterministic.
+    "taxi_snapshot_history" -> q { (s, d) =>
+      val (t, _, _, _) = snapCdcFixture(s, d)
+      t.describeHistory()
+    },
     // Consistency audit: fsck over the shared fixture must be clean
     // (read-only — runs on the pristine fixture, no clone needed), and
     // the table's structural profile (versions, current) rides along so
@@ -873,6 +881,14 @@ object TaxiEntries {
          |  WHERE month IN (1, 2))
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM finalstate GROUP BY 1, 2""".stripMargin),
+    // the fixture's exact lineage: full load, corrupting partition
+    // overwrite (2 entries: masked original + replacement), rollback
+    "taxi_snapshot_history" -> o(
+      """SELECT * FROM (VALUES
+        |  (1, 'overwrite', 0, 1, 0),
+        |  (2, 'overwrite_partitions', 1, 2, 0),
+        |  (3, 'rollback_to_1', 2, 1, 0))
+        |  AS t(version, op, parent, n_entries, n_deletes)""".stripMargin),
     // merge-on-read ≡ copy-on-write by construction: same oracle
     // algebra as taxi_snapshot_merge
     "taxi_snapshot_mor" -> o(

@@ -968,6 +968,18 @@ class SnapshotTable(spark: SparkSession, root: String,
     base.exceptAll(del).unionByName(ins)
   }
 
+  /** DESCRIBE HISTORY as a DataFrame — the metadata-introspection
+    * surface (Delta's `DESCRIBE HISTORY`, Iceberg's snapshots table): one
+    * row per retained snapshot with its op, parent, entry count, and
+    * merge-on-read delete count. O(retained versions) metadata reads,
+    * no data scan. */
+  def describeHistory(): DataFrame = {
+    import spark.implicits._
+    history.map(_._1).map(parse)
+      .map(m => (m.version, m.op, m.parent, m.entries.size, m.deletes.size))
+      .toDF("version", "op", "parent", "n_entries", "n_deletes")
+  }
+
   /** (version, op, parent) for every retained snapshot, oldest first. */
   def history: Seq[(Int, String, Int)] =
     if (!fs.exists(manifestDir)) Seq.empty
