@@ -605,7 +605,10 @@ object TaxiEntries {
       val t = src.deepClone(root)
       models(s, d).stgYellow.drop("loaded_at").limit(7)
         .write.parquet(s"$root/_data/d00099")
-      val removed = t.vacuum()
+      // window 0: the planted orphan is known-dead (no writer is in
+      // flight here); production runs keep the default 1 h retention so
+      // a live writer's not-yet-referenced dir survives the sweep
+      val removed = t.vacuum(olderThanMs = 0L)
       Seq((removed.length, removed.sorted.mkString(","), t.read().count()))
         .toDF("n_removed", "removed_dirs", "n_rows")
     },

@@ -249,6 +249,13 @@ object StreamingEvents extends Serializable {
     val lastApplied = table.findLatestOp(_.startsWith(AppendBatchTag))
       .map(_._2.stripPrefix(AppendBatchTag).toLong)
     if (lastApplied.exists(_ >= batchId)) false
+    // an empty micro-batch (a trigger with no new files) must not land a
+    // data-file-less _data dir — fsck would report it as damage, and
+    // commitMergeMor refuses the same no-op-commit shape. Skipping the
+    // commit is safe for idempotency: batch ids only grow, so a replay
+    // of this empty batch re-skips and a later non-empty batch advances
+    // the recorded high-water mark past it.
+    else if (batch.isEmpty) true
     else {
       table.commitAppend(batch, opTag = s"$AppendBatchTag$batchId")
       true

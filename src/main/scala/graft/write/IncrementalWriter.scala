@@ -165,6 +165,11 @@ object IncrementalWriter {
       .agg(expr(s"approx_percentile(CAST($column AS DOUBLE), " +
         s"array(${ps.mkString(",")}), $accuracy)"))
       .head().getSeq[Double](0)
+    // approx_percentile returns NULL over zero non-null inputs — fail
+    // with the column's name instead of an NPE from the fold below
+    require(bounds != null,
+      s"equiDepthBucket: column '$column' has no non-null values " +
+        "(empty input or all-null column) — no quantile boundaries exist")
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(column).cast("double") > lit(b), 1).otherwise(0)
     }

@@ -91,7 +91,11 @@ class SnapshotTable(spark: SparkSession, root: String,
   // moved off the filesystem.
   {
     val scheme = Option(new Path(root).toUri.getScheme).getOrElse(fs.getScheme)
-    val unsafe = Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "wasb")
+    // TLS variants (s3a-over-https is still "s3a", but wasb has a
+    // distinct "wasbs" scheme) count too — a secure connection to a
+    // non-atomic store is still a non-atomic store
+    val unsafe =
+      Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "wasb", "wasbs")
     val conf = spark.sparkContext.hadoopConfiguration
     require(!unsafe.contains(scheme) ||
         conf.getBoolean("graft.snapshots.allow.nonatomic", false),
@@ -343,11 +347,30 @@ class SnapshotTable(spark: SparkSession, root: String,
     * read+write of the touched partitions — the standard copy-on-write
     * MERGE cost; a daily upsert touching a handful of partitions pays
     * for those partitions, never the table. Keys that MOVE partitions
-    * are handled (the old row's partition is rewritten too). Batch
-    * must not contain duplicate keys (it would insert both — same
-    * contract as deleteInsert). */
+    * are handled (the old row's partition is rewritten too). A batch
+    * carrying duplicate keys is REFUSED up front (it would silently
+    * insert both rows — the same loud contract as
+    * [[graft.operators.Merge.upsert]]). */
+  /** MERGE's no-duplicate-source-keys contract, enforced (SQL MERGE
+    * raises on multiple source matches; a silent double-insert is the
+    * divergence class this engine refuses elsewhere —
+    * [[graft.operators.Merge.upsert]] has the same guard). One
+    * aggregate over the batch — the broadcast-class small side of the
+    * merge by construction. */
+  private def requireUniqueKeys(batch: DataFrame, keyCols: Seq[String],
+                                op: String): Unit = {
+    val dup = batch.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$op batch has multiple rows for key (${keyCols.mkString(", ")}) = " +
+        s"(${dup.headOption.map(r => keyCols.indices.map(r.get).mkString(", "))
+          .getOrElse("")}); deduplicate the batch first (MERGE semantics " +
+        "forbid multiple matches per key)")
+  }
+
   def commitMerge(batch: DataFrame, keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
+    requireUniqueKeys(batch, keyCols, "commitMerge")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val cur = readVersion(base)
     val keys = batch.select(keyCols.map(col): _*).distinct()
@@ -394,6 +417,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * differs. */
   def commitMergeMor(batch: DataFrame, keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMergeMor needs at least one key column")
+    requireUniqueKeys(batch, keyCols, "commitMergeMor")
     // an empty batch would land an empty data dir + empty delete frame —
     // a no-op commit whose dirs fsck would flag as damage (same guard
     // shape as commitMerge's touched.nonEmpty)
@@ -742,12 +766,27 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def branchManifestPath(name: String, bv: Int) =
     new Path(manifestDir, f"${branchPrefix(name)}$bv%05d.txt")
 
+  /** The version suffix of a branch manifest name, iff the remainder
+    * after the prefix is EXACTLY the 5-digit version — branch names
+    * allow digits and underscores, so `bv_daily_` is a string-prefix of
+    * `bv_daily_v2_`'s manifests; a bare startsWith match would hand
+    * `branchVersions("daily")` the token `v2_00001` and throw from
+    * every maintenance op on the table (vacuum/expire/purge/fsck all
+    * walk every branch). The strict-shape parse makes prefix-related
+    * names coexist. */
+  private def branchVersionOf(pre: String, fileName: String): Option[Int] =
+    if (!(fileName.startsWith(pre) && fileName.endsWith(".txt"))) None
+    else {
+      val suffix = fileName.stripPrefix(pre).stripSuffix(".txt")
+      if (suffix.length == 5 && suffix.forall(_.isDigit)) Some(suffix.toInt)
+      else None // a longer branch name sharing this prefix — not ours
+    }
+
   private def branchVersions(name: String): Seq[Int] = {
     val pre = branchPrefix(name)
     if (!fs.exists(manifestDir)) Seq.empty
     else fs.listStatus(manifestDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith(pre) && n.endsWith(".txt") =>
-        n.stripPrefix(pre).stripSuffix(".txt").toInt }
+      .flatMap(branchVersionOf(pre, _))
       .sorted.toSeq
   }
 
@@ -761,8 +800,12 @@ class SnapshotTable(spark: SparkSession, root: String,
       .collect { case n if n.startsWith("bv_") && n.endsWith(".txt") =>
         n.stripPrefix("bv_").stripSuffix(".txt") }
       .flatMap { rest =>
+        // name = everything before the trailing _NNNNN version token
+        // (names may themselves contain underscores and digits)
         val i = rest.lastIndexOf('_')
-        if (i <= 0) None else Some(rest.substring(0, i))
+        if (i <= 0 || rest.length - i - 1 != 5 ||
+            !rest.drop(i + 1).forall(_.isDigit)) None
+        else Some(rest.substring(0, i))
       }
       .distinct.sorted.toSeq
       .flatMap(n => branchHead(n).map(n -> _))
@@ -994,9 +1037,22 @@ class SnapshotTable(spark: SparkSession, root: String,
     * Iceberg's `expire_snapshots`, the operation that stops a daily
     * 100 TB pipeline's storage growing without bound. The live version
     * and every TAGGED version are always retained (Iceberg's ref-aware
-    * expire: a tag is a promise the snapshot stays readable). */
-  def expire(keepLast: Int): Unit = {
+    * expire: a tag is a promise the snapshot stays readable).
+    *
+    * NEVER-referenced dirs (no retained OR expired manifest names them)
+    * are swept only when older than `olderThanMs` (default 1 h): every
+    * commit writes its data dir BEFORE publishing its manifest, so a
+    * LIVE writer's dir is, by definition, momentarily unreferenced — an
+    * unguarded sweep would delete it and let the commit then publish a
+    * manifest over missing data (the corruption only [[fsck]] would
+    * catch). Dirs referenced by the EXPIRED manifests themselves carry
+    * no such ambiguity (they were committed) and are reclaimed
+    * immediately. Same retention idea as Iceberg's
+    * `remove_orphan_files(older_than)` / Delta `VACUUM`'s window. */
+  def expire(keepLast: Int,
+             olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
     val versions = history.map(_._1)
     val cur = currentVersion.getOrElse(return)
     val keep = versions.sorted.takeRight(keepLast).toSet + cur ++ tags.map(_._2)
@@ -1006,14 +1062,22 @@ class SnapshotTable(spark: SparkSession, root: String,
     val referenced = keep.toSeq.flatMap { v =>
       val m = parse(v); m.entries.map(_.dir) ++ m.deletes.map(_.dir)
     }.toSet ++ branchReferencedDirs
+    // committed-then-expired dirs: reclaimable with no age check — their
+    // manifests prove no writer is mid-commit on them
+    val deadReferenced = dead.flatMap { v =>
+      val m = parse(v); m.entries.map(_.dir) ++ m.deletes.map(_.dir)
+    }.toSet -- referenced
     dead.foreach(v => fs.delete(manifestPath(v), false))
+    val cutoff = System.currentTimeMillis() - olderThanMs
     if (fs.exists(dataDir))
-      fs.listStatus(dataDir).map(_.getPath).foreach { p =>
+      fs.listStatus(dataDir).foreach { st =>
+        val p = st.getPath
         // staged WAP dirs (`w_*`) are unreferenced BY DESIGN until
         // their publish — maintenance must not destroy a pending batch
         // mid-audit (Iceberg WAP snapshots likewise survive
         // maintenance); abandonStaged() is the deliberate discard
-        if (!referenced(p.getName) && !p.getName.startsWith("w_")) {
+        if (!referenced(p.getName) && !p.getName.startsWith("w_") &&
+            (deadReferenced(p.getName) || st.getModificationTime < cutoff)) {
           fs.delete(p, true)
           // a clustered dir's stats index dies with its data dir
           fs.delete(new Path(statsDir, p.getName), true)
@@ -1026,17 +1090,33 @@ class SnapshotTable(spark: SparkSession, root: String,
     * and manifest create leaves behind (`expire` only collects dirs
     * that WERE referenced). Never touches a referenced dir OR a staged
     * write–audit–publish dir (`w_*` — pending-by-design until publish;
-    * [[abandonStaged]] is the deliberate discard), so it is safe to run
-    * any time, including mid-audit; this is Delta's `VACUUM` for the
-    * invisible-write case. Returns the removed dir names. */
-  def vacuum(): Seq[String] = {
+    * [[abandonStaged]] is the deliberate discard); this is Delta's
+    * `VACUUM` for the invisible-write case.
+    *
+    * RETENTION CONTRACT: only dirs older than `olderThanMs` (default
+    * 1 h, by modification time — the same mechanism as the
+    * manifest-temp sweep) are collected. An unreferenced dir is NOT
+    * proof of a crash: every commit writes its data dir BEFORE
+    * publishing its manifest, so a live writer's dir is unreferenced
+    * for the duration of its write, and the retry loop
+    * ([[commitWithRetry]]) makes in-flight unreferenced dirs routine
+    * under contention. Sweeping one would let the writer's commit
+    * SUCCEED over deleted data — a corrupted version only [[fsck]]
+    * notices later. With the default window, vacuum is safe to run
+    * concurrently with writers whose data write takes under an hour;
+    * pass a larger window if commits can run longer, and `0` only on a
+    * table known to have no writer in flight. (Iceberg's
+    * `remove_orphan_files(older_than)` draws the same line.) Returns
+    * the removed dir names. */
+  def vacuum(olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Seq[String] = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - olderThanMs
     // crash debris from the atomic-publish protocol: a writer that died
     // between staging its `.…tmp` and the link/rename leaves the temp
     // behind. An IN-FLIGHT publish's temp is milliseconds old, so only
-    // temps older than an hour are swept (metadata-sized files; the
-    // sweep is one listing).
+    // temps older than the retention window are swept (metadata-sized
+    // files; the sweep is one listing).
     if (fs.exists(manifestDir)) {
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
       fs.listStatus(manifestDir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith(".") && n.endsWith(".tmp") &&
@@ -1049,8 +1129,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       .flatMap { v => val m = parse(v)
         m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
       branchReferencedDirs
-    val orphans = fs.listStatus(dataDir).map(_.getPath)
-      .filterNot(p => referenced(p.getName) || p.getName.startsWith("w_")).toSeq
+    val orphans = fs.listStatus(dataDir)
+      .filter(st => !referenced(st.getPath.getName) &&
+        !st.getPath.getName.startsWith("w_") &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath).toSeq
     orphans.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(statsDir, p.getName), true)
@@ -1142,8 +1225,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     // (write–audit–publish) and crashed-writer dirs are invisible to
     // readers but still on disk. vacuum() deliberately spares w_* dirs
     // for maintenance, but a deletion request outranks a pending stage:
-    // drop them explicitly here.
-    vacuum()
+    // drop them explicitly here. Age window 0: purge is single-writer/
+    // offline by contract, so no in-flight dir exists to protect.
+    vacuum(olderThanMs = 0L)
     stagedDirs.foreach(abandonStaged)
     val manifests = versions.map(parse)
     // branch manifests reference dirs too — erasure must cover every
@@ -1292,6 +1376,16 @@ class SnapshotTable(spark: SparkSession, root: String,
       case _ => ()
     }
   }
+}
+
+object SnapshotTable {
+  /** Default retention window for the orphan-dir sweeps ([[SnapshotTable.vacuum]],
+    * [[SnapshotTable.expire]]): an unreferenced `_data` dir younger than this is
+    * presumed to belong to a LIVE writer (data lands before the manifest
+    * publishes) and is left alone. One hour matches the manifest-temp
+    * sweep and bounds the commit duration maintenance can run
+    * concurrently with. */
+  val DefaultOrphanAgeMs: Long = 3600L * 1000
 }
 
 /** A second writer committed the same version first — re-read and retry. */

@@ -192,11 +192,15 @@ class SnapshotSpec extends AnyFunSuite {
     t.commitAppend(frame((2, 2024, 2, 2.0)))
     // crashed writer: data landed, manifest never created
     frame((9, 2024, 3, 9.0)).write.parquet(s"$root/_data/d00099")
-    assert(t.vacuum() == Seq("d00099"))
+    // the default retention window SPARES the young dir — an
+    // unreferenced dir is indistinguishable from a live writer's
+    // in-flight one, so only age proves it dead
+    assert(t.vacuum().isEmpty, "default-window vacuum swept a young orphan")
+    assert(t.vacuum(olderThanMs = 0L) == Seq("d00099"))
     assert(!fs(root).exists(new Path(s"$root/_data/d00099")))
     // referenced dirs untouched; table fully readable; idempotent
     assert(state(t.read()).size == 2)
-    assert(t.vacuum().isEmpty)
+    assert(t.vacuum(olderThanMs = 0L).isEmpty)
   }
 
   test("IVM delta merge equals the full recompute, drops emptied groups, adds new ones") {
@@ -325,8 +329,10 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.readWithStaged(bad).filter(col("fare") < 0).count() == 1)
     // maintenance mid-audit must NOT destroy the pending stage (the
     // Iceberg-WAP contract: staged batches survive vacuum/expire)
-    assert(t.vacuum().isEmpty, "vacuum collected a pending stage")
-    t.expire(keepLast = 1)
+    // window 0 makes the assertion strongest: even with no age
+    // protection, staged dirs are spared by NAME, not by youth
+    assert(t.vacuum(olderThanMs = 0L).isEmpty, "vacuum collected a pending stage")
+    t.expire(keepLast = 1, olderThanMs = 0L)
     assert(t.stagedDirs == Seq(bad))
     assert(t.readWithStaged(bad).count() == 2, "stage destroyed by maintenance")
     // audit failed: abandonStaged is the DELIBERATE discard path
@@ -601,8 +607,9 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.purge(col("fare") === 10.0) }
     // maintenance keeps delete dirs alive
     t.commitAppend(frame((5, 2024, 4, 50.0)))
-    t.expire(keepLast = 2)
-    assert(t.vacuum().isEmpty, "maintenance collected a live delete dir")
+    t.expire(keepLast = 2, olderThanMs = 0L)
+    assert(t.vacuum(olderThanMs = 0L).isEmpty,
+      "maintenance collected a live delete dir")
     val expected4 = expected3 + ((5, 2024, 4, 50.0))
     assert(state(t.read()) == expected4, "deletes lost after expire/vacuum")
     // compaction materializes the state and clears the delete debt:
@@ -658,8 +665,9 @@ class SnapshotSpec extends AnyFunSuite {
     // main diverges and expires its own history — branch state survives
     // (a branch is a promise, like a tag)
     t.commitOverwrite(frame((8, 2024, 8, 8.0)))
-    t.expire(keepLast = 1)
-    assert(t.vacuum().isEmpty, "vacuum collected branch-referenced dirs")
+    t.expire(keepLast = 1, olderThanMs = 0L)
+    assert(t.vacuum(olderThanMs = 0L).isEmpty,
+      "vacuum collected branch-referenced dirs")
     assert(state(t.readBranch("wip")).size == 3, "expire ate branch-referenced dirs")
     // strict fast-forward refuses after main diverged; explicit opt-out
     // publishes the branch state (rollback semantics for main's v2)
@@ -687,13 +695,14 @@ class SnapshotSpec extends AnyFunSuite {
       s"lost update: landed=${landed.get()} but branch has $branchIds")
     // a conflict loser's already-written data dir is ordinary orphan
     // debris — vacuum collects exactly one dir per loser
-    assert(t.vacuum().size == errs.size, "loser debris mismatch")
+    assert(t.vacuum(olderThanMs = 0L).size == errs.size, "loser debris mismatch")
     // a never-published branch's dirs become debris only after dropBranch
     t.createBranch("scrap", pub)
     t.commitAppendToBranch("scrap", frame((9, 2024, 9, 9.0)))
-    assert(t.vacuum().isEmpty)
+    assert(t.vacuum(olderThanMs = 0L).isEmpty)
     t.dropBranch("scrap")
-    assert(t.vacuum().size == 1, "dropped branch's unpublished dir must vacuum away")
+    assert(t.vacuum(olderThanMs = 0L).size == 1,
+      "dropped branch's unpublished dir must vacuum away")
     assert(t.branches.map(_._1) == Seq("wip"))
   }
 
@@ -827,6 +836,100 @@ class SnapshotSpec extends AnyFunSuite {
         f.metrics("numFiles").value }.sum
     assert(scanned >= 1 && scanned <= 2,
       s"expected <=2 files (1 per dir) after mask+stats pruning, got $scanned")
+  }
+
+  test("vacuum racing live commits never deletes an in-flight data dir (age guard)") {
+    // every commit writes its data dir BEFORE publishing its manifest,
+    // so mid-commit the dir is referenced by nothing — a sweeper with
+    // no age guard would delete it and let the commit then publish a
+    // manifest over missing data. A LIVE interleaving (not a planted
+    // file): vacuum hammers in a thread while commits land.
+    val t = new SnapshotTable(spark, freshRoot("snap_vacrace"))
+    t.commitOverwrite(frame((0, 2024, 1, 0.0)))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweeps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val sweeper = new Thread(() => {
+      while (!stop.get()) {
+        try { t.vacuum(); sweeps.incrementAndGet(); () }
+        catch { case e: Throwable => vacErrs.add(e); () }
+      }
+    })
+    sweeper.setDaemon(true)
+    sweeper.start()
+    val versions =
+      try (1 to 5).map(i => t.commitAppend(frame((i, 2024, i, i * 1.0))))
+      finally { stop.set(true); sweeper.join(60000) }
+    assert(vacErrs.isEmpty, s"vacuum threw mid-race: ${vacErrs.peek()}")
+    assert(sweeps.get() > 0, "sweeper never ran — race not exercised")
+    // every published version reads back complete: the sweep spared
+    // each just-written-but-not-yet-referenced dir
+    assert(state(t.read()).size == 6)
+    versions.zipWithIndex.foreach { case (v, i) =>
+      assert(t.readVersion(v).count() == i + 2, s"v$v incomplete after race") }
+    assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
+  }
+
+  test("underscore-prefix branch names coexist: daily vs daily_v2") {
+    // branch manifests are name-prefixed files (bv_<name>_NNNNN.txt);
+    // 'daily' is a string prefix of 'daily_v2', so a loose startsWith
+    // parse would hand branchVersions("daily") the token "v2_00001" and
+    // crash every maintenance op on the table
+    val t = new SnapshotTable(spark, freshRoot("snap_bpfx"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.createBranch("daily", v1)
+    t.createBranch("daily_v2", v1)
+    t.commitAppendToBranch("daily", frame((2, 2024, 2, 2.0)))
+    t.commitAppendToBranch("daily_v2", frame((3, 2024, 3, 3.0)))
+    t.commitAppendToBranch("daily_v2", frame((4, 2024, 4, 4.0)))
+    assert(t.branches == Seq("daily" -> 2, "daily_v2" -> 3))
+    assert(state(t.readBranch("daily")).map(_._1) == Set(1, 2))
+    assert(state(t.readBranch("daily_v2")).map(_._1) == Set(1, 3, 4))
+    // every maintenance op walks every branch — none may crash on the
+    // prefix pair or collect a sibling's dirs
+    assert(t.fsck().isEmpty, s"fsck on prefix pair: ${t.fsck()}")
+    assert(t.vacuum(olderThanMs = 0L).isEmpty,
+      "vacuum collected a prefix-sibling branch's dirs")
+    t.expire(keepLast = 1, olderThanMs = 0L)
+    assert(state(t.readBranch("daily_v2")).size == 3, "expire ate a branch dir")
+    // dropping the shorter name must not delete the longer one's manifests
+    t.dropBranch("daily")
+    assert(t.branches.map(_._1) == Seq("daily_v2"),
+      "dropBranch('daily') destroyed daily_v2")
+    assert(state(t.readBranch("daily_v2")).size == 3)
+  }
+
+  test("commitMerge and commitMergeMor refuse duplicate source keys") {
+    // SQL MERGE raises on multiple source matches per key; a silent
+    // double-insert is the divergence class the engine refuses loudly
+    // (same contract as operators.Merge.upsert)
+    val t = new SnapshotTable(spark, freshRoot("snap_dupkey"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    val dup = frame((2, 2024, 2, 2.0), (2, 2024, 2, 9.0))
+    intercept[IllegalArgumentException] { t.commitMerge(dup, Seq("id")) }
+    intercept[IllegalArgumentException] { t.commitMergeMor(dup, Seq("id")) }
+    // the refusal fires before any write: state, history, disk untouched
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0)))
+    assert(t.history.size == 1)
+    assert(t.vacuum(olderThanMs = 0L).isEmpty, "refused merge left debris")
+    // a deduplicated batch then lands normally on either path
+    t.commitMerge(frame((2, 2024, 2, 2.0)), Seq("id"))
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+  }
+
+  test("an empty streaming micro-batch commits nothing and stays idempotent") {
+    val t = new SnapshotTable(spark, freshRoot("snap_emptyb"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    val empty = frame((1, 2024, 1, 1.0)).limit(0)
+    // a trigger with no new rows: no commit, no data-file-less _data
+    // dir for fsck to flag — but the batch still reports handled
+    assert(graft.streaming.StreamingEvents.appendApplyBatch(t, empty, 5L))
+    assert(t.history.size == 1, "empty batch landed a commit")
+    assert(t.fsck().isEmpty, s"empty batch left damage: ${t.fsck()}")
+    // a later non-empty batch lands and advances the high-water mark
+    assert(graft.streaming.StreamingEvents.appendApplyBatch(t, frame((2, 2024, 2, 2.0)), 6L))
+    assert(!graft.streaming.StreamingEvents.appendApplyBatch(t, frame((2, 2024, 2, 2.0)), 6L))
+    assert(t.read().count() == 2)
   }
 }
 
