@@ -482,6 +482,36 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Row-level DELETE as one commit (DELETE FROM t WHERE fare > 400 —
+    // the Iceberg row-delete capability): copy-on-write scoped to the
+    // touched partitions, with whole-partition matches handled as pure
+    // metadata (masked, zero bytes moved). Graded on the post-delete
+    // state; null-keep semantics, the metadata-only path, time-travel
+    // survival, and the no-match no-op are pinned in SnapshotSpec.
+    // Deep clone (delete commits).
+    "taxi_snapshot_delete" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapdel", d, s))
+      t.commitDelete(col("fare_amount") > 400)
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // MERGE-ON-READ row-level DELETE: the same predicate lands as ONE
+    // manifest line (the predicate's SQL itself — no partition rewrite,
+    // no delete file, O(metadata) whatever the match count) and reads
+    // filter it out until compaction clears the debt. Graded by the
+    // SAME oracle as the COW delete: result-identical, only cost
+    // differs. Positional scoping, fail-fast analysis, and the
+    // compaction path are pinned in SnapshotSpec.
+    "taxi_snapshot_delete_mor" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapdelmor", d, s))
+      t.commitDeleteMor(col("fare_amount") > 400)
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // DESCRIBE HISTORY: the metadata-introspection table (Delta
     // DESCRIBE HISTORY / Iceberg snapshots) over the shared fixture —
     // read-only, graded on the exact commit lineage: ops, parents,
@@ -902,6 +932,19 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // post-delete state: every >400 fare gone from the current version
+    // (NULL fares kept — delete only what provably matches); v2's
+    // corrupted months were rolled back before the fixture's head, so
+    // the base is the full staging load
+    "taxi_snapshot_delete" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE NOT coalesce(fare_amount > 400, FALSE)
+         |GROUP BY 1, 2""".stripMargin),
+    // merge-on-read delete ≡ copy-on-write delete by construction
+    "taxi_snapshot_delete_mor" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE NOT coalesce(fare_amount > 400, FALSE)
+         |GROUP BY 1, 2""".stripMargin),
     // a healthy three-commit fixture: zero problems, v3 current
     "taxi_snapshot_fsck" -> o(
       """SELECT CAST(0 AS INTEGER) AS n_problems,

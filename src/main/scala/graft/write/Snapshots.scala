@@ -119,9 +119,21 @@ class SnapshotTable(spark: SparkSession, root: String,
     * suppressed). The positional scope is Iceberg's sequence-number
     * idea collapsed onto this manifest's ordered entry list. */
   private case class DeleteRef(dir: String, keyCols: Seq[String], appliesTo: Int)
+
+  /** A merge-on-read PREDICATE delete (Iceberg's other delete-file
+    * flavor, collapsed to metadata: the predicate is a SQL string in the
+    * manifest itself — no data dir at all, because unlike equality
+    * deletes the "delete file" here is one expression, not a key set).
+    * Rows where the predicate is TRUE are suppressed in the first
+    * `appliesTo` entries; rows where it is NULL are KEPT (delete only
+    * what provably matches — the purge contract). Same positional
+    * scoping as [[DeleteRef]]. */
+  private case class PredDelete(sql: String, appliesTo: Int)
+
   private case class Manifest(version: Int, parent: Int, op: String,
                               entries: Seq[Entry],
-                              deletes: Seq[DeleteRef] = Seq.empty)
+                              deletes: Seq[DeleteRef] = Seq.empty,
+                              predDeletes: Seq[PredDelete] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -134,7 +146,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       m.entries.map(e =>
         s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}") ++
       m.deletes.map(d =>
-        s"delete=${d.dir}|${d.keyCols.mkString(",")}|${d.appliesTo}")
+        s"delete=${d.dir}|${d.keyCols.mkString(",")}|${d.appliesTo}") ++
+      // appliesTo FIRST: the predicate SQL may itself contain '|' (a
+      // string literal), so the fixed-shape field leads and the sql is
+      // everything after the first separator
+      m.predDeletes.map(p => s"pdelete=${p.appliesTo}|${p.sql}")
     lines.mkString("", "\n", "\n")
   }
 
@@ -160,7 +176,13 @@ class SnapshotTable(spark: SparkSession, root: String,
       DeleteRef(parts(0), parts(1).split(",").filter(_.nonEmpty).toSeq,
         parts(2).toInt)
     }
-    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries, deletes)
+    val predDeletes = kv.collect { case ("pdelete", spec) =>
+      val bar = spec.indexOf('|')
+      require(bar > 0, s"malformed pdelete line in $label: $spec")
+      PredDelete(spec.substring(bar + 1), spec.substring(0, bar).toInt)
+    }
+    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
+      deletes, predDeletes)
   }
 
   // ---- pointer ----
@@ -268,10 +290,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * If anyone committed `parent + 1` first, the create-exclusive
     * fails and the caller must recompute from the new current. */
   private def commit(op: String, entries: Seq[Entry], parent: Int,
-                     deletes: Seq[DeleteRef] = Seq.empty): Int = {
+                     deletes: Seq[DeleteRef] = Seq.empty,
+                     predDeletes: Seq[PredDelete] = Seq.empty): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
-    val m = Manifest(next, parent, op, entries, deletes)
+    val m = Manifest(next, parent, op, entries, deletes, predDeletes)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -308,7 +331,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val pm = if (base == 0) None else Some(parse(base))
     commit(opTag,
       pm.map(_.entries).getOrElse(Seq.empty) :+ Entry(writeData(df, base + 1), Set.empty),
-      base, pm.map(_.deletes).getOrElse(Seq.empty))
+      base, pm.map(_.deletes).getOrElse(Seq.empty),
+      pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
   /** Dynamic partition overwrite as a snapshot: the partitions present
@@ -326,7 +350,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val masked = pm.map(_.entries).getOrElse(Seq.empty)
       .map(e => e.copy(excluded = e.excluded ++ touched))
     commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty),
-      base, pm.map(_.deletes).getOrElse(Seq.empty))
+      base, pm.map(_.deletes).getOrElse(Seq.empty),
+      pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
   /** Snapshot MERGE (upsert by key) — `MERGE INTO t USING batch WHEN
@@ -396,7 +421,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     // prior MOR deletes carry: the rewrite materialized them only for
     // the TOUCHED partitions; untouched partitions still rely on them
     commit("merge", prev :+ Entry(writeData(newData, base + 1), Set.empty),
-      base, pm.deletes)
+      base, pm.deletes, pm.predDeletes)
   }
 
   /** MERGE-ON-READ upsert — the other side of the COW/MOR trade-off
@@ -432,7 +457,97 @@ class SnapshotTable(spark: SparkSession, root: String,
     commit("merge_mor",
       m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
       base,
-      m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size))
+      m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size),
+      m.predDeletes)
+  }
+
+  /** Row-level DELETE as ONE commit — `DELETE FROM t WHERE cond` with
+    * history (the Iceberg capability behind the reference's row-level
+    * deletes; its partition-scoped flavor is
+    * `ingest_spark_bulk.py:71–81`). COPY-ON-WRITE scoped to touched
+    * partitions, with a metadata-only fast path:
+    *
+    *  - partitions where EVERY row matches are masked out of their
+    *    entries (the dynamic-overwrite mechanism) and move ZERO bytes —
+    *    `DELETE WHERE month = 7` on a month-partitioned 100 TB table is
+    *    pure metadata, exactly Iceberg's partition-aligned delete;
+    *  - partitions with survivors are rewritten without the matching
+    *    rows (one read+write of those partitions — the standard COW
+    *    floor);
+    *  - untouched partitions are untouched.
+    *
+    * Rows where `condition` is NULL are KEPT (delete only what provably
+    * matches — the [[purge]] contract). A condition matching nothing is
+    * a no-op: returns the current version, no empty commit. Older
+    * versions still read the deleted rows (time travel; [[purge]] is
+    * the history-wide erasure). Pending merge-on-read deletes carry
+    * through for the untouched entries, same as [[commitMerge]]. */
+  def commitDelete(condition: org.apache.spark.sql.Column): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val cur = readVersion(base)
+    val cond = coalesce(condition, lit(false))
+    // touched partitions: one column-pruned pass (the scan reads only
+    // partCols + the condition's columns), driver holds partition tuples
+    val profile = cur.filter(cond)
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    if (profile.isEmpty) return base // nothing matches: no-op, no commit
+    val inTouched = profile.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+      .reduce(_ || _)
+    val kept = cur.filter(inTouched).filter(!cond)
+    // partitions with survivors need the rewrite; fully-deleted ones
+    // are metadata-only (mask, no bytes moved)
+    val partial = kept
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    val pm = parse(base)
+    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
+    val entries =
+      if (partial.isEmpty) prev // whole partitions gone: zero data movement
+      else {
+        val inPartial = partial.toSeq
+          .map(vals => partCols.zip(vals)
+            .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+          .reduce(_ || _)
+        prev :+ Entry(writeData(kept.filter(inPartial), base + 1), Set.empty)
+      }
+    commit("delete", entries, base, pm.deletes, pm.predDeletes)
+  }
+
+  /** MERGE-ON-READ row-level DELETE — the predicate itself IS the
+    * commit: one `pdelete` manifest line carrying the condition's SQL,
+    * zero data movement, O(metadata) cost regardless of how many rows
+    * match (the other side of [[commitDelete]]'s COW trade-off, exactly
+    * the [[commitMerge]]/[[commitMergeMor]] pair's shape). Reads
+    * suppress matching rows in the pre-delete entries at query time —
+    * a codegen'd row filter, cheaper than the key-frame anti-join —
+    * until [[commitCompact]]/[[commitCompactZ]] materializes the state
+    * and clears the debt. Positional scoping (`appliesTo` = entry count
+    * now) keeps later-appended rows visible even if they match the
+    * predicate: the delete speaks only about data that existed when it
+    * was committed, which is what DELETE means. NULL-condition rows are
+    * kept. The condition must be expressible/round-trippable as SQL
+    * over the table's columns (checked at commit time, fail-fast). */
+  def commitDeleteMor(condition: org.apache.spark.sql.Column): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    // render the condition to SQL by ANALYZING it against the current
+    // state and taking the resolved Filter's condition — one step both
+    // fail-fasts (an unresolvable predicate dies here, at commit, not
+    // on every future read) and yields canonical, re-parseable SQL.
+    // Analysis only; nothing executes.
+    val analyzed = readVersion(base).filter(condition).queryExecution.analyzed
+    val sql = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }.getOrElse(sys.error("delete predicate did not analyze to a Filter"))
+    require(!sql.exists(c => c == '\n' || c == '\r'),
+      s"delete predicate renders to multi-line SQL (unsupported): $sql")
+    // the round trip must PARSE too (sql -> expr is the read path)
+    expr(sql)
+    commit("delete_mor", m.entries, base, m.deletes,
+      m.predDeletes :+ PredDelete(sql, m.entries.size))
   }
 
   /** Append-only incremental read: the rows INSERTED between `fromV`
@@ -459,7 +574,8 @@ class SnapshotTable(spark: SparkSession, root: String,
         s"v$fromV is not an ancestor of v$toV (chain jumps to v${m.parent})")
       val pm = parse(m.parent)
       val pEntries = pm.entries
-      require(m.entries.take(pEntries.size) == pEntries && m.deletes == pm.deletes,
+      require(m.entries.take(pEntries.size) == pEntries &&
+          m.deletes == pm.deletes && m.predDeletes == pm.predDeletes,
         s"v$v (op=${m.op}) is not an append commit — its parent's entries " +
           "or merge-on-read deletes changed (overwrite/merge/rollback/compact " +
           "in the chain); use changelog() for general version diffs")
@@ -577,7 +693,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val pm = if (base == 0) None else Some(parse(base))
     commit("append_clustered",
       pm.map(_.entries).getOrElse(Seq.empty) :+ writeClustered(df, base + 1, clusterCol, nFiles),
-      base, pm.map(_.deletes).getOrElse(Seq.empty))
+      base, pm.map(_.deletes).getOrElse(Seq.empty),
+      pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
   private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
@@ -691,7 +808,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val prev = pm.map(_.entries).getOrElse(Seq.empty)
     require(!prev.exists(_.dir == stagedDir), s"'$stagedDir' is already published")
     commit("publish_append", prev :+ Entry(stagedDir, Set.empty),
-      base, pm.map(_.deletes).getOrElse(Seq.empty))
+      base, pm.map(_.deletes).getOrElse(Seq.empty),
+      pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -817,7 +935,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   def createBranch(name: String, fromV: Int): Unit = {
     val m = parse(fromV) // must exist
     if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
-        render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes))
+        render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes,
+          m.predDeletes))
           .getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (drop it first or pick a new name)")
@@ -846,7 +965,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val entry = Entry(writeData(df, next), Set.empty)
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
-        render(Manifest(next, head, "branch_append", pm.entries :+ entry, pm.deletes))
+        render(Manifest(next, head, "branch_append", pm.entries :+ entry,
+          pm.deletes, pm.predDeletes))
           .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
@@ -877,7 +997,8 @@ class SnapshotTable(spark: SparkSession, root: String,
           "(rollback semantics for main's newer commits)")
     }
     val bm = parseBranch(name, head)
-    commit(s"fast_forward_$name", bm.entries, currentVersion.getOrElse(0), bm.deletes)
+    commit(s"fast_forward_$name", bm.entries, currentVersion.getOrElse(0),
+      bm.deletes, bm.predDeletes)
   }
 
   /** Delete a branch's manifests. Its unpublished data dirs become
@@ -900,7 +1021,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
     val m = parse(v) // throws if expired/never existed
-    commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0), m.deletes)
+    commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0),
+      m.deletes, m.predDeletes)
   }
 
   // ---- reads ----
@@ -934,10 +1056,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   private def applyDeletes(m: Manifest, entryIdx: Int,
-                           df: DataFrame): DataFrame =
-    m.deletes.filter(_.appliesTo > entryIdx).foldLeft(df) { (acc, d) =>
+                           df: DataFrame): DataFrame = {
+    val keyed = m.deletes.filter(_.appliesTo > entryIdx).foldLeft(df) { (acc, d) =>
       acc.join(readDir(d.dir), d.keyCols, "left_anti")
     }
+    // predicate deletes are pure row filters (no join, no data dir):
+    // codegen'd into the scan stage, and the NOT-coalesce keeps rows
+    // where the predicate is NULL (delete only what provably matches)
+    m.predDeletes.filter(_.appliesTo > entryIdx).foldLeft(keyed) { (acc, p) =>
+      acc.filter(!coalesce(expr(p.sql), lit(false)))
+    }
+  }
 
   /** An entry's partition-exclusion mask as a predicate over the data
     * frame (disjunction of per-partition conjunctions), or None for an
@@ -1014,12 +1143,13 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** DESCRIBE HISTORY as a DataFrame — the metadata-introspection
     * surface (Delta's `DESCRIBE HISTORY`, Iceberg's snapshots table): one
     * row per retained snapshot with its op, parent, entry count, and
-    * merge-on-read delete count. O(retained versions) metadata reads,
-    * no data scan. */
+    * merge-on-read delete count (key-frame deletes + predicate deletes).
+    * O(retained versions) metadata reads, no data scan. */
   def describeHistory(): DataFrame = {
     import spark.implicits._
     history.map(_._1).map(parse)
-      .map(m => (m.version, m.op, m.parent, m.entries.size, m.deletes.size))
+      .map(m => (m.version, m.op, m.parent, m.entries.size,
+        m.deletes.size + m.predDeletes.size))
       .toDF("version", "op", "parent", "n_entries", "n_deletes")
   }
 
@@ -1210,10 +1340,15 @@ class SnapshotTable(spark: SparkSession, root: String,
   def purge(condition: org.apache.spark.sql.Column): Int = {
     val versions = history.map(_._1)
     require(versions.nonEmpty, s"no snapshots at $root")
-    // MOR delete files hold raw key tuples the erasure condition cannot
-    // be evaluated against (they lack the data columns), and the per-dir
-    // rewrite below cannot apply positional delete scopes — materialize
-    // first, then purge, rather than risk a wrong erasure
+    // MOR KEY-delete files hold raw key tuples the erasure condition
+    // cannot be evaluated against (they lack the data columns), and the
+    // per-dir rewrite below cannot apply positional delete scopes —
+    // materialize first, then purge, rather than risk a wrong erasure.
+    // PREDICATE deletes (pdelete lines) are fine: they carry no row
+    // data, and the rewrite preserves each manifest's entry order and
+    // count, so their positional scopes stay valid — matching rows are
+    // physically erased from the dirs while the predicates keep
+    // filtering reads exactly as before.
     require(versions.map(parse).forall(_.deletes.isEmpty) &&
         branches.forall { case (n, _) =>
           branchVersions(n).forall(bv => parseBranch(n, bv).deletes.isEmpty) },
@@ -1330,6 +1465,19 @@ class SnapshotTable(spark: SparkSession, root: String,
         catch { case e: Exception =>
           problems += s"branch manifest $n@$bv unreadable: ${e.getMessage}"
           None
+        }
+      }
+    }
+    // predicate deletes are manifest-borne SQL — an unparseable one
+    // breaks every read of its version, so it is structural damage
+    // (parse check only: analysis needs a data schema, and fsck's
+    // contract is metadata-only)
+    (parsed ++ branchParsed).foreach { m =>
+      m.predDeletes.foreach { p =>
+        try { expr(p.sql); () }
+        catch { case e: Exception =>
+          problems += s"v${m.version} predicate delete unparseable " +
+            s"('${p.sql}'): ${e.getMessage.linesIterator.next()}"
         }
       }
     }

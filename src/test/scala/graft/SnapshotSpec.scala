@@ -838,6 +838,70 @@ class SnapshotSpec extends AnyFunSuite {
       s"expected <=2 files (1 per dir) after mask+stats pruning, got $scanned")
   }
 
+  test("commitDelete (COW): partition-scoped rewrite, metadata-only full partitions, time travel") {
+    val t = new SnapshotTable(spark, freshRoot("snap_del"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
+      (3, 2024, 2, 30.0), (4, 2024, 3, 40.0)))
+    // partial delete in month 1 + full delete of month 2; month 3 untouched
+    val v2 = t.commitDelete(col("fare") === 10.0 || col("month") === 2)
+    assert(state(t.read()) == Set((2, 2024, 1, 20.0), (4, 2024, 3, 40.0)))
+    // time travel: the pre-delete version reads every row
+    assert(state(t.readVersion(v1)).size == 4)
+    // a condition matching nothing is a no-op: no empty commit
+    assert(t.commitDelete(col("fare") > 999) == v2)
+    assert(t.history.size == 2)
+    // NULL-condition rows are KEPT (delete only what provably matches)
+    t.commitDelete(when(col("id") === 2, lit(null).cast("boolean"))
+      .otherwise(col("fare") >= 40.0))
+    assert(state(t.read()) == Set((2, 2024, 1, 20.0)))
+    assert(t.fsck().isEmpty, s"post-delete fsck: ${t.fsck()}")
+  }
+
+  test("commitDelete of whole partitions moves zero bytes (pure metadata)") {
+    val t = new SnapshotTable(spark, freshRoot("snap_delmeta"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+    val v2 = t.commitDelete(col("month") === 2)
+    // every matched partition was fully deleted: the commit reuses the
+    // parent's dirs with a mask — the Iceberg partition-aligned path
+    assert(t.dataDirs(v2) == t.dataDirs(v1), "full-partition delete moved bytes")
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0)))
+    assert(state(t.readVersion(v1)).size == 2)
+  }
+
+  test("commitDeleteMor: predicate-only commit, positional scope, compaction clears debt") {
+    val t = new SnapshotTable(spark, freshRoot("snap_delmor"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val dirsBefore = t.dataDirs(v1)
+    val v2 = t.commitDeleteMor(col("fare") >= 20.0)
+    // O(metadata): the commit is one manifest line, zero data movement
+    assert(t.dataDirs(v2) == dirsBefore)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
+    assert(state(t.readVersion(v1)).size == 2) // time travel survives
+    // positional scoping: a LATER append matching the predicate stays
+    // visible — the delete speaks only about data that existed at commit
+    val v3 = t.commitAppend(frame((3, 2024, 3, 30.0)))
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (3, 2024, 3, 30.0)))
+    // incremental read: fine across the append, refused across the delete
+    assert(state(t.appendsBetween(v2, v3)) == Set((3, 2024, 3, 30.0)))
+    intercept[IllegalArgumentException] { t.appendsBetween(v1, v3) }
+    // history introspection counts the predicate delete
+    val hist = t.describeHistory().collect()
+      .map(r => r.getInt(0) -> r.getInt(4)).toMap
+    assert(hist(v2) == 1 && hist(v1) == 0)
+    // an unresolvable predicate fails at COMMIT, not on every later read
+    intercept[Exception] { t.commitDeleteMor(col("no_such_col") > 1) }
+    // compaction materializes the state and clears the read debt
+    val vc = t.commitCompact("id")
+    assert(t.dataDirs(vc).size == 1)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (3, 2024, 3, 30.0)))
+    assert(t.fsck().isEmpty, s"post-compact fsck: ${t.fsck()}")
+    // purge composes with predicate deletes (they carry no row data and
+    // the rewrite preserves entry order, so positional scopes survive)
+    t.purge(col("fare") === 30.0)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
+    assert(state(t.readVersion(v2)) == Set((1, 2024, 1, 10.0)))
+  }
+
   test("vacuum racing live commits never deletes an in-flight data dir (age guard)") {
     // every commit writes its data dir BEFORE publishing its manifest,
     // so mid-commit the dir is referenced by nothing — a sweeper with
