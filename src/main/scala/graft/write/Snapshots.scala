@@ -341,17 +341,26 @@ class SnapshotTable(spark: SparkSession, root: String,
     * replacement — the reference's ingest overwrite mode
     * (`ingest_spark_bulk.py:71–81`) with history. */
   def commitOverwritePartitions(df: DataFrame): Int = {
+    val base = currentVersion.getOrElse(0)
+    val pm = if (base == 0) None else Some(parse(base))
+    commit("overwrite_partitions",
+      overwritePartitionsPlan(pm.map(_.entries).getOrElse(Seq.empty), df, base + 1),
+      base, pm.map(_.deletes).getOrElse(Seq.empty),
+      pm.map(_.predDeletes).getOrElse(Seq.empty))
+  }
+
+  /** The overwrite-partitions commit shape, shared by the main and
+    * BRANCH write paths: mask the partitions present in `df` out of
+    * every previous entry (their files stay for time travel), append
+    * the replacement dir. */
+  private def overwritePartitionsPlan(prev: Seq[Entry], df: DataFrame,
+                                      nextV: Int): Seq[Entry] = {
     val touched: Set[Seq[String]] = df
       .select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
     require(touched.nonEmpty, "batch has no partitions")
-    val base = currentVersion.getOrElse(0)
-    val pm = if (base == 0) None else Some(parse(base))
-    val masked = pm.map(_.entries).getOrElse(Seq.empty)
-      .map(e => e.copy(excluded = e.excluded ++ touched))
-    commit("overwrite_partitions", masked :+ Entry(writeData(df, base + 1), Set.empty),
-      base, pm.map(_.deletes).getOrElse(Seq.empty),
-      pm.map(_.predDeletes).getOrElse(Seq.empty))
+    prev.map(e => e.copy(excluded = e.excluded ++ touched)) :+
+      Entry(writeData(df, nextV), Set.empty)
   }
 
   /** Snapshot MERGE (upsert by key) — `MERGE INTO t USING batch WHEN
@@ -397,7 +406,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
     requireUniqueKeys(batch, keyCols, "commitMerge")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val cur = readVersion(base)
+    val pm = parse(base)
+    // prior MOR deletes carry: the rewrite materialized them only for
+    // the TOUCHED partitions; untouched partitions still rely on them
+    commit("merge",
+      mergePlan(readVersion(base), pm.entries, batch, keyCols, base + 1),
+      base, pm.deletes, pm.predDeletes)
+  }
+
+  /** The copy-on-write MERGE commit shape, shared by the main and
+    * BRANCH write paths: `cur` is the lineage's current state (deletes
+    * applied), `prev` its entries. */
+  private def mergePlan(cur: DataFrame, prev: Seq[Entry], batch: DataFrame,
+                        keyCols: Seq[String], nextV: Int): Seq[Entry] = {
     val keys = batch.select(keyCols.map(col): _*).distinct()
     // partitions needing a rewrite: where batch rows land ∪ where
     // matched (old) rows live — computed with partition cols + keys
@@ -416,12 +437,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     // the whole batch = the replacement dir's contents
     val kept = cur.filter(inTouched).join(keys, keyCols, "left_anti")
     val newData = kept.unionByName(batch, allowMissingColumns = true)
-    val pm = parse(base)
-    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ touched))
-    // prior MOR deletes carry: the rewrite materialized them only for
-    // the TOUCHED partitions; untouched partitions still rely on them
-    commit("merge", prev :+ Entry(writeData(newData, base + 1), Set.empty),
-      base, pm.deletes, pm.predDeletes)
+    prev.map(e => e.copy(excluded = e.excluded ++ touched)) :+
+      Entry(writeData(newData, nextV), Set.empty)
   }
 
   /** MERGE-ON-READ upsert — the other side of the COW/MOR trade-off
@@ -863,10 +880,11 @@ class SnapshotTable(spark: SparkSession, root: String,
   // ---- branches (Iceberg branch refs): MOVABLE named lineages over
   // the same immutable data dirs — the complement of tags (immutable
   // pointers). A branch forks from a main version and takes its own
-  // append commits in a PER-BRANCH manifest namespace
-  // (`bv_<name>_NNNNN.txt`), so branch commits get exactly the same
-  // single-winner create-exclusive CAS as main commits with zero
-  // version-number collisions against main. Main never sees branch
+  // commits — append, dynamic partition overwrite, and COW merge, the
+  // full multi-batch-load write surface — in a PER-BRANCH manifest
+  // namespace (`bv_<name>_NNNNN.txt`), so branch commits get exactly
+  // the same single-winner create-exclusive CAS as main commits with
+  // zero version-number collisions against main. Main never sees branch
   // state until [[fastForward]] publishes the branch head's entries as
   // an ordinary main commit — zero data movement, arbitrated by main's
   // own CAS. This is the mechanism behind branch-based WAP
@@ -952,26 +970,71 @@ class SnapshotTable(spark: SparkSession, root: String,
     readManifest(parseBranch(name, head))
   }
 
-  /** Append a batch to a branch — main is untouched; the branch head
-    * advances. Same optimistic single-winner protocol as main commits
-    * (create-exclusive on the next branch-version), so two writers on
-    * one branch produce one winner and one
-    * [[SnapshotConflictException]]. */
-  def commitAppendToBranch(name: String, df: DataFrame): Int = {
+  /** The branch commit point, shared by every branch write shape: parse
+    * the head, build the next manifest's entries from it, publish with
+    * the same optimistic single-winner protocol as main commits
+    * (create-exclusive on the next branch-version) — two writers on one
+    * branch produce one winner and one [[SnapshotConflictException]]. */
+  private def commitToBranch(name: String, op: String)(
+      build: (Manifest, Int) => Seq[Entry]): Int = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
     val pm = parseBranch(name, head)
     val next = head + 1
-    val entry = Entry(writeData(df, next), Set.empty)
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
-        render(Manifest(next, head, "branch_append", pm.entries :+ entry,
+        render(Manifest(next, head, op, build(pm, next),
           pm.deletes, pm.predDeletes))
           .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
     next
   }
+
+  /** Append a batch to a branch — main is untouched; the branch head
+    * advances. */
+  def commitAppendToBranch(name: String, df: DataFrame): Int =
+    commitToBranch(name, "branch_append") { (pm, next) =>
+      pm.entries :+ Entry(writeData(df, next), Set.empty)
+    }
+
+  /** Dynamic partition overwrite ON A BRANCH — the write shape a
+    * branch-based WAP load actually needs when a partition re-arrives
+    * mid-load (the same masking mechanism as
+    * [[commitOverwritePartitions]], scoped to the branch lineage; main
+    * never sees it until [[fastForward]]). */
+  def commitOverwritePartitionsToBranch(name: String, df: DataFrame): Int =
+    commitToBranch(name, "branch_overwrite_partitions") { (pm, next) =>
+      overwritePartitionsPlan(pm.entries, df, next)
+    }
+
+  /** Copy-on-write MERGE (upsert by key) ON A BRANCH — completes the
+    * branch write surface ([[commitMerge]] semantics against the
+    * branch's state; same duplicate-key refusal). */
+  def commitMergeToBranch(name: String, batch: DataFrame,
+                          keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "commitMergeToBranch needs at least one key column")
+    requireUniqueKeys(batch, keyCols, "commitMergeToBranch")
+    commitToBranch(name, "branch_merge") { (pm, next) =>
+      mergePlan(readManifest(pm), pm.entries, batch, keyCols, next)
+    }
+  }
+
+  /** The branch's fork point against main: the newest `branch_from_<v>`
+    * or `rebased_to_<v>` marker in its lineage — each [[fastForward]]
+    * records the main version it published, so repeated branch → main
+    * sync cycles on a KEPT branch check strictness against the version
+    * they last synced to, not the original fork. */
+  private def branchForkPoint(name: String): Int =
+    branchVersions(name).sorted(Ordering[Int].reverse).iterator
+      .map(bv => parseBranch(name, bv).op)
+      .collectFirst {
+        case op if op.startsWith("branch_from_") =>
+          op.stripPrefix("branch_from_").toInt
+        case op if op.startsWith("rebased_to_") =>
+          op.stripPrefix("rebased_to_").toInt
+      }
+      .getOrElse(sys.error(s"branch '$name' has no fork marker at $root"))
 
   /** Publish the branch's state onto main as ONE ordinary commit, zero
     * data movement (the dirs are already in `_data`). `strict` (the
@@ -980,16 +1043,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * main's newer commits from the CURRENT state (they stay
     * time-travelable, but that is rollback semantics, which a caller
     * must opt into with `strict = false`). Returns the new main
-    * version. The branch itself is left intact ([[dropBranch]] when
-    * done); its fork point does NOT advance, so for repeated
-    * branch → main sync cycles drop the branch after each publish and
-    * re-create it from the new main head — the next strict fast-forward
-    * then checks against the right fork. */
+    * version. The branch is left intact ([[dropBranch]] when done) and
+    * its fork point ADVANCES: a `rebased_to_<newMain>` marker lands in
+    * the branch lineage, so the next strict fast-forward on the kept
+    * branch checks against the version this publish created — repeated
+    * branch → main sync cycles need no drop+recreate dance. (If a
+    * racing branch commit takes the marker's slot, the marker is simply
+    * skipped — the fork point stays put and the next strict publish
+    * refuses conservatively; never unsafe.) */
   def fastForward(name: String, strict: Boolean = true): Int = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
     if (strict) {
-      val fork = parseBranch(name, 1).op.stripPrefix("branch_from_").toInt
+      val fork = branchForkPoint(name)
       val cur = currentVersion.getOrElse(0)
       require(cur == fork,
         s"fast-forward of '$name' refused: main moved v$fork -> v$cur since " +
@@ -997,8 +1063,18 @@ class SnapshotTable(spark: SparkSession, root: String,
           "(rollback semantics for main's newer commits)")
     }
     val bm = parseBranch(name, head)
-    commit(s"fast_forward_$name", bm.entries, currentVersion.getOrElse(0),
-      bm.deletes, bm.predDeletes)
+    val newMain = commit(s"fast_forward_$name", bm.entries,
+      currentVersion.getOrElse(0), bm.deletes, bm.predDeletes)
+    // advance the fork point: same entries, marker op — a reader of the
+    // branch sees identical state, and the marker's create-exclusive
+    // publish is best-effort (a concurrent branch commit winning the
+    // slot leaves the old fork point, which only REFUSES more — the
+    // racing commit's rows were not in what main just received)
+    graft.util.AtomicFlip.publishExclusive(fs,
+      branchManifestPath(name, head + 1),
+      render(Manifest(head + 1, head, s"rebased_to_$newMain", bm.entries,
+        bm.deletes, bm.predDeletes)).getBytes("UTF-8"))
+    newMain
   }
 
   /** Delete a branch's manifests. Its unpublished data dirs become

@@ -838,6 +838,42 @@ class SnapshotSpec extends AnyFunSuite {
       s"expected <=2 files (1 per dir) after mask+stats pruning, got $scanned")
   }
 
+  test("branch write surface: overwrite-partitions + merge on a branch; repeated strict fast-forward") {
+    val t = new SnapshotTable(spark, freshRoot("snap_bwrite"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    t.createBranch("load", v1)
+    t.commitAppendToBranch("load", frame((3, 2024, 3, 30.0)))
+    // a partition re-arrives mid-load: dynamic overwrite ON THE BRANCH
+    t.commitOverwritePartitionsToBranch("load", frame((9, 2024, 2, 99.0)))
+    // keyed correction mid-load: COW merge ON THE BRANCH (update + insert)
+    t.commitMergeToBranch("load",
+      frame((1, 2024, 1, 11.0), (4, 2024, 4, 40.0)), Seq("id"))
+    // same duplicate-key refusal as the main path
+    intercept[IllegalArgumentException] {
+      t.commitMergeToBranch("load",
+        frame((5, 2024, 5, 1.0), (5, 2024, 5, 2.0)), Seq("id"))
+    }
+    val branchState = Set((1, 2024, 1, 11.0), (9, 2024, 2, 99.0),
+      (3, 2024, 3, 30.0), (4, 2024, 4, 40.0))
+    assert(state(t.readBranch("load")) == branchState)
+    // main untouched through all three branch write shapes
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val m1 = t.fastForward("load") // strict: main never left the fork
+    assert(state(t.read()) == branchState)
+    // the fork point ADVANCED (rebased_to marker): more branch work,
+    // then a second strict publish succeeds on the KEPT branch — no
+    // drop+recreate dance
+    t.commitAppendToBranch("load", frame((5, 2024, 5, 50.0)))
+    val m2 = t.fastForward("load")
+    assert(m2 == m1 + 1)
+    assert(state(t.read()) == branchState + ((5, 2024, 5, 50.0)))
+    // divergence is still refused: main moves on its own after the sync
+    t.commitAppend(frame((6, 2024, 6, 60.0)))
+    t.commitAppendToBranch("load", frame((7, 2024, 7, 70.0)))
+    intercept[IllegalArgumentException] { t.fastForward("load") }
+    assert(t.fsck().isEmpty, s"post-cycle fsck: ${t.fsck()}")
+  }
+
   test("commitDelete (COW): partition-scoped rewrite, metadata-only full partitions, time travel") {
     val t = new SnapshotTable(spark, freshRoot("snap_del"))
     val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
