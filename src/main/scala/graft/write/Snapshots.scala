@@ -1589,6 +1589,35 @@ class SnapshotTable(spark: SparkSession, root: String,
     problems.toSeq
   }
 
+  // ---- read-surface introspection for the `graft` DataSource format
+  // ([[graft.sources.GraftDataSource]]): the format's FAST path serves
+  // a snapshot as a file-listing relation (FileSourceScanExec with real
+  // partition pruning), which needs the resolved dir list + masks +
+  // sidecar schemas without going through DataFrame assembly. ----
+
+  private def toScanSpec(m: Manifest): SnapshotScanSpec =
+    SnapshotScanSpec(
+      m.entries.map { e =>
+        val sp = schemaSidecarPath(e.dir)
+        val ddl =
+          if (!fs.exists(sp)) None
+          else {
+            val in = fs.open(sp)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+            finally in.close()
+          }
+        SnapshotScanSpec.Dir(new Path(dataDir, e.dir).toString, e.excluded, ddl)
+      },
+      m.deletes.nonEmpty || m.predDeletes.nonEmpty)
+
+  private[graft] def scanSpecVersion(v: Int): SnapshotScanSpec = toScanSpec(parse(v))
+
+  private[graft] def scanSpecBranch(name: String): SnapshotScanSpec =
+    toScanSpec(parseBranch(name, branchHead(name)
+      .getOrElse(sys.error(s"no branch '$name' at $root"))))
+
+  private[graft] def partitionColumns: Seq[String] = partCols
+
   /** Crash recovery: if an orphan manifest exists past CURRENT (a
     * writer died between manifest create and pointer flip), re-point
     * CURRENT at the newest manifest — the write WAS durable, finish it. */
@@ -1600,6 +1629,20 @@ class SnapshotTable(spark: SparkSession, root: String,
       case _ => ()
     }
   }
+}
+
+/** A resolved snapshot's physical read surface, handed to the `graft`
+  * DataSource format: one entry per data dir with its exclusion mask
+  * (partition-value tuples, string-rendered) and schema sidecar DDL, plus
+  * whether merge-on-read deletes are pending (which forces the format's
+  * general path — deletes are join/filter semantics a file listing cannot
+  * express). */
+private[graft] case class SnapshotScanSpec(dirs: Seq[SnapshotScanSpec.Dir],
+                                           hasDeletes: Boolean)
+
+private[graft] object SnapshotScanSpec {
+  case class Dir(path: String, excluded: Set[Seq[String]],
+                 schemaDdl: Option[String])
 }
 
 object SnapshotTable {

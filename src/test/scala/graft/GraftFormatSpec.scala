@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.SnapshotTable
+
+/** The `graft` DataSource format: `spark.read.format("graft")` and SQL
+  * over a registered table must serve the snapshot read path — current,
+  * versionAsOf/tag/branch time travel — with the FAST path planning a
+  * real FileSourceScanExec (partition pruning through the relation,
+  * exclusion masks applied at listing) and the GENERAL path (pending
+  * merge-on-read deletes) staying result-identical. */
+class GraftFormatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/tbl"
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Double)] =
+    df.select(col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+  }.flatten
+
+  test("fast path: one FileSourceScan, masks at listing, partition pruning through the relation") {
+    val root = freshRoot("fmt_fast")
+    val t = new SnapshotTable(spark, root)
+    // v1: months 1-3 (one file per partition); v2: month 2 replaced by
+    // a dynamic overwrite — its old file must be masked OUT at listing
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 3, 30.0)))
+    t.commitOverwritePartitions(frame((9, 2024, 2, 99.0)))
+    val df = spark.read.format("graft").load(root)
+    assert(state(df) == state(t.read()), "format read != engine read")
+    // the whole snapshot is ONE FileSourceScanExec (not a per-dir union)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+    // exclusion mask applied at LISTING: 2 live files from v1 + 1 from
+    // v2; the masked month-2 original is not even a candidate
+    assert(scans.head.metrics("numFiles").value == 3,
+      s"masked file leaked into the listing: ${scans.head.metrics("numFiles").value}")
+    // partition pruning THROUGH the relation: month = 2 reads one file
+    // (metrics populate only on the executed instance — collect THIS df)
+    val pruned = df.filter(col("month") === 2)
+    pruned.collect()
+    assert(state(df.filter(col("month") === 2)) == Set((9, 2024, 2, 99.0)))
+    val ps = fileScans(pruned.queryExecution.executedPlan)
+    assert(ps.head.metrics("numFiles").value == 1,
+      s"partition pruning failed: ${ps.head.metrics("numFiles").value} files")
+    // and the pruning is plan-visible, not a row filter
+    assert(ps.head.partitionFilters.nonEmpty, "no PartitionFilters in the scan")
+  }
+
+  test("versionAsOf / tag / branch options time-travel through the format") {
+    val root = freshRoot("fmt_tt")
+    val t = new SnapshotTable(spark, root)
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.tag("first", v1)
+    t.createBranch("wip", v1)
+    t.commitAppendToBranch("wip", frame((3, 2024, 3, 30.0)))
+    t.commitAppend(frame((2, 2024, 2, 20.0)))
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root)
+    }
+    assert(state(read()) == state(t.read()))
+    assert(state(read("versionAsOf" -> v1.toString)) == Set((1, 2024, 1, 10.0)))
+    assert(state(read("tag" -> "first")) == Set((1, 2024, 1, 10.0)))
+    assert(state(read("branch" -> "wip")) ==
+      Set((1, 2024, 1, 10.0), (3, 2024, 3, 30.0)))
+    intercept[Exception] { read("tag" -> "nope").collect() }
+    intercept[Exception] {
+      read("versionAsOf" -> "1", "tag" -> "first").collect() }
+  }
+
+  test("general path: pending MOR deletes read identically through the format") {
+    val root = freshRoot("fmt_gen")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    t.commitMergeMor(frame((2, 2024, 2, 22.0)), Seq("id"))
+    t.commitDeleteMor(col("fare") < 5.0)
+    val df = spark.read.format("graft").load(root)
+    assert(state(df) == state(t.read()), "general path diverged from engine read")
+    assert(state(df) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 22.0)))
+    // filters + projection through the DSv1 bridge stay correct
+    assert(df.filter(col("month") === 2).count() == 1)
+    assert(df.select("fare").collect().map(_.getDouble(0)).sorted.toSeq == Seq(10.0, 22.0))
+    assert(df.count() == 2) // empty-projection (count) path
+  }
+
+  test("SQL: CREATE TABLE USING graft, then plain SELECT reaches the snapshot") {
+    val root = freshRoot("fmt_sql")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    spark.sql("DROP TABLE IF EXISTS graft_fmt_sql")
+    try {
+      spark.sql(s"CREATE TABLE graft_fmt_sql USING graft OPTIONS (path '$root')")
+      val got = spark.sql(
+        "SELECT id, fare FROM graft_fmt_sql WHERE month = 2")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+      assert(got == Set((2, 20.0)))
+      // a new commit is visible after refreshTable — the same freshness
+      // contract as any file-based table in the session catalog (the
+      // catalog caches resolved relations; REFRESH TABLE drops the entry)
+      t.commitAppend(frame((3, 2024, 3, 30.0)))
+      spark.catalog.refreshTable("graft_fmt_sql")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_fmt_sql").head().getLong(0) == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_sql")
+  }
+}
