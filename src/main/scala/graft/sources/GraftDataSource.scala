@@ -58,9 +58,64 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * resolved relation like any file-based source — after an external
   * commit, `REFRESH TABLE` picks up the new version (DataFrame reads
   * via `.load()` resolve per call and need no refresh). */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft")` — the DataFrame write surface onto the
+    * commit protocol (every save IS a snapshot commit, retried through
+    * [[SnapshotTable.commitWithRetry]] under contention):
+    *
+    *  - `Append` → [[SnapshotTable.commitAppend]]; with
+    *    `option("branch", b)` → [[SnapshotTable.commitAppendToBranch]]
+    *    (main untouched — the WAP load shape);
+    *  - `Overwrite` → [[SnapshotTable.commitOverwrite]]; with
+    *    `option("partitionOverwriteMode", "dynamic")` →
+    *    [[SnapshotTable.commitOverwritePartitions]] (only the batch's
+    *    partitions replaced, history kept);
+    *  - `ErrorIfExists` (the default) → initial load, refused if the
+    *    table already has a snapshot; `Ignore` → initial load or no-op.
+    *
+    * SQL `INSERT INTO` a registered graft table is NOT supported — the
+    * fast-path relation would otherwise take Spark's raw-file insert
+    * path, writing parquet underneath the commit protocol (a correctness
+    * hazard, see [[SnapshotFileIndex.rootPaths]]); use this save surface
+    * or the Scala API. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      sys.error("format(\"graft\") needs a path: .save(<table root>)"))
+    val partCols = parameters.getOrElse("partcols", "year,month")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(!parameters.contains("versionAsOf") && !parameters.contains("tag"),
+      "versionAsOf/tag are read options — history is written by committing, " +
+        "not by writing into a version")
+    val t = new SnapshotTable(spark, root, partCols)
+    val exists = t.currentVersion.isDefined
+    (mode, parameters.get("branch")) match {
+      case (Append, Some(b)) => t.commitAppendToBranch(b, data)
+      case (_, Some(b)) => sys.error(
+        s"branch '$b' writes support SaveMode.Append only (a branch is a " +
+          "lineage of commits; overwrite semantics belong to fastForward)")
+      case (Append, None) => t.commitWithRetry()(t.commitAppend(data))
+      case (Overwrite, None) =>
+        if (exists && parameters.get("partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic")))
+          t.commitWithRetry()(t.commitOverwritePartitions(data))
+        else t.commitWithRetry()(t.commitOverwrite(data))
+      case (ErrorIfExists, None) =>
+        if (exists) sys.error(s"snapshot table already exists at $root " +
+          "(SaveMode.ErrorIfExists); use Append/Overwrite")
+        else t.commitOverwrite(data)
+      case (Ignore, None) => if (!exists) { t.commitOverwrite(data); () }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -162,7 +217,17 @@ private[sources] class SnapshotFileIndex(spark: SparkSession,
                                          override val partitionSchema: StructType,
                                          leaves: Seq[SnapshotLeaf]) extends FileIndex {
 
-  override def rootPaths: Seq[Path] = spec.dirs.map(d => new Path(d.path))
+  // Deliberately EMPTY: Spark's DSv1 insert analysis routes `INSERT
+  // INTO` over a HadoopFsRelation to a raw-file write into
+  // `rootPaths.head` — which here would drop parquet files inside a
+  // committed, immutable `_data` dir, corrupting every version that
+  // references it (rows appearing in history, bypassing the commit
+  // protocol entirely). With no root path the insert fails loudly at
+  // planning instead; reads never consult rootPaths (listFiles serves
+  // from the resolved snapshot listing), and refresh-by-path is
+  // meaningless for an immutable snapshot. Writes go through
+  // `df.write.format("graft")` or the Scala commit API.
+  override def rootPaths: Seq[Path] = Seq.empty
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

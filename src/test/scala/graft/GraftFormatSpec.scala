@@ -100,6 +100,46 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(df.count() == 2) // empty-projection (count) path
   }
 
+  test("write path: save modes map onto commits; branch append; INSERT INTO refused") {
+    val root = freshRoot("fmt_write")
+    val t = new SnapshotTable(spark, root)
+    // initial load: the default (ErrorIfExists) commits v1
+    frame((1, 2024, 1, 10.0)).write.format("graft").save(root)
+    assert(t.currentVersion.contains(1))
+    frame((2, 2024, 2, 20.0)).write.format("graft").mode("append").save(root)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    // a second default-mode save refuses; ignore no-ops
+    intercept[Exception] {
+      frame((9, 2024, 9, 9.0)).write.format("graft").save(root) }
+    frame((9, 2024, 9, 9.0)).write.format("graft").mode("ignore").save(root)
+    assert(t.read().count() == 2)
+    // dynamic partition overwrite replaces ONLY the batch's partition
+    frame((8, 2024, 2, 80.0)).write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(root)
+    assert(state(t.read()) == Set((1, 2024, 1, 10.0), (8, 2024, 2, 80.0)))
+    assert(t.history.size == 3) // every save was a snapshot commit
+    assert(state(t.readVersion(2)).size == 2) // pre-overwrite time travel
+    // branch-targeted append: main untouched (the WAP load shape)
+    t.createBranch("wip", t.currentVersion.get)
+    frame((5, 2024, 5, 50.0)).write.format("graft").mode("append")
+      .option("branch", "wip").save(root)
+    assert(state(t.read()).size == 2)
+    assert(state(t.readBranch("wip")).size == 3)
+    // full overwrite: fresh state, history preserved
+    frame((7, 2024, 7, 70.0)).write.format("graft").mode("overwrite").save(root)
+    assert(state(t.read()) == Set((7, 2024, 7, 70.0)))
+    // SQL INSERT INTO would bypass the commit protocol (raw files into
+    // an immutable dir) — it must FAIL, and leave the table untouched
+    spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
+    try {
+      spark.sql(s"CREATE TABLE graft_fmt_ins USING graft OPTIONS (path '$root')")
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_fmt_ins VALUES (9, 9.0, 2024, 9)") }
+      assert(state(t.read()) == Set((7, 2024, 7, 70.0)))
+      assert(t.fsck().isEmpty, s"INSERT attempt damaged the table: ${t.fsck()}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
+  }
+
   test("SQL: CREATE TABLE USING graft, then plain SELECT reaches the snapshot") {
     val root = freshRoot("fmt_sql")
     val t = new SnapshotTable(spark, root)
