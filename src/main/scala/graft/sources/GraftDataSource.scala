@@ -29,9 +29,13 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   *   sql("CREATE TABLE trips USING graft OPTIONS (path '...')")  // then SELECT
   * }}}
   *
-  * Options: `versionAsOf` / `tag` / `branch` (at most one), and
-  * `partcols` (comma list, default `year,month` — the table's partition
-  * columns, which the manifest does not record).
+  * Options: `versionAsOf` / `timestampAsOf` / `tag` / `branch` (at most
+  * one — `timestampAsOf` resolves through [[SnapshotTable.versionAt]],
+  * the Iceberg/Delta `TIMESTAMP AS OF` shape), `metadata` =
+  * `history|tags|branches|fsck` (the table's introspection frames as
+  * relations — Iceberg's metadata-table idea), and `partcols` (comma
+  * list, default `year,month` — the table's partition columns, which
+  * the manifest does not record).
   *
   * TWO read paths, chosen per resolved snapshot:
   *
@@ -92,9 +96,10 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       sys.error("format(\"graft\") needs a path: .save(<table root>)"))
     val partCols = parameters.getOrElse("partcols", "year,month")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(!parameters.contains("versionAsOf") && !parameters.contains("tag"),
-      "versionAsOf/tag are read options — history is written by committing, " +
-        "not by writing into a version")
+    require(!parameters.keySet.exists(
+        Set("versionAsOf", "timestampAsOf", "tag", "metadata")),
+      "versionAsOf/timestampAsOf/tag/metadata are read options — history " +
+        "is written by committing, not by writing into a version")
     val t = new SnapshotTable(spark, root, partCols)
     val exists = t.currentVersion.isDefined
     (mode, parameters.get("branch")) match {
@@ -125,13 +130,37 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val partCols = parameters.getOrElse("partcols", "year,month")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val t = new SnapshotTable(spark, root, partCols)
-    val pinned = Seq("versionAsOf", "tag", "branch").filter(parameters.contains)
+    // metadata tables (Iceberg's tbl.history/refs idea as an option):
+    // introspection frames served through the general relation — tiny,
+    // driver-built, no file scan
+    parameters.get("metadata").foreach { kind =>
+      require(!parameters.keySet.exists(
+          Set("versionAsOf", "timestampAsOf", "tag", "branch")),
+        "metadata tables take no time-travel options")
+      import spark.implicits._
+      val df = kind match {
+        case "history" => t.describeHistory()
+        case "tags" => t.tags.toDF("name", "version")
+        case "branches" => t.branches.toDF("name", "head")
+        case "fsck" => t.fsck().toDF("problem")
+        case other => sys.error(s"unknown metadata table '$other' " +
+          "(expected history | tags | branches | fsck)")
+      }
+      return new GraftSnapshotRelation(spark, df)
+    }
+    val pinned = Seq("versionAsOf", "timestampAsOf", "tag", "branch")
+      .filter(parameters.contains)
     require(pinned.size <= 1,
-      s"at most one of versionAsOf/tag/branch, got: ${pinned.mkString(", ")}")
+      s"at most one of versionAsOf/timestampAsOf/tag/branch, got: ${pinned.mkString(", ")}")
     val (spec, general) = parameters.get("branch") match {
       case Some(b) => (t.scanSpecBranch(b), () => t.readBranch(b))
       case None =>
         val v = parameters.get("versionAsOf").map(_.trim.toInt)
+          .orElse(parameters.get("timestampAsOf").map { raw =>
+            val ts = GraftDataSource.parseTimestamp(raw)
+            t.versionAt(ts).getOrElse(sys.error(
+              s"no snapshot at $root committed at or before $raw"))
+          })
           .orElse(parameters.get("tag").map(tag => t.resolveTag(tag)
             .getOrElse(sys.error(s"no tag '$tag' at $root"))))
           .getOrElse(t.currentVersion
@@ -165,6 +194,20 @@ object GraftDataSource {
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))
     SnapshotFileIndex.list(spark, spec, partitionSchema)
       .map(leaves => (new SnapshotFileIndex(spark, spec, partitionSchema, leaves), full))
+  }
+
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss[.f]`
+    * timestamp (session-zone-free — interpreted in the JVM default
+    * zone, same as `java.sql.Timestamp.valueOf`). */
+  private[sources] def parseTimestamp(raw: String): Long = {
+    val s = raw.trim
+    s.toLongOption.getOrElse {
+      try java.time.Instant.parse(s).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).getTime
+      }
+    }
   }
 
   /** `org.apache.spark.sql.sources.Filter` → Column, recursively — the

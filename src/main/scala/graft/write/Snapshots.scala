@@ -130,10 +130,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * scoping as [[DeleteRef]]. */
   private case class PredDelete(sql: String, appliesTo: Int)
 
+  /** `ts` = commit wall-clock millis (0 for pre-round-12 manifests —
+    * the parser treats the line as optional, so old tables read
+    * unchanged and [[versionAt]] falls back to file modification time
+    * for them). Never part of manifest EQUALITY anywhere (the
+    * append-chain check compares entries/deletes), so replays and
+    * rewrites stay timestamp-independent. */
   private case class Manifest(version: Int, parent: Int, op: String,
                               entries: Seq[Entry],
                               deletes: Seq[DeleteRef] = Seq.empty,
-                              predDeletes: Seq[PredDelete] = Seq.empty)
+                              predDeletes: Seq[PredDelete] = Seq.empty,
+                              ts: Long = 0L)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -150,7 +157,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       // appliesTo FIRST: the predicate SQL may itself contain '|' (a
       // string literal), so the fixed-shape field leads and the sql is
       // everything after the first separator
-      m.predDeletes.map(p => s"pdelete=${p.appliesTo}|${p.sql}")
+      m.predDeletes.map(p => s"pdelete=${p.appliesTo}|${p.sql}") ++
+      (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty)
     lines.mkString("", "\n", "\n")
   }
 
@@ -182,7 +190,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       PredDelete(spec.substring(bar + 1), spec.substring(0, bar).toInt)
     }
     Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
-      deletes, predDeletes)
+      deletes, predDeletes,
+      kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L))
   }
 
   // ---- pointer ----
@@ -294,7 +303,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                      predDeletes: Seq[PredDelete] = Seq.empty): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
-    val m = Manifest(next, parent, op, entries, deletes, predDeletes)
+    val m = Manifest(next, parent, op, entries, deletes, predDeletes,
+      ts = System.currentTimeMillis())
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -954,7 +964,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val m = parse(fromV) // must exist
     if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
         render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes,
-          m.predDeletes))
+          m.predDeletes, ts = System.currentTimeMillis()))
           .getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (drop it first or pick a new name)")
@@ -984,7 +994,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
         render(Manifest(next, head, op, build(pm, next),
-          pm.deletes, pm.predDeletes))
+          pm.deletes, pm.predDeletes, ts = System.currentTimeMillis()))
           .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
@@ -1073,7 +1083,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     graft.util.AtomicFlip.publishExclusive(fs,
       branchManifestPath(name, head + 1),
       render(Manifest(head + 1, head, s"rebased_to_$newMain", bm.entries,
-        bm.deletes, bm.predDeletes)).getBytes("UTF-8"))
+        bm.deletes, bm.predDeletes,
+        ts = System.currentTimeMillis())).getBytes("UTF-8"))
     newMain
   }
 
@@ -1181,6 +1192,27 @@ class SnapshotTable(spark: SparkSession, root: String,
           .collectFirst { case (ver, op, _) if p(op) => (ver, op) }
     }
   }
+
+  /** The newest version committed at or before `tsMillis` — timestamp
+    * time travel's resolution step (Iceberg/Delta `TIMESTAMP AS OF`).
+    * Manifests record their commit wall-clock (the `ts` line, stamped
+    * since round 12 and PRESERVED through [[purge]]'s rewrites);
+    * pre-stamp manifests fall back to file modification time, which is
+    * best-effort (a purge rewrite refreshes it). None if the table has
+    * no commit that old. O(retained versions) metadata reads. */
+  def versionAt(tsMillis: Long): Option[Int] =
+    history.map(_._1).filter { v =>
+      val m = parse(v)
+      val t =
+        if (m.ts > 0) m.ts
+        else fs.getFileStatus(manifestPath(v)).getModificationTime
+      t <= tsMillis
+    }.maxOption
+
+  /** Time travel by wall-clock: the table as of `tsMillis`. */
+  def readAsOf(tsMillis: Long): DataFrame =
+    readVersion(versionAt(tsMillis).getOrElse(sys.error(
+      s"no snapshot at $root committed at or before $tsMillis")))
 
   /** Change-data capture between two snapshots: every row of `toV` not
     * in `fromV` as an `insert`, every row of `fromV` not in `toV` as a

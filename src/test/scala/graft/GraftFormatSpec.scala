@@ -85,6 +85,43 @@ class GraftFormatSpec extends AnyFunSuite {
       read("versionAsOf" -> "1", "tag" -> "first").collect() }
   }
 
+  test("timestampAsOf resolves commit wall-clock order; metadata tables serve introspection") {
+    val root = freshRoot("fmt_ts")
+    val t = new SnapshotTable(spark, root)
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    Thread.sleep(5) // distinct commit stamps
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    val v2 = t.commitAppend(frame((2, 2024, 2, 20.0)))
+    // engine-level resolution
+    assert(t.versionAt(mid).contains(v1))
+    assert(t.versionAt(System.currentTimeMillis()).contains(v2))
+    assert(t.versionAt(0L).isEmpty)
+    assert(state(t.readAsOf(mid)) == Set((1, 2024, 1, 10.0)))
+    // format option: epoch millis and ISO instant forms
+    assert(state(spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(root)) == Set((1, 2024, 1, 10.0)))
+    assert(state(spark.read.format("graft")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(mid).toString)
+      .load(root)) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)).filter(_._1 == 1))
+    intercept[Exception] { spark.read.format("graft")
+      .option("timestampAsOf", "1970-01-01T00:00:00Z").load(root).collect() }
+    // metadata tables: history / tags / branches / fsck as relations
+    t.tag("good", v1)
+    t.createBranch("wip", v1)
+    def meta(kind: String) =
+      spark.read.format("graft").option("metadata", kind).load(root)
+    assert(meta("history").select("version", "op").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "overwrite"), (2, "append")))
+    assert(meta("tags").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("good", v1)))
+    assert(meta("branches").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("wip", 1)))
+    assert(meta("fsck").count() == 0) // healthy table: zero problem rows
+    intercept[Exception] { meta("nope").collect() }
+  }
+
   test("general path: pending MOR deletes read identically through the format") {
     val root = freshRoot("fmt_gen")
     val t = new SnapshotTable(spark, root)
