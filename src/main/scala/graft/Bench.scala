@@ -108,7 +108,9 @@ object Bench {
     // makes per-entry comparison across rounds impossible for the
     // entries whose names sort early. The round number is inferred from
     // the committed BENCH_r* artifacts (this run FEEDS round max+1).
-    try {
+    // An SPARK_GRAFT_ONLY isolation probe must NOT overwrite the round's
+    // full history with its handful of entries.
+    if (only.isEmpty) try {
       val dir = java.nio.file.Paths.get("bench_history")
       java.nio.file.Files.createDirectories(dir)
       val round = Option(new java.io.File(".").list()).toSeq.flatten
