@@ -33,9 +33,12 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * one — `timestampAsOf` resolves through [[SnapshotTable.versionAt]],
   * the Iceberg/Delta `TIMESTAMP AS OF` shape), `metadata` =
   * `history|tags|branches|fsck` (the table's introspection frames as
-  * relations — Iceberg's metadata-table idea), and `partcols` (comma
-  * list, default `year,month` — the table's partition columns, which
-  * the manifest does not record).
+  * relations — Iceberg's metadata-table idea), `changelogFrom`[/`To`]
+  * (the insert/delete row diff, [[SnapshotTable.changelog]]) and
+  * `incrementalFrom`[/`To`] (appended rows only, O(new data),
+  * [[SnapshotTable.appendsBetween]] — refused across non-append
+  * commits), and `partcols` (comma list, default `year,month` — the
+  * table's partition columns, which the manifest does not record).
   *
   * TWO read paths, chosen per resolved snapshot:
   *
@@ -96,10 +99,11 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       sys.error("format(\"graft\") needs a path: .save(<table root>)"))
     val partCols = parameters.getOrElse("partcols", "year,month")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(!parameters.keySet.exists(
-        Set("versionAsOf", "timestampAsOf", "tag", "metadata")),
-      "versionAsOf/timestampAsOf/tag/metadata are read options — history " +
-        "is written by committing, not by writing into a version")
+    require(!parameters.keySet.exists(Set("versionAsOf", "timestampAsOf",
+        "tag", "metadata", "changelogFrom", "incrementalFrom")),
+      "versionAsOf/timestampAsOf/tag/metadata/changelogFrom/incrementalFrom " +
+        "are read options — history is written by committing, not by " +
+        "writing into a version")
     val t = new SnapshotTable(spark, root, partCols)
     val exists = t.currentVersion.isDefined
     (mode, parameters.get("branch")) match {
@@ -147,6 +151,24 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
           "(expected history | tags | branches | fsck)")
       }
       return new GraftSnapshotRelation(spark, df)
+    }
+    // CDC surfaces: the row-level changelog between two versions, or the
+    // appended rows along an append-only chain (O(new data)) — the
+    // format's incremental-read options, Iceberg's changelog scan /
+    // incremental read shape. Served via the general relation: both are
+    // derived frames (exceptAll diff / multi-dir union), not a listing.
+    def currentV = t.currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    for (k <- Seq("changelogTo", "incrementalTo"))
+      require(!parameters.contains(k) ||
+          parameters.contains(k.stripSuffix("To") + "From"),
+        s"$k needs ${k.stripSuffix("To")}From")
+    parameters.get("changelogFrom").foreach { f =>
+      return new GraftSnapshotRelation(spark, t.changelog(f.trim.toInt,
+        parameters.get("changelogTo").map(_.trim.toInt).getOrElse(currentV)))
+    }
+    parameters.get("incrementalFrom").foreach { f =>
+      return new GraftSnapshotRelation(spark, t.appendsBetween(f.trim.toInt,
+        parameters.get("incrementalTo").map(_.trim.toInt).getOrElse(currentV)))
     }
     val pinned = Seq("versionAsOf", "timestampAsOf", "tag", "branch")
       .filter(parameters.contains)

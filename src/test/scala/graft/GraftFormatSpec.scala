@@ -60,6 +60,40 @@ class GraftFormatSpec extends AnyFunSuite {
       s"partition pruning failed: ${ps.head.metrics("numFiles").value} files")
     // and the pruning is plan-visible, not a row filter
     assert(ps.head.partitionFilters.nonEmpty, "no PartitionFilters in the scan")
+    // data filters push into the parquet scan (codegen + footer stats)
+    val dataF = df.filter(col("fare") > 50.0)
+    dataF.collect()
+    assert(fileScans(dataF.queryExecution.executedPlan)
+      .head.dataFilters.nonEmpty, "data filter not pushed to the scan")
+    // snapshot isolation: a loaded relation pins its version — commits
+    // after load are invisible to THIS DataFrame, visible to a new load
+    t.commitAppend(frame((4, 2024, 4, 40.0)))
+    assert(df.count() == 3, "loaded relation saw a later commit")
+    assert(spark.read.format("graft").load(root).count() == 4)
+  }
+
+  test("CDC options: changelogFrom/To and incrementalFrom/To through the format") {
+    val root = freshRoot("fmt_cdc")
+    val t = new SnapshotTable(spark, root)
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val v2 = t.commitAppend(frame((3, 2024, 3, 30.0)))
+    t.commitOverwritePartitions(frame((9, 2024, 2, 99.0)))
+    // changelog v1 -> v3: month-2 original deleted, replacement + append inserted
+    val log = spark.read.format("graft")
+      .option("changelogFrom", v1.toString).load(root)
+    val byOp = log.collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Int]("id"))).toSet
+    assert(byOp == Set(("delete", 2), ("insert", 9), ("insert", 3)))
+    // incremental read along the append-only prefix (v1 -> v2)
+    val incr = spark.read.format("graft")
+      .option("incrementalFrom", v1.toString)
+      .option("incrementalTo", v2.toString).load(root)
+    assert(state(incr) == Set((3, 2024, 3, 30.0)))
+    // refused across the overwrite (the documented appendsBetween contract)
+    intercept[Exception] { spark.read.format("graft")
+      .option("incrementalFrom", v1.toString).load(root).collect() }
+    intercept[Exception] { spark.read.format("graft")
+      .option("incrementalTo", v2.toString).load(root).collect() }
   }
 
   test("versionAsOf / tag / branch options time-travel through the format") {
