@@ -37,8 +37,11 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * (the insert/delete row diff, [[SnapshotTable.changelog]]) and
   * `incrementalFrom`[/`To`] (appended rows only, O(new data),
   * [[SnapshotTable.appendsBetween]] — refused across non-append
-  * commits), and `partcols` (comma list, default `year,month` — the
-  * table's partition columns, which the manifest does not record).
+  * commits), and `partcols` (comma list — normally unnecessary: the
+  * manifest records the writer's partition columns and the format
+  * discovers them ([[SnapshotTable.storedPartCols]]); the option exists
+  * for fresh tables with a non-default layout and pre-recording
+  * history, and a wrong value fails loudly at parse).
   *
   * TWO read paths, chosen per resolved snapshot:
   *
@@ -97,8 +100,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val root = parameters.getOrElse("path",
       sys.error("format(\"graft\") needs a path: .save(<table root>)"))
-    val partCols = parameters.getOrElse("partcols", "year,month")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
     require(!parameters.keySet.exists(Set("versionAsOf", "timestampAsOf",
         "tag", "metadata", "changelogFrom", "incrementalFrom")),
       "versionAsOf/timestampAsOf/tag/metadata/changelogFrom/incrementalFrom " +
@@ -131,8 +133,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val root = parameters.getOrElse("path",
       sys.error("format(\"graft\") needs a path: .load(<table root>)"))
-    val partCols = parameters.getOrElse("partcols", "year,month")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
     val t = new SnapshotTable(spark, root, partCols)
     // metadata tables (Iceberg's tbl.history/refs idea as an option):
     // introspection frames served through the general relation — tiny,
@@ -217,6 +218,18 @@ object GraftDataSource {
     SnapshotFileIndex.list(spark, spec, partitionSchema)
       .map(leaves => (new SnapshotFileIndex(spark, spec, partitionSchema, leaves), full))
   }
+
+  /** Partition-column resolution: an explicit `partcols` option wins
+    * (validated against the manifest by the table itself — a mismatch is
+    * a loud parse error), else the columns RECORDED in the table's
+    * current manifest, else the `year,month` default for a fresh table.
+    * This is why reading an existing table needs no layout knowledge. */
+  private[sources] def resolvePartCols(spark: SparkSession, root: String,
+                                       parameters: Map[String, String]): Seq[String] =
+    parameters.get("partcols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(SnapshotTable.storedPartCols(spark, root))
+      .getOrElse(Seq("year", "month"))
 
   /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
     * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss[.f]`

@@ -140,7 +140,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                               entries: Seq[Entry],
                               deletes: Seq[DeleteRef] = Seq.empty,
                               predDeletes: Seq[PredDelete] = Seq.empty,
-                              ts: Long = 0L)
+                              ts: Long = 0L,
+                              partColsLine: Seq[String] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -158,7 +159,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       // string literal), so the fixed-shape field leads and the sql is
       // everything after the first separator
       m.predDeletes.map(p => s"pdelete=${p.appliesTo}|${p.sql}") ++
-      (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty)
+      (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty) ++
+      // the writer's partition columns ride every manifest: a reader
+      // opened with DIFFERENT partCols would evaluate exclusion masks
+      // against the wrong columns — silently wrong rows; recording them
+      // makes the mismatch a loud parse-time error and lets the `graft`
+      // format self-discover the layout (no partcols option needed)
+      (if (m.partColsLine.nonEmpty)
+        Seq(s"partcols=${m.partColsLine.mkString(",")}") else Seq.empty)
     lines.mkString("", "\n", "\n")
   }
 
@@ -189,9 +197,21 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(bar > 0, s"malformed pdelete line in $label: $spec")
       PredDelete(spec.substring(bar + 1), spec.substring(0, bar).toInt)
     }
-    Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
+    val m = Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
       deletes, predDeletes,
-      kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L))
+      kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L),
+      kv.collectFirst { case ("partcols", v0) =>
+        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Seq.empty))
+    // fail-fast on a partition-column mismatch: masks and partition
+    // probes are expressed over the WRITER's columns (pre-partcols-line
+    // history can't be checked — best effort, like the ts fallback)
+    require(m.partColsLine.isEmpty || m.partColsLine == partCols,
+      s"table at $root was committed with partition columns " +
+        s"(${m.partColsLine.mkString(", ")}) but this handle was opened " +
+        s"with (${partCols.mkString(", ")}) — exclusion masks would apply " +
+        "to the wrong columns; open with the recorded columns " +
+        "(SnapshotTable.storedPartCols discovers them)")
+    m
   }
 
   // ---- pointer ----
@@ -304,7 +324,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val next = parent + 1
     fs.mkdirs(manifestDir)
     val m = Manifest(next, parent, op, entries, deletes, predDeletes,
-      ts = System.currentTimeMillis())
+      ts = System.currentTimeMillis(), partColsLine = partCols)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -964,7 +984,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val m = parse(fromV) // must exist
     if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
         render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes,
-          m.predDeletes, ts = System.currentTimeMillis()))
+          m.predDeletes, ts = System.currentTimeMillis(),
+          partColsLine = partCols))
           .getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (drop it first or pick a new name)")
@@ -994,7 +1015,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
         render(Manifest(next, head, op, build(pm, next),
-          pm.deletes, pm.predDeletes, ts = System.currentTimeMillis()))
+          pm.deletes, pm.predDeletes, ts = System.currentTimeMillis(),
+          partColsLine = partCols))
           .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
@@ -1083,8 +1105,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     graft.util.AtomicFlip.publishExclusive(fs,
       branchManifestPath(name, head + 1),
       render(Manifest(head + 1, head, s"rebased_to_$newMain", bm.entries,
-        bm.deletes, bm.predDeletes,
-        ts = System.currentTimeMillis())).getBytes("UTF-8"))
+        bm.deletes, bm.predDeletes, ts = System.currentTimeMillis(),
+        partColsLine = partCols)).getBytes("UTF-8"))
     newMain
   }
 
@@ -1678,6 +1700,33 @@ private[graft] object SnapshotScanSpec {
 }
 
 object SnapshotTable {
+  /** The partition columns recorded in the table's CURRENT manifest
+    * (the `partcols` line every commit stamps since round 12) — how a
+    * reader that doesn't know the layout (the `graft` DataSource
+    * format) discovers it before constructing a handle. None when the
+    * table doesn't exist yet or its head predates the line. Two
+    * metadata-file reads, no table construction (constructing with
+    * guessed columns is exactly the mismatch this exists to avoid). */
+  def storedPartCols(spark: org.apache.spark.sql.SparkSession,
+                     root: String): Option[Seq[String]] = {
+    val manifestDir = new Path(root, "_manifests")
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    for {
+      cur <- readAll(new Path(manifestDir, "CURRENT")).map(_.trim.toInt)
+      text <- readAll(new Path(manifestDir, f"v$cur%05d.txt"))
+      line <- text.linesIterator.find(_.startsWith("partcols="))
+    } yield line.stripPrefix("partcols=")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Default retention window for the orphan-dir sweeps ([[SnapshotTable.vacuum]],
     * [[SnapshotTable.expire]]): an unreferenced `_data` dir younger than this is
     * presumed to belong to a LIVE writer (data lands before the manifest

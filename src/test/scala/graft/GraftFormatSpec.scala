@@ -72,6 +72,28 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == 4)
   }
 
+  test("partition columns self-discover from the manifest; a wrong handle fails loudly") {
+    import spark.implicits._
+    val root = freshRoot("fmt_pcols")
+    // non-default layout: partitioned by region only
+    val t = new SnapshotTable(spark, root, Seq("region"))
+    val rows = Seq((1, "eu", 10.0), (2, "us", 20.0), (3, "eu", 30.0))
+      .toDF("id", "region", "v")
+    t.commitOverwrite(rows)
+    t.commitOverwritePartitions(Seq((9, "us", 99.0)).toDF("id", "region", "v"))
+    assert(SnapshotTable.storedPartCols(spark, root).contains(Seq("region")))
+    // the format needs NO partcols option — it reads the manifest
+    val df = spark.read.format("graft").load(root)
+    assert(df.select("id", "v").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((1, 10.0), (3, 30.0), (9, 99.0)))
+    // and a handle opened with the WRONG columns fails loudly instead of
+    // evaluating the overwrite's exclusion mask against the wrong column
+    intercept[IllegalArgumentException] {
+      new SnapshotTable(spark, root, Seq("year", "month")).read() }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("partcols", "id").load(root).collect() }
+  }
+
   test("CDC options: changelogFrom/To and incrementalFrom/To through the format") {
     val root = freshRoot("fmt_cdc")
     val t = new SnapshotTable(spark, root)
