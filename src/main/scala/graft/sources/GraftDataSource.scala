@@ -204,19 +204,44 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 object GraftDataSource {
 
   /** Build the fast-path file index iff the snapshot qualifies: no
-    * pending deletes, one agreed sidecar schema carrying every partition
-    * column, and strictly hive-layout dirs. Returns the index plus the
-    * full (sidecar) schema, or None → general path. */
+    * pending deletes, sidecar schemas that unify additively (see
+    * [[unifySchemas]] — identical, or later eras strictly ADD columns),
+    * every partition column present, and strictly hive-layout dirs.
+    * Returns the index plus the unified schema, or None → general
+    * path. */
   private[sources] def fastIndex(spark: SparkSession, spec: SnapshotScanSpec,
                                  partCols: Seq[String]): Option[(SnapshotFileIndex, StructType)] = {
     if (spec.hasDeletes || spec.dirs.isEmpty) return None
     val ddls = spec.dirs.map(_.schemaDdl)
-    if (ddls.exists(_.isEmpty) || ddls.flatten.distinct.size != 1) return None
-    val full = StructType.fromDDL(ddls.head.get)
+    if (ddls.exists(_.isEmpty)) return None
+    val full = unifySchemas(ddls.flatten.distinct.map(StructType.fromDDL))
+      .getOrElse(return None)
     if (!partCols.forall(full.fieldNames.contains)) return None
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))
     SnapshotFileIndex.list(spark, spec, partitionSchema)
       .map(leaves => (new SnapshotFileIndex(spark, spec, partitionSchema, leaves), full))
+  }
+
+  /** ADDITIVE schema unification — the common long-lived-table shape
+    * (daily appends, a column added mid-history) stays on the fast
+    * path: if one sidecar schema contains every other's fields with
+    * identical names and types, that widest schema serves the whole
+    * snapshot — the parquet reader fills absent columns with nulls,
+    * exactly `unionByName(allowMissingColumns)`'s typed-null padding,
+    * with zero footer reads. Anything non-additive (a type change, two
+    * eras each carrying a column the other lacks) returns None →
+    * general path, which is always correct. */
+  private[sources] def unifySchemas(schemas: Seq[StructType]): Option[StructType] = {
+    val widest = schemas.maxBy(_.size)
+    val ok = schemas.forall(_.forall(f =>
+      widest.find(_.name == f.name).exists(_.dataType == f.dataType)))
+    if (!ok) None
+    else Some(StructType(widest.map { f =>
+      // a column absent from ANY era must read as nullable even if its
+      // writing era declared it required — the padding nulls are real
+      if (schemas.forall(_.fieldNames.contains(f.name))) f
+      else f.copy(nullable = true)
+    }))
   }
 
   /** Partition-column resolution: an explicit `partcols` option wins

@@ -72,6 +72,35 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == 4)
   }
 
+  test("additive schema evolution stays on the fast path (typed-null padding, one scan)") {
+    import spark.implicits._
+    val root = freshRoot("fmt_evo")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    // a later era ADDS a column — the widest sidecar serves both eras
+    t.commitAppend(frame((2, 2024, 2, 20.0)).withColumn("tip", lit(2.5)))
+    val df = spark.read.format("graft").load(root)
+    df.collect()
+    assert(fileScans(df.queryExecution.executedPlan).size == 1,
+      "additive evolution fell off the fast path")
+    val got = df.select("id", "tip").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)))).toMap
+    assert(got == Map(1 -> None, 2 -> Some(2.5)), s"null padding broke: $got")
+    // engine read agrees (select by name — column order differs)
+    assert(df.select("id", "year", "month", "fare").collect().map(_.toSeq).toSet ==
+      t.read().select("id", "year", "month", "fare").collect().map(_.toSeq).toSet)
+    // a NON-additive change (type flip) must fall back, stay correct
+    val root2 = freshRoot("fmt_evo2")
+    val t2 = new SnapshotTable(spark, root2)
+    t2.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t2.commitAppend(Seq(("2", 2024, 2, 20.0)).toDF("id", "year", "month", "fare"))
+    val df2 = spark.read.format("graft").load(root2)
+    df2.collect()
+    assert(fileScans(df2.queryExecution.executedPlan).isEmpty,
+      "type-flip evolution wrongly took the file-listing path")
+    assert(df2.count() == t2.read().count())
+  }
+
   test("partition columns self-discover from the manifest; a wrong handle fails loudly") {
     import spark.implicits._
     val root = freshRoot("fmt_pcols")
