@@ -87,23 +87,7 @@ object DataSkipping {
     * time. */
   def read(spark: SparkSession, dataPath: String, column: String,
            statsPath: String): DataFrame = {
-    val stats =
-      try spark.read.parquet(statsPath)
-        .collect()
-        .flatMap { r =>
-          // an all-null indexed column yields null bounds: no range to
-          // prune on — skip the row, and the absent-entry default keeps
-          // the file (conservative), instead of an NPE at index load
-          for (mn <- Option(r.get(1)); mx <- Option(r.get(2)))
-            yield normalize(r.getString(0)) ->
-              ((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
-        }.toMap
-      catch {
-        // a fileless stats dir (an index built over zero rows) carries
-        // no schema to infer — treat as an empty index: every file kept
-        case _: org.apache.spark.sql.AnalysisException =>
-          Map.empty[String, (Double, Double)]
-      }
+    val stats = loadStats(spark, statsPath)
     val fullSchema = spark.read.parquet(dataPath).schema
     val index = new MinMaxFileIndex(spark, new Path(dataPath), column, stats)
     // a hive-partitioned root needs the partition columns split out of
@@ -120,6 +104,29 @@ object DataSkipping {
     spark.baseRelationToDataFrame(relation)
       .select(fullSchema.fieldNames.map(col).toSeq: _*)
   }
+
+  /** Load a persisted min/max index into its driver-side form
+    * (normalized path → (min, max)) — file-count sized. Shared by
+    * [[read]] and the `graft` format's snapshot index
+    * ([[graft.sources.SnapshotFileIndex]]). */
+  private[sources] def loadStats(spark: SparkSession,
+                                 statsPath: String): Map[String, (Double, Double)] =
+    try spark.read.parquet(statsPath)
+      .collect()
+      .flatMap { r =>
+        // an all-null indexed column yields null bounds: no range to
+        // prune on — skip the row, and the absent-entry default keeps
+        // the file (conservative), instead of an NPE at index load
+        for (mn <- Option(r.get(1)); mx <- Option(r.get(2)))
+          yield normalize(r.getString(0)) ->
+            ((mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+      }.toMap
+    catch {
+      // a fileless stats dir (an index built over zero rows) carries
+      // no schema to infer — treat as an empty index: every file kept
+      case _: org.apache.spark.sql.AnalysisException =>
+        Map.empty[String, (Double, Double)]
+    }
 
   /** input_file_name() and FileStatus render the same local file as
     * `file:///x` vs `file:/x`; compare by URI path only. */

@@ -52,8 +52,12 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   *    vectorized parquet, pushed data filters, AND partition pruning
   *    evaluated against the snapshot's own file listing (exclusion
   *    masks are applied at listing time, so a masked partition's files
-  *    are never even candidates). `.explain` shows `PartitionFilters`
-  *    / `PushedFilters` exactly as for a plain parquet table.
+  *    are never even candidates). Where dirs carry min/max stats
+  *    indexes (commit-time or [[SnapshotTable.buildStatsIndex]]), data
+  *    filters additionally prune FILES at planning — the
+  *    [[SnapshotTable.readSkipping]] capability, reached from SQL.
+  *    `.explain` shows `PartitionFilters` / `PushedFilters` exactly as
+  *    for a plain parquet table.
   *  - GENERAL: merge-on-read deletes, flat/clustered dirs, or
   *    heterogeneous (evolved) sidecars fall back to a
   *    [[PrunedFilteredScan]] over the engine's own read path
@@ -332,6 +336,17 @@ private[sources] class SnapshotFileIndex(spark: SparkSession,
   // `df.write.format("graft")` or the Scala commit API.
   override def rootPaths: Seq[Path] = Seq.empty
 
+  /** Per-column merged min/max stats across the snapshot's dirs (file
+    * paths are globally unique, so per-dir maps union cleanly). Loaded
+    * lazily ONCE per relation — file-count-sized driver state, the
+    * [[MinMaxFileIndex]] contract. */
+  private lazy val colStats: Map[String, Map[String, (Double, Double)]] =
+    spec.dirs.flatMap(_.stats).groupBy(_._1).map { case (column, paths) =>
+      column -> paths.map(_._2)
+        .map(p => DataSkipping.loadStats(spark, p))
+        .foldLeft(Map.empty[String, (Double, Double)])(_ ++ _)
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val selected =
@@ -347,7 +362,30 @@ private[sources] class SnapshotFileIndex(spark: SparkSession,
           })
         leaves.filter(l => bound.eval(l.row))
       }
-    selected.map(l => PartitionDirectory(l.row, l.files.toArray))
+    // min/max FILE pruning through the snapshot's stats indexes — the
+    // readSkipping capability, reached from spark.read/SQL: for every
+    // indexed column the data filters imply a range on, drop files
+    // whose stored [min, max] cannot overlap it. Absent entries keep
+    // their file (conservative — same contract as MinMaxFileIndex);
+    // unindexed snapshots skip this entirely.
+    val pruners = colStats.flatMap { case (column, stats) =>
+      val (lo, hi) = DataSkipping.implied(column, dataFilters)
+      if (lo.isEmpty && hi.isEmpty) None else Some((stats, lo, hi))
+    }
+    selected.map { l =>
+      val kept =
+        if (pruners.isEmpty) l.files
+        else l.files.filter { f =>
+          val path = DataSkipping.normalize(f.getPath.toString)
+          pruners.forall { case (stats, lo, hi) =>
+            stats.get(path) match {
+              case Some((mn, mx)) => lo.forall(mx >= _) && hi.forall(mn <= _)
+              case None => true
+            }
+          }
+        }
+      PartitionDirectory(l.row, kept.toArray)
+    }
   }
 
   override def inputFiles: Array[String] =

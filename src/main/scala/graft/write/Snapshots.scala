@@ -1660,7 +1660,14 @@ class SnapshotTable(spark: SparkSession, root: String,
             try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
             finally in.close()
           }
-        SnapshotScanSpec.Dir(new Path(dataDir, e.dir).toString, e.excluded, ddl)
+        val dirStats = new Path(statsDir, e.dir)
+        val stats =
+          if (!fs.exists(dirStats)) Seq.empty
+          else fs.listStatus(dirStats)
+            .map(st => st.getPath.getName -> st.getPath.toString)
+            .sortBy(_._1).toSeq
+        SnapshotScanSpec.Dir(new Path(dataDir, e.dir).toString, e.excluded,
+          ddl, stats)
       },
       m.deletes.nonEmpty || m.predDeletes.nonEmpty)
 
@@ -1695,8 +1702,13 @@ private[graft] case class SnapshotScanSpec(dirs: Seq[SnapshotScanSpec.Dir],
                                            hasDeletes: Boolean)
 
 private[graft] object SnapshotScanSpec {
+  /** `stats` = the dir's persisted min/max indexes as
+    * (column → stats-parquet path) — what [[graft.sources.DataSkipping]]
+    * built at commit time or post hoc ([[SnapshotTable.buildStatsIndex]]);
+    * the format's file index prunes files through them at planning. */
   case class Dir(path: String, excluded: Set[Seq[String]],
-                 schemaDdl: Option[String])
+                 schemaDdl: Option[String],
+                 stats: Seq[(String, String)] = Seq.empty)
 }
 
 object SnapshotTable {

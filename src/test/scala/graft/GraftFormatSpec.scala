@@ -72,6 +72,36 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(root).count() == 4)
   }
 
+  test("fast path prunes files through the snapshot's min/max stats indexes") {
+    import spark.implicits._
+    val root = freshRoot("fmt_skip")
+    val t = new SnapshotTable(spark, root)
+    // values correlate with partition layout (one file per partition),
+    // so the post-hoc index gives per-file disjoint id ranges
+    val rows = (1 to 300).map(i => (i, 2024, (i - 1) / 100 + 1, i * 1.0))
+      .toDF("id", "year", "month", "fare")
+    t.commitOverwrite(rows)
+    t.commitOverwritePartitions(
+      rows.filter($"month" === 2).withColumn("fare", col("fare") * -1))
+    assert(t.buildStatsIndex("id") == 2)
+    val df = spark.read.format("graft").load(root)
+    val pred = col("id") >= 150 && col("id") <= 160
+    val filtered = df.filter(pred)
+    filtered.collect()
+    // 4 live files exist (3 masked-v1 minus month2 + 1 replacement);
+    // the id range lives in one partition per dir → stats prune to <=2
+    val scan = fileScans(filtered.queryExecution.executedPlan).head
+    assert(scan.metrics("numFiles").value >= 1 && scan.metrics("numFiles").value <= 2,
+      s"stats pruning failed through the format: ${scan.metrics("numFiles").value} files")
+    // and values equal the engine read exactly (mask honored: negated)
+    val viaFmt = filtered.select(col("id"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val viaRead = t.read().filter(pred).select(col("id"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(viaFmt == viaRead && viaFmt.forall(_._2 < 0),
+      s"format skip diverged: $viaFmt vs $viaRead")
+  }
+
   test("additive schema evolution stays on the fast path (typed-null padding, one scan)") {
     import spark.implicits._
     val root = freshRoot("fmt_evo")
