@@ -292,6 +292,27 @@ class GraftFormatSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
   }
 
+  test("racing format appends both land (commitWithRetry through the write path)") {
+    val root = freshRoot("fmt_race")
+    frame((0, 2024, 1, 0.0)).write.format("graft").save(root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ws = Seq(1, 2).map { id =>
+      new Thread(() => {
+        try frame((id, 2024, id, id * 1.0)).write.format("graft")
+          .mode("append").save(root)
+        catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    ws.foreach(_.start()); ws.foreach(_.join(60000))
+    assert(errs.isEmpty, s"a racing append failed: ${errs.peek()}")
+    val t = new SnapshotTable(spark, root)
+    assert(state(t.read()) ==
+      Set((0, 2024, 1, 0.0), (1, 2024, 1, 1.0), (2, 2024, 2, 2.0)),
+      "a racing append lost its rows")
+    assert(t.currentVersion.contains(3))
+    assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
+  }
+
   test("SQL: CREATE TABLE USING graft, then plain SELECT reaches the snapshot") {
     val root = freshRoot("fmt_sql")
     val t = new SnapshotTable(spark, root)
