@@ -65,6 +65,20 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   *    to Columns so pushdown still reaches the inner parquet scans —
   *    correct always, merely without the single-scan plan shape.
   *
+  * Design note — why DSv1 `RelationProvider` + `HadoopFsRelation`
+  * rather than a DSv2 `TableProvider`: a DSv2 implementation must
+  * re-build the scan machinery (its own `Batch`/`PartitionReader`
+  * columnar plumbing, filter/column pushdown negotiation, and vectorized
+  * parquet wiring) to reach the plan quality `FileSourceScanExec`
+  * already has; serving the snapshot as a FILE INDEX instead reuses
+  * Spark's entire parquet execution path — whole-stage codegen,
+  * vectorization, runtime filters, AQE — and leaves this format
+  * responsible only for WHICH files compose the snapshot, which is the
+  * actual table-format concern (the same architecture Delta Lake used
+  * for years via `TahoeFileIndex`). The DSv2-only conveniences (SQL
+  * `VERSION AS OF` syntax, `MERGE INTO` resolution) are served here by
+  * read options and the Scala commit API.
+  *
   * Column order note: the fast path emits data columns first, partition
   * columns last (the hive-read convention); select by name, not
   * position — same contract as every hive-partitioned round-trip.
