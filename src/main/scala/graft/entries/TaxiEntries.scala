@@ -445,6 +445,35 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Snapshot table as a STREAMING SOURCE (spark.readStream
+    // .format("graft")): versions are the offsets, the first batch is
+    // the full initial snapshot ("earliest"), later batches are
+    // appendsBetween increments — here streamed table-to-table into a
+    // second snapshot table through the exactly-once append sink, the
+    // medallion-hop architecture with both edges transactional. Two
+    // sequential replays (initial load, then an appended month-era)
+    // exercise checkpoint resume; final state must equal the full
+    // staging profile — the same oracle as taxi_stream_append by
+    // construction. Refusal on non-append chains and empty-resume
+    // idempotency are pinned in GraftFormatSpec.
+    "taxi_stream_source" -> q { (s, d) =>
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val src = new graft.write.SnapshotTable(s, tmpPath("ssrc_tbl", d, s))
+      val dst = new graft.write.SnapshotTable(s, tmpPath("ssrc_dst", d, s))
+      val ckpt = tmpPath("ssrc_ckpt", d, s)
+      def hop(): Unit =
+        graft.streaming.StreamingEvents.appendStream(
+          s.readStream.format("graft").option("startingVersion", "earliest")
+            .load(src.location),
+          dst, ckpt).awaitTermination()
+      src.commitOverwrite(stg.filter(col("month") <= 6))
+      hop()
+      src.commitAppend(stg.filter(col("month") > 6))
+      hop()
+      dst.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // Branch refs (Iceberg branches / branch-based WAP): a two-batch
     // load lands on a BRANCH — main is untouched mid-load — then
     // fast-forward publishes the branch state as one main commit, zero
@@ -922,6 +951,11 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // the table-to-table streaming hop reassembles exactly the full
+    // staging table (initial snapshot + appended era)
+    "taxi_stream_source" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // two streamed batches reassemble exactly the full staging table
     "taxi_stream_append" -> o(
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum

@@ -87,9 +87,59 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * commit, `REFRESH TABLE` picks up the new version (DataFrame reads
   * via `.load()` resolve per call and need no refresh). */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming source (`spark.readStream.format("graft")`): the
+  // snapshot table as a STREAM, the capability that turns committed
+  // tables into pipeline stages (Delta/Iceberg streaming sources).
+  // Snapshot versions ARE the offsets — each micro-batch is
+  // `appendsBetween(lastVersion, currentVersion)`, O(new data), and the
+  // batch boundary is the commit boundary, so combined with the
+  // exactly-once append sink ([[graft.streaming.StreamingEvents
+  // .appendStream]]) a table→table hop is exactly-once end to end.
+  // `option("startingVersion", v)` starts from version v's appends;
+  // "earliest" makes the FIRST batch the full snapshot (initial load)
+  // with increments after; the default streams only commits made after
+  // the stream starts. A non-append commit (overwrite/merge/rollback/
+  // compact) inside a streamed interval fails the query loudly with
+  // appendsBetween's refusal — restart from a fresh checkpoint with
+  // "earliest" to re-baseline, the same contract Delta exposes as its
+  // overwrite-in-source error. ----
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft", schema.getOrElse {
+      val spark = sqlContext.sparkSession
+      val root = parameters.getOrElse("path",
+        sys.error("readStream.format(\"graft\") needs a path: .load(<table root>)"))
+      val t = new SnapshotTable(spark, root,
+        GraftDataSource.resolvePartCols(spark, root, parameters))
+      t.readVersion(t.currentVersion.getOrElse(sys.error(
+        s"no snapshot at $root — the streaming source needs an existing " +
+          "table (commit an initial version first)"))).schema
+    })
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      sys.error("readStream.format(\"graft\") needs a path: .load(<table root>)"))
+    val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
+    val t = new SnapshotTable(spark, root, partCols)
+    val cur = t.currentVersion.getOrElse(sys.error(
+      s"no snapshot at $root — the streaming source needs an existing table"))
+    val startV = parameters.get("startingVersion").map(_.trim) match {
+      case Some("earliest") | Some("0") => 0
+      case Some(v) => v.toInt
+      case None => cur // stream only what commits after this point
+    }
+    new GraftStreamSource(spark, t,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, startV)
+  }
 
   /** `df.write.format("graft")` — the DataFrame write surface onto the
     * commit protocol (every save IS a snapshot commit, retried through
@@ -316,6 +366,80 @@ object GraftDataSource {
       case _ => None
     }
   }
+}
+
+/** The snapshot table as a DSv1 streaming [[org.apache.spark.sql.execution.streaming.Source]]:
+  * offsets are snapshot VERSIONS (monotonic by the commit protocol), so
+  * `getOffset` is one metadata read and `getBatch(v_a, v_b)` is
+  * [[SnapshotTable.appendsBetween]] — the appended dirs alone, never a
+  * table diff. `startVersion = 0` ("earliest") makes the first batch
+  * the FULL snapshot at the stream's first observed version
+  * ([[SnapshotTable.readVersion]] — any chain shape is fine for the
+  * initial load), with O(new data) increments after; a positive
+  * `startVersion` streams appends since that version. Restart recovery
+  * is the checkpoint's last offset — versions are durable and
+  * immutable, so replays are exact. Batches are marked streaming via
+  * [[org.apache.spark.sql.graft.StreamingBridge]] with zero per-row
+  * conversion. */
+private[sources] class GraftStreamSource(spark: SparkSession,
+                                         t: SnapshotTable,
+                                         override val schema: StructType,
+                                         startVersion: Int)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit}
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  private def toVersion(o: V1Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case s: SerializedOffset => s.json.trim.toInt
+    case other => other.json.trim.toInt // LongOffset json is the bare number
+  }
+
+  override def getOffset: Option[V1Offset] =
+    t.currentVersion.filter(v => v > startVersion || startVersion == 0)
+      .map(v => LongOffset(v.toLong))
+
+  // ---- Trigger.AvailableNow support (without it the engine falls back
+  // to a fallible single-batch guess and warns): `prepare` pins the
+  // stream's end at the version current WHEN THE TRIGGER FIRES — later
+  // concurrent commits wait for the next run, which is exactly the
+  // trigger's contract — and `latestOffset` serves that pinned end.
+  // Versions are immutable and monotonic, so the pin is exact. ----
+
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = t.currentVersion.map(_.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val cur = t.currentVersion.map(_.toLong)
+    val capped = availableNowEnd.fold(cur)(end => cur.map(math.min(_, end)))
+    capped.filter(v => v > startVersion || startVersion == 0)
+      .map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset(): V2Offset = getOffset.orNull
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = toVersion(end)
+    val batch = start.map(toVersion).orElse(Some(startVersion).filter(_ > 0)) match {
+      case Some(from) if from >= to => // defensive: an empty replay window
+        t.readVersion(to).limit(0)
+      case Some(from) => t.appendsBetween(from, to)
+      case None => t.readVersion(to) // "earliest": the initial full snapshot
+    }
+    val aligned = batch.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    org.apache.spark.sql.graft.StreamingBridge.streamingDataFrame(
+      spark, aligned.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** One hive leaf directory of the resolved snapshot: its typed partition

@@ -292,6 +292,39 @@ class GraftFormatSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
   }
 
+  test("streaming source: initial snapshot + increments, table-to-table exactly-once, loud refusal") {
+    val srcRoot = freshRoot("fmt_ssrc")
+    val dstRoot = freshRoot("fmt_sdst")
+    val ckpt = freshRoot("fmt_sckpt")
+    val src = new SnapshotTable(spark, srcRoot)
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val dst = new SnapshotTable(spark, dstRoot)
+    def hop(): Unit = graft.streaming.StreamingEvents.appendStream(
+      spark.readStream.format("graft")
+        .option("startingVersion", "earliest").load(srcRoot),
+      dst, ckpt).awaitTermination()
+    // first run: the initial snapshot lands as one batch
+    hop()
+    assert(state(dst.read()) == state(src.read()))
+    // two source commits later: the resumed stream pulls ONLY the
+    // appended rows (appendsBetween under the hood), exactly once
+    src.commitAppend(frame((3, 2024, 3, 30.0)))
+    src.commitAppend(frame((4, 2024, 4, 40.0)))
+    hop()
+    assert(state(dst.read()) == state(src.read()))
+    assert(state(dst.read()).size == 4)
+    // nothing new: no batch, no commit
+    val before = dst.history.size
+    hop()
+    assert(dst.history.size == before, "an empty resume landed a commit")
+    // a non-append commit in the streamed interval fails the query
+    // loudly (appendsBetween's refusal) instead of streaming wrong rows
+    src.commitOverwritePartitions(frame((9, 2024, 1, 99.0)))
+    src.commitAppend(frame((5, 2024, 5, 50.0)))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { hop() }
+    assert(state(dst.read()).size == 4, "rows leaked past the refusal")
+  }
+
   test("racing format appends both land (commitWithRetry through the write path)") {
     val root = freshRoot("fmt_race")
     frame((0, 2024, 1, 0.0)).write.format("graft").save(root)
