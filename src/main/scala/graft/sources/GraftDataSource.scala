@@ -137,8 +137,11 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case Some(v) => v.toInt
       case None => cur // stream only what commits after this point
     }
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
+    require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
     new GraftStreamSource(spark, t,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2, startV)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2, startV,
+      maxVersions)
   }
 
   /** `df.write.format("graft")` — the DataFrame write surface onto the
@@ -216,8 +219,26 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         case "tags" => t.tags.toDF("name", "version")
         case "branches" => t.branches.toDF("name", "head")
         case "fsck" => t.fsck().toDF("problem")
+        case "files" => // Iceberg's files table: the CURRENT snapshot's
+          // physical composition — one row per data file, O(files)
+          // driver metadata, no scan
+          val spec = t.scanSpecVersion(t.currentVersion
+            .getOrElse(sys.error(s"no snapshot at $root")))
+          spec.dirs.flatMap { d =>
+            val p = new Path(d.path)
+            val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val it = dfs.listFiles(p, /*recursive=*/ true)
+            val buf = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+            while (it.hasNext) {
+              val st = it.next()
+              val name = st.getPath.getName
+              if (!name.startsWith("_") && !name.startsWith("."))
+                buf += ((p.getName, st.getPath.toString, st.getLen))
+            }
+            buf.toList
+          }.toDF("dir", "file", "size_bytes")
         case other => sys.error(s"unknown metadata table '$other' " +
-          "(expected history | tags | branches | fsck)")
+          "(expected history | tags | branches | fsck | files)")
       }
       return new GraftSnapshotRelation(spark, df)
     }
@@ -384,7 +405,8 @@ object GraftDataSource {
 private[sources] class GraftStreamSource(spark: SparkSession,
                                          t: SnapshotTable,
                                          override val schema: StructType,
-                                         startVersion: Int)
+                                         startVersion: Int,
+                                         maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -419,7 +441,19 @@ private[sources] class GraftStreamSource(spark: SparkSession,
 
   override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
     val cur = t.currentVersion.map(_.toLong)
-    val capped = availableNowEnd.fold(cur)(end => cur.map(math.min(_, end)))
+    val pinned = availableNowEnd.fold(cur)(end => cur.map(math.min(_, end)))
+    // rate limiting (`maxVersionsPerTrigger`): cap each micro-batch at N
+    // source versions past the last committed offset, so a long backfill
+    // streams as bounded batches instead of one giant one — Delta's
+    // maxFilesPerTrigger idea at this protocol's natural granularity.
+    // Under AvailableNow the engine keeps asking until the pinned end is
+    // reached, so the cap bounds batch SIZE, never completeness.
+    val from = Option(startOffset).map {
+      case l: LongOffset => l.offset
+      case o => o.json.trim.toLong
+    }.getOrElse(startVersion.toLong)
+    val capped = maxVersionsPerTrigger.fold(pinned)(m =>
+      pinned.map(v => math.min(v, from + m)))
     capped.filter(v => v > startVersion || startVersion == 0)
       .map(LongOffset(_)).orNull
   }

@@ -325,6 +325,31 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(state(dst.read()).size == 4, "rows leaked past the refusal")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; files metadata table") {
+    val srcRoot = freshRoot("fmt_rate")
+    val src = new SnapshotTable(spark, srcRoot)
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    src.commitAppend(frame((2, 2024, 2, 20.0)))
+    src.commitAppend(frame((3, 2024, 3, 30.0)))
+    src.commitAppend(frame((4, 2024, 4, 40.0)))
+    val dst = new SnapshotTable(spark, freshRoot("fmt_rate_dst"))
+    graft.streaming.StreamingEvents.appendStream(
+      spark.readStream.format("graft")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1").load(srcRoot),
+      dst, freshRoot("fmt_rate_ckpt")).awaitTermination()
+    assert(state(dst.read()) == state(src.read()))
+    // one source version per micro-batch → one dst commit per version
+    // (AvailableNow keeps draining until the pinned end; the cap bounds
+    // batch SIZE, never completeness)
+    assert(dst.history.size == 4,
+      s"expected 4 rate-limited batches, got ${dst.history.map(_._2)}")
+    // files metadata table: the snapshot's physical composition
+    val files = spark.read.format("graft").option("metadata", "files").load(srcRoot)
+    assert(files.count() == 4) // one file per single-partition commit
+    assert(files.collect().forall(r => r.getAs[Long]("size_bytes") > 0))
+  }
+
   test("racing format appends both land (commitWithRetry through the write path)") {
     val root = freshRoot("fmt_race")
     frame((0, 2024, 1, 0.0)).write.format("graft").save(root)
