@@ -132,10 +132,20 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val t = new SnapshotTable(spark, root, partCols)
     val cur = t.currentVersion.getOrElse(sys.error(
       s"no snapshot at $root — the streaming source needs an existing table"))
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val startV = parameters.get("startingVersion").map(_.trim) match {
       case Some("earliest") | Some("0") => 0
       case Some(v) => v.toInt
-      case None => cur // stream only what commits after this point
+      case None => parameters.get("startingTimestamp") match {
+        // the version live AT that wall-clock (commits after it stream);
+        // a timestamp predating all history degrades to "earliest" —
+        // everything after that time IS the whole table
+        case Some(raw) =>
+          t.versionAt(GraftDataSource.parseTimestamp(raw)).getOrElse(0)
+        case None => cur // stream only what commits after this point
+      }
     }
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
     require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")

@@ -1223,13 +1223,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * best-effort (a purge rewrite refreshes it). None if the table has
     * no commit that old. O(retained versions) metadata reads. */
   def versionAt(tsMillis: Long): Option[Int] =
-    history.map(_._1).filter { v =>
-      val m = parse(v)
-      val t =
-        if (m.ts > 0) m.ts
-        else fs.getFileStatus(manifestPath(v)).getModificationTime
-      t <= tsMillis
-    }.maxOption
+    history.map(_._1).filter(commitTimeOf(_) <= tsMillis).maxOption
 
   /** Time travel by wall-clock: the table as of `tsMillis`. */
   def readAsOf(tsMillis: Long): DataFrame =
@@ -1312,10 +1306,39 @@ class SnapshotTable(spark: SparkSession, root: String,
   def expire(keepLast: Int,
              olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Unit = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    val versions = history.map(_._1)
+    val cur = currentVersion.getOrElse(return)
+    expireTo(versions.sorted.takeRight(keepLast).toSet + cur, olderThanMs)
+  }
+
+  /** A version's commit wall-clock: the manifest's `ts` stamp, or its
+    * file modification time for pre-stamp history (best-effort — a
+    * purge rewrite refreshes mtime; stamped ts survives). */
+  private def commitTimeOf(v: Int): Long = {
+    val m = parse(v)
+    if (m.ts > 0) m.ts
+    else fs.getFileStatus(manifestPath(v)).getModificationTime
+  }
+
+  /** Age-based retention — Iceberg's `expire_snapshots(older_than)`:
+    * expire every snapshot committed at or before `tsMillis`, keeping
+    * the live version and every tagged version regardless (and
+    * branch-referenced dirs, as always). The natural cron form of
+    * [[expire]] now that manifests stamp their commit time: "retain 7
+    * days of time travel" is one call with `now - 7d`, independent of
+    * commit frequency. Same orphan-dir age guard. */
+  def expireOlderThan(tsMillis: Long,
+                      olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Unit = {
+    val versions = history.map(_._1)
+    if (currentVersion.isEmpty) return
+    expireTo(versions.filter(commitTimeOf(_) > tsMillis).toSet, olderThanMs)
+  }
+
+  private def expireTo(keepBase: Set[Int], olderThanMs: Long): Unit = {
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
     val versions = history.map(_._1)
     val cur = currentVersion.getOrElse(return)
-    val keep = versions.sorted.takeRight(keepLast).toSet + cur ++ tags.map(_._2)
+    val keep = keepBase + cur ++ tags.map(_._2)
     val dead = versions.filterNot(keep)
     // branch-referenced dirs are LIVE regardless of main retention — a
     // branch is a promise its state stays readable until dropped
@@ -1384,21 +1407,36 @@ class SnapshotTable(spark: SparkSession, root: String,
           fs.delete(st.getPath, false)
       }
     }
-    if (!fs.exists(dataDir)) return Seq.empty
-    val referenced = history.map(_._1)
-      .flatMap { v => val m = parse(v)
-        m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
-      branchReferencedDirs
-    val orphans = fs.listStatus(dataDir)
-      .filter(st => !referenced(st.getPath.getName) &&
-        !st.getPath.getName.startsWith("w_") &&
-        st.getModificationTime < cutoff)
-      .map(_.getPath).toSeq
+    val orphans = orphanDirs(cutoff)
     orphans.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(statsDir, p.getName), true)
     }
     orphans.map(_.getName)
+  }
+
+  /** DRY RUN of [[vacuum]]'s orphan sweep: the dir names a vacuum with
+    * this window WOULD remove, touching nothing — what an operator
+    * checks before running maintenance on a table with writers around
+    * (Delta's `VACUUM ... DRY RUN`). Read-only, one listing. */
+  def vacuumPreview(olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Seq[String] = {
+    require(olderThanMs >= 0, "olderThanMs must be >= 0")
+    orphanDirs(System.currentTimeMillis() - olderThanMs).map(_.getName)
+  }
+
+  /** The never-referenced `_data` dirs older than `cutoff` — candidates
+    * for [[vacuum]]'s sweep and [[vacuumPreview]]'s report. */
+  private def orphanDirs(cutoff: Long): Seq[Path] = {
+    if (!fs.exists(dataDir)) return Seq.empty
+    val referenced = history.map(_._1)
+      .flatMap { v => val m = parse(v)
+        m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
+      branchReferencedDirs
+    fs.listStatus(dataDir)
+      .filter(st => !referenced(st.getPath.getName) &&
+        !st.getPath.getName.startsWith("w_") &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath).toSeq
   }
 
   /** All pending staged (write–audit–publish) dir names, sorted. */

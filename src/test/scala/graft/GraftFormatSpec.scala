@@ -325,6 +325,40 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(state(dst.read()).size == 4, "rows leaked past the refusal")
   }
 
+  test("streaming source startingTimestamp resolves the starting version by wall-clock") {
+    val srcRoot = freshRoot("fmt_sts")
+    val src = new SnapshotTable(spark, srcRoot)
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    src.commitAppend(frame((2, 2024, 2, 20.0)))
+    src.commitAppend(frame((3, 2024, 3, 30.0)))
+    // start at `mid` (= v1 live then): only the appends after it stream
+    val dst = new SnapshotTable(spark, freshRoot("fmt_sts_dst"))
+    graft.streaming.StreamingEvents.appendStream(
+      spark.readStream.format("graft")
+        .option("startingTimestamp", mid.toString).load(srcRoot),
+      dst, freshRoot("fmt_sts_ckpt")).awaitTermination()
+    assert(state(dst.read()) == Set((2, 2024, 2, 20.0), (3, 2024, 3, 30.0)))
+    // a timestamp before all history degrades to earliest (full snapshot)
+    val dst2 = new SnapshotTable(spark, freshRoot("fmt_sts_dst2"))
+    graft.streaming.StreamingEvents.appendStream(
+      spark.readStream.format("graft")
+        .option("startingTimestamp", "1970-01-01T00:00:00Z").load(srcRoot),
+      dst2, freshRoot("fmt_sts_ckpt2")).awaitTermination()
+    assert(state(dst2.read()) == state(src.read()))
+    // both options together: refused at stream START (source creation
+    // is lazy — load() alone builds no source)
+    intercept[Exception] {
+      graft.streaming.StreamingEvents.appendStream(
+        spark.readStream.format("graft")
+          .option("startingVersion", "1")
+          .option("startingTimestamp", mid.toString).load(srcRoot),
+        dst2, freshRoot("fmt_sts_ckpt3")).awaitTermination()
+    }
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch; files metadata table") {
     val srcRoot = freshRoot("fmt_rate")
     val src = new SnapshotTable(spark, srcRoot)

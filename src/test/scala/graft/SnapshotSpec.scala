@@ -938,6 +938,35 @@ class SnapshotSpec extends AnyFunSuite {
     assert(state(t.readVersion(v2)) == Set((1, 2024, 1, 10.0)))
   }
 
+  test("expireOlderThan retires by commit wall-clock; vacuumPreview is a true dry run") {
+    val t = new SnapshotTable(spark, freshRoot("snap_expage"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitOverwrite(frame((2, 2024, 2, 2.0)))
+    t.tag("keep1", 1)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.commitOverwrite(frame((3, 2024, 3, 3.0)))
+    // v1 and v2 predate `mid`, but v1 is TAGGED and survives; v3 is
+    // current and always survives
+    t.expireOlderThan(mid, olderThanMs = 0L)
+    assert(t.history.map(_._1) == Seq(1, 3))
+    assert(state(t.readTag("keep1")) == Set((1, 2024, 1, 1.0)))
+    assert(state(t.read()) == Set((3, 2024, 3, 3.0)))
+    // a cutoff before all history expires nothing
+    t.expireOlderThan(0L, olderThanMs = 0L)
+    assert(t.history.map(_._1) == Seq(1, 3))
+    // vacuumPreview reports the orphan a crashed writer left — and
+    // REMOVES nothing (dry run); vacuum then takes exactly that list
+    frame((9, 2024, 9, 9.0)).write.parquet(s"${t.location}/_data/d00099")
+    assert(t.vacuumPreview(olderThanMs = 0L) == Seq("d00099"))
+    assert(fs(t.location).exists(new Path(t.location, "_data/d00099")),
+      "preview deleted the candidate")
+    assert(t.vacuumPreview().isEmpty, "default-window preview flagged a young dir")
+    assert(t.vacuum(olderThanMs = 0L) == Seq("d00099"))
+    assert(t.vacuumPreview(olderThanMs = 0L).isEmpty)
+  }
+
   test("vacuum racing live commits never deletes an in-flight data dir (age guard)") {
     // every commit writes its data dir BEFORE publishing its manifest,
     // so mid-commit the dir is referenced by nothing — a sweeper with
