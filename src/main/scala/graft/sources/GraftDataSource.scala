@@ -150,8 +150,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
     require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
     new GraftStreamSource(spark, t,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2, startV,
-      maxVersions)
+      schema.getOrElse(t.readVersion(cur).schema), startV, maxVersions)
   }
 
   /** `df.write.format("graft")` — the DataFrame write surface onto the
@@ -190,7 +189,12 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val t = new SnapshotTable(spark, root, partCols)
     val exists = t.currentVersion.isDefined
     (mode, parameters.get("branch")) match {
-      case (Append, Some(b)) => t.commitAppendToBranch(b, data)
+      case (Append, Some(b)) =>
+        t.commitWithRetry()(t.commitAppendToBranch(b, data))
+      // Ignore's contract is "skip when the target exists, never fail
+      // on it" — an existing branch is the target here; a MISSING
+      // branch is a different error and still raises
+      case (Ignore, Some(b)) if t.branchHead(b).isDefined => ()
       case (_, Some(b)) => sys.error(
         s"branch '$b' writes support SaveMode.Append only (a branch is a " +
           "lineage of commits; overwrite semantics belong to fastForward)")
@@ -219,10 +223,17 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // metadata tables (Iceberg's tbl.history/refs idea as an option):
     // introspection frames served through the general relation — tiny,
     // driver-built, no file scan
+    // ONE snapshot selector at a time, checked up front so no
+    // combination silently wins over another (a changelog read with a
+    // stray versionAsOf must refuse, not ignore the versionAsOf)
+    val pinned = Seq("versionAsOf", "timestampAsOf", "tag", "branch",
+      "changelogFrom", "incrementalFrom").filter(parameters.contains)
+    require(pinned.size <= 1,
+      "at most one of versionAsOf/timestampAsOf/tag/branch/changelogFrom/" +
+        s"incrementalFrom, got: ${pinned.mkString(", ")}")
     parameters.get("metadata").foreach { kind =>
-      require(!parameters.keySet.exists(
-          Set("versionAsOf", "timestampAsOf", "tag", "branch")),
-        "metadata tables take no time-travel options")
+      require(pinned.isEmpty,
+        "metadata tables take no time-travel/CDC options")
       import spark.implicits._
       val df = kind match {
         case "history" => t.describeHistory()
@@ -230,8 +241,10 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         case "branches" => t.branches.toDF("name", "head")
         case "fsck" => t.fsck().toDF("problem")
         case "files" => // Iceberg's files table: the CURRENT snapshot's
-          // physical composition — one row per data file, O(files)
-          // driver metadata, no scan
+          // physical composition — one row per LIVE data file (files of
+          // dynamically-overwritten partitions are excluded by their
+          // entry's mask, exactly as the read path excludes them),
+          // O(files) driver metadata, no scan
           val spec = t.scanSpecVersion(t.currentVersion
             .getOrElse(sys.error(s"no snapshot at $root")))
           spec.dirs.flatMap { d =>
@@ -242,7 +255,17 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
             while (it.hasNext) {
               val st = it.next()
               val name = st.getPath.getName
-              if (!name.startsWith("_") && !name.startsWith("."))
+              // partition values from the file's hive path segments
+              // (masks are value tuples in partition-column order = the
+              // hive nesting order); flat layouts have no segments and
+              // their masks are row filters, so every file stays listed
+              val segs = Iterator.iterate(st.getPath.getParent)(_.getParent)
+                .takeWhile(q => q != null && q.toString != p.toString)
+                .map(_.getName).toSeq.reverse
+              val values = segs.collect { case s if s.contains('=') =>
+                SnapshotFileIndex.unescape(s.substring(s.indexOf('=') + 1)) }
+              if (!name.startsWith("_") && !name.startsWith(".") &&
+                  !d.excluded.contains(values))
                 buf += ((p.getName, st.getPath.toString, st.getLen))
             }
             buf.toList
@@ -270,10 +293,6 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       return new GraftSnapshotRelation(spark, t.appendsBetween(f.trim.toInt,
         parameters.get("incrementalTo").map(_.trim.toInt).getOrElse(currentV)))
     }
-    val pinned = Seq("versionAsOf", "timestampAsOf", "tag", "branch")
-      .filter(parameters.contains)
-    require(pinned.size <= 1,
-      s"at most one of versionAsOf/timestampAsOf/tag/branch, got: ${pinned.mkString(", ")}")
     val (spec, general) = parameters.get("branch") match {
       case Some(b) => (t.scanSpecBranch(b), () => t.readBranch(b))
       case None =>
@@ -290,10 +309,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         (t.scanSpecVersion(v), () => t.readVersion(v))
     }
     GraftDataSource.fastIndex(spark, spec, partCols) match {
-      case Some((index, full)) =>
-        val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))
-        val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
-        HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      case Some((index, dataSchema)) =>
+        HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
           new ParquetFileFormat, parameters)(spark)
       case None => new GraftSnapshotRelation(spark, general())
     }
@@ -306,8 +323,8 @@ object GraftDataSource {
     * pending deletes, sidecar schemas that unify additively (see
     * [[unifySchemas]] — identical, or later eras strictly ADD columns),
     * every partition column present, and strictly hive-layout dirs.
-    * Returns the index plus the unified schema, or None → general
-    * path. */
+    * Returns the index (carrying the partition schema) plus the data
+    * schema, or None → general path. */
   private[sources] def fastIndex(spark: SparkSession, spec: SnapshotScanSpec,
                                  partCols: Seq[String]): Option[(SnapshotFileIndex, StructType)] = {
     if (spec.hasDeletes || spec.dirs.isEmpty) return None
@@ -317,8 +334,10 @@ object GraftDataSource {
       .getOrElse(return None)
     if (!partCols.forall(full.fieldNames.contains)) return None
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))
+    val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))
     SnapshotFileIndex.list(spark, spec, partitionSchema)
-      .map(leaves => (new SnapshotFileIndex(spark, spec, partitionSchema, leaves), full))
+      .map(leaves =>
+        (new SnapshotFileIndex(spark, spec, partitionSchema, leaves), dataSchema))
   }
 
   /** ADDITIVE schema unification — the common long-lived-table shape
@@ -336,10 +355,14 @@ object GraftDataSource {
       widest.find(_.name == f.name).exists(_.dataType == f.dataType)))
     if (!ok) None
     else Some(StructType(widest.map { f =>
-      // a column absent from ANY era must read as nullable even if its
-      // writing era declared it required — the padding nulls are real
-      if (schemas.forall(_.fieldNames.contains(f.name))) f
-      else f.copy(nullable = true)
+      // non-nullable ONLY when every era has the column AND declares it
+      // required: a column absent from any era reads padding nulls, and
+      // one nullable era's files may hold real nulls — either way a
+      // required-typed read plan would be wrong (Catalyst folds
+      // `IS NULL` to false on non-nullable columns, and the vectorized
+      // reader refuses required-but-absent columns)
+      f.copy(nullable = !schemas.forall(s =>
+        s.fieldNames.contains(f.name) && !s(f.name).nullable))
     }))
   }
 
@@ -432,8 +455,7 @@ private[sources] class GraftStreamSource(spark: SparkSession,
   }
 
   override def getOffset: Option[V1Offset] =
-    t.currentVersion.filter(v => v > startVersion || startVersion == 0)
-      .map(v => LongOffset(v.toLong))
+    t.currentVersion.map(v => LongOffset(v.toLong))
 
   // ---- Trigger.AvailableNow support (without it the engine falls back
   // to a fallible single-batch guess and warns): `prepare` pins the
@@ -452,20 +474,34 @@ private[sources] class GraftStreamSource(spark: SparkSession,
   override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
     val cur = t.currentVersion.map(_.toLong)
     val pinned = availableNowEnd.fold(cur)(end => cur.map(math.min(_, end)))
+    val committed = Option(startOffset).map {
+      case l: LongOffset => l.offset
+      case o => o.json.trim.toLong
+    }
     // rate limiting (`maxVersionsPerTrigger`): cap each micro-batch at N
     // source versions past the last committed offset, so a long backfill
     // streams as bounded batches instead of one giant one — Delta's
     // maxFilesPerTrigger idea at this protocol's natural granularity.
     // Under AvailableNow the engine keeps asking until the pinned end is
     // reached, so the cap bounds batch SIZE, never completeness.
-    val from = Option(startOffset).map {
-      case l: LongOffset => l.offset
-      case o => o.json.trim.toLong
-    }.getOrElse(startVersion.toLong)
-    val capped = maxVersionsPerTrigger.fold(pinned)(m =>
+    def capTo(from: Long) = maxVersionsPerTrigger.fold(pinned)(m =>
       pinned.map(v => math.min(v, from + m)))
-    capped.filter(v => v > startVersion || startVersion == 0)
-      .map(LongOffset(_)).orNull
+    committed match {
+      // steady state: progress is measured from the CHECKPOINTED offset,
+      // never from startVersion — a restarted query resumes exactly
+      // where it left off and streams every version committed while it
+      // was down (re-filtering on startVersion here would silently skip
+      // them: the start option only chooses where a FRESH stream begins)
+      case Some(c) => capTo(c).filter(_ > c).map(LongOffset(_)).orNull
+      // fresh "earliest" stream: the first batch is the full snapshot
+      case None if startVersion == 0 =>
+        capTo(0L).map(LongOffset(_)).orNull
+      // fresh default ("latest") stream: surface the start position
+      // ITSELF as the first offset — its batch is empty, but
+      // checkpointing it makes the start DURABLE, so a restart resumes
+      // from here instead of re-pinning to whatever is current then
+      case None => if (pinned.isDefined) LongOffset(startVersion.toLong) else null
+    }
   }
 
   override def reportLatestOffset(): V2Offset = getOffset.orNull
@@ -640,7 +676,7 @@ private[sources] object SnapshotFileIndex {
   /** Hive path-name unescaping (%XX sequences) — partition values are
     * written path-escaped by every engine; the common case (digits,
     * letters) passes through untouched. */
-  private def unescape(s: String): String =
+  private[sources] def unescape(s: String): String =
     if (!s.contains('%')) s
     else {
       val sb = new StringBuilder(s.length)

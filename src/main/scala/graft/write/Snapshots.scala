@@ -379,15 +379,34 @@ class SnapshotTable(spark: SparkSession, root: String,
       pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
+  /** The distinct partition-value tuples of `df`, string-rendered — the
+    * shape exclusion masks are expressed in. REFUSES a NULL partition
+    * value loudly: the mask line serializes null as the string "null"
+    * while the read-side equality predicate (`col === null`) is never
+    * true, so a null-partition mask would silently drop non-matching
+    * rows or mask nothing at all — the exact silent-divergence class
+    * this engine refuses elsewhere. Make partition columns non-null
+    * (coalesce a sentinel) or use a full-table commit. */
+  private def partTuples(df: DataFrame): Set[Seq[String]] = {
+    val tuples: Set[Seq[String]] = df
+      .select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partCols.indices.map(r.getString): Seq[String]).toSet
+    require(tuples.forall(t => !t.contains(null)),
+      s"NULL partition-column value among the touched partitions " +
+        s"(${partCols.mkString(", ")}): partition masks cannot name the " +
+        "null partition — make partition columns non-null (coalesce a " +
+        "sentinel value) or use a full-table commit")
+    tuples
+  }
+
   /** The overwrite-partitions commit shape, shared by the main and
     * BRANCH write paths: mask the partitions present in `df` out of
     * every previous entry (their files stay for time travel), append
     * the replacement dir. */
   private def overwritePartitionsPlan(prev: Seq[Entry], df: DataFrame,
                                       nextV: Int): Seq[Entry] = {
-    val touched: Set[Seq[String]] = df
-      .select(partCols.map(c => col(c).cast("string")): _*)
-      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    val touched = partTuples(df)
     require(touched.nonEmpty, "batch has no partitions")
     prev.map(e => e.copy(excluded = e.excluded ++ touched)) :+
       Entry(writeData(df, nextV), Set.empty)
@@ -453,11 +472,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     // partitions needing a rewrite: where batch rows land ∪ where
     // matched (old) rows live — computed with partition cols + keys
     // only, so the scan prunes to those columns
-    val touched: Set[Seq[String]] = batch
-      .select(partCols.map(c => col(c).cast("string")): _*)
-      .union(cur.join(keys, keyCols, "leftsemi")
-        .select(partCols.map(c => col(c).cast("string")): _*))
-      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    val touched = partTuples(
+      batch.select(partCols.map(col): _*)
+        .unionByName(cur.join(keys, keyCols, "leftsemi")
+          .select(partCols.map(col): _*)))
     require(touched.nonEmpty, "merge batch is empty")
     val inTouched = touched.toSeq
       .map(vals => partCols.zip(vals)
@@ -534,10 +552,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = readVersion(base)
     val cond = coalesce(condition, lit(false))
     // touched partitions: one column-pruned pass (the scan reads only
-    // partCols + the condition's columns), driver holds partition tuples
-    val profile = cur.filter(cond)
-      .select(partCols.map(c => col(c).cast("string")): _*)
-      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    // partCols + the condition's columns), driver holds partition
+    // tuples; NULL partition values among the matches are refused
+    // (partTuples) — a null-partition mask would silently lose the
+    // partition's NON-matching rows
+    val profile = partTuples(cur.filter(cond))
     if (profile.isEmpty) return base // nothing matches: no-op, no commit
     val inTouched = profile.toSeq
       .map(vals => partCols.zip(vals)
@@ -546,9 +565,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val kept = cur.filter(inTouched).filter(!cond)
     // partitions with survivors need the rewrite; fully-deleted ones
     // are metadata-only (mask, no bytes moved)
-    val partial = kept
-      .select(partCols.map(c => col(c).cast("string")): _*)
-      .distinct().collect().map(r => partCols.indices.map(r.getString)).toSet
+    val partial = partTuples(kept)
     val pm = parse(base)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
     val entries =

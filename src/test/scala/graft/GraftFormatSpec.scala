@@ -325,6 +325,49 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(state(dst.read()).size == 4, "rows leaked past the refusal")
   }
 
+  test("default-start stream pins its start durably: restarts deliver commits made while down") {
+    val srcRoot = freshRoot("fmt_dlate")
+    val src = new SnapshotTable(spark, srcRoot)
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val dst = new SnapshotTable(spark, freshRoot("fmt_dlate_dst"))
+    val ckpt = freshRoot("fmt_dlate_ckpt")
+    def hop(): Unit = graft.streaming.StreamingEvents.appendStream(
+      spark.readStream.format("graft").load(srcRoot), dst, ckpt).awaitTermination()
+    // first run, default start: nothing streams (only future commits),
+    // but the start position checkpoints as an empty batch
+    hop()
+    assert(dst.currentVersion.isEmpty, "default start streamed pre-existing data")
+    // two commits land WHILE THE QUERY IS DOWN — a restart must deliver
+    // both (re-pinning the start to the then-current version would
+    // silently skip them)
+    src.commitAppend(frame((2, 2024, 2, 20.0)))
+    src.commitAppend(frame((3, 2024, 3, 30.0)))
+    hop()
+    assert(state(dst.read()) == Set((2, 2024, 2, 20.0), (3, 2024, 3, 30.0)),
+      "commits made while the stream was down were skipped")
+    src.commitAppend(frame((4, 2024, 4, 40.0)))
+    hop()
+    assert(state(dst.read()).map(_._1) == Set(2, 3, 4))
+  }
+
+  test("fast path: a column nullable in one era stays nullable in the unified schema") {
+    val root = freshRoot("fmt_nul")
+    val t = new SnapshotTable(spark, root)
+    // era 1 declares tip nullable and WRITES a null; era 2 declares it
+    // NOT NULL — a required-typed unified read would fold IS NULL to
+    // false and lose era 1's row
+    t.commitOverwrite(frame((1, 2024, 1, 10.0))
+      .withColumn("tip", lit(null).cast("double")))
+    t.commitAppend(frame((2, 2024, 2, 20.0)).withColumn("tip", lit(2.5)))
+    val df = spark.read.format("graft").load(root)
+    df.collect()
+    assert(fileScans(df.queryExecution.executedPlan).size == 1,
+      "nullable-vs-required evolution fell off the fast path")
+    assert(df.schema("tip").nullable, "unified schema lost era-1 nullability")
+    assert(df.filter(col("tip").isNull).count() == 1,
+      "IS NULL row lost to a required-typed read plan")
+  }
+
   test("streaming source startingTimestamp resolves the starting version by wall-clock") {
     val srcRoot = freshRoot("fmt_sts")
     val src = new SnapshotTable(spark, srcRoot)

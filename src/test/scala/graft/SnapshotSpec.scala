@@ -874,6 +874,31 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty, s"post-cycle fsck: ${t.fsck()}")
   }
 
+  test("NULL partition values are refused wherever a mask would be created") {
+    val t = new SnapshotTable(spark, freshRoot("snap_nullpart"))
+    // full commits tolerate null partition values (hive default dir,
+    // plain read round-trips them) — only MASK-creating commits refuse
+    val mixed = frame((1, 2024, 1, 1.0), (9, 2024, 2, 9.0))
+      .withColumn("year",
+        when(col("id") === 9, lit(null).cast("int")).otherwise(col("year")))
+    t.commitOverwrite(mixed)
+    assert(t.read().count() == 2)
+    // a delete whose MATCHES include the null partition would mask-drop
+    // that partition's NON-matching rows too — refused loudly
+    intercept[IllegalArgumentException] { t.commitDelete(col("fare") === 9.0) }
+    // a delete touching only non-null partitions still works
+    t.commitDelete(col("fare") === 1.0)
+    assert(t.read().count() == 1)
+    // dynamic overwrite and merge with a null-partition batch refuse too
+    val nullBatch = frame((5, 2024, 5, 5.0))
+      .withColumn("year", lit(null).cast("int"))
+    intercept[IllegalArgumentException] { t.commitOverwritePartitions(nullBatch) }
+    intercept[IllegalArgumentException] { t.commitMerge(nullBatch, Seq("id")) }
+    // the refusals left no partial state
+    assert(t.read().count() == 1)
+    assert(t.fsck().isEmpty, s"refusal debris: ${t.fsck()}")
+  }
+
   test("commitDelete (COW): partition-scoped rewrite, metadata-only full partitions, time travel") {
     val t = new SnapshotTable(spark, freshRoot("snap_del"))
     val v1 = t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 1, 20.0),
