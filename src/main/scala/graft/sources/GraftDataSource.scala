@@ -349,7 +349,7 @@ object GraftDataSource {
     * with zero footer reads. Anything non-additive (a type change, two
     * eras each carrying a column the other lacks) returns None →
     * general path, which is always correct. */
-  private[sources] def unifySchemas(schemas: Seq[StructType]): Option[StructType] = {
+  private[graft] def unifySchemas(schemas: Seq[StructType]): Option[StructType] = {
     val widest = schemas.maxBy(_.size)
     val ok = schemas.forall(_.forall(f =>
       widest.find(_.name == f.name).exists(_.dataType == f.dataType)))
@@ -382,7 +382,7 @@ object GraftDataSource {
     * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss[.f]`
     * timestamp (session-zone-free — interpreted in the JVM default
     * zone, same as `java.sql.Timestamp.valueOf`). */
-  private[sources] def parseTimestamp(raw: String): Long = {
+  private[graft] def parseTimestamp(raw: String): Long = {
     val s = raw.trim
     s.toLongOption.getOrElse {
       try java.time.Instant.parse(s).toEpochMilli

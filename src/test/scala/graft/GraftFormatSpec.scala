@@ -33,6 +33,39 @@ class GraftFormatSpec extends AnyFunSuite {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
   }.flatten
 
+  test("pure helpers: timestamp parsing forms and schema unification edges") {
+    import graft.sources.GraftDataSource.{parseTimestamp, unifySchemas}
+    import org.apache.spark.sql.types._
+    // the three accepted timestamp forms agree
+    val epoch = 1767225600000L // 2026-01-01T00:00:00Z
+    assert(parseTimestamp(epoch.toString) == epoch)
+    assert(parseTimestamp("2026-01-01T00:00:00Z") == epoch)
+    assert(parseTimestamp(" 42 ") == 42L)
+    intercept[Exception] { parseTimestamp("not-a-time") }
+    def s(fields: (String, DataType, Boolean)*) =
+      StructType(fields.map { case (n, dt, nul) => StructField(n, dt, nul) })
+    // identical schemas unify to themselves
+    val a = s(("id", IntegerType, false), ("v", DoubleType, true))
+    assert(unifySchemas(Seq(a)).contains(a))
+    // additive: absent column forced nullable even if declared required
+    val b = s(("id", IntegerType, false), ("v", DoubleType, true),
+      ("tip", DoubleType, false))
+    val u = unifySchemas(Seq(a, b)).get
+    assert(u.fieldNames.toSeq == Seq("id", "v", "tip"))
+    assert(u("tip").nullable, "era-absent column must unify nullable")
+    assert(!u("id").nullable, "everywhere-required column stays required")
+    // present-everywhere but nullable in ONE era → nullable
+    val a2 = s(("id", IntegerType, true), ("v", DoubleType, true))
+    assert(unifySchemas(Seq(a2, a)).get("id").nullable)
+    // type flip → None (general path)
+    val c = s(("id", LongType, false), ("v", DoubleType, true))
+    assert(unifySchemas(Seq(a, c)).isEmpty)
+    // disjoint additions (neither is a superset) → None
+    val d1 = s(("id", IntegerType, false), ("x", IntegerType, true))
+    val d2 = s(("id", IntegerType, false), ("y", IntegerType, true))
+    assert(unifySchemas(Seq(d1, d2)).isEmpty)
+  }
+
   test("fast path: one FileSourceScan, masks at listing, partition pruning through the relation") {
     val root = freshRoot("fmt_fast")
     val t = new SnapshotTable(spark, root)
