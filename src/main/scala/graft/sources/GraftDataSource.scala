@@ -32,8 +32,9 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * Options: `versionAsOf` / `timestampAsOf` / `tag` / `branch` (at most
   * one — `timestampAsOf` resolves through [[SnapshotTable.versionAt]],
   * the Iceberg/Delta `TIMESTAMP AS OF` shape), `metadata` =
-  * `history|tags|branches|fsck` (the table's introspection frames as
-  * relations — Iceberg's metadata-table idea), `changelogFrom`[/`To`]
+  * `history|tags|branches|fsck|files` (the table's introspection frames
+  * as relations — Iceberg's metadata-table idea; `files` is the CURRENT
+  * snapshot's live physical files), `changelogFrom`[/`To`]
   * (the insert/delete row diff, [[SnapshotTable.changelog]]) and
   * `incrementalFrom`[/`To`] (appended rows only, O(new data),
   * [[SnapshotTable.appendsBetween]] — refused across non-append
@@ -147,6 +148,18 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         case None => cur // stream only what commits after this point
       }
     }
+    // refuse a start beyond the table's head LOUDLY, at stream start: a
+    // typo'd startingVersion=100 on a 3-version table would checkpoint
+    // 100 as the first offset and then silently stream nothing until
+    // version 100 exists — versions 4..99 permanently skipped by that
+    // checkpoint. (A restart resumes from the CHECKPOINTED offset and
+    // never re-evaluates the start option, so this guard can only fire
+    // on a fresh stream — it can never refuse a valid resume.)
+    require(startV <= cur,
+      s"startingVersion/startingTimestamp resolves to v$startV but the " +
+        s"table at $root is at v$cur — a beyond-head start would " +
+        "checkpoint a future offset and silently skip every version " +
+        s"committed before v$startV arrives")
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.trim.toLong)
     require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
     new GraftStreamSource(spark, t,
@@ -193,8 +206,12 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         t.commitWithRetry()(t.commitAppendToBranch(b, data))
       // Ignore's contract is "skip when the target exists, never fail
       // on it" — an existing branch is the target here; a MISSING
-      // branch is a different error and still raises
+      // branch is a different error and still raises (named for what it
+      // is, not as a SaveMode refusal)
       case (Ignore, Some(b)) if t.branchHead(b).isDefined => ()
+      case (_, Some(b)) if t.branchHead(b).isEmpty => sys.error(
+        s"branch '$b' does not exist at $root — createBranch it first " +
+          "(branch writes land on an existing lineage)")
       case (_, Some(b)) => sys.error(
         s"branch '$b' writes support SaveMode.Append only (a branch is a " +
           "lineage of commits; overwrite semantics belong to fastForward)")
@@ -250,6 +267,14 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
           spec.dirs.flatMap { d =>
             val p = new Path(d.path)
             val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // compare against the QUALIFIED root: listFiles returns
+            // fully-qualified paths (file:/...), so an unqualified
+            // string compare would never terminate the ancestor walk at
+            // the data dir and would collect every ancestor segment —
+            // harmless until a table root contains '=' in a directory
+            // name, which would then corrupt the value tuple and list
+            // masked files as live
+            val qRoot = dfs.makeQualified(p).toString
             val it = dfs.listFiles(p, /*recursive=*/ true)
             val buf = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
             while (it.hasNext) {
@@ -260,7 +285,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
               // hive nesting order); flat layouts have no segments and
               // their masks are row filters, so every file stays listed
               val segs = Iterator.iterate(st.getPath.getParent)(_.getParent)
-                .takeWhile(q => q != null && q.toString != p.toString)
+                .takeWhile(q => q != null && q.toString != qRoot)
                 .map(_.getName).toSeq.reverse
               val values = segs.collect { case s if s.contains('=') =>
                 SnapshotFileIndex.unescape(s.substring(s.indexOf('=') + 1)) }

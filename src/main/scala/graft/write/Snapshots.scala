@@ -950,18 +950,25 @@ class SnapshotTable(spark: SparkSession, root: String,
     new Path(manifestDir, f"${branchPrefix(name)}$bv%05d.txt")
 
   /** The version suffix of a branch manifest name, iff the remainder
-    * after the prefix is EXACTLY the 5-digit version — branch names
-    * allow digits and underscores, so `bv_daily_` is a string-prefix of
-    * `bv_daily_v2_`'s manifests; a bare startsWith match would hand
-    * `branchVersions("daily")` the token `v2_00001` and throw from
-    * every maintenance op on the table (vacuum/expire/purge/fsck all
-    * walk every branch). The strict-shape parse makes prefix-related
-    * names coexist. */
+    * after the prefix is EXACTLY an all-digit version token of >= 5
+    * digits — branch names allow digits and underscores, so `bv_daily_`
+    * is a string-prefix of `bv_daily_v2_`'s manifests; a bare
+    * startsWith match would hand `branchVersions("daily")` the token
+    * `v2_00001` and throw from every maintenance op on the table
+    * (vacuum/expire/purge/fsck all walk every branch). The strict-shape
+    * parse makes prefix-related names coexist, and it stays unambiguous
+    * against a LONGER branch name sharing the prefix: that name's
+    * manifests carry an extra `_NNNNN` token, so their suffix contains
+    * an underscore and never parses as all digits. `>= 5` (not `== 5`)
+    * because `f"%05d"` PADS to five digits but renders six at branch
+    * version 100000 — an exact-5 parse would publish that manifest and
+    * then never see it again, wedging the branch head at 99999 with
+    * every later commit hitting the existing 100000 file. */
   private def branchVersionOf(pre: String, fileName: String): Option[Int] =
     if (!(fileName.startsWith(pre) && fileName.endsWith(".txt"))) None
     else {
       val suffix = fileName.stripPrefix(pre).stripSuffix(".txt")
-      if (suffix.length == 5 && suffix.forall(_.isDigit)) Some(suffix.toInt)
+      if (suffix.length >= 5 && suffix.forall(_.isDigit)) Some(suffix.toInt)
       else None // a longer branch name sharing this prefix — not ours
     }
 
@@ -984,9 +991,11 @@ class SnapshotTable(spark: SparkSession, root: String,
         n.stripPrefix("bv_").stripSuffix(".txt") }
       .flatMap { rest =>
         // name = everything before the trailing _NNNNN version token
-        // (names may themselves contain underscores and digits)
+        // (names may themselves contain underscores and digits);
+        // >= 5 digits for the same 100000-rollover reason as
+        // branchVersionOf
         val i = rest.lastIndexOf('_')
-        if (i <= 0 || rest.length - i - 1 != 5 ||
+        if (i <= 0 || rest.length - i - 1 < 5 ||
             !rest.drop(i + 1).forall(_.isDigit)) None
         else Some(rest.substring(0, i))
       }
@@ -1069,6 +1078,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Race-injection seam for the check→publish window of strict
+    * [[fastForward]] — a no-op in production; tests override it to
+    * interleave a main commit between the strictness check and the
+    * publish and pin that the CAS (not the check) refuses. The window
+    * is real under concurrency but nanoseconds wide, so only an
+    * injected interleaving exercises it deterministically. */
+  protected def raceWindowHook(): Unit = ()
+
   /** The branch's fork point against main: the newest `branch_from_<v>`
     * or `rebased_to_<v>` marker in its lineage — each [[fastForward]]
     * records the main version it published, so repeated branch → main
@@ -1103,17 +1120,29 @@ class SnapshotTable(spark: SparkSession, root: String,
   def fastForward(name: String, strict: Boolean = true): Int = {
     val head = branchHead(name)
       .getOrElse(sys.error(s"no branch '$name' at $root"))
-    if (strict) {
-      val fork = branchForkPoint(name)
-      val cur = currentVersion.getOrElse(0)
-      require(cur == fork,
-        s"fast-forward of '$name' refused: main moved v$fork -> v$cur since " +
-          "the fork; rebase the branch or publish with strict = false " +
-          "(rollback semantics for main's newer commits)")
-    }
+    // STRICT mode's CAS base is the CHECKED fork version, never a
+    // re-read of CURRENT: commit()'s own contract says `parent` is the
+    // version the entries were computed against, and a re-read here
+    // would let a main commit that interleaves between this check and
+    // the publish become the base — the publish would then land on top
+    // of it and silently roll it out of CURRENT state, the exact
+    // outcome strict mode exists to refuse. With `fork` as the base,
+    // the create-exclusive on fork+1 itself catches the interleaver
+    // (SnapshotConflictException), closing the check→publish window.
+    val base =
+      if (strict) {
+        val fork = branchForkPoint(name)
+        val cur = currentVersion.getOrElse(0)
+        require(cur == fork,
+          s"fast-forward of '$name' refused: main moved v$fork -> v$cur since " +
+            "the fork; rebase the branch or publish with strict = false " +
+            "(rollback semantics for main's newer commits)")
+        raceWindowHook()
+        fork
+      } else currentVersion.getOrElse(0)
     val bm = parseBranch(name, head)
     val newMain = commit(s"fast_forward_$name", bm.entries,
-      currentVersion.getOrElse(0), bm.deletes, bm.predDeletes)
+      base, bm.deletes, bm.predDeletes)
     // advance the fork point: same entries, marker op — a reader of the
     // branch sees identical state, and the marker's create-exclusive
     // publish is best-effort (a concurrent branch commit winning the

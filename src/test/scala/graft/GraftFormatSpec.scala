@@ -460,6 +460,52 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(files.collect().forall(r => r.getAs[Long]("size_bytes") > 0))
   }
 
+  test("files metadata: ancestor walk terminates at the data dir even with '=' in the root") {
+    // a root path containing '=' is the trap: the walk compares each
+    // ancestor against the data dir's path, and an unqualified string
+    // compare never matches listFiles' fully-qualified paths — the walk
+    // would then collect the root's own 'odd=name' segment into every
+    // value tuple, breaking mask matching (masked files listed as live)
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt_eq")
+      .toString + "/odd=name/tbl"
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+    t.commitOverwritePartitions(frame((9, 2024, 2, 9.0)))
+    val files = spark.read.format("graft").option("metadata", "files").load(root)
+    // v1 wrote 2 files (one per partition) of which month=2 is masked
+    // by the dynamic overwrite; v2 wrote its 1 replacement → 2 live
+    assert(files.count() == 2,
+      s"masked file leaked back as live: ${files.collect().mkString(", ")}")
+  }
+
+  test("streaming source refuses a beyond-head start; missing-branch writes name the branch") {
+    val root = freshRoot("fmt_guards")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // a typo'd startingVersion past the head would checkpoint a future
+    // offset and silently stream nothing until that version exists —
+    // refuse at createSource instead
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftDataSource().createSource(spark.sqlContext,
+        freshRoot("fmt_guards_meta"), None, "graft",
+        Map("path" -> root, "startingVersion" -> "100"))
+    }
+    assert(e.getMessage.contains("v100") && e.getMessage.contains("v1"),
+      s"refusal must name both versions: ${e.getMessage}")
+    // an AT-head start is valid (streams only future commits)
+    new graft.sources.GraftDataSource().createSource(spark.sqlContext,
+      freshRoot("fmt_guards_meta2"), None, "graft",
+      Map("path" -> root, "startingVersion" -> "1")).stop()
+    // a write naming a branch that doesn't exist says so — not a
+    // misleading SaveMode refusal
+    val err = intercept[RuntimeException] {
+      frame((2, 2024, 2, 2.0)).write.format("graft").mode("ignore")
+        .option("branch", "nope").save(root)
+    }
+    assert(err.getMessage.contains("branch 'nope' does not exist"),
+      s"wrong refusal: ${err.getMessage}")
+  }
+
   test("racing format appends both land (commitWithRetry through the write path)") {
     val root = freshRoot("fmt_race")
     frame((0, 2024, 1, 0.0)).write.format("graft").save(root)

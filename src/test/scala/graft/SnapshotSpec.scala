@@ -874,6 +874,62 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty, s"post-cycle fsck: ${t.fsck()}")
   }
 
+  test("strict fast-forward: a main commit interleaving between check and publish loses the CAS") {
+    val root = freshRoot("snap_ffrace")
+    val t = new SnapshotTable(spark, root)
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.createBranch("wip", v1)
+    t.commitAppendToBranch("wip", frame((2, 2024, 2, 2.0)))
+    // inject a main commit INSIDE the check→publish window: the
+    // strictness check passes (main is still at the fork when it runs),
+    // then main moves — the publish must lose the create-exclusive on
+    // fork+1 instead of landing on top of the interleaved commit and
+    // silently rolling it out of CURRENT (the TOCTOU the strict
+    // contract exists to refuse; the CAS base is the CHECKED fork, not
+    // a re-read)
+    val racing = new SnapshotTable(spark, root) {
+      override protected def raceWindowHook(): Unit = {
+        t.commitAppend(frame((9, 2024, 9, 9.0))); ()
+      }
+    }
+    intercept[SnapshotConflictException] { racing.fastForward("wip") }
+    // the interleaved commit SURVIVES in current state — nothing was
+    // silently rolled back
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (9, 2024, 9, 9.0)))
+    // a re-attempt now fails the check itself (main moved off the fork),
+    // and the explicit non-strict opt-in still publishes
+    intercept[IllegalArgumentException] { t.fastForward("wip") }
+    t.fastForward("wip", strict = false)
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+    assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
+  }
+
+  test("branch versions past 99999 stay visible (%05d pads, 6-digit names must parse)") {
+    val t = new SnapshotTable(spark, freshRoot("snap_bv6"))
+    val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.createBranch("b", v1)
+    val bv2 = t.commitAppendToBranch("b", frame((2, 2024, 2, 2.0)))
+    // simulate the 100000th branch commit: f"%05d" pads to five digits
+    // but renders SIX at 100000, so the manifest publishes under a
+    // 6-digit name — plant it by copying the head manifest with the
+    // version line rewritten (the manifests are plain text)
+    val f = fs(t.location)
+    val mdir = new Path(t.location, "_manifests")
+    val in = f.open(new Path(mdir, f"bv_b_$bv2%05d.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val out = f.create(new Path(mdir, "bv_b_100000.txt"))
+    try out.write(text.replace(s"version=$bv2", "version=100000")
+      .replace(s"parent=${bv2 - 1}", "parent=99999").getBytes("UTF-8"))
+    finally out.close()
+    // an exact-5-digit parse would leave the head stuck at bv2 and the
+    // next commit wedged forever on the already-existing 100000 file
+    assert(t.branchHead("b").contains(100000))
+    assert(t.commitAppendToBranch("b", frame((3, 2024, 3, 3.0))) == 100001)
+    assert(state(t.readBranch("b")) ==
+      Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0), (3, 2024, 3, 3.0)))
+    assert(t.branches == Seq("b" -> 100001))
+  }
+
   test("NULL partition values are refused wherever a mask would be created") {
     val t = new SnapshotTable(spark, freshRoot("snap_nullpart"))
     // full commits tolerate null partition values (hive default dir,
