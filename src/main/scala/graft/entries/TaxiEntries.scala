@@ -546,6 +546,23 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // Row-level UPDATE as one commit (UPDATE t SET fare = fare * 2
+    // WHERE fare > 400 — the third Iceberg/Delta row-DML verb,
+    // completing the DELETE/MERGE/UPDATE set): copy-on-write scoped to
+    // the partitions holding matching rows, survivors carried
+    // unchanged, NULL-condition rows kept. Graded on the post-update
+    // state; pre-update-RHS semantics, the no-match no-op,
+    // partition-column moves, and time-travel survival are pinned in
+    // SnapshotSpec. Deep clone (update commits).
+    "taxi_snapshot_update" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("snapupd", d, s))
+      t.commitUpdate(col("fare_amount") > 400,
+        Seq("fare_amount" -> (col("fare_amount") * 2)))
+      t.read().groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // MERGE-ON-READ row-level DELETE: the same predicate lands as ONE
     // manifest line (the predicate's SQL itself — no partition rewrite,
     // no delete file, O(metadata) whatever the match count) and reads
@@ -1008,6 +1025,15 @@ object TaxiEntries {
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM stg_yellow WHERE NOT coalesce(fare_amount > 400, FALSE)
          |GROUP BY 1, 2""".stripMargin),
+    // post-update state: >400 fares doubled in place (×2 is IEEE-exact
+    // on doubles, so the mirror is bit-identical), everything else —
+    // including NULL fares, where the condition is NULL — untouched;
+    // row counts never change under UPDATE
+    "taxi_snapshot_update" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum("CASE WHEN coalesce(fare_amount > 400, FALSE) " +
+            "THEN fare_amount * 2 ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
     // merge-on-read delete ≡ copy-on-write delete by construction
     "taxi_snapshot_delete_mor" -> o(
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum

@@ -580,6 +580,72 @@ class SnapshotTable(spark: SparkSession, root: String,
     commit("delete", entries, base, pm.deletes, pm.predDeletes)
   }
 
+  /** Row-level UPDATE as ONE commit — `UPDATE t SET col = expr, ...
+    * WHERE cond` with history: the third row-DML verb of the
+    * Iceberg/Delta capability set the reference inherits (alongside
+    * [[commitDelete]] and [[commitMerge]]; the capability class behind
+    * `ingest_spark_bulk.py:71–81`'s row-level ops). COPY-ON-WRITE
+    * scoped to touched partitions via [[commitDelete]]'s partition-
+    * profile machinery: one column-pruned locate pass (partition
+    * columns + the condition's columns — the scan prunes to those),
+    * then a read+write of ONLY the partitions holding matching rows,
+    * with the SET applied to matching rows and survivors carried
+    * unchanged. Unlike DELETE there is no metadata-only shortcut — an
+    * update never empties a partition, so every touched partition is
+    * rewritten (the standard COW UPDATE floor); untouched partitions
+    * move zero bytes.
+    *
+    * SQL UPDATE semantics throughout: every assignment's right-hand
+    * side reads the PRE-update row (`SET a = b, b = a` swaps), each
+    * assignment is cast to its column's existing type (the
+    * Delta/Iceberg implicit cast — the table's schema never drifts
+    * from an UPDATE), rows where `condition` is NULL are KEPT
+    * UNCHANGED (update only what provably matches — the
+    * [[commitDelete]]/[[purge]] contract), and a condition matching
+    * nothing is a no-op: returns the current version, no empty commit.
+    * An assignment may change PARTITION columns — the row's old
+    * partition is in the touched profile (it held the matching row)
+    * and the rewrite lands the row under its new partition values
+    * inside the replacement dir, so moves compose with the masking
+    * exactly as [[commitMerge]]'s moved keys do. Older versions still
+    * read the pre-update rows (time travel); pending merge-on-read
+    * deletes carry through for untouched entries, same as
+    * [[commitMerge]]. */
+  def commitUpdate(condition: org.apache.spark.sql.Column,
+                   assignments: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    require(assignments.nonEmpty, "commitUpdate needs at least one SET assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"duplicate SET column among (${assignments.map(_._1).mkString(", ")})")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val cur = readVersion(base)
+    val byName = assignments.toMap
+    assignments.foreach { case (c, _) =>
+      require(cur.columns.contains(c),
+        s"SET column '$c' is not a column of the table at $root " +
+          s"(columns: ${cur.columns.mkString(", ")})")
+    }
+    val cond = coalesce(condition, lit(false))
+    val profile = partTuples(cur.filter(cond))
+    if (profile.isEmpty) return base // nothing matches: no-op, no commit
+    val inTouched = profile.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+      .reduce(_ || _)
+    // one select over the touched rows: every assignment RHS resolves
+    // against the ORIGINAL columns (pre-update row), matching rows take
+    // the cast assignment, survivors pass through — column order and
+    // names preserved, so the replacement dir's schema is the table's
+    val updated = cur.filter(inTouched).select(cur.schema.fields.map { f =>
+      byName.get(f.name)
+        .map(a => when(cond, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    val pm = parse(base)
+    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
+    commit("update", prev :+ Entry(writeData(updated, base + 1), Set.empty),
+      base, pm.deletes, pm.predDeletes)
+  }
+
   /** MERGE-ON-READ row-level DELETE — the predicate itself IS the
     * commit: one `pdelete` manifest line carrying the condition's SQL,
     * zero data movement, O(metadata) cost regardless of how many rows

@@ -874,6 +874,59 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty, s"post-cycle fsck: ${t.fsck()}")
   }
 
+  test("row-level UPDATE: COW touched partitions, null-keep, no-op, pre-update RHS, partition moves") {
+    val t = new SnapshotTable(spark, freshRoot("snap_upd"))
+    // id 3's fare is NULL: `fare > 15` evaluates NULL there — the row
+    // must be KEPT UNCHANGED (update only what provably matches)
+    val base = frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 3, 30.0))
+      .withColumn("fare",
+        when(col("id") === 3, lit(null).cast("double")).otherwise(col("fare")))
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Option[Double])] =
+      df.select(col("id"), col("year"), col("month"), col("fare")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val v1 = t.commitOverwrite(base)
+    // refusals: unknown SET column, duplicate SET column, empty SET
+    intercept[IllegalArgumentException] {
+      t.commitUpdate(col("fare") > 15, Seq("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      t.commitUpdate(col("fare") > 15, Seq("fare" -> lit(1), "fare" -> lit(2)))
+    }
+    intercept[IllegalArgumentException] {
+      t.commitUpdate(col("fare") > 15, Seq.empty)
+    }
+    // no-match: a no-op that returns the current version, no commit
+    assert(t.commitUpdate(col("fare") > 999, Seq("fare" -> lit(0.0))) == v1)
+    assert(t.history.size == 1)
+    // the update: only month=2 holds a matching row, so only that
+    // partition is touched (masked + rewritten); the NULL-fare row and
+    // month=1 move zero bytes
+    val v2 = t.commitUpdate(col("fare") > 15, Seq("fare" -> (col("fare") * 2)))
+    assert(snap(t.read()) == Set((1, 2024, 1, Some(10.0)),
+      (2, 2024, 2, Some(40.0)), (3, 2024, 3, None)))
+    // time travel: the pre-update state survives
+    assert(snap(t.readVersion(v1)) == Set((1, 2024, 1, Some(10.0)),
+      (2, 2024, 2, Some(20.0)), (3, 2024, 3, None)))
+    assert(t.history.map(_._2) == Seq("overwrite", "update"))
+    // SQL UPDATE semantics: every RHS reads the PRE-update row — the
+    // swap must yield (id = old fare, fare = old id), and each
+    // assignment casts to its column's existing type (int/double here)
+    t.commitUpdate(col("id") === 1,
+      Seq("id" -> col("fare"), "fare" -> col("id")))
+    assert(snap(t.read()) == Set((10, 2024, 1, Some(1.0)),
+      (2, 2024, 2, Some(40.0)), (3, 2024, 3, None)))
+    // an assignment on a PARTITION column moves the row: the old
+    // partition is touched (it held the match), the rewrite lands the
+    // row under its new values inside the replacement dir
+    t.commitUpdate(col("id") === 2, Seq("month" -> lit(12)))
+    assert(snap(t.read()) == Set((10, 2024, 1, Some(1.0)),
+      (2, 2024, 12, Some(40.0)), (3, 2024, 3, None)))
+    assert(snap(t.readVersion(v2)) == Set((1, 2024, 1, Some(10.0)),
+      (2, 2024, 2, Some(40.0)), (3, 2024, 3, None)))
+    assert(t.fsck().isEmpty, s"post-update fsck: ${t.fsck()}")
+  }
+
   test("strict fast-forward: a main commit interleaving between check and publish loses the CAS") {
     val root = freshRoot("snap_ffrace")
     val t = new SnapshotTable(spark, root)
