@@ -445,32 +445,38 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
-    // Snapshot table as a STREAMING SOURCE (spark.readStream
-    // .format("graft")): versions are the offsets, the first batch is
-    // the full initial snapshot ("earliest"), later batches are
-    // appendsBetween increments — here streamed table-to-table into a
-    // second snapshot table through the exactly-once append sink, the
-    // medallion-hop architecture with both edges transactional. Two
-    // sequential replays (initial load, then an appended month-era)
+    // Snapshot table as BOTH streaming edges of a table→table hop,
+    // reached purely by format name: spark.readStream.format("graft")
+    // (versions are the offsets; the first batch is the full initial
+    // snapshot under "earliest", later batches are appendsBetween
+    // increments) piped into writeStream.format("graft") — the NATIVE
+    // sink, one batch-id-tagged commit per micro-batch, exactly-once
+    // end to end with no foreachBatch helper in sight. Two sequential
+    // AvailableNow runs (initial load, then an appended month-era)
     // exercise checkpoint resume; final state must equal the full
     // staging profile — the same oracle as taxi_stream_append by
-    // construction. Refusal on non-append chains and empty-resume
-    // idempotency are pinned in GraftFormatSpec.
+    // construction. Refusal on non-append chains, replay-skip on
+    // redelivered batch ids, and empty-resume idempotency are pinned
+    // in GraftFormatSpec.
     "taxi_stream_source" -> q { (s, d) =>
       val stg = models(s, d).stgYellow.drop("loaded_at")
       val src = new graft.write.SnapshotTable(s, tmpPath("ssrc_tbl", d, s))
-      val dst = new graft.write.SnapshotTable(s, tmpPath("ssrc_dst", d, s))
+      val dstRoot = tmpPath("ssrc_dst", d, s)
       val ckpt = tmpPath("ssrc_ckpt", d, s)
       def hop(): Unit =
-        graft.streaming.StreamingEvents.appendStream(
-          s.readStream.format("graft").option("startingVersion", "earliest")
-            .load(src.location),
-          dst, ckpt).awaitTermination()
+        s.readStream.format("graft").option("startingVersion", "earliest")
+          .load(src.location)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dstRoot)
+          .awaitTermination()
       src.commitOverwrite(stg.filter(col("month") <= 6))
       hop()
       src.commitAppend(stg.filter(col("month") > 6))
       hop()
-      dst.read().groupBy(col("year"), col("month"))
+      s.read.format("graft").load(dstRoot)
+        .groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },

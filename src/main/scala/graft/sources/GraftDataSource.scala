@@ -88,9 +88,46 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * commit, `REFRESH TABLE` picks up the new version (DataFrame reads
   * via `.load()` resolve per call and need no refresh). */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming sink (`df.writeStream.format("graft")`): the
+  // snapshot table as a NATIVE stream target — each micro-batch is one
+  // batch-id-tagged commitAppend, so a user reaching the format by name
+  // gets the same exactly-once table→table hop as the
+  // [[graft.streaming.StreamingEvents.appendStream]] helper without
+  // switching to the foreachBatch API. Append output mode only (the
+  // table's streaming write IS an append lineage; Update/Complete
+  // semantics belong to the IVM/upsert helpers, which carry key
+  // context a sink signature doesn't). Exactly-once under the engine's
+  // at-least-once redelivery: the batch id rides the commit's op tag,
+  // so a batch replayed after a crash between commit and checkpoint
+  // write is recognized and skipped, never double-appended. ----
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      sys.error("writeStream.format(\"graft\") needs a path: " +
+        ".option(\"path\", <table root>) or .start(<table root>)"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode — " +
+        "aggregation maintenance belongs to the IVM/upsert streaming " +
+        "helpers (graft.streaming.StreamingEvents), which know the keys")
+    val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
+    // a .partitionBy() that disagrees with the table's recorded layout
+    // would commit dirs whose hive nesting contradicts every manifest —
+    // refuse; omitting partitionBy defers to the table (the normal use)
+    require(partitionColumns.isEmpty || partitionColumns == partCols,
+      s"partitionBy(${partitionColumns.mkString(", ")}) does not match " +
+        s"the table's partition columns (${partCols.mkString(", ")}); " +
+        "omit partitionBy — the snapshot table partitions every commit " +
+        "by its recorded layout")
+    new GraftStreamSink(spark, new SnapshotTable(spark, root, partCols))
+  }
 
   // ---- streaming source (`spark.readStream.format("graft")`): the
   // snapshot table as a STREAM, the capability that turns committed
@@ -545,6 +582,37 @@ private[sources] class GraftStreamSource(spark: SparkSession,
   }
 
   override def stop(): Unit = ()
+}
+
+/** The snapshot table as a DSv1 streaming [[org.apache.spark.sql.execution.streaming.Sink]]:
+  * `addBatch` = one batch-id-tagged [[SnapshotTable.commitAppend]]
+  * through [[graft.streaming.StreamingEvents.appendApplyBatch]], which
+  * skips an already-applied batch id (the at-least-once replay case —
+  * a crash between the commit and the engine's checkpoint write
+  * redelivers the batch; the op tag proves it landed) and skips empty
+  * batches (no data-file-less commits). The incoming frame is bound to
+  * the micro-batch's incremental execution, so its physical rows are
+  * re-wrapped as a batch plan first ([[org.apache.spark.sql.graft.StreamingBridge.batchDataFrame]]
+  * — the engine's own ForeachBatchSink technique); commit contention
+  * with concurrent batch writers is ordinary
+  * [[SnapshotTable.commitWithRetry]] arbitration. */
+private[sources] class GraftStreamSink(spark: SparkSession, t: SnapshotTable)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.StreamingBridge.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    // retry-safe: each attempt re-reads the last-applied batch tag, so
+    // a retry after losing a race to a concurrent batch writer either
+    // re-lands against the new current or recognizes its own commit
+    t.commitWithRetry() {
+      graft.streaming.StreamingEvents.appendApplyBatch(t, batch, batchId)
+      t.currentVersion.getOrElse(0)
+    }
+    ()
+  }
+
+  override def toString: String = s"GraftSink[${t.location}]"
 }
 
 /** One hive leaf directory of the resolved snapshot: its typed partition

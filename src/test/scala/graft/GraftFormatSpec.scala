@@ -478,6 +478,54 @@ class GraftFormatSpec extends AnyFunSuite {
       s"masked file leaked back as live: ${files.collect().mkString(", ")}")
   }
 
+  test("streaming SINK: writeStream.format(\"graft\") — exactly-once hop, replay skipped, refusals") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val srcRoot = freshRoot("fmt_sink_src")
+    val dstRoot = freshRoot("fmt_sink_dst")
+    val ckpt = freshRoot("fmt_sink_ckpt")
+    val src = new SnapshotTable(spark, srcRoot)
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    def hop(): Unit =
+      spark.readStream.format("graft").option("startingVersion", "earliest")
+        .load(srcRoot)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dstRoot)
+        .awaitTermination()
+    // initial load, then an incremental era — both through the NATIVE
+    // sink (no foreachBatch), both transactional edges
+    hop()
+    val dst = new SnapshotTable(spark, dstRoot)
+    assert(state(dst.read()) == state(src.read()))
+    src.commitAppend(frame((2, 2024, 2, 20.0)))
+    hop()
+    assert(state(dst.read()) == state(src.read()))
+    // an idle re-run lands nothing: no new offsets → no empty commits
+    val before = dst.history.size
+    hop()
+    assert(dst.history.size == before, s"idle hop committed: ${dst.history}")
+    // a REPLAYED batch id (crash between commit and checkpoint write —
+    // the at-least-once case) is recognized from the op tag and
+    // skipped, never double-appended; the next id lands normally
+    val sink = new graft.sources.GraftDataSource().createSink(spark.sqlContext,
+      Map("path" -> dstRoot), Seq.empty, OutputMode.Append())
+    sink.addBatch(1, frame((9, 2024, 9, 99.0))) // ids 0,1 already applied
+    assert(state(dst.read()) == state(src.read()), "replayed batch double-applied")
+    sink.addBatch(2, frame((3, 2024, 3, 30.0)))
+    assert(state(dst.read()) == state(src.read()) + ((3, 2024, 3, 30.0)))
+    // refusals: non-Append output mode; partitionBy disagreeing with
+    // the table's recorded layout
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftDataSource().createSink(spark.sqlContext,
+        Map("path" -> dstRoot), Seq.empty, OutputMode.Complete())
+    }
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftDataSource().createSink(spark.sqlContext,
+        Map("path" -> dstRoot), Seq("id"), OutputMode.Append())
+    }
+  }
+
   test("streaming source refuses a beyond-head start; missing-branch writes name the branch") {
     val root = freshRoot("fmt_guards")
     val t = new SnapshotTable(spark, root)
