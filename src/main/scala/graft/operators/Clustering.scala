@@ -73,29 +73,48 @@ object Clustering {
   /** The FINAL learned centroids (cid, cv) of the same fixed-iteration
     * Lloyd loop — the codebook consumers (PQ ADC lookup tables, IVF
     * routing) read, separated out so they can reuse it without
-    * re-deriving the assignment. */
+    * re-deriving the assignment.
+    *
+    * Each round MATERIALIZES the K·d centroid state on the driver
+    * (collect of k rows — explicitly driver-size, the same state the
+    * broadcast ships anyway) and re-injects it as a local relation for
+    * the next round. Leaving the rounds chained lazily instead makes
+    * round i's broadcast re-execute rounds 1..i−1's whole subplan — an
+    * O(iters²) cascade of tiny jobs whose scheduling latency, not
+    * compute, dominated the entry's wall clock and made it swing 6×
+    * between identical runs. Materialized, each round is exactly one
+    * aggregation job over the (cached) corpus plus a trivial local
+    * broadcast. The collect is EXACT: `stableAvg` doubles round-trip
+    * bit-identically through InternalRow, so the unrolled-CTE oracle
+    * grades unchanged. */
   def kMeansCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be at least 1: $k")
     require(iters >= 1, s"iters must be at least 1: $iters")
-    val vecs = toDoubleVec(vectors)
-    var cents = vecs.orderBy(col("vec_id")).limit(k)
-      // k-row frame: the un-partitioned window is a deliberate
-      // single-task pass over driver-size state
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-      .select(col("cid"), col("v").as("cv"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // every round re-reads the corpus — cache it once (entry-scoped,
+    // drained by the Verify/Bench harnesses)
+    val vecs = graft.TransientCache.register(toDoubleVec(vectors))
+    def local(cents: Seq[(Int, Seq[Double])]): DataFrame = cents.toDF("cid", "cv")
+    // init: the k smallest vec_ids in id order — collect of a global
+    // top-k (TakeOrdered), row order = the ordering, no RNG
+    var cents: Seq[(Int, Seq[Double])] =
+      vecs.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
+        .toSeq.map(_.getSeq[Double](0)).zipWithIndex.map(_.swap)
     for (_ <- 1 to iters) {
-      val means = assign(vecs, cents)
+      val means = assign(vecs, local(cents))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(stableAvg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mv"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // an emptied cluster keeps its previous centroid (the left-join
+      // coalesce of the lazy formulation, as a map lookup)
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
-    cents
+    local(cents)
   }
 
   /** GROUPED Lloyd training: one fixed-iteration loop learns an
@@ -113,12 +132,36 @@ object Clustering {
   def kMeansCentroidsGrouped(slices: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be at least 1: $k")
     require(iters >= 1, s"iters must be at least 1: $iters")
-    val vecs = slices.select(col("sub"), col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val spark = slices.sparkSession
+    // per-round materialization, exactly as [[kMeansCentroids]]: the
+    // (groups × k × subDim) codebook is driver-size by contract (it is
+    // what the per-round broadcast ships), so collecting it breaks the
+    // lazy round-over-round chaining that re-executed every earlier
+    // round inside each broadcast build
+    val vecs = graft.TransientCache.register(
+      slices.select(col("sub"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")))
+    val subType = vecs.schema("sub").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub", subType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def local(cents: Seq[(Any, Int, Seq[Double])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        cents.map { case (s, c, v) =>
+          org.apache.spark.sql.Row(s, c, v) }.asJava, schema)
+    }
     val w = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
-    var cents = vecs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("v").as("cv"))
+    var cents: Seq[(Any, Int, Seq[Double])] =
+      vecs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("v"))
+        .collect().toSeq
+        .map(r => (r.get(0), r.getInt(1), r.getSeq[Double](2)))
     def assignG(cs: DataFrame) = {
       val ca = cs.groupBy(col("sub"))
         .agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
@@ -129,17 +172,18 @@ object Clustering {
         .select(col("sub"), col("vec_id"), col("v"), col("best.cid").as("cid"))
     }
     for (_ <- 1 to iters) {
-      val means = assignG(cents)
+      val means = assignG(local(cents))
         .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cid"), col("pos"))
         .agg(stableAvg(col("x")).as("m"))
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mv"))
-      cents = cents.join(means, Seq("sub", "cid"), "left")
-        .select(col("sub"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .collect().map(r => (r.get(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cents = cents.map { case (s, c, cv) =>
+        (s, c, means.getOrElse((s, c), cv)) } // emptied cluster keeps its centroid
     }
-    cents
+    local(cents)
   }
 
   /** SemDeDup-style semantic dedup: learn `k` clusters, then mark as
