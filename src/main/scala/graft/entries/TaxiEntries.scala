@@ -60,6 +60,18 @@ object TaxiEntries {
   private def tmpPath(tag: String, d: String, s: SparkSession): String =
     Scratch.tmpPath(tag, d, s)
 
+  /** Register a snapshot root under a catalog table name for the SQL
+    * entries (DROP + CREATE: idempotent across verify/bench reruns in
+    * one session). The literal-SQL statements of the taxi_sql_* family
+    * need a catalog identity; everything else about the table is the
+    * same fixture the Scala-API twins use. */
+  private def sqlReg(s: SparkSession, tag: String, root: String): String = {
+    val name = s"graft_entry_$tag"
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+    name
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = EntryMap(
     "taxi_stg_yellow" -> q((s, d) => models(s, d).stgYellow.drop("loaded_at")),
     "taxi_stg_green" -> q((s, d) => models(s, d).stgGreen.drop("loaded_at")),
@@ -569,6 +581,86 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // ---- The SQL surface (graft.sql analyzer rules): the same
+    // versioned-table operations as their Scala-API twins, driven by
+    // LITERAL SQL over a catalog-registered table — the syntax the
+    // reference's users write against their Iceberg catalog. Each
+    // statement lowers onto the commit protocol (never Spark's raw-file
+    // path), so the oracles are SHARED with the twins by construction.
+    // Refusal shapes, conf-switched MOR modes, and auto-refresh are
+    // pinned in GraftSqlSpec. ----
+    // SELECT ... VERSION AS OF across all three fixture versions — the
+    // literal time-travel syntax over the same snapshots
+    // taxi_snapshot_format reads via options (same oracle).
+    "taxi_sql_timetravel" -> q { (s, d) =>
+      val (t, v1, v2, v3) = snapCdcFixture(s, d)
+      val name = sqlReg(s, "sqltt", t.location)
+      Seq(v1, v2, v3).map { v =>
+        s.sql(s"SELECT * FROM $name VERSION AS OF $v")
+          .groupBy(col("year"), col("month"))
+          .agg(count(lit(1)).as("n"),
+            graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+          .withColumn("version", lit(v).cast("int"))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
+    },
+    // DELETE FROM ... WHERE — lowered onto commitDelete (COW); the
+    // post-delete state is read back THROUGH the catalog table name
+    // (exercising the command's auto-refresh). Oracle of
+    // taxi_snapshot_delete.
+    "taxi_sql_delete" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqldel", d, s))
+      val name = sqlReg(s, "sqldel", t.location)
+      s.sql(s"DELETE FROM $name WHERE fare_amount > 400")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // UPDATE ... SET ... WHERE — lowered onto commitUpdate (COW,
+    // pre-update RHS). Oracle of taxi_snapshot_update.
+    "taxi_sql_update" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlupd", d, s))
+      val name = sqlReg(s, "sqlupd", t.location)
+      s.sql(s"UPDATE $name SET fare_amount = fare_amount * 2 WHERE fare_amount > 400")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // MERGE INTO ... the canonical upsert shape — lowered onto
+    // commitMerge, same batch as taxi_snapshot_merge (same oracle).
+    "taxi_sql_merge" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlmrg", d, s))
+      val name = sqlReg(s, "sqlmrg", t.location)
+      models(s, d).stgYellow.drop("loaded_at")
+        .filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2)
+        .createOrReplaceTempView("graft_entry_sqlmrg_src")
+      s.sql(
+        s"""MERGE INTO $name USING graft_entry_sqlmrg_src AS src
+           |ON $name.trip_id = src.trip_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // INSERT INTO ... BY NAME SELECT — lowered onto commitAppend (the
+    // commit protocol, never Spark's raw-file insert path; fsck-clean
+    // is pinned in spec). Re-appends month 1 onto the fixture head.
+    "taxi_sql_insert" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlins", d, s))
+      val name = sqlReg(s, "sqlins", t.location)
+      models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
+        .createOrReplaceTempView("graft_entry_sqlins_src")
+      s.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_entry_sqlins_src")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // MERGE-ON-READ row-level DELETE: the same predicate lands as ONE
     // manifest line (the predicate's SQL itself — no partition rewrite,
     // no delete file, O(metadata) whatever the match count) and reads
@@ -1040,6 +1132,42 @@ object TaxiEntries {
          |  ${rndSum("CASE WHEN coalesce(fare_amount > 400, FALSE) " +
             "THEN fare_amount * 2 ELSE fare_amount END", 2)} AS fare_sum
          |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // the SQL surface is result-identical to the Scala twins by
+    // construction — same fixtures, same commits, shared oracle algebra
+    "taxi_sql_timetravel" -> o(
+      s""", agg AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("fare_amount", 2)} AS fare_sum
+         |        FROM stg_yellow GROUP BY 1, 2),
+         |  bad AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2),
+         |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
+         |         UNION ALL SELECT * FROM bad)
+         |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
+         |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
+         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin),
+    "taxi_sql_delete" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow WHERE NOT coalesce(fare_amount > 400, FALSE)
+         |GROUP BY 1, 2""".stripMargin),
+    "taxi_sql_update" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum("CASE WHEN coalesce(fare_amount > 400, FALSE) " +
+            "THEN fare_amount * 2 ELSE fare_amount END", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    "taxi_sql_merge" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    "taxi_sql_insert" -> o(
+      s""", result AS (SELECT * FROM stg_yellow
+         |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
     // merge-on-read delete ≡ copy-on-write delete by construction
     "taxi_snapshot_delete_mor" -> o(
       s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum

@@ -166,7 +166,12 @@ object NativeFunctions {
 }
 
 /** Session-extensions hook: `SparkSession.builder.withExtensions(new
-  * GraftExtensions)` or `--conf spark.sql.extensions=graft.expr.GraftExtensions`. */
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.expr.GraftExtensions`.
+  * Injects the native function/optimizer/strategy ladder AND the SQL
+  * surface for snapshot tables (time travel + DML lowering,
+  * [[graft.sql.GraftSqlSupport]]) — build-time only; resolution rules
+  * have no post-build path, which is why Verify/Bench/local builders
+  * all pass this class to `withExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(NativeFunctions.cosineInfo)
@@ -174,5 +179,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(NativeFunctions.bloomAggInfo)
     ext.injectOptimizerRule(_ => RewriteComposedCosine)
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
+    // hint batch (runs BEFORE Resolution): RelationTimeTravel must be
+    // intercepted before the built-in ResolveRelations, whose v1-table
+    // time-travel path throws rather than leaving the node unresolved
+    ext.injectHintResolutionRule(s => new graft.sql.GraftTimeTravelRule(s))
+    ext.injectResolutionRule(s => new graft.sql.GraftDmlRule(s))
   }
 }

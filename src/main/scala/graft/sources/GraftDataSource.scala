@@ -77,8 +77,10 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * responsible only for WHICH files compose the snapshot, which is the
   * actual table-format concern (the same architecture Delta Lake used
   * for years via `TahoeFileIndex`). The DSv2-only conveniences (SQL
-  * `VERSION AS OF` syntax, `MERGE INTO` resolution) are served here by
-  * read options and the Scala commit API.
+  * `VERSION AS OF` syntax, DELETE/UPDATE/MERGE/INSERT resolution) are
+  * served by the [[graft.sql]] analyzer rules when the session is built
+  * with `GraftExtensions` — literal SQL lowered onto the commit
+  * protocol — and by read options + the Scala commit API otherwise.
   *
   * Column order note: the fast path emits data columns first, partition
   * columns last (the hive-read convention); select by name, not
@@ -217,11 +219,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     *  - `ErrorIfExists` (the default) → initial load, refused if the
     *    table already has a snapshot; `Ignore` → initial load or no-op.
     *
-    * SQL `INSERT INTO` a registered graft table is NOT supported — the
-    * fast-path relation would otherwise take Spark's raw-file insert
-    * path, writing parquet underneath the commit protocol (a correctness
-    * hazard, see [[SnapshotFileIndex.rootPaths]]); use this save surface
-    * or the Scala API. */
+    * SQL `INSERT INTO` a registered graft table needs the
+    * [[graft.sql.GraftDmlRule]] (session built with `GraftExtensions`),
+    * which lowers it onto [[SnapshotTable.commitAppend]]; WITHOUT the
+    * rule it is refused — the fast-path relation would otherwise take
+    * Spark's raw-file insert path, writing parquet underneath the
+    * commit protocol (a correctness hazard, see
+    * [[SnapshotFileIndex.rootPaths]]). */
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
                               parameters: Map[String, String],
@@ -370,16 +374,27 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
             .getOrElse(sys.error(s"no snapshot at $root")))
         (t.scanSpecVersion(v), () => t.readVersion(v))
     }
+    // Nullability is reported as NULLABLE everywhere — Spark's own
+    // convention for file-based relations. Sidecars record whatever the
+    // writing frame declared (a local Seq-built frame says NOT NULL, a
+    // parquet-round-tripped rewrite says nullable), so a catalog entry
+    // pinned at CREATE time would otherwise mismatch the relation after
+    // the first copy-on-write commit and break resolution.
     GraftDataSource.fastIndex(spark, spec, partCols) match {
       case Some((index, dataSchema)) =>
-        HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
-          new ParquetFileFormat, parameters)(spark)
+        HadoopFsRelation(index, GraftDataSource.nullable(index.partitionSchema),
+          GraftDataSource.nullable(dataSchema), None, new ParquetFileFormat,
+          parameters)(spark)
       case None => new GraftSnapshotRelation(spark, general())
     }
   }
 }
 
 object GraftDataSource {
+
+  /** Every field nullable (Spark's `asNullable` is private). */
+  private[sources] def nullable(s: StructType): StructType =
+    StructType(s.map(_.copy(nullable = true)))
 
   /** Build the fast-path file index iff the snapshot qualifies: no
     * pending deletes, sidecar schemas that unify additively (see
@@ -433,7 +448,7 @@ object GraftDataSource {
     * a loud parse error), else the columns RECORDED in the table's
     * current manifest, else the `year,month` default for a fresh table.
     * This is why reading an existing table needs no layout knowledge. */
-  private[sources] def resolvePartCols(spark: SparkSession, root: String,
+  private[graft] def resolvePartCols(spark: SparkSession, root: String,
                                        parameters: Map[String, String]): Seq[String] =
     parameters.get("partcols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -798,7 +813,8 @@ private[sources] class GraftSnapshotRelation(spark: SparkSession, df: DataFrame)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = df.schema
+  // asNullable: same catalog-stability rationale as the fast path
+  override val schema: StructType = GraftDataSource.nullable(df.schema)
   override val needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String],

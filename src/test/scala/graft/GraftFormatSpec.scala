@@ -313,15 +313,18 @@ class GraftFormatSpec extends AnyFunSuite {
     // full overwrite: fresh state, history preserved
     frame((7, 2024, 7, 70.0)).write.format("graft").mode("overwrite").save(root)
     assert(state(t.read()) == Set((7, 2024, 7, 70.0)))
-    // SQL INSERT INTO would bypass the commit protocol (raw files into
-    // an immutable dir) — it must FAIL, and leave the table untouched
+    // SQL INSERT INTO lands THROUGH the commit protocol (the graft.sql
+    // DML rule lowers it onto commitAppend — without the rule it would
+    // write raw files into an immutable dir, which is why un-extended
+    // sessions refuse it); full SQL DML coverage lives in GraftSqlSpec
     spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
     try {
       spark.sql(s"CREATE TABLE graft_fmt_ins USING graft OPTIONS (path '$root')")
-      intercept[Exception] {
-        spark.sql("INSERT INTO graft_fmt_ins VALUES (9, 9.0, 2024, 9)") }
-      assert(state(t.read()) == Set((7, 2024, 7, 70.0)))
-      assert(t.fsck().isEmpty, s"INSERT attempt damaged the table: ${t.fsck()}")
+      spark.sql("INSERT INTO graft_fmt_ins VALUES (9, 9.0, 2024, 9)")
+      assert(state(t.read()) == Set((7, 2024, 7, 70.0), (9, 2024, 9, 9.0)))
+      assert(t.describeHistory().collect().map(_.getString(1)).last == "append",
+        "SQL INSERT must be an append commit")
+      assert(t.fsck().isEmpty, s"INSERT damaged the table: ${t.fsck()}")
     } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_ins")
   }
 

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.SnapshotTable
+
+/** The SQL surface over snapshot tables (graft.sql rules, injected via
+  * GraftExtensions): literal `VERSION AS OF` / `TIMESTAMP AS OF` time
+  * travel, and DELETE / UPDATE / MERGE / INSERT lowering onto the
+  * commit protocol. Every statement must be result-identical to its
+  * Scala-API twin, refuse unsupported shapes loudly, and leave
+  * non-graft tables with Spark's stock behavior. */
+class GraftSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sql_$tag").toString + "/tbl"
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Double)] =
+    df.select(col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+  /** Register `name` over a fresh 2-version table; run body; drop. */
+  private def withTable(tag: String)(body: (String, SnapshotTable) => Unit): Unit = {
+    val name = s"graft_sql_$tag"
+    val root = freshRoot(tag)
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    t.commitAppend(frame((3, 2024, 2, 30.0)))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      body(name, t)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("VERSION AS OF: literal SQL time travel hits each snapshot") {
+    withTable("tt") { (name, t) =>
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 1")
+        .head().getLong(0) == 2)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 2")
+        .head().getLong(0) == 3)
+      // result-identical to the Scala API read of the same version
+      assert(state(spark.sql(s"SELECT * FROM $name VERSION AS OF 1")) ==
+        state(t.readVersion(1)))
+      // projections and filters compose with the travelled relation
+      assert(spark.sql(
+        s"SELECT id FROM $name VERSION AS OF 2 WHERE month = 2 ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+      // beyond-head version refuses loudly (the format's own check)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $name VERSION AS OF 99").collect() }
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("TIMESTAMP AS OF: a mid-history instant resolves to the version current then") {
+    val name = "graft_sql_ts"
+    val root = freshRoot("ts")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.commitAppend(frame((2, 2024, 2, 20.0)))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      // epoch-millis string literal → v1's state
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name TIMESTAMP AS OF '$mid'")
+        .head().getLong(0) == 1)
+      // an instant after the last commit → current state
+      val now = System.currentTimeMillis() + 1000
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name TIMESTAMP AS OF '$now'")
+        .head().getLong(0) == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("time travel on a non-graft table keeps Spark's own refusal") {
+    val dir = freshRoot("ttpq")
+    frame((1, 2024, 1, 1.0)).write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_pq")
+    try {
+      spark.sql(s"CREATE TABLE graft_sql_pq USING parquet OPTIONS (path '$dir')")
+      intercept[Exception] {
+        spark.sql("SELECT * FROM graft_sql_pq VERSION AS OF 1").collect() }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_pq")
+  }
+
+  test("DELETE FROM: lowers onto commitDelete, auto-refreshes the catalog relation") {
+    withTable("del") { (name, t) =>
+      // warm the catalog's relation cache so the refresh is actually exercised
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 3)
+      spark.sql(s"DELETE FROM $name WHERE fare > 15.0")
+      // visible WITHOUT a manual REFRESH TABLE
+      assert(state(spark.sql(s"SELECT * FROM $name")) ==
+        Set((1, 2024, 1, 10.0)))
+      assert(state(t.read()) == Set((1, 2024, 1, 10.0)), "Scala read agrees")
+      assert(t.describeHistory().collect().map(_.getString(1)).contains("delete"))
+      assert(t.fsck().isEmpty)
+      // pre-delete history stays time-travelable from SQL
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name VERSION AS OF 2")
+        .head().getLong(0) == 3)
+    }
+  }
+
+  test("DELETE FROM under mergeMode=mor conf: a metadata-only predicate commit") {
+    withTable("delmor") { (name, t) =>
+      spark.conf.set("spark.graft.sql.deleteMode", "mor")
+      try spark.sql(s"DELETE FROM $name WHERE fare > 15.0")
+      finally spark.conf.unset("spark.graft.sql.deleteMode")
+      assert(state(t.read()) == Set((1, 2024, 1, 10.0)))
+      assert(t.describeHistory().collect().map(_.getString(1)).contains("delete_mor"))
+    }
+  }
+
+  test("DELETE FROM: qualified refs and functions in the condition re-resolve by name") {
+    withTable("delq") { (name, t) =>
+      spark.sql(s"DELETE FROM $name WHERE $name.month = 2 AND abs($name.fare) >= 30")
+      assert(state(t.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    }
+  }
+
+  test("DELETE FROM with a subquery condition refuses loudly") {
+    withTable("delsub") { (name, _) =>
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $name WHERE id IN (SELECT id FROM $name WHERE fare > 15)")
+      }
+      assert(e.getMessage.contains("subqueries are not supported"),
+        s"got: ${e.getMessage}")
+    }
+  }
+
+  test("UPDATE: SET with pre-update RHS, WHERE scoping, Scala-twin parity") {
+    withTable("upd") { (name, t) =>
+      spark.sql(s"UPDATE $name SET fare = fare * 2 + id WHERE month = 2")
+      assert(state(t.read()) ==
+        Set((1, 2024, 1, 10.0), (2, 2024, 2, 42.0), (3, 2024, 2, 63.0)))
+      assert(t.describeHistory().collect().map(_.getString(1)).contains("update"))
+      // no WHERE → every row
+      spark.sql(s"UPDATE $name SET fare = 0.0")
+      assert(state(t.read()).forall(_._4 == 0.0))
+      assert(t.fsck().isEmpty)
+    }
+  }
+
+  test("MERGE INTO: the canonical upsert shape lowers onto commitMerge") {
+    withTable("mrg") { (name, t) =>
+      frame((2, 2024, 2, 99.0), (4, 2024, 4, 40.0))
+        .createOrReplaceTempView("graft_sql_mrg_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrg_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(state(t.read()) == Set(
+          (1, 2024, 1, 10.0), (2, 2024, 2, 99.0),
+          (3, 2024, 2, 30.0), (4, 2024, 4, 40.0)))
+        assert(t.describeHistory().collect().map(_.getString(1)).contains("merge"))
+      } finally spark.catalog.dropTempView("graft_sql_mrg_src")
+    }
+  }
+
+  test("MERGE INTO: richer-than-upsert shapes refuse with the supported shape named") {
+    withTable("mrgref") { (name, _) =>
+      frame((2, 2024, 2, 99.0)).createOrReplaceTempView("graft_sql_mrgref_src")
+      try {
+        // non-equi ON
+        val e1 = intercept[Exception] { spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id > s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+        assert(e1.getMessage.contains("key equalities"), e1.getMessage)
+        // WHEN MATCHED THEN DELETE
+        val e2 = intercept[Exception] { spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN DELETE""".stripMargin) }
+        assert(e2.getMessage.contains("UPDATE SET *"), e2.getMessage)
+        // NOT MATCHED BY SOURCE
+        val e3 = intercept[Exception] { spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin) }
+        assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"), e3.getMessage)
+      } finally spark.catalog.dropTempView("graft_sql_mrgref_src")
+    }
+  }
+
+  test("INSERT INTO: positional append through the commit protocol (not raw files)") {
+    withTable("ins") { (name, t) =>
+      // catalog schema order is the fast path's: data cols (id, fare)
+      // first, partition cols (year, month) last
+      val cols = spark.table(name).schema.fieldNames.toSeq
+      assert(cols == Seq("id", "fare", "year", "month"), cols.toString)
+      spark.sql(s"INSERT INTO $name VALUES (9, 90.0, 2024, 9)")
+      assert(state(t.read()) == Set(
+        (1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 30.0),
+        (9, 2024, 9, 90.0)))
+      assert(t.describeHistory().collect().map(_.getString(1)).contains("append"))
+      assert(t.fsck().isEmpty, s"INSERT must be a commit: ${t.fsck()}")
+      // SQL sees the append immediately (auto-refresh)
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 4)
+      // arity mismatch is loud, and the failed statement commits nothing
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $name VALUES (10, 1.0, 2024)") }
+      assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 4)
+    }
+  }
+
+  test("INSERT INTO ... BY NAME reorders; OVERWRITE maps to full / dynamic overwrite") {
+    withTable("insbn") { (name, t) =>
+      spark.sql(s"INSERT INTO $name BY NAME " +
+        "SELECT 2024 AS year, 9 AS month, 9 AS id, CAST(90.0 AS double) AS fare")
+      assert(state(t.read()).contains((9, 2024, 9, 90.0)))
+      // dynamic partition overwrite: only month=9 replaced
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(s"INSERT OVERWRITE $name VALUES (99, 91.0, 2024, 9)")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      assert(state(t.read()) == Set(
+        (1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 30.0),
+        (99, 2024, 9, 91.0)))
+      assert(t.describeHistory().collect().map(_.getString(1))
+        .contains("overwrite_partitions"))
+      // static INSERT OVERWRITE: fresh state
+      spark.sql(s"INSERT OVERWRITE $name VALUES (7, 70.0, 2024, 7)")
+      assert(state(t.read()) == Set((7, 2024, 7, 70.0)))
+    }
+  }
+
+  test("DML on non-graft/temp-view targets keeps Spark's stock refusals") {
+    val dir = freshRoot("dmlpq")
+    frame((1, 2024, 1, 1.0)).write.parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_dmlpq")
+    try {
+      spark.sql(s"CREATE TABLE graft_sql_dmlpq USING parquet OPTIONS (path '$dir')")
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft_sql_dmlpq WHERE id = 1") }
+      assert(e.getMessage.contains("does not support DELETE"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_dmlpq")
+    // temp view: never matched by the graft rules
+    frame((1, 2024, 1, 1.0)).createOrReplaceTempView("graft_sql_dmlv")
+    try intercept[Exception] {
+      spark.sql("DELETE FROM graft_sql_dmlv WHERE id = 1") }
+    finally spark.catalog.dropTempView("graft_sql_dmlv")
+  }
+}
