@@ -661,6 +661,61 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // OPTIMIZE (clause-less bin-packing) as literal SQL — the round-13
+    // maintenance parser lowering onto commitCompactFiles: the clone's
+    // current state (three versions of history, exclusion masks from
+    // the partition overwrite) folds into ONE fresh hive-partitioned
+    // entry. Graded on result identity through the catalog name —
+    // compaction must be invisible to readers. Dir-count, op, and
+    // grammar pins live in GraftSqlMaintenanceSpec.
+    "taxi_sql_optimize" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlopt", d, s))
+      val name = sqlReg(s, "sqlopt", t.location)
+      s.sql(s"OPTIMIZE $name")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // RESTORE TABLE ... TO VERSION AS OF — Delta's RESTORE as literal
+    // SQL, lowered onto rollbackTo (a NEW commit carrying the target's
+    // entries; the undone head stays time-travelable). Restores the
+    // clone to the CORRUPTED v2, so the oracle is v2's algebra — the
+    // statement provably moved state, not just a version counter.
+    "taxi_sql_restore" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlrst", d, s))
+      val name = sqlReg(s, "sqlrst", t.location)
+      s.sql(s"RESTORE TABLE $name TO VERSION AS OF 2")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // OPTIMIZE ... WHERE — partition-scoped compaction (Delta's scoped
+    // OPTIMIZE): only the predicate's partitions rewrite; everything
+    // else is masked carry-over. Oracle identical to the clause-less
+    // form — scoping changes cost, never results. Mask/dir-count and
+    // partition-predicate refusal pins live in GraftSqlMaintenanceSpec.
+    "taxi_sql_optimize_where" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqloptw", d, s))
+      val name = sqlReg(s, "sqloptw", t.location)
+      s.sql(s"OPTIMIZE $name WHERE month IN (6, 7)")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // DESCRIBE HISTORY as literal SQL over a clone that took one
+    // OPTIMIZE — grades the parser wiring AND pins that compaction is a
+    // history event: op 'compact', parent = the rollback head, ONE
+    // entry (masks folded), zero delete debt.
+    "taxi_sql_history" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlhist", d, s))
+      val name = sqlReg(s, "sqlhist", t.location)
+      s.sql(s"OPTIMIZE $name")
+      s.sql(s"DESCRIBE HISTORY $name")
+    },
     // MERGE-ON-READ row-level DELETE: the same predicate lands as ONE
     // manifest line (the predicate's SQL itself — no partition rewrite,
     // no delete file, O(metadata) whatever the match count) and reads
@@ -1163,6 +1218,36 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // compaction is invisible to readers: the oracle is the fixture
+    // head's plain algebra
+    "taxi_sql_optimize" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // scoping changes cost, never results: same oracle as the
+    // clause-less form
+    "taxi_sql_optimize_where" -> o(
+      s"""SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // RESTORE lands on the corrupted v2: months 6/7 carry the bad
+    // overwrite's fares, everything else the original — the same v2
+    // algebra as taxi_sql_timetravel's middle leg
+    "taxi_sql_restore" -> o(
+      s""", good AS (SELECT year, month, count(*) AS n,
+         |           ${rndSum("fare_amount", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month NOT IN (6, 7) GROUP BY 1, 2),
+         |  bad AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2)
+         |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin),
+    // the clone's lineage plus the OPTIMIZE commit: compaction is a
+    // history event — one folded entry, zero delete debt
+    "taxi_sql_history" -> o(
+      """SELECT * FROM (VALUES
+        |  (1, 'overwrite', 0, 1, 0),
+        |  (2, 'overwrite_partitions', 1, 2, 0),
+        |  (3, 'rollback_to_1', 2, 1, 0),
+        |  (4, 'compact', 3, 1, 0))
+        |  AS t(version, op, parent, n_entries, n_deletes)""".stripMargin),
     "taxi_sql_insert" -> o(
       s""", result AS (SELECT * FROM stg_yellow
          |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)

@@ -184,5 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // time-travel path throws rather than leaving the node unresolved
     ext.injectHintResolutionRule(s => new graft.sql.GraftTimeTravelRule(s))
     ext.injectResolutionRule(s => new graft.sql.GraftDmlRule(s))
+    // maintenance verbs (VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY
+    // / branch-tag DDL) have no stock grammar — a delegating parser
+    // recognizes them first and hands every other statement through
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

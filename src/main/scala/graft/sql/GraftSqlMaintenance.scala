@@ -1,0 +1,314 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+
+import graft.sources.GraftDataSource
+import graft.write.SnapshotTable
+
+/** SQL maintenance verbs for graft snapshot tables — the PARSER layer
+  * on top of [[GraftSqlExtensions]]' analyzer rules. The analyzer rules
+  * could only lower statements Spark's own parser produces (time
+  * travel, DML); the operational verbs every versioned-table stack
+  * ships as SQL (Delta's `VACUUM`/`OPTIMIZE`/`RESTORE`/`DESCRIBE
+  * HISTORY`, Iceberg's branch/tag DDL) have no stock grammar at all, so
+  * this parser recognizes them FIRST and delegates every other
+  * statement untouched — the exact architecture of Delta's
+  * `DeltaSqlParser` (public technique: a delegating
+  * [[ParserInterface]] injected via `injectParser`).
+  *
+  * {{{
+  *   VACUUM t [RETAIN 48 HOURS] [DRY RUN]         -- vacuum / vacuumPreview
+  *   OPTIMIZE t                                   -- commitCompactFiles
+  *   OPTIMIZE t WHERE month = 7                   -- commitCompactFilesWhere
+  *                                                --  (partition predicate)
+  *   OPTIMIZE t ZORDER BY (c1)                    -- commitCompact (range)
+  *   OPTIMIZE t ZORDER BY (c1, c2) [INTO 8 FILES] -- commitCompactZ
+  *   DESCRIBE HISTORY t                           -- describeHistory
+  *   RESTORE [TABLE] t TO VERSION AS OF 3         -- rollbackTo
+  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '...'   -- versionAt + rollbackTo
+  *   ALTER TABLE t CREATE BRANCH b [AS OF VERSION 3]
+  *   ALTER TABLE t CREATE TAG g   [AS OF VERSION 3]
+  *   ALTER TABLE t DROP BRANCH b | DROP TAG g
+  *   ALTER TABLE t FAST FORWARD BRANCH b [FORCE]  -- fastForward (strict
+  *                                                --  unless FORCE)
+  * }}}
+  *
+  * Dispatch is on the leading keyword: `VACUUM`/`OPTIMIZE`/`RESTORE`
+  * have no Spark meaning, so a malformed one gets THIS grammar's error,
+  * never a confusing delegate parse failure; `DESCRIBE` falls through
+  * unless its second word is `HISTORY`; `ALTER TABLE` falls through
+  * unless the clause is one of the branch/tag shapes above (which stock
+  * Spark would reject anyway). Table names are handed to the DELEGATE's
+  * `parseMultipartIdentifier`, so backticks and db qualifiers parse
+  * exactly as Spark parses them. Whether the target actually IS a
+  * graft table is checked at EXECUTION (the commands refuse loudly on
+  * non-graft providers) — parse-time has no session to ask.
+  *
+  * At 100 TB every command here is metadata-sized on the driver except
+  * the OPTIMIZE rewrite itself, which is the distributed
+  * read+cluster+write any engine's rewrite_data_files pays — and it
+  * commits through the same optimistic CAS as every other writer, so
+  * maintenance never locks the table. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // Grammar, one anchored case-insensitive regex per verb. Identifiers
+  // are captured lazily up to the next keyword and re-parsed by the
+  // delegate (so `db.t` and backticked names work); ref names are the
+  // [A-Za-z0-9_]+ the engine's own tag/branch validation enforces.
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val OptimizeZ =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s+\(?\s*([^()]+?)\s*\)?(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private val OptimizeWhere =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val OptimizePlain = """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
+  private val DescHistory = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val RestoreV =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CreateRef =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(BRANCH|TAG)\s+([A-Za-z0-9_]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropRef =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9_]+)(\s+FORCE)?\s*;?\s*""".r
+
+  private val GrammarHelp =
+    "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
+      "OPTIMIZE t [WHERE partPred | ZORDER BY (c1, ...) [INTO n FILES]] | " +
+      "DESCRIBE HISTORY t | RESTORE [TABLE] t TO VERSION AS OF n | " +
+      "RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'"
+
+  /** The maintenance statement `sqlText` encodes, if any. `None` means
+    * "not ours — delegate". A statement whose LEADING keyword is ours
+    * but whose tail is malformed errors HERE with the grammar, because
+    * the delegate could only produce a less helpful failure. */
+  private[sql] def maintenancePlan(sqlText: String,
+                                   delegate: ParserInterface): Option[LogicalPlan] = {
+    val head = sqlText.trim.takeWhile(!_.isWhitespace).toUpperCase
+    def ident(s: String): Seq[String] = delegate.parseMultipartIdentifier(s.trim)
+    head match {
+      case "VACUUM" => sqlText match {
+        case Vacuum(tbl, retain, dry) =>
+          Some(GraftVacuumCommand(ident(tbl),
+            Option(retain).map(_.toLong * 3600L * 1000L),
+            dryRun = dry != null))
+        case _ => sys.error(s"cannot parse VACUUM statement; $GrammarHelp")
+      }
+      case "OPTIMIZE" =>
+        def noCombo(tbl: String): String = {
+          require(!"""(?i)\b(WHERE|ZORDER)\b""".r.findFirstIn(tbl).isDefined,
+            "OPTIMIZE supports WHERE or ZORDER BY, not both (a scoped " +
+              "rewrite and a clustered rewrite are different layouts)")
+          tbl
+        }
+        sqlText match {
+          case OptimizeZ(tbl, cols, n) =>
+            val cs = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq
+            require(cs.nonEmpty, "OPTIMIZE ... ZORDER BY needs >= 1 column")
+            Some(GraftOptimizeCommand(ident(noCombo(tbl)), cs,
+              Option(n).map(_.toInt).getOrElse(8), None))
+          case OptimizeWhere(tbl, cond) =>
+            Some(GraftOptimizeCommand(ident(noCombo(tbl)), Seq.empty, 0,
+              Some(cond.trim)))
+          case OptimizePlain(tbl) =>
+            Some(GraftOptimizeCommand(ident(tbl), Seq.empty, 0, None))
+          case _ => sys.error(s"cannot parse OPTIMIZE statement; $GrammarHelp")
+        }
+      case "RESTORE" => sqlText match {
+        case RestoreV(tbl, v) =>
+          Some(GraftRestoreCommand(ident(tbl), Some(v.toInt), None))
+        case RestoreTs(tbl, ts) =>
+          Some(GraftRestoreCommand(ident(tbl), None, Some(ts)))
+        case _ => sys.error(s"cannot parse RESTORE statement; $GrammarHelp")
+      }
+      case "DESC" | "DESCRIBE" => sqlText match {
+        case DescHistory(tbl) => Some(GraftDescribeHistoryCommand(ident(tbl)))
+        case _ => None // every other DESCRIBE is Spark's
+      }
+      case "ALTER" => sqlText match {
+        case CreateRef(tbl, kind, name, v) =>
+          Some(GraftRefCommand(ident(tbl), kind.toUpperCase, "CREATE", name,
+            Option(v).map(_.toInt)))
+        case DropRef(tbl, kind, name) =>
+          Some(GraftRefCommand(ident(tbl), kind.toUpperCase, "DROP", name, None))
+        case FastForward(tbl, name, force) =>
+          Some(GraftFastForwardCommand(ident(tbl), name, strict = force == null))
+        case _ => None // every other ALTER is Spark's
+      }
+      case _ => None
+    }
+  }
+
+  /** Catalog entry for `nameParts`, refused loudly unless it is a graft
+    * table — maintenance on a parquet/Delta/view target must never
+    * silently no-op. */
+  private[sql] def requireGraft(session: SparkSession,
+                                nameParts: Seq[String]): CatalogTable =
+    GraftSqlSupport.graftCatalogTable(session, UnresolvedRelation(nameParts))
+      .getOrElse(sys.error(
+        s"${nameParts.mkString(".")} is not a graft table (maintenance " +
+          "commands operate on tables CREATEd USING graft)"))
+
+  private[sql] def open(session: SparkSession,
+                        nameParts: Seq[String]): (CatalogTable, SnapshotTable) = {
+    val ct = requireGraft(session, nameParts)
+    (ct, GraftSqlSupport.tableFor(session, ct))
+  }
+
+  private[sql] def refresh(session: SparkSession, ct: CatalogTable): Unit =
+    session.catalog.refreshTable(ct.identifier.quotedString)
+}
+
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — sweep (or list, for DRY RUN)
+  * never-referenced data dirs and stale publish temps older than the
+  * retention window. Returns one row per dir, like Delta's VACUUM. */
+case class GraftVacuumCommand(nameParts: Seq[String], retainMs: Option[Long],
+                              dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dir", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, t) = GraftSqlParser.open(session, nameParts)
+    val ms = retainMs.getOrElse(SnapshotTable.DefaultOrphanAgeMs)
+    (if (dryRun) t.vacuumPreview(ms) else t.vacuum(ms)).map(Row(_))
+  }
+}
+
+/** `OPTIMIZE t [WHERE partPred | ZORDER BY (cols) [INTO n FILES]]` —
+  * one compaction commit: bin-packing (no clause), partition-scoped
+  * bin-packing (WHERE — partition-column predicates only, checked at
+  * commit), range-clustered + stats-indexed (one ZORDER col), or
+  * Z-ordered + stats-indexed (several). Returns the committed
+  * version. */
+case class GraftOptimizeCommand(nameParts: Seq[String], zorderCols: Seq[String],
+                                nFiles: Int, whereSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.commitWithRetry()((zorderCols, whereSql) match {
+      case (Seq(), None) => t.commitCompactFiles()
+      case (Seq(), Some(w)) =>
+        t.commitCompactFilesWhere(org.apache.spark.sql.functions.expr(w))
+      case (Seq(c), _) => t.commitCompact(c, nFiles)
+      case (cs, _) => t.commitCompactZ(cs, nFiles)
+    })
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF ...` — Delta's RESTORE
+  * over the snapshot protocol: [[SnapshotTable.rollbackTo]] commits a
+  * NEW version whose entries are the target's, so history (including
+  * the mistake being undone) stays time-travelable. Returns
+  * (restored_to, version). */
+case class GraftRestoreCommand(nameParts: Seq[String], version: Option[Int],
+                               timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val target = version.getOrElse {
+      val ms = GraftDataSource.parseTimestamp(timestamp.get)
+      t.versionAt(ms).getOrElse(sys.error(
+        s"no snapshot at or before ${timestamp.get} " +
+          s"(earliest retained version postdates it)"))
+    }
+    val v = t.commitWithRetry()(t.rollbackTo(target))
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(target, v))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit lineage as rows (version, op,
+  * parent, n_entries, n_deletes), newest last; metadata-sized. */
+case class GraftDescribeHistoryCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("parent", IntegerType, nullable = false)(),
+    AttributeReference("n_entries", IntegerType, nullable = false)(),
+    AttributeReference("n_deletes", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, t) = GraftSqlParser.open(session, nameParts)
+    t.describeHistory().collect().toSeq
+  }
+}
+
+/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]` —
+  * Iceberg's ref DDL over the engine's tag/branch primitives. CREATE
+  * defaults to the current version; DROP TAG releases the retention
+  * pin, DROP BRANCH removes the lineage's manifests (its dirs await
+  * expire/vacuum). */
+case class GraftRefCommand(nameParts: Seq[String], kind: String, action: String,
+                           refName: String, asOfVersion: Option[Int])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, t) = GraftSqlParser.open(session, nameParts)
+    def at = asOfVersion.orElse(t.currentVersion).getOrElse(
+      sys.error(s"table ${nameParts.mkString(".")} has no snapshot yet"))
+    (action, kind) match {
+      case ("CREATE", "BRANCH") => t.createBranch(refName, at)
+      case ("CREATE", "TAG") => t.tag(refName, at)
+      case ("DROP", "BRANCH") => t.dropBranch(refName)
+      case ("DROP", "TAG") => t.dropTag(refName)
+      case _ => sys.error(s"unsupported ref DDL: $action $kind")
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t FAST FORWARD BRANCH b [FORCE]` — publish a branch's
+  * lineage onto main. Strict by default (refuses when main moved past
+  * the fork — the checked-fork CAS base); FORCE opts into the rebase
+  * semantics. Returns the published main version. */
+case class GraftFastForwardCommand(nameParts: Seq[String], branch: String,
+                                   strict: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.fastForward(branch, strict)
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
+  }
+}

@@ -48,9 +48,10 @@ object IncrementalWriter {
     * small files, the classic metadata killer at scale. Hash-partitioning
     * on the partition columns puts each directory's rows in one task
     * (1 file per partition) while keeping up to shuffle.partitions
-    * writers busy. */
+    * writers busy. Fat partitions fan out to parallel writers via
+    * [[WriteDistribution]]'s `graft.write.splitsPerPartition` knob. */
   private def byPartition(df: DataFrame): DataFrame =
-    df.repartition(partCols.map(col): _*)
+    WriteDistribution.byPartition(df, partCols)
 
   def appendPartitioned(df: DataFrame, path: String): Unit =
     byPartition(df).write.mode(SaveMode.Append).partitionBy(partCols: _*).parquet(path)

@@ -270,8 +270,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dir = dataDirName(version)
     // co-locate each output partition's rows: 1 file per partition, not
     // N_tasks × N_partitions small files (same rationale as
-    // IncrementalWriter.byPartition)
-    df.repartition(partCols.map(col): _*)
+    // IncrementalWriter.byPartition); fat partitions fan out via
+    // WriteDistribution's graft.write.splitsPerPartition knob
+    WriteDistribution.byPartition(df, partCols)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
     writeSchemaSidecar(dir, df.schema)
     dir
@@ -767,6 +768,62 @@ class SnapshotTable(spark: SparkSession, root: String,
       Seq(writeClustered(readVersion(base), base + 1, clusterCol, nFiles)), base)
   }
 
+  /** Plain bin-packing compaction (Delta's clause-less `OPTIMIZE`): the
+    * CURRENT state rewritten into ONE hive-partitioned data dir — no
+    * re-clustering, just the small-files debt paid down. A table taking
+    * per-micro-batch [[commitAppend]]s accumulates one dir (and at
+    * least one file per touched partition) per commit; this folds them
+    * — and any exclusion masks / MOR delete debt — into a single entry
+    * whose layout matches a fresh [[commitOverwrite]], so partition
+    * pruning and the one-file-per-partition write shape are restored.
+    * History preserved, ordinary optimistic commit, cost = one
+    * read+write of the live bytes (the rewrite_data_files floor). Use
+    * [[commitCompact]]/[[commitCompactZ]] instead when reads filter on
+    * non-partition columns and deserve a stats-indexed clustering. */
+  def commitCompactFiles(): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    commit("compact",
+      Seq(Entry(writeData(readVersion(base), base + 1), Set.empty)), base)
+  }
+
+  /** PARTITION-SCOPED bin-packing compaction (Delta's `OPTIMIZE ...
+    * WHERE`): rewrite ONLY the partitions matching a partition-column
+    * predicate, mask them out of the older entries, leave everything
+    * else untouched — at 100 TB "compact the hot month the streaming
+    * sink fragmented" must not cost a full-table rewrite. The predicate
+    * is REQUIRED to reference partition columns only (checked against
+    * the analyzed condition's references, fail-fast): a row-level
+    * predicate would force a full locate scan just to choose
+    * partitions — the caller should say which partitions they mean.
+    * Rows in the rewritten partitions materialize any pending MOR
+    * delete debt (the rewrite reads the current state); untouched
+    * entries keep their positional-scoped deletes — same carry rules
+    * as [[commitUpdate]]. A predicate matching no partitions is a
+    * no-op (current version, no empty commit). */
+  def commitCompactFilesWhere(condition: org.apache.spark.sql.Column): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val cur = readVersion(base)
+    val cond = coalesce(condition, lit(false))
+    val refs = cur.filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.getOrElse(Set.empty[String])
+    require(refs.nonEmpty && refs.subsetOf(partCols.toSet),
+      s"scoped compaction takes a PARTITION predicate over " +
+        s"(${partCols.mkString(", ")}); got columns (${refs.toSeq.sorted.mkString(", ")})")
+    val profile = partTuples(cur.filter(cond))
+    if (profile.isEmpty) return base // nothing to compact: no-op
+    val inTouched = profile.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+      .reduce(_ || _)
+    val pm = parse(base)
+    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
+    commit("compact",
+      prev :+ Entry(writeData(cur.filter(inTouched), base + 1), Set.empty),
+      base, pm.deletes, pm.predDeletes)
+  }
+
   /** Multi-dimensional snapshot compaction — Delta's `OPTIMIZE ZORDER
     * BY` over the versioned table: the CURRENT state rewritten into ONE
     * Z-ordered dir ([[IncrementalWriter.overwriteZOrdered]]) carrying a
@@ -911,7 +968,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"stage name must be [A-Za-z0-9_]+: '$name'")
     val dir = s"w_$name"
-    df.repartition(partCols.map(col): _*)
+    WriteDistribution.byPartition(df, partCols)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
     writeSchemaSidecar(dir, df.schema)
     dir
@@ -965,6 +1022,16 @@ class SnapshotTable(spark: SparkSession, root: String,
       throw new IllegalArgumentException(
         s"tag '$name' already exists (tags are immutable; pick a new name)")
   }
+
+  /** Remove a tag, releasing its retention pin (Iceberg's
+    * `remove_tag`): the next [[expire]] may reclaim the version the tag
+    * protected. Immutability is about the POINTER, not the name's
+    * lifetime — a live tag is never silently re-pointed; dropping and
+    * re-creating is two loud, auditable operations (the re-create goes
+    * through [[tag]]'s create-exclusive like any other). No-op if the
+    * tag does not exist (idempotent, like DROP ... IF EXISTS). */
+  def dropTag(name: String): Unit =
+    fs.delete(tagPath(name), false)
 
   /** The version a tag pins, if the tag exists. */
   def resolveTag(name: String): Option[Int] = {
@@ -1670,7 +1737,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           .count(_.getPath.getName.endsWith(".parquet")))
         IncrementalWriter.overwriteClustered(kept, dst.toString, statCols.head, nFiles)
       } else {
-        kept.repartition(partCols.map(col): _*)
+        WriteDistribution.byPartition(kept, partCols)
           .write.partitionBy(partCols: _*).parquet(dst.toString)
       }
       // a dir whose EVERY row matched still needs a schema-bearing

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.SnapshotTable
+
+/** The SQL maintenance verbs (graft.sql.GraftSqlParser, injected via
+  * GraftExtensions): VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY /
+  * branch-tag DDL, each result-identical to its Scala-API twin,
+  * loudly refusing non-graft targets, and leaving every other SQL
+  * statement with Spark's stock parse. */
+class GraftSqlMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sqlmx_$tag").toString + "/tbl"
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Double)] =
+    df.select(col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+  /** Register `name` over a fresh 2-version table; run body; drop. */
+  private def withTable(tag: String)(body: (String, SnapshotTable) => Unit): Unit = {
+    val name = s"graft_sqlmx_$tag"
+    val root = freshRoot(tag)
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    t.commitAppend(frame((3, 2024, 2, 30.0)))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      body(name, t)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("OPTIMIZE: bin-packing compaction folds dirs, result-identical") {
+    withTable("opt") { (name, t) =>
+      t.commitAppend(frame((4, 2024, 3, 40.0)))
+      val before = state(t.read())
+      assert(t.dataDirs(t.currentVersion.get).size == 3)
+      val v = spark.sql(s"OPTIMIZE $name").head().getInt(0)
+      assert(v == t.currentVersion.get)
+      assert(t.dataDirs(v).size == 1)
+      assert(t.history.last._2 == "compact")
+      // state unchanged, through both the API and the catalog name
+      assert(state(t.read()) == before)
+      assert(state(spark.table(name)) == before)
+    }
+  }
+
+  test("OPTIMIZE WHERE: partition-scoped rewrite masks only the touched partitions") {
+    withTable("optw") { (name, t) =>
+      t.commitAppend(frame((4, 2024, 2, 40.0)))
+      val before = state(t.read())
+      // month=2 now spans three dirs; month=1 lives in dir 1 only
+      val v = spark.sql(s"OPTIMIZE $name WHERE month = 2").head().getInt(0)
+      assert(t.history.last._2 == "compact")
+      // old entries all carried forward (masked), plus the rewrite dir
+      assert(t.dataDirs(v).size == 4)
+      assert(state(spark.table(name)) == before)
+      // no-match predicate: no-op, no empty commit
+      assert(spark.sql(s"OPTIMIZE $name WHERE month = 11").head().getInt(0) == v)
+      assert(t.currentVersion.contains(v))
+      // row-level predicates refuse loudly — scoped compaction takes a
+      // partition predicate
+      val e = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $name WHERE fare > 5").collect() }
+      assert(e.getMessage.contains("PARTITION predicate"))
+      // WHERE and ZORDER BY do not compose
+      val e2 = intercept[Exception] {
+        spark.sql(s"OPTIMIZE $name WHERE month = 2 ZORDER BY (fare)") }
+      assert(e2.getMessage.contains("not both"))
+    }
+  }
+
+  test("OPTIMIZE ZORDER BY: single- and multi-column clustering commits") {
+    withTable("optz") { (name, t) =>
+      val before = state(t.read())
+      spark.sql(s"OPTIMIZE $name ZORDER BY (fare)")
+      assert(t.history.last._2 == "compact")
+      assert(state(spark.table(name)) == before)
+      spark.sql(s"OPTIMIZE $name ZORDER BY (id, fare) INTO 4 FILES")
+      assert(t.history.last._2 == "compact_z")
+      assert(state(spark.table(name)) == before)
+    }
+  }
+
+  test("VACUUM: DRY RUN lists orphans without deleting; RETAIN 0 sweeps") {
+    withTable("vac") { (name, t) =>
+      // plant an orphan: a data dir no manifest references
+      val fs = new Path(t.location).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val orphan = new Path(t.location, "_data/d99999_deadbeef")
+      fs.mkdirs(orphan)
+      val dry = spark.sql(s"VACUUM $name RETAIN 0 HOURS DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      assert(dry == Set("d99999_deadbeef"))
+      assert(fs.exists(orphan)) // dry run touched nothing
+      val swept = spark.sql(s"VACUUM $name RETAIN 0 HOURS")
+        .collect().map(_.getString(0)).toSet
+      assert(swept == Set("d99999_deadbeef"))
+      assert(!fs.exists(orphan))
+      // default window (no RETAIN): fresh orphans survive the age guard
+      fs.mkdirs(orphan)
+      assert(spark.sql(s"VACUUM $name").collect().isEmpty)
+      assert(fs.exists(orphan))
+    }
+  }
+
+  test("DESCRIBE HISTORY: the commit lineage as rows") {
+    withTable("hist") { (name, t) =>
+      val rows = spark.sql(s"DESCRIBE HISTORY $name")
+        .select("version", "op", "parent").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      assert(rows == Seq((1, "overwrite", 0), (2, "append", 1)))
+      // plain DESCRIBE still parses as Spark's (delegation intact)
+      assert(spark.sql(s"DESCRIBE $name").collect().nonEmpty)
+    }
+  }
+
+  test("RESTORE TO VERSION AS OF: a new commit with the target's state") {
+    withTable("rest") { (name, t) =>
+      val v1 = state(t.readVersion(1))
+      val out = spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 1").head()
+      assert((out.getInt(0), out.getInt(1)) == (1, 3))
+      assert(state(spark.table(name)) == v1)
+      assert(state(t.readVersion(2)) != v1) // history preserved
+    }
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF: resolves via commit wall-clock") {
+    withTable("restts") { (name, t) =>
+      val v2 = state(t.read())
+      // capture a wall-clock instant strictly after v2's commit, then
+      // move the table past it — the restore must land back on v2
+      Thread.sleep(5)
+      val cut = java.time.Instant.now().toString
+      Thread.sleep(5)
+      t.commitOverwrite(frame((9, 2025, 1, 90.0)))
+      val out = spark.sql(s"RESTORE $name TO TIMESTAMP AS OF '$cut'").head()
+      assert(out.getInt(0) == 2)
+      assert(state(spark.table(name)) == v2)
+    }
+  }
+
+  test("RESTORE refuses a pre-history timestamp loudly") {
+    withTable("restts2") { (name, _) =>
+      val e = intercept[Exception] {
+        spark.sql(s"RESTORE $name TO TIMESTAMP AS OF '2020-01-01T00:00:00Z'")
+          .collect()
+      }
+      assert(e.getMessage.contains("no snapshot at or before"))
+    }
+  }
+
+  test("branch/tag DDL: CREATE, DROP, FAST FORWARD") {
+    withTable("refs") { (name, t) =>
+      spark.sql(s"ALTER TABLE $name CREATE TAG stable AS OF VERSION 1")
+      assert(t.resolveTag("stable").contains(1))
+      spark.sql(s"ALTER TABLE $name DROP TAG stable")
+      assert(t.resolveTag("stable").isEmpty)
+      // dropped name is re-creatable (two loud operations, never a
+      // silent re-point)
+      spark.sql(s"ALTER TABLE $name CREATE TAG stable") // defaults to head
+      assert(t.resolveTag("stable").contains(2))
+
+      spark.sql(s"ALTER TABLE $name CREATE BRANCH wip")
+      t.commitAppendToBranch("wip", frame((7, 2024, 7, 70.0)))
+      val v = spark.sql(s"ALTER TABLE $name FAST FORWARD BRANCH wip")
+        .head().getInt(0)
+      assert(t.currentVersion.contains(v))
+      assert(state(spark.table(name)).exists(_._1 == 7))
+      spark.sql(s"ALTER TABLE $name DROP BRANCH wip")
+      assert(t.branchHead("wip").isEmpty)
+    }
+  }
+
+  test("strict FAST FORWARD refuses when main moved; FORCE proceeds") {
+    withTable("ffs") { (name, t) =>
+      spark.sql(s"ALTER TABLE $name CREATE BRANCH wip")
+      t.commitAppendToBranch("wip", frame((7, 2024, 7, 70.0)))
+      t.commitAppend(frame((8, 2024, 8, 80.0))) // main moves past the fork
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $name FAST FORWARD BRANCH wip") }
+      val v = spark.sql(s"ALTER TABLE $name FAST FORWARD BRANCH wip FORCE")
+        .head().getInt(0)
+      assert(t.currentVersion.contains(v))
+    }
+  }
+
+  test("maintenance on a non-graft table refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmx_pq").toString
+    frame((1, 2024, 1, 1.0)).write.mode("overwrite").parquet(dir)
+    spark.sql("DROP TABLE IF EXISTS graft_sqlmx_parquet")
+    try {
+      spark.sql(
+        s"CREATE TABLE graft_sqlmx_parquet USING parquet OPTIONS (path '$dir')")
+      for (stmt <- Seq("VACUUM graft_sqlmx_parquet",
+          "OPTIMIZE graft_sqlmx_parquet",
+          "DESCRIBE HISTORY graft_sqlmx_parquet",
+          "RESTORE graft_sqlmx_parquet TO VERSION AS OF 1")) {
+        val e = intercept[Exception] { spark.sql(stmt).collect() }
+        assert(e.getMessage.contains("not a graft table"), stmt)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sqlmx_parquet")
+  }
+
+  test("malformed maintenance statements fail with THIS grammar's error") {
+    val e = intercept[Exception] { spark.sql("VACUUM") }
+    assert(e.getMessage.contains("graft maintenance grammar"))
+    val e2 = intercept[Exception] {
+      spark.sql("RESTORE t TO VERSION 3") } // missing AS OF
+    assert(e2.getMessage.contains("graft maintenance grammar"))
+  }
+
+  test("non-maintenance SQL parses exactly as stock Spark") {
+    // the delegating parser must not perturb ordinary statements
+    assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
+    assert(spark.sql("SHOW TABLES").columns.nonEmpty)
+  }
+}
