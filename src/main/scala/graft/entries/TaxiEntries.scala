@@ -705,6 +705,26 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // CHECK constraints (Delta's table constraints over the manifest
+    // protocol): ADD validates the full existing state, then every new
+    // commit's data dir is gated on the CHECK before its manifest
+    // publishes — here a constrained re-append of month 1 passes the
+    // gate and lands. Oracle = the fixture plus the appended month
+    // (taxi_sql_insert's algebra): a correct gate is invisible on
+    // valid data. Violation refusals, NULL-passes semantics, and
+    // no-debris pins live in GraftSqlMaintenanceSpec.
+    "taxi_sql_constraints" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlcon", d, s))
+      val name = sqlReg(s, "sqlcon", t.location)
+      s.sql(s"ALTER TABLE $name ADD CONSTRAINT sane_year CHECK (year >= 1900)")
+      models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
+        .createOrReplaceTempView("graft_entry_sqlcon_src")
+      s.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_entry_sqlcon_src")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // DESCRIBE HISTORY as literal SQL over a clone that took one
     // OPTIMIZE — grades the parser wiring AND pins that compaction is a
     // history event: op 'compact', parent = the rollback head, ONE
@@ -1239,6 +1259,13 @@ object TaxiEntries {
          |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
          |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2)
          |SELECT * FROM good UNION ALL SELECT * FROM bad""".stripMargin),
+    // a correct constraint gate is invisible on valid data: the oracle
+    // is taxi_sql_insert's algebra (fixture + re-appended month 1)
+    "taxi_sql_constraints" -> o(
+      s""", result AS (SELECT * FROM stg_yellow
+         |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
     // the clone's lineage plus the OPTIMIZE commit: compaction is a
     // history event — one folded entry, zero delete debt
     "taxi_sql_history" -> o(

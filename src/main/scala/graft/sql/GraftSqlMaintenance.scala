@@ -39,6 +39,8 @@ import graft.write.SnapshotTable
   *   ALTER TABLE t DROP BRANCH b | DROP TAG g
   *   ALTER TABLE t FAST FORWARD BRANCH b [FORCE]  -- fastForward (strict
   *                                                --  unless FORCE)
+  *   ALTER TABLE t ADD CONSTRAINT c CHECK (expr)  -- addConstraint
+  *   ALTER TABLE t DROP CONSTRAINT c              -- dropConstraint
   * }}}
   *
   * Dispatch is on the leading keyword: `VACUUM`/`OPTIMIZE`/`RESTORE`
@@ -106,6 +108,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+([A-Za-z0-9_]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9_]+)(\s+FORCE)?\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
 
   private val GrammarHelp =
     "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
@@ -169,6 +175,10 @@ object GraftSqlParser {
           Some(GraftRefCommand(ident(tbl), kind.toUpperCase, "DROP", name, None))
         case FastForward(tbl, name, force) =>
           Some(GraftFastForwardCommand(ident(tbl), name, strict = force == null))
+        case AddConstraint(tbl, name, check) =>
+          Some(GraftConstraintCommand(ident(tbl), "ADD", name, Some(check.trim)))
+        case DropConstraint(tbl, name) =>
+          Some(GraftConstraintCommand(ident(tbl), "DROP", name, None))
         case _ => None // every other ALTER is Spark's
       }
       case _ => None
@@ -294,6 +304,27 @@ case class GraftRefCommand(nameParts: Seq[String], kind: String, action: String,
       case _ => sys.error(s"unsupported ref DDL: $action $kind")
     }
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT
+  * name` — Delta's table-constraint DDL over the versioned manifest
+  * set: ADD validates existing data first and every later commit
+  * enforces the CHECK on its new data dir before publishing. Returns
+  * the committed version. */
+case class GraftConstraintCommand(nameParts: Seq[String], action: String,
+                                  conName: String, checkSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.commitWithRetry()(action match {
+      case "ADD" => t.addConstraint(conName, checkSql.get)
+      case "DROP" => t.dropConstraint(conName)
+    })
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
   }
 }
 

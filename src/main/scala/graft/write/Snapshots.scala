@@ -141,7 +141,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                               deletes: Seq[DeleteRef] = Seq.empty,
                               predDeletes: Seq[PredDelete] = Seq.empty,
                               ts: Long = 0L,
-                              partColsLine: Seq[String] = Seq.empty)
+                              partColsLine: Seq[String] = Seq.empty,
+                              constraints: Seq[(String, String)] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -159,6 +160,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       // string literal), so the fixed-shape field leads and the sql is
       // everything after the first separator
       m.predDeletes.map(p => s"pdelete=${p.appliesTo}|${p.sql}") ++
+      // name FIRST (validated [A-Za-z0-9_]+, never contains '|'); the
+      // CHECK sql is everything after the first separator
+      m.constraints.map { case (n, sql) => s"constraint=$n|$sql" } ++
       (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty) ++
       // the writer's partition columns ride every manifest: a reader
       // opened with DIFFERENT partCols would evaluate exclusion masks
@@ -197,11 +201,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(bar > 0, s"malformed pdelete line in $label: $spec")
       PredDelete(spec.substring(bar + 1), spec.substring(0, bar).toInt)
     }
+    val constraints = kv.collect { case ("constraint", spec) =>
+      val bar = spec.indexOf('|')
+      require(bar > 0, s"malformed constraint line in $label: $spec")
+      (spec.substring(0, bar), spec.substring(bar + 1))
+    }
     val m = Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
       deletes, predDeletes,
       kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L),
       kv.collectFirst { case ("partcols", v0) =>
-        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Seq.empty))
+        v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Seq.empty),
+      constraints)
     // fail-fast on a partition-column mismatch: masks and partition
     // probes are expressed over the WRITER's columns (pre-partcols-line
     // history can't be checked — best effort, like the ts fallback)
@@ -275,6 +285,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     WriteDistribution.byPartition(df, partCols)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
     writeSchemaSidecar(dir, df.schema)
+    enforceConstraints(dir)
     dir
   }
 
@@ -321,11 +332,18 @@ class SnapshotTable(spark: SparkSession, root: String,
     * fails and the caller must recompute from the new current. */
   private def commit(op: String, entries: Seq[Entry], parent: Int,
                      deletes: Seq[DeleteRef] = Seq.empty,
-                     predDeletes: Seq[PredDelete] = Seq.empty): Int = {
+                     predDeletes: Seq[PredDelete] = Seq.empty,
+                     constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
+    // CHECK constraints ride every manifest and carry forward
+    // automatically (one metadata read); only add/dropConstraint
+    // commits override the inherited set
+    val cons = constraintsOverride.getOrElse(
+      if (parent > 0) parse(parent).constraints else Seq.empty)
     val m = Manifest(next, parent, op, entries, deletes, predDeletes,
-      ts = System.currentTimeMillis(), partColsLine = partCols)
+      ts = System.currentTimeMillis(), partColsLine = partCols,
+      constraints = cons)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -842,6 +860,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = readVersion(base)
     IncrementalWriter.overwriteZOrdered(cur, dataP, clusterCols, nFiles)
     writeSchemaSidecar(dir, cur.schema)
+    enforceConstraints(dir)
     clusterCols.foreach(c => graft.sources.DataSkipping.buildStats(
       spark, dataP, c, statsPath(dir, c).toString))
     commit("compact_z", Seq(Entry(dir, Set.empty)), base)
@@ -890,6 +909,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
     writeSchemaSidecar(dir, df.schema)
+    enforceConstraints(dir)
     graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
       statsPath(dir, clusterCol).toString)
     Entry(dir, Set.empty)
@@ -971,6 +991,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     WriteDistribution.byPartition(df, partCols)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
     writeSchemaSidecar(dir, df.schema)
+    enforceConstraints(dir)
     dir
   }
 
@@ -997,6 +1018,91 @@ class SnapshotTable(spark: SparkSession, root: String,
     commit("publish_append", prev :+ Entry(stagedDir, Set.empty),
       base, pm.map(_.deletes).getOrElse(Seq.empty),
       pm.map(_.predDeletes).getOrElse(Seq.empty))
+  }
+
+  // ---- CHECK constraints (Delta's table constraints, over the
+  // manifest protocol): named boolean predicates every NEW data dir
+  // must satisfy before its commit publishes. Versioned WITH the
+  // table — the set rides each manifest and carries forward
+  // automatically through every commit, so time travel shows each
+  // version under its own era's constraints and expire needs no side
+  // store. Table-wide, like Iceberg schema metadata: the set lives on
+  // the MAIN lineage (branch manifests don't carry it) and branch
+  // writes are gated by main's current set at write time, so a
+  // fast-forward can never publish rows main's constraints refuse.
+  // SQL-standard CHECK semantics: a row violates only when the
+  // predicate is provably FALSE — NULL passes (write NOT NULL as
+  // `c IS NOT NULL`). Enforcement reads back the JUST-WRITTEN dir,
+  // pruned to the predicate's columns: it never re-runs the caller's
+  // upstream plan (no recompute/double-execution hazard) and never
+  // scans old data — at 100 TB a constrained daily append validates
+  // one day's new files, not the table. ----
+
+  /** The current version's constraints, `(name, CHECK sql)`. */
+  def constraints: Seq[(String, String)] =
+    currentVersion.map(parse(_).constraints).getOrElse(Seq.empty)
+
+  /** Add a named CHECK constraint — one commit. The predicate is
+    * analyzed against the current schema (unresolvable CHECKs die
+    * here, not on every future write) and EXISTING data must already
+    * satisfy it (Delta's ADD CONSTRAINT contract: otherwise the new
+    * version would both declare and violate the constraint); the
+    * validation scan prunes to the predicate's columns. */
+  def addConstraint(name: String, checkSql: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: '$name'")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    require(!m.constraints.exists(_._1 == name),
+      s"constraint '$name' already exists on $root (drop it first)")
+    val cur = readVersion(base)
+    // canonicalize exactly as MOR predicate deletes do: analyze, take
+    // the resolved Filter's condition, require single-line, re-parse
+    val analyzed = cur.filter(expr(checkSql)).queryExecution.analyzed
+    val sql = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }.getOrElse(sys.error("CHECK predicate did not analyze to a Filter"))
+    require(!sql.exists(c => c == '\n' || c == '\r'),
+      s"CHECK predicate renders to multi-line SQL (unsupported): $sql")
+    expr(sql)
+    val bad = cur.filter(expr(sql) === lit(false)).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add constraint '$name': existing rows violate CHECK ($sql), " +
+        s"e.g. ${bad.headOption.getOrElse("")}")
+    commit(s"add_constraint_$name", m.entries, base, m.deletes, m.predDeletes,
+      Some(m.constraints :+ (name -> sql)))
+  }
+
+  /** Remove a named constraint — one commit; older versions keep it. */
+  def dropConstraint(name: String): Int = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    require(m.constraints.exists(_._1 == name),
+      s"no constraint '$name' on $root " +
+        s"(have: ${m.constraints.map(_._1).mkString(", ")})")
+    commit(s"drop_constraint_$name", m.entries, base, m.deletes, m.predDeletes,
+      Some(m.constraints.filterNot(_._1 == name)))
+  }
+
+  /** Gate a just-written data dir on the current constraint set: any
+    * provably-FALSE row deletes the dir and refuses the commit before
+    * its manifest exists (nothing to roll back — the dir was invisible).
+    * Reads the written parquet back pruned to the CHECK's columns;
+    * never re-executes the writer's upstream plan. */
+  private def enforceConstraints(dir: String): Unit = {
+    val cons = constraints
+    if (cons.isEmpty) return
+    val written = readDir(dir)
+    cons.foreach { case (name, sql) =>
+      val bad = written.filter(expr(sql) === lit(false)).limit(1).collect()
+      if (bad.nonEmpty) {
+        fs.delete(new Path(dataDir, dir), true)
+        fs.delete(new Path(statsDir, dir), true)
+        throw new IllegalArgumentException(
+          s"commit refused: constraint '$name' CHECK ($sql) is violated, " +
+            s"e.g. by row ${bad.head}")
+      }
+    }
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,

@@ -194,6 +194,60 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ADD CONSTRAINT: validates existing data, then gates every new commit") {
+    withTable("con") { (name, t) =>
+      // an ADD whose CHECK existing rows violate refuses up front
+      val e0 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $name ADD CONSTRAINT big CHECK (fare >= 15)")
+          .collect() }
+      assert(e0.getMessage.contains("existing rows violate"))
+      assert(t.constraints.isEmpty)
+
+      val v = spark.sql(
+        s"ALTER TABLE $name ADD CONSTRAINT pos CHECK (fare > 0)").head().getInt(0)
+      assert(t.currentVersion.contains(v))
+      assert(t.constraints.map(_._1) == Seq("pos"))
+      assert(t.history.last._2 == "add_constraint_pos")
+
+      // violating INSERT refuses, names the constraint, leaves the
+      // table untouched
+      frame((9, 2024, 3, -5.0)).createOrReplaceTempView("graft_sqlmx_con_bad")
+      val e1 = intercept[Exception] {
+        spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_sqlmx_con_bad") }
+      assert(e1.getMessage.contains("constraint 'pos'"))
+      assert(t.currentVersion.contains(v))
+      assert(t.fsck().isEmpty) // the refused dir left no debris
+
+      // valid insert lands; NULL passes (SQL CHECK semantics)
+      spark.sql(s"INSERT INTO $name VALUES (10, 2024, 3, 50.0)")
+      spark.sql(s"SELECT 11 AS id, 2024 AS year, 3 AS month, " +
+        "CAST(NULL AS DOUBLE) AS fare").createOrReplaceTempView("graft_sqlmx_con_null")
+      spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_sqlmx_con_null")
+      assert(spark.table(name).count() == 5)
+
+      // the set carries through unrelated commits
+      assert(t.constraints.map(_._1) == Seq("pos"))
+
+      // DROP releases the gate; older versions keep their era's set
+      spark.sql(s"ALTER TABLE $name DROP CONSTRAINT pos")
+      assert(t.constraints.isEmpty)
+      spark.sql(s"INSERT INTO $name VALUES (12, 2024, 3, -1.0)")
+      assert(spark.table(name).count() == 6)
+    }
+  }
+
+  test("constraints gate the Scala commit API too (UPDATE rewrite)") {
+    withTable("conu") { (name, t) =>
+      t.addConstraint("pos", "fare > 0")
+      val before = state(t.read())
+      val e = intercept[Exception] {
+        t.commitUpdate(col("id") === 1, Seq("fare" -> lit(-9.0))) }
+      assert(e.getMessage.contains("constraint 'pos'"))
+      assert(state(t.read()) == before) // refused rewrite changed nothing
+      assert(t.fsck().isEmpty)
+    }
+  }
+
   test("maintenance on a non-graft table refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlmx_pq").toString
     frame((1, 2024, 1, 1.0)).write.mode("overwrite").parquet(dir)
