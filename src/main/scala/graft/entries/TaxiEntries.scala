@@ -725,6 +725,43 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // DESCRIBE DETAIL as literal SQL over a fresh zero-copy clone of
+    // the fixture: one metadata-only row — version 1 (a shallow clone
+    // starts its own lineage), ONE entry, and that entry borrowed
+    // (num_borrowed_dirs = 1 is the live-shallow-clone marker).
+    // Nondeterministic columns (location, wall-clock, file/byte
+    // counts) are projected out; they're pinned in
+    // GraftSqlMaintenanceSpec instead.
+    "taxi_sql_detail" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("sqldet", d, s))
+      val name = sqlReg(s, "sqldet", t.location)
+      s.sql(s"DESCRIBE DETAIL $name")
+        .select(col("version"), col("num_entries"), col("num_borrowed_dirs"),
+          col("partition_columns"), col("constraints"))
+    },
+    // SHALLOW CLONE as literal SQL: the clone is created zero-copy
+    // (one metadata commit borrowing the fixture's data dirs in
+    // place), then takes its own INSERT — reads through the catalog
+    // name must see fixture + appended month while the SOURCE fixture
+    // stays untouched (every other snapcdc entry in the same session
+    // would break if it didn't). Oracle = taxi_sql_insert's algebra.
+    // Zero-copy/divergence/maintenance-safety pins live in
+    // ShallowCloneSpec and GraftSqlMaintenanceSpec.
+    "taxi_sql_shallow_clone" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val srcName = sqlReg(s, "sqlshcs", src.location)
+      val loc = tmpPath("sqlshc", d, s)
+      s.sql(s"DROP TABLE IF EXISTS graft_entry_sqlshc")
+      s.sql(s"CREATE TABLE graft_entry_sqlshc SHALLOW CLONE $srcName LOCATION '$loc'")
+      models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
+        .createOrReplaceTempView("graft_entry_sqlshc_ins")
+      s.sql(s"INSERT INTO graft_entry_sqlshc BY NAME " +
+        "SELECT * FROM graft_entry_sqlshc_ins")
+      s.table("graft_entry_sqlshc").groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // DESCRIBE HISTORY as literal SQL over a clone that took one
     // OPTIMIZE — grades the parser wiring AND pins that compaction is a
     // history event: op 'compact', parent = the rollback head, ONE
@@ -1262,6 +1299,20 @@ object TaxiEntries {
     // a correct constraint gate is invisible on valid data: the oracle
     // is taxi_sql_insert's algebra (fixture + re-appended month 1)
     "taxi_sql_constraints" -> o(
+      s""", result AS (SELECT * FROM stg_yellow
+         |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // one metadata row: a fresh shallow clone is v1, one entry, that
+    // entry borrowed, the fixture's layout, no constraints
+    "taxi_sql_detail" -> o(
+      """SELECT * FROM (VALUES (1, 1, 1, 'year,month', ''))
+        |  AS t(version, num_entries, num_borrowed_dirs,
+        |       partition_columns, constraints)""".stripMargin),
+    // the zero-copy clone reads as fixture + its own appended month;
+    // the source stays untouched (pinned by every sibling snapcdc
+    // entry sharing the fixture in the same session)
+    "taxi_sql_shallow_clone" -> o(
       s""", result AS (SELECT * FROM stg_yellow
          |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
 import graft.sources.GraftDataSource
 import graft.write.SnapshotTable
@@ -41,14 +41,18 @@ import graft.write.SnapshotTable
   *                                                --  unless FORCE)
   *   ALTER TABLE t ADD CONSTRAINT c CHECK (expr)  -- addConstraint
   *   ALTER TABLE t DROP CONSTRAINT c              -- dropConstraint
+  *   CREATE TABLE t SHALLOW CLONE s LOCATION 'p'  -- shallowClone (zero-copy)
+  *   CREATE TABLE t [DEEP] CLONE s LOCATION 'p'   -- deepClone
+  *   DESCRIBE DETAIL t                            -- detail (one row)
   * }}}
   *
   * Dispatch is on the leading keyword: `VACUUM`/`OPTIMIZE`/`RESTORE`
   * have no Spark meaning, so a malformed one gets THIS grammar's error,
   * never a confusing delegate parse failure; `DESCRIBE` falls through
-  * unless its second word is `HISTORY`; `ALTER TABLE` falls through
+  * unless its second word is `HISTORY` or `DETAIL`; `ALTER TABLE` falls through
   * unless the clause is one of the branch/tag shapes above (which stock
-  * Spark would reject anyway). Table names are handed to the DELEGATE's
+  * Spark would reject anyway); `CREATE` falls through unless it is the
+  * `... CLONE ... LOCATION` shape. Table names are handed to the DELEGATE's
   * `parseMultipartIdentifier`, so backticks and db qualifiers parse
   * exactly as Spark parses them. Whether the target actually IS a
   * graft table is checked at EXECUTION (the commands refuse loudly on
@@ -98,6 +102,7 @@ object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val OptimizePlain = """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val DescHistory = """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val DescDetail = """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*""".r
   private val RestoreV =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTs =
@@ -112,6 +117,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+  private val DeepClone =
+    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+(?:DEEP\s+)?CLONE\s+(.+?)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
 
   private val GrammarHelp =
     "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
@@ -165,6 +174,7 @@ object GraftSqlParser {
       }
       case "DESC" | "DESCRIBE" => sqlText match {
         case DescHistory(tbl) => Some(GraftDescribeHistoryCommand(ident(tbl)))
+        case DescDetail(tbl) => Some(GraftDescribeDetailCommand(ident(tbl)))
         case _ => None // every other DESCRIBE is Spark's
       }
       case "ALTER" => sqlText match {
@@ -180,6 +190,15 @@ object GraftSqlParser {
         case DropConstraint(tbl, name) =>
           Some(GraftConstraintCommand(ident(tbl), "DROP", name, None))
         case _ => None // every other ALTER is Spark's
+      }
+      case "CREATE" => sqlText match {
+        // SHALLOW first: the DeepClone pattern's optional DEEP keyword
+        // would otherwise swallow "SHALLOW" into the table name
+        case ShallowClone(tbl, src, loc) =>
+          Some(GraftCloneCommand(ident(tbl), ident(src), loc, shallow = true))
+        case DeepClone(tbl, src, loc) =>
+          Some(GraftCloneCommand(ident(tbl), ident(src), loc, shallow = false))
+        case _ => None // every other CREATE is Spark's
       }
       case _ => None
     }
@@ -325,6 +344,55 @@ case class GraftConstraintCommand(nameParts: Seq[String], action: String,
     })
     GraftSqlParser.refresh(session, ct)
     Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table detail, metadata-only
+  * ([[SnapshotTable.detail]]): version, commit wall-clock, entry /
+  * borrowed-dir / file / byte counts, partition columns, and the
+  * CHECK constraint set. `num_borrowed_dirs > 0` identifies a live
+  * shallow clone. */
+case class GraftDescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("committed_at_ms", LongType, nullable = false)(),
+    AttributeReference("num_entries", IntegerType, nullable = false)(),
+    AttributeReference("num_borrowed_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, t) = GraftSqlParser.open(session, nameParts)
+    val d = t.detail
+    Seq(Row("graft", d.location, d.version, d.committedAtMs, d.numEntries,
+      d.borrowedDirs, d.numFiles, d.sizeBytes,
+      d.partitionColumns.mkString(","),
+      d.constraints.map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")))
+  }
+}
+
+/** `CREATE TABLE t [SHALLOW|DEEP] CLONE s LOCATION 'path'` — Delta's
+  * CLONE DDL over the snapshot protocol. SHALLOW references the
+  * source's current data dirs in place (one metadata commit, zero
+  * bytes moved — the 100 TB dev-copy path); DEEP (the default, like
+  * Delta) copies files for a fully independent lifecycle. The clone is
+  * registered in the catalog as a graft table at `path`. Returns the
+  * clone's version (always 1 for shallow). */
+case class GraftCloneCommand(nameParts: Seq[String], srcParts: Seq[String],
+                             location: String, shallow: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, src) = GraftSqlParser.open(session, srcParts)
+    val clone = if (shallow) src.shallowClone(location) else src.deepClone(location)
+    val name = nameParts.map(p => s"`$p`").mkString(".")
+    session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$location')")
+    Seq(Row(clone.currentVersion.getOrElse(0)))
   }
 }
 

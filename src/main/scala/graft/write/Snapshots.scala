@@ -300,8 +300,23 @@ class SnapshotTable(spark: SparkSession, root: String,
   // EVOLUTION still happens across dirs via unionByName, exactly as
   // before — the sidecar only replaces within-dir inference. ----
 
+  /** Resolve an entry's dir token to its data location. Plain names
+    * live under this table's `_data`; an ABSOLUTE URI is a BORROWED
+    * dir — a [[shallowClone]] entry referencing the source table's
+    * files in place. Borrowed dirs are strictly read-only to this
+    * table: no write targets one (new commits always mint local dirs),
+    * and no maintenance can collect one — [[vacuum]]/[[expire]] sweep
+    * by LISTING the local `_data` (absolute paths never appear there)
+    * and [[purge]] refuses borrowed entries outright. */
+  private def dirPath(dir: String): Path = {
+    val p = new Path(dir)
+    if (p.isAbsolute) p else new Path(dataDir, dir)
+  }
+
+  private def isBorrowed(dir: String): Boolean = new Path(dir).isAbsolute
+
   private def schemaSidecarPath(dir: String) =
-    new Path(new Path(dataDir, dir), "_graft_schema.ddl")
+    new Path(dirPath(dir), "_graft_schema.ddl")
 
   private def writeSchemaSidecar(dir: String,
                                  schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -311,7 +326,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def readDir(dir: String): DataFrame = {
     val sp = schemaSidecarPath(dir)
-    val dataP = new Path(dataDir, dir).toString
+    val dataP = dirPath(dir).toString
     if (fs.exists(sp)) {
       val in = fs.open(sp)
       val ddl =
@@ -878,8 +893,18 @@ class SnapshotTable(spark: SparkSession, root: String,
   // clustered layout has no partition directories for
   // commitOverwritePartitions' exclusion masks to name. ----
 
+  /** A dir's stats-index directory. Borrowed (shallow-clone) dirs map
+    * into the SOURCE table's `_stats`, so a clone reuses every index
+    * the source already built — read-only reuse; a clone never writes
+    * there ([[buildStatsIndex]] skips borrowed dirs). */
+  private def statsDirPath(dir: String): Path = {
+    val p = new Path(dir)
+    if (p.isAbsolute) new Path(new Path(p.getParent.getParent, "_stats"), p.getName)
+    else new Path(statsDir, dir)
+  }
+
   private def statsPath(dir: String, column: String): Path =
-    new Path(new Path(statsDir, dir), column)
+    new Path(statsDirPath(dir), column)
 
   /** Full-table clustered snapshot: data range-clustered on
     * `clusterCol` into `nFiles` disjoint-range files + the dir's stats
@@ -937,7 +962,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val m = parse(v)
     require(m.entries.nonEmpty, s"v$v at $root is an empty snapshot")
     m.entries.zipWithIndex.map { case (e, i) =>
-      val dataP = new Path(dataDir, e.dir).toString
+      val dataP = dirPath(e.dir).toString
       val sp = statsPath(e.dir, clusterCol)
       val df =
         if (fs.exists(sp))
@@ -962,11 +987,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     * indexes were built. */
   def buildStatsIndex(column: String): Int = {
     val m = parse(currentVersion.getOrElse(sys.error(s"no snapshot at $root")))
-    val missing = m.entries.map(_.dir).distinct
+    // borrowed (shallow-clone) dirs are skipped rather than indexed:
+    // building would write into the SOURCE table's _stats, and borrowed
+    // dirs are read-only by contract — a clone that wants indexes on
+    // its own terms localizes first (commitCompactFiles)
+    val missing = m.entries.map(_.dir).distinct.filterNot(isBorrowed)
       .filterNot(d => fs.exists(statsPath(d, column)))
     missing.foreach { d =>
       graft.sources.DataSkipping.buildStats(spark,
-        new Path(dataDir, d).toString, column, statsPath(d, column).toString)
+        dirPath(d).toString, column, statsPath(d, column).toString)
     }
     missing.size
   }
@@ -1103,6 +1132,34 @@ class SnapshotTable(spark: SparkSession, root: String,
             s"e.g. by row ${bad.head}")
       }
     }
+  }
+
+  /** Metadata-only table detail (Delta's `DESCRIBE DETAIL`): the
+    * CURRENT version's shape — entry/file/byte counts, partition
+    * columns, constraints, and how many dirs are borrowed from a
+    * shallow-clone source. One manifest parse + one recursive listing
+    * per referenced dir, never a data scan — runnable on a 100 TB
+    * table as cheaply as on a test fixture. */
+  def detail: SnapshotTable.Detail = {
+    val v = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(v)
+    var files = 0L
+    var bytes = 0L
+    m.entries.map(_.dir).distinct.foreach { d =>
+      val p = dirPath(d)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            files += 1; bytes += st.getLen
+          }
+        }
+      }
+    }
+    SnapshotTable.Detail(root, v, m.ts, m.entries.size,
+      m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
+      m.constraints)
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -1768,6 +1825,63 @@ class SnapshotTable(spark: SparkSession, root: String,
     new SnapshotTable(spark, destRoot, partCols)
   }
 
+  /** SHALLOW clone: a new table whose first version REFERENCES the
+    * source's current data dirs in place — zero data bytes move, one
+    * manifest write, O(metadata) whatever the table size (Delta's
+    * `CREATE TABLE ... SHALLOW CLONE`, Iceberg snapshot-ref tables).
+    * At 100 TB this is how a dev/test/experiment copy is actually
+    * made: the deep copy is a multi-hour distributed job; this is one
+    * metadata commit.
+    *
+    * The clone starts at v1 = the source's CURRENT state (entries,
+    * exclusion masks, MOR deletes, and CHECK constraints all carried;
+    * history, tags, and branches do NOT transfer — clone the state,
+    * not the lineage). Afterwards the two tables diverge freely: new
+    * commits on either side mint their OWN local data dirs, and the
+    * clone's maintenance can never touch the source's files — borrowed
+    * dirs live outside the clone's `_data`, so [[vacuum]]/[[expire]]
+    * (which sweep by local listing) cannot collect them, and [[purge]]
+    * refuses until the clone localizes ([[commitCompactFiles]] rewrites
+    * the current state into owned dirs, after which [[expire]] retires
+    * the borrowing manifests).
+    *
+    * THE shallow-clone hazard (same as Delta's): the SOURCE's
+    * `vacuum`/`expire`/`purge` does not know about clones — reclaiming
+    * a dir the clone still borrows breaks the clone's reads. The
+    * clone's [[fsck]] names exactly this ("borrowed data dir missing");
+    * localize clones that must outlive the source's retention. */
+  def shallowClone(destRoot: String): SnapshotTable = {
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val dst = new Path(destRoot)
+    val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,
+      s"shallow clone destination exists and is non-empty: $destRoot")
+    // borrowed dirs ride the manifest line format: the fully-qualified
+    // URI must stay parseable (dir is everything before the first '|')
+    def borrow(d: String): String = {
+      val q = fs.makeQualified(dirPath(d)).toString
+      require(!q.contains('|') && !q.exists(c => c == '\n' || c == '\r'),
+        s"cannot shallow-clone: source dir path not manifest-safe: $q")
+      q
+    }
+    val cm = Manifest(1, 0, s"shallow_clone_v$base",
+      m.entries.map(e => e.copy(dir = borrow(e.dir))),
+      m.deletes.map(d => d.copy(dir = borrow(d.dir))),
+      m.predDeletes, ts = System.currentTimeMillis(),
+      partColsLine = partCols, constraints = m.constraints)
+    val cloneManifests = new Path(dst, "_manifests")
+    dfs.mkdirs(cloneManifests)
+    require(graft.util.AtomicFlip.publishExclusive(dfs,
+      new Path(cloneManifests, f"v${1}%05d.txt"),
+      render(cm).getBytes("UTF-8")),
+      s"shallow clone destination already has a manifest: $destRoot")
+    graft.util.AtomicFlip.writeAtomic(dfs,
+      spark.sparkContext.hadoopConfiguration,
+      new Path(cloneManifests, "CURRENT"), "1".getBytes("UTF-8"))
+    new SnapshotTable(spark, destRoot, partCols)
+  }
+
   /** Right-to-be-forgotten erasure: rewrite EVERY retained version so
     * no row matching `condition` survives anywhere in history — the
     * compliance operation time travel makes hard (a DELETE commit only
@@ -1824,6 +1938,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       branchVersions(n).map(bv => (n, bv, parseBranch(n, bv))) }
     val dirs = (manifests.flatMap(_.entries.map(_.dir)) ++
       branchMs.flatMap(_._3.entries.map(_.dir))).distinct
+    // borrowed (shallow-clone) dirs belong to the SOURCE table:
+    // rewriting-and-deleting them here would erase rows from a table
+    // this handle does not own. Localize first, then purge.
+    require(dirs.forall(!isBorrowed(_)),
+      "purge on a shallow clone is not supported while it still borrows " +
+        "the source's data dirs: run commitCompactFiles() to localize " +
+        "(and expire() the borrowing history), then purge — erasure on " +
+        "the SOURCE table is the source owner's operation")
     val mapping = dirs.map { dir =>
       val purged = s"p$dir"
       val src = new Path(dataDir, dir)
@@ -1937,8 +2059,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     val referenced = (parsed ++ branchParsed)
       .flatMap(m => m.entries.map(_.dir) ++ m.deletes.map(_.dir)).toSet
     referenced.toSeq.sorted.foreach { d =>
-      val p = new Path(dataDir, d)
-      if (!fs.exists(p)) problems += s"referenced data dir missing: $d"
+      val p = dirPath(d)
+      // a missing BORROWED dir means the shallow-clone source
+      // vacuumed/expired/purged it out from under this table — the
+      // clone-invalidation hazard fsck exists to surface
+      if (!fs.exists(p)) problems +=
+        (if (isBorrowed(d))
+          s"borrowed data dir missing (source table reclaimed it?): $d"
+        else s"referenced data dir missing: $d")
       else if (!fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
         problems += s"referenced data dir empty (no data files): $d"
     }
@@ -1983,13 +2111,13 @@ class SnapshotTable(spark: SparkSession, root: String,
             try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
             finally in.close()
           }
-        val dirStats = new Path(statsDir, e.dir)
+        val dirStats = statsDirPath(e.dir)
         val stats =
           if (!fs.exists(dirStats)) Seq.empty
           else fs.listStatus(dirStats)
             .map(st => st.getPath.getName -> st.getPath.toString)
             .sortBy(_._1).toSeq
-        SnapshotScanSpec.Dir(new Path(dataDir, e.dir).toString, e.excluded,
+        SnapshotScanSpec.Dir(dirPath(e.dir).toString, e.excluded,
           ddl, stats)
       },
       m.deletes.nonEmpty || m.predDeletes.nonEmpty)
@@ -2035,6 +2163,15 @@ private[graft] object SnapshotScanSpec {
 }
 
 object SnapshotTable {
+  /** One row of [[SnapshotTable.detail]]: the current version's
+    * metadata-derived shape. `borrowedDirs > 0` marks a live shallow
+    * clone (some state is referenced from the source table in place). */
+  case class Detail(location: String, version: Int, committedAtMs: Long,
+                    numEntries: Int, borrowedDirs: Int,
+                    numFiles: Long, sizeBytes: Long,
+                    partitionColumns: Seq[String],
+                    constraints: Seq[(String, String)])
+
   /** The partition columns recorded in the table's CURRENT manifest
     * (the `partcols` line every commit stamps since round 12) — how a
     * reader that doesn't know the layout (the `graft` DataSource

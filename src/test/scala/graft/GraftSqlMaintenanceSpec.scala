@@ -219,7 +219,9 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       assert(t.fsck().isEmpty) // the refused dir left no debris
 
       // valid insert lands; NULL passes (SQL CHECK semantics)
-      spark.sql(s"INSERT INTO $name VALUES (10, 2024, 3, 50.0)")
+      spark.sql(s"SELECT 10 AS id, 2024 AS year, 3 AS month, 50.0 AS fare")
+        .createOrReplaceTempView("graft_sqlmx_con_ok")
+      spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_sqlmx_con_ok")
       spark.sql(s"SELECT 11 AS id, 2024 AS year, 3 AS month, " +
         "CAST(NULL AS DOUBLE) AS fare").createOrReplaceTempView("graft_sqlmx_con_null")
       spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_sqlmx_con_null")
@@ -231,7 +233,9 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       // DROP releases the gate; older versions keep their era's set
       spark.sql(s"ALTER TABLE $name DROP CONSTRAINT pos")
       assert(t.constraints.isEmpty)
-      spark.sql(s"INSERT INTO $name VALUES (12, 2024, 3, -1.0)")
+      spark.sql(s"SELECT 12 AS id, 2024 AS year, 3 AS month, -1.0 AS fare")
+        .createOrReplaceTempView("graft_sqlmx_con_neg")
+      spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_sqlmx_con_neg")
       assert(spark.table(name).count() == 6)
     }
   }
@@ -245,6 +249,74 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("constraint 'pos'"))
       assert(state(t.read()) == before) // refused rewrite changed nothing
       assert(t.fsck().isEmpty)
+    }
+  }
+
+  test("DESCRIBE DETAIL: one metadata-only row; borrowed dirs mark a shallow clone") {
+    withTable("det") { (name, t) =>
+      t.addConstraint("pos", "fare > 0")
+      val r = spark.sql(s"DESCRIBE DETAIL $name").head()
+      assert(r.getString(r.fieldIndex("format")) == "graft")
+      // the catalog hands the root back scheme-qualified (file:/...)
+      assert(r.getString(r.fieldIndex("location")).endsWith(t.location))
+      assert(r.getInt(r.fieldIndex("version")) == t.currentVersion.get)
+      assert(r.getInt(r.fieldIndex("num_entries")) == 2)
+      assert(r.getInt(r.fieldIndex("num_borrowed_dirs")) == 0)
+      assert(r.getLong(r.fieldIndex("num_files")) > 0)
+      assert(r.getLong(r.fieldIndex("size_bytes")) > 0)
+      assert(r.getString(r.fieldIndex("partition_columns")) == "year,month")
+      assert(r.getString(r.fieldIndex("constraints")).startsWith("pos CHECK"))
+      // a shallow clone's detail shows every entry borrowed and ZERO
+      // owned bytes are implied by the files living at the source
+      val loc = freshRoot("det_clone")
+      val cName = "graft_sqlmx_det_clone"
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      try {
+        spark.sql(s"CREATE TABLE $cName SHALLOW CLONE $name LOCATION '$loc'")
+        val c = spark.sql(s"DESCRIBE DETAIL $cName").head()
+        assert(c.getInt(c.fieldIndex("num_entries")) == 2)
+        assert(c.getInt(c.fieldIndex("num_borrowed_dirs")) == 2)
+        assert(c.getLong(c.fieldIndex("num_files")) ==
+          r.getLong(r.fieldIndex("num_files")))
+        assert(c.getString(c.fieldIndex("constraints")).startsWith("pos CHECK"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
+    }
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE: zero-copy, registered, independent") {
+    withTable("clone") { (name, t) =>
+      val loc = freshRoot("clone_dst")
+      val cName = "graft_sqlmx_clone_out"
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      try {
+        val v = spark.sql(
+          s"CREATE TABLE $cName SHALLOW CLONE $name LOCATION '$loc'").head().getInt(0)
+        assert(v == 1)
+        val before = state(t.read())
+        assert(state(spark.table(cName)) == before)
+        // zero parquet under the clone's own _data: state is borrowed
+        val cfs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dataP = new Path(loc, "_data")
+        assert(!cfs.exists(dataP) ||
+          !cfs.listFiles(dataP, true).hasNext)
+        // a write through the clone's catalog name leaves the source
+        // alone (column order: the format lists partition cols last)
+        spark.sql(s"SELECT 9 AS id, 2024 AS year, 9 AS month, 90.0 AS fare")
+          .createOrReplaceTempView("graft_sqlmx_clone_ins")
+        spark.sql(s"INSERT INTO $cName BY NAME SELECT * FROM graft_sqlmx_clone_ins")
+        assert(state(spark.table(cName)) == before + ((9, 2024, 9, 90.0)))
+        assert(state(t.read()) == before)
+        // a plain DEEP clone (the default form) owns its bytes
+        val dLoc = freshRoot("clone_deep")
+        val dName = "graft_sqlmx_clone_deep"
+        spark.sql(s"DROP TABLE IF EXISTS $dName")
+        try {
+          spark.sql(s"CREATE TABLE $dName CLONE $name LOCATION '$dLoc'")
+          assert(state(spark.table(dName)) == before)
+          val dfs = new Path(dLoc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          assert(dfs.listFiles(new Path(dLoc, "_data"), true).hasNext)
+        } finally spark.sql(s"DROP TABLE IF EXISTS $dName")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
     }
   }
 

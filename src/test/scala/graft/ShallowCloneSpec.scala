@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.SnapshotTable
+
+/** Shallow-clone contract: zero-copy creation, full state carry
+  * (masks + MOR deletes + constraints), divergence isolation both
+  * directions, maintenance safety (the clone can never reclaim a
+  * borrowed dir; purge refuses until localized), and the documented
+  * source-retention hazard surfacing through fsck. */
+class ShallowCloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    s"$dir/tbl"
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int, Double)] =
+    df.select(col("id"), col("year"), col("month"), col("fare"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+
+  /** Parquet files physically under a table's own `_data`. */
+  private def ownedParquetCount(root: String): Int = {
+    val p = new Path(root, "_data")
+    val f = fs(root)
+    if (!f.exists(p)) 0
+    else {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+  }
+
+  test("zero-copy creation carries masks, MOR deletes, and constraints") {
+    val src = new SnapshotTable(spark, freshRoot("shc_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 25.0)))
+    src.commitOverwritePartitions(frame((9, 2024, 2, 99.0)))   // masks v1's month 2
+    src.commitDeleteMor(col("id") === 1)                        // MOR predicate delete
+    src.addConstraint("pos", "fare > 0")
+    val expected = state(src.read())
+    assert(expected == Set((9, 2024, 2, 99.0)))
+
+    val clone = src.shallowClone(freshRoot("shc_dst"))
+    // state identity through masks + MOR deletes, with ZERO owned bytes
+    assert(state(clone.read()) == expected)
+    assert(ownedParquetCount(clone.location) == 0, "shallow clone copied data files")
+    assert(clone.currentVersion.contains(1))
+    assert(clone.history.map(_._2) == Seq("shallow_clone_v4"))
+    // constraints carried: a violating append on the CLONE refuses
+    assert(clone.constraints.map(_._1) == Seq("pos"))
+    val e = intercept[Exception] { clone.commitAppend(frame((7, 2024, 3, -1.0))) }
+    assert(e.getMessage.contains("constraint 'pos'"))
+    // history/tags/branches do NOT transfer: the clone is state, not lineage
+    assert(clone.tags.isEmpty)
+  }
+
+  test("clone and source diverge independently after the clone point") {
+    val src = new SnapshotTable(spark, freshRoot("shc_div_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val clone = src.shallowClone(freshRoot("shc_div_dst"))
+    val at = state(src.read())
+
+    clone.commitAppend(frame((3, 2024, 3, 30.0)))
+    src.commitAppend(frame((4, 2024, 4, 40.0)))
+    assert(state(clone.read()) == at + ((3, 2024, 3, 30.0)))
+    assert(state(src.read()) == at + ((4, 2024, 4, 40.0)))
+    // the clone's new commit minted an OWNED dir; the borrowed one is
+    // still byte-free on the clone's side
+    assert(ownedParquetCount(clone.location) > 0)
+    // clone-side dynamic partition overwrite masks a borrowed dir's
+    // partition without touching the source
+    clone.commitOverwritePartitions(frame((8, 2024, 1, 11.0)))
+    assert(state(clone.read()) ==
+      Set((8, 2024, 1, 11.0), (2, 2024, 2, 20.0), (3, 2024, 3, 30.0)))
+    assert(state(src.read()) == at + ((4, 2024, 4, 40.0)), "clone write leaked into source")
+  }
+
+  test("clone maintenance can never reclaim borrowed dirs; purge refuses until localized") {
+    val src = new SnapshotTable(spark, freshRoot("shc_mx_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val clone = src.shallowClone(freshRoot("shc_mx_dst"))
+    clone.commitAppend(frame((3, 2024, 3, 30.0)))
+    clone.commitAppend(frame((4, 2024, 4, 40.0)))
+
+    // expire+vacuum the clone down to its head with zero retention age:
+    // listing-based sweeps cannot see (so cannot delete) borrowed dirs
+    clone.expire(keepLast = 1, olderThanMs = 0L)
+    assert(clone.vacuum(olderThanMs = 0L).isEmpty)
+    assert(state(src.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)),
+      "clone maintenance damaged the source")
+    assert(state(clone.read()) ==
+      Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 3, 30.0), (4, 2024, 4, 40.0)))
+
+    // purge refuses while any manifest still borrows
+    val e = intercept[Exception] { clone.purge(col("id") === 1) }
+    assert(e.getMessage.contains("shallow clone"))
+
+    // localize (one compaction commit), retire borrowing history — now
+    // purge works and the source remains untouched
+    clone.commitCompactFiles()
+    clone.expire(keepLast = 1, olderThanMs = 0L)
+    assert(clone.purge(col("id") === 1) > 0)
+    assert(!state(clone.read()).exists(_._1 == 1))
+    assert(state(src.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+  }
+
+  test("fsck names the source-retention hazard; chained clones resolve") {
+    val src = new SnapshotTable(spark, freshRoot("shc_fsck_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val c1 = src.shallowClone(freshRoot("shc_fsck_c1"))
+    // a clone of a clone borrows the ORIGINAL dirs (absolute stays
+    // absolute), so the chain has one owner, not a linked list
+    val c2 = c1.shallowClone(freshRoot("shc_fsck_c2"))
+    assert(state(c2.read()) == Set((1, 2024, 1, 10.0)))
+    assert(ownedParquetCount(c2.location) == 0)
+    assert(c1.fsck().isEmpty && c2.fsck().isEmpty)
+
+    // source reclaims the dir (the documented hazard): both clones'
+    // fsck must say exactly what happened
+    val srcData = new Path(src.location, "_data")
+    fs(src.location).delete(srcData, true)
+    assert(c1.fsck().exists(_.contains("borrowed data dir missing")))
+    assert(c2.fsck().exists(_.contains("borrowed data dir missing")))
+  }
+
+  test("destination must be empty; clone of nothing refuses") {
+    val src = new SnapshotTable(spark, freshRoot("shc_refuse_src"))
+    intercept[Exception] { src.shallowClone(freshRoot("shc_refuse_d0")) } // no snapshot yet
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val occupied = freshRoot("shc_refuse_d1")
+    new SnapshotTable(spark, occupied).commitOverwrite(frame((2, 2024, 2, 2.0)))
+    val e = intercept[Exception] { src.shallowClone(occupied) }
+    assert(e.getMessage.contains("destination exists"))
+  }
+}
