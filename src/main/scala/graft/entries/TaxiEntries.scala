@@ -725,6 +725,32 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // RENAME COLUMN as literal SQL — metadata-only column mapping over
+    // a zero-copy clone: one commit, no data moves, and the aggregate
+    // RESOLVES on the new name (the entry fails loudly if the rename
+    // didn't land) while the values are the fixture's algebra under
+    // the old name. Era-correct time travel, retired-name refusals,
+    // and fast-path fallback/restore pins live in ColumnMappingSpec.
+    "taxi_sql_rename_column" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("sqlren", d, s))
+      val name = sqlReg(s, "sqlren", t.location)
+      s.sql(s"ALTER TABLE $name RENAME COLUMN fare_amount TO fare_amt")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amt"), 2).as("fare_amt_sum"))
+    },
+    // DROP COLUMN as literal SQL — the graded result is the table's
+    // SCHEMA itself (sorted column names through the catalog), pinning
+    // that the drop is visible to readers without a rewrite.
+    "taxi_sql_drop_column" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("sqldrp", d, s))
+      val name = sqlReg(s, "sqldrp", t.location)
+      s.sql(s"ALTER TABLE $name DROP COLUMN total_amount")
+      import s.implicits._
+      s.table(name).columns.sorted.toSeq.toDF("column_name")
+    },
     // DESCRIBE DETAIL as literal SQL over a fresh zero-copy clone of
     // the fixture: one metadata-only row — version 1 (a shallow clone
     // starts its own lineage), ONE entry, and that entry borrowed
@@ -1303,6 +1329,20 @@ object TaxiEntries {
          |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // the rename is pure metadata: values are the fixture's algebra,
+    // only the output column name moved
+    "taxi_sql_rename_column" -> o(
+      s"""SELECT year, month, count(*) AS n,
+         |  ${rndSum("fare_amount", 2)} AS fare_amt_sum
+         |FROM stg_yellow GROUP BY 1, 2""".stripMargin),
+    // the post-drop logical schema, sorted — 12 of the 13 staging
+    // columns (loaded_at was never committed; total_amount dropped)
+    "taxi_sql_drop_column" -> o(
+      """SELECT * FROM (VALUES ('dropoff_datetime'), ('dropoff_location_id'),
+        |  ('fare_amount'), ('month'), ('passenger_count'),
+        |  ('pickup_datetime'), ('pickup_location_id'), ('taxi_type'),
+        |  ('trip_distance_miles'), ('trip_id'), ('vendor_id'), ('year'))
+        |  AS t(column_name)""".stripMargin),
     // one metadata row: a fresh shallow clone is v1, one entry, that
     // entry borrowed, the fixture's layout, no constraints
     "taxi_sql_detail" -> o(

@@ -407,8 +407,14 @@ object GraftDataSource {
     if (spec.hasDeletes || spec.dirs.isEmpty) return None
     val ddls = spec.dirs.map(_.schemaDdl)
     if (ddls.exists(_.isEmpty)) return None
-    val full = unifySchemas(ddls.flatten.distinct.map(StructType.fromDDL))
-      .getOrElse(return None)
+    val schemas = ddls.flatten.distinct.map(StructType.fromDDL)
+    // a live column mapping (rename/drop) that still touches any dir's
+    // physical schema needs the per-dir read-time fold → general path;
+    // once compaction rewrites the files under the logical names (and
+    // clears the history), the file index serves again
+    if (spec.retiredNames.nonEmpty &&
+        schemas.exists(_.fieldNames.exists(spec.retiredNames))) return None
+    val full = unifySchemas(schemas).getOrElse(return None)
     if (!partCols.forall(full.fieldNames.contains)) return None
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))
     val dataSchema = StructType(full.filterNot(f => partCols.contains(f.name)))

@@ -41,6 +41,8 @@ import graft.write.SnapshotTable
   *                                                --  unless FORCE)
   *   ALTER TABLE t ADD CONSTRAINT c CHECK (expr)  -- addConstraint
   *   ALTER TABLE t DROP CONSTRAINT c              -- dropConstraint
+  *   ALTER TABLE t RENAME COLUMN a TO b           -- renameColumn (metadata-only)
+  *   ALTER TABLE t DROP COLUMN c                  -- dropColumn (metadata-only)
   *   CREATE TABLE t SHALLOW CLONE s LOCATION 'p'  -- shallowClone (zero-copy)
   *   CREATE TABLE t [DEEP] CLONE s LOCATION 'p'   -- deepClone
   *   DESCRIBE DETAIL t                            -- detail (one row)
@@ -117,6 +119,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val RenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+RENAME\s+COLUMN\s+([A-Za-z0-9_]+)\s+TO\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val DropCol =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+COLUMN\s+([A-Za-z0-9_]+)\s*;?\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val DeepClone =
@@ -189,6 +195,10 @@ object GraftSqlParser {
           Some(GraftConstraintCommand(ident(tbl), "ADD", name, Some(check.trim)))
         case DropConstraint(tbl, name) =>
           Some(GraftConstraintCommand(ident(tbl), "DROP", name, None))
+        case RenameCol(tbl, from, to) =>
+          Some(GraftColumnCommand(ident(tbl), from, Some(to)))
+        case DropCol(tbl, name) =>
+          Some(GraftColumnCommand(ident(tbl), name, None))
         case _ => None // every other ALTER is Spark's
       }
       case "CREATE" => sqlText match {
@@ -342,6 +352,41 @@ case class GraftConstraintCommand(nameParts: Seq[String], action: String,
       case "ADD" => t.addConstraint(conName, checkSql.get)
       case "DROP" => t.dropConstraint(conName)
     })
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` — schema
+  * surgery as ONE metadata commit, no data rewrite (Delta's column
+  * mapping re-expressed over the manifest protocol:
+  * [[SnapshotTable.renameColumn]] / [[SnapshotTable.dropColumn]]).
+  * Stock Spark only supports these clauses on v2 catalogs; here they
+  * are intercepted and refused loudly on non-graft targets, which for
+  * the v1 tables this engine serves is strictly more helpful than the
+  * delegate's v2-only failure. Returns the committed version. */
+case class GraftColumnCommand(nameParts: Seq[String], colName: String,
+                              renameTo: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.commitWithRetry()(renameTo match {
+      case Some(to) => t.renameColumn(colName, to)
+      case None => t.dropColumn(colName)
+    })
+    // the catalog pinned the schema at CREATE time and Spark refuses a
+    // relation whose inferred schema drifted from it — apply the same
+    // surgery to the STORED schema (preserving the catalog's own field
+    // order and partition placement). alterTable, not
+    // alterTableDataSchema: the latter hard-refuses drops.
+    val newFields = ct.schema.fields.toSeq.flatMap { f =>
+      if (f.name != colName) Some(f)
+      else renameTo.map(to => f.copy(name = to))
+    }
+    session.sessionState.catalog.alterTable(
+      ct.copy(schema = StructType(newFields)))
     GraftSqlParser.refresh(session, ct)
     Seq(Row(v))
   }

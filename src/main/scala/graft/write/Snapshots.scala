@@ -142,7 +142,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                               predDeletes: Seq[PredDelete] = Seq.empty,
                               ts: Long = 0L,
                               partColsLine: Seq[String] = Seq.empty,
-                              constraints: Seq[(String, String)] = Seq.empty)
+                              constraints: Seq[(String, String)] = Seq.empty,
+                              colOps: Seq[SnapshotTable.ColOp] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -163,6 +164,12 @@ class SnapshotTable(spark: SparkSession, root: String,
       // name FIRST (validated [A-Za-z0-9_]+, never contains '|'); the
       // CHECK sql is everything after the first separator
       m.constraints.map { case (n, sql) => s"constraint=$n|$sql" } ++
+      // ordered column-mapping history; names validated [A-Za-z0-9_]+
+      // at DDL time, so the '|' split below is unambiguous
+      m.colOps.map {
+        case SnapshotTable.ColRename(f, t) => s"colop=rename|$f|$t"
+        case SnapshotTable.ColDrop(n) => s"colop=drop|$n"
+      } ++
       (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty) ++
       // the writer's partition columns ride every manifest: a reader
       // opened with DIFFERENT partCols would evaluate exclusion masks
@@ -206,12 +213,19 @@ class SnapshotTable(spark: SparkSession, root: String,
       require(bar > 0, s"malformed constraint line in $label: $spec")
       (spec.substring(0, bar), spec.substring(bar + 1))
     }
+    val colOps = kv.collect { case ("colop", spec) =>
+      spec.split("\\|", -1) match {
+        case Array("rename", f, t) => SnapshotTable.ColRename(f, t)
+        case Array("drop", n) => SnapshotTable.ColDrop(n)
+        case _ => sys.error(s"malformed colop line in $label: $spec")
+      }
+    }
     val m = Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
       deletes, predDeletes,
       kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L),
       kv.collectFirst { case ("partcols", v0) =>
         v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Seq.empty),
-      constraints)
+      constraints, colOps)
     // fail-fast on a partition-column mismatch: masks and partition
     // probes are expressed over the WRITER's columns (pre-partcols-line
     // history can't be checked — best effort, like the ts fallback)
@@ -276,7 +290,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     * must go through the manifest, not guessed literals). */
   private[graft] def dataDirs(v: Int): Seq[String] = parse(v).entries.map(_.dir)
 
+  /** Refuse a write whose frame reuses a RETIRED column name (the
+    * `from` of a rename or a dropped column): the read-time fold would
+    * rename/hide the new column as if it were old-era data — silent
+    * corruption. Loud by design; a full-rewrite compaction clears the
+    * mapping history and frees the names. */
+  private def requireNoRetiredNames(df: DataFrame, what: String): Unit = {
+    val ops = currentVersion.map(parse(_).colOps).getOrElse(Seq.empty)
+    if (ops.isEmpty) return
+    val retired = ops.collect {
+      case SnapshotTable.ColRename(f, _) => f
+      case SnapshotTable.ColDrop(n) => n
+    }.toSet
+    val bad = df.columns.filter(retired)
+    require(bad.isEmpty,
+      s"$what refused: column(s) ${bad.mkString(", ")} were renamed or " +
+        "dropped on this table — the read-time column mapping would " +
+        "misinterpret them as old-era data. Compact (commitCompactFiles) " +
+        "to materialize the mapping and free the names, or use the " +
+        "current column names")
+  }
+
   private def writeData(df: DataFrame, version: Int): String = {
+    requireNoRetiredNames(df, "commit")
     val dir = dataDirName(version)
     // co-locate each output partition's rows: 1 file per partition, not
     // N_tasks × N_partitions small files (same rationale as
@@ -348,17 +384,23 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def commit(op: String, entries: Seq[Entry], parent: Int,
                      deletes: Seq[DeleteRef] = Seq.empty,
                      predDeletes: Seq[PredDelete] = Seq.empty,
-                     constraintsOverride: Option[Seq[(String, String)]] = None): Int = {
+                     constraintsOverride: Option[Seq[(String, String)]] = None,
+                     colOpsOverride: Option[Seq[SnapshotTable.ColOp]] = None): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
-    // CHECK constraints ride every manifest and carry forward
-    // automatically (one metadata read); only add/dropConstraint
-    // commits override the inherited set
+    // CHECK constraints and the column-mapping history ride every
+    // manifest and carry forward automatically (one metadata read);
+    // only their own DDL commits — and full-rewrite compactions, which
+    // clear colOps because the rewrite materializes the mapping —
+    // override the inherited sets
+    val pm = if (parent > 0) Some(parse(parent)) else None
     val cons = constraintsOverride.getOrElse(
-      if (parent > 0) parse(parent).constraints else Seq.empty)
+      pm.map(_.constraints).getOrElse(Seq.empty))
+    val cops = colOpsOverride.getOrElse(
+      pm.map(_.colOps).getOrElse(Seq.empty))
     val m = Manifest(next, parent, op, entries, deletes, predDeletes,
       ts = System.currentTimeMillis(), partColsLine = partCols,
-      constraints = cons)
+      constraints = cons, colOps = cops)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -747,7 +789,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       v = m.parent
     }
     require(newDirs.nonEmpty, s"no data appended between v$fromV and v$toV")
-    newDirs.map(e => readDir(e.dir))
+    // fold under the END version's column mapping: every appended dir
+    // belongs to an era <= toV, and the op list only grows along the
+    // chain, so toV's list is era-correct for all of them
+    val ops = parse(toV).colOps
+    newDirs.map(e => applyColOps(readDir(e.dir), ops))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -797,8 +843,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * engine's rewrite_data_files. */
   def commitCompact(clusterCol: String, nFiles: Int = 8): Int = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    // full rewrite materializes the column mapping → clear the history
     commit("compact",
-      Seq(writeClustered(readVersion(base), base + 1, clusterCol, nFiles)), base)
+      Seq(writeClustered(readVersion(base), base + 1, clusterCol, nFiles)), base,
+      colOpsOverride = Some(Seq.empty))
   }
 
   /** Plain bin-packing compaction (Delta's clause-less `OPTIMIZE`): the
@@ -815,8 +863,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * non-partition columns and deserve a stats-indexed clustering. */
   def commitCompactFiles(): Int = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    // full rewrite materializes the column mapping (the rewrite reads
+    // the FOLDED current state, so files land under logical names) →
+    // clear the history, restoring the fast path and freeing retired
+    // names for reuse
     commit("compact",
-      Seq(Entry(writeData(readVersion(base), base + 1), Set.empty)), base)
+      Seq(Entry(writeData(readVersion(base), base + 1), Set.empty)), base,
+      colOpsOverride = Some(Seq.empty))
   }
 
   /** PARTITION-SCOPED bin-packing compaction (Delta's `OPTIMIZE ...
@@ -878,7 +931,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     enforceConstraints(dir)
     clusterCols.foreach(c => graft.sources.DataSkipping.buildStats(
       spark, dataP, c, statsPath(dir, c).toString))
-    commit("compact_z", Seq(Entry(dir, Set.empty)), base)
+    // full rewrite materializes the column mapping → clear the history
+    commit("compact_z", Seq(Entry(dir, Set.empty)), base,
+      colOpsOverride = Some(Seq.empty))
   }
 
   // ---- clustered commits with a commit-time stats index (the
@@ -930,6 +985,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
                              nFiles: Int): Entry = {
+    requireNoRetiredNames(df, "clustered commit")
     val dir = dataDirName(version)
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
@@ -964,10 +1020,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     m.entries.zipWithIndex.map { case (e, i) =>
       val dataP = dirPath(e.dir).toString
       val sp = statsPath(e.dir, clusterCol)
-      val df =
+      val raw =
         if (fs.exists(sp))
           graft.sources.DataSkipping.read(spark, dataP, clusterCol, sp.toString)
         else spark.read.option("mergeSchema", "true").parquet(dataP)
+      // column-mapping fold: a dir whose stats index predates a rename
+      // of clusterCol simply misses the index (reads plain, still
+      // correct); compaction rebuilds under the current names
+      val df = applyColOps(raw, m.colOps)
       applyDeletes(m, i, excludePred(e).fold(df)(p => df.filter(!p)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1016,6 +1076,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def stageAppend(df: DataFrame, name: String): String = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"stage name must be [A-Za-z0-9_]+: '$name'")
+    requireNoRetiredNames(df, "stage")
     val dir = s"w_$name"
     WriteDistribution.byPartition(df, partCols)
       .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
@@ -1111,6 +1172,87 @@ class SnapshotTable(spark: SparkSession, root: String,
         s"(have: ${m.constraints.map(_._1).mkString(", ")})")
     commit(s"drop_constraint_$name", m.entries, base, m.deletes, m.predDeletes,
       Some(m.constraints.filterNot(_._1 == name)))
+  }
+
+  // ---- column mapping (Delta's RENAME/DROP COLUMN without rewrite):
+  // the manifest carries an ORDERED rename/drop history applied to
+  // each data dir's physical schema at read time, so schema surgery on
+  // a 100 TB table is one metadata commit — no data moves. Old dirs
+  // keep their physical names; new writes use the current logical
+  // names (and are refused if they reuse a retired name, which would
+  // make the fold ambiguous). Time travel shows each version under its
+  // own era's mapping. A full-rewrite compaction materializes the
+  // mapping into the files and CLEARS the history, restoring the
+  // format's single-scan fast path and freeing retired names. ----
+
+  /** The current version's column-mapping history, oldest first. */
+  def columnOps: Seq[SnapshotTable.ColOp] =
+    currentVersion.map(parse(_).colOps).getOrElse(Seq.empty)
+
+  /** Columns whose SQL text would make a rename/drop unsound: CHECK
+    * constraints and retained MOR predicate deletes are stored as SQL
+    * over the era's names and are NOT rewritten — refuse instead. */
+  private def referencedByStoredSql(m: Manifest, colName: String): Boolean = {
+    val cur = readVersion(m.version)
+    (m.constraints.map(_._2) ++ m.predDeletes.map(_.sql)).exists { sql =>
+      cur.filter(expr(sql)).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSet
+      }.getOrElse(Set.empty[String]).contains(colName)
+    }
+  }
+
+  private def requireMappableColumn(m: Manifest, name: String,
+                                    verb: String): Unit = {
+    require(!partCols.contains(name),
+      s"cannot $verb partition column '$name': the directory layout, " +
+        "exclusion masks, and partition probes are keyed on it")
+    require(m.deletes.forall(!_.keyCols.contains(name)),
+      s"cannot $verb '$name': retained merge-on-read deletes key on it " +
+        "(commitCompact to materialize the delete debt first)")
+    require(!referencedByStoredSql(m, name),
+      s"cannot $verb '$name': a CHECK constraint or retained predicate " +
+        "delete references it (drop the constraint / compact the debt first)")
+  }
+
+  /** Rename a column — one metadata commit, zero data movement
+    * (Delta's `RENAME COLUMN` under column mapping). The old name
+    * becomes RETIRED: new writes may not use it until a full-rewrite
+    * compaction clears the mapping history. */
+  def renameColumn(from: String, to: String): Int = {
+    Seq(from, to).foreach(n => require(
+      n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
+      s"column name must be [A-Za-z0-9_]+: '$n'"))
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val schema = readVersion(base).columns.toSet
+    require(schema.contains(from), s"no column '$from' to rename " +
+      s"(have: ${schema.toSeq.sorted.mkString(", ")})")
+    require(!schema.contains(to),
+      s"rename target '$to' already exists")
+    requireMappableColumn(m, from, "rename")
+    commit(s"rename_column_${from}_to_$to", m.entries, base, m.deletes,
+      m.predDeletes,
+      colOpsOverride = Some(m.colOps :+ SnapshotTable.ColRename(from, to)))
+  }
+
+  /** Drop a column — one metadata commit, zero data movement (Delta's
+    * `DROP COLUMN` under column mapping). The bytes stay in old files
+    * (time travel still reads them; [[purge]]-grade physical erasure
+    * needs compaction) and the name is RETIRED until a full-rewrite
+    * compaction clears the history. */
+  def dropColumn(name: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"column name must be [A-Za-z0-9_]+: '$name'")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val schema = readVersion(base).columns.toSet
+    require(schema.contains(name), s"no column '$name' to drop " +
+      s"(have: ${schema.toSeq.sorted.mkString(", ")})")
+    require(schema.size > 1, "cannot drop the last data column")
+    requireMappableColumn(m, name, "drop")
+    commit(s"drop_column_$name", m.entries, base, m.deletes, m.predDeletes,
+      colOpsOverride = Some(m.colOps :+ SnapshotTable.ColDrop(name)))
   }
 
   /** Gate a just-written data dir on the current constraint set: any
@@ -1499,17 +1641,36 @@ class SnapshotTable(spark: SparkSession, root: String,
     * entries that PRECEDED it (`appliesTo` — newer entries carry the
     * keys' replacement rows); the anti-joins are key-frame-sized, so
     * AQE broadcasts them, and a compaction commit clears them all. */
+  /** Apply the manifest's column-mapping history to one dir's frame:
+    * each rename/drop fires only when the dir's PHYSICAL schema still
+    * carries the old name — dirs written after the op already use the
+    * current names and pass through untouched. Folding per-dir BEFORE
+    * the union is what lets eras with different physical names align
+    * under one logical schema. Pure projection: stays inside
+    * whole-stage codegen, zero data movement. */
+  private def applyColOps(df: DataFrame,
+                          ops: Seq[SnapshotTable.ColOp]): DataFrame =
+    ops.foldLeft(df) {
+      case (d, SnapshotTable.ColRename(f, t)) if d.columns.contains(f) =>
+        d.withColumnRenamed(f, t)
+      case (d, SnapshotTable.ColDrop(n)) if d.columns.contains(n) => d.drop(n)
+      case (d, _) => d
+    }
+
   private def readManifest(m: Manifest): DataFrame =
     m.entries.zipWithIndex.map { case (e, i) =>
-      val base = readDir(e.dir)
+      val base = applyColOps(readDir(e.dir), m.colOps)
       val masked = excludePred(e).fold(base)(p => base.filter(!p))
       applyDeletes(m, i, masked)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   private def applyDeletes(m: Manifest, entryIdx: Int,
                            df: DataFrame): DataFrame = {
+    // key frames fold too: a delete committed before a rename stores
+    // its keys under the era's names; the anti-join must see them
+    // under the same logical names as the data side
     val keyed = m.deletes.filter(_.appliesTo > entryIdx).foldLeft(df) { (acc, d) =>
-      acc.join(readDir(d.dir), d.keyCols, "left_anti")
+      acc.join(applyColOps(readDir(d.dir), m.colOps), d.keyCols, "left_anti")
     }
     // predicate deletes are pure row filters (no join, no data dir):
     // codegen'd into the scan stage, and the NOT-coalesce keeps rows
@@ -1946,6 +2107,15 @@ class SnapshotTable(spark: SparkSession, root: String,
         "the source's data dirs: run commitCompactFiles() to localize " +
         "(and expire() the borrowing history), then purge — erasure on " +
         "the SOURCE table is the source owner's operation")
+    // the per-dir rewrite evaluates `condition` against RAW physical
+    // schemas; with a live column mapping the logical names the caller
+    // uses would not resolve (or worse, resolve wrongly) on old-era
+    // dirs — materialize the mapping first
+    require(manifests.forall(_.colOps.isEmpty) &&
+        branchMs.forall(_._3.colOps.isEmpty),
+      "purge over a live column rename/drop history is not supported: " +
+        "commitCompactFiles() to materialize the mapping, expire() the " +
+        "mapped history, then purge")
     val mapping = dirs.map { dir =>
       val purged = s"p$dir"
       val src = new Path(dataDir, dir)
@@ -2120,7 +2290,11 @@ class SnapshotTable(spark: SparkSession, root: String,
         SnapshotScanSpec.Dir(dirPath(e.dir).toString, e.excluded,
           ddl, stats)
       },
-      m.deletes.nonEmpty || m.predDeletes.nonEmpty)
+      m.deletes.nonEmpty || m.predDeletes.nonEmpty,
+      m.colOps.collect {
+        case SnapshotTable.ColRename(f, _) => f
+        case SnapshotTable.ColDrop(n) => n
+      }.toSet)
 
   private[graft] def scanSpecVersion(v: Int): SnapshotScanSpec = toScanSpec(parse(v))
 
@@ -2150,7 +2324,14 @@ class SnapshotTable(spark: SparkSession, root: String,
   * general path — deletes are join/filter semantics a file listing cannot
   * express). */
 private[graft] case class SnapshotScanSpec(dirs: Seq[SnapshotScanSpec.Dir],
-                                           hasDeletes: Boolean)
+                                           hasDeletes: Boolean,
+                                           // names retired by the
+                                           // column-mapping history: a
+                                           // dir whose sidecar still
+                                           // carries one needs the
+                                           // read-time fold → general
+                                           // path, not the file index
+                                           retiredNames: Set[String] = Set.empty)
 
 private[graft] object SnapshotScanSpec {
   /** `stats` = the dir's persisted min/max indexes as
@@ -2163,6 +2344,14 @@ private[graft] object SnapshotScanSpec {
 }
 
 object SnapshotTable {
+  /** One step of a table's column-mapping history ([[SnapshotTable.renameColumn]] /
+    * [[SnapshotTable.dropColumn]]): applied IN ORDER to each data
+    * dir's physical schema at read time, so renames and drops are
+    * metadata-only — no data rewrite, whatever the table size. */
+  sealed trait ColOp
+  case class ColRename(from: String, to: String) extends ColOp
+  case class ColDrop(name: String) extends ColOp
+
   /** One row of [[SnapshotTable.detail]]: the current version's
     * metadata-derived shape. `borrowedDirs > 0` marks a live shallow
     * clone (some state is referenced from the source table in place). */

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.SnapshotTable
+
+/** Column-mapping contract (metadata-only RENAME/DROP COLUMN): one
+  * commit, zero data movement, era-correct time travel, loud refusals
+  * for every case the read-time fold cannot disambiguate, and
+  * compaction as the mapping's materialization point. */
+class ColumnMappingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_colmap_$tag").toString + "/tbl"
+
+  test("rename: one metadata commit, mixed-era dirs align, time travel era-correct") {
+    val t = new SnapshotTable(spark, freshRoot("ren"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val preDirs = t.dataDirs(1)
+    val v = t.renameColumn("fare", "fare_amt")
+    assert(t.currentVersion.contains(v))
+    assert(t.dataDirs(v) == preDirs, "rename moved data")
+    assert(t.history.last._2 == "rename_column_fare_to_fare_amt")
+
+    // old physical dirs read under the new logical name
+    assert(t.read().columns.toSet == Set("id", "year", "month", "fare_amt"))
+    assert(t.read().agg(sum(col("fare_amt"))).head().getDouble(0) == 30.0)
+    // time travel: the pre-rename version keeps its era's name
+    assert(t.readVersion(1).columns.contains("fare"))
+
+    // a new append under the NEW name joins seamlessly (mixed eras)
+    import spark.implicits._
+    t.commitAppend(Seq((3, 2024, 3, 30.0)).toDF("id", "year", "month", "fare_amt"))
+    assert(t.read().agg(sum(col("fare_amt"))).head().getDouble(0) == 60.0)
+
+    // chained rename: a -> b -> c folds old dirs all the way forward
+    t.renameColumn("fare_amt", "fare_usd")
+    assert(t.read().columns.contains("fare_usd"))
+    assert(t.read().agg(sum(col("fare_usd"))).head().getDouble(0) == 60.0)
+    assert(t.columnOps.size == 2)
+  }
+
+  test("retired names refuse on write until compaction materializes the mapping") {
+    val t = new SnapshotTable(spark, freshRoot("ret"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.renameColumn("fare", "fare_amt")
+    // writing with the OLD name refuses (the fold would re-map it)
+    val e = intercept[Exception] { t.commitAppend(frame((2, 2024, 2, 20.0))) }
+    assert(e.getMessage.contains("renamed or dropped"))
+    // compaction rewrites under logical names and CLEARS the history
+    t.commitCompactFiles()
+    assert(t.columnOps.isEmpty)
+    assert(t.read().columns.contains("fare_amt"))
+    // the retired name is free again (a brand-new column)
+    t.commitAppend(frame((2, 2024, 2, 20.0)))
+    assert(t.read().columns.toSet ==
+      Set("id", "year", "month", "fare_amt", "fare"))
+  }
+
+  test("drop: column hidden everywhere current, era-visible in time travel") {
+    val t = new SnapshotTable(spark, freshRoot("drop"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val v = t.dropColumn("fare")
+    assert(t.read().columns.toSet == Set("id", "year", "month"))
+    assert(t.readVersion(v - 1).columns.contains("fare"))
+    // re-adding the dropped name refuses until compaction
+    val e = intercept[Exception] { t.commitAppend(frame((3, 2024, 3, 30.0))) }
+    assert(e.getMessage.contains("renamed or dropped"))
+    t.commitCompactFiles()
+    t.commitAppend(frame((3, 2024, 3, 30.0)))
+    assert(t.read().columns.contains("fare"))
+    // the pre-compaction rows read NULL for the re-added column
+    assert(t.read().filter(col("fare").isNull).count() == 2)
+  }
+
+  test("refusals: partition column, existing target, constraint/delete references") {
+    val t = new SnapshotTable(spark, freshRoot("ref"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    assert(intercept[Exception] { t.renameColumn("month", "m") }
+      .getMessage.contains("partition column"))
+    assert(intercept[Exception] { t.dropColumn("year") }
+      .getMessage.contains("partition column"))
+    assert(intercept[Exception] { t.renameColumn("fare", "id") }
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception] { t.renameColumn("nope", "x") }
+      .getMessage.contains("no column"))
+    t.addConstraint("pos", "fare > 0")
+    assert(intercept[Exception] { t.renameColumn("fare", "f2") }
+      .getMessage.contains("CHECK constraint"))
+    assert(intercept[Exception] { t.dropColumn("fare") }
+      .getMessage.contains("CHECK constraint"))
+    t.dropConstraint("pos")
+    t.commitDeleteMor(col("fare") < 0)
+    assert(intercept[Exception] { t.renameColumn("fare", "f2") }
+      .getMessage.contains("predicate delete"))
+    // a column the predicate does NOT reference renames fine
+    t.renameColumn("id", "row_id")
+    assert(t.read().columns.contains("row_id"))
+  }
+
+  test("SQL verbs + format read: fast path falls back, general path folds") {
+    val root = freshRoot("sql")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val name = "graft_colmap_sql"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      val v = spark.sql(
+        s"ALTER TABLE $name RENAME COLUMN fare TO fare_amt").head().getInt(0)
+      assert(t.currentVersion.contains(v))
+      // the format read (general path — fold active) shows the new name
+      val viaFormat = spark.read.format("graft").load(root)
+      assert(viaFormat.columns.contains("fare_amt"))
+      assert(viaFormat.agg(sum(col("fare_amt"))).head().getDouble(0) == 30.0)
+      // versionAsOf the pre-rename era shows the old name
+      assert(spark.read.format("graft").option("versionAsOf", v - 1)
+        .load(root).columns.contains("fare"))
+      spark.sql(s"ALTER TABLE $name DROP COLUMN fare_amt")
+      assert(!spark.read.format("graft").load(root).columns.contains("fare_amt"))
+      // after OPTIMIZE the mapping is materialized: fast path serves
+      // (one FileSourceScanExec) under the final schema
+      spark.sql(s"OPTIMIZE $name")
+      assert(t.columnOps.isEmpty)
+      val plan = spark.read.format("graft").load(root)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan"), s"fast path not restored:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("changelog across a rename boundary refuses; within an era works") {
+    val t = new SnapshotTable(spark, freshRoot("cdc"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.commitAppend(frame((2, 2024, 2, 20.0)))
+    assert(t.changelog(1, 2).count() == 1)
+    val v = t.renameColumn("fare", "fare_amt")
+    val e = intercept[Exception] { t.changelog(1, v) }
+    assert(e.getMessage.contains("shared schema"))
+  }
+}
