@@ -751,6 +751,24 @@ object TaxiEntries {
       import s.implicits._
       s.table(name).columns.sorted.toSeq.toDF("column_name")
     },
+    // ALTER COLUMN ... TYPE (type widening) as literal SQL — the
+    // graded result is the post-widen logical schema: vendor_i
+    // committed as int, widened to bigint in ONE metadata commit.
+    // Numeric fold correctness (old dirs cast up, narrow late
+    // arrivals, loss-free-only refusals) is pinned in
+    // ColumnMappingSpec.
+    "taxi_sql_widen_column" -> q { (s, d) =>
+      val base = models(s, d).stgYellow.drop("loaded_at")
+        .select(col("trip_id"), col("vendor_id").cast("int").as("vendor_i"),
+          col("fare_amount"), col("year"), col("month"))
+      val t = new graft.write.SnapshotTable(s, tmpPath("sqlwid", d, s))
+      t.commitOverwrite(base)
+      val name = sqlReg(s, "sqlwid", t.location)
+      s.sql(s"ALTER TABLE $name ALTER COLUMN vendor_i TYPE bigint")
+      import s.implicits._
+      s.table(name).schema.map(f => s"${f.name}:${f.dataType.catalogString}")
+        .sorted.toSeq.toDF("column_type")
+    },
     // DESCRIBE DETAIL as literal SQL over a fresh zero-copy clone of
     // the fixture: one metadata-only row — version 1 (a shallow clone
     // starts its own lineage), ONE entry, and that entry borrowed
@@ -1343,6 +1361,12 @@ object TaxiEntries {
         |  ('pickup_datetime'), ('pickup_location_id'), ('taxi_type'),
         |  ('trip_distance_miles'), ('trip_id'), ('vendor_id'), ('year'))
         |  AS t(column_name)""".stripMargin),
+    // the post-widen logical schema: vendor_i surfaced as bigint
+    // though its files hold int
+    "taxi_sql_widen_column" -> o(
+      """SELECT * FROM (VALUES ('fare_amount:double'), ('month:int'),
+        |  ('trip_id:string'), ('vendor_i:bigint'), ('year:int'))
+        |  AS t(column_type)""".stripMargin),
     // one metadata row: a fresh shallow clone is v1, one entry, that
     // entry borrowed, the fixture's layout, no constraints
     "taxi_sql_detail" -> o(

@@ -408,12 +408,21 @@ object GraftDataSource {
     val ddls = spec.dirs.map(_.schemaDdl)
     if (ddls.exists(_.isEmpty)) return None
     val schemas = ddls.flatten.distinct.map(StructType.fromDDL)
-    // a live column mapping (rename/drop) that still touches any dir's
-    // physical schema needs the per-dir read-time fold → general path;
-    // once compaction rewrites the files under the logical names (and
-    // clears the history), the file index serves again
-    if (spec.retiredNames.nonEmpty &&
-        schemas.exists(_.fieldNames.exists(spec.retiredNames))) return None
+    // a live column mapping (rename/drop/widen) that still touches any
+    // dir's physical schema needs the per-dir read-time fold → general
+    // path; once compaction rewrites the files under the logical names
+    // and types (and clears the history), the file index serves again
+    val retired = spec.colOps.collect {
+      case graft.write.SnapshotTable.ColRename(f, _) => f
+      case graft.write.SnapshotTable.ColDrop(n) => n
+    }.toSet
+    if (retired.nonEmpty &&
+        schemas.exists(_.fieldNames.exists(retired))) return None
+    val widens = spec.colOps.collect {
+      case w: graft.write.SnapshotTable.ColWiden => w }
+    if (widens.exists(w => schemas.exists(s =>
+        s.fieldNames.contains(w.name) &&
+          s(w.name).dataType.catalogString != w.toDdl))) return None
     val full = unifySchemas(schemas).getOrElse(return None)
     if (!partCols.forall(full.fieldNames.contains)) return None
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))

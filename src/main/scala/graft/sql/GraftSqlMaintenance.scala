@@ -43,6 +43,7 @@ import graft.write.SnapshotTable
   *   ALTER TABLE t DROP CONSTRAINT c              -- dropConstraint
   *   ALTER TABLE t RENAME COLUMN a TO b           -- renameColumn (metadata-only)
   *   ALTER TABLE t DROP COLUMN c                  -- dropColumn (metadata-only)
+  *   ALTER TABLE t ALTER COLUMN c TYPE bigint     -- widenColumn (metadata-only)
   *   CREATE TABLE t SHALLOW CLONE s LOCATION 'p'  -- shallowClone (zero-copy)
   *   CREATE TABLE t [DEEP] CLONE s LOCATION 'p'   -- deepClone
   *   DESCRIBE DETAIL t                            -- detail (one row)
@@ -119,6 +120,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val WidenCol =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+TYPE\s+([A-Za-z0-9_() ,]+?)\s*;?\s*""".r
   private val RenameCol =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+RENAME\s+COLUMN\s+([A-Za-z0-9_]+)\s+TO\s+([A-Za-z0-9_]+)\s*;?\s*""".r
   private val DropCol =
@@ -196,9 +199,12 @@ object GraftSqlParser {
         case DropConstraint(tbl, name) =>
           Some(GraftConstraintCommand(ident(tbl), "DROP", name, None))
         case RenameCol(tbl, from, to) =>
-          Some(GraftColumnCommand(ident(tbl), from, Some(to)))
+          Some(GraftColumnCommand(ident(tbl), from, renameTo = Some(to)))
+        case WidenCol(tbl, name, toType) =>
+          Some(GraftColumnCommand(ident(tbl), name,
+            widenTo = Some(toType.trim)))
         case DropCol(tbl, name) =>
-          Some(GraftColumnCommand(ident(tbl), name, None))
+          Some(GraftColumnCommand(ident(tbl), name))
         case _ => None // every other ALTER is Spark's
       }
       case "CREATE" => sqlText match {
@@ -357,24 +363,27 @@ case class GraftConstraintCommand(nameParts: Seq[String], action: String,
   }
 }
 
-/** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` — schema
-  * surgery as ONE metadata commit, no data rewrite (Delta's column
-  * mapping re-expressed over the manifest protocol:
-  * [[SnapshotTable.renameColumn]] / [[SnapshotTable.dropColumn]]).
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` / `ALTER
+  * COLUMN c TYPE wider` — schema surgery as ONE metadata commit, no
+  * data rewrite (Delta's column mapping + type widening re-expressed
+  * over the manifest protocol: [[SnapshotTable.renameColumn]] /
+  * [[SnapshotTable.dropColumn]] / [[SnapshotTable.widenColumn]]).
   * Stock Spark only supports these clauses on v2 catalogs; here they
   * are intercepted and refused loudly on non-graft targets, which for
   * the v1 tables this engine serves is strictly more helpful than the
   * delegate's v2-only failure. Returns the committed version. */
 case class GraftColumnCommand(nameParts: Seq[String], colName: String,
-                              renameTo: Option[String])
+                              renameTo: Option[String] = None,
+                              widenTo: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (ct, t) = GraftSqlParser.open(session, nameParts)
-    val v = t.commitWithRetry()(renameTo match {
-      case Some(to) => t.renameColumn(colName, to)
-      case None => t.dropColumn(colName)
+    val v = t.commitWithRetry()((renameTo, widenTo) match {
+      case (Some(to), _) => t.renameColumn(colName, to)
+      case (_, Some(toT)) => t.widenColumn(colName, toT)
+      case _ => t.dropColumn(colName)
     })
     // the catalog pinned the schema at CREATE time and Spark refuses a
     // relation whose inferred schema drifted from it — apply the same
@@ -383,7 +392,12 @@ case class GraftColumnCommand(nameParts: Seq[String], colName: String,
     // alterTableDataSchema: the latter hard-refuses drops.
     val newFields = ct.schema.fields.toSeq.flatMap { f =>
       if (f.name != colName) Some(f)
-      else renameTo.map(to => f.copy(name = to))
+      else (renameTo, widenTo) match {
+        case (Some(to), _) => Some(f.copy(name = to))
+        case (_, Some(toT)) => Some(f.copy(
+          dataType = org.apache.spark.sql.types.DataType.fromDDL(toT)))
+        case _ => None
+      }
     }
     session.sessionState.catalog.alterTable(
       ct.copy(schema = StructType(newFields)))

@@ -169,6 +169,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       m.colOps.map {
         case SnapshotTable.ColRename(f, t) => s"colop=rename|$f|$t"
         case SnapshotTable.ColDrop(n) => s"colop=drop|$n"
+        case SnapshotTable.ColWiden(n, t) => s"colop=widen|$n|$t"
       } ++
       (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty) ++
       // the writer's partition columns ride every manifest: a reader
@@ -217,6 +218,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       spec.split("\\|", -1) match {
         case Array("rename", f, t) => SnapshotTable.ColRename(f, t)
         case Array("drop", n) => SnapshotTable.ColDrop(n)
+        case Array("widen", n, t) => SnapshotTable.ColWiden(n, t)
         case _ => sys.error(s"malformed colop line in $label: $spec")
       }
     }
@@ -1255,6 +1257,45 @@ class SnapshotTable(spark: SparkSession, root: String,
       colOpsOverride = Some(m.colOps :+ SnapshotTable.ColDrop(name)))
   }
 
+  /** Loss-free widenings by catalog type string — the closed set a
+    * [[widenColumn]] will commit (Delta's type widening's numeric
+    * core). Long→double is EXCLUDED: longs above 2^53 lose precision. */
+  private val widenings: Map[String, Set[String]] = Map(
+    "tinyint" -> Set("smallint", "int", "bigint", "double"),
+    "smallint" -> Set("int", "bigint", "double"),
+    "int" -> Set("bigint", "double"),
+    "float" -> Set("double"))
+
+  /** Widen a column's type in place — one metadata commit, zero data
+    * movement (Delta's type widening over the manifest protocol): old
+    * dirs read-CAST up through the column-mapping fold, new writes
+    * land wide (narrow late arrivals still fold up — correct either
+    * way). Only the loss-free [[widenings]] commit; anything else is
+    * a rewrite the caller must do deliberately. Unlike rename/drop the
+    * name is NOT retired. A full-rewrite compaction materializes the
+    * wide type into the files and clears the mapping. */
+  def widenColumn(name: String, toDdl: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"column name must be [A-Za-z0-9_]+: '$name'")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val cur = readVersion(base)
+    require(cur.columns.contains(name), s"no column '$name' to widen " +
+      s"(have: ${cur.columns.sorted.mkString(", ")})")
+    require(!partCols.contains(name),
+      s"cannot widen partition column '$name': partition values are " +
+        "directory strings keyed on the writer's type rendering")
+    val fromT = cur.schema(name).dataType.catalogString
+    val toT = org.apache.spark.sql.types.DataType.fromDDL(toDdl).catalogString
+    require(widenings.get(fromT).exists(_.contains(toT)),
+      s"'$fromT' -> '$toT' is not a loss-free widening " +
+        s"(allowed from '$fromT': ${widenings.getOrElse(fromT, Set.empty)
+          .toSeq.sorted.mkString(", ")})")
+    commit(s"widen_column_${name}_to_$toT", m.entries, base, m.deletes,
+      m.predDeletes,
+      colOpsOverride = Some(m.colOps :+ SnapshotTable.ColWiden(name, toT)))
+  }
+
   /** Gate a just-written data dir on the current constraint set: any
     * provably-FALSE row deletes the dir and refuses the commit before
     * its manifest exists (nothing to roll back — the dir was invisible).
@@ -1654,6 +1695,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       case (d, SnapshotTable.ColRename(f, t)) if d.columns.contains(f) =>
         d.withColumnRenamed(f, t)
       case (d, SnapshotTable.ColDrop(n)) if d.columns.contains(n) => d.drop(n)
+      case (d, SnapshotTable.ColWiden(n, t)) if d.columns.contains(n) &&
+          d.schema(n).dataType.catalogString != t =>
+        d.withColumn(n, col(n).cast(t))
       case (d, _) => d
     }
 
@@ -1743,6 +1787,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * is one hash-aggregation shuffle over the version pair — no join
     * blowup, no key assumptions. */
   def changelog(fromV: Int, toV: Int): DataFrame = {
+    // across a column-mapping boundary the two versions' LOGICAL
+    // schemas differ by name or type — a diff between them has no
+    // well-defined row identity; refuse rather than emit a confusing
+    // union/except type error (or silently wrong casts)
+    require(parse(fromV).colOps == parse(toV).colOps,
+      s"changelog across a column rename/drop/widen boundary " +
+        s"(v$fromV vs v$toV) is not supported — diff within one schema " +
+        "era, or compact first")
     val a = readVersion(fromV)
     val b = readVersion(toV)
     require(a.columns.sorted.sameElements(b.columns.sorted),
@@ -2291,10 +2343,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           ddl, stats)
       },
       m.deletes.nonEmpty || m.predDeletes.nonEmpty,
-      m.colOps.collect {
-        case SnapshotTable.ColRename(f, _) => f
-        case SnapshotTable.ColDrop(n) => n
-      }.toSet)
+      m.colOps)
 
   private[graft] def scanSpecVersion(v: Int): SnapshotScanSpec = toScanSpec(parse(v))
 
@@ -2325,13 +2374,13 @@ class SnapshotTable(spark: SparkSession, root: String,
   * express). */
 private[graft] case class SnapshotScanSpec(dirs: Seq[SnapshotScanSpec.Dir],
                                            hasDeletes: Boolean,
-                                           // names retired by the
-                                           // column-mapping history: a
-                                           // dir whose sidecar still
-                                           // carries one needs the
+                                           // the column-mapping history:
+                                           // a dir whose sidecar still
+                                           // carries a retired name or a
+                                           // pre-widening type needs the
                                            // read-time fold → general
                                            // path, not the file index
-                                           retiredNames: Set[String] = Set.empty)
+                                           colOps: Seq[SnapshotTable.ColOp] = Seq.empty)
 
 private[graft] object SnapshotScanSpec {
   /** `stats` = the dir's persisted min/max indexes as
@@ -2351,6 +2400,10 @@ object SnapshotTable {
   sealed trait ColOp
   case class ColRename(from: String, to: String) extends ColOp
   case class ColDrop(name: String) extends ColOp
+  /** In-place type widening (`toDdl` = catalog string, e.g. "bigint"):
+    * old dirs read-cast up, new writes land wide. Only loss-free
+    * widenings are committable ([[SnapshotTable.widenColumn]]). */
+  case class ColWiden(name: String, toDdl: String) extends ColOp
 
   /** One row of [[SnapshotTable.detail]]: the current version's
     * metadata-derived shape. `borrowedDirs > 0` marks a live shallow

@@ -134,6 +134,61 @@ class ColumnMappingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("widen: old dirs read-cast up, narrow late arrivals fold, refusals loss-free only") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("wid"))
+    t.commitOverwrite(Seq((1, 2024, 1, 10)).toDF("id", "year", "month", "cnt"))
+    assert(t.read().schema("cnt").dataType.catalogString == "int")
+    val v = t.widenColumn("cnt", "bigint")
+    assert(t.history.last._2 == "widen_column_cnt_to_bigint")
+    // the old dir reads as bigint; a wide append unions seamlessly
+    assert(t.read().schema("cnt").dataType.catalogString == "bigint")
+    t.commitAppend(Seq((2, 2024, 2, 3000000000L)).toDF("id", "year", "month", "cnt"))
+    assert(t.read().agg(sum(col("cnt"))).head().getLong(0) == 3000000010L)
+    // a NARROW late arrival still folds up (no retired-name refusal)
+    t.commitAppend(Seq((3, 2024, 3, 5)).toDF("id", "year", "month", "cnt"))
+    assert(t.read().schema("cnt").dataType.catalogString == "bigint")
+    assert(t.read().count() == 3)
+    // time travel: the pre-widen era keeps its narrow type
+    assert(t.readVersion(1).schema("cnt").dataType.catalogString == "int")
+    // refusals: narrowing, lossy long->double, partition col, no column
+    assert(intercept[Exception] { t.widenColumn("cnt", "int") }
+      .getMessage.contains("not a loss-free widening"))
+    assert(intercept[Exception] { t.widenColumn("cnt", "double") }
+      .getMessage.contains("not a loss-free widening"))
+    assert(intercept[Exception] { t.widenColumn("year", "bigint") }
+      .getMessage.contains("partition column"))
+    assert(intercept[Exception] { t.widenColumn("nope", "bigint") }
+      .getMessage.contains("no column"))
+    // compaction materializes the wide type and clears the mapping
+    t.commitCompactFiles()
+    assert(t.columnOps.isEmpty)
+    assert(t.read().schema("cnt").dataType.catalogString == "bigint")
+    assert(t.read().agg(sum(col("cnt"))).head().getLong(0) == 3000000015L)
+  }
+
+  test("widen SQL verb: catalog schema follows; format fast path falls back then restores") {
+    import spark.implicits._
+    val root = freshRoot("widsql")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(Seq((1, 2024, 1, 10)).toDF("id", "year", "month", "cnt"))
+    val name = "graft_colmap_widsql"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN cnt TYPE bigint")
+      assert(spark.table(name).schema("cnt").dataType.catalogString == "bigint")
+      // general path (fold active): the format read serves bigint
+      assert(spark.read.format("graft").load(root)
+        .schema("cnt").dataType.catalogString == "bigint")
+      spark.sql(s"OPTIMIZE $name")
+      val df = spark.read.format("graft").load(root)
+      assert(df.schema("cnt").dataType.catalogString == "bigint")
+      assert(df.queryExecution.executedPlan.toString.contains("FileScan"),
+        "fast path not restored after compaction")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("changelog across a rename boundary refuses; within an era works") {
     val t = new SnapshotTable(spark, freshRoot("cdc"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0)))
@@ -141,6 +196,6 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.changelog(1, 2).count() == 1)
     val v = t.renameColumn("fare", "fare_amt")
     val e = intercept[Exception] { t.changelog(1, v) }
-    assert(e.getMessage.contains("shared schema"))
+    assert(e.getMessage.contains("column rename/drop/widen boundary"))
   }
 }
