@@ -769,6 +769,38 @@ object TaxiEntries {
       s.table(name).schema.map(f => s"${f.name}:${f.dataType.catalogString}")
         .sorted.toSeq.toDF("column_type")
     },
+    // ADD COLUMN as literal SQL — explicit metadata-only column add
+    // over a zero-copy clone: fixture-era rows read the new column as
+    // NULL (coalesced to 0 here); the post-add INSERT carries real
+    // surcharge values. Era fold + drop-then-re-add pins live in
+    // ColumnMappingSpec.
+    "taxi_sql_add_column" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("sqladd", d, s))
+      val name = sqlReg(s, "sqladd", t.location)
+      s.sql(s"ALTER TABLE $name ADD COLUMN surcharge double")
+      models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
+        .withColumn("surcharge", col("fare_amount") * lit(0.1))
+        .createOrReplaceTempView("graft_entry_sqladd_ins")
+      s.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_entry_sqladd_ins")
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(
+            coalesce(col("surcharge"), lit(0.0)), 2).as("surcharge_sum"))
+    },
+    // SET/UNSET TBLPROPERTIES as literal SQL — properties are
+    // VERSIONED commit metadata: two property commits move the clone
+    // to v3, and DESCRIBE DETAIL serves the surviving set.
+    "taxi_sql_properties" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("sqlprp", d, s))
+      val name = sqlReg(s, "sqlprp", t.location)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES" +
+        "('owner'='data-eng', 'pii'='false')")
+      s.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('pii')")
+      s.sql(s"DESCRIBE DETAIL $name")
+        .select(col("version"), col("num_entries"), col("properties"))
+    },
     // DESCRIBE DETAIL as literal SQL over a fresh zero-copy clone of
     // the fixture: one metadata-only row — version 1 (a shallow clone
     // starts its own lineage), ONE entry, and that entry borrowed
@@ -1361,6 +1393,18 @@ object TaxiEntries {
         |  ('pickup_datetime'), ('pickup_location_id'), ('taxi_type'),
         |  ('trip_distance_miles'), ('trip_id'), ('vendor_id'), ('year'))
         |  AS t(column_name)""".stripMargin),
+    // fixture-era rows contribute 0 (NULL surcharge coalesced); the
+    // appended month carries fare*0.1
+    "taxi_sql_add_column" -> o(
+      s""", result AS (SELECT year, month, 0.0 AS surcharge FROM stg_yellow
+         |             UNION ALL SELECT year, month, fare_amount * 0.1 AS surcharge
+         |             FROM stg_yellow WHERE month = 1)
+         |SELECT year, month, count(*) AS n, ${rndSum("surcharge", 2)} AS surcharge_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // clone v1 + SET + UNSET = v3; 'pii' unset, 'owner' survives
+    "taxi_sql_properties" -> o(
+      """SELECT * FROM (VALUES (3, 1, 'owner=data-eng'))
+        |  AS t(version, num_entries, properties)""".stripMargin),
     // the post-widen logical schema: vendor_i surfaced as bigint
     // though its files hold int
     "taxi_sql_widen_column" -> o(

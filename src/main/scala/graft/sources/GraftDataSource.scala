@@ -407,22 +407,25 @@ object GraftDataSource {
     if (spec.hasDeletes || spec.dirs.isEmpty) return None
     val ddls = spec.dirs.map(_.schemaDdl)
     if (ddls.exists(_.isEmpty)) return None
+    // a live column-mapping op (rename/drop/widen/add) whose read-time
+    // fold would CHANGE any dir's physical schema needs the per-dir
+    // folding general path; once compaction rewrites the files under
+    // the logical names and types (and clears the history), the file
+    // index serves again. The check mirrors the fold exactly: only
+    // ops AFTER the dir's recorded era, each guarded on presence.
+    import graft.write.SnapshotTable.{ColRename, ColDrop, ColWiden, ColAdd}
+    val foldTouches = spec.dirs.exists { d =>
+      val s = StructType.fromDDL(d.schemaDdl.get)
+      spec.colOps.drop(d.era).exists {
+        case ColRename(f, _) => s.fieldNames.contains(f)
+        case ColDrop(n) => s.fieldNames.contains(n)
+        case ColWiden(n, t) => s.fieldNames.contains(n) &&
+          s(n).dataType.catalogString != t
+        case ColAdd(n, _) => !s.fieldNames.contains(n)
+      }
+    }
+    if (foldTouches) return None
     val schemas = ddls.flatten.distinct.map(StructType.fromDDL)
-    // a live column mapping (rename/drop/widen) that still touches any
-    // dir's physical schema needs the per-dir read-time fold → general
-    // path; once compaction rewrites the files under the logical names
-    // and types (and clears the history), the file index serves again
-    val retired = spec.colOps.collect {
-      case graft.write.SnapshotTable.ColRename(f, _) => f
-      case graft.write.SnapshotTable.ColDrop(n) => n
-    }.toSet
-    if (retired.nonEmpty &&
-        schemas.exists(_.fieldNames.exists(retired))) return None
-    val widens = spec.colOps.collect {
-      case w: graft.write.SnapshotTable.ColWiden => w }
-    if (widens.exists(w => schemas.exists(s =>
-        s.fieldNames.contains(w.name) &&
-          s(w.name).dataType.catalogString != w.toDdl))) return None
     val full = unifySchemas(schemas).getOrElse(return None)
     if (!partCols.forall(full.fieldNames.contains)) return None
     val partitionSchema = StructType(partCols.map(c => full(full.fieldIndex(c))))

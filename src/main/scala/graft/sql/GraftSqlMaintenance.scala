@@ -44,6 +44,9 @@ import graft.write.SnapshotTable
   *   ALTER TABLE t RENAME COLUMN a TO b           -- renameColumn (metadata-only)
   *   ALTER TABLE t DROP COLUMN c                  -- dropColumn (metadata-only)
   *   ALTER TABLE t ALTER COLUMN c TYPE bigint     -- widenColumn (metadata-only)
+  *   ALTER TABLE t ADD COLUMN c double            -- addColumn (metadata-only)
+  *   ALTER TABLE t SET TBLPROPERTIES('k'='v',...)  -- setProperties (versioned)
+  *   ALTER TABLE t UNSET TBLPROPERTIES('k',...)    -- unsetProperties
   *   CREATE TABLE t SHALLOW CLONE s LOCATION 'p'  -- shallowClone (zero-copy)
   *   CREATE TABLE t [DEEP] CLONE s LOCATION 'p'   -- deepClone
   *   DESCRIBE DETAIL t                            -- detail (one row)
@@ -120,6 +123,12 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  private val AddCol =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z0-9_]+)\s+([A-Za-z0-9_() ,]+?)\s*;?\s*""".r
+  private val SetProps =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  private val UnsetProps =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
   private val WidenCol =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+TYPE\s+([A-Za-z0-9_() ,]+?)\s*;?\s*""".r
   private val RenameCol =
@@ -136,6 +145,20 @@ object GraftSqlParser {
       "OPTIMIZE t [WHERE partPred | ZORDER BY (c1, ...) [INTO n FILES]] | " +
       "DESCRIBE HISTORY t | RESTORE [TABLE] t TO VERSION AS OF n | " +
       "RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'"
+
+  /** `'k'='v', 'k2'='v2'` / `'k', 'k2'` lists (TBLPROPERTIES). Values
+    * may contain commas — pairs are matched as quoted units and the
+    * residue must be only separators, so a malformed list fails loudly
+    * instead of silently dropping entries. */
+  private def parseProps(spec: String): Seq[(String, Option[String])] = {
+    val Pair = """'([^']*)'\s*(?:=\s*'([^']*)')?""".r
+    val ms = Pair.findAllMatchIn(spec).toList
+    val residue = Pair.replaceAllIn(spec, "")
+    require(ms.nonEmpty && residue.forall(c => c == ',' || c.isWhitespace),
+      s"cannot parse TBLPROPERTIES list: $spec " +
+        "(expected 'key'='value' [, ...] or 'key' [, ...])")
+    ms.map(m => (m.group(1), Option(m.group(2))))
+  }
 
   /** The maintenance statement `sqlText` encodes, if any. `None` means
     * "not ours — delegate". A statement whose LEADING keyword is ours
@@ -205,6 +228,22 @@ object GraftSqlParser {
             widenTo = Some(toType.trim)))
         case DropCol(tbl, name) =>
           Some(GraftColumnCommand(ident(tbl), name))
+        case AddCol(tbl, name, typeDdl) =>
+          Some(GraftColumnCommand(ident(tbl), name,
+            addType = Some(typeDdl.trim)))
+        case SetProps(tbl, kvs) =>
+          Some(GraftPropertiesCommand(ident(tbl),
+            parseProps(kvs).map { case (k, v) =>
+              k -> v.getOrElse(sys.error(
+                s"SET TBLPROPERTIES needs 'key'='value' pairs; '$k' has no value"))
+            }, set = true))
+        case UnsetProps(tbl, ks) =>
+          Some(GraftPropertiesCommand(ident(tbl),
+            parseProps(ks).map { case (k, v) =>
+              require(v.isEmpty,
+                s"UNSET TBLPROPERTIES takes keys only; '$k' has a value")
+              k -> ""
+            }, set = false))
         case _ => None // every other ALTER is Spark's
       }
       case "CREATE" => sqlText match {
@@ -374,33 +413,59 @@ case class GraftConstraintCommand(nameParts: Seq[String], action: String,
   * delegate's v2-only failure. Returns the committed version. */
 case class GraftColumnCommand(nameParts: Seq[String], colName: String,
                               renameTo: Option[String] = None,
-                              widenTo: Option[String] = None)
+                              widenTo: Option[String] = None,
+                              addType: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (ct, t) = GraftSqlParser.open(session, nameParts)
-    val v = t.commitWithRetry()((renameTo, widenTo) match {
-      case (Some(to), _) => t.renameColumn(colName, to)
-      case (_, Some(toT)) => t.widenColumn(colName, toT)
+    val v = t.commitWithRetry()((renameTo, widenTo, addType) match {
+      case (Some(to), _, _) => t.renameColumn(colName, to)
+      case (_, Some(toT), _) => t.widenColumn(colName, toT)
+      case (_, _, Some(toT)) => t.addColumn(colName, toT)
       case _ => t.dropColumn(colName)
     })
     // the catalog pinned the schema at CREATE time and Spark refuses a
     // relation whose inferred schema drifted from it — apply the same
     // surgery to the STORED schema (preserving the catalog's own field
-    // order and partition placement). alterTable, not
+    // order and partition placement; an ADD appends, matching the
+    // fold's withColumn-at-end shape). alterTable, not
     // alterTableDataSchema: the latter hard-refuses drops.
-    val newFields = ct.schema.fields.toSeq.flatMap { f =>
+    def ddlType(s: String) = org.apache.spark.sql.types.DataType.fromDDL(s)
+    val surgered = ct.schema.fields.toSeq.flatMap { f =>
       if (f.name != colName) Some(f)
       else (renameTo, widenTo) match {
         case (Some(to), _) => Some(f.copy(name = to))
-        case (_, Some(toT)) => Some(f.copy(
-          dataType = org.apache.spark.sql.types.DataType.fromDDL(toT)))
+        case (_, Some(toT)) => Some(f.copy(dataType = ddlType(toT)))
+        case _ if addType.isDefined => Some(f) // unreachable: add refuses dups
         case _ => None
       }
     }
+    val newFields = surgered ++ addType.map(toT =>
+      org.apache.spark.sql.types.StructField(colName, ddlType(toT),
+        nullable = true)).toSeq
     session.sessionState.catalog.alterTable(
       ct.copy(schema = StructType(newFields)))
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES('k'='v', ...)` / `UNSET
+  * TBLPROPERTIES('k', ...)` — properties as VERSIONED commit metadata
+  * ([[SnapshotTable.setProperties]]): they ride the manifest, time
+  * travel with the data, and need no catalog side store. Surfaced by
+  * `DESCRIBE DETAIL` and the Scala `properties` API. */
+case class GraftPropertiesCommand(nameParts: Seq[String],
+                                  kvs: Seq[(String, String)], set: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.commitWithRetry()(
+      if (set) t.setProperties(kvs) else t.unsetProperties(kvs.map(_._1)))
     GraftSqlParser.refresh(session, ct)
     Seq(Row(v))
   }
@@ -423,14 +488,16 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
-    AttributeReference("constraints", StringType, nullable = false)())
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (_, t) = GraftSqlParser.open(session, nameParts)
     val d = t.detail
     Seq(Row("graft", d.location, d.version, d.committedAtMs, d.numEntries,
       d.borrowedDirs, d.numFiles, d.sizeBytes,
       d.partitionColumns.mkString(","),
-      d.constraints.map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")))
+      d.constraints.map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; "),
+      d.properties.map { case (k, v) => s"$k=$v" }.mkString("; ")))
   }
 }
 

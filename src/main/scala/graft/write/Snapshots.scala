@@ -110,7 +110,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * partition overwrite excludes the replaced partitions from every
     * OLDER dir instead of deleting their files). Partition values render
     * as colon-joined strings, entries as `dir|p1,p2`. */
-  private case class Entry(dir: String, excluded: Set[Seq[String]])
+  /** `era` = how many column-mapping ops ([[Manifest.colOps]]) were
+    * already in force when this dir was WRITTEN: the read-time fold
+    * applies only `colOps.drop(era)`, so a dir written after a
+    * drop-then-re-add (or a rename whose source name was later reused)
+    * is never mis-folded as old-era data. `-1` = "stamp me at commit"
+    * (every fresh write); legacy manifests parse as era 0, which is
+    * exact for them (the fold's per-op presence guards make
+    * over-application a no-op on guard-clean dirs). */
+  private case class Entry(dir: String, excluded: Set[Seq[String]],
+                           era: Int = -1)
 
   /** A merge-on-read delete: every key tuple stored in `dir` suppresses
     * matching rows — but only in the first `appliesTo` entries of the
@@ -118,7 +127,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     * newer entries carry the keys' REPLACEMENT rows and must not be
     * suppressed). The positional scope is Iceberg's sequence-number
     * idea collapsed onto this manifest's ordered entry list. */
-  private case class DeleteRef(dir: String, keyCols: Seq[String], appliesTo: Int)
+  private case class DeleteRef(dir: String, keyCols: Seq[String], appliesTo: Int,
+                               era: Int = -1)
 
   /** A merge-on-read PREDICATE delete (Iceberg's other delete-file
     * flavor, collapsed to metadata: the predicate is a SQL string in the
@@ -143,7 +153,8 @@ class SnapshotTable(spark: SparkSession, root: String,
                               ts: Long = 0L,
                               partColsLine: Seq[String] = Seq.empty,
                               constraints: Seq[(String, String)] = Seq.empty,
-                              colOps: Seq[SnapshotTable.ColOp] = Seq.empty)
+                              colOps: Seq[SnapshotTable.ColOp] = Seq.empty,
+                              properties: Seq[(String, String)] = Seq.empty)
 
   // ---- manifest serialization (line format: trivially greppable and
   // parseable with zero dependencies; values are ints, dir names, and
@@ -154,9 +165,9 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def render(m: Manifest): String = {
     val lines = Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}") ++
       m.entries.map(e =>
-        s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}") ++
+        s"entry=${e.dir}|${e.excluded.map(_.mkString(":")).toSeq.sorted.mkString(",")}|${e.era}") ++
       m.deletes.map(d =>
-        s"delete=${d.dir}|${d.keyCols.mkString(",")}|${d.appliesTo}") ++
+        s"delete=${d.dir}|${d.keyCols.mkString(",")}|${d.appliesTo}|${d.era}") ++
       // appliesTo FIRST: the predicate SQL may itself contain '|' (a
       // string literal), so the fixed-shape field leads and the sql is
       // everything after the first separator
@@ -170,7 +181,12 @@ class SnapshotTable(spark: SparkSession, root: String,
         case SnapshotTable.ColRename(f, t) => s"colop=rename|$f|$t"
         case SnapshotTable.ColDrop(n) => s"colop=drop|$n"
         case SnapshotTable.ColWiden(n, t) => s"colop=widen|$n|$t"
+        case SnapshotTable.ColAdd(n, t) => s"colop=add|$n|$t"
       } ++
+      // versioned table properties (Delta's TBLPROPERTIES as commit
+      // metadata): key validated [A-Za-z0-9_.-]+, value may hold '='
+      // but not '|' or newlines (checked at set time)
+      m.properties.map { case (k, v) => s"prop=$k|$v" } ++
       (if (m.ts > 0) Seq(s"ts=${m.ts}") else Seq.empty) ++
       // the writer's partition columns ride every manifest: a reader
       // opened with DIFFERENT partCols would evaluate exclusion masks
@@ -194,15 +210,22 @@ class SnapshotTable(spark: SparkSession, root: String,
       .getOrElse(sys.error(s"manifest $label missing $k"))
     val entries = kv.collect { case ("entry", spec) =>
       val bar = spec.indexOf('|')
-      val excl = spec.substring(bar + 1).split(",").filter(_.nonEmpty)
+      val last = spec.lastIndexOf('|')
+      // 3-field form dir|masks|era; legacy 2-field dir|masks → era 0
+      val (exclSpec, era) =
+        if (last > bar) (spec.substring(bar + 1, last),
+          spec.substring(last + 1).toInt)
+        else (spec.substring(bar + 1), 0)
+      val excl = exclSpec.split(",").filter(_.nonEmpty)
         .map(_.split(":").toSeq).toSet
-      Entry(spec.substring(0, bar), excl)
+      Entry(spec.substring(0, bar), excl, era)
     }
     val deletes = kv.collect { case ("delete", spec) =>
       val parts = spec.split("\\|", -1)
-      require(parts.length == 3, s"malformed delete line in $label: $spec")
+      require(parts.length == 3 || parts.length == 4,
+        s"malformed delete line in $label: $spec")
       DeleteRef(parts(0), parts(1).split(",").filter(_.nonEmpty).toSeq,
-        parts(2).toInt)
+        parts(2).toInt, if (parts.length == 4) parts(3).toInt else 0)
     }
     val predDeletes = kv.collect { case ("pdelete", spec) =>
       val bar = spec.indexOf('|')
@@ -219,15 +242,21 @@ class SnapshotTable(spark: SparkSession, root: String,
         case Array("rename", f, t) => SnapshotTable.ColRename(f, t)
         case Array("drop", n) => SnapshotTable.ColDrop(n)
         case Array("widen", n, t) => SnapshotTable.ColWiden(n, t)
+        case Array("add", n, t) => SnapshotTable.ColAdd(n, t)
         case _ => sys.error(s"malformed colop line in $label: $spec")
       }
+    }
+    val properties = kv.collect { case ("prop", spec) =>
+      val bar = spec.indexOf('|')
+      require(bar > 0, s"malformed prop line in $label: $spec")
+      (spec.substring(0, bar), spec.substring(bar + 1))
     }
     val m = Manifest(one("version").toInt, one("parent").toInt, one("op"), entries,
       deletes, predDeletes,
       kv.collectFirst { case ("ts", v0) => v0.toLong }.getOrElse(0L),
       kv.collectFirst { case ("partcols", v0) =>
         v0.split(",").map(_.trim).filter(_.nonEmpty).toSeq }.getOrElse(Seq.empty),
-      constraints, colOps)
+      constraints, colOps, properties)
     // fail-fast on a partition-column mismatch: masks and partition
     // probes are expressed over the WRITER's columns (pre-partcols-line
     // history can't be checked — best effort, like the ts fallback)
@@ -300,10 +329,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   private def requireNoRetiredNames(df: DataFrame, what: String): Unit = {
     val ops = currentVersion.map(parse(_).colOps).getOrElse(Seq.empty)
     if (ops.isEmpty) return
-    val retired = ops.collect {
-      case SnapshotTable.ColRename(f, _) => f
-      case SnapshotTable.ColDrop(n) => n
-    }.toSet
+    val retired = SnapshotTable.retiredNames(ops)
     val bad = df.columns.filter(retired)
     require(bad.isEmpty,
       s"$what refused: column(s) ${bad.mkString(", ")} were renamed or " +
@@ -387,22 +413,31 @@ class SnapshotTable(spark: SparkSession, root: String,
                      deletes: Seq[DeleteRef] = Seq.empty,
                      predDeletes: Seq[PredDelete] = Seq.empty,
                      constraintsOverride: Option[Seq[(String, String)]] = None,
-                     colOpsOverride: Option[Seq[SnapshotTable.ColOp]] = None): Int = {
+                     colOpsOverride: Option[Seq[SnapshotTable.ColOp]] = None,
+                     propertiesOverride: Option[Seq[(String, String)]] = None): Int = {
     val next = parent + 1
     fs.mkdirs(manifestDir)
-    // CHECK constraints and the column-mapping history ride every
-    // manifest and carry forward automatically (one metadata read);
-    // only their own DDL commits — and full-rewrite compactions, which
-    // clear colOps because the rewrite materializes the mapping —
-    // override the inherited sets
+    // CHECK constraints, the column-mapping history, and table
+    // properties ride every manifest and carry forward automatically
+    // (one metadata read); only their own DDL commits — and
+    // full-rewrite compactions, which clear colOps because the rewrite
+    // materializes the mapping — override the inherited sets
     val pm = if (parent > 0) Some(parse(parent)) else None
     val cons = constraintsOverride.getOrElse(
       pm.map(_.constraints).getOrElse(Seq.empty))
     val cops = colOpsOverride.getOrElse(
       pm.map(_.colOps).getOrElse(Seq.empty))
-    val m = Manifest(next, parent, op, entries, deletes, predDeletes,
+    val props = propertiesOverride.getOrElse(
+      pm.map(_.properties).getOrElse(Seq.empty))
+    // stamp fresh writes (era -1) with the op-list length they were
+    // written under; entries/deletes copied from older manifests keep
+    // their recorded era — see Entry.era
+    val m = Manifest(next, parent, op,
+      entries.map(e => if (e.era >= 0) e else e.copy(era = cops.length)),
+      deletes.map(d => if (d.era >= 0) d else d.copy(era = cops.length)),
+      predDeletes,
       ts = System.currentTimeMillis(), partColsLine = partCols,
-      constraints = cons, colOps = cops)
+      constraints = cons, colOps = cops, properties = props)
     // atomic-with-content exclusive publish: the manifest appears fully
     // written or not at all (a bare create(overwrite=false) is visible
     // and EMPTY until its stream closes — a concurrent parse() in that
@@ -791,11 +826,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       v = m.parent
     }
     require(newDirs.nonEmpty, s"no data appended between v$fromV and v$toV")
-    // fold under the END version's column mapping: every appended dir
-    // belongs to an era <= toV, and the op list only grows along the
-    // chain, so toV's list is era-correct for all of them
-    val ops = parse(toV).colOps
-    newDirs.map(e => applyColOps(readDir(e.dir), ops))
+    // fold under the END version's column mapping, from each dir's own
+    // recorded era (the op list only grows along a valid append chain,
+    // so toV's list extends every appended dir's)
+    val tm = parse(toV)
+    newDirs.map(e => applyColOps(readDir(e.dir), opsSince(tm, e.era)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1029,7 +1064,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       // column-mapping fold: a dir whose stats index predates a rename
       // of clusterCol simply misses the index (reads plain, still
       // correct); compaction rebuilds under the current names
-      val df = applyColOps(raw, m.colOps)
+      val df = applyColOps(raw, opsSince(m, e.era))
       applyDeletes(m, i, excludePred(e).fold(df)(p => df.filter(!p)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1257,6 +1292,68 @@ class SnapshotTable(spark: SparkSession, root: String,
       colOpsOverride = Some(m.colOps :+ SnapshotTable.ColDrop(name)))
   }
 
+  /** Add a column explicitly — one metadata commit (`ALTER TABLE ...
+    * ADD COLUMN`): every dir written before it reads the column as
+    * typed NULLs; later writes carry real values. This is the
+    * sanctioned way to RE-INTRODUCE a dropped name: the ordered,
+    * era-scoped fold keeps old-era bytes hidden while the new column
+    * starts fresh. (Plain additive evolution — just writing the new
+    * column — still works too; ADD COLUMN makes the schema change a
+    * committed, time-travelable event instead of a side effect.) */
+  def addColumn(name: String, typeDdl: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"column name must be [A-Za-z0-9_]+: '$name'")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val cur = readVersion(base)
+    require(!cur.columns.contains(name),
+      s"column '$name' already exists")
+    val t = org.apache.spark.sql.types.DataType.fromDDL(typeDdl).catalogString
+    commit(s"add_column_$name", m.entries, base, m.deletes, m.predDeletes,
+      colOpsOverride = Some(m.colOps :+ SnapshotTable.ColAdd(name, t)))
+  }
+
+  // ---- versioned table properties (Delta's TBLPROPERTIES as commit
+  // metadata): free-form key→value pairs riding every manifest, so
+  // properties are time-travelable with the data and expire needs no
+  // side store. ----
+
+  /** The current version's properties. */
+  def properties: Map[String, String] =
+    currentVersion.map(parse(_).properties.toMap).getOrElse(Map.empty)
+
+  /** Upsert properties — one commit. */
+  def setProperties(kvs: Seq[(String, String)]): Int = {
+    require(kvs.nonEmpty, "setProperties needs at least one pair")
+    kvs.foreach { case (k, v) =>
+      require(k.nonEmpty && k.forall(c => c.isLetterOrDigit ||
+          c == '_' || c == '.' || c == '-'),
+        s"property key must be [A-Za-z0-9_.-]+: '$k'")
+      require(!v.contains('|') && !v.exists(c => c == '\n' || c == '\r'),
+        s"property value for '$k' may not contain '|' or newlines")
+    }
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val merged = (m.properties.filterNot(p => kvs.exists(_._1 == p._1)) ++ kvs)
+      .sortBy(_._1)
+    commit("set_properties", m.entries, base, m.deletes, m.predDeletes,
+      propertiesOverride = Some(merged))
+  }
+
+  /** Remove properties — one commit; unknown keys refuse loudly. */
+  def unsetProperties(keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "unsetProperties needs at least one key")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val m = parse(base)
+    val missing = keys.filterNot(k => m.properties.exists(_._1 == k))
+    require(missing.isEmpty,
+      s"no such propert${if (missing.size == 1) "y" else "ies"}: " +
+        s"${missing.mkString(", ")} " +
+        s"(have: ${m.properties.map(_._1).mkString(", ")})")
+    commit("unset_properties", m.entries, base, m.deletes, m.predDeletes,
+      propertiesOverride = Some(m.properties.filterNot(p => keys.contains(p._1))))
+  }
+
   /** Loss-free widenings by catalog type string — the closed set a
     * [[widenColumn]] will commit (Delta's type widening's numeric
     * core). Long→double is EXCLUDED: longs above 2^53 lose precision. */
@@ -1342,7 +1439,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     SnapshotTable.Detail(root, v, m.ts, m.entries.size,
       m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
-      m.constraints)
+      m.constraints, m.properties)
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -1655,8 +1752,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * `v`'s entries, zero data movement, history preserved. */
   def rollbackTo(v: Int): Int = {
     val m = parse(v) // throws if expired/never existed
+    // RESTORE semantics (Delta's): the target version's WHOLE state
+    // becomes current — its schema era (colOps), CHECK constraints,
+    // and properties included, not just its data. Carrying the head's
+    // metadata instead would show the restored rows under a schema
+    // they never had (and readVersion of the new head would disagree
+    // with readVersion of the restore target).
     commit(s"rollback_to_$v", m.entries, currentVersion.getOrElse(0),
-      m.deletes, m.predDeletes)
+      m.deletes, m.predDeletes,
+      constraintsOverride = Some(m.constraints),
+      colOpsOverride = Some(m.colOps),
+      propertiesOverride = Some(m.properties))
   }
 
   // ---- reads ----
@@ -1698,12 +1804,19 @@ class SnapshotTable(spark: SparkSession, root: String,
       case (d, SnapshotTable.ColWiden(n, t)) if d.columns.contains(n) &&
           d.schema(n).dataType.catalogString != t =>
         d.withColumn(n, col(n).cast(t))
+      case (d, SnapshotTable.ColAdd(n, t)) if !d.columns.contains(n) =>
+        d.withColumn(n, lit(null).cast(t))
       case (d, _) => d
     }
 
+  /** The ops a dir written at `era` still needs folded (fresh, unstamped
+    * era -1 behaves as 0 — all ops, each guarded by column presence). */
+  private def opsSince(m: Manifest, era: Int): Seq[SnapshotTable.ColOp] =
+    m.colOps.drop(math.max(era, 0))
+
   private def readManifest(m: Manifest): DataFrame =
     m.entries.zipWithIndex.map { case (e, i) =>
-      val base = applyColOps(readDir(e.dir), m.colOps)
+      val base = applyColOps(readDir(e.dir), opsSince(m, e.era))
       val masked = excludePred(e).fold(base)(p => base.filter(!p))
       applyDeletes(m, i, masked)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1714,7 +1827,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     // its keys under the era's names; the anti-join must see them
     // under the same logical names as the data side
     val keyed = m.deletes.filter(_.appliesTo > entryIdx).foldLeft(df) { (acc, d) =>
-      acc.join(applyColOps(readDir(d.dir), m.colOps), d.keyCols, "left_anti")
+      acc.join(applyColOps(readDir(d.dir), opsSince(m, d.era)), d.keyCols, "left_anti")
     }
     // predicate deletes are pure row filters (no join, no data dir):
     // codegen'd into the scan stage, and the NOT-coalesce keeps rows
@@ -2082,7 +2195,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       m.entries.map(e => e.copy(dir = borrow(e.dir))),
       m.deletes.map(d => d.copy(dir = borrow(d.dir))),
       m.predDeletes, ts = System.currentTimeMillis(),
-      partColsLine = partCols, constraints = m.constraints)
+      partColsLine = partCols, constraints = m.constraints,
+      colOps = m.colOps, properties = m.properties)
     val cloneManifests = new Path(dst, "_manifests")
     dfs.mkdirs(cloneManifests)
     require(graft.util.AtomicFlip.publishExclusive(dfs,
@@ -2340,7 +2454,7 @@ class SnapshotTable(spark: SparkSession, root: String,
             .map(st => st.getPath.getName -> st.getPath.toString)
             .sortBy(_._1).toSeq
         SnapshotScanSpec.Dir(dirPath(e.dir).toString, e.excluded,
-          ddl, stats)
+          ddl, stats, math.max(e.era, 0))
       },
       m.deletes.nonEmpty || m.predDeletes.nonEmpty,
       m.colOps)
@@ -2389,7 +2503,8 @@ private[graft] object SnapshotScanSpec {
     * the format's file index prunes files through them at planning. */
   case class Dir(path: String, excluded: Set[Seq[String]],
                  schemaDdl: Option[String],
-                 stats: Seq[(String, String)] = Seq.empty)
+                 stats: Seq[(String, String)] = Seq.empty,
+                 era: Int = 0)
 }
 
 object SnapshotTable {
@@ -2404,6 +2519,22 @@ object SnapshotTable {
     * old dirs read-cast up, new writes land wide. Only loss-free
     * widenings are committable ([[SnapshotTable.widenColumn]]). */
   case class ColWiden(name: String, toDdl: String) extends ColOp
+  /** Explicit ADD COLUMN: dirs written before it read the column as
+    * typed NULLs; later writes carry real values. Also re-legitimizes
+    * a previously dropped name (the ordered fold keeps old-era data
+    * hidden while the new column starts fresh). */
+  case class ColAdd(name: String, ddl: String) extends ColOp
+
+  /** Names a write may NOT use under this op history: rename sources
+    * and dropped columns — unless a LATER add (or rename onto the
+    * name) re-introduced them, which restores the name for new data
+    * while the fold keeps old-era bytes mapped away. */
+  def retiredNames(ops: Seq[ColOp]): Set[String] = ops.foldLeft(Set.empty[String]) {
+    case (s, ColRename(f, t)) => s + f - t
+    case (s, ColDrop(n)) => s + n
+    case (s, ColAdd(n, _)) => s - n
+    case (s, _) => s
+  }
 
   /** One row of [[SnapshotTable.detail]]: the current version's
     * metadata-derived shape. `borrowedDirs > 0` marks a live shallow
@@ -2412,7 +2543,8 @@ object SnapshotTable {
                     numEntries: Int, borrowedDirs: Int,
                     numFiles: Long, sizeBytes: Long,
                     partitionColumns: Seq[String],
-                    constraints: Seq[(String, String)])
+                    constraints: Seq[(String, String)],
+                    properties: Seq[(String, String)] = Seq.empty)
 
   /** The partition columns recorded in the table's CURRENT manifest
     * (the `partcols` line every commit stamps since round 12) — how a

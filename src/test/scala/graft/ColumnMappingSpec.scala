@@ -189,6 +189,99 @@ class ColumnMappingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("add column: old dirs read typed nulls; drop-then-re-add is era-safe") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("add"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.addColumn("tip", "double")
+    assert(t.history.last._2 == "add_column_tip")
+    assert(t.read().columns.contains("tip"))
+    assert(t.read().filter(col("tip").isNull).count() == 1)
+    // later writes carry real values; the old dir still reads null
+    t.commitAppend(Seq((2, 2024, 2, 20.0, 3.5)).toDF("id", "year", "month", "fare", "tip"))
+    assert(t.read().agg(sum(col("tip"))).head().getDouble(0) == 3.5)
+    assert(intercept[Exception] { t.addColumn("tip", "double") }
+      .getMessage.contains("already exists"))
+
+    // the era mechanism: drop 'fare', re-add it, append real values —
+    // old-era fare stays hidden, the re-added column starts fresh
+    t.dropColumn("fare")
+    assert(!t.read().columns.contains("fare"))
+    t.addColumn("fare", "double")
+    t.commitAppend(Seq((3, 2024, 3, 7.0, 0.0)).toDF("id", "year", "month", "fare", "tip"))
+    val fares = t.read().select(col("id"), col("fare")).collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(fares(3).contains(7.0), "post-re-add write lost its value")
+    assert(fares(1).isEmpty && fares(2).isEmpty,
+      "old-era fare leaked through the drop (era fold broken)")
+  }
+
+  test("versioned TBLPROPERTIES: set/unset commits, time travel, DESCRIBE DETAIL") {
+    val root = freshRoot("props")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val name = "graft_colmap_props"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      val v1 = spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES" +
+        "('owner'='data-eng', 'retention.hours'='168')").head().getInt(0)
+      assert(t.properties == Map("owner" -> "data-eng", "retention.hours" -> "168"))
+      // upsert overwrites; properties carry through unrelated commits
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES('owner'='ml-platform')")
+      t.commitAppend(frame((2, 2024, 2, 20.0)))
+      assert(t.properties("owner") == "ml-platform")
+      // time travel: the earlier era keeps its value
+      assert(t.currentVersion.isDefined)
+      val d = spark.sql(s"DESCRIBE DETAIL $name").head()
+      assert(d.getString(d.fieldIndex("properties"))
+        .contains("owner=ml-platform"))
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('retention.hours')")
+      assert(t.properties == Map("owner" -> "ml-platform"))
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('nope')") }
+      assert(e.getMessage.contains("no such propert"))
+      assert(v1 >= 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("ADD COLUMN SQL verb updates the catalog schema") {
+    import spark.implicits._
+    val root = freshRoot("addsql")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val name = "graft_colmap_addsql"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
+      spark.sql(s"ALTER TABLE $name ADD COLUMN surcharge double")
+      assert(spark.table(name).columns.contains("surcharge"))
+      assert(spark.table(name).filter(col("surcharge").isNull).count() == 1)
+      // and the new column takes INSERTed values
+      spark.sql("SELECT 2 AS id, 2024 AS year, 2 AS month, " +
+        "20.0 AS fare, 1.25 AS surcharge")
+        .createOrReplaceTempView("graft_colmap_addsql_src")
+      spark.sql(s"INSERT INTO $name BY NAME SELECT * FROM graft_colmap_addsql_src")
+      assert(spark.table(name).agg(sum(col("surcharge"))).head().getDouble(0) == 1.25)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("rollback restores the target era's schema metadata, not the head's") {
+    val t = new SnapshotTable(spark, freshRoot("rb"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))           // v1: fare
+    t.renameColumn("fare", "fare_amt")                     // v2
+    t.setProperties(Seq("owner" -> "x"))                   // v3
+    t.addConstraint("pos", "fare_amt > 0")                 // v4
+    val rv = t.rollbackTo(1)
+    // the restored head reads exactly like the target version
+    assert(t.read().columns.contains("fare"))
+    assert(!t.read().columns.contains("fare_amt"))
+    assert(t.columnOps.isEmpty && t.constraints.isEmpty && t.properties.isEmpty)
+    assert(t.readVersion(rv).collect().toSet == t.readVersion(1).collect().toSet)
+    // and the rolled-back-over history is still time-travelable
+    assert(t.readVersion(2).columns.contains("fare_amt"))
+  }
+
   test("changelog across a rename boundary refuses; within an era works") {
     val t = new SnapshotTable(spark, freshRoot("cdc"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0)))
