@@ -143,8 +143,15 @@ object GraftSqlParser {
   private val GrammarHelp =
     "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
       "OPTIMIZE t [WHERE partPred | ZORDER BY (c1, ...) [INTO n FILES]] | " +
-      "DESCRIBE HISTORY t | RESTORE [TABLE] t TO VERSION AS OF n | " +
-      "RESTORE [TABLE] t TO TIMESTAMP AS OF 'ts'"
+      "DESCRIBE HISTORY t | DESCRIBE DETAIL t | " +
+      "RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF ... | " +
+      "CREATE TABLE t [SHALLOW] CLONE s LOCATION 'p' | " +
+      "ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n] | " +
+      "ALTER TABLE t FAST FORWARD BRANCH b [FORCE] | " +
+      "ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c | " +
+      "ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN c | " +
+      "ADD COLUMN c type | ALTER COLUMN c TYPE widerType | " +
+      "ALTER TABLE t SET|UNSET TBLPROPERTIES(...)"
 
   /** `'k'='v', 'k2'='v2'` / `'k', 'k2'` lists (TBLPROPERTIES). Values
     * may contain commas — pairs are matched as quoted units and the

@@ -466,16 +466,64 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Append snapshot: previous entries plus one new directory. `opTag`
     * (default "append") rides the manifest's op line, same contract as
     * [[commitOverwrite]]'s — how the streaming append loop records its
-    * batch id WITH the data it landed (one durable object). */
+    * batch id WITH the data it landed (one durable object).
+    *
+    * FAST-APPEND RETRY (Iceberg's fast-append): appends commute, so a
+    * loser of the commit race re-targets the new head METADATA-ONLY —
+    * the already-written data dir is reused, never rewritten. At a
+    * contended 100 TB ingest edge (N streaming sinks on one table)
+    * this turns conflict cost from "rewrite the batch" into "re-read
+    * one manifest". The internal retry refuses (falls through to the
+    * caller's [[commitWithRetry]], which re-runs the data write) if
+    * the table's constraint set or column mapping moved since the
+    * write — the dir was validated/stamped against the old sets, and
+    * a full re-attempt re-validates rather than publishing stale. */
   def commitAppend(df: DataFrame, opTag: String = "append"): Int = {
     require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
       s"opTag must be a non-empty single line: '$opTag'")
-    val base = currentVersion.getOrElse(0)
-    val pm = if (base == 0) None else Some(parse(base))
-    commit(opTag,
-      pm.map(_.entries).getOrElse(Seq.empty) :+ Entry(writeData(df, base + 1), Set.empty),
-      base, pm.map(_.deletes).getOrElse(Seq.empty),
-      pm.map(_.predDeletes).getOrElse(Seq.empty))
+    val base0 = currentVersion.getOrElse(0)
+    val pm0 = if (base0 == 0) None else Some(parse(base0))
+    val dir = writeData(df, base0 + 1)
+    val consAtWrite = pm0.map(_.constraints).getOrElse(Seq.empty)
+    val opsAtWrite = pm0.map(_.colOps).getOrElse(Seq.empty)
+    appendRaceHook() // test seam: inject a concurrent commit here
+    var pm = pm0
+    var base = base0
+    var attempts = 0
+    while (true) {
+      try {
+        return commit(opTag,
+          pm.map(_.entries).getOrElse(Seq.empty) :+
+            Entry(dir, Set.empty, era = opsAtWrite.length),
+          base, pm.map(_.deletes).getOrElse(Seq.empty),
+          pm.map(_.predDeletes).getOrElse(Seq.empty))
+      } catch {
+        case e: SnapshotConflictException =>
+          attempts += 1
+          // recovery is best-effort: any failure here (a torn orphan
+          // manifest repair cannot parse, a vanished CURRENT) rethrows
+          // the ORIGINAL conflict for the caller's full retry loop
+          val recovered =
+            try {
+              repair() // a crashed winner's un-flipped manifest blocks everyone
+              val newBase = currentVersion.getOrElse(0)
+              if (attempts >= 5 || newBase <= base) None
+              else {
+                val newPm = parse(newBase)
+                // metadata moved under us → the dir's validation/era
+                // is stale; let the caller re-write and re-validate
+                if (newPm.constraints != consAtWrite ||
+                    newPm.colOps != opsAtWrite) None
+                else Some((newPm, newBase))
+              }
+            } catch { case _: Exception => None }
+          recovered match {
+            case Some((p, b)) => pm = Some(p); base = b
+            case None => throw e
+          }
+      }
+    }
+    -1 // unreachable
   }
 
   /** Dynamic partition overwrite as a snapshot: the partitions present
@@ -1661,6 +1709,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * is real under concurrency but nanoseconds wide, so only an
     * injected interleaving exercises it deterministically. */
   protected def raceWindowHook(): Unit = ()
+
+  /** Test seam for [[commitAppend]]'s fast-append retry: runs between
+    * the data write and the first commit attempt. */
+  protected def appendRaceHook(): Unit = ()
 
   /** The branch's fork point against main: the newest `branch_from_<v>`
     * or `rebased_to_<v>` marker in its lineage — each [[fastForward]]

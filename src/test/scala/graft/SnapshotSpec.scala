@@ -85,17 +85,22 @@ class SnapshotSpec extends AnyFunSuite {
     // simulate the racer that wins v2: its manifest lands first
     val racerManifest = new Path(s"$root/_manifests/v00002.txt")
     val out = fs(root).create(racerManifest, false)
-    out.write("version=2\nparent=1\nop=append\nentry=d00001|\n".getBytes("UTF-8"))
+    out.write("version=2\nparent=1\nop=append\nentry=d00001||0\n".getBytes("UTF-8"))
     out.close()
-    intercept[SnapshotConflictException] {
-      t.commitAppend(frame((2, 2024, 2, 2.0)))
-    }
-    // loser retries after re-reading: repair() finishes the winner's
-    // interrupted commit (its CURRENT flip never happened), then the
-    // retry lands as v3
-    t.repair()
-    assert(t.currentVersion.contains(2))
+    // APPENDS commute, so the loser self-heals: its fast-append retry
+    // repairs through the winner's un-flipped CURRENT and re-targets
+    // the new head METADATA-ONLY (the batch's dir is written once)
     assert(t.commitAppend(frame((2, 2024, 2, 2.0))) == 3)
+    assert(t.currentVersion.contains(3))
+    // non-commutative commits keep the strict single-winner contract:
+    // a loser gets the conflict, never a silent merge
+    val orphan2 = new Path(s"$root/_manifests/v00004.txt")
+    val out2 = fs(root).create(orphan2, false)
+    out2.write("version=4\nparent=3\nop=overwrite\nentry=d00001||0\n".getBytes("UTF-8"))
+    out2.close()
+    intercept[SnapshotConflictException] {
+      t.commitOverwrite(frame((9, 2024, 9, 9.0)))
+    }
   }
 
   test("expire keeps the newest snapshots and deletes unreferenced data dirs") {
@@ -487,11 +492,12 @@ class SnapshotSpec extends AnyFunSuite {
     // (CURRENT never advances), which is exactly the case repair-aware
     // retry must make progress through
     val out = fs(root).create(new Path(s"$root/_manifests/v00002.txt"), false)
-    out.write(s"version=2\nparent=1\nop=append\nentry=${t.dataDirs(1).head}|\n"
+    out.write(s"version=2\nparent=1\nop=append\nentry=${t.dataDirs(1).head}||0\n"
       .getBytes("UTF-8"))
     out.close()
-    intercept[SnapshotConflictException] { t.commitAppend(frame((2, 2024, 2, 2.0))) }
-    val v = t.commitWithRetry()(t.commitAppend(frame((2, 2024, 2, 2.0))))
+    // commitAppend's own fast-retry repairs through the orphan and
+    // lands (appends commute); commitWithRetry stays the general path
+    val v = t.commitAppend(frame((2, 2024, 2, 2.0)))
     assert(v == 3, s"retry should land past the repaired orphan, got v$v")
     assert(t.currentVersion.contains(3))
     // two LIVE writers: both eventually land (the loser re-reads and
@@ -955,6 +961,48 @@ class SnapshotSpec extends AnyFunSuite {
     t.fastForward("wip", strict = false)
     assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
     assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
+  }
+
+  test("fast-append retry: a racing commit costs the loser one manifest re-read, not a data rewrite") {
+    val root = freshRoot("snap_fastapp")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // count parquet files under _data before/after: the loser must
+    // publish WITHOUT writing a second copy of its batch
+    def parquetCount(): Int = {
+      val it = fs(root).listFiles(new Path(root, "_data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val racing = new SnapshotTable(spark, root) {
+      override protected def appendRaceHook(): Unit = {
+        t.commitAppend(frame((9, 2024, 9, 9.0))); ()
+      }
+    }
+    val before = parquetCount() // v1's files + nothing else yet
+    val v = racing.commitAppend(frame((2, 2024, 2, 2.0)))
+    // both appends landed; the loser's dir was written exactly once
+    // (hook's append wrote 1 file, loser's batch wrote 1 file)
+    assert(parquetCount() == before + 2, "fast-append rewrote data on retry")
+    assert(t.currentVersion.contains(v))
+    assert(state(t.read()) ==
+      Set((1, 2024, 1, 1.0), (9, 2024, 9, 9.0), (2, 2024, 2, 2.0)))
+    assert(t.fsck().isEmpty)
+
+    // but a CONSTRAINT landing in the race window forces the loud
+    // full-retry path: the dir was validated against the old set
+    val racing2 = new SnapshotTable(spark, root) {
+      override protected def appendRaceHook(): Unit = {
+        t.addConstraint("pos", "fare > 0"); ()
+      }
+    }
+    intercept[SnapshotConflictException] {
+      racing2.commitAppend(frame((3, 2024, 3, -5.0))) }
+    // the ordinary outer retry then re-validates and refuses properly
+    val e = intercept[Exception] {
+      t.commitWithRetry()(t.commitAppend(frame((4, 2024, 4, -5.0)))) }
+    assert(e.getMessage.contains("constraint 'pos'"))
   }
 
   test("branch versions past 99999 stay visible (%05d pads, 6-digit names must parse)") {
