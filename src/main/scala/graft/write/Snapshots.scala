@@ -1632,10 +1632,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     * manifest's op. */
   def createBranch(name: String, fromV: Int): Unit = {
     val m = parse(fromV) // must exist
+    // the fork carries the fork point's schema metadata (column
+    // mapping, constraints, properties), so a branch read folds old
+    // dirs exactly as a main read of the fork version would — without
+    // it a branch forked after a rename would surface PHYSICAL names
     if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
         render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes,
           m.predDeletes, ts = System.currentTimeMillis(),
-          partColsLine = partCols))
+          partColsLine = partCols, constraints = m.constraints,
+          colOps = m.colOps, properties = m.properties))
           .getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"branch '$name' already exists (drop it first or pick a new name)")
@@ -1664,9 +1669,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val next = head + 1
     if (!graft.util.AtomicFlip.publishExclusive(fs,
         branchManifestPath(name, next),
-        render(Manifest(next, head, op, build(pm, next),
+        render(Manifest(next, head, op,
+          build(pm, next).map(e =>
+            if (e.era >= 0) e else e.copy(era = pm.colOps.length)),
           pm.deletes, pm.predDeletes, ts = System.currentTimeMillis(),
-          partColsLine = partCols))
+          partColsLine = partCols, constraints = pm.constraints,
+          colOps = pm.colOps, properties = pm.properties))
           .getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"branch '$name' commit of @$next lost the race — re-read branchHead and retry")
@@ -1769,8 +1777,16 @@ class SnapshotTable(spark: SparkSession, root: String,
         fork
       } else currentVersion.getOrElse(0)
     val bm = parseBranch(name, head)
+    // publish with the BRANCH's schema metadata: its entries' op eras
+    // index into its colOps list, and the published state must read on
+    // main exactly as it read on the branch (in strict mode this
+    // equals the fork's = main's metadata anyway; under FORCE the
+    // branch's wins, consistent with its rollback semantics)
     val newMain = commit(s"fast_forward_$name", bm.entries,
-      base, bm.deletes, bm.predDeletes)
+      base, bm.deletes, bm.predDeletes,
+      constraintsOverride = Some(bm.constraints),
+      colOpsOverride = Some(bm.colOps),
+      propertiesOverride = Some(bm.properties))
     // advance the fork point: same entries, marker op — a reader of the
     // branch sees identical state, and the marker's create-exclusive
     // publish is best-effort (a concurrent branch commit winning the
@@ -1780,7 +1796,8 @@ class SnapshotTable(spark: SparkSession, root: String,
       branchManifestPath(name, head + 1),
       render(Manifest(head + 1, head, s"rebased_to_$newMain", bm.entries,
         bm.deletes, bm.predDeletes, ts = System.currentTimeMillis(),
-        partColsLine = partCols)).getBytes("UTF-8"))
+        partColsLine = partCols, constraints = bm.constraints,
+        colOps = bm.colOps, properties = bm.properties)).getBytes("UTF-8"))
     newMain
   }
 

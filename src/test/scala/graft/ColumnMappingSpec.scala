@@ -266,6 +266,26 @@ class ColumnMappingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("branches carry the fork's column mapping; fast-forward publishes it") {
+    val t = new SnapshotTable(spark, freshRoot("br"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    t.renameColumn("fare", "fare_amt")
+    t.createBranch("wip", t.currentVersion.get)
+    // the branch reads its pre-rename dir under the LOGICAL name,
+    // exactly like main
+    assert(t.readBranch("wip").columns.contains("fare_amt"))
+    // a branch write under the logical name joins the folded old dir
+    import spark.implicits._
+    t.commitAppendToBranch("wip",
+      Seq((2, 2024, 2, 20.0)).toDF("id", "year", "month", "fare_amt"))
+    assert(t.readBranch("wip")
+      .agg(sum(col("fare_amt"))).head().getDouble(0) == 30.0)
+    // fast-forward publishes the branch state with its mapping intact
+    t.fastForward("wip")
+    assert(t.read().columns.contains("fare_amt"))
+    assert(t.read().agg(sum(col("fare_amt"))).head().getDouble(0) == 30.0)
+  }
+
   test("rollback restores the target era's schema metadata, not the head's") {
     val t = new SnapshotTable(spark, freshRoot("rb"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0)))           // v1: fare

@@ -320,6 +320,26 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL CTAS: CREATE TABLE ... USING graft AS SELECT lands as a commit") {
+    val loc = freshRoot("ctas")
+    val name = "graft_sqlmx_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0))
+        .createOrReplaceTempView("graft_sqlmx_ctas_src")
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$loc') " +
+        "AS SELECT * FROM graft_sqlmx_ctas_src")
+      assert(state(spark.table(name)) ==
+        Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+      // the CTAS is a real v1 commit: history, maintenance, and time
+      // travel all work on the result
+      val t = new SnapshotTable(spark, loc)
+      assert(t.currentVersion.contains(1))
+      assert(t.history.map(_._2) == Seq("overwrite"))
+      spark.sql(s"DESCRIBE HISTORY $name").collect()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("maintenance on a non-graft table refuses loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlmx_pq").toString
     frame((1, 2024, 1, 1.0)).write.mode("overwrite").parquet(dir)
