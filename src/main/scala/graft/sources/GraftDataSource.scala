@@ -32,7 +32,7 @@ import graft.write.{SnapshotScanSpec, SnapshotTable}
   * Options: `versionAsOf` / `timestampAsOf` / `tag` / `branch` (at most
   * one — `timestampAsOf` resolves through [[SnapshotTable.versionAt]],
   * the Iceberg/Delta `TIMESTAMP AS OF` shape), `metadata` =
-  * `history|tags|branches|fsck|files` (the table's introspection frames
+  * `history|tags|branches|fsck|files|detail|constraints|properties|colops` (the table's introspection frames
   * as relations — Iceberg's metadata-table idea; `files` is the CURRENT
   * snapshot's live physical files), `changelogFrom`[/`To`]
   * (the insert/delete row diff, [[SnapshotTable.changelog]]) and
@@ -298,6 +298,23 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         case "tags" => t.tags.toDF("name", "version")
         case "branches" => t.branches.toDF("name", "head")
         case "fsck" => t.fsck().toDF("problem")
+        case "detail" => // DESCRIBE DETAIL's row through the option surface
+          val dd = t.detail
+          Seq((("graft"): String, dd.location, dd.version, dd.committedAtMs,
+            dd.numEntries, dd.borrowedDirs, dd.numFiles, dd.sizeBytes,
+            dd.partitionColumns.mkString(",")))
+            .toDF("format", "location", "version", "committed_at_ms",
+              "num_entries", "num_borrowed_dirs", "num_files", "size_bytes",
+              "partition_columns")
+        case "constraints" => t.constraints.toDF("name", "check_sql")
+        case "properties" => t.properties.toSeq.sorted.toDF("key", "value")
+        case "colops" => // the live column-mapping history, oldest first
+          t.columnOps.zipWithIndex.map {
+            case (SnapshotTable.ColRename(f, to), i) => (i, "rename", f, to)
+            case (SnapshotTable.ColDrop(n), i) => (i, "drop", n, "")
+            case (SnapshotTable.ColWiden(n, tp), i) => (i, "widen", n, tp)
+            case (SnapshotTable.ColAdd(n, tp), i) => (i, "add", n, tp)
+          }.toDF("ordinal", "op", "column", "arg")
         case "files" => // Iceberg's files table: the CURRENT snapshot's
           // physical composition — one row per LIVE data file (files of
           // dynamically-overwritten partitions are excluded by their
@@ -337,7 +354,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
             buf.toList
           }.toDF("dir", "file", "size_bytes")
         case other => sys.error(s"unknown metadata table '$other' " +
-          "(expected history | tags | branches | fsck | files)")
+          "(expected history | tags | branches | fsck | files | detail | constraints | properties | colops)")
       }
       return new GraftSnapshotRelation(spark, df)
     }

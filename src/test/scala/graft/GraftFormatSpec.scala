@@ -267,6 +267,21 @@ class GraftFormatSpec extends AnyFunSuite {
     assert(meta("branches").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
       Seq(("wip", 1)))
     assert(meta("fsck").count() == 0) // healthy table: zero problem rows
+    // detail / constraints / properties / colops through the option
+    // surface (the SQL verbs' twins)
+    t.addConstraint("pos", "fare > 0")
+    t.setProperties(Seq("owner" -> "eng"))
+    t.renameColumn("id", "row_id") // 'fare' is constraint-referenced: unmappable
+    val d = meta("detail").head()
+    assert(d.getString(d.fieldIndex("format")) == "graft")
+    assert(d.getInt(d.fieldIndex("num_entries")) == 2)
+    assert(meta("constraints").collect()
+      .map(r => r.getString(0)).toSeq == Seq("pos"))
+    assert(meta("properties").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("owner", "eng")))
+    assert(meta("colops").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("rename", "id", "row_id")))
     intercept[Exception] { meta("nope").collect() }
   }
 
