@@ -769,6 +769,21 @@ object TaxiEntries {
       s.table(name).schema.map(f => s"${f.name}:${f.dataType.catalogString}")
         .sorted.toSeq.toDF("column_type")
     },
+    // Metadata-only count(*): the clone is created zero-copy, takes
+    // one append, and countFast answers from per-dir row sidecars —
+    // O(entries) metadata reads, no scan. The ORACLE is the true
+    // count(*), so the metadata answer is graded against a real scan:
+    // exact-or-absent, and here it must be exact (no masks/deletes).
+    // Decline-on-mask/delete and compaction-restores pins live in
+    // ColumnMappingSpec.
+    "taxi_snapshot_fast_count" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("fastcnt", d, s))
+      t.commitAppend(
+        models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1))
+      import s.implicits._
+      Seq(t.countFast.getOrElse(-1L)).toDF("n_rows")
+    },
     // ADD COLUMN as literal SQL — explicit metadata-only column add
     // over a zero-copy clone: fixture-era rows read the new column as
     // NULL (coalesced to 0 here); the post-add INSERT carries real
@@ -1393,6 +1408,11 @@ object TaxiEntries {
         |  ('pickup_datetime'), ('pickup_location_id'), ('taxi_type'),
         |  ('trip_distance_miles'), ('trip_id'), ('vendor_id'), ('year'))
         |  AS t(column_name)""".stripMargin),
+    // the metadata-derived count must equal the true scan count
+    "taxi_snapshot_fast_count" -> o(
+      """, result AS (SELECT * FROM stg_yellow
+        |             UNION ALL SELECT * FROM stg_yellow WHERE month = 1)
+        |SELECT count(*) AS n_rows FROM result""".stripMargin),
     // fixture-era rows contribute 0 (NULL surcharge coalesced); the
     // appended month carries fare*0.1
     "taxi_sql_add_column" -> o(

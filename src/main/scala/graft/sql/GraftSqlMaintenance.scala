@@ -494,6 +494,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("num_borrowed_dirs", IntegerType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)())
@@ -501,7 +502,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     val (_, t) = GraftSqlParser.open(session, nameParts)
     val d = t.detail
     Seq(Row("graft", d.location, d.version, d.committedAtMs, d.numEntries,
-      d.borrowedDirs, d.numFiles, d.sizeBytes,
+      d.borrowedDirs, d.numFiles, d.sizeBytes, d.numRows,
       d.partitionColumns.mkString(","),
       d.constraints.map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; "),
       d.properties.map { case (k, v) => s"$k=$v" }.mkString("; ")))

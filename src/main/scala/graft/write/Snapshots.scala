@@ -386,6 +386,74 @@ class SnapshotTable(spark: SparkSession, root: String,
                                  schema: org.apache.spark.sql.types.StructType): Unit = {
     val out = fs.create(schemaSidecarPath(dir), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    writeRowsSidecar(dir)
+  }
+
+  // ---- row-count sidecar (the Iceberg/Delta metadata-count
+  // capability): each data dir records its exact row count, summed
+  // from the just-written parquet FOOTERS (driver-side, O(files per
+  // commit) metadata reads — no Spark job, no data scan). [[countFast]]
+  // then answers count(*) in O(entries) when no mask/delete makes a
+  // dir's visible count differ from its physical one. Best-effort by
+  // design: a dir without the sidecar (pre-round-13 history, purge
+  // twins) just reads as unknown and countFast declines. ----
+
+  private def rowsSidecarPath(dir: String) =
+    new Path(dirPath(dir), "_graft_rows")
+
+  private def writeRowsSidecar(dir: String): Unit = {
+    try {
+      val base = dirPath(dir)
+      var rows = 0L
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+              st, spark.sparkContext.hadoopConfiguration))
+          try rows += rd.getRecordCount finally rd.close()
+        }
+      }
+      val out = fs.create(rowsSidecarPath(dir), true)
+      try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+    } catch {
+      // the count is an optimization, never a correctness dependency —
+      // an unreadable footer (or an FS without listFiles recursion)
+      // leaves the dir unknown rather than failing the commit
+      case _: Exception => ()
+    }
+  }
+
+  /** A dir's recorded row count, if its sidecar exists and parses. */
+  private def dirRows(dir: String): Option[Long] = {
+    val p = rowsSidecarPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.toLongOption
+    }
+  }
+
+  /** `count(*)` from METADATA alone — O(entries) sidecar reads, no
+    * scan, exact or absent: `None` whenever any retained mask,
+    * merge-on-read delete, or unrecorded dir could make the visible
+    * count differ from the recorded physical counts (exclusion masks
+    * hide whole partitions inside a dir; deletes suppress rows —
+    * neither is derivable from a per-dir total). Column-mapping ops
+    * never change row counts, so a live mapping does not decline.
+    * Compaction (which folds masks and delete debt into one fresh
+    * recorded dir) restores fast counting. At 100 TB this is the
+    * difference between a dashboard's `count(*)` being a metadata read
+    * and a full scan. */
+  def countFast: Option[Long] = {
+    val m = parse(currentVersion.getOrElse(return None))
+    if (m.deletes.nonEmpty || m.predDeletes.nonEmpty ||
+        m.entries.exists(_.excluded.nonEmpty)) return None
+    val counts = m.entries.map(e => dirRows(e.dir))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   private def readDir(dir: String): DataFrame = {
@@ -1487,7 +1555,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     SnapshotTable.Detail(root, v, m.ts, m.entries.size,
       m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
-      m.constraints, m.properties)
+      m.constraints, m.properties, countFast.getOrElse(-1L))
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -2613,7 +2681,8 @@ object SnapshotTable {
                     numFiles: Long, sizeBytes: Long,
                     partitionColumns: Seq[String],
                     constraints: Seq[(String, String)],
-                    properties: Seq[(String, String)] = Seq.empty)
+                    properties: Seq[(String, String)] = Seq.empty,
+                    numRows: Long = -1L) // -1 = not metadata-derivable
 
   /** The partition columns recorded in the table's CURRENT manifest
     * (the `partcols` line every commit stamps since round 12) — how a

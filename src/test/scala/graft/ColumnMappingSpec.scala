@@ -302,6 +302,33 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.readVersion(2).columns.contains("fare_amt"))
   }
 
+  test("countFast: metadata-only count(*) — exact or absent, never wrong") {
+    val t = new SnapshotTable(spark, freshRoot("cnt"))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    t.commitAppend(frame((3, 2024, 3, 30.0)))
+    assert(t.countFast.contains(3L))
+    assert(t.countFast.get == t.read().count())
+    // column-mapping ops never change counts
+    t.renameColumn("fare", "fare_amt")
+    assert(t.countFast.contains(3L))
+    // a partition-overwrite MASK makes per-dir totals unusable → decline
+    import spark.implicits._
+    t.commitOverwritePartitions(
+      Seq((9, 2024, 2, 99.0)).toDF("id", "year", "month", "fare_amt"))
+    assert(t.countFast.isEmpty)
+    // ...and compaction (masks folded into one recorded dir) restores it
+    t.commitCompactFiles()
+    assert(t.countFast.contains(3L))
+    assert(t.countFast.get == t.read().count())
+    // a MOR delete declines too; its compaction restores
+    t.commitDeleteMor(col("id") === 1)
+    assert(t.countFast.isEmpty)
+    t.commitCompactFiles()
+    assert(t.countFast.contains(2L))
+    // DESCRIBE DETAIL surfaces it (and -1 would mean unknown)
+    assert(t.detail.numRows == 2L)
+  }
+
   test("changelog across a rename boundary refuses; within an era works") {
     val t = new SnapshotTable(spark, freshRoot("cdc"))
     t.commitOverwrite(frame((1, 2024, 1, 10.0)))
