@@ -626,7 +626,20 @@ private[sources] class GraftStreamSource(spark: SparkSession,
       case Some(from) => t.appendsBetween(from, to)
       case None => t.readVersion(to) // "earliest": the initial full snapshot
     }
-    val aligned = batch.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    // the stream's schema is pinned at start; a column rename/drop
+    // landing mid-stream makes this select fail — name the cause
+    // instead of surfacing a bare unresolved-column error
+    val aligned =
+      try batch.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            "streaming source schema no longer matches the table " +
+              s"(columns now: ${batch.columns.mkString(", ")}; stream " +
+              s"started with: ${schema.fieldNames.mkString(", ")}) — a " +
+              "column rename/drop landed mid-stream; restart the query " +
+              "to adopt the new schema", e)
+      }
     org.apache.spark.sql.graft.StreamingBridge.streamingDataFrame(
       spark, aligned.queryExecution.toRdd, schema)
   }
