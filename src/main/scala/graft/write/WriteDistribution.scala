@@ -58,8 +58,25 @@ object WriteDistribution {
     val n = splitsPerPartition(df)
     if (n == 1) df.repartition(partCols.map(col): _*)
     else {
+      // Spark refuses hashing MapType (no canonical element order), so
+      // map-bearing columns are excluded from the salt struct rather
+      // than failing every write with an unrelated-looking analysis
+      // error; the salt stays deterministic over the remaining columns.
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+        .map(_.name).toIndexedSeq
+      require(hashable.nonEmpty,
+        s"$SplitsConf > 1 needs at least one non-map column to derive " +
+          "the deterministic within-partition split from; this frame's " +
+          "columns are all map-typed")
       val salt = pmod(
-        xxhash64(struct(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)),
+        xxhash64(struct(hashable.map(c => col(s"`$c`")): _*)),
         lit(n))
       val shuffleN = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       df.repartition(shuffleN, (partCols.map(col) :+ salt): _*)

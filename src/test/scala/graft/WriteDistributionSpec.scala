@@ -88,6 +88,33 @@ class WriteDistributionSpec extends AnyFunSuite {
     } finally spark.conf.unset(WriteDistribution.SplitsConf)
   }
 
+  test("map-typed columns are excluded from the salt (xxhash64 refuses MapType)") {
+    import spark.implicits._
+    val df = Seq((1, 2024, 1, Map("k" -> 1)), (2, 2024, 1, Map("k" -> 2)),
+      (3, 2024, 2, Map("k" -> 3)))
+      .toDF("id", "year", "month", "attrs")
+    withSplits("4") {
+      // round-13 salted the WHOLE row: a map column failed every write
+      // with an unrelated-looking "cannot hash MapType" analysis error
+      val out = WriteDistribution.byPartition(df, Seq("year", "month"))
+      assert(out.count() == 3)
+      // still deterministic over the remaining columns
+      val a = out.withColumn("p", spark_partition_id())
+        .select("id", "p").as[(Int, Int)].collect().toMap
+      val b = WriteDistribution.byPartition(df, Seq("year", "month"))
+        .withColumn("p", spark_partition_id())
+        .select("id", "p").as[(Int, Int)].collect().toMap
+      assert(a == b)
+    }
+    // an all-map frame refuses with the knob's name
+    val allMaps = Seq((Map("k" -> 1), Map("v" -> 2))).toDF("m1", "m2")
+    withSplits("2") {
+      val e = intercept[Exception] {
+        WriteDistribution.byPartition(allMaps, Seq("m1")) }
+      assert(e.getMessage.contains("splitsPerPartition"))
+    }
+  }
+
   test("invalid knob values refuse loudly") {
     withSplits("0") {
       intercept[IllegalArgumentException] {
