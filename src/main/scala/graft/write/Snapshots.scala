@@ -65,7 +65,8 @@ import org.apache.spark.sql.functions._
   * retained history like Iceberg's `expire_snapshots`.
   */
 class SnapshotTable(spark: SparkSession, root: String,
-                    partCols: Seq[String] = Seq("year", "month")) {
+                    partCols: Seq[String] = Seq("year", "month"),
+                    pointer: Option[ConditionalStore] = None) {
   require(partCols.nonEmpty, "partCols must be non-empty")
 
   /** The table's root directory — what a catalog entry records. */
@@ -93,17 +94,31 @@ class SnapshotTable(spark: SparkSession, root: String,
     val scheme = Option(new Path(root).toUri.getScheme).getOrElse(fs.getScheme)
     // TLS variants (s3a-over-https is still "s3a", but wasb has a
     // distinct "wasbs" scheme) count too — a secure connection to a
-    // non-atomic store is still a non-atomic store
+    // non-atomic store is still a non-atomic store. A table opened WITH
+    // a conditional-write pointer is exempt: the commit point moved off
+    // the filesystem onto the store's CAS ([[CasVersionPointer]]), which
+    // is exactly the deployment this refusal points at.
     val unsafe =
       Set("s3", "s3a", "s3n", "gs", "oss", "swift", "cos", "wasb", "wasbs")
     val conf = spark.sparkContext.hadoopConfiguration
-    require(!unsafe.contains(scheme) ||
+    require(pointer.isDefined || !unsafe.contains(scheme) ||
         conf.getBoolean("graft.snapshots.allow.nonatomic", false),
       s"SnapshotTable at $root: scheme '$scheme' lacks atomic rename/" +
         "create-exclusive, so the commit protocol cannot guarantee a " +
-        "single winner. Point the version pointer at a conditional-write " +
-        "catalog and set graft.snapshots.allow.nonatomic=true, or use an " +
-        "HDFS/POSIX-semantics filesystem.")
+        "single winner. Open the table with a ConditionalStore pointer " +
+        "(catalog CAS — see VersionPointer.scala), or set " +
+        "graft.snapshots.allow.nonatomic=true once the pointer lives in " +
+        "such a catalog, or use an HDFS/POSIX-semantics filesystem.")
+  }
+
+  /** Commit arbitration (see [[VersionPointer]]): filesystem
+    * create-exclusive + CURRENT file by default; catalog-style
+    * conditional-write CAS when a [[ConditionalStore]] was passed. */
+  private val vp: VersionPointer = pointer match {
+    case Some(st) => new CasVersionPointer(fs,
+      spark.sparkContext.hadoopConfiguration, manifestDir, st)
+    case None => new FsVersionPointer(fs,
+      spark.sparkContext.hadoopConfiguration, manifestDir)
   }
 
   /** One data directory + the partitions masked out of it (a dynamic
@@ -160,7 +175,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   // parseable with zero dependencies; values are ints, dir names, and
   // partition-value tuples, none of which need escaping) ----
 
-  private def manifestPath(v: Int) = new Path(manifestDir, f"v$v%05d.txt")
+  private def manifestPath(v: Int): Path = vp.manifestPath(v)
 
   private def render(m: Manifest): String = {
     val lines = Seq(s"version=${m.version}", s"parent=${m.parent}", s"op=${m.op}") ++
@@ -211,11 +226,21 @@ class SnapshotTable(spark: SparkSession, root: String,
     val entries = kv.collect { case ("entry", spec) =>
       val bar = spec.indexOf('|')
       val last = spec.lastIndexOf('|')
-      // 3-field form dir|masks|era; legacy 2-field dir|masks → era 0
-      val (exclSpec, era) =
-        if (last > bar) (spec.substring(bar + 1, last),
-          spec.substring(last + 1).toInt)
-        else (spec.substring(bar + 1), 0)
+      // 3-field form dir|masks|era; legacy 2-field dir|masks → era 0.
+      // The last field is an era ONLY when it parses as an int: a legacy
+      // 2-field line whose mask VALUES contain '|' (string partition
+      // values) would otherwise have its mask tail consumed as a bogus
+      // era (or throw) — non-numeric tails fall back to the legacy
+      // read. (A legacy mask whose last '|'-segment is itself all
+      // digits is irreducibly ambiguous; current writers always emit
+      // the 3-field form, so the ambiguity is confined to pre-era
+      // manifests with numeric string partition values.)
+      val eraOpt =
+        if (last > bar) spec.substring(last + 1).toIntOption else None
+      val (exclSpec, era) = eraOpt match {
+        case Some(e) => (spec.substring(bar + 1, last), e)
+        case None => (spec.substring(bar + 1), 0)
+      }
       val excl = exclSpec.split(",").filter(_.nonEmpty)
         .map(_.split(":").toSeq).toSet
       Entry(spec.substring(0, bar), excl, era)
@@ -269,41 +294,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     m
   }
 
-  // ---- pointer ----
-
-  private val currentPath = new Path(manifestDir, "CURRENT")
+  // ---- pointer (delegated to the arbitration seam, [[VersionPointer]]) ----
 
   /** The live version, if the table exists. */
-  def currentVersion: Option[Int] =
-    if (!fs.exists(currentPath)) None
-    else {
-      val in = fs.open(currentPath)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-
-  private def flipCurrent(v: Int): Unit = {
-    // monotonic guard: a DELAYED flip (a writer descheduled between its
-    // manifest create and this write while a later committer flipped
-    // past it) must not regress CURRENT — readers would transiently see
-    // an older version and the next committer would hit a spurious
-    // conflict. Check-then-write is not atomic, but a lost race here
-    // only re-runs the interleaving it guards against, and the next
-    // flip/repair heals it; manifests are immutable so no data is ever
-    // at risk.
-    if (currentVersion.exists(_ >= v)) return
-    // one atomic overwrite-capable rename ([[graft.util.AtomicFlip]], the
-    // same mechanism as the path catalog's entry flip): a reader calling
-    // currentVersion/read() mid-flip sees the old version or the new one
-    // — never the transient "no snapshot" window a delete-then-rename
-    // pair opens — and a writer crash can no longer leave the table
-    // headless with the pointer deleted. The temp name is unique per
-    // attempt, so two concurrent flips (a racing repair()) never rename
-    // each other's half-written bytes into place.
-    graft.util.AtomicFlip.writeAtomic(fs,
-      spark.sparkContext.hadoopConfiguration, currentPath,
-      v.toString.getBytes("UTF-8"))
-  }
+  def currentVersion: Option[Int] = vp.currentVersion()
 
   // ---- commits ----
 
@@ -326,9 +320,31 @@ class SnapshotTable(spark: SparkSession, root: String,
     * rename/hide the new column as if it were old-era data — silent
     * corruption. Loud by design; a full-rewrite compaction clears the
     * mapping history and frees the names. */
-  private def requireNoRetiredNames(df: DataFrame, what: String): Unit = {
+  /** Write-time type enforcement for live widenings: a frame still
+    * carrying the PRE-widen type is cast up before it lands, so the
+    * dir's bytes agree with the era it is stamped at. Without this a
+    * narrow write stamped post-widen would skip the read fold and a
+    * SINGLE-entry table (one commitOverwrite) would read the narrow
+    * type — disagreeing with the SQL-altered catalog schema; multi-dir
+    * tables only happened to agree via unionByName coercion. Only the
+    * loss-free [[widenings]] are cast (an unrelated type mismatch keeps
+    * today's unionByName semantics rather than risking a lossy cast). */
+  private def castToWidened(df: DataFrame,
+                            ops: Seq[SnapshotTable.ColOp]): DataFrame =
+    ops.foldLeft(df) {
+      case (d, SnapshotTable.ColWiden(n, t)) if d.columns.contains(n) &&
+          widenings.getOrElse(d.schema(n).dataType.catalogString, Set.empty)
+            .contains(t) =>
+        d.withColumn(n, col(n).cast(t))
+      case (d, _) => d
+    }
+
+  /** The retired-name gate plus the widening cast, over the CURRENT
+    * manifest's op history — every fresh data write funnels through
+    * here (one manifest parse for both checks). */
+  private def conformToCurrentOps(df: DataFrame, what: String): DataFrame = {
     val ops = currentVersion.map(parse(_).colOps).getOrElse(Seq.empty)
-    if (ops.isEmpty) return
+    if (ops.isEmpty) return df
     val retired = SnapshotTable.retiredNames(ops)
     val bad = df.columns.filter(retired)
     require(bad.isEmpty,
@@ -337,18 +353,22 @@ class SnapshotTable(spark: SparkSession, root: String,
         "misinterpret them as old-era data. Compact (commitCompactFiles) " +
         "to materialize the mapping and free the names, or use the " +
         "current column names")
+    castToWidened(df, ops)
   }
 
-  private def writeData(df: DataFrame, version: Int): String = {
-    requireNoRetiredNames(df, "commit")
+  private def writeData(df0: DataFrame, version: Int): String = {
+    val df = conformToCurrentOps(df0, "commit")
     val dir = dataDirName(version)
     // co-locate each output partition's rows: 1 file per partition, not
     // N_tasks × N_partitions small files (same rationale as
     // IncrementalWriter.byPartition); fat partitions fan out via
     // WriteDistribution's graft.write.splitsPerPartition knob
-    WriteDistribution.byPartition(df, partCols)
-      .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    val rows = observedWrite(df) { d =>
+      WriteDistribution.byPartition(d, partCols)
+        .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    }
     writeSchemaSidecar(dir, df.schema)
+    writeRowsSidecar(dir, rows)
     enforceConstraints(dir)
     dir
   }
@@ -386,44 +406,65 @@ class SnapshotTable(spark: SparkSession, root: String,
                                  schema: org.apache.spark.sql.types.StructType): Unit = {
     val out = fs.create(schemaSidecarPath(dir), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    writeRowsSidecar(dir)
   }
 
   // ---- row-count sidecar (the Iceberg/Delta metadata-count
-  // capability): each data dir records its exact row count, summed
-  // from the just-written parquet FOOTERS (driver-side, O(files per
-  // commit) metadata reads — no Spark job, no data scan). [[countFast]]
-  // then answers count(*) in O(entries) when no mask/delete makes a
-  // dir's visible count differ from its physical one. Best-effort by
-  // design: a dir without the sidecar (pre-round-13 history, purge
-  // twins) just reads as unknown and countFast declines. ----
+  // capability): each data dir records its exact row count, harvested
+  // from the WRITE JOB ITSELF ([[observedWrite]] — per-task counts
+  // merged through a CollectMetrics observation) or, for
+  // range-clustered dirs, from one distributed footer pass
+  // ([[distributedCount]]). Either way the DRIVER does zero per-file
+  // I/O: the round-13 implementation re-opened every just-written
+  // parquet footer serially on the driver — O(files-per-commit) driver
+  // round trips inside every commit, which on a 100 TB bulk load
+  // (10⁴–10⁵ files against an object store) is tens of minutes of
+  // driver stall to earn a metadata count. [[countFast]] then answers
+  // count(*) in O(entries) sidecar reads. Best-effort by design: a dir
+  // without the sidecar (pre-round-13 history) just reads as unknown
+  // and countFast declines. ----
 
   private def rowsSidecarPath(dir: String) =
     new Path(dirPath(dir), "_graft_rows")
 
-  private def writeRowsSidecar(dir: String): Unit = {
-    try {
-      val base = dirPath(dir)
-      var rows = 0L
-      val it = fs.listFiles(base, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) {
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
-              st, spark.sparkContext.hadoopConfiguration))
-          try rows += rd.getRecordCount finally rd.close()
-        }
+  private def writeRowsSidecar(dir: String, rows: Option[Long]): Unit =
+    rows.foreach { n =>
+      try {
+        val out = fs.create(rowsSidecarPath(dir), true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+      } catch {
+        // the count is an optimization, never a correctness
+        // dependency — a failed sidecar write leaves the dir unknown
+        // rather than failing the commit
+        case _: Exception => ()
       }
-      val out = fs.create(rowsSidecarPath(dir), true)
-      try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
-    } catch {
-      // the count is an optimization, never a correctness dependency —
-      // an unreadable footer (or an FS without listFiles recursion)
-      // leaves the dir unknown rather than failing the commit
-      case _: Exception => ()
     }
+
+  /** Run `write` (the frame's single action) with a row-count
+    * observation attached: the count rides the write job's own task
+    * metrics — no second pass, no driver-side file I/O. Only sound for
+    * single-execution plans (hash-partitioned writes); a
+    * repartitionByRange write samples its child in a separate pass,
+    * which would double-fire the observation — clustered writers use
+    * [[distributedCount]] instead. A write failure propagates; a
+    * missing metric yields None (no sidecar). */
+  private def observedWrite(df: DataFrame)(write: DataFrame => Unit): Option[Long] = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
+      Some(row.getAs[Long]("rows"))
+    } catch { case _: Exception => None }
   }
+
+  /** Exact row count of a just-written dir as ONE distributed job:
+    * parquet `count(*)` short-circuits to per-file footer row counts
+    * evaluated IN TASKS, so the cost is a footer read per file spread
+    * across the cluster — never a serial driver loop and never a data
+    * scan. */
+  private def distributedCount(dataP: String): Option[Long] =
+    try Some(spark.read.parquet(dataP).count())
+    catch { case _: Exception => None }
 
   /** A dir's recorded row count, if its sidecar exists and parses. */
   private def dirRows(dir: String): Option[Long] = {
@@ -506,16 +547,15 @@ class SnapshotTable(spark: SparkSession, root: String,
       predDeletes,
       ts = System.currentTimeMillis(), partColsLine = partCols,
       constraints = cons, colOps = cops, properties = props)
-    // atomic-with-content exclusive publish: the manifest appears fully
-    // written or not at all (a bare create(overwrite=false) is visible
-    // and EMPTY until its stream closes — a concurrent parse() in that
-    // window read a torn manifest), and exactly one racing writer wins
-    if (!graft.util.AtomicFlip.publishExclusive(fs, manifestPath(next),
-        render(m).getBytes("UTF-8")))
+    // the commit point: atomic-with-content arbitration through the
+    // version pointer — create-exclusive manifest + CURRENT flip in Fs
+    // mode, one conditional put in CAS mode. Either way the manifest
+    // appears fully written or not at all and exactly one racing writer
+    // wins.
+    if (!vp.publish(next, render(m).getBytes("UTF-8")))
       throw new SnapshotConflictException(
         s"commit of v$next lost the race (or an orphan manifest exists — " +
-          s"run repair()): ${manifestPath(next)}")
-    flipCurrent(next)
+          s"run repair()): v$next under $manifestDir")
     next
   }
 
@@ -578,10 +618,30 @@ class SnapshotTable(spark: SparkSession, root: String,
               if (attempts >= 5 || newBase <= base) None
               else {
                 val newPm = parse(newBase)
+                // zombie/split-brain dedup: if a commit that landed
+                // since OUR base carries this very opTag, a concurrent
+                // attempt of the SAME batch already published — the
+                // metadata-only retry would land it twice. Refuse the
+                // fast path and fall through to the caller, whose
+                // tag-keyed dedup (findLatestOp, the streaming IVM
+                // contract) skips the replay. The identity-free default
+                // tag "append" is exempt: it names no batch, so op
+                // equality there means only "another append landed" —
+                // exactly the commuting case fast-append exists for.
+                def sameTagLanded: Boolean = opTag != "append" && {
+                  var v = newBase
+                  var found = false
+                  while (v > base && !found) {
+                    val m = parse(v)
+                    if (m.op == opTag) found = true
+                    v = m.parent
+                  }
+                  found
+                }
                 // metadata moved under us → the dir's validation/era
                 // is stale; let the caller re-write and re-validate
                 if (newPm.constraints != consAtWrite ||
-                    newPm.colOps != opsAtWrite) None
+                    newPm.colOps != opsAtWrite || sameTagLanded) None
                 else Some((newPm, newBase))
               }
             } catch { case _: Exception => None }
@@ -746,13 +806,132 @@ class SnapshotTable(spark: SparkSession, root: String,
     val delDir = "del" + f"${base + 1}%05d" + "_" +
       java.util.UUID.randomUUID.toString.take(8)
     val keys = batch.select(keyCols.map(col): _*).distinct()
-    keys.write.parquet(new Path(dataDir, delDir).toString)
+    val keyRows = observedWrite(keys)(
+      _.write.parquet(new Path(dataDir, delDir).toString))
     writeSchemaSidecar(delDir, keys.schema)
+    writeRowsSidecar(delDir, keyRows)
     commit("merge_mor",
       m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
       base,
       m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size),
       m.predDeletes)
+  }
+
+  /** GENERAL MERGE — the full SQL `MERGE INTO` clause surface as ONE
+    * copy-on-write commit: ordered `WHEN MATCHED [AND cond] THEN
+    * UPDATE SET star | UPDATE SET assignments | DELETE`, `WHEN NOT
+    * MATCHED [AND cond] THEN INSERT star`, and `WHEN NOT MATCHED BY SOURCE [AND
+    * cond] THEN DELETE` (Iceberg/Delta MERGE semantics; the canonical
+    * unconditional upsert shape keeps its dedicated fast paths
+    * [[commitMerge]]/[[commitMergeMor]]). First-applicable-clause
+    * semantics per row, NULL conditions treated as not-applicable
+    * (act only on what provably matches — the engine-wide contract).
+    *
+    * NAMESPACE: matched-clause conditions and update right-hand sides
+    * are Columns over the joined row — TARGET columns by their own
+    * names, SOURCE columns prefixed [[SnapshotTable.SrcPrefix]]
+    * (`__graft_src_`). Insert conditions see bare SOURCE names;
+    * by-source delete conditions see bare TARGET names. (The SQL rule
+    * rewrites `t.x`/`s.x` qualifiers into this namespace; Scala callers
+    * wanting the plain upsert should use [[commitMerge]].)
+    *
+    * Cost shape at 100 TB: one left-outer locate join of the current
+    * state against the (typically broadcast-class) batch, column-pruned
+    * to the clauses' references + keys + partition columns, then a
+    * read+write of ONLY the partitions holding a changed row or an
+    * insert — the standard COW MERGE floor. Rows that move partition
+    * compose with the masking exactly as [[commitMerge]]'s moved keys.
+    * A merge where no clause fires anywhere is a no-op (current
+    * version, no empty commit). Duplicate source keys are refused up
+    * front (SQL MERGE's multiple-match error). */
+  def commitMergeGeneral(batch: DataFrame, keyCols: Seq[String],
+                         clauses: Seq[SnapshotTable.MergeWhen]): Int = {
+    import SnapshotTable._
+    require(keyCols.nonEmpty, "commitMergeGeneral needs at least one key column")
+    require(clauses.nonEmpty, "commitMergeGeneral needs at least one WHEN clause")
+    requireUniqueKeys(batch, keyCols, "commitMergeGeneral")
+    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+    val pm = parse(base)
+    val cur = readVersion(base)
+    val matched = clauses.collect {
+      case c: WhenMatchedUpdateAll => c
+      case c: WhenMatchedUpdate => c
+      case c: WhenMatchedDelete => c
+    }
+    val inserts0 = clauses.collect { case c: WhenNotMatchedInsertAll => c }
+    val bySource = clauses.collect { case c: WhenNotMatchedBySourceDelete => c }
+    matched.collect { case WhenMatchedUpdate(sets, _) => sets }.flatten
+      .foreach { case (n, _) =>
+        require(cur.columns.exists(_.equalsIgnoreCase(n)),
+          s"UPDATE SET column '$n' is not a column of the table at $root")
+      }
+    val pref = SrcPrefix
+    val src = batch.select(batch.columns.map(c =>
+      col(s"`$c`").as(pref + c)).toIndexedSeq: _*)
+    val joined = cur.join(src,
+      keyCols.map(k => col(k) === col(pref + k)).reduce(_ && _), "left_outer")
+    val isMatched = col(pref + keyCols.head).isNotNull
+    // first-applicable-clause flags: clause i fires iff its gate holds,
+    // its condition is provably TRUE, and no earlier clause fired
+    def applyFlags(conds: Seq[Option[org.apache.spark.sql.Column]],
+                   gate: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+      var prior: org.apache.spark.sql.Column = lit(false)
+      conds.map { c =>
+        val here = gate && !prior && coalesce(c.getOrElse(lit(true)), lit(false))
+        prior = prior || here
+        here
+      }
+    }
+    val mFlags = applyFlags(matched.map {
+      case WhenMatchedUpdateAll(c) => c
+      case WhenMatchedUpdate(_, c) => c
+      case WhenMatchedDelete(c) => c
+    }, isMatched)
+    val sFlags = applyFlags(bySource.map(_.cond), !isMatched)
+    val deleted = (matched.zip(mFlags).collect {
+      case (_: WhenMatchedDelete, f) => f
+    } ++ sFlags).reduceOption(_ || _).getOrElse(lit(false))
+    val updatedFlag = matched.zip(mFlags).collect {
+      case (_: WhenMatchedUpdateAll, f) => f
+      case (_: WhenMatchedUpdate, f) => f
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // per-column value with first-match folding (flags are mutually
+    // exclusive, so fold order only has to respect clause order)
+    def valueOf(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+      matched.zip(mFlags).foldRight(col(s"`${f.name}`")) {
+        case ((WhenMatchedUpdateAll(_), ap), acc) =>
+          when(ap, col(pref + f.name).cast(f.dataType)).otherwise(acc)
+        case ((WhenMatchedUpdate(sets, _), ap), acc) =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, v)) => when(ap, v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        case (_, acc) => acc
+      }
+    // source rows with no target match, filtered by the insert clauses
+    // (all INSERT *, so first-match across them degenerates to OR)
+    val unmatchedSrc = batch.join(
+      cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val inserts =
+      if (inserts0.isEmpty) unmatchedSrc.limit(0)
+      else unmatchedSrc.filter(inserts0.map(c =>
+        coalesce(c.cond.getOrElse(lit(true)), lit(false))).reduce(_ || _))
+    // touched partitions: where a clause fires on an existing row, or
+    // where an insert lands — one column-pruned locate pass each
+    val touched = partTuples(
+      joined.filter(deleted || updatedFlag).select(partCols.map(col): _*)
+        .unionByName(inserts.select(partCols.map(col): _*)))
+    if (touched.isEmpty) return base // nothing fired anywhere: no-op
+    val inTouched = touched.toSeq
+      .map(vals => partCols.zip(vals)
+        .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
+      .reduce(_ || _)
+    val survivors = joined.filter(inTouched).filter(!deleted)
+      .select(cur.schema.fields.map(f => valueOf(f).as(f.name)).toIndexedSeq: _*)
+    val replacement = survivors.unionByName(inserts, allowMissingColumns = true)
+    val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ touched))
+    commit("merge", prev :+ Entry(writeData(replacement, base + 1), Set.empty),
+      base, pm.deletes, pm.predDeletes)
   }
 
   /** Row-level DELETE as ONE commit — `DELETE FROM t WHERE cond` with
@@ -1081,6 +1260,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = readVersion(base)
     IncrementalWriter.overwriteZOrdered(cur, dataP, clusterCols, nFiles)
     writeSchemaSidecar(dir, cur.schema)
+    writeRowsSidecar(dir, distributedCount(dataP))
     enforceConstraints(dir)
     clusterCols.foreach(c => graft.sources.DataSkipping.buildStats(
       spark, dataP, c, statsPath(dir, c).toString))
@@ -1136,13 +1316,14 @@ class SnapshotTable(spark: SparkSession, root: String,
       pm.map(_.predDeletes).getOrElse(Seq.empty))
   }
 
-  private def writeClustered(df: DataFrame, version: Int, clusterCol: String,
+  private def writeClustered(df0: DataFrame, version: Int, clusterCol: String,
                              nFiles: Int): Entry = {
-    requireNoRetiredNames(df, "clustered commit")
+    val df = conformToCurrentOps(df0, "clustered commit")
     val dir = dataDirName(version)
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
     writeSchemaSidecar(dir, df.schema)
+    writeRowsSidecar(dir, distributedCount(dataP))
     enforceConstraints(dir)
     graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
       statsPath(dir, clusterCol).toString)
@@ -1226,14 +1407,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     * same layout as a real append) but referenced by nothing. `name`
     * keys the staged dir (`w_<name>`); staging an existing name fails
     * loudly (parquet errorifexists) rather than silently merging. */
-  def stageAppend(df: DataFrame, name: String): String = {
+  def stageAppend(df0: DataFrame, name: String): String = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"stage name must be [A-Za-z0-9_]+: '$name'")
-    requireNoRetiredNames(df, "stage")
+    val df = conformToCurrentOps(df0, "stage")
     val dir = s"w_$name"
-    WriteDistribution.byPartition(df, partCols)
-      .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    val rows = observedWrite(df) { d =>
+      WriteDistribution.byPartition(d, partCols)
+        .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
+    }
     writeSchemaSidecar(dir, df.schema)
+    writeRowsSidecar(dir, rows)
     enforceConstraints(dir)
     dir
   }
@@ -1416,17 +1600,35 @@ class SnapshotTable(spark: SparkSession, root: String,
     * starts fresh. (Plain additive evolution — just writing the new
     * column — still works too; ADD COLUMN makes the schema change a
     * committed, time-travelable event instead of a side effect.) */
-  def addColumn(name: String, typeDdl: String): Int = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
-      s"column name must be [A-Za-z0-9_]+: '$name'")
+  def addColumn(name: String, typeDdl: String): Int =
+    addColumns(Seq(name -> typeDdl))
+
+  /** Add SEVERAL columns as ONE metadata commit (the stock `ALTER TABLE
+    * ... ADD COLUMNS (a int, b string)` shape): one manifest, N ColAdds
+    * appended in order, a single era step — so N columns never cost N
+    * commits or N read-fold eras. Same semantics per column as
+    * [[addColumn]]. */
+  def addColumns(cols: Seq[(String, String)]): Int = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    cols.foreach { case (name, _) =>
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+        s"column name must be [A-Za-z0-9_]+: '$name'")
+    }
+    require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
+      s"duplicate column among (${cols.map(_._1).mkString(", ")})")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val m = parse(base)
     val cur = readVersion(base)
-    require(!cur.columns.contains(name),
-      s"column '$name' already exists")
-    val t = org.apache.spark.sql.types.DataType.fromDDL(typeDdl).catalogString
-    commit(s"add_column_$name", m.entries, base, m.deletes, m.predDeletes,
-      colOpsOverride = Some(m.colOps :+ SnapshotTable.ColAdd(name, t)))
+    cols.foreach { case (name, _) =>
+      require(!cur.columns.contains(name), s"column '$name' already exists")
+    }
+    val adds = cols.map { case (name, typeDdl) =>
+      SnapshotTable.ColAdd(name,
+        org.apache.spark.sql.types.DataType.fromDDL(typeDdl).catalogString)
+    }
+    commit(s"add_column_${cols.map(_._1).mkString("_")}", m.entries, base,
+      m.deletes, m.predDeletes,
+      colOpsOverride = Some(m.colOps ++ adds))
   }
 
   // ---- versioned table properties (Delta's TBLPROPERTIES as commit
@@ -2084,12 +2286,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   /** (version, op, parent) for every retained snapshot, oldest first. */
   def history: Seq[(Int, String, Int)] =
-    if (!fs.exists(manifestDir)) Seq.empty
-    else fs.listStatus(manifestDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-        n.stripPrefix("v").stripSuffix(".txt").toInt }
-      .sorted.toSeq
-      .map { v => val m = parse(v); (m.version, m.op, m.parent) }
+    vp.versions().map { v => val m = parse(v); (m.version, m.op, m.parent) }
 
   /** Expire history: keep the newest `keepLast` snapshots, delete older
     * manifests and any data directory no retained snapshot references —
@@ -2155,7 +2352,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val deadReferenced = dead.flatMap { v =>
       val m = parse(v); m.entries.map(_.dir) ++ m.deletes.map(_.dir)
     }.toSet -- referenced
-    dead.foreach(v => fs.delete(manifestPath(v), false))
+    dead.foreach(vp.delete)
     val cutoff = System.currentTimeMillis() - olderThanMs
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
@@ -2449,6 +2646,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (!hasData)
         kept.limit(0).coalesce(1).write.mode("overwrite").parquet(dst.toString)
       writeSchemaSidecar(purged, kept.schema)
+      writeRowsSidecar(purged, distributedCount(dst.toString))
       if (statCols.nonEmpty && hasData)
         statCols.foreach(c => graft.sources.DataSkipping.buildStats(
           spark, dst.toString, c, statsPath(purged, c).toString))
@@ -2458,10 +2656,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
       // one atomic overwrite-rename per manifest: a reader racing the
       // purge sees each version's old or new manifest in full, never a
-      // missing/torn one (same primitive as the CURRENT flip)
-      graft.util.AtomicFlip.writeAtomic(fs,
-        spark.sparkContext.hadoopConfiguration, manifestPath(m.version),
-        render(swapped).getBytes("UTF-8"))
+      // missing/torn one (same primitive as the CURRENT flip). The
+      // pointer preserves the manifest's chain identity in CAS mode.
+      vp.rewrite(m.version, render(swapped).getBytes("UTF-8"))
     }
     branchMs.foreach { case (n, bv, m) =>
       val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
@@ -2491,11 +2688,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * 100 TB table. */
   def fsck(): Seq[String] = {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
-    val versions =
-      if (!fs.exists(manifestDir)) Seq.empty[Int]
-      else fs.listStatus(manifestDir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-          n.stripPrefix("v").stripSuffix(".txt").toInt }.sorted.toSeq
+    val versions = vp.versions()
     val parsed = versions.flatMap { v =>
       try {
         val m = parse(v)
@@ -2608,10 +2801,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     * writer died between manifest create and pointer flip), re-point
     * CURRENT at the newest manifest — the write WAS durable, finish it. */
   def repair(): Unit = {
+    // `history` PARSES every retained manifest, so a torn or foreign
+    // file (an empty create-exclusive husk) throws here instead of
+    // being promoted — only a fully-written, durable commit may become
+    // CURRENT (publishExclusive is atomic-with-content, so a real
+    // winner's manifest always parses)
     val latest = history.map(_._1).maxOption
     (latest, currentVersion) match {
-      case (Some(l), Some(c)) if l > c => flipCurrent(l)
-      case (Some(l), None) => flipCurrent(l)
+      case (Some(l), Some(c)) if l > c => vp.promote(l)
+      case (Some(l), None) => vp.promote(l)
       case _ => ()
     }
   }
@@ -2645,6 +2843,39 @@ private[graft] object SnapshotScanSpec {
 }
 
 object SnapshotTable {
+  /** Name prefix under which SOURCE columns appear in the joined
+    * namespace of [[SnapshotTable.commitMergeGeneral]]'s matched-clause
+    * conditions and update right-hand sides (target columns keep their
+    * bare names). */
+  val SrcPrefix = "__graft_src_"
+
+  /** One ordered WHEN clause of [[SnapshotTable.commitMergeGeneral]] —
+    * the general SQL MERGE surface. Per-row, the FIRST clause whose
+    * gate (matched / not-matched / not-matched-by-source) and condition
+    * hold is applied; a NULL condition counts as not-applicable.
+    * Condition/assignment namespaces: matched clauses see target
+    * columns bare and source columns as [[SrcPrefix]]`<name>`; insert
+    * conditions see bare SOURCE names; by-source conditions see bare
+    * TARGET names. */
+  sealed trait MergeWhen
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET *`. */
+  case class WhenMatchedUpdateAll(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` —
+    * right-hand sides see the PRE-merge row (both sides' columns). */
+  case class WhenMatchedUpdate(sets: Seq[(String, org.apache.spark.sql.Column)],
+                               cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  case class WhenMatchedDelete(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT *`. */
+  case class WhenNotMatchedInsertAll(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
+  case class WhenNotMatchedBySourceDelete(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+
   /** One step of a table's column-mapping history ([[SnapshotTable.renameColumn]] /
     * [[SnapshotTable.dropColumn]]): applied IN ORDER to each data
     * dir's physical schema at read time, so renames and drops are

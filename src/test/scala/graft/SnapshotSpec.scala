@@ -1005,6 +1005,137 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constraint 'pos'"))
   }
 
+  test("conditional-write pointer (CAS mode): racing writers, one winner, loser retries cleanly") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas")
+    // the FakeS3 deployment shape: commit arbitration lives in a
+    // conditional-write store (catalog CAS), NOT in filesystem
+    // create-exclusive — the store provides nothing but get/putIf
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    assert(t.currentVersion.contains(1))
+    // two REAL threads race appends through commitWithRetry: exactly one
+    // wins each CAS round, the loser retries from the new head — both
+    // land, versions 2 and 3 in some order
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(2, 3).map { id =>
+      new Thread(() => {
+        try {
+          val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+          h.commitWithRetry()(h.commitAppend(frame((id, 2024, id, id * 1.0))))
+          ()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    assert(t.currentVersion.contains(3))
+    assert(state(t.read()).map(_._1) == Set(1, 2, 3))
+    // history and time travel walk the parentfile chain
+    assert(t.history.map(_._1) == Seq(1, 2, 3))
+    assert(state(t.readVersion(2)).size == 2)
+    // every CAS loser deleted its orphan attempt: retained versions and
+    // manifest files agree (plus zero CURRENT file — the pointer is the
+    // store, not the filesystem)
+    val mdir = new Path(root, "_manifests")
+    val mfiles = fs(root).listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+    assert(mfiles.length == 3, s"orphan CAS attempts left behind: ${mfiles.toSeq}")
+    assert(!fs(root).exists(new Path(mdir, "CURRENT")))
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+    // the full verb surface runs over the CAS pointer: rollback,
+    // expire (chain-tail reclaim), describeHistory. Which thread landed
+    // v2 is race-determined, so assert shape, not identity.
+    t.rollbackTo(2)
+    val afterRollback = state(t.read()).map(_._1)
+    assert(afterRollback.size == 2 && afterRollback.contains(1),
+      s"rollback to v2 should show row 1 + the first racer, got $afterRollback")
+    t.expire(keepLast = 2)
+    assert(t.history.map(_._1) == Seq(3, 4))
+    assert(state(t.read()).map(_._1) == afterRollback)
+  }
+
+  test("row-count sidecars come from the write job, exact across write shapes") {
+    // round 13 summed the just-written parquet footers SERIALLY ON THE
+    // DRIVER — O(files-per-commit) driver round trips inside every
+    // commit. The count now rides the write job's own metrics (hash
+    // writes) or one distributed footer job (clustered writes); this
+    // pins exactness on a MULTI-FILE commit for each shape.
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("snap_rows"))
+    val big = (1 to 500).map(i => (i, 2024, 1 + i % 4, i * 1.5))
+      .toDF("id", "year", "month", "fare")
+    spark.conf.set(graft.write.WriteDistribution.SplitsConf, "3")
+    try t.commitOverwrite(big) // 4 partitions × up to 3 splits = many files
+    finally spark.conf.unset(graft.write.WriteDistribution.SplitsConf)
+    assert(t.countFast.contains(500L), s"append-shape sidecar: ${t.countFast}")
+    t.commitAppend(frame((9001, 2024, 9, 9.0)))
+    assert(t.countFast.contains(501L))
+    // clustered commit (distributed footer pass)
+    t.commitCompact("fare", nFiles = 4)
+    assert(t.countFast.contains(501L), s"clustered sidecar: ${t.countFast}")
+    // staged-then-published dirs carry the sidecar too
+    t.publishStaged(t.stageAppend(frame((9002, 2024, 10, 1.0)), "rc"))
+    assert(t.countFast.contains(502L))
+  }
+
+  test("fast-append retry refuses when the SAME op tag landed mid-race (zombie batch dedup)") {
+    val root = freshRoot("snap_zombie")
+    val t = new SnapshotTable(spark, root)
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // same-tag race: a zombie/split-brain attempt of the SAME batch id
+    // published first — the loser must NOT metadata-retry (that would
+    // land the batch twice); it falls through so the caller's tag-keyed
+    // dedup (findLatestOp, the streaming IVM contract) skips the replay
+    val zombie = new SnapshotTable(spark, root) {
+      override protected def appendRaceHook(): Unit = {
+        t.commitAppend(frame((2, 2024, 2, 2.0)), opTag = "append_batch_7"); ()
+      }
+    }
+    intercept[SnapshotConflictException] {
+      zombie.commitAppend(frame((2, 2024, 2, 2.0)), opTag = "append_batch_7") }
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)),
+      "zombie batch landed twice")
+    // a DIFFERENT tag racing past still takes the fast metadata retry
+    val racing = new SnapshotTable(spark, root) {
+      override protected def appendRaceHook(): Unit = {
+        t.commitAppend(frame((3, 2024, 3, 3.0)), opTag = "append_batch_8"); ()
+      }
+    }
+    val v = racing.commitAppend(frame((4, 2024, 4, 4.0)), opTag = "append_batch_9")
+    assert(t.currentVersion.contains(v))
+    assert(state(t.read()).map(_._1) == Set(1, 2, 3, 4))
+    assert(t.fsck().isEmpty)
+  }
+
+  test("masks whose partition VALUES contain '|' round-trip; legacy 2-field lines parse") {
+    import spark.implicits._
+    val root = freshRoot("snap_maskbar")
+    val t = new SnapshotTable(spark, root, Seq("cat"))
+    t.commitOverwrite(Seq((1, "a|b"), (2, "plain")).toDF("id", "cat"))
+    t.commitOverwritePartitions(Seq((9, "a|b")).toDF("id", "cat"))
+    def ids() = t.read().select(col("id")).collect().map(_.getInt(0)).toSet
+    assert(ids() == Set(9, 2), "3-field mask with '|' in a value broke")
+    // plant the LEGACY 2-field form (pre-era manifests wrote dir|masks):
+    // strip the trailing |era token from the masked entry line — the
+    // parser must fall back to the legacy read, not consume the mask
+    // tail as a bogus era
+    val f = fs(root)
+    val mp = new Path(root, "_manifests/v00002.txt")
+    val in = f.open(mp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val legacy = text.linesIterator.map { l =>
+      if (l.startsWith("entry=") && l.contains("|a|b|")) l.stripSuffix("|0") else l
+    }.mkString("\n") + "\n"
+    assert(legacy != text, "surgery found no masked entry line")
+    val out = f.create(mp, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    val t2 = new SnapshotTable(spark, root, Seq("cat"))
+    assert(t2.read().select(col("id")).collect().map(_.getInt(0)).toSet == Set(9, 2),
+      "legacy 2-field line with '|' inside the mask misparsed")
+  }
+
   test("branch versions past 99999 stay visible (%05d pads, 6-digit names must parse)") {
     val t = new SnapshotTable(spark, freshRoot("snap_bv6"))
     val v1 = t.commitOverwrite(frame((1, 2024, 1, 1.0)))
