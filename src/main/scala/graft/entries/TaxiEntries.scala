@@ -647,6 +647,53 @@ object TaxiEntries {
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
+    // General MERGE surface: conditional WHEN MATCHED DELETE with an
+    // UPDATE fallback — first-applicable-clause semantics per row
+    // (Iceberg/Delta MERGE; the richer form the reference's dbt
+    // incremental models compile toward). Matched rows whose doubled
+    // fare exceeds 400 are DELETED, the rest updated in place; one
+    // copy-on-write commit scoped to the touched partitions. The
+    // oracle composes the same algebra as delete+insert in DuckDB.
+    "taxi_sql_merge_delete" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlmrgdel", d, s))
+      val name = sqlReg(s, "sqlmrgdel", t.location)
+      models(s, d).stgYellow.drop("loaded_at")
+        .filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2)
+        .createOrReplaceTempView("graft_entry_sqlmrgdel_src")
+      s.sql(
+        s"""MERGE INTO $name USING graft_entry_sqlmrgdel_src AS src
+           |ON $name.trip_id = src.trip_id
+           |WHEN MATCHED AND src.fare_amount > 400 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE — the MERGE clause that
+    // prunes target rows the source no longer carries (the
+    // sync-to-source shape): months 6/7 update from the doubled batch,
+    // month-1 rows (absent from the source) are deleted, everything
+    // else is kept. Same commit machinery, same oracle family.
+    "taxi_sql_merge_bysource" -> q { (s, d) =>
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.deepClone(tmpPath("sqlmrgbs", d, s))
+      val name = sqlReg(s, "sqlmrgbs", t.location)
+      models(s, d).stgYellow.drop("loaded_at")
+        .filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", col("fare_amount") * 2)
+        .createOrReplaceTempView("graft_entry_sqlmrgbs_src")
+      s.sql(
+        s"""MERGE INTO $name USING graft_entry_sqlmrgbs_src AS src
+           |ON $name.trip_id = src.trip_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND $name.month = 1 THEN DELETE""".stripMargin)
+      s.table(name).groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"),
+          graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+    },
     // INSERT INTO ... BY NAME SELECT — lowered onto commitAppend (the
     // commit protocol, never Spark's raw-file insert path; fsck-clean
     // is pinned in spec). Re-appends month 1 onto the fixture head.
@@ -811,7 +858,7 @@ object TaxiEntries {
       val t = src.shallowClone(tmpPath("sqlprp", d, s))
       val name = sqlReg(s, "sqlprp", t.location)
       s.sql(s"ALTER TABLE $name SET TBLPROPERTIES" +
-        "('owner'='data-eng', 'pii'='false')")
+        "('team'='data-eng', 'pii'='false')")
       s.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('pii')")
       s.sql(s"DESCRIBE DETAIL $name")
         .select(col("version"), col("num_entries"), col("properties"))
@@ -1366,6 +1413,32 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // matched rows whose doubled fare provably exceeds 400 are DELETED
+    // (NULL-fare rows fall through to the unconditional UPDATE — act
+    // only on what provably matches); unmatched batch rows: none by
+    // construction
+    "taxi_sql_merge_delete" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |    UNION ALL SELECT * FROM batch
+         |    WHERE NOT coalesce(fare_amount > 400, FALSE))
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
+    // months 6/7 take the doubled batch (matched UPDATE); month-1 rows
+    // are absent from the source and match the BY SOURCE condition →
+    // deleted; every other row is kept untouched
+    "taxi_sql_merge_bysource" -> o(
+      s""", batch AS (SELECT * REPLACE (fare_amount * 2 AS fare_amount)
+         |            FROM stg_yellow WHERE month IN (6, 7)),
+         |  result AS (
+         |    SELECT * FROM stg_yellow
+         |    WHERE trip_id NOT IN (SELECT trip_id FROM batch)
+         |      AND NOT coalesce(month = 1, FALSE)
+         |    UNION ALL SELECT * FROM batch)
+         |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
+         |FROM result GROUP BY 1, 2""".stripMargin),
     // compaction is invisible to readers: the oracle is the fixture
     // head's plain algebra
     "taxi_sql_optimize" -> o(
@@ -1421,9 +1494,9 @@ object TaxiEntries {
          |             FROM stg_yellow WHERE month = 1)
          |SELECT year, month, count(*) AS n, ${rndSum("surcharge", 2)} AS surcharge_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
-    // clone v1 + SET + UNSET = v3; 'pii' unset, 'owner' survives
+    // clone v1 + SET + UNSET = v3; 'pii' unset, 'team' survives
     "taxi_sql_properties" -> o(
-      """SELECT * FROM (VALUES (3, 1, 'owner=data-eng'))
+      """SELECT * FROM (VALUES (3, 1, 'team=data-eng'))
         |  AS t(version, num_entries, properties)""".stripMargin),
     // the post-widen logical schema: vendor_i surfaced as bigint
     // though its files hold int

@@ -184,6 +184,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // time-travel path throws rather than leaving the node unresolved
     ext.injectHintResolutionRule(s => new graft.sql.GraftTimeTravelRule(s))
     ext.injectResolutionRule(s => new graft.sql.GraftDmlRule(s))
+    // the ALTER verbs stock Spark parses AND executes on v1 tables
+    // (SET/UNSET TBLPROPERTIES, ADD COLUMN(S)) are intercepted POST-HOC,
+    // after Spark's own resolution lowered them to its v1 commands, and
+    // only for provider=graft targets — non-graft tables keep stock
+    // behavior (the round-13 parser interception broke them)
+    ext.injectPostHocResolutionRule(s => new graft.sql.GraftCatalogDdlRule(s))
     // maintenance verbs (VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY
     // / branch-tag DDL) have no stock grammar — a delegating parser
     // recognizes them first and hands every other statement through

@@ -201,6 +201,110 @@ object GraftSqlSupport {
     case other => sys.error(
       s"MERGE ON supports only conjunctions of key equalities, got: ${other.sql}")
   }
+
+  /** Which side a MERGE-clause expression's columns resolve against —
+    * the rewrite target of [[mergeNamespace]]. */
+  sealed trait MergeNs
+  /** Matched clauses: target columns bare, source columns prefixed
+    * [[SnapshotTable.SrcPrefix]] (the joined-frame namespace). */
+  case object JoinedNs extends MergeNs
+  /** NOT MATCHED insert conditions: source columns bare; target
+    * references are invalid SQL (all NULL) and refused. */
+  case object SourceNs extends MergeNs
+  /** NOT MATCHED BY SOURCE conditions: target columns bare; source
+    * references refused. */
+  case object TargetNs extends MergeNs
+
+  /** Rewrite a MERGE-clause expression into the namespace
+    * [[SnapshotTable.commitMergeGeneral]] expects: each attribute is
+    * assigned a side — by its qualifier when present (`t.x` / `s.x`),
+    * by unique schema membership when bare — and re-anchored as an
+    * UnresolvedAttribute under the side's name (source side prefixed in
+    * the joined namespace). Ambiguous bare names (both schemas carry
+    * the column, joined namespace) are refused with the fix named —
+    * qualify — rather than silently picking a side. Subqueries are
+    * refused as in [[byName]]. */
+  def mergeNamespace(e: Expression, tgtCols: Seq[String], srcCols: Seq[String],
+                     tgtAliases: Set[String], srcAliases: Set[String],
+                     ns: MergeNs): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"subqueries are not supported in graft MERGE clauses (got: ${e.sql})")
+    def rewrite(nameParts: Seq[String]): Seq[String] = {
+      val name = nameParts.last
+      val qual =
+        if (nameParts.size > 1) Some(nameParts.init.last.toLowerCase) else None
+      def srcName = srcCols.find(_.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"MERGE clause references '$name', not a source column " +
+          s"(source has: ${srcCols.mkString(", ")})"))
+      def tgtName = tgtCols.find(_.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"MERGE clause references '$name', not a table column " +
+          s"(table has: ${tgtCols.mkString(", ")})"))
+      val isSrc: Boolean = qual match {
+        case Some(q) if srcAliases(q) && tgtAliases(q) =>
+          sys.error(s"qualifier '$q' names both MERGE sides — alias them apart")
+        case Some(q) if srcAliases(q) => true
+        case Some(q) if tgtAliases(q) => false
+        case Some(q) => sys.error(
+          s"unknown qualifier '$q' in MERGE clause (target aliases: " +
+            s"${tgtAliases.mkString(", ")}; source: ${srcAliases.mkString(", ")})")
+        case None => ns match {
+          case SourceNs => true
+          case TargetNs => false
+          case JoinedNs =>
+            val inT = tgtCols.exists(_.equalsIgnoreCase(name))
+            val inS = srcCols.exists(_.equalsIgnoreCase(name))
+            if (inT && inS) sys.error(
+              s"column '$name' is ambiguous in this MERGE clause (both the " +
+                "table and the source have it) — qualify it with an alias")
+            else if (inS) true
+            else if (inT) false
+            else sys.error(s"unknown column '$name' in MERGE clause")
+        }
+      }
+      (ns, isSrc) match {
+        case (SourceNs, false) => sys.error(
+          s"a NOT MATCHED insert condition can only reference SOURCE " +
+            s"columns; '$name' is the table's")
+        case (TargetNs, true) => sys.error(
+          s"a NOT MATCHED BY SOURCE condition can only reference TABLE " +
+            s"columns; '$name' is the source's")
+        case (JoinedNs, true) => Seq(SnapshotTable.SrcPrefix + srcName)
+        case (_, true) => Seq(srcName)
+        case (_, false) => Seq(tgtName)
+      }
+    }
+    SqlBridge.column(e.transform {
+      case a: AttributeReference =>
+        UnresolvedAttribute(rewrite(a.qualifier.lastOption.toSeq :+ a.name))
+      case u: UnresolvedAttribute => UnresolvedAttribute(rewrite(u.nameParts))
+    })
+  }
+
+  /** The alias/table names a MERGE clause may use to qualify a plan's
+    * columns (lowercased): subquery aliases plus the relation's own
+    * last name part. */
+  def aliasesOf(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasesOf(child) + id.name.toLowerCase
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
+    case UnresolvedCatalogRelation(ct, _, _) => Set(ct.identifier.table.toLowerCase)
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.table.toLowerCase).toSet
+    case _ => Set.empty
+  }
+}
+
+/** A general-MERGE WHEN clause as captured at RULE time: raw (possibly
+  * unresolved) expressions plus the statement's alias context —
+  * resolution into [[SnapshotTable.commitMergeGeneral]]'s namespace
+  * happens at RUN time, where both frames' schemas exist. */
+object RawMergeClause {
+  sealed trait Clause { def cond: Option[Expression] }
+  case class UpdateAll(cond: Option[Expression]) extends Clause
+  case class Update(sets: Seq[(String, Expression)],
+                    cond: Option[Expression]) extends Clause
+  case class MatchedDelete(cond: Option[Expression]) extends Clause
+  case class InsertAll(cond: Option[Expression]) extends Clause
+  case class BySourceDelete(cond: Option[Expression]) extends Clause
 }
 
 /** `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF ts` on graft
@@ -257,22 +361,40 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       require(!withSchemaEvolution,
         "MERGE ... WITH SCHEMA EVOLUTION is not supported; graft schema " +
           "evolution is additive at commit time (write the evolved schema)")
-      matched match {
-        case Seq(UpdateStarAction(None)) => ()
-        case other => sys.error("graft MERGE supports exactly WHEN MATCHED " +
-          s"THEN UPDATE SET * (got: $other); richer clauses belong to the " +
-          "Scala changelog/merge API")
+      val ct = graftCatalogTable(session, target).get
+      val keys = mergeKeys(mergeCond)
+      val canonical = matched == Seq(UpdateStarAction(None)) &&
+        notMatched == Seq(InsertStarAction(None)) && notMatchedBySource.isEmpty
+      if (canonical)
+        // the unconditional upsert keeps its dedicated fast paths
+        // (COW touched-partition rewrite or MOR metadata commit)
+        GraftMergeCommand(ct, source, keys, mor("spark.graft.sql.mergeMode"))
+      else {
+        // the general clause surface (conditional clauses, matched
+        // DELETE, NOT MATCHED BY SOURCE DELETE) — copy-on-write only
+        require(!mor("spark.graft.sql.mergeMode"),
+          "conditional/DELETE MERGE clauses are copy-on-write only; " +
+            "set spark.graft.sql.mergeMode=cow for this statement")
+        val m = matched.map {
+          case UpdateStarAction(c) => RawMergeClause.UpdateAll(c)
+          case DeleteAction(c) => RawMergeClause.MatchedDelete(c)
+          case UpdateAction(c, assigns, _) => RawMergeClause.Update(
+            assigns.map(a => attrName(a.key, "UPDATE SET target") -> a.value), c)
+          case other => sys.error(s"unsupported WHEN MATCHED action: $other")
+        }
+        val nm = notMatched.map {
+          case InsertStarAction(c) => RawMergeClause.InsertAll(c)
+          case other => sys.error("graft MERGE INSERT supports INSERT * " +
+            s"(explicit column lists are not supported); got: $other")
+        }
+        val bs = notMatchedBySource.map {
+          case DeleteAction(c) => RawMergeClause.BySourceDelete(c)
+          case other => sys.error("WHEN NOT MATCHED BY SOURCE supports " +
+            s"THEN DELETE (UPDATE by source is not supported); got: $other")
+        }
+        GraftMergeGeneralCommand(ct, source, keys, m ++ nm ++ bs,
+          aliasesOf(target), aliasesOf(source))
       }
-      notMatched match {
-        case Seq(InsertStarAction(None)) => ()
-        case other => sys.error("graft MERGE supports exactly WHEN NOT " +
-          s"MATCHED THEN INSERT * (got: $other)")
-      }
-      require(notMatchedBySource.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported by graft MERGE " +
-          "(upsert semantics; source-absent rows are kept)")
-      GraftMergeCommand(graftCatalogTable(session, target).get, source,
-        mergeKeys(mergeCond), mor("spark.graft.sql.mergeMode"))
 
     case InsertIntoStatement(target, partSpec, userCols, query,
         overwrite, ifPartitionNotExists, byNameIns)
@@ -332,6 +454,50 @@ case class GraftMergeCommand(table: CatalogTable, source: LogicalPlan,
     val t = GraftSqlSupport.tableFor(session, table)
     t.commitWithRetry()(
       if (mor) t.commitMergeMor(batch, keys) else t.commitMerge(batch, keys))
+    session.catalog.refreshTable(table.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** General SQL MERGE → [[SnapshotTable.commitMergeGeneral]]: ordered
+  * conditional WHEN MATCHED UPDATE/DELETE clauses, conditional NOT
+  * MATCHED INSERT *, and NOT MATCHED BY SOURCE DELETE, each lowered
+  * onto one copy-on-write commit scoped to the partitions a clause
+  * actually touches. Clause expressions were captured raw at rule time;
+  * here — where the table's and the source's schemas both exist — each
+  * is assigned its side (by qualifier or unique membership,
+  * [[GraftSqlSupport.mergeNamespace]]) and rebuilt over the commit's
+  * join namespace. Duplicate source keys are refused by the commit
+  * itself (SQL MERGE's multiple-match error). */
+case class GraftMergeGeneralCommand(table: CatalogTable, source: LogicalPlan,
+                                    keys: Seq[String],
+                                    clauses: Seq[RawMergeClause.Clause],
+                                    tgtAliases: Set[String],
+                                    srcAliases: Set[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    import GraftSqlSupport._
+    import graft.write.SnapshotTable._
+    val batch = SqlBridge.ofRows(session, source)
+    val t = GraftSqlSupport.tableFor(session, table)
+    val tgtCols = t.read().columns.toSeq
+    val srcCols = batch.columns.toSeq
+    def rw(e: Expression, ns: MergeNs): Column =
+      mergeNamespace(e, tgtCols, srcCols, tgtAliases, srcAliases, ns)
+    val when: Seq[MergeWhen] = clauses.map {
+      case RawMergeClause.UpdateAll(c) =>
+        WhenMatchedUpdateAll(c.map(rw(_, JoinedNs)))
+      case RawMergeClause.Update(sets, c) =>
+        WhenMatchedUpdate(sets.map { case (n, v) => n -> rw(v, JoinedNs) },
+          c.map(rw(_, JoinedNs)))
+      case RawMergeClause.MatchedDelete(c) =>
+        WhenMatchedDelete(c.map(rw(_, JoinedNs)))
+      case RawMergeClause.InsertAll(c) =>
+        WhenNotMatchedInsertAll(c.map(rw(_, SourceNs)))
+      case RawMergeClause.BySourceDelete(c) =>
+        WhenNotMatchedBySourceDelete(c.map(rw(_, TargetNs)))
+    }
+    t.commitWithRetry()(t.commitMergeGeneral(batch, keys, when))
     session.catalog.refreshTable(table.identifier.quotedString)
     Seq.empty
   }

@@ -44,9 +44,6 @@ import graft.write.SnapshotTable
   *   ALTER TABLE t RENAME COLUMN a TO b           -- renameColumn (metadata-only)
   *   ALTER TABLE t DROP COLUMN c                  -- dropColumn (metadata-only)
   *   ALTER TABLE t ALTER COLUMN c TYPE bigint     -- widenColumn (metadata-only)
-  *   ALTER TABLE t ADD COLUMN c double            -- addColumn (metadata-only)
-  *   ALTER TABLE t SET TBLPROPERTIES('k'='v',...)  -- setProperties (versioned)
-  *   ALTER TABLE t UNSET TBLPROPERTIES('k',...)    -- unsetProperties
   *   CREATE TABLE t SHALLOW CLONE s LOCATION 'p'  -- shallowClone (zero-copy)
   *   CREATE TABLE t [DEEP] CLONE s LOCATION 'p'   -- deepClone
   *   DESCRIBE DETAIL t                            -- detail (one row)
@@ -123,22 +120,29 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*""".r
-  private val AddCol =
-    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+COLUMN\s+([A-Za-z0-9_]+)\s+([A-Za-z0-9_() ,]+?)\s*;?\s*""".r
-  private val SetProps =
-    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
-  private val UnsetProps =
-    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""".r
+  // NOTE: ADD COLUMN(S) and SET/UNSET TBLPROPERTIES are deliberately
+  // NOT parsed here — stock Spark's grammar covers them and its v1
+  // execution works on ordinary parquet tables, so intercepting them at
+  // parse time broke valid statements on NON-graft tables (a behavior
+  // regression for every table in an extensions-enabled session). They
+  // lower for graft targets via a provider-keyed post-hoc resolution
+  // rule over Spark's own parsed-and-resolved commands instead
+  // ([[GraftCatalogDdlRule]]), the exact [[GraftDmlRule]] architecture.
   private val WidenCol =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+([A-Za-z0-9_]+)\s+TYPE\s+([A-Za-z0-9_() ,]+?)\s*;?\s*""".r
   private val RenameCol =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+RENAME\s+COLUMN\s+([A-Za-z0-9_]+)\s+TO\s+([A-Za-z0-9_]+)\s*;?\s*""".r
   private val DropCol =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+COLUMN\s+([A-Za-z0-9_]+)\s*;?\s*""".r
+  // Clone idents are restricted to identifier-shaped tokens (word
+  // chars, dots, backticks): a lazy `.+?` here fully matched valid
+  // stock SQL — `CREATE TABLE x (a INT, clone STRING) USING parquet
+  // LOCATION '/p'` — capturing `x (a INT,` as the table and erroring a
+  // legitimate statement out of the delegate's reach.
   private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val DeepClone =
-    """(?is)\s*CREATE\s+TABLE\s+(.+?)\s+(?:DEEP\s+)?CLONE\s+(.+?)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:DEEP\s+)?CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
 
   private val GrammarHelp =
     "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
@@ -150,22 +154,9 @@ object GraftSqlParser {
       "ALTER TABLE t FAST FORWARD BRANCH b [FORCE] | " +
       "ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c | " +
       "ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN c | " +
-      "ADD COLUMN c type | ALTER COLUMN c TYPE widerType | " +
-      "ALTER TABLE t SET|UNSET TBLPROPERTIES(...)"
-
-  /** `'k'='v', 'k2'='v2'` / `'k', 'k2'` lists (TBLPROPERTIES). Values
-    * may contain commas — pairs are matched as quoted units and the
-    * residue must be only separators, so a malformed list fails loudly
-    * instead of silently dropping entries. */
-  private def parseProps(spec: String): Seq[(String, Option[String])] = {
-    val Pair = """'([^']*)'\s*(?:=\s*'([^']*)')?""".r
-    val ms = Pair.findAllMatchIn(spec).toList
-    val residue = Pair.replaceAllIn(spec, "")
-    require(ms.nonEmpty && residue.forall(c => c == ',' || c.isWhitespace),
-      s"cannot parse TBLPROPERTIES list: $spec " +
-        "(expected 'key'='value' [, ...] or 'key' [, ...])")
-    ms.map(m => (m.group(1), Option(m.group(2))))
-  }
+      "ALTER COLUMN c TYPE widerType " +
+      "(ADD COLUMN(S) and SET/UNSET TBLPROPERTIES are stock Spark " +
+      "grammar, lowered for graft tables by GraftCatalogDdlRule)"
 
   /** The maintenance statement `sqlText` encodes, if any. `None` means
     * "not ours — delegate". A statement whose LEADING keyword is ours
@@ -235,33 +226,26 @@ object GraftSqlParser {
             widenTo = Some(toType.trim)))
         case DropCol(tbl, name) =>
           Some(GraftColumnCommand(ident(tbl), name))
-        case AddCol(tbl, name, typeDdl) =>
-          Some(GraftColumnCommand(ident(tbl), name,
-            addType = Some(typeDdl.trim)))
-        case SetProps(tbl, kvs) =>
-          Some(GraftPropertiesCommand(ident(tbl),
-            parseProps(kvs).map { case (k, v) =>
-              k -> v.getOrElse(sys.error(
-                s"SET TBLPROPERTIES needs 'key'='value' pairs; '$k' has no value"))
-            }, set = true))
-        case UnsetProps(tbl, ks) =>
-          Some(GraftPropertiesCommand(ident(tbl),
-            parseProps(ks).map { case (k, v) =>
-              require(v.isEmpty,
-                s"UNSET TBLPROPERTIES takes keys only; '$k' has a value")
-              k -> ""
-            }, set = false))
-        case _ => None // every other ALTER is Spark's
+        case _ => None // every other ALTER is Spark's (incl. ADD
+                       // COLUMN(S) and SET/UNSET TBLPROPERTIES — see
+                       // the grammar note above)
       }
-      case "CREATE" => sqlText match {
-        // SHALLOW first: the DeepClone pattern's optional DEEP keyword
-        // would otherwise swallow "SHALLOW" into the table name
-        case ShallowClone(tbl, src, loc) =>
-          Some(GraftCloneCommand(ident(tbl), ident(src), loc, shallow = true))
-        case DeepClone(tbl, src, loc) =>
-          Some(GraftCloneCommand(ident(tbl), ident(src), loc, shallow = false))
-        case _ => None // every other CREATE is Spark's
-      }
+      case "CREATE" =>
+        // belt-and-braces on top of the identifier-shaped captures: if a
+        // captured token still fails the delegate's identifier parse,
+        // the statement was never a clone — delegate it instead of
+        // erroring valid stock SQL out of Spark's reach
+        def cloneCmd(tbl: String, src: String, loc: String,
+                     shallow: Boolean): Option[LogicalPlan] =
+          scala.util.Try(
+            GraftCloneCommand(ident(tbl), ident(src), loc, shallow)).toOption
+        sqlText match {
+          // SHALLOW first: the DeepClone pattern's optional DEEP keyword
+          // would otherwise swallow "SHALLOW" into the table name
+          case ShallowClone(tbl, src, loc) => cloneCmd(tbl, src, loc, shallow = true)
+          case DeepClone(tbl, src, loc) => cloneCmd(tbl, src, loc, shallow = false)
+          case _ => None // every other CREATE is Spark's
+        }
       case _ => None
     }
   }
@@ -420,24 +404,21 @@ case class GraftConstraintCommand(nameParts: Seq[String], action: String,
   * delegate's v2-only failure. Returns the committed version. */
 case class GraftColumnCommand(nameParts: Seq[String], colName: String,
                               renameTo: Option[String] = None,
-                              widenTo: Option[String] = None,
-                              addType: Option[String] = None)
+                              widenTo: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (ct, t) = GraftSqlParser.open(session, nameParts)
-    val v = t.commitWithRetry()((renameTo, widenTo, addType) match {
-      case (Some(to), _, _) => t.renameColumn(colName, to)
-      case (_, Some(toT), _) => t.widenColumn(colName, toT)
-      case (_, _, Some(toT)) => t.addColumn(colName, toT)
+    val v = t.commitWithRetry()((renameTo, widenTo) match {
+      case (Some(to), _) => t.renameColumn(colName, to)
+      case (_, Some(toT)) => t.widenColumn(colName, toT)
       case _ => t.dropColumn(colName)
     })
     // the catalog pinned the schema at CREATE time and Spark refuses a
     // relation whose inferred schema drifted from it — apply the same
     // surgery to the STORED schema (preserving the catalog's own field
-    // order and partition placement; an ADD appends, matching the
-    // fold's withColumn-at-end shape). alterTable, not
+    // order and partition placement). alterTable, not
     // alterTableDataSchema: the latter hard-refuses drops.
     def ddlType(s: String) = org.apache.spark.sql.types.DataType.fromDDL(s)
     val surgered = ct.schema.fields.toSeq.flatMap { f =>
@@ -445,13 +426,35 @@ case class GraftColumnCommand(nameParts: Seq[String], colName: String,
       else (renameTo, widenTo) match {
         case (Some(to), _) => Some(f.copy(name = to))
         case (_, Some(toT)) => Some(f.copy(dataType = ddlType(toT)))
-        case _ if addType.isDefined => Some(f) // unreachable: add refuses dups
         case _ => None
       }
     }
-    val newFields = surgered ++ addType.map(toT =>
-      org.apache.spark.sql.types.StructField(colName, ddlType(toT),
-        nullable = true)).toSeq
+    session.sessionState.catalog.alterTable(
+      ct.copy(schema = StructType(surgered)))
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN[S] (c1 t1, c2 t2, ...)` on a GRAFT table —
+  * stock Spark grammar, intercepted after resolution by
+  * [[GraftCatalogDdlRule]] (never at parse time: non-graft tables keep
+  * Spark's own v1 execution). All added columns land as ONE metadata
+  * commit ([[SnapshotTable.addColumns]] — one manifest, N ColAdds, one
+  * era step), and the catalog schema follows. Returns the committed
+  * version. */
+case class GraftAddColumnsCommand(nameParts: Seq[String],
+                                  cols: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    val v = t.commitWithRetry()(t.addColumns(cols))
+    val newFields = ct.schema.fields.toSeq ++ cols.map { case (n, ddl) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true)
+    }
     session.sessionState.catalog.alterTable(
       ct.copy(schema = StructType(newFields)))
     GraftSqlParser.refresh(session, ct)
@@ -460,21 +463,75 @@ case class GraftColumnCommand(nameParts: Seq[String], colName: String,
 }
 
 /** `ALTER TABLE t SET TBLPROPERTIES('k'='v', ...)` / `UNSET
-  * TBLPROPERTIES('k', ...)` — properties as VERSIONED commit metadata
+  * TBLPROPERTIES [IF EXISTS] ('k', ...)` on a GRAFT table — stock Spark
+  * grammar, intercepted after resolution by [[GraftCatalogDdlRule]]
+  * (never at parse time: non-graft tables keep Spark's own v1 catalog
+  * execution). Properties land as VERSIONED commit metadata
   * ([[SnapshotTable.setProperties]]): they ride the manifest, time
   * travel with the data, and need no catalog side store. Surfaced by
-  * `DESCRIBE DETAIL` and the Scala `properties` API. */
+  * `DESCRIBE DETAIL` and the Scala `properties` API. `ifExists` (the
+  * stock UNSET modifier) skips unknown keys instead of refusing; an
+  * UNSET whose keys ALL miss is a no-op (current version, no empty
+  * commit). */
 case class GraftPropertiesCommand(nameParts: Seq[String],
-                                  kvs: Seq[(String, String)], set: Boolean)
+                                  kvs: Seq[(String, String)], set: Boolean,
+                                  ifExists: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (ct, t) = GraftSqlParser.open(session, nameParts)
-    val v = t.commitWithRetry()(
-      if (set) t.setProperties(kvs) else t.unsetProperties(kvs.map(_._1)))
+    val v = t.commitWithRetry() {
+      if (set) t.setProperties(kvs)
+      else {
+        val keys =
+          if (!ifExists) kvs.map(_._1)
+          else { val have = t.properties.keySet; kvs.map(_._1).filter(have) }
+        if (keys.isEmpty) t.currentVersion.getOrElse(0)
+        else t.unsetProperties(keys)
+      }
+    }
     GraftSqlParser.refresh(session, ct)
     Seq(Row(v))
+  }
+}
+
+/** Provider-keyed POST-HOC resolution rule for the ALTER verbs stock
+  * Spark both parses AND executes on v1 tables — `SET TBLPROPERTIES`,
+  * `UNSET TBLPROPERTIES`, `ADD COLUMN(S)`. Intercepting these in the
+  * delegating parser (as every verb with NO stock grammar is) broke
+  * them for NON-graft tables: the parser sees no catalog, so a parquet
+  * table's valid statement reached a graft command that refused it at
+  * execution. Instead this rule runs after Spark's own resolution has
+  * lowered the statement to its v1 command
+  * ([[org.apache.spark.sql.execution.command.AlterTableSetPropertiesCommand]]
+  * et al.) and swaps in the graft commit command ONLY when the target's
+  * catalog provider is `graft` — every other table keeps stock
+  * behavior, stock errors, stock everything. Same architecture as
+  * [[GraftDmlRule]]. */
+class GraftCatalogDdlRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.command.{AlterTableAddColumnsCommand, AlterTableSetPropertiesCommand, AlterTableUnsetPropertiesCommand}
+
+  private def graftParts(ident: TableIdentifier): Option[Seq[String]] = {
+    val parts = ident.database.toSeq :+ ident.table
+    GraftSqlSupport.graftCatalogTable(session, UnresolvedRelation(parts))
+      .map(_ => parts)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case AlterTableSetPropertiesCommand(ident, props, false)
+        if graftParts(ident).isDefined =>
+      GraftPropertiesCommand(graftParts(ident).get, props.toSeq.sorted,
+        set = true)
+    case AlterTableUnsetPropertiesCommand(ident, keys, ifExists, false)
+        if graftParts(ident).isDefined =>
+      GraftPropertiesCommand(graftParts(ident).get, keys.map(_ -> ""),
+        set = false, ifExists = ifExists)
+    case AlterTableAddColumnsCommand(ident, cols)
+        if graftParts(ident).isDefined =>
+      GraftAddColumnsCommand(graftParts(ident).get,
+        cols.map(f => f.name -> f.dataType.catalogString))
   }
 }
 

@@ -167,6 +167,27 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.read().agg(sum(col("cnt"))).head().getLong(0) == 3000000015L)
   }
 
+  test("widen: a narrow OVERWRITE after the widen lands wide (write-time cast)") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, freshRoot("widow"))
+    t.commitOverwrite(Seq((1, 2024, 1, 10)).toDF("id", "year", "month", "cnt"))
+    t.widenColumn("cnt", "bigint")
+    // a still-narrow SINGLE-ENTRY rewrite: without the write-time cast
+    // this dir would be stamped at the post-widen era (fold skips it)
+    // and the table would read the NARROW type — disagreeing with the
+    // declared schema; multi-dir tables only agreed via unionByName
+    // coercion
+    t.commitOverwrite(Seq((2, 2024, 2, 7)).toDF("id", "year", "month", "cnt"))
+    assert(t.read().schema("cnt").dataType.catalogString == "bigint",
+      "narrow overwrite was stamped wide but written narrow")
+    assert(t.read().agg(sum(col("cnt"))).head().getLong(0) == 7L)
+    // staged writes conform too
+    val w = t.stageAppend(Seq((3, 2024, 3, 9)).toDF("id", "year", "month", "cnt"), "wid")
+    t.publishStaged(w)
+    assert(t.read().schema("cnt").dataType.catalogString == "bigint")
+    assert(t.read().agg(sum(col("cnt"))).head().getLong(0) == 16L)
+  }
+
   test("widen SQL verb: catalog schema follows; format fast path falls back then restores") {
     import spark.implicits._
     val root = freshRoot("widsql")
@@ -225,19 +246,19 @@ class ColumnMappingSpec extends AnyFunSuite {
     try {
       spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$root')")
       val v1 = spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES" +
-        "('owner'='data-eng', 'retention.hours'='168')").head().getInt(0)
-      assert(t.properties == Map("owner" -> "data-eng", "retention.hours" -> "168"))
+        "('team'='data-eng', 'retention.hours'='168')").head().getInt(0)
+      assert(t.properties == Map("team" -> "data-eng", "retention.hours" -> "168"))
       // upsert overwrites; properties carry through unrelated commits
-      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES('owner'='ml-platform')")
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES('team'='ml-platform')")
       t.commitAppend(frame((2, 2024, 2, 20.0)))
-      assert(t.properties("owner") == "ml-platform")
+      assert(t.properties("team") == "ml-platform")
       // time travel: the earlier era keeps its value
       assert(t.currentVersion.isDefined)
       val d = spark.sql(s"DESCRIBE DETAIL $name").head()
       assert(d.getString(d.fieldIndex("properties"))
-        .contains("owner=ml-platform"))
+        .contains("team=ml-platform"))
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('retention.hours')")
-      assert(t.properties == Map("owner" -> "ml-platform"))
+      assert(t.properties == Map("team" -> "ml-platform"))
       val e = intercept[Exception] {
         spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('nope')") }
       assert(e.getMessage.contains("no such propert"))

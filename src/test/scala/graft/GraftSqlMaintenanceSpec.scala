@@ -370,4 +370,68 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) == 1)
     assert(spark.sql("SHOW TABLES").columns.nonEmpty)
   }
+
+  test("stock ALTER verbs keep stock behavior on NON-graft tables under the extensions") {
+    // the round-13 parser intercepted SET/UNSET TBLPROPERTIES and
+    // ADD COLUMN for ALL tables and refused them at execution on
+    // non-graft targets — a behavior regression this pins closed: a
+    // plain parquet v1 table must take these statements exactly as
+    // stock Spark does (catalog-side property store, catalog schema
+    // add), with the extensions installed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmx_stock").toString
+    frame((1, 2024, 1, 1.0)).write.mode("overwrite").parquet(dir)
+    val name = "graft_sqlmx_stockpq"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(s"CREATE TABLE $name USING parquet OPTIONS (path '$dir')")
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES('team'='data-eng')")
+      val props = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .properties
+      assert(props.get("team").contains("data-eng"), s"stock SET broken: $props")
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES('team')")
+      assert(!spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .properties.contains("team"))
+      // singular ADD COLUMN: stock v1 parquet supports it
+      spark.sql(s"ALTER TABLE $name ADD COLUMN extra_note STRING")
+      assert(spark.table(name).columns.contains("extra_note"))
+      // IF EXISTS on a missing key is stock-silent
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("plural ADD COLUMNS on a graft table: one commit, N ColAdds, catalog follows") {
+    withTable("addcols") { (name, t) =>
+      val before = t.currentVersion.get
+      val v = spark.sql(
+        s"ALTER TABLE $name ADD COLUMNS (surcharge DOUBLE, note STRING)")
+        .head().getInt(0)
+      assert(v == before + 1, "plural add must be ONE commit")
+      assert(t.columnOps.size == 2) // two ColAdds, one era step
+      val cols = spark.table(name).columns.toSet
+      assert(Set("surcharge", "note").subsetOf(cols))
+      // fixture-era rows read the new columns as typed NULLs
+      assert(spark.table(name)
+        .filter(col("surcharge").isNull && col("note").isNull).count() == 3)
+      // UNSET IF EXISTS on a graft table: unknown keys skipped, no
+      // empty commit when all miss
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('nope')")
+      assert(t.currentVersion.contains(v), "all-missing UNSET must not commit")
+    }
+  }
+
+  test("an identifier named 'clone' no longer hijacks stock CREATE TABLE") {
+    // the round-13 DeepClone regex fully matched
+    //   CREATE TABLE x (a INT, clone STRING) USING parquet LOCATION 'p'
+    // and errored it out of the delegate's reach
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlmx_clonecol").toString
+    val name = "graft_sqlmx_clonecol"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    try {
+      spark.sql(
+        s"CREATE TABLE $name (a INT, clone STRING) USING parquet LOCATION '$dir/t'")
+      assert(spark.table(name).columns.toSeq == Seq("a", "clone"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }

@@ -166,28 +166,98 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("MERGE INTO: richer-than-upsert shapes refuse with the supported shape named") {
+  test("MERGE INTO: matched DELETE + conditional clauses (general surface)") {
+    withTable("mrgg") { (name, t) =>
+      // fixture rows: (1,2024,1,10.0) (2,2024,2,20.0) (3,2024,2,30.0)
+      frame((2, 2024, 2, 99.0), (3, 2024, 2, 1.0),
+        (4, 2024, 4, 40.0), (5, 2024, 5, -1.0))
+        .createOrReplaceTempView("graft_sql_mrgg_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgg_src AS s ON $name.id = s.id
+             |WHEN MATCHED AND s.fare < 5 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED AND s.fare > 0 THEN INSERT *""".stripMargin)
+        // id=2 matched, first clause FALSE → updated; id=3 matched,
+        // s.fare=1 < 5 → deleted (first-match wins over the update);
+        // id=4 inserted; id=5 fails the insert condition → dropped;
+        // id=1 untouched
+        assert(state(t.read()) == Set(
+          (1, 2024, 1, 10.0), (2, 2024, 2, 99.0), (4, 2024, 4, 40.0)))
+        assert(t.describeHistory().collect().map(_.getString(1)).contains("merge"))
+        assert(t.fsck().isEmpty)
+        // pre-merge versions stay time-travelable (COW masks, no rewrite
+        // of history)
+        assert(state(t.readVersion(2)).map(_._1) == Set(1, 2, 3))
+      } finally spark.catalog.dropTempView("graft_sql_mrgg_src")
+    }
+  }
+
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE THEN DELETE prunes source-absent rows") {
+    withTable("mrgbs") { (name, t) =>
+      frame((2, 2024, 2, 99.0)).createOrReplaceTempView("graft_sql_mrgbs_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgbs_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED BY SOURCE AND month = 2 THEN DELETE""".stripMargin)
+        // id=3 (month 2, absent from source) deleted; id=1 (month 1)
+        // survives its false condition; id=2 updated
+        assert(state(t.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 99.0)))
+        assert(t.fsck().isEmpty)
+      } finally spark.catalog.dropTempView("graft_sql_mrgbs_src")
+    }
+  }
+
+  test("MERGE INTO: conditional UPDATE SET assignments see both sides pre-merge") {
+    withTable("mrgu") { (name, t) =>
+      frame((2, 2024, 2, 99.0), (3, 2024, 2, 2.0))
+        .createOrReplaceTempView("graft_sql_mrgu_src")
+      try {
+        val before = t.currentVersion.get
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgu_src AS s ON $name.id = s.id
+             |WHEN MATCHED AND s.fare > 50
+             |  THEN UPDATE SET fare = $name.fare + s.fare""".stripMargin)
+        // id=2: 20+99; id=3 matched but conditioned out → unchanged
+        assert(state(t.read()) == Set(
+          (1, 2024, 1, 10.0), (2, 2024, 2, 119.0), (3, 2024, 2, 30.0)))
+        // a merge where NO clause fires anywhere is a no-op commit-wise
+        frame((99, 2024, 9, 1.0)).createOrReplaceTempView("graft_sql_mrgu_none")
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgu_none AS s ON $name.id = s.id
+             |WHEN MATCHED AND s.fare > 50
+             |  THEN UPDATE SET fare = $name.fare + s.fare""".stripMargin)
+        assert(t.currentVersion.contains(before + 1),
+          "no-clause-fired merge must not mint an empty commit")
+      } finally spark.catalog.dropTempView("graft_sql_mrgu_src")
+    }
+  }
+
+  test("MERGE INTO: general-surface refusals name the fix") {
     withTable("mrgref") { (name, _) =>
       frame((2, 2024, 2, 99.0)).createOrReplaceTempView("graft_sql_mrgref_src")
       try {
-        // non-equi ON
+        // non-equi ON stays refused
         val e1 = intercept[Exception] { spark.sql(
           s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id > s.id
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
         assert(e1.getMessage.contains("key equalities"), e1.getMessage)
-        // WHEN MATCHED THEN DELETE
+        // ambiguous bare column in a matched condition: both sides have
+        // `fare` — refuse with the fix named, never silently pick a side
         val e2 = intercept[Exception] { spark.sql(
           s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id = s.id
-             |WHEN MATCHED THEN DELETE""".stripMargin) }
-        assert(e2.getMessage.contains("UPDATE SET *"), e2.getMessage)
-        // NOT MATCHED BY SOURCE
-        val e3 = intercept[Exception] { spark.sql(
-          s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id = s.id
-             |WHEN MATCHED THEN UPDATE SET *
-             |WHEN NOT MATCHED THEN INSERT *
-             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin) }
-        assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"), e3.getMessage)
+             |WHEN MATCHED AND fare > 50 THEN DELETE""".stripMargin).collect() }
+        assert(e2.getMessage.contains("ambiguous"), e2.getMessage)
+        // general clauses under mergeMode=mor refuse (COW only)
+        spark.conf.set("spark.graft.sql.mergeMode", "mor")
+        try {
+          val e3 = intercept[Exception] { spark.sql(
+            s"""MERGE INTO $name USING graft_sql_mrgref_src AS s ON $name.id = s.id
+               |WHEN MATCHED THEN DELETE""".stripMargin) }
+          assert(e3.getMessage.contains("copy-on-write"), e3.getMessage)
+        } finally spark.conf.unset("spark.graft.sql.mergeMode")
       } finally spark.catalog.dropTempView("graft_sql_mrgref_src")
     }
   }
