@@ -304,7 +304,11 @@ object RawMergeClause {
                     cond: Option[Expression]) extends Clause
   case class MatchedDelete(cond: Option[Expression]) extends Clause
   case class InsertAll(cond: Option[Expression]) extends Clause
+  case class Insert(sets: Seq[(String, Expression)],
+                    cond: Option[Expression]) extends Clause
   case class BySourceDelete(cond: Option[Expression]) extends Clause
+  case class BySourceUpdate(sets: Seq[(String, Expression)],
+                            cond: Option[Expression]) extends Clause
 }
 
 /** `SELECT ... FROM t VERSION AS OF n | TIMESTAMP AS OF ts` on graft
@@ -384,13 +388,16 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val nm = notMatched.map {
           case InsertStarAction(c) => RawMergeClause.InsertAll(c)
-          case other => sys.error("graft MERGE INSERT supports INSERT * " +
-            s"(explicit column lists are not supported); got: $other")
+          case InsertAction(c, assigns) => RawMergeClause.Insert(
+            assigns.map(a => attrName(a.key, "INSERT column") -> a.value), c)
+          case other => sys.error(s"unsupported WHEN NOT MATCHED action: $other")
         }
         val bs = notMatchedBySource.map {
           case DeleteAction(c) => RawMergeClause.BySourceDelete(c)
-          case other => sys.error("WHEN NOT MATCHED BY SOURCE supports " +
-            s"THEN DELETE (UPDATE by source is not supported); got: $other")
+          case UpdateAction(c, assigns, _) => RawMergeClause.BySourceUpdate(
+            assigns.map(a => attrName(a.key, "UPDATE SET target") -> a.value), c)
+          case other => sys.error("unsupported WHEN NOT MATCHED BY SOURCE " +
+            s"action: $other")
         }
         GraftMergeGeneralCommand(ct, source, keys, m ++ nm ++ bs,
           aliasesOf(target), aliasesOf(source))
@@ -494,8 +501,14 @@ case class GraftMergeGeneralCommand(table: CatalogTable, source: LogicalPlan,
         WhenMatchedDelete(c.map(rw(_, JoinedNs)))
       case RawMergeClause.InsertAll(c) =>
         WhenNotMatchedInsertAll(c.map(rw(_, SourceNs)))
+      case RawMergeClause.Insert(sets, c) =>
+        WhenNotMatchedInsert(sets.map { case (n, v) => n -> rw(v, SourceNs) },
+          c.map(rw(_, SourceNs)))
       case RawMergeClause.BySourceDelete(c) =>
         WhenNotMatchedBySourceDelete(c.map(rw(_, TargetNs)))
+      case RawMergeClause.BySourceUpdate(sets, c) =>
+        WhenNotMatchedBySourceUpdate(sets.map { case (n, v) => n -> rw(v, TargetNs) },
+          c.map(rw(_, TargetNs)))
     }
     t.commitWithRetry()(t.commitMergeGeneral(batch, keys, when))
     session.catalog.refreshTable(table.identifier.quotedString)

@@ -530,6 +530,14 @@ class GraftCatalogDdlRule(session: SparkSession)
         set = false, ifExists = ifExists)
     case AlterTableAddColumnsCommand(ident, cols)
         if graftParts(ident).isDefined =>
+      // NOT NULL adds are refused loudly: every pre-add row reads the
+      // new column as NULL by construction (metadata-only add), so a
+      // non-nullable declaration would be false the moment it commits
+      cols.filterNot(_.nullable).foreach(f => sys.error(
+        s"ADD COLUMN ${f.name} NOT NULL is not supported on graft " +
+          "tables: rows written before the add read the column as NULL " +
+          "(metadata-only add). Add it nullable, backfill, then enforce " +
+          s"with ADD CONSTRAINT ... CHECK (${f.name} IS NOT NULL)"))
       GraftAddColumnsCommand(graftParts(ident).get,
         cols.map(f => f.name -> f.dataType.catalogString))
   }

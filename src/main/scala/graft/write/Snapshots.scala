@@ -820,8 +820,9 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** GENERAL MERGE — the full SQL `MERGE INTO` clause surface as ONE
     * copy-on-write commit: ordered `WHEN MATCHED [AND cond] THEN
     * UPDATE SET star | UPDATE SET assignments | DELETE`, `WHEN NOT
-    * MATCHED [AND cond] THEN INSERT star`, and `WHEN NOT MATCHED BY SOURCE [AND
-    * cond] THEN DELETE` (Iceberg/Delta MERGE semantics; the canonical
+    * MATCHED [AND cond] THEN INSERT star | INSERT (cols) VALUES
+    * (exprs)`, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+    * | UPDATE SET assignments` (Iceberg/Delta MERGE semantics; the canonical
     * unconditional upsert shape keeps its dedicated fast paths
     * [[commitMerge]]/[[commitMergeMor]]). First-applicable-clause
     * semantics per row, NULL conditions treated as not-applicable
@@ -858,12 +859,20 @@ class SnapshotTable(spark: SparkSession, root: String,
       case c: WhenMatchedUpdate => c
       case c: WhenMatchedDelete => c
     }
-    val inserts0 = clauses.collect { case c: WhenNotMatchedInsertAll => c }
-    val bySource = clauses.collect { case c: WhenNotMatchedBySourceDelete => c }
-    matched.collect { case WhenMatchedUpdate(sets, _) => sets }.flatten
+    val insertCs = clauses.collect {
+      case c: WhenNotMatchedInsertAll => c
+      case c: WhenNotMatchedInsert => c
+    }
+    val bySource = clauses.collect {
+      case c: WhenNotMatchedBySourceDelete => c
+      case c: WhenNotMatchedBySourceUpdate => c
+    }
+    (matched.collect { case WhenMatchedUpdate(sets, _) => sets } ++
+      bySource.collect { case WhenNotMatchedBySourceUpdate(sets, _) => sets } ++
+      insertCs.collect { case WhenNotMatchedInsert(sets, _) => sets }).flatten
       .foreach { case (n, _) =>
         require(cur.columns.exists(_.equalsIgnoreCase(n)),
-          s"UPDATE SET column '$n' is not a column of the table at $root")
+          s"MERGE SET/INSERT column '$n' is not a column of the table at $root")
       }
     val pref = SrcPrefix
     val src = batch.select(batch.columns.map(c =>
@@ -887,18 +896,28 @@ class SnapshotTable(spark: SparkSession, root: String,
       case WhenMatchedUpdate(_, c) => c
       case WhenMatchedDelete(c) => c
     }, isMatched)
-    val sFlags = applyFlags(bySource.map(_.cond), !isMatched)
+    val sFlags = applyFlags(bySource.map {
+      case WhenNotMatchedBySourceDelete(c) => c
+      case WhenNotMatchedBySourceUpdate(_, c) => c
+    }, !isMatched)
     val deleted = (matched.zip(mFlags).collect {
       case (_: WhenMatchedDelete, f) => f
-    } ++ sFlags).reduceOption(_ || _).getOrElse(lit(false))
-    val updatedFlag = matched.zip(mFlags).collect {
+    } ++ bySource.zip(sFlags).collect {
+      case (_: WhenNotMatchedBySourceDelete, f) => f
+    }).reduceOption(_ || _).getOrElse(lit(false))
+    val updatedFlag = (matched.zip(mFlags).collect {
       case (_: WhenMatchedUpdateAll, f) => f
       case (_: WhenMatchedUpdate, f) => f
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    } ++ bySource.zip(sFlags).collect {
+      case (_: WhenNotMatchedBySourceUpdate, f) => f
+    }).reduceOption(_ || _).getOrElse(lit(false))
     // per-column value with first-match folding (flags are mutually
-    // exclusive, so fold order only has to respect clause order)
+    // exclusive — matched and by-source gates are disjoint and each
+    // group is first-match within itself — so fold order only has to
+    // respect clause order)
     def valueOf(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
-      matched.zip(mFlags).foldRight(col(s"`${f.name}`")) {
+      (matched.zip(mFlags) ++ bySource.zip(sFlags))
+        .foldRight(col(s"`${f.name}`"): org.apache.spark.sql.Column) {
         case ((WhenMatchedUpdateAll(_), ap), acc) =>
           when(ap, col(pref + f.name).cast(f.dataType)).otherwise(acc)
         case ((WhenMatchedUpdate(sets, _), ap), acc) =>
@@ -906,16 +925,50 @@ class SnapshotTable(spark: SparkSession, root: String,
             case Some((_, v)) => when(ap, v.cast(f.dataType)).otherwise(acc)
             case None => acc
           }
+        case ((WhenNotMatchedBySourceUpdate(sets, _), ap), acc) =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, v)) => when(ap, v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
         case (_, acc) => acc
       }
-    // source rows with no target match, filtered by the insert clauses
-    // (all INSERT *, so first-match across them degenerates to OR)
+    // source rows with no target match, routed to the FIRST insert
+    // clause whose condition holds; explicit column lists project the
+    // assigned values (cast to the target types) and unassigned target
+    // columns arrive as NULL via the union's padding
     val unmatchedSrc = batch.join(
       cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    val inserts =
-      if (inserts0.isEmpty) unmatchedSrc.limit(0)
-      else unmatchedSrc.filter(inserts0.map(c =>
-        coalesce(c.cond.getOrElse(lit(true)), lit(false))).reduce(_ || _))
+    // pad missing TARGET columns with typed NULLs (extra source columns
+    // stay — additive schema evolution, same as the upsert path), so a
+    // keys-only source or a partial insert list still speaks the
+    // table's schema: an unassigned partition column then surfaces as
+    // the clear NULL-partition refusal, not a resolution error
+    def padToTarget(df: DataFrame): DataFrame =
+      cur.schema.fields
+        .filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val inserts: DataFrame = padToTarget(
+      if (insertCs.isEmpty) unmatchedSrc.limit(0)
+      else {
+        var prior: org.apache.spark.sql.Column = lit(false)
+        insertCs.map { c =>
+          val condC = coalesce((c match {
+            case WhenNotMatchedInsertAll(cc) => cc
+            case WhenNotMatchedInsert(_, cc) => cc
+          }).getOrElse(lit(true)), lit(false))
+          val here = !prior && condC
+          prior = prior || condC
+          val base = unmatchedSrc.filter(here)
+          c match {
+            case WhenNotMatchedInsertAll(_) => base
+            case WhenNotMatchedInsert(sets, _) =>
+              base.select(sets.map { case (n, v) =>
+                val f = cur.schema.find(_.name.equalsIgnoreCase(n)).get
+                v.cast(f.dataType).as(f.name)
+              }.toIndexedSeq: _*)
+          }
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      })
     // touched partitions: where a clause fires on an existing row, or
     // where an insert lands — one column-pruned locate pass each
     val touched = partTuples(
@@ -2872,8 +2925,20 @@ object SnapshotTable {
   /** `WHEN NOT MATCHED [AND cond] THEN INSERT *`. */
   case class WhenNotMatchedInsertAll(cond: Option[org.apache.spark.sql.Column] = None)
       extends MergeWhen
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)` —
+    * values see SOURCE columns (bare names); unassigned target columns
+    * insert as NULL. */
+  case class WhenNotMatchedInsert(sets: Seq[(String, org.apache.spark.sql.Column)],
+                                  cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
   /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
   case class WhenNotMatchedBySourceDelete(cond: Option[org.apache.spark.sql.Column] = None)
+      extends MergeWhen
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr,
+    * ...` — right-hand sides see TARGET columns only (no source row
+    * exists for these). */
+  case class WhenNotMatchedBySourceUpdate(sets: Seq[(String, org.apache.spark.sql.Column)],
+                                          cond: Option[org.apache.spark.sql.Column] = None)
       extends MergeWhen
 
   /** One step of a table's column-mapping history ([[SnapshotTable.renameColumn]] /

@@ -418,6 +418,10 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       // empty commit when all miss
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('nope')")
       assert(t.currentVersion.contains(v), "all-missing UNSET must not commit")
+      // NOT NULL adds refuse with the backfill+constraint recipe named
+      val e = intercept[Exception] { spark.sql(
+        s"ALTER TABLE $name ADD COLUMNS (strict_col INT NOT NULL)") }
+      assert(e.getMessage.contains("NOT NULL"), e.getMessage)
     }
   }
 

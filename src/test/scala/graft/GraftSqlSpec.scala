@@ -189,6 +189,14 @@ class GraftSqlSpec extends AnyFunSuite {
         // pre-merge versions stay time-travelable (COW masks, no rewrite
         // of history)
         assert(state(t.readVersion(2)).map(_._1) == Set(1, 2, 3))
+        // the keys-only tombstone-feed shape: a source carrying nothing
+        // but the key column drives a pure matched-DELETE merge
+        import spark.implicits._
+        Seq(4).toDF("id").createOrReplaceTempView("graft_sql_mrgg_tomb")
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgg_tomb AS s ON $name.id = s.id
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+        assert(state(t.read()).map(_._1) == Set(1, 2))
       } finally spark.catalog.dropTempView("graft_sql_mrgg_src")
     }
   }
@@ -231,6 +239,40 @@ class GraftSqlSpec extends AnyFunSuite {
         assert(t.currentVersion.contains(before + 1),
           "no-clause-fired merge must not mint an empty commit")
       } finally spark.catalog.dropTempView("graft_sql_mrgu_src")
+    }
+  }
+
+  test("MERGE INTO: explicit INSERT column lists and BY SOURCE UPDATE") {
+    withTable("mrgx") { (name, t) =>
+      // fixture rows: (1,2024,1,10.0) (2,2024,2,20.0) (3,2024,2,30.0)
+      frame((2, 2024, 2, 99.0), (7, 2024, 7, 70.0))
+        .createOrReplaceTempView("graft_sql_mrgx_src")
+      try {
+        spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgx_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN
+             |  INSERT (id, year, month, fare) VALUES (s.id, s.year, s.month, s.fare * 10)
+             |WHEN NOT MATCHED BY SOURCE AND month = 1
+             |  THEN UPDATE SET fare = fare + 1000""".stripMargin)
+        // id=2 updated from source; id=7 inserted with fare*10; id=1
+        // (month 1, source-absent) takes the BY SOURCE update; id=3
+        // (month 2, source-absent, condition false) untouched
+        assert(state(t.read()) == Set(
+          (1, 2024, 1, 1010.0), (2, 2024, 2, 99.0),
+          (3, 2024, 2, 30.0), (7, 2024, 7, 700.0)))
+        assert(t.fsck().isEmpty)
+        // an explicit insert list that omits a partition column refuses
+        // loudly (a NULL partition cannot be masked)
+        frame((8, 2024, 8, 80.0)).createOrReplaceTempView("graft_sql_mrgx_src2")
+        val e = intercept[Exception] { spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgx_src2 AS s ON $name.id = s.id
+             |WHEN NOT MATCHED THEN INSERT (id, fare) VALUES (s.id, s.fare)""".stripMargin) }
+        assert(e.getMessage.contains("NULL partition"), e.getMessage)
+      } finally {
+        spark.catalog.dropTempView("graft_sql_mrgx_src")
+        spark.catalog.dropTempView("graft_sql_mrgx_src2")
+      }
     }
   }
 
