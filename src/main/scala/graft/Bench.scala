@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.tune(spark)
+    // SPARK_GRAFT_ROWS_SIDECAR=observe|count|off: A/B lever for the
+    // per-commit row-count sidecar policy (graft.rows.sidecar conf)
+    sys.env.get("SPARK_GRAFT_ROWS_SIDECAR")
+      .foreach(m => spark.conf.set("graft.rows.sidecar", m))
     spark.sparkContext.setLogLevel("ERROR")
     // Warmup OUTSIDE the timed loop: populate the memoized taxi model DAG
     // (staging/fct/daily/monthly persists — the dbt-style materialize-once

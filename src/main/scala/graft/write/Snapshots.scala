@@ -356,19 +356,39 @@ class SnapshotTable(spark: SparkSession, root: String,
     castToWidened(df, ops)
   }
 
+  /** `graft.rows.sidecar` session conf: when a data dir earns its
+    * row-count sidecar. `lazy` (default): commits pay NOTHING — the
+    * first [[countFast]] that needs a missing count runs one
+    * distributed footer job per uncounted dir and persists the sidecar
+    * (measured: write-time counting, whether by observation metrics or
+    * a post-write count job, added ~40% to commit-heavy workloads —
+    * both serialize a per-commit wait the commit path doesn't need).
+    * `eager`: count at commit time (one distributed footer job per
+    * write — for tables whose readers must stay strictly
+    * metadata-only). `off`: never count; countFast serves recorded
+    * sidecars only and declines otherwise. */
+  private def sidecarMode: String =
+    spark.conf.get("graft.rows.sidecar", "lazy")
+
+  /** The eager-mode hook: count-and-record after a write, nothing
+    * otherwise (lazy mode materializes on first use; see
+    * [[countFast]]). */
+  private def eagerCount(dir: String): Unit =
+    if (sidecarMode == "eager")
+      writeRowsSidecar(dir, distributedCount(dirPath(dir).toString))
+
   private def writeData(df0: DataFrame, version: Int): String = {
     val df = conformToCurrentOps(df0, "commit")
     val dir = dataDirName(version)
+    val dataP = new Path(dataDir, dir).toString
     // co-locate each output partition's rows: 1 file per partition, not
     // N_tasks × N_partitions small files (same rationale as
     // IncrementalWriter.byPartition); fat partitions fan out via
     // WriteDistribution's graft.write.splitsPerPartition knob
-    val rows = observedWrite(df) { d =>
-      WriteDistribution.byPartition(d, partCols)
-        .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
-    }
+    WriteDistribution.byPartition(df, partCols)
+      .write.partitionBy(partCols: _*).parquet(dataP)
     writeSchemaSidecar(dir, df.schema)
-    writeRowsSidecar(dir, rows)
+    eagerCount(dir)
     enforceConstraints(dir)
     dir
   }
@@ -409,19 +429,20 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   // ---- row-count sidecar (the Iceberg/Delta metadata-count
-  // capability): each data dir records its exact row count, harvested
-  // from the WRITE JOB ITSELF ([[observedWrite]] — per-task counts
-  // merged through a CollectMetrics observation) or, for
-  // range-clustered dirs, from one distributed footer pass
-  // ([[distributedCount]]). Either way the DRIVER does zero per-file
-  // I/O: the round-13 implementation re-opened every just-written
-  // parquet footer serially on the driver — O(files-per-commit) driver
-  // round trips inside every commit, which on a 100 TB bulk load
-  // (10⁴–10⁵ files against an object store) is tens of minutes of
-  // driver stall to earn a metadata count. [[countFast]] then answers
-  // count(*) in O(entries) sidecar reads. Best-effort by design: a dir
-  // without the sidecar (pre-round-13 history) just reads as unknown
-  // and countFast declines. ----
+  // capability): each data dir records its exact row count, LAZILY —
+  // the first [[countFast]] that needs a missing count runs one
+  // distributed footer job per uncounted dir ([[distributedCount]]:
+  // parquet count(*) short-circuits to footer row counts in TASKS) and
+  // persists the sidecar for every later call. The commit path pays
+  // NOTHING: the round-13 implementation re-opened every just-written
+  // footer serially on the driver (O(files-per-commit) driver round
+  // trips — tens of minutes on a 10⁴–10⁵-file bulk load against an
+  // object store), and the first round-14 cut counted at write time
+  // (observation metrics / a post-write job), which measured ~40%
+  // overhead on commit-heavy workloads — a per-commit synchronous wait
+  // the commit path doesn't need for BEST-EFFORT metadata. `eager`
+  // mode restores write-time counting for strictly-metadata-only
+  // readers; `off` disables even the lazy fill. ----
 
   private def rowsSidecarPath(dir: String) =
     new Path(dirPath(dir), "_graft_rows")
@@ -439,29 +460,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       }
     }
 
-  /** Run `write` (the frame's single action) with a row-count
-    * observation attached: the count rides the write job's own task
-    * metrics — no second pass, no driver-side file I/O. Only sound for
-    * single-execution plans (hash-partitioned writes); a
-    * repartitionByRange write samples its child in a separate pass,
-    * which would double-fire the observation — clustered writers use
-    * [[distributedCount]] instead. A write failure propagates; a
-    * missing metric yields None (no sidecar). */
-  private def observedWrite(df: DataFrame)(write: DataFrame => Unit): Option[Long] = {
-    val obs = org.apache.spark.sql.Observation()
-    write(df.observe(obs, count(lit(1)).as("rows")))
-    try {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
-      Some(row.getAs[Long]("rows"))
-    } catch { case _: Exception => None }
-  }
-
-  /** Exact row count of a just-written dir as ONE distributed job:
-    * parquet `count(*)` short-circuits to per-file footer row counts
-    * evaluated IN TASKS, so the cost is a footer read per file spread
-    * across the cluster — never a serial driver loop and never a data
-    * scan. */
+  /** Exact row count of a written dir as ONE distributed job: parquet
+    * `count(*)` short-circuits to per-file footer row counts evaluated
+    * IN TASKS, so the cost is a footer read per file spread across the
+    * cluster — never a serial driver loop and never a data scan. */
   private def distributedCount(dataP: String): Option[Long] =
     try Some(spark.read.parquet(dataP).count())
     catch { case _: Exception => None }
@@ -478,22 +480,39 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
   }
 
-  /** `count(*)` from METADATA alone — O(entries) sidecar reads, no
-    * scan, exact or absent: `None` whenever any retained mask,
-    * merge-on-read delete, or unrecorded dir could make the visible
+  /** `count(*)` from metadata — O(entries) sidecar reads once counts
+    * are recorded, never a data scan, exact or absent: `None` whenever
+    * any retained mask or merge-on-read delete could make the visible
     * count differ from the recorded physical counts (exclusion masks
     * hide whole partitions inside a dir; deletes suppress rows —
     * neither is derivable from a per-dir total). Column-mapping ops
     * never change row counts, so a live mapping does not decline.
-    * Compaction (which folds masks and delete debt into one fresh
-    * recorded dir) restores fast counting. At 100 TB this is the
+    * Compaction (which folds masks and delete debt into one fresh dir)
+    * restores fast counting.
+    *
+    * A dir WITHOUT a recorded count (fresh commit under the default
+    * lazy policy, pre-sidecar history) is counted here on first use —
+    * one distributed footer job (row counts from parquet footers, read
+    * in tasks; no data decode) — and the sidecar is persisted
+    * best-effort so later calls are pure metadata reads. Borrowed
+    * (shallow-clone) dirs are counted but never written into (they
+    * belong to the source table); `graft.rows.sidecar=off` disables
+    * the lazy fill (strict recorded-only reads). At 100 TB this is the
     * difference between a dashboard's `count(*)` being a metadata read
     * and a full scan. */
   def countFast: Option[Long] = {
     val m = parse(currentVersion.getOrElse(return None))
     if (m.deletes.nonEmpty || m.predDeletes.nonEmpty ||
         m.entries.exists(_.excluded.nonEmpty)) return None
-    val counts = m.entries.map(e => dirRows(e.dir))
+    val counts = m.entries.map { e =>
+      dirRows(e.dir).orElse {
+        if (sidecarMode == "off") None
+        else distributedCount(dirPath(e.dir).toString).map { n =>
+          if (!isBorrowed(e.dir)) writeRowsSidecar(e.dir, Some(n))
+          n
+        }
+      }
+    }
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
@@ -806,10 +825,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     val delDir = "del" + f"${base + 1}%05d" + "_" +
       java.util.UUID.randomUUID.toString.take(8)
     val keys = batch.select(keyCols.map(col): _*).distinct()
-    val keyRows = observedWrite(keys)(
-      _.write.parquet(new Path(dataDir, delDir).toString))
+    keys.write.parquet(new Path(dataDir, delDir).toString)
     writeSchemaSidecar(delDir, keys.schema)
-    writeRowsSidecar(delDir, keyRows)
     commit("merge_mor",
       m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
       base,
@@ -1313,7 +1330,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val cur = readVersion(base)
     IncrementalWriter.overwriteZOrdered(cur, dataP, clusterCols, nFiles)
     writeSchemaSidecar(dir, cur.schema)
-    writeRowsSidecar(dir, distributedCount(dataP))
+    eagerCount(dir)
     enforceConstraints(dir)
     clusterCols.foreach(c => graft.sources.DataSkipping.buildStats(
       spark, dataP, c, statsPath(dir, c).toString))
@@ -1376,7 +1393,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dataP = new Path(dataDir, dir).toString
     IncrementalWriter.overwriteClustered(df, dataP, clusterCol, nFiles)
     writeSchemaSidecar(dir, df.schema)
-    writeRowsSidecar(dir, distributedCount(dataP))
+    eagerCount(dir)
     enforceConstraints(dir)
     graft.sources.DataSkipping.buildStats(spark, dataP, clusterCol,
       statsPath(dir, clusterCol).toString)
@@ -1465,12 +1482,10 @@ class SnapshotTable(spark: SparkSession, root: String,
       s"stage name must be [A-Za-z0-9_]+: '$name'")
     val df = conformToCurrentOps(df0, "stage")
     val dir = s"w_$name"
-    val rows = observedWrite(df) { d =>
-      WriteDistribution.byPartition(d, partCols)
-        .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
-    }
+    WriteDistribution.byPartition(df, partCols)
+      .write.partitionBy(partCols: _*).parquet(new Path(dataDir, dir).toString)
     writeSchemaSidecar(dir, df.schema)
-    writeRowsSidecar(dir, rows)
+    eagerCount(dir)
     enforceConstraints(dir)
     dir
   }
@@ -2699,7 +2714,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       if (!hasData)
         kept.limit(0).coalesce(1).write.mode("overwrite").parquet(dst.toString)
       writeSchemaSidecar(purged, kept.schema)
-      writeRowsSidecar(purged, distributedCount(dst.toString))
+      eagerCount(purged)
       if (statCols.nonEmpty && hasData)
         statCols.foreach(c => graft.sources.DataSkipping.buildStats(
           spark, dst.toString, c, statsPath(purged, c).toString))

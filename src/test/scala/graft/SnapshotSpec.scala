@@ -1056,28 +1056,51 @@ class SnapshotSpec extends AnyFunSuite {
     assert(state(t.read()).map(_._1) == afterRollback)
   }
 
-  test("row-count sidecars come from the write job, exact across write shapes") {
+  test("row-count sidecars materialize lazily, exact across write shapes") {
     // round 13 summed the just-written parquet footers SERIALLY ON THE
-    // DRIVER — O(files-per-commit) driver round trips inside every
-    // commit. The count now rides the write job's own metrics (hash
-    // writes) or one distributed footer job (clustered writes); this
-    // pins exactness on a MULTI-FILE commit for each shape.
+    // DRIVER inside every commit (O(files-per-commit) driver round
+    // trips); write-time counting of any kind measured ~40% overhead on
+    // commit-heavy workloads. The commit path now pays NOTHING: the
+    // first countFast runs one distributed footer job per uncounted
+    // dir and persists the sidecar. This pins exactness on MULTI-FILE
+    // commits for each write shape, plus the persistence.
     import spark.implicits._
-    val t = new SnapshotTable(spark, freshRoot("snap_rows"))
+    val root = freshRoot("snap_rows")
+    val t = new SnapshotTable(spark, root)
     val big = (1 to 500).map(i => (i, 2024, 1 + i % 4, i * 1.5))
       .toDF("id", "year", "month", "fare")
     spark.conf.set(graft.write.WriteDistribution.SplitsConf, "3")
     try t.commitOverwrite(big) // 4 partitions × up to 3 splits = many files
     finally spark.conf.unset(graft.write.WriteDistribution.SplitsConf)
-    assert(t.countFast.contains(500L), s"append-shape sidecar: ${t.countFast}")
+    // no sidecar yet (lazy default) — the commit paid nothing
+    val d1 = t.dataDirs(1).head
+    assert(!fs(root).exists(new Path(root, s"_data/$d1/_graft_rows")),
+      "lazy mode must not count at commit time")
+    assert(t.countFast.contains(500L), s"lazy materialization: ${t.countFast}")
+    // ...and the first call persisted the sidecar for later ones
+    assert(fs(root).exists(new Path(root, s"_data/$d1/_graft_rows")),
+      "countFast must persist the lazily-computed sidecar")
     t.commitAppend(frame((9001, 2024, 9, 9.0)))
     assert(t.countFast.contains(501L))
-    // clustered commit (distributed footer pass)
+    // clustered commit
     t.commitCompact("fare", nFiles = 4)
-    assert(t.countFast.contains(501L), s"clustered sidecar: ${t.countFast}")
-    // staged-then-published dirs carry the sidecar too
+    assert(t.countFast.contains(501L), s"clustered: ${t.countFast}")
+    // staged-then-published dirs
     t.publishStaged(t.stageAppend(frame((9002, 2024, 10, 1.0)), "rc"))
     assert(t.countFast.contains(502L))
+    // eager mode: the commit itself records the count
+    spark.conf.set("graft.rows.sidecar", "eager")
+    try {
+      t.commitAppend(frame((9003, 2024, 11, 2.0)))
+      val dEager = t.dataDirs(t.currentVersion.get).last
+      assert(fs(root).exists(new Path(root, s"_data/$dEager/_graft_rows")),
+        "eager mode must count at commit time")
+      // off mode: fresh dirs decline rather than compute
+      spark.conf.set("graft.rows.sidecar", "off")
+      t.commitAppend(frame((9004, 2024, 12, 3.0)))
+      assert(t.countFast.isEmpty, "off mode must not lazily compute")
+    } finally spark.conf.unset("graft.rows.sidecar")
+    assert(t.countFast.contains(504L), "back in lazy mode, the fill resumes")
   }
 
   test("fast-append retry refuses when the SAME op tag landed mid-race (zombie batch dedup)") {
