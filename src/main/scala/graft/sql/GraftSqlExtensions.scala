@@ -280,6 +280,29 @@ object GraftSqlSupport {
     })
   }
 
+  /** After a commit that may have widened the schema additively (a
+    * MERGE whose source carried new columns), append the new fields to
+    * the CATALOG's pinned schema — Spark refuses a relation whose
+    * inferred schema drifted from the catalog's, so without this the
+    * very next `spark.table(name)` read would fail. Name-keyed and
+    * append-only; metadata-sized (one manifest/sidecar read). */
+  def syncCatalogSchema(session: SparkSession, ct: CatalogTable,
+                        t: SnapshotTable): Unit = {
+    val after = t.read().schema
+    val extra = after.fields.filterNot(f =>
+      ct.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    if (extra.nonEmpty) {
+      // the relation serves DATA columns first and partition columns
+      // last, with new data columns after the existing ones — mirror
+      // that order or Spark refuses the schema as mismatched
+      val partNames = t.partitionColumns.map(_.toLowerCase).toSet
+      val (partF, dataF) = ct.schema.fields.partition(f =>
+        partNames(f.name.toLowerCase))
+      session.sessionState.catalog.alterTable(ct.copy(schema =
+        org.apache.spark.sql.types.StructType(dataF ++ extra ++ partF)))
+    }
+  }
+
   /** The alias/table names a MERGE clause may use to qualify a plan's
     * columns (lowercased): subquery aliases plus the relation's own
     * last name part. */
@@ -362,16 +385,17 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case MergeIntoTable(target, source, mergeCond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if graftCatalogTable(session, target).isDefined =>
-      require(!withSchemaEvolution,
-        "MERGE ... WITH SCHEMA EVOLUTION is not supported; graft schema " +
-          "evolution is additive at commit time (write the evolved schema)")
       val ct = graftCatalogTable(session, target).get
       val keys = mergeKeys(mergeCond)
       val canonical = matched == Seq(UpdateStarAction(None)) &&
         notMatched == Seq(InsertStarAction(None)) && notMatchedBySource.isEmpty
       if (canonical)
-        // the unconditional upsert keeps its dedicated fast paths
-        // (COW touched-partition rewrite or MOR metadata commit)
+        // the unconditional upsert keeps its dedicated fast paths (COW
+        // touched-partition rewrite or MOR metadata commit). WITH
+        // SCHEMA EVOLUTION is accepted as written: the upsert's
+        // unionByName already carries new source columns onto both
+        // updated and inserted rows — the engine's additive evolution
+        // IS the flag's semantics here.
         GraftMergeCommand(ct, source, keys, mor("spark.graft.sql.mergeMode"))
       else {
         // the general clause surface (conditional clauses, matched
@@ -400,7 +424,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             s"action: $other")
         }
         GraftMergeGeneralCommand(ct, source, keys, m ++ nm ++ bs,
-          aliasesOf(target), aliasesOf(source))
+          aliasesOf(target), aliasesOf(source), withSchemaEvolution)
       }
 
     case InsertIntoStatement(target, partSpec, userCols, query,
@@ -461,6 +485,7 @@ case class GraftMergeCommand(table: CatalogTable, source: LogicalPlan,
     val t = GraftSqlSupport.tableFor(session, table)
     t.commitWithRetry()(
       if (mor) t.commitMergeMor(batch, keys) else t.commitMerge(batch, keys))
+    GraftSqlSupport.syncCatalogSchema(session, table, t)
     session.catalog.refreshTable(table.identifier.quotedString)
     Seq.empty
   }
@@ -480,7 +505,8 @@ case class GraftMergeGeneralCommand(table: CatalogTable, source: LogicalPlan,
                                     keys: Seq[String],
                                     clauses: Seq[RawMergeClause.Clause],
                                     tgtAliases: Set[String],
-                                    srcAliases: Set[String]) extends LeafRunnableCommand {
+                                    srcAliases: Set[String],
+                                    evolveSchema: Boolean = false) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     import GraftSqlSupport._
@@ -510,7 +536,8 @@ case class GraftMergeGeneralCommand(table: CatalogTable, source: LogicalPlan,
         WhenNotMatchedBySourceUpdate(sets.map { case (n, v) => n -> rw(v, TargetNs) },
           c.map(rw(_, TargetNs)))
     }
-    t.commitWithRetry()(t.commitMergeGeneral(batch, keys, when))
+    t.commitWithRetry()(t.commitMergeGeneral(batch, keys, when, evolveSchema))
+    GraftSqlSupport.syncCatalogSchema(session, table, t)
     session.catalog.refreshTable(table.identifier.quotedString)
     Seq.empty
   }

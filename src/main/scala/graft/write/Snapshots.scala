@@ -863,7 +863,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     * version, no empty commit). Duplicate source keys are refused up
     * front (SQL MERGE's multiple-match error). */
   def commitMergeGeneral(batch: DataFrame, keyCols: Seq[String],
-                         clauses: Seq[SnapshotTable.MergeWhen]): Int = {
+                         clauses: Seq[SnapshotTable.MergeWhen],
+                         evolveSchema: Boolean = false): Int = {
     import SnapshotTable._
     require(keyCols.nonEmpty, "commitMergeGeneral needs at least one key column")
     require(clauses.nonEmpty, "commitMergeGeneral needs at least one WHEN clause")
@@ -871,6 +872,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val pm = parse(base)
     val cur = readVersion(base)
+    require(cur.columns.forall(!_.startsWith(SnapshotTable.SrcPrefix)),
+      s"table columns may not start with the reserved merge prefix " +
+        s"'${SnapshotTable.SrcPrefix}' (they would collide with the " +
+        "join namespace)")
     val matched = clauses.collect {
       case c: WhenMatchedUpdateAll => c
       case c: WhenMatchedUpdate => c
@@ -996,8 +1001,23 @@ class SnapshotTable(spark: SparkSession, root: String,
       .map(vals => partCols.zip(vals)
         .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
       .reduce(_ || _)
+    // WITH SCHEMA EVOLUTION: UPDATE SET * also carries NEW source
+    // columns onto updated rows (non-updated survivors read them as
+    // typed NULLs); without the flag, new source columns still join
+    // the schema through inserts — the engine's always-on additive
+    // evolution — but updated rows keep only the table's columns
+    val updateAllAny = matched.zip(mFlags).collect {
+      case (_: WhenMatchedUpdateAll, f) => f
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val evolvedCols =
+      if (!evolveSchema) Seq.empty
+      else batch.schema.fields
+        .filterNot(f => cur.columns.exists(_.equalsIgnoreCase(f.name)))
+        .map(f => when(updateAllAny, col(pref + f.name))
+          .otherwise(lit(null).cast(f.dataType)).as(f.name)).toSeq
     val survivors = joined.filter(inTouched).filter(!deleted)
-      .select(cur.schema.fields.map(f => valueOf(f).as(f.name)).toIndexedSeq: _*)
+      .select(cur.schema.fields.map(f => valueOf(f).as(f.name)).toSeq
+        ++ evolvedCols: _*)
     val replacement = survivors.unionByName(inserts, allowMissingColumns = true)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ touched))
     commit("merge", prev :+ Entry(writeData(replacement, base + 1), Set.empty),

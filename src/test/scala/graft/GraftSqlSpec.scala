@@ -276,6 +276,34 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO WITH SCHEMA EVOLUTION: new source columns land; catalog follows") {
+    withTable("mrgse") { (name, t) =>
+      import spark.implicits._
+      // source carries a NEW column (tip) the table lacks
+      Seq((2, 2024, 2, 99.0, 5.5), (8, 2024, 8, 80.0, 8.8))
+        .toDF("id", "year", "month", "fare", "tip")
+        .createOrReplaceTempView("graft_sql_mrgse_src")
+      try {
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $name
+             |USING graft_sql_mrgse_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // the catalog table read must see the evolved schema
+        val rows = spark.table(name)
+          .select(col("id"), col("fare"), col("tip"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+        // updated row carries its tip, inserted row carries its tip,
+        // untouched rows read NULL
+        assert(rows == Set(
+          (1, 10.0, None), (2, 99.0, Some(5.5)),
+          (3, 30.0, None), (8, 80.0, Some(8.8))), rows.toString)
+        assert(t.fsck().isEmpty)
+      } finally spark.catalog.dropTempView("graft_sql_mrgse_src")
+    }
+  }
+
   test("MERGE INTO: general-surface refusals name the fix") {
     withTable("mrgref") { (name, _) =>
       frame((2, 2024, 2, 99.0)).createOrReplaceTempView("graft_sql_mrgref_src")
