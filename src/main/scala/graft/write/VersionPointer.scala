@@ -72,8 +72,21 @@ private[write] class FsVersionPointer(fs: FileSystem,
   private val currentPath = new Path(manifestDir, "CURRENT")
 
   override def currentVersion(): Option[Int] =
-    if (!fs.exists(currentPath)) None
-    else {
+    if (!fs.exists(currentPath)) {
+      // a table with CAS-style manifests (uuid-suffixed names) but no
+      // CURRENT file was created under a conditional-write pointer —
+      // reading it in Fs mode would silently serve "no table"; refuse
+      // with the fix named instead. Only the cold no-CURRENT path pays
+      // the listing.
+      val casManifests = fs.exists(manifestDir) &&
+        fs.listStatus(manifestDir).exists(
+          _.getPath.getName.matches("v\\d+_[0-9a-f]{8}\\.txt"))
+      if (casManifests) sys.error(
+        s"table at $manifestDir was committed under a conditional-write " +
+          "pointer (CAS mode): open it with its ConditionalStore " +
+          "(new SnapshotTable(spark, root, partCols, Some(store)))")
+      None
+    } else {
       val in = fs.open(currentPath)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
       finally in.close()

@@ -1054,6 +1054,11 @@ class SnapshotSpec extends AnyFunSuite {
     t.expire(keepLast = 2)
     assert(t.history.map(_._1) == Seq(3, 4))
     assert(state(t.read()).map(_._1) == afterRollback)
+    // opening a CAS-mode table WITHOUT its store refuses loudly
+    // (Fs mode would otherwise silently serve "no table")
+    val e = intercept[RuntimeException] {
+      new SnapshotTable(spark, root).currentVersion }
+    assert(e.getMessage.contains("ConditionalStore"), e.getMessage)
   }
 
   test("row-count sidecars materialize lazily, exact across write shapes") {
