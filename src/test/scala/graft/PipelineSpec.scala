@@ -112,6 +112,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(failed.isEmpty, s"failed checks: $failed")
   }
 
+  test("lineage doc renders every model node and the full check inventory") {
+    val daily = Marts.fctTripsDaily(fct)
+    val monthly = Marts.fctTripsMonthly(fct)
+    val names = Checks.all(sy, uni, enr, cln, fct, daily, monthly).map(_.name)
+    val doc = graft.tools.Lineage.render(names)
+    Seq("raw_yellow", "stg_yellow", "stg_green", "stg_fhv", "stg_fhvhv",
+      "int_unified", "int_enriched", "int_cleaned",
+      "fct_trips", "fct_daily", "fct_monthly").foreach(m =>
+      assert(doc.contains(m), s"lineage doc missing node $m"))
+    // every check appears as a table row
+    names.foreach { n =>
+      val model = n.split("\\.", 2).head
+      assert(doc.contains(s"| $model |"), s"lineage doc missing check row for $n")
+    }
+    assert(doc.contains("mermaid"))
+    // the DAG edge set mirrors buildModels wiring arity: 4 raw→stg, 4
+    // stg→unified, 3 chain edges, fct→daily+monthly = 13 edges
+    assert(graft.tools.Lineage.edges.flatMap(_._2).size == 13)
+  }
+
   test("incremental delete+insert is idempotent and replaces matched keys") {
     val dir = Files.createTempDirectory("graft_stg").toString
     val path = s"$dir/stg_yellow"
