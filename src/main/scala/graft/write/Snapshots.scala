@@ -2497,6 +2497,14 @@ class SnapshotTable(spark: SparkSession, root: String,
           fs.delete(st.getPath, false)
       }
     }
+    // CAS-mode loser/crash debris: attempt manifests no retained commit
+    // references (an Fs-mode table never has any — create-exclusive
+    // refuses losers a file). Same age window as every other sweep.
+    vp.orphanManifests().foreach { p =>
+      try { if (fs.getFileStatus(p).getModificationTime < cutoff)
+        fs.delete(p, false) }
+      catch { case _: java.io.FileNotFoundException => () } // raced away
+    }
     val orphans = orphanDirs(cutoff)
     orphans.foreach { p =>
       fs.delete(p, true)

@@ -59,6 +59,11 @@ private[write] trait VersionPointer {
     * torn or foreign manifest file must never be promoted). No-op in
     * modes without a created-but-unflipped window. */
   def promote(v: Int): Unit
+  /** Manifest files belonging to NO retained commit — CAS losers that
+    * crashed before deleting their attempt. Empty in Fs mode (losers
+    * there never create a file: create-exclusive refuses them). The
+    * vacuum sweep collects these past the retention window. */
+  def orphanManifests(): Seq[Path]
 }
 
 /** Filesystem arbitration — the default protocol, exactly as documented
@@ -128,6 +133,8 @@ private[write] class FsVersionPointer(fs: FileSystem,
     graft.util.AtomicFlip.writeAtomic(fs, conf, manifestPath(v), content)
 
   override def promote(v: Int): Unit = flipCurrent(v)
+
+  override def orphanManifests(): Seq[Path] = Seq.empty
 }
 
 /** The conditional-write primitive [[CasVersionPointer]] arbitrates
@@ -271,6 +278,14 @@ private[write] class CasVersionPointer(fs: FileSystem,
 
   /** The CAS pointer has no created-but-unflipped window: the CAS IS
     * the commit. A crash before it leaves only an unreferenced manifest
-    * file (metadata-sized debris, invisible to every reader). */
+    * file — [[orphanManifests]] surfaces those for the vacuum sweep. */
   override def promote(v: Int): Unit = ()
+
+  override def orphanManifests(): Seq[Path] = {
+    if (!fs.exists(manifestDir)) return Seq.empty
+    val live = chain().values.toSet
+    fs.listStatus(manifestDir).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+_[0-9a-f]{8}\\.txt") &&
+        !live(p.getName)).toSeq
+  }
 }

@@ -1059,6 +1059,15 @@ class SnapshotSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] {
       new SnapshotTable(spark, root).currentVersion }
     assert(e.getMessage.contains("ConditionalStore"), e.getMessage)
+    // a crashed CAS loser's attempt manifest is vacuum debris: plant
+    // one and sweep it; live chain manifests survive
+    val orphanM = new Path(mdir, "v00099_deadbeef.txt")
+    val out = fs(root).create(orphanM, false)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+    t.vacuum(olderThanMs = 0L)
+    assert(!fs(root).exists(orphanM), "CAS attempt debris not swept")
+    assert(t.history.map(_._1) == Seq(3, 4), "vacuum touched live chain manifests")
+    assert(t.fsck().isEmpty)
   }
 
   test("row-count sidecars materialize lazily, exact across write shapes") {
