@@ -128,7 +128,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         s"the table's partition columns (${partCols.mkString(", ")}); " +
         "omit partitionBy — the snapshot table partitions every commit " +
         "by its recorded layout")
-    new GraftStreamSink(spark, new SnapshotTable(spark, root, partCols))
+    new GraftStreamSink(spark, GraftDataSource.openTable(spark, root, parameters))
   }
 
   // ---- streaming source (`spark.readStream.format("graft")`): the
@@ -155,8 +155,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       val spark = sqlContext.sparkSession
       val root = parameters.getOrElse("path",
         sys.error("readStream.format(\"graft\") needs a path: .load(<table root>)"))
-      val t = new SnapshotTable(spark, root,
-        GraftDataSource.resolvePartCols(spark, root, parameters))
+      val t = GraftDataSource.openTable(spark, root, parameters)
       t.readVersion(t.currentVersion.getOrElse(sys.error(
         s"no snapshot at $root — the streaming source needs an existing " +
           "table (commit an initial version first)"))).schema
@@ -169,7 +168,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val root = parameters.getOrElse("path",
       sys.error("readStream.format(\"graft\") needs a path: .load(<table root>)"))
     val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
-    val t = new SnapshotTable(spark, root, partCols)
+    val t = GraftDataSource.openTable(spark, root, parameters)
     val cur = t.currentVersion.getOrElse(sys.error(
       s"no snapshot at $root — the streaming source needs an existing table"))
     require(!(parameters.contains("startingVersion") &&
@@ -240,7 +239,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       "versionAsOf/timestampAsOf/tag/metadata/changelogFrom/incrementalFrom " +
         "are read options — history is written by committing, not by " +
         "writing into a version")
-    val t = new SnapshotTable(spark, root, partCols)
+    val t = GraftDataSource.openTable(spark, root, parameters)
     val exists = t.currentVersion.isDefined
     (mode, parameters.get("branch")) match {
       case (Append, Some(b)) =>
@@ -277,7 +276,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val root = parameters.getOrElse("path",
       sys.error("format(\"graft\") needs a path: .load(<table root>)"))
     val partCols = GraftDataSource.resolvePartCols(spark, root, parameters)
-    val t = new SnapshotTable(spark, root, partCols)
+    val t = GraftDataSource.openTable(spark, root, parameters)
     // metadata tables (Iceberg's tbl.history/refs idea as an option):
     // introspection frames served through the general relation — tiny,
     // driver-built, no file scan
@@ -489,6 +488,28 @@ object GraftDataSource {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .orElse(SnapshotTable.storedPartCols(spark, root))
       .getOrElse(Seq("year", "month"))
+
+  /** Open the table behind `root` under the options — the ONE
+    * construction seam for every format/catalog path: partition columns
+    * resolved as [[resolvePartCols]], and a `pointer` option selects a
+    * NAMED conditional-write store from [[graft.write.GraftStores]]
+    * (the CAS commit-arbitration mode for object stores; an
+    * unregistered name refuses with the registration hook named). The
+    * option rides `CREATE TABLE ... USING graft OPTIONS (path ...,
+    * pointer 'name')` storage properties, so SQL verbs, format
+    * reads/writes, and both streaming edges all arbitrate through the
+    * same store. */
+  private[graft] def openTable(spark: SparkSession, root: String,
+                               parameters: Map[String, String]): SnapshotTable = {
+    val pointer = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("pointer") => v
+    }.map(n => graft.write.GraftStores.resolve(n).getOrElse(sys.error(
+      s"no ConditionalStore registered under '$n' — register the " +
+        "deployment's catalog-backed store at startup " +
+        s"(graft.write.GraftStores.register(\"$n\", store))")))
+    new SnapshotTable(spark, root, resolvePartCols(spark, root, parameters),
+      pointer)
+  }
 
   /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
     * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss[.f]`

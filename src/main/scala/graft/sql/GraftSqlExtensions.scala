@@ -120,13 +120,14 @@ object GraftSqlSupport {
     }.orElse(ct.storage.locationUri.map(u => new Path(u).toString))
       .getOrElse(sys.error(s"graft table ${ct.identifier} records no path"))
 
-  /** Open the [[SnapshotTable]] behind a catalog entry, partition
-    * columns discovered exactly as the read format discovers them. */
-  def tableFor(session: SparkSession, ct: CatalogTable): SnapshotTable = {
-    val root = rootOf(ct)
-    new SnapshotTable(session, root,
-      GraftDataSource.resolvePartCols(session, root, ct.storage.properties))
-  }
+  /** Open the [[SnapshotTable]] behind a catalog entry — partition
+    * columns AND the optional named `pointer` store discovered exactly
+    * as the read format discovers them (one construction seam:
+    * [[GraftDataSource.openTable]]), so a CAS-mode table declared with
+    * `OPTIONS (path ..., pointer 'name')` arbitrates through its store
+    * from every SQL verb. */
+  def tableFor(session: SparkSession, ct: CatalogTable): SnapshotTable =
+    GraftDataSource.openTable(session, rootOf(ct), ct.storage.properties)
 
   /** Rebuild an analyzer expression as a by-name [[Column]] that
     * re-resolves against the table's own read frame: resolved

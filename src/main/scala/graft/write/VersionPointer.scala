@@ -180,6 +180,25 @@ object InMemoryConditionalStore {
     new InMemoryConditionalStore(name)
 }
 
+/** Process-wide registry of NAMED [[ConditionalStore]]s — how the
+  * SQL/catalog/format surface reaches CAS-mode tables: a store
+  * implementation cannot ride a string option, so a deployment
+  * registers its catalog-backed store once at session startup
+  * (`GraftStores.register("prod", myStore)`) and tables name it —
+  * `CREATE TABLE t USING graft OPTIONS (path '...', pointer 'prod')`
+  * or `.option("pointer", "prod")` on any format read/write/stream.
+  * Every SQL verb (SELECT, DML, maintenance) then arbitrates through
+  * the store exactly as the Scala constructor seam does. An
+  * unregistered name refuses loudly at open. */
+object GraftStores {
+  private val stores =
+    scala.collection.concurrent.TrieMap.empty[String, ConditionalStore]
+  def register(name: String, store: ConditionalStore): Unit =
+    stores(name) = store
+  def resolve(name: String): Option[ConditionalStore] = stores.get(name)
+  def unregister(name: String): Unit = { stores.remove(name); () }
+}
+
 /** Conditional-write arbitration: the commit point is a CAS on the
   * pointer value `"<version>|<manifestFile>"`; manifests are
   * attempt-unique files chained by a `parentfile=` line (see the trait

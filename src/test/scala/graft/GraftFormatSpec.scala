@@ -612,4 +612,38 @@ class GraftFormatSpec extends AnyFunSuite {
       assert(spark.sql("SELECT count(*) AS n FROM graft_fmt_sql").head().getLong(0) == 3)
     } finally spark.sql("DROP TABLE IF EXISTS graft_fmt_sql")
   }
+
+  test("CAS-mode tables reach the format and SQL through a registered pointer store") {
+    import graft.write.{GraftStores, InMemoryConditionalStore}
+    val root = freshRoot("fmt_cas")
+    val store = InMemoryConditionalStore(s"fmt_cas_$root")
+    GraftStores.register("fmt_cas_test", store)
+    spark.sql("DROP TABLE IF EXISTS graft_fmt_cas")
+    try {
+      val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+      t.commitOverwrite(frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+      // format read arbitrates through the named store
+      val df = spark.read.format("graft").option("pointer", "fmt_cas_test").load(root)
+      assert(state(df) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+      // catalog table: the pointer option rides storage properties, so
+      // every SQL verb opens the table in CAS mode
+      spark.sql(s"CREATE TABLE graft_fmt_cas USING graft " +
+        s"OPTIONS (path '$root', pointer 'fmt_cas_test')")
+      assert(spark.table("graft_fmt_cas").count() == 2)
+      spark.sql("INSERT INTO graft_fmt_cas BY NAME " +
+        "SELECT 3 AS id, 3.0 AS fare, 2024 AS year, 3 AS month")
+      assert(t.currentVersion.contains(2), "SQL INSERT must commit via the CAS store")
+      assert(spark.table("graft_fmt_cas").count() == 3)
+      spark.sql("DELETE FROM graft_fmt_cas WHERE id = 1")
+      assert(t.currentVersion.contains(3))
+      assert(state(t.read()).map(_._1) == Set(2, 3))
+      // an unregistered store name refuses with the registration hook
+      val e = intercept[Exception] {
+        spark.read.format("graft").option("pointer", "nope").load(root) }
+      assert(e.getMessage.contains("GraftStores.register"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_fmt_cas")
+      GraftStores.unregister("fmt_cas_test")
+    }
+  }
 }
