@@ -477,16 +477,29 @@ object GraftDataSource {
     }))
   }
 
+  /** The named [[graft.write.ConditionalStore]] a `pointer` option
+    * selects, resolved from [[graft.write.GraftStores]]; an
+    * unregistered name refuses with the registration hook named. */
+  private[graft] def resolveStore(parameters: Map[String, String]): Option[graft.write.ConditionalStore] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("pointer") => v
+    }.map(n => graft.write.GraftStores.resolve(n).getOrElse(sys.error(
+      s"no ConditionalStore registered under '$n' — register the " +
+        "deployment's catalog-backed store at startup " +
+        s"(graft.write.GraftStores.register(\"$n\", store))")))
+
   /** Partition-column resolution: an explicit `partcols` option wins
     * (validated against the manifest by the table itself — a mismatch is
     * a loud parse error), else the columns RECORDED in the table's
-    * current manifest, else the `year,month` default for a fresh table.
+    * current manifest (resolved through the table's store for CAS-mode
+    * tables — their head manifest is named by the pointer value, not a
+    * CURRENT file), else the `year,month` default for a fresh table.
     * This is why reading an existing table needs no layout knowledge. */
   private[graft] def resolvePartCols(spark: SparkSession, root: String,
                                        parameters: Map[String, String]): Seq[String] =
     parameters.get("partcols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .orElse(SnapshotTable.storedPartCols(spark, root))
+      .orElse(SnapshotTable.storedPartCols(spark, root, resolveStore(parameters)))
       .getOrElse(Seq("year", "month"))
 
   /** Open the table behind `root` under the options — the ONE
@@ -500,16 +513,9 @@ object GraftDataSource {
     * reads/writes, and both streaming edges all arbitrate through the
     * same store. */
   private[graft] def openTable(spark: SparkSession, root: String,
-                               parameters: Map[String, String]): SnapshotTable = {
-    val pointer = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("pointer") => v
-    }.map(n => graft.write.GraftStores.resolve(n).getOrElse(sys.error(
-      s"no ConditionalStore registered under '$n' — register the " +
-        "deployment's catalog-backed store at startup " +
-        s"(graft.write.GraftStores.register(\"$n\", store))")))
+                               parameters: Map[String, String]): SnapshotTable =
     new SnapshotTable(spark, root, resolvePartCols(spark, root, parameters),
-      pointer)
-  }
+      resolveStore(parameters))
 
   /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
     * (`2026-08-14T12:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss[.f]`

@@ -299,6 +299,16 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** The live version, if the table exists. */
   def currentVersion: Option[Int] = vp.currentVersion()
 
+  /** Diagnostics (CAS mode): full parentfile-chain walks performed by
+    * this handle — each is O(retained versions) metadata reads, so the
+    * memoization contract ("one walk per head move, not per call") is
+    * what keeps history()/metadata tables cheap at streaming commit
+    * rates. 0 in Fs mode (fixed names need no walk). */
+  private[graft] def chainWalkCount: Int = vp match {
+    case c: CasVersionPointer => c.chainWalks
+    case _ => 0
+  }
+
   // ---- commits ----
 
   /** Version prefix for human debugging + a uuid suffix so two RACING
@@ -1849,25 +1859,30 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
-  // retained through expire like Iceberg's ref-aware expire_snapshots ----
+  // retained through expire like Iceberg's ref-aware expire_snapshots.
+  // Storage and arbitration live in the version pointer: TAG_ files
+  // under create-exclusive in Fs mode, ref lines of the pointer value
+  // under CAS in conditional-store mode — refs follow the commit point
+  // onto the catalog, exactly where Iceberg keeps them (a CAS
+  // deployment exists because the store has no create-exclusive, so a
+  // ref FILE there would be the unsafe primitive the mode removes). ----
 
-  private def tagPath(name: String) = {
+  private def tagRef(name: String): String = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"tag name must be [A-Za-z0-9_]+: '$name'")
-    new Path(manifestDir, s"TAG_$name")
+    s"tag/$name"
   }
 
   /** Pin `name` to an existing version. Tags are IMMUTABLE (re-tagging
-    * an existing name fails — create-exclusive, same primitive as the
-    * commit point); [[expire]] retains tagged versions. */
+    * an existing name fails — single-winner create, same authority as
+    * the commit point); [[expire]] retains tagged versions. */
   def tag(name: String, v: Int): Unit = {
     parse(v) // must exist
-    // atomic-with-content + exclusive, same primitive as the commit
-    // point; only the already-exists outcome means an immutability
-    // violation — a genuine I/O failure propagates as itself from
-    // inside the publish, never masquerading as "tag exists"
-    if (!graft.util.AtomicFlip.publishExclusive(fs, tagPath(name),
-        v.toString.getBytes("UTF-8")))
+    // single-winner create through the pointer's arbiter; only the
+    // already-exists outcome means an immutability violation — a
+    // genuine I/O failure propagates as itself from inside the create,
+    // never masquerading as "tag exists"
+    if (!vp.refCreate(tagRef(name), v.toString))
       throw new IllegalArgumentException(
         s"tag '$name' already exists (tags are immutable; pick a new name)")
   }
@@ -1880,18 +1895,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * through [[tag]]'s create-exclusive like any other). No-op if the
     * tag does not exist (idempotent, like DROP ... IF EXISTS). */
   def dropTag(name: String): Unit =
-    fs.delete(tagPath(name), false)
+    vp.refDrop(tagRef(name))
 
   /** The version a tag pins, if the tag exists. */
-  def resolveTag(name: String): Option[Int] = {
-    val p = tagPath(name)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
+  def resolveTag(name: String): Option[Int] =
+    vp.refGet(tagRef(name)).map(_.trim.toInt)
 
   /** Time travel by name. */
   def readTag(name: String): DataFrame =
@@ -1900,11 +1908,8 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   /** All tags, (name, version), sorted by name. */
   def tags: Seq[(String, Int)] =
-    if (!fs.exists(manifestDir)) Seq.empty
-    else fs.listStatus(manifestDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("TAG_") => n.stripPrefix("TAG_") }
-      .sorted.toSeq
-      .flatMap(n => resolveTag(n).map(n -> _))
+    vp.refList().collect { case (n, v) if n.startsWith("tag/") =>
+      (n.stripPrefix("tag/"), v.trim.toInt) }.sortBy(_._1)
 
   // ---- branches (Iceberg branch refs): MOVABLE named lineages over
   // the same immutable data dirs — the complement of tags (immutable
@@ -1920,81 +1925,31 @@ class SnapshotTable(spark: SparkSession, root: String,
   // (`spark.wap.branch`): stage a whole multi-commit load on a branch,
   // audit readBranch, publish or drop. Maintenance ([[expire]],
   // [[vacuum]], [[purge]], [[fsck]]) treats branch-referenced dirs as
-  // live. ----
+  // live. Storage and arbitration live in the version pointer (same
+  // seam as tags): numbered create-exclusive files in Fs mode;
+  // attempt-unique chained manifests with a CAS'd `branch/<name>` ref
+  // in conditional-store mode. ----
 
-  private def branchPrefix(name: String): String = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
-      s"branch name must be [A-Za-z0-9_]+: '$name'")
-    s"bv_${name}_"
-  }
-
-  private def branchManifestPath(name: String, bv: Int) =
-    new Path(manifestDir, f"${branchPrefix(name)}$bv%05d.txt")
-
-  /** The version suffix of a branch manifest name, iff the remainder
-    * after the prefix is EXACTLY an all-digit version token of >= 5
-    * digits — branch names allow digits and underscores, so `bv_daily_`
-    * is a string-prefix of `bv_daily_v2_`'s manifests; a bare
-    * startsWith match would hand `branchVersions("daily")` the token
-    * `v2_00001` and throw from every maintenance op on the table
-    * (vacuum/expire/purge/fsck all walk every branch). The strict-shape
-    * parse makes prefix-related names coexist, and it stays unambiguous
-    * against a LONGER branch name sharing the prefix: that name's
-    * manifests carry an extra `_NNNNN` token, so their suffix contains
-    * an underscore and never parses as all digits. `>= 5` (not `== 5`)
-    * because `f"%05d"` PADS to five digits but renders six at branch
-    * version 100000 — an exact-5 parse would publish that manifest and
-    * then never see it again, wedging the branch head at 99999 with
-    * every later commit hitting the existing 100000 file. */
-  private def branchVersionOf(pre: String, fileName: String): Option[Int] =
-    if (!(fileName.startsWith(pre) && fileName.endsWith(".txt"))) None
-    else {
-      val suffix = fileName.stripPrefix(pre).stripSuffix(".txt")
-      if (suffix.length >= 5 && suffix.forall(_.isDigit)) Some(suffix.toInt)
-      else None // a longer branch name sharing this prefix — not ours
-    }
-
-  private def branchVersions(name: String): Seq[Int] = {
-    val pre = branchPrefix(name)
-    if (!fs.exists(manifestDir)) Seq.empty
-    else fs.listStatus(manifestDir).map(_.getPath.getName)
-      .flatMap(branchVersionOf(pre, _))
-      .sorted.toSeq
-  }
+  private def branchVersions(name: String): Seq[Int] = vp.branchVersions(name)
 
   private def parseBranch(name: String, bv: Int): Manifest =
-    parseAt(branchManifestPath(name, bv), s"$name@$bv")
+    parseAt(vp.branchManifestPath(name, bv), s"$name@$bv")
 
   /** All branches, (name, head branch-version), sorted by name. */
   def branches: Seq[(String, Int)] =
-    if (!fs.exists(manifestDir)) Seq.empty
-    else fs.listStatus(manifestDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("bv_") && n.endsWith(".txt") =>
-        n.stripPrefix("bv_").stripSuffix(".txt") }
-      .flatMap { rest =>
-        // name = everything before the trailing _NNNNN version token
-        // (names may themselves contain underscores and digits);
-        // >= 5 digits for the same 100000-rollover reason as
-        // branchVersionOf
-        val i = rest.lastIndexOf('_')
-        if (i <= 0 || rest.length - i - 1 < 5 ||
-            !rest.drop(i + 1).forall(_.isDigit)) None
-        else Some(rest.substring(0, i))
-      }
-      .distinct.sorted.toSeq
-      .flatMap(n => branchHead(n).map(n -> _))
+    vp.branchList().flatMap(n => branchHead(n).map(n -> _))
 
   /** Fork a branch from main version `fromV`. Exactly one of N
-    * concurrent creators wins (atomic-with-content exclusive publish —
-    * the tag primitive); the fork point is recorded in the first branch
-    * manifest's op. */
+    * concurrent creators wins (single-winner publish through the
+    * pointer's arbiter — the tag primitive); the fork point is
+    * recorded in the first branch manifest's op. */
   def createBranch(name: String, fromV: Int): Unit = {
     val m = parse(fromV) // must exist
     // the fork carries the fork point's schema metadata (column
     // mapping, constraints, properties), so a branch read folds old
     // dirs exactly as a main read of the fork version would — without
     // it a branch forked after a rename would surface PHYSICAL names
-    if (!graft.util.AtomicFlip.publishExclusive(fs, branchManifestPath(name, 1),
+    if (!vp.publishBranch(name, 1,
         render(Manifest(1, 0, s"branch_from_$fromV", m.entries, m.deletes,
           m.predDeletes, ts = System.currentTimeMillis(),
           partColsLine = partCols, constraints = m.constraints,
@@ -2005,7 +1960,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   }
 
   /** The branch's head (its newest branch-version), if it exists. */
-  def branchHead(name: String): Option[Int] = branchVersions(name).maxOption
+  def branchHead(name: String): Option[Int] = vp.branchHead(name)
 
   /** The branch's current state. */
   def readBranch(name: String): DataFrame = {
@@ -2025,8 +1980,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       .getOrElse(sys.error(s"no branch '$name' at $root"))
     val pm = parseBranch(name, head)
     val next = head + 1
-    if (!graft.util.AtomicFlip.publishExclusive(fs,
-        branchManifestPath(name, next),
+    if (!vp.publishBranch(name, next,
         render(Manifest(next, head, op,
           build(pm, next).map(e =>
             if (e.era >= 0) e else e.copy(era = pm.colOps.length)),
@@ -2146,12 +2100,11 @@ class SnapshotTable(spark: SparkSession, root: String,
       colOpsOverride = Some(bm.colOps),
       propertiesOverride = Some(bm.properties))
     // advance the fork point: same entries, marker op — a reader of the
-    // branch sees identical state, and the marker's create-exclusive
+    // branch sees identical state, and the marker's single-winner
     // publish is best-effort (a concurrent branch commit winning the
     // slot leaves the old fork point, which only REFUSES more — the
     // racing commit's rows were not in what main just received)
-    graft.util.AtomicFlip.publishExclusive(fs,
-      branchManifestPath(name, head + 1),
+    vp.publishBranch(name, head + 1,
       render(Manifest(head + 1, head, s"rebased_to_$newMain", bm.entries,
         bm.deletes, bm.predDeletes, ts = System.currentTimeMillis(),
         partColsLine = partCols, constraints = bm.constraints,
@@ -2161,9 +2114,7 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   /** Delete a branch's manifests. Its unpublished data dirs become
     * unreferenced debris that [[vacuum]] collects. */
-  def dropBranch(name: String): Unit =
-    branchVersions(name).foreach(bv =>
-      fs.delete(branchManifestPath(name, bv), false))
+  def dropBranch(name: String): Unit = vp.dropBranch(name)
 
   /** Every data dir referenced by any branch manifest — maintenance
     * must treat these as live. */
@@ -2428,7 +2379,20 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
     val versions = history.map(_._1)
     val cur = currentVersion.getOrElse(return)
-    val keep = keepBase + cur ++ tags.map(_._2)
+    val keep0 = keepBase + cur ++ tags.map(_._2)
+    // CAS mode resolves version → manifest file by walking the head's
+    // parentfile chain, so retention must stay CONTIGUOUS from the head
+    // down: expiring a MIDDLE version (possible when a tag pins
+    // something older than the window) would strand every version below
+    // the gap — the tag's "stays readable" promise silently broken, and
+    // the orphan sweep would then collect the stranded manifests and
+    // dirs as debris. A tag pinning an old version therefore pins
+    // everything newer too (storage cost, never a correctness gap); Fs
+    // mode resolves by fixed names and keeps the sparse retention.
+    val keep =
+      if (pointer.isDefined && keep0.nonEmpty)
+        keep0 ++ versions.filter(_ >= keep0.min)
+      else keep0
     val dead = versions.filterNot(keep)
     // branch-referenced dirs are LIVE regardless of main retention — a
     // branch is a promise its state stays readable until dropped
@@ -2748,19 +2712,20 @@ class SnapshotTable(spark: SparkSession, root: String,
           spark, dst.toString, c, statsPath(purged, c).toString))
       dir -> purged
     }.toMap
-    manifests.foreach { m =>
-      val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
-      // one atomic overwrite-rename per manifest: a reader racing the
-      // purge sees each version's old or new manifest in full, never a
-      // missing/torn one (same primitive as the CURRENT flip). The
-      // pointer preserves the manifest's chain identity in CAS mode.
-      vp.rewrite(m.version, render(swapped).getBytes("UTF-8"))
-    }
-    branchMs.foreach { case (n, bv, m) =>
-      val swapped = m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir))))
-      graft.util.AtomicFlip.writeAtomic(fs,
-        spark.sparkContext.hadoopConfiguration, branchManifestPath(n, bv),
-        render(swapped).getBytes("UTF-8"))
+    // swap every retained manifest's entry dirs in one bulk rewrite per
+    // lineage: Fs mode does one atomic overwrite-rename per manifest (a
+    // reader racing the purge sees each version's old or new manifest
+    // in full, never a missing/torn one); CAS mode rebuilds each chain
+    // copy-on-write under fresh attempt-unique names and swaps with ONE
+    // CAS — in-place overwrites have no atomic primitive on the object
+    // stores CAS mode serves, so a racing reader could otherwise
+    // observe a missing manifest and a crash mid-write could lose one.
+    def swapDirs(m: Manifest): Array[Byte] =
+      render(m.copy(entries = m.entries.map(e => e.copy(dir = mapping(e.dir)))))
+        .getBytes("UTF-8")
+    vp.rewriteAll(manifests.map(m => m.version -> swapDirs(m)).toMap)
+    branchMs.groupBy(_._1).foreach { case (n, ms) =>
+      vp.rewriteBranchAll(n, ms.map { case (_, bv, m) => bv -> swapDirs(m) }.toMap)
     }
     dirs.foreach { d =>
       fs.delete(new Path(dataDir, d), true)
@@ -3028,10 +2993,15 @@ object SnapshotTable {
     * reader that doesn't know the layout (the `graft` DataSource
     * format) discovers it before constructing a handle. None when the
     * table doesn't exist yet or its head predates the line. Two
-    * metadata-file reads, no table construction (constructing with
-    * guessed columns is exactly the mismatch this exists to avoid). */
+    * metadata reads, no table construction (constructing with guessed
+    * columns is exactly the mismatch this exists to avoid). Pass the
+    * table's [[ConditionalStore]] for a CAS-mode table — there the head
+    * manifest's name lives in the store's pointer value, not in a
+    * CURRENT file (without it, discovery would silently miss and the
+    * caller would fall back to guessed columns). */
   def storedPartCols(spark: org.apache.spark.sql.SparkSession,
-                     root: String): Option[Seq[String]] = {
+                     root: String,
+                     store: Option[ConditionalStore] = None): Option[Seq[String]] = {
     val manifestDir = new Path(root, "_manifests")
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3042,9 +3012,20 @@ object SnapshotTable {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       }
+    val headManifest: Option[String] = store match {
+      case Some(st) =>
+        // CAS pointer value's first line is "<version>|<manifestFile>"
+        st.get().map(_.takeWhile(_ != '\n')).flatMap { line =>
+          val bar = line.indexOf('|')
+          if (bar > 0) Some(line.substring(bar + 1)) else None
+        }
+      case None =>
+        readAll(new Path(manifestDir, "CURRENT")).map(_.trim.toInt)
+          .map(cur => f"v$cur%05d.txt")
+    }
     for {
-      cur <- readAll(new Path(manifestDir, "CURRENT")).map(_.trim.toInt)
-      text <- readAll(new Path(manifestDir, f"v$cur%05d.txt"))
+      name <- headManifest
+      text <- readAll(new Path(manifestDir, name))
       line <- text.linesIterator.find(_.startsWith("partcols="))
     } yield line.stripPrefix("partcols=")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq

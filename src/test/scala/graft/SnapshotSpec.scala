@@ -1070,6 +1070,162 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty)
   }
 
+  test("CAS mode: tags and branches arbitrate through the store — racing creators, one winner each") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas_refs")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    // racing tag creates: refs live in the pointer value, so the
+    // store's CAS — not filesystem create-exclusive — picks the winner
+    // (the round-14 gap: ref FILES would be the unsafe primitive on
+    // exactly the object stores CAS mode exists for)
+    val tagLosses = new java.util.concurrent.atomic.AtomicInteger
+    val tagThreads = (1 to 2).map { _ =>
+      new Thread(() => {
+        val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+        try h.tag("baseline", 1)
+        catch { case _: IllegalArgumentException => tagLosses.incrementAndGet(); () }
+      })
+    }
+    tagThreads.foreach(_.start()); tagThreads.foreach(_.join())
+    assert(tagLosses.get == 1, "exactly one racing tag creator must lose")
+    assert(t.tags == Seq("baseline" -> 1))
+    // zero ref FILES on disk — the refs are lines of the store value
+    val mdir = new Path(root, "_manifests")
+    assert(!fs(root).listStatus(mdir).exists(_.getPath.getName.startsWith("TAG_")))
+    // racing branch commits on one branch: single winner through the
+    // same CAS; the loser sees SnapshotConflictException and can retry
+    t.createBranch("dev", 2)
+    intercept[IllegalArgumentException] { t.createBranch("dev", 1) }
+    val branchLosses = new java.util.concurrent.atomic.AtomicInteger
+    val bThreads = Seq(10, 11).map { id =>
+      new Thread(() => {
+        val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+        try { h.commitAppendToBranch("dev", frame((id, 2024, 3, id * 1.0))); () }
+        catch { case _: SnapshotConflictException =>
+          branchLosses.incrementAndGet(); () }
+      })
+    }
+    bThreads.foreach(_.start()); bThreads.foreach(_.join())
+    assert(branchLosses.get == 1, "exactly one racing branch committer must lose")
+    assert(t.branchHead("dev").contains(2))
+    val branchIds = state(t.readBranch("dev")).map(_._1)
+    assert(branchIds.size == 3 && branchIds.contains(1) && branchIds.contains(2))
+    // main untouched; fast-forward publishes the branch state onto main
+    assert(state(t.read()).map(_._1) == Set(1, 2))
+    t.fastForward("dev")
+    assert(state(t.read()).map(_._1) == branchIds)
+    t.dropBranch("dev")
+    assert(t.branches.isEmpty)
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+    // a crashed branch-attempt manifest (CAS loser that died before
+    // cleanup) is vacuum debris; the live chain survives the sweep
+    val debris = new Path(mdir, "bv_dev_00009_deadbeef.txt")
+    val out = fs(root).create(debris, false)
+    try out.write("junk".getBytes("UTF-8")) finally out.close()
+    t.vacuum(olderThanMs = 0L)
+    assert(!fs(root).exists(debris), "branch attempt debris not swept")
+    assert(t.history.map(_._1) == Seq(1, 2, 3))
+  }
+
+  test("CAS mode: a tag pins contiguous retention; expire/vacuum never strand it") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas_tagexp")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    (1 to 4).foreach(i => t.commitAppend(frame((i, 2024, i, i * 1.0))))
+    t.tag("keepme", 1)
+    // version→file resolution walks the head's parentfile chain, so a
+    // mid-chain gap would strand the tagged version (and the orphan
+    // sweep would then destroy its manifest and dirs as debris — the
+    // round-14 silent-destruction hazard). Expire therefore keeps CAS
+    // retention CONTIGUOUS: the tag on v1 pins v2..v4 too.
+    t.expire(keepLast = 1, olderThanMs = 0L)
+    assert(t.history.map(_._1) == Seq(1, 2, 3, 4),
+      "tag on v1 must pin the whole chain above it in CAS mode")
+    t.vacuum(olderThanMs = 0L)
+    assert(state(t.readTag("keepme")) == Set((1, 2024, 1, 1.0)),
+      "tagged snapshot destroyed by routine maintenance")
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+    // dropping the tag releases the pin: the next expire reclaims the
+    // tail and the chain stays contiguous from the head
+    t.dropTag("keepme")
+    t.expire(keepLast = 2, olderThanMs = 0L)
+    assert(t.history.map(_._1) == Seq(3, 4))
+    t.vacuum(olderThanMs = 0L)
+    assert(state(t.read()).map(_._1) == Set(1, 2, 3, 4), "live state lost")
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
+  test("CAS mode: purge relinks the manifest chain copy-on-write, one head CAS") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas_purge")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 99.0)))
+    t.commitAppend(frame((3, 2024, 3, 30.0)))
+    t.tag("pre", 1)
+    val mdir = new Path(root, "_manifests")
+    val before = fs(root).listStatus(mdir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+_[0-9a-f]{8}\\.txt")).toSet
+    assert(t.purge(col("fare") === 99.0) == 2)
+    // in-place overwrite has no atomic primitive on object stores, so
+    // the purge rebuilt the chain under FRESH attempt-unique names and
+    // swapped the head with one CAS; every pre-purge manifest file is
+    // gone, history and refs are intact, and all versions read purged
+    val after = fs(root).listStatus(mdir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+_[0-9a-f]{8}\\.txt")).toSet
+    assert(after.intersect(before).isEmpty,
+      s"purge overwrote manifests in place: ${after.intersect(before)}")
+    assert(after.size == 2, s"chain not fully relinked: $after")
+    assert(t.history.map(h => (h._1, h._3)) == Seq((1, 0), (2, 1)))
+    assert(state(t.readVersion(1)) == Set((1, 2024, 1, 10.0)))
+    assert(state(t.readVersion(2)) == Set((1, 2024, 1, 10.0), (3, 2024, 3, 30.0)))
+    assert(t.resolveTag("pre").contains(1))
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
+  test("CAS mode: chain walks are memoized per head move; partcols self-discover via the store") {
+    import graft.write.{GraftStores, InMemoryConditionalStore}
+    val root = freshRoot("snap_cas_memo")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    // NON-default partition layout: the format read below must discover
+    // it from the store-resolved head manifest (no CURRENT file exists
+    // in CAS mode — round 14's silent year,month fallback)
+    val t = new SnapshotTable(spark, root, Seq("year"), Some(store))
+    import spark.implicits._
+    (1 to 5).foreach(i => t.commitAppend(
+      Seq((i, 2020 + i, i * 1.0)).toDF("id", "year", "fare")))
+    val walksAfterCommits = t.chainWalkCount
+    // a metadata-heavy read burst re-walks NOTHING while the head is
+    // still: history(), versions, time travel, detail — one cached map
+    t.history; t.history
+    (1 to 5).foreach(v => t.readVersion(v).count())
+    t.detail
+    assert(t.chainWalkCount <= walksAfterCommits + 1,
+      s"chain re-walked per call: ${t.chainWalkCount} walks after burst, " +
+        s"$walksAfterCommits after commits")
+    // a head move invalidates exactly once
+    t.commitAppend(Seq((9, 2029, 9.0)).toDF("id", "year", "fare"))
+    t.history
+    val afterMove = t.chainWalkCount
+    t.history; t.readVersion(6).count()
+    assert(t.chainWalkCount == afterMove, "quiet head re-walked")
+    // partcols discovery through the registered store: no partcols
+    // option, non-default layout — must come back Seq(year)
+    GraftStores.register("memo_store", store)
+    try {
+      val got = spark.read.format("graft")
+        .option("pointer", "memo_store").load(root)
+      assert(got.count() == 6)
+      assert(got.filter(col("year") === 2021).count() == 1)
+      assert(graft.write.SnapshotTable.storedPartCols(spark, root, Some(store))
+        .contains(Seq("year")))
+    } finally GraftStores.unregister("memo_store")
+  }
+
   test("row-count sidecars materialize lazily, exact across write shapes") {
     // round 13 summed the just-written parquet footers SERIALLY ON THE
     // DRIVER inside every commit (O(files-per-commit) driver round
