@@ -549,6 +549,49 @@ object TaxiEntries {
       }.reduce(_.unionByName(_))
         .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
     },
+    // CONDITIONAL-WRITE (CAS) commit arbitration, end to end: the same
+    // load → corrupting-overwrite → rollback lineage as
+    // taxi_snapshot_rollback, but every commit, the tag, expire, and
+    // the format reads arbitrate through a ConditionalStore pointer —
+    // the Iceberg-catalog deployment shape the reference actually runs
+    // (warehouse bytes on MinIO/S3, pointer in a catalog:
+    // trino/catalog/iceberg.properties:13-14). No CURRENT file exists;
+    // version→manifest resolution walks the store-headed parentfile
+    // chain, partition columns self-discover through the store, and
+    // the tag pins CONTIGUOUS retention (expire keeps the whole chain
+    // above the pinned version — a mid-chain gap would strand it).
+    // Racing-writer arbitration, ref CAS, purge relink, and chain
+    // memoization are pinned in SnapshotSpec; this grades the
+    // read-your-lineage result against the same oracle as the Fs-mode
+    // twin — the arbitration seam must be invisible to results.
+    "taxi_snapshot_cas" -> q { (s, d) =>
+      val root = tmpPath("snapcas", d, s)
+      // fresh store CELL per run (the in-memory store is process-wide
+      // by name, but tmpPath just deleted the table dir)
+      val store = graft.write.InMemoryConditionalStore(
+        "cas_" + root + "_" + java.util.UUID.randomUUID.toString.take(8))
+      graft.write.GraftStores.register("taxi_cas_entry", store)
+      val t = new graft.write.SnapshotTable(s, root, Seq("year", "month"), Some(store))
+      val stg = models(s, d).stgYellow.drop("loaded_at")
+      val v1 = t.commitOverwrite(stg)
+      val bad = stg.filter(col("month").isin(6, 7))
+        .withColumn("fare_amount", coalesce(col("fare_amount") * lit(-100), lit(-1.0)))
+      val v2 = t.commitOverwritePartitions(bad)
+      t.tag("good", v1)
+      val v3 = t.rollbackTo(v1)
+      t.expire(keepLast = 1, olderThanMs = 0L)
+      require(t.history.map(_._1) == Seq(v1, v2, v3),
+        s"CAS contiguous retention broke: ${t.history}")
+      Seq(v1, v2, v3).map { v =>
+        s.read.format("graft").option("pointer", "taxi_cas_entry")
+          .option("versionAsOf", v).load(root)
+          .groupBy(col("year"), col("month"))
+          .agg(count(lit(1)).as("n"),
+            graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
+          .withColumn("version", lit(v).cast("int"))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("year"), col("month"), col("n"), col("fare_sum"))
+    },
     // Row-level DELETE as one commit (DELETE FROM t WHERE fare > 400 —
     // the Iceberg row-delete capability): copy-on-write scoped to the
     // touched partitions, with whole-partition matches handled as pure
@@ -1351,6 +1394,20 @@ object TaxiEntries {
          |    UNION ALL SELECT * FROM batch)
          |SELECT year, month, count(*) AS n, ${rndSum("fare_amount", 2)} AS fare_sum
          |FROM result GROUP BY 1, 2""".stripMargin),
+    // the CAS arbitration seam must be invisible to results: same
+    // lineage, same oracle as taxi_snapshot_rollback
+    "taxi_snapshot_cas" -> o(
+      s""", agg AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("fare_amount", 2)} AS fare_sum
+         |        FROM stg_yellow GROUP BY 1, 2),
+         |  bad AS (SELECT year, month, count(*) AS n,
+         |          ${rndSum("coalesce(fare_amount * -100, -1.0)", 2)} AS fare_sum
+         |        FROM stg_yellow WHERE month IN (6, 7) GROUP BY 1, 2),
+         |  v2 AS (SELECT * FROM agg WHERE month NOT IN (6, 7)
+         |         UNION ALL SELECT * FROM bad)
+         |SELECT CAST(1 AS INTEGER) AS version, * FROM agg
+         |UNION ALL SELECT CAST(2 AS INTEGER) AS version, * FROM v2
+         |UNION ALL SELECT CAST(3 AS INTEGER) AS version, * FROM agg""".stripMargin),
     // the format must serve exactly what the Scala read path serves:
     // same oracle as taxi_snapshot_rollback
     "taxi_snapshot_format" -> o(
