@@ -752,26 +752,79 @@ class SnapshotTable(spark: SparkSession, root: String,
     * carrying duplicate keys is REFUSED up front (it would silently
     * insert both rows — the same loud contract as
     * [[graft.operators.Merge.upsert]]). */
-  /** MERGE's no-duplicate-source-keys contract, enforced (SQL MERGE
-    * raises on multiple source matches; a silent double-insert is the
-    * divergence class this engine refuses elsewhere —
-    * [[graft.operators.Merge.upsert]] has the same guard). One
-    * aggregate over the batch — the broadcast-class small side of the
-    * merge by construction. */
-  private def requireUniqueKeys(batch: DataFrame, keyCols: Seq[String],
-                                op: String): Unit = {
-    val dup = batch.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"$op batch has multiple rows for key (${keyCols.mkString(", ")}) = " +
-        s"(${dup.headOption.map(r => keyCols.indices.map(r.get).mkString(", "))
-          .getOrElse("")}); deduplicate the batch first (MERGE semantics " +
-        "forbid multiple matches per key)")
+  /** MERGE's no-duplicate-source-keys contract, enforced INSIDE the
+    * merge plan (SQL MERGE raises on multiple source matches; a silent
+    * double-insert is the divergence class this engine refuses
+    * elsewhere — [[graft.operators.Merge.upsert]] has the same guard).
+    *
+    * The round-13 shape was a SEPARATE groupBy/limit(1)/collect
+    * pre-pass — a second full shuffle of the batch before every merge.
+    * Now the batch is pre-aggregated by its keys (one hash aggregation
+    * whose output partitioning the locate join immediately REUSES, so
+    * at scale the batch is shuffled exactly once) and the first key
+    * aggregation is topped by a FILTER that raises on count > 1.
+    * A Filter's condition evaluates on every row no matter what the
+    * consumer prunes (the guard cannot be projected away), and it
+    * passes the aggregation's key attributes — and therefore its hash
+    * partitioning — through UNTOUCHED, which is what lets the locate
+    * join skip its own exchange (wrapping the key column in the guard
+    * expression instead would break alias-aware partitioning
+    * propagation and re-shuffle; plan-pinned in ScaleToolsSpec). Every
+    * merge path's first executed job scans the guarded batch, so a
+    * duplicate key always surfaces before anything is written; the
+    * per-row cost of a clean batch is one `count > 1` comparison
+    * (CaseWhen evaluates the raise branch only when taken). Data
+    * columns fold with `first()` — consumed only when count == 1,
+    * where first() IS the row, so no nondeterminism escapes. */
+  private[graft] def uniqueKeyed(batch: DataFrame, keyCols: Seq[String],
+                                 op: String): DataFrame = {
+    val counter = "__graft_key_n"
+    require(!batch.columns.exists(_.equalsIgnoreCase(counter)),
+      s"batch columns may not use the reserved name '$counter'")
+    keyCols.foreach(k => require(batch.columns.exists(_.equalsIgnoreCase(k)),
+      s"$op key column '$k' is not a column of the batch " +
+        s"(${batch.columns.mkString(", ")})"))
+    val dataCols = batch.columns
+      .filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+    val aggExprs = count(lit(1)).as(counter) +:
+      dataCols.map(c => first(col(s"`$c`")).as(c)).toSeq
+    val agg = batch.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val msg = concat(
+      lit(s"$op batch has multiple rows for key (${keyCols.mkString(", ")}) = ("),
+      concat_ws(", ", keyCols.map(c => col(s"`$c`").cast("string")): _*),
+      lit("); deduplicate the batch first (MERGE semantics forbid " +
+        "multiple matches per key)"))
+    agg.filter(when(col(counter) > 1, raise_error(msg).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(batch.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
   }
 
-  def commitMerge(batch: DataFrame, keyCols: Seq[String]): Int = {
+  /** Translate the in-plan duplicate-key raise (fired inside whichever
+    * merge job first hashes the guarded batch) back into the eager
+    * contract callers pin: IllegalArgumentException with the refusal
+    * text, before anything committed. */
+  private def dupKeyTranslated[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        // deepest cause first: the raise itself, not a job-failure
+        // wrapper quoting it inside a stack dump
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).toSeq
+        msgs.reverse.find(_.contains("multiple rows for key")) match {
+          case Some(m) =>
+            val at = m.indexOf("batch has multiple rows for key")
+            val lineStart = math.max(0, m.lastIndexOf('\n', math.max(at, 0)) + 1)
+            throw new IllegalArgumentException(
+              m.substring(lineStart)
+                .replace("[USER_RAISED_EXCEPTION] ", "").trim, e)
+          case None => throw e
+        }
+    }
+
+  def commitMerge(batch0: DataFrame, keyCols: Seq[String]): Int = dupKeyTranslated {
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
-    requireUniqueKeys(batch, keyCols, "commitMerge")
+    val batch = uniqueKeyed(batch0, keyCols, "commitMerge")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val pm = parse(base)
     // prior MOR deletes carry: the rewrite materialized them only for
@@ -823,9 +876,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     * batches too). Same matched-update/unmatched-insert semantics as
     * [[commitMerge]]; results are identical — only the cost shape
     * differs. */
-  def commitMergeMor(batch: DataFrame, keyCols: Seq[String]): Int = {
+  def commitMergeMor(batch0: DataFrame, keyCols: Seq[String]): Int = dupKeyTranslated {
     require(keyCols.nonEmpty, "commitMergeMor needs at least one key column")
-    requireUniqueKeys(batch, keyCols, "commitMergeMor")
+    val batch = uniqueKeyed(batch0, keyCols, "commitMergeMor")
     // an empty batch would land an empty data dir + empty delete frame —
     // a no-op commit whose dirs fsck would flag as damage (same guard
     // shape as commitMerge's touched.nonEmpty)
@@ -835,7 +888,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val delDir = "del" + f"${base + 1}%05d" + "_" +
       java.util.UUID.randomUUID.toString.take(8)
     val keys = batch.select(keyCols.map(col): _*).distinct()
-    keys.write.parquet(new Path(dataDir, delDir).toString)
+    // the key-frame write is the FIRST job to hash the guarded batch
+    // here: if the duplicate-key raise fires mid-write, remove the
+    // half-written delete frame so the refusal leaves zero debris
+    try keys.write.parquet(new Path(dataDir, delDir).toString)
+    catch { case e: Throwable =>
+      fs.delete(new Path(dataDir, delDir), true); throw e }
     writeSchemaSidecar(delDir, keys.schema)
     commit("merge_mor",
       m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
@@ -872,13 +930,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * A merge where no clause fires anywhere is a no-op (current
     * version, no empty commit). Duplicate source keys are refused up
     * front (SQL MERGE's multiple-match error). */
-  def commitMergeGeneral(batch: DataFrame, keyCols: Seq[String],
+  def commitMergeGeneral(batch0: DataFrame, keyCols: Seq[String],
                          clauses: Seq[SnapshotTable.MergeWhen],
-                         evolveSchema: Boolean = false): Int = {
+                         evolveSchema: Boolean = false): Int = dupKeyTranslated {
     import SnapshotTable._
     require(keyCols.nonEmpty, "commitMergeGeneral needs at least one key column")
     require(clauses.nonEmpty, "commitMergeGeneral needs at least one WHEN clause")
-    requireUniqueKeys(batch, keyCols, "commitMergeGeneral")
+    val batch = uniqueKeyed(batch0, keyCols, "commitMergeGeneral")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val pm = parse(base)
     val cur = readVersion(base)
@@ -899,18 +957,49 @@ class SnapshotTable(spark: SparkSession, root: String,
       case c: WhenNotMatchedBySourceDelete => c
       case c: WhenNotMatchedBySourceUpdate => c
     }
-    (matched.collect { case WhenMatchedUpdate(sets, _) => sets } ++
-      bySource.collect { case WhenNotMatchedBySourceUpdate(sets, _) => sets } ++
-      insertCs.collect { case WhenNotMatchedInsert(sets, _) => sets }).flatten
-      .foreach { case (n, _) =>
-        require(cur.columns.exists(_.equalsIgnoreCase(n)),
-          s"MERGE SET/INSERT column '$n' is not a column of the table at $root")
-      }
+    // SET/INSERT columns not yet on the table: refused without the
+    // evolution flag; under WITH SCHEMA EVOLUTION they JOIN the schema
+    // (Delta semantics — the explicit-list counterpart of the
+    // UPDATE SET * / INSERT * paths below), added in first-appearance
+    // order with survivors reading typed NULLs.
+    val explicitSets =
+      matched.collect { case WhenMatchedUpdate(sets, _) => sets }.flatten ++
+      bySource.collect { case WhenNotMatchedBySourceUpdate(sets, _) => sets }.flatten
+    val explicitInserts =
+      insertCs.collect { case WhenNotMatchedInsert(sets, _) => sets }.flatten
+    (explicitSets ++ explicitInserts).foreach { case (n, _) =>
+      require(evolveSchema || cur.columns.exists(_.equalsIgnoreCase(n)),
+        s"MERGE SET/INSERT column '$n' is not a column of the table at " +
+          s"$root (add WITH SCHEMA EVOLUTION to create it)")
+    }
     val pref = SrcPrefix
     val src = batch.select(batch.columns.map(c =>
       col(s"`$c`").as(pref + c)).toIndexedSeq: _*)
     val joined = cur.join(src,
       keyCols.map(k => col(k) === col(pref + k)).reduce(_ && _), "left_outer")
+    // the evolving columns, first appearance wins the name's casing;
+    // each types from its FIRST assignment — SET right-hand sides
+    // resolve over the joined namespace, INSERT values over bare
+    // source names (exactly the frames they will run against)
+    val newExplicit: Seq[org.apache.spark.sql.types.StructField] =
+      (explicitSets.map(_._1) ++ explicitInserts.map(_._1))
+        .filterNot(n => cur.columns.exists(_.equalsIgnoreCase(n)))
+        .foldLeft(Vector.empty[String])((acc, n) =>
+          if (acc.exists(_.equalsIgnoreCase(n))) acc else acc :+ n)
+        .map { n =>
+          val dt = explicitSets.collectFirst {
+            case (m, v) if m.equalsIgnoreCase(n) =>
+              joined.select(v).schema.head.dataType
+          }.orElse(explicitInserts.collectFirst {
+            case (m, v) if m.equalsIgnoreCase(n) =>
+              batch.select(v).schema.head.dataType
+          }).get
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+        }
+    // the output schema: table columns, then the evolving ones
+    val outFields = cur.schema.fields ++ newExplicit
+    def isNewField(n: String): Boolean =
+      newExplicit.exists(_.name.equalsIgnoreCase(n))
     val isMatched = col(pref + keyCols.head).isNotNull
     // first-applicable-clause flags: clause i fires iff its gate holds,
     // its condition is provably TRUE, and no earlier clause fired
@@ -946,12 +1035,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     // per-column value with first-match folding (flags are mutually
     // exclusive — matched and by-source gates are disjoint and each
     // group is first-match within itself — so fold order only has to
-    // respect clause order)
-    def valueOf(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+    // respect clause order). An EVOLVING column's base is a typed NULL
+    // (target rows don't carry it yet) and UPDATE SET * only feeds it
+    // when the batch actually has the column.
+    def valueOf(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+      val base: org.apache.spark.sql.Column =
+        if (isNewField(f.name)) lit(null).cast(f.dataType)
+        else col(s"`${f.name}`")
       (matched.zip(mFlags) ++ bySource.zip(sFlags))
-        .foldRight(col(s"`${f.name}`"): org.apache.spark.sql.Column) {
+        .foldRight(base) {
         case ((WhenMatchedUpdateAll(_), ap), acc) =>
-          when(ap, col(pref + f.name).cast(f.dataType)).otherwise(acc)
+          if (isNewField(f.name) &&
+              !batch.columns.exists(_.equalsIgnoreCase(f.name))) acc
+          else when(ap, col(pref + f.name).cast(f.dataType)).otherwise(acc)
         case ((WhenMatchedUpdate(sets, _), ap), acc) =>
           sets.find(_._1.equalsIgnoreCase(f.name)) match {
             case Some((_, v)) => when(ap, v.cast(f.dataType)).otherwise(acc)
@@ -964,19 +1060,22 @@ class SnapshotTable(spark: SparkSession, root: String,
           }
         case (_, acc) => acc
       }
+    }
     // source rows with no target match, routed to the FIRST insert
     // clause whose condition holds; explicit column lists project the
-    // assigned values (cast to the target types) and unassigned target
-    // columns arrive as NULL via the union's padding
+    // assigned values (cast to the target types — the OUTPUT schema's,
+    // so an evolving column's values type consistently across clauses)
+    // and unassigned target columns arrive as NULL via the union's
+    // padding
     val unmatchedSrc = batch.join(
       cur.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    // pad missing TARGET columns with typed NULLs (extra source columns
+    // pad missing OUTPUT columns with typed NULLs (extra source columns
     // stay — additive schema evolution, same as the upsert path), so a
     // keys-only source or a partial insert list still speaks the
     // table's schema: an unassigned partition column then surfaces as
     // the clear NULL-partition refusal, not a resolution error
     def padToTarget(df: DataFrame): DataFrame =
-      cur.schema.fields
+      outFields
         .filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
         .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     val inserts: DataFrame = padToTarget(
@@ -995,7 +1094,7 @@ class SnapshotTable(spark: SparkSession, root: String,
             case WhenNotMatchedInsertAll(_) => base
             case WhenNotMatchedInsert(sets, _) =>
               base.select(sets.map { case (n, v) =>
-                val f = cur.schema.find(_.name.equalsIgnoreCase(n)).get
+                val f = outFields.find(_.name.equalsIgnoreCase(n)).get
                 v.cast(f.dataType).as(f.name)
               }.toIndexedSeq: _*)
           }
@@ -1022,11 +1121,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val evolvedCols =
       if (!evolveSchema) Seq.empty
       else batch.schema.fields
-        .filterNot(f => cur.columns.exists(_.equalsIgnoreCase(f.name)))
+        .filterNot(f => cur.columns.exists(_.equalsIgnoreCase(f.name)) ||
+          isNewField(f.name)) // explicitly-assigned ones flow via valueOf
         .map(f => when(updateAllAny, col(pref + f.name))
           .otherwise(lit(null).cast(f.dataType)).as(f.name)).toSeq
     val survivors = joined.filter(inTouched).filter(!deleted)
-      .select(cur.schema.fields.map(f => valueOf(f).as(f.name)).toSeq
+      .select(outFields.map(f => valueOf(f).as(f.name)).toSeq
         ++ evolvedCols: _*)
     val replacement = survivors.unionByName(inserts, allowMissingColumns = true)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ touched))
@@ -2013,10 +2113,10 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Copy-on-write MERGE (upsert by key) ON A BRANCH — completes the
     * branch write surface ([[commitMerge]] semantics against the
     * branch's state; same duplicate-key refusal). */
-  def commitMergeToBranch(name: String, batch: DataFrame,
-                          keyCols: Seq[String]): Int = {
+  def commitMergeToBranch(name: String, batch0: DataFrame,
+                          keyCols: Seq[String]): Int = dupKeyTranslated {
     require(keyCols.nonEmpty, "commitMergeToBranch needs at least one key column")
-    requireUniqueKeys(batch, keyCols, "commitMergeToBranch")
+    val batch = uniqueKeyed(batch0, keyCols, "commitMergeToBranch")
     commitToBranch(name, "branch_merge") { (pm, next) =>
       mergePlan(readManifest(pm), pm.entries, batch, keyCols, next)
     }

@@ -304,6 +304,47 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: explicit SET/INSERT lists may name new columns") {
+    withTable("mrgsex") { (name, t) =>
+      import spark.implicits._
+      Seq((2, 2024, 2, 99.0, 5.5), (8, 2024, 8, 80.0, 8.8))
+        .toDF("id", "year", "month", "fare", "tip")
+        .createOrReplaceTempView("graft_sql_mrgsex_src")
+      try {
+        // WITHOUT the flag an explicit list naming a new column refuses
+        // with the fix named — the Fs-era behavior, now with a hint
+        val e = intercept[Exception] { spark.sql(
+          s"""MERGE INTO $name USING graft_sql_mrgsex_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET tip_total = s.tip * 2""".stripMargin) }
+        assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+        // WITH the flag, the explicitly-assigned new column joins the
+        // schema (Delta semantics): updated rows carry the assigned
+        // value, inserts may assign it too, and every survivor reads a
+        // typed NULL
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $name
+             |USING graft_sql_mrgsex_src AS s ON $name.id = s.id
+             |WHEN MATCHED THEN UPDATE SET tip_total = s.tip * 2
+             |WHEN NOT MATCHED THEN
+             |  INSERT (id, year, month, fare, tip_total)
+             |  VALUES (s.id, s.year, s.month, s.fare, s.tip)""".stripMargin)
+        val rows = spark.table(name)
+          .select(col("id"), col("fare"), col("tip_total"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+        // id=2 keeps its fare (only tip_total assigned) and reads the
+        // doubled tip; id=8 inserted with its tip; survivors read NULL
+        assert(rows == Set(
+          (1, 10.0, None), (2, 20.0, Some(11.0)),
+          (3, 30.0, None), (8, 80.0, Some(8.8))), rows.toString)
+        // the evolved column is typed (double), survivors read NULL
+        assert(spark.table(name).schema("tip_total").dataType ==
+          org.apache.spark.sql.types.DoubleType)
+        assert(t.fsck().isEmpty)
+      } finally spark.catalog.dropTempView("graft_sql_mrgsex_src")
+    }
+  }
+
   test("MERGE INTO: general-surface refusals name the fix") {
     withTable("mrgref") { (name, _) =>
       frame((2, 2024, 2, 99.0)).createOrReplaceTempView("graft_sql_mrgref_src")

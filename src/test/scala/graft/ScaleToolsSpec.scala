@@ -354,6 +354,45 @@ class ScaleToolsSpec extends AnyFunSuite {
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).size
 
+  test("merge's duplicate-key guard rides the locate join: batch shuffled exactly once") {
+    // round 14 ran a SEPARATE groupBy/limit(1)/collect over the batch
+    // before every MERGE — a second full batch shuffle. The guard now
+    // lives inside the keyed pre-aggregation whose output partitioning
+    // the locate join reuses, so the whole locate plan holds exactly
+    // one exchange per side: one for the batch's key aggregation, one
+    // for the target — a third exchange means the reuse broke.
+    val root = java.nio.file.Files.createTempDirectory("graft_mguard").toString
+    val t = new graft.write.SnapshotTable(spark, s"$root/tbl")
+    val target = (1 to 500).map(i => (i, 2024, i % 12 + 1, i * 1.0))
+      .toDF("id", "year", "month", "fare")
+    val batch = (400 to 600).map(i => (i, 2024, i % 12 + 1, i * 2.0))
+      .toDF("id", "year", "month", "fare")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = t.uniqueKeyed(batch, Seq("id"), "test")
+      val locate = target.join(guarded, Seq("id"), "left_outer")
+      assert(shuffles(locate) == 2,
+        s"expected 2 exchanges (target + batch agg, guard free), got " +
+          s"${shuffles(locate)} in:\n${locate.queryExecution.executedPlan}")
+      // and the guard actually guards: a duplicate key raises from the
+      // join itself, with the caller-facing refusal text. (A semi join
+      // here, as in the merge's own locate pass: a bare count() over
+      // the outer join would let the optimizer ELIMINATE the
+      // unique-keyed right side entirely — legal, and exactly why the
+      // real merge paths always reference the source side.)
+      val dup = batch.unionAll(batch.limit(1))
+      val e = intercept[Exception] {
+        target.join(t.uniqueKeyed(dup, Seq("id"), "test"), Seq("id"), "leftsemi")
+          .count()
+      }
+      def chain(x: Throwable): Seq[String] =
+        Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+          .map(c => Option(c.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("multiple rows for key")), e.getMessage)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("pageRank is 3 exchanges per iteration; the edge-list exchange is planned once") {
     val nodes = (0L until 60L).toDF("id")
     val edges = (0L until 60L).flatMap(i => (1 to 3).map(j => (i, (i + j) % 60)))
