@@ -110,15 +110,21 @@ object Bench {
     // contamination record). min(original, retimed) guards against the
     // probe itself being unlucky. Capped at 20 entries per run so a
     // machine-wide slowdown (every entry 3×) cannot double the run. ----
-    def historyMedians(): Map[String, Double] = {
+    def historyMedians(): (Map[String, Double], Option[Double], Option[Double]) = {
       val dir = new java.io.File("bench_history")
       val files = Option(dir.listFiles()).toSeq.flatten
         .filter(_.getName.matches("full_r\\d+\\.json")).sortBy(_.getName).takeRight(3)
       val entry = "\"([^\"]+)\":(-?[0-9.]+)".r
       val perEntry = scala.collection.mutable.Map.empty[String, List[Double]]
+      val fixtures = scala.collection.mutable.ListBuffer.empty[Double]
+      val pairs = scala.collection.mutable.ListBuffer.empty[Double]
       files.foreach { f =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val text = try src.mkString finally src.close()
+        "\"fixture_s\":(-?[0-9.]+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toDouble).filter(_ > 0).foreach(fixtures += _)
+        "\"pairs_s\":(-?[0-9.]+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toDouble).filter(_ > 0).foreach(pairs += _)
         val qStart = text.indexOf("\"queries\":{")
         val qEnd = if (qStart < 0) -1 else text.indexOf("}", qStart)
         if (qEnd > qStart) {
@@ -130,22 +136,43 @@ object Bench {
           }
         }
       }
-      perEntry.map { case (k, vs) => val s = vs.sorted; k -> s(s.size / 2) }.toMap
+      def med(vs: Seq[Double]): Option[Double] =
+        if (vs.isEmpty) None else Some(vs.sorted.apply(vs.size / 2))
+      (perEntry.map { case (k, vs) => val s = vs.sorted; k -> s(s.size / 2) }.toMap,
+        med(fixtures.toSeq), med(pairs.toSeq))
     }
-    val medians = if (only.isEmpty) try historyMedians() catch {
-      case e: Exception =>
-        System.err.println(s"[bench] history medians unavailable: ${e.getMessage}")
-        Map.empty[String, Double]
-    } else Map.empty[String, Double]
+    val (medians, fixtureMed, pairsMed) =
+      if (only.isEmpty) try historyMedians() catch {
+        case e: Exception =>
+          System.err.println(s"[bench] history medians unavailable: ${e.getMessage}")
+          (Map.empty[String, Double], None, None)
+      } else (Map.empty[String, Double], None, None)
+    // ---- environment canary (policy: bench_history/README.md): the
+    // per-entry re-probe below catches individual blowups, but BROAD
+    // drift sails under it — the round-14 driver artifact ran ~1.21×
+    // this binary's committed run with `contaminated:{}` (every entry
+    // inflated, none past 3×), and the artifact read as a regression
+    // that wasn't. The shared-fixture populates are timed on every run
+    // against the same data, so their ratio to the trailing-history
+    // median is a machine-speed canary: past 1.3× the run stamps
+    // `environment_factor` into the JSON (consumers normalize by it)
+    // and the re-probe threshold drops 3× → 1.5× so broadly-inflated
+    // entries still get a quiet-neighborhood re-time. ----
+    val envFactor = Bench.envFactorOf(fixtureS, pairsS, fixtureMed, pairsMed)
+    val flagThresh = if (envFactor > 1.3) 1.5 else 3.0
+    if (envFactor > 1.3)
+      System.err.println(f"[bench] environment canary: shared-fixture time " +
+        f"$envFactor%.2fx its trailing median — this run's machine is slow/" +
+        f"contended; re-probe threshold lowered to ${flagThresh}x")
     val flagged = results
       .collect { case (name, t, true)
-        if t > 2.0 && medians.get(name).exists(m => t > 3.0 * m) => (name, t) }
+        if t > 2.0 && medians.get(name).exists(m => t > flagThresh * m) => (name, t) }
       .sortBy(-_._2).take(20).map(_._1)
     val retimed: Map[String, Double] =
       if (flagged.isEmpty) Map.empty
       else {
         System.err.println(s"[bench] re-timing ${flagged.size} entr" +
-          s"${if (flagged.size == 1) "y" else "ies"} flagged >3x trailing " +
+          s"${if (flagged.size == 1) "y" else "ies"} flagged >${flagThresh}x trailing " +
           s"median: ${flagged.sorted.mkString(", ")}")
         System.gc()
         flagged.sorted.flatMap { name =>
@@ -179,7 +206,7 @@ object Bench {
     val failed = finalResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"environment_factor":${fmt(envFactor)},"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: a stdout-tail capture can truncate
     // the head of one long line (it did once), but a file read cannot.
@@ -208,5 +235,20 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_history: ${e.getMessage}") }
     spark.stop()
+  }
+
+  /** The environment canary's ratio: how much slower this run's
+    * shared-fixture populates ran than their trailing-history medians
+    * (max over the two fixtures; 1.0 when no history or the fixtures
+    * failed). Sub-second medians are ignored — their ratios are noise,
+    * not machine speed. Factored out of main() so the threshold policy
+    * is unit-testable without a bench run. */
+  private[graft] def envFactorOf(fixtureS: Double, pairsS: Double,
+                                 fixtureMed: Option[Double],
+                                 pairsMed: Option[Double]): Double = {
+    val ratios = Seq(
+      fixtureMed.filter(m => m > 1.0 && fixtureS > 0).map(fixtureS / _),
+      pairsMed.filter(m => m > 1.0 && pairsS > 0).map(pairsS / _)).flatten
+    if (ratios.isEmpty) 1.0 else ratios.max
   }
 }

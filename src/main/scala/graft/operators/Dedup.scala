@@ -401,7 +401,7 @@ object Dedup {
     * exactly once where an exploded groupBy would shuffle every
     * (doc, shingle) row. Band keys are md5 over the band's signature
     * slice. */
-  private def bandRowsFor(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  private[graft] def bandRowsFor(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sig = sh.select(col("doc_id") +:
       minhashSigCols(col("sh"), numHashes).zipWithIndex

@@ -23,6 +23,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntryShapeSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("bench environment canary: fixture-ratio policy") {
+    // broad machine drift shows up as the shared fixtures running slow
+    // vs their trailing medians; the factor is the max ratio, ignores
+    // sub-second medians (noise, not machine speed), failed fixtures
+    // (-1 sentinel), and absent history
+    assert(Bench.envFactorOf(30.0, 40.0, Some(25.0), Some(25.0)) == 1.6)
+    assert(Bench.envFactorOf(30.0, 20.0, Some(25.0), Some(25.0)) == 1.2)
+    assert(Bench.envFactorOf(30.0, 40.0, None, None) == 1.0)
+    assert(Bench.envFactorOf(-1.0, -1.0, Some(25.0), Some(25.0)) == 1.0)
+    assert(Bench.envFactorOf(5.0, 40.0, Some(0.5), Some(25.0)) == 1.6,
+      "sub-second fixture median must not dominate the factor")
+  }
+
   test("every graded output column is an atomic, non-decimal type") {
     assume(new java.io.File(s"$sfDir/events.parquet").exists, s"$sfDir missing")
     val spark = TestSpark.spark
