@@ -889,10 +889,17 @@ object Dedup {
           lit(modulus)) === 0))
       .otherwise(array().cast("array<int>"))
     val cuts = concat(array(lit(0)), array_distinct(concat(bnds, array(n))))
-    val chunks = transform(sequence(lit(0), size(cuts) - 2), i =>
-      array_join(slice(col("ws"), element_at(cuts, i + 1) + 1,
-        element_at(cuts, i + 2) - element_at(cuts, i + 1)), " "))
+    // `cuts` must be BOUND to a column before the chunk lambda slices
+    // by it: higher-order lambdas are interpreted and re-evaluate every
+    // outer non-attribute expression per element — referencing the
+    // computed `cuts` (itself an O(words·window) hash scan) inside the
+    // transform would re-run that scan once per chunk (the same
+    // O(n²)-by-interpretation trap as the round-15 shingles fix)
+    val chunks = transform(sequence(lit(0), size(col("cuts")) - 2), i =>
+      array_join(slice(col("ws"), element_at(col("cuts"), i + 1) + 1,
+        element_at(col("cuts"), i + 2) - element_at(col("cuts"), i + 1)), " "))
     val post = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), cuts.as("cuts"))
       .select(col("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("ck")).distinct()
     val ok = post.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("ck"))))
@@ -950,9 +957,10 @@ object Dedup {
     val grams = docs
       .select(col("doc_id"), nGramsChecked.as("n_grams"),
         posexplode(
+          // zip-of-shifted-slices gram build (TextAnalysis.gramArray):
+          // the index-lambda formulation re-ran split() per gram slot
           when(size(t) >= gramWords,
-            transform(sequence(lit(0), size(t) - gramWords), i =>
-              concat_ws(" ", slice(t, i + 1, lit(gramWords)))))
+            graft.operators.TextAnalysis.gramArray(t, gramWords))
             .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), col("n_grams"),
         (col("pos") + 1).as("p"), col("col").as("gram"))

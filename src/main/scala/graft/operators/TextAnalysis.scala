@@ -32,23 +32,28 @@ object TextAnalysis {
     * Documents shorter than n tokens yield an empty shingle set (guard
     * needed: Spark's `sequence(0, -k)` would count DOWN, not produce an
     * empty array). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    // zip n shifted slices and concat each row, instead of slicing `t`
-    // inside a transform-over-indices lambda: higher-order functions
-    // don't codegen, and an interpreted lambda re-evaluates every outer
-    // expression it references PER ELEMENT — the index formulation
-    // re-ran the split() once per shingle slot, O(tokens²) splits per
-    // document (measured ~3x on the dedup family's shingle pass). Here
-    // the lambda sees only its own struct element; `t` is referenced a
-    // constant n+2 times at top level. Result is element-for-element
-    // identical: row i of the zip is (t[i+1..i+n]), same order, same
-    // array_distinct.
+  /** All word n-grams of a token array, in position order (one per
+    * start index; duplicates kept — [[shingles]] distincts on top,
+    * winnowing keeps positions). Built by zipping n shifted slices and
+    * concatenating each row, instead of slicing the token array inside
+    * a transform-over-indices lambda: higher-order functions don't
+    * codegen, and an interpreted lambda re-evaluates every outer
+    * expression it references PER ELEMENT — the index formulation
+    * re-ran the upstream split() once per gram slot, O(tokens²) splits
+    * per document (measured ~3x on the dedup family's shingle pass).
+    * Here the lambda sees only its own struct element; `t` is
+    * referenced a constant n+1 times at top level. Element-for-element
+    * identical: row i of the zip is (t[i+1..i+n]), same order. */
+  def gramArray(t: Column, n: Int): Column = {
     val window = greatest(size(t) - lit(n - 1), lit(0))
     val shifted = (0 until n).map(k => slice(t, lit(k + 1), window))
-    when(size(t) >= n,
-      array_distinct(transform(arrays_zip(shifted: _*), s =>
-        concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))))
+    transform(arrays_zip(shifted: _*), s =>
+      concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
+  }
+
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n, array_distinct(gramArray(t, n)))
       .otherwise(array().cast("array<string>"))
   }
 

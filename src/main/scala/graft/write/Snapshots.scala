@@ -804,6 +804,22 @@ class SnapshotTable(spark: SparkSession, root: String,
     * merge job first hashes the guarded batch) back into the eager
     * contract callers pin: IllegalArgumentException with the refusal
     * text, before anything committed. */
+  /** The duplicate-guarded keyed batch, PERSISTED for the commit's
+    * lifetime: every merge shape consumes the batch from several jobs
+    * (locate pass, replacement write, insert routing), and an un-cached
+    * guarded plan would re-run the key aggregation once per job — the
+    * regression the first cut of this change measured at 1.3–1.6x on
+    * the merge family. Unpersisted on every exit path; the in-plan
+    * raise is translated back to the eager IllegalArgumentException
+    * contract. */
+  private def withUniqueKeyed[T](batch0: DataFrame, keyCols: Seq[String],
+                                 op: String)(body: DataFrame => T): T =
+    dupKeyTranslated {
+      val batch = uniqueKeyed(batch0, keyCols, op)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try body(batch) finally { batch.unpersist(); () }
+    }
+
   private def dupKeyTranslated[T](body: => T): T =
     try body catch {
       case e: Throwable =>
@@ -822,16 +838,17 @@ class SnapshotTable(spark: SparkSession, root: String,
         }
     }
 
-  def commitMerge(batch0: DataFrame, keyCols: Seq[String]): Int = dupKeyTranslated {
+  def commitMerge(batch0: DataFrame, keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
-    val batch = uniqueKeyed(batch0, keyCols, "commitMerge")
-    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val pm = parse(base)
-    // prior MOR deletes carry: the rewrite materialized them only for
-    // the TOUCHED partitions; untouched partitions still rely on them
-    commit("merge",
-      mergePlan(readVersion(base), pm.entries, batch, keyCols, base + 1),
-      base, pm.deletes, pm.predDeletes)
+    withUniqueKeyed(batch0, keyCols, "commitMerge") { batch =>
+      val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+      val pm = parse(base)
+      // prior MOR deletes carry: the rewrite materialized them only for
+      // the TOUCHED partitions; untouched partitions still rely on them
+      commit("merge",
+        mergePlan(readVersion(base), pm.entries, batch, keyCols, base + 1),
+        base, pm.deletes, pm.predDeletes)
+    }
   }
 
   /** The copy-on-write MERGE commit shape, shared by the main and
@@ -876,30 +893,31 @@ class SnapshotTable(spark: SparkSession, root: String,
     * batches too). Same matched-update/unmatched-insert semantics as
     * [[commitMerge]]; results are identical — only the cost shape
     * differs. */
-  def commitMergeMor(batch0: DataFrame, keyCols: Seq[String]): Int = dupKeyTranslated {
+  def commitMergeMor(batch0: DataFrame, keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMergeMor needs at least one key column")
-    val batch = uniqueKeyed(batch0, keyCols, "commitMergeMor")
-    // an empty batch would land an empty data dir + empty delete frame —
-    // a no-op commit whose dirs fsck would flag as damage (same guard
-    // shape as commitMerge's touched.nonEmpty)
-    require(!batch.isEmpty, "merge batch is empty")
-    val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
-    val delDir = "del" + f"${base + 1}%05d" + "_" +
-      java.util.UUID.randomUUID.toString.take(8)
-    val keys = batch.select(keyCols.map(col): _*).distinct()
-    // the key-frame write is the FIRST job to hash the guarded batch
-    // here: if the duplicate-key raise fires mid-write, remove the
-    // half-written delete frame so the refusal leaves zero debris
-    try keys.write.parquet(new Path(dataDir, delDir).toString)
-    catch { case e: Throwable =>
-      fs.delete(new Path(dataDir, delDir), true); throw e }
-    writeSchemaSidecar(delDir, keys.schema)
-    commit("merge_mor",
-      m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
-      base,
-      m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size),
-      m.predDeletes)
+    withUniqueKeyed(batch0, keyCols, "commitMergeMor") { batch =>
+      // an empty batch would land an empty data dir + empty delete frame —
+      // a no-op commit whose dirs fsck would flag as damage (same guard
+      // shape as commitMerge's touched.nonEmpty)
+      require(!batch.isEmpty, "merge batch is empty")
+      val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
+      val m = parse(base)
+      val delDir = "del" + f"${base + 1}%05d" + "_" +
+        java.util.UUID.randomUUID.toString.take(8)
+      val keys = batch.select(keyCols.map(col): _*).distinct()
+      // the key-frame write is the FIRST job to hash the guarded batch
+      // here: if the duplicate-key raise fires mid-write, remove the
+      // half-written delete frame so the refusal leaves zero debris
+      try keys.write.parquet(new Path(dataDir, delDir).toString)
+      catch { case e: Throwable =>
+        fs.delete(new Path(dataDir, delDir), true); throw e }
+      writeSchemaSidecar(delDir, keys.schema)
+      commit("merge_mor",
+        m.entries :+ Entry(writeData(batch, base + 1), Set.empty),
+        base,
+        m.deletes :+ DeleteRef(delDir, keyCols, m.entries.size),
+        m.predDeletes)
+    }
   }
 
   /** GENERAL MERGE — the full SQL `MERGE INTO` clause surface as ONE
@@ -932,11 +950,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * front (SQL MERGE's multiple-match error). */
   def commitMergeGeneral(batch0: DataFrame, keyCols: Seq[String],
                          clauses: Seq[SnapshotTable.MergeWhen],
-                         evolveSchema: Boolean = false): Int = dupKeyTranslated {
+                         evolveSchema: Boolean = false): Int =
+   withUniqueKeyed(batch0, keyCols, "commitMergeGeneral") { batch =>
     import SnapshotTable._
     require(keyCols.nonEmpty, "commitMergeGeneral needs at least one key column")
     require(clauses.nonEmpty, "commitMergeGeneral needs at least one WHEN clause")
-    val batch = uniqueKeyed(batch0, keyCols, "commitMergeGeneral")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val pm = parse(base)
     val cur = readVersion(base)
@@ -2114,11 +2132,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     * branch write surface ([[commitMerge]] semantics against the
     * branch's state; same duplicate-key refusal). */
   def commitMergeToBranch(name: String, batch0: DataFrame,
-                          keyCols: Seq[String]): Int = dupKeyTranslated {
+                          keyCols: Seq[String]): Int = {
     require(keyCols.nonEmpty, "commitMergeToBranch needs at least one key column")
-    val batch = uniqueKeyed(batch0, keyCols, "commitMergeToBranch")
-    commitToBranch(name, "branch_merge") { (pm, next) =>
-      mergePlan(readManifest(pm), pm.entries, batch, keyCols, next)
+    withUniqueKeyed(batch0, keyCols, "commitMergeToBranch") { batch =>
+      commitToBranch(name, "branch_merge") { (pm, next) =>
+        mergePlan(readManifest(pm), pm.entries, batch, keyCols, next)
+      }
     }
   }
 
