@@ -2652,16 +2652,48 @@ class SnapshotTable(spark: SparkSession, root: String,
     * clone can never delete a data directory the source still
     * references, which is the shallow-clone hazard. Cost is one
     * filesystem copy of the referenced bytes — no Spark job, no
-    * recompute of the commits that built the source. */
-  def deepClone(destRoot: String): SnapshotTable = {
+    * recompute of the commits that built the source.
+    *
+    * A CAS-mode source needs `destPointer`: its commit arbiter is a
+    * store value, not a file the copy can carry — the clone's store
+    * cell is seeded with the source's current pointer (head + refs;
+    * the copied manifest/branch FILES keep their names, so the seeded
+    * value resolves against the copied tree verbatim) and the clone
+    * then arbitrates independently through its own cell. Omitting it
+    * refuses loudly; so does a non-empty destination store (seeding
+    * over a live pointer would orphan that table's history). */
+  def deepClone(destRoot: String,
+                destPointer: Option[ConditionalStore] = None): SnapshotTable = {
     val dst = new Path(destRoot)
     val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (pointer, destPointer) match {
+      case (Some(_), None) => sys.error(
+        s"deep clone of the CAS-mode table at $root needs a destination " +
+          "ConditionalStore (deepClone(destRoot, Some(store))): the " +
+          "version pointer lives in the source's store, not in a file " +
+          "the copy can carry")
+      case (None, Some(_)) => sys.error(
+        s"destPointer passed but the table at $root is " +
+          "filesystem-arbitrated — a deep clone keeps the source's " +
+          "arbitration mode (clone plainly, or rebuild via commits to a " +
+          "CAS-mode table to convert)")
+      case _ => ()
+    }
     if (dfs.exists(dst)) dfs.delete(dst, true)
     dfs.mkdirs(dst.getParent)
     require(org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root), dfs, dst,
       /*deleteSource=*/ false, spark.sparkContext.hadoopConfiguration),
       s"deep clone $root -> $destRoot failed")
-    new SnapshotTable(spark, destRoot, partCols)
+    (pointer, destPointer) match {
+      case (Some(srcStore), Some(dstStore)) =>
+        val cur = srcStore.get().getOrElse(
+          sys.error(s"no committed version at $root to clone"))
+        require(dstStore.putIf(None, cur),
+          s"destination ConditionalStore is not empty — seeding it would " +
+            "orphan the table it already points at")
+        new SnapshotTable(spark, destRoot, partCols, destPointer)
+      case _ => new SnapshotTable(spark, destRoot, partCols)
+    }
   }
 
   /** SHALLOW clone: a new table whose first version REFERENCES the

@@ -1187,6 +1187,39 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
   }
 
+  test("CAS mode: deep clone seeds the destination store; shallow clone lands Fs-mode") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas_clone")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    t.tag("pin", 1)
+    // the pointer is a store value, not a file the copy can carry:
+    // cloning without a destination store refuses with the fix named
+    val e1 = intercept[RuntimeException] { t.deepClone(freshRoot("snap_cas_dc0")) }
+    assert(e1.getMessage.contains("destination ConditionalStore"), e1.getMessage)
+    val dcRoot = freshRoot("snap_cas_dc")
+    val dcStore = InMemoryConditionalStore(s"cas_$dcRoot")
+    val clone = t.deepClone(dcRoot, Some(dcStore))
+    // the seeded pointer resolves the copied tree verbatim: history,
+    // state, and refs all carried; lifecycles independent afterwards
+    assert(clone.history.map(_._1) == Seq(1, 2))
+    assert(state(clone.read()) == state(t.read()))
+    assert(clone.resolveTag("pin").contains(1))
+    clone.commitAppend(frame((3, 2024, 3, 3.0)))
+    assert(t.currentVersion.contains(2), "clone commit leaked to the source")
+    assert(clone.fsck().isEmpty, s"fsck: ${clone.fsck()}")
+    // a non-empty destination store refuses (seeding would orphan it)
+    val e2 = intercept[Exception] { t.deepClone(freshRoot("snap_cas_dc2"), Some(dcStore)) }
+    assert(e2.getMessage.contains("not empty"), e2.getMessage)
+    // a shallow clone of a CAS source is an ordinary Fs-mode table
+    // (fresh lineage, borrowed dirs) — no store needed
+    val sc = t.shallowClone(freshRoot("snap_cas_sc"))
+    assert(state(sc.read()) == state(t.read()))
+    assert(sc.fsck().isEmpty)
+  }
+
   test("CAS mode: chain walks are memoized per head move; partcols self-discover via the store") {
     import graft.write.{GraftStores, InMemoryConditionalStore}
     val root = freshRoot("snap_cas_memo")
