@@ -64,6 +64,22 @@ object Bench {
       graft.entries.TaxiEntries.prewarmSharedFixtures(spark, sfDir) }
     val pairsS = timed("pairs") {
       graft.entries.DataPipelineEntries.prewarmSharedFixtures(spark, sfDir) }
+    // Fixed CPU probe, run immediately before and after the entry loop:
+    // a deterministic data-free job whose time depends only on machine
+    // speed. The fixture canary (vs trailing history) sees a run that
+    // STARTS slow; end/start of this probe sees contention that ARRIVES
+    // mid-run — the round-15 case where the fixtures timed clean and
+    // every entry after the first hundred ran ~1.3x.
+    def cpuProbe(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      // pmod keeps the ANSI-mode sum far from Long overflow
+      spark.range(0L, 20000000L, 1L, 8)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000L)))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuProbe() // codegen/JIT warmth paid outside the measurement
+    val probeStart = cpuProbe()
     // SPARK_GRAFT_ONLY=a,b,c restricts the run — the isolation probe for
     // distinguishing an entry's own cost from bench-neighborhood effects
     // in a 200+-entry shared JVM. Measured finding (round 10, sf0.1): the
@@ -158,12 +174,16 @@ object Bench {
     // `environment_factor` into the JSON (consumers normalize by it)
     // and the re-probe threshold drops 3× → 1.5× so broadly-inflated
     // entries still get a quiet-neighborhood re-time. ----
+    val probeEnd = cpuProbe()
+    val envDrift =
+      if (probeStart > 0.05) probeEnd / probeStart else 1.0
     val envFactor = Bench.envFactorOf(fixtureS, pairsS, fixtureMed, pairsMed)
-    val flagThresh = if (envFactor > 1.3) 1.5 else 3.0
-    if (envFactor > 1.3)
-      System.err.println(f"[bench] environment canary: shared-fixture time " +
-        f"$envFactor%.2fx its trailing median — this run's machine is slow/" +
-        f"contended; re-probe threshold lowered to ${flagThresh}x")
+    val flagThresh = if (envFactor > 1.3 || envDrift > 1.3) 1.5 else 3.0
+    if (flagThresh < 3.0)
+      System.err.println(f"[bench] environment canary: fixture factor " +
+        f"$envFactor%.2fx vs trailing median, intra-run cpu-probe drift " +
+        f"$envDrift%.2fx — machine slow/contended; re-probe threshold " +
+        f"lowered to ${flagThresh}x")
     val flagged = results
       .collect { case (name, t, true)
         if t > 2.0 && medians.get(name).exists(m => t > flagThresh * m) => (name, t) }
@@ -206,7 +226,7 @@ object Bench {
     val failed = finalResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"environment_factor":${fmt(envFactor)},"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"environment_factor":${fmt(envFactor)},"environment_drift":${fmt(envDrift)},"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: a stdout-tail capture can truncate
     // the head of one long line (it did once), but a file read cannot.
