@@ -43,9 +43,20 @@ case class CosineSimilarity(left: Expression, right: Expression,
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        // double vectors take the same fused loop without the widening
+        // cast — bit-identical to the composed double form, which is
+        // what cluster-assignment frames (k-means output) carry
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity requires (array<float>, array<float>), got (${l.sql}, ${r.sql})")
+        s"cosine_similarity requires (array<float>, array<float>) or " +
+          s"(array<double>, array<double>), got (${l.sql}, ${r.sql})")
     }
+
+  private def isDoubleElem: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -56,11 +67,12 @@ case class CosineSimilarity(left: Expression, right: Expression,
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val dbl = isDoubleElem
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (dbl) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (dbl) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -89,8 +101,10 @@ case class CosineSimilarity(left: Expression, right: Expression,
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xi = (double) $a.getFloat($i);
-         |    final double $yi = (double) $b.getFloat($i);
+         |    final double $xi = ${if (isDoubleElem) s"$a.getDouble($i)"
+              else s"(double) $a.getFloat($i)"};
+         |    final double $yi = ${if (isDoubleElem) s"$b.getDouble($i)"
+              else s"(double) $b.getFloat($i)"};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

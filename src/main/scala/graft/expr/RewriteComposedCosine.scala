@@ -46,6 +46,14 @@ object RewriteComposedCosine extends Rule[LogicalPlan] {
         Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
         Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
       x.exprId == a.exprId && y.exprId == b.exprId
+    // the double-array form: SimplifyCasts has removed the no-op
+    // double→double casts by the time injected optimizer rules run, so
+    // the lambda is a bare product of the variables
+    case LambdaFunction(
+        Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _) =>
+      x.dataType == DoubleType && y.dataType == DoubleType &&
+        x.exprId == a.exprId && y.exprId == b.exprId
     case _ => false
   }
 
@@ -62,8 +70,8 @@ object RewriteComposedCosine extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def isFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
+  private def isVectorArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
   }
 
@@ -72,7 +80,8 @@ object RewriteComposedCosine extends Rule[LogicalPlan] {
         Multiply(Sqrt(DotShape(a2, a3)), Sqrt(DotShape(b2, b3)), _), ctx)
         if a.semanticEquals(a2) && a2.semanticEquals(a3) &&
           b.semanticEquals(b2) && b2.semanticEquals(b3) &&
-          isFloatArray(a) && isFloatArray(b) =>
+          isVectorArray(a) && isVectorArray(b) &&
+          a.dataType == b.dataType =>
       // the kernel's zero-norm behavior follows the REPLACED Divide's own
       // mode (captured at its analysis), not the conf at rewrite time:
       // ANSI throws; LEGACY and TRY both yield NULL, which the NULL

@@ -468,6 +468,31 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
+  test("cosine fusion covers double arrays (no-op casts eliminated)") {
+    // k-means assignment frames carry array<double>; their composed
+    // cosine must fuse too — after SimplifyCasts the dot lambda is a
+    // bare product of the variables, the shape the rule's second
+    // matcher exists for. Values must stay bitwise equal to the
+    // composed double arithmetic (the oracle's formulation).
+    val vecs = Seq((1L, Array(1.0, 2.0, 0.5)), (2L, Array(3.0, 4.0, 0.25)),
+      (3L, Array(0.1, 0.9, 7.0))).toDF("id", "v")
+    val pairs = vecs.select($"v".as("va")).crossJoin(vecs.select($"v".as("vb")))
+    val q = pairs.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+      s"double-array rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+    val fused = q.collect().map(_.getDouble(0)).toSeq
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.expr.RewriteComposedCosine")
+    try {
+      val composed = pairs.select(Similarity.cosineComposed($"va", $"vb").as("c"))
+      assert(!composed.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      assert(composed.collect().map(_.getDouble(0)).toSeq == fused,
+        "fused double kernel diverged from the composed form")
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    // the registered function accepts double arrays directly
+    assert(pairs.select(Similarity.cosine($"va", $"vb").as("c"))
+      .collect().map(_.getDouble(0)).toSeq == fused)
+  }
+
   test("cosine kernel on known vectors") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)), (Array(1f, 2f, 2f), Array(1f, 2f, 2f)))
       .toDF("a", "b")
