@@ -646,4 +646,45 @@ class GraftFormatSpec extends AnyFunSuite {
       GraftStores.unregister("fmt_cas_test")
     }
   }
+
+  test("streaming edges arbitrate through the pointer store: CAS source to CAS sink") {
+    import graft.write.{GraftStores, InMemoryConditionalStore}
+    val srcRoot = freshRoot("fmt_cas_ssrc")
+    val dstRoot = freshRoot("fmt_cas_sdst")
+    val ckpt = freshRoot("fmt_cas_sckpt")
+    val srcStore = InMemoryConditionalStore(s"cas_$srcRoot")
+    val dstStore = InMemoryConditionalStore(s"cas_$dstRoot")
+    GraftStores.register("fmt_cas_ssrc", srcStore)
+    GraftStores.register("fmt_cas_sdst", dstStore)
+    try {
+      val src = new SnapshotTable(spark, srcRoot, Seq("year", "month"), Some(srcStore))
+      src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+      // the table-to-table hop with BOTH edges in CAS mode: the source
+      // resolves its head through the store (no CURRENT file exists),
+      // the sink's exactly-once append commits CAS through its own
+      def hop(): Unit = spark.readStream.format("graft")
+        .option("pointer", "fmt_cas_ssrc")
+        .option("startingVersion", "earliest").load(srcRoot)
+        .writeStream.format("graft")
+        .option("pointer", "fmt_cas_sdst")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dstRoot).awaitTermination()
+      hop()
+      val dst = new SnapshotTable(spark, dstRoot, Seq("year", "month"), Some(dstStore))
+      assert(state(dst.read()) == state(src.read()))
+      // an increment streams exactly once; the dest head moved via CAS
+      src.commitAppend(frame((3, 2024, 3, 30.0)))
+      hop()
+      assert(state(dst.read()) == state(src.read()))
+      assert(dst.fsck().isEmpty, s"fsck: ${dst.fsck()}")
+      // replay: nothing new, no commit (batch-id dedup through the CAS head)
+      val before = dst.history.size
+      hop()
+      assert(dst.history.size == before, "an empty resume landed a CAS commit")
+    } finally {
+      GraftStores.unregister("fmt_cas_ssrc")
+      GraftStores.unregister("fmt_cas_sdst")
+    }
+  }
 }
