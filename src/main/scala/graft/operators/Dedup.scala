@@ -280,10 +280,35 @@ object Dedup {
       .withColumn("m", count(lit(1)).over(byDoc))
     val prefix = ranked
       .filter(col("rk") <= col("m") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("lang"), col("s"), col("doc_id"), col("n_sh"))
+      .select(col("lang"), col("s"), col("doc_id"), col("n_sh"),
+        col("rk"), col("m"))
+    // Two more AllPairs/PPJoin pruning levers INSIDE the candidate
+    // join, both conservative (a 1e-9 slack keeps the double
+    // comparisons from ever dropping a boundary pair, so output ≡ the
+    // exact form, same oracle) — the exact verify's array_intersect
+    // over the full sets is the expensive tail, and every pair pruned
+    // here skips it:
+    //  - LENGTH: J ≥ t and inter ≤ min(n_i, n_j) force
+    //    min(n_i, n_j) ≥ t·max(n_i, n_j);
+    //  - POSITIONAL: J ≥ t forces inter ≥ t·(n_i + n_j)/(1 + t), and
+    //    the overlap reachable from a shared element at ranks
+    //    (rk_a, rk_b) of the rarity-ordered lists is at most
+    //    min(m_a − rk_a, m_b − rk_b) + 1. Sound per pair because the
+    //    FIRST shared element (no shared elements precede it, so the
+    //    suffix bound is exact there) passes whenever the pair is
+    //    viable — and the distinct keeps a pair if ANY generating
+    //    posting row passes.
+    val sizeOk =
+      least(col("a.n_sh"), col("b.n_sh")).cast("double") + lit(1e-9) >=
+        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")).cast("double")
+    val positionalOk =
+      least(col("a.m") - col("a.rk"), col("b.m") - col("b.rk"))
+        .cast("double") + lit(1) + lit(1e-9) >=
+        lit(threshold / (1 + threshold)) *
+          (col("a.n_sh") + col("b.n_sh")).cast("double")
     val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && sizeOk && positionalOk)
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
         col("a.n_sh").as("n_i"), col("b.n_sh").as("n_j"))
       .distinct()
