@@ -428,9 +428,23 @@ object Dedup {
     * slice. */
   private[graft] def bandRowsFor(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = sh.select(col("doc_id") +:
-      minhashSigCols(col("sh"), numHashes).zipWithIndex
-        .map { case (c, i) => c.as(s"mh$i") }: _*)
+    // STAGED digest arrays: slots 2k and 2k+1 are the two halves of the
+    // SAME seeded md5, but as separate interpreted transforms
+    // ([[minhashSigCols]]) each would recompute every digest — binding
+    // one md5 array per seed to a column first halves the digest work
+    // (the md5 is the signature pass's dominant cost; the slot extracts
+    // over the bound arrays are cheap substrings). Values are identical
+    // to minhashSigCols by construction: same seed, same hex range.
+    val seeds = (numHashes + 1) / 2
+    val staged = sh.select(col("doc_id") +:
+      (0 until seeds).map(k =>
+        transform(col("sh"), x => md5(concat(x, lit("#" + k)))).as(s"__d$k")): _*)
+    val sig = staged.select(col("doc_id") +:
+      (0 until numHashes).map { i =>
+        val off = if (i % 2 == 0) 1 else 13
+        array_min(transform(col(s"__d${i / 2}"), h =>
+          conv(substring(h, off, 12), 16, 10).cast("long"))).as(s"mh$i")
+      }: _*)
     val banded = sig.select(col("doc_id") +:
       (0 until numBands).map { b =>
         val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
