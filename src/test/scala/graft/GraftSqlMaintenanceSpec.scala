@@ -181,6 +181,47 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("branch/tag DDL on a CAS-mode table arbitrates through the store") {
+    import graft.write.{GraftStores, InMemoryConditionalStore, SnapshotTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlrefs_cas")
+      .toString + "/t"
+    val store = InMemoryConditionalStore(s"cas_$root")
+    GraftStores.register("sqlm_cas_refs", store)
+    spark.sql("DROP TABLE IF EXISTS graft_sqlm_cas_refs")
+    try {
+      val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+      t.commitOverwrite(frame((1, 2024, 1, 10.0)))
+      t.commitAppend(frame((2, 2024, 2, 20.0)))
+      spark.sql(s"CREATE TABLE graft_sqlm_cas_refs USING graft " +
+        s"OPTIONS (path '$root', pointer 'sqlm_cas_refs')")
+      // the full ref verb surface over the store-arbitrated table: no
+      // TAG_/bv_ create-exclusive files may appear (that primitive
+      // doesn't exist on the storage CAS mode serves)
+      spark.sql("ALTER TABLE graft_sqlm_cas_refs CREATE TAG stable AS OF VERSION 1")
+      assert(t.resolveTag("stable").contains(1))
+      spark.sql("ALTER TABLE graft_sqlm_cas_refs CREATE BRANCH wip")
+      t.commitAppendToBranch("wip", frame((7, 2024, 7, 70.0)))
+      val v = spark.sql("ALTER TABLE graft_sqlm_cas_refs FAST FORWARD BRANCH wip")
+        .head().getInt(0)
+      assert(t.currentVersion.contains(v))
+      assert(state(spark.table("graft_sqlm_cas_refs")).exists(_._1 == 7))
+      val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+      val fsys = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val refFiles = fsys.listStatus(mdir).map(_.getPath.getName)
+        .filter(n => n.startsWith("TAG_") ||
+          n.matches("bv_.*_\\d{5,}\\.txt")) // Fs-mode shapes
+      assert(refFiles.isEmpty, s"ref files on a CAS table: ${refFiles.toSeq}")
+      spark.sql("ALTER TABLE graft_sqlm_cas_refs DROP BRANCH wip")
+      assert(t.branchHead("wip").isEmpty)
+      spark.sql("ALTER TABLE graft_sqlm_cas_refs DROP TAG stable")
+      assert(t.resolveTag("stable").isEmpty)
+      assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sqlm_cas_refs")
+      GraftStores.unregister("sqlm_cas_refs")
+    }
+  }
+
   test("strict FAST FORWARD refuses when main moved; FORCE proceeds") {
     withTable("ffs") { (name, t) =>
       spark.sql(s"ALTER TABLE $name CREATE BRANCH wip")
