@@ -369,6 +369,23 @@ class GraftSqlSpec extends AnyFunSuite {
                |WHEN MATCHED THEN DELETE""".stripMargin) }
           assert(e3.getMessage.contains("copy-on-write"), e3.getMessage)
         } finally spark.conf.unset("spark.graft.sql.mergeMode")
+        // duplicate source keys: SQL MERGE's multiple-match error (the
+        // in-plan guard firing through the general-merge locate join),
+        // with nothing committed and no debris left behind
+        frame((2, 2024, 2, 99.0), (2, 2024, 2, 1.0))
+          .createOrReplaceTempView("graft_sql_mrgref_dup")
+        try {
+          val e4 = intercept[Exception] { spark.sql(
+            s"""MERGE INTO $name USING graft_sql_mrgref_dup AS s ON $name.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+          def chain(x: Throwable) = Iterator.iterate(x)(_.getCause)
+            .takeWhile(_ != null).map(c => Option(c.getMessage).getOrElse("")).toSeq
+          assert(chain(e4).exists(_.contains("multiple rows for key")), e4.getMessage)
+          assert(state(spark.table(name)) == Set(
+            (1, 2024, 1, 10.0), (2, 2024, 2, 20.0), (3, 2024, 2, 30.0)),
+            "refused merge mutated the table")
+        } finally spark.catalog.dropTempView("graft_sql_mrgref_dup")
       } finally spark.catalog.dropTempView("graft_sql_mrgref_src")
     }
   }
