@@ -354,6 +354,37 @@ class ScaleToolsSpec extends AnyFunSuite {
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).size
 
+  test("staged projections stay staged: minhash digests and CDC cuts are not re-inlined") {
+    // both optimizations bind an expensive computed array to a column
+    // so the consuming lambda references an ATTRIBUTE (interpreted
+    // higher-order lambdas re-evaluate outer non-attribute expressions
+    // per element); CollapseProject re-inlining them would silently
+    // restore the O(n²)-by-interpretation cost. Pin by counting the
+    // expensive expression in the optimized plan.
+    // file-backed input: over a LocalRelation the optimizer would
+    // evaluate the whole projection eagerly and the plan shows nothing
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // minhash bands at 12 hashes: 6 seed-digest arrays + 6 band keys =
+    // 12 md5 nodes; re-inlining the digests into the 12 per-slot
+    // extracts would show 12 + 6 = 18
+    val bandsPlan = graft.operators.Dedup.bandRows(docs, 12, 2)
+      .queryExecution.optimizedPlan.toString
+    val md5s = "md5\\(".r.findAllIn(bandsPlan).size
+    assert(md5s == 12, s"expected 12 md5 nodes (6 staged digests + 6 band keys), got $md5s")
+    // CDC chunking: the cuts array (an O(words·window) md5 scan) is
+    // constructed ONCE per posting subtree — twice in the plan because
+    // the shared-chunk pairing self-joins the postings (physical reuse
+    // dedupes that). Re-inlining would replicate the construction into
+    // each of the chunk lambda's three references per side (6+).
+    val cdcPlan = graft.operators.Dedup.cdcChunkPairs(docs, 4, 4, 7, 100)
+      .queryExecution.optimizedPlan.toString
+    val cuts = "array_distinct\\(concat\\(".r.findAllIn(cdcPlan).size
+    assert(cuts == 2, s"cuts array re-inlined: $cuts constructions in plan " +
+      "(expected 2: one per self-join side)")
+  }
+
   test("merge's duplicate-key guard rides the locate join: batch shuffled exactly once") {
     // round 14 ran a SEPARATE groupBy/limit(1)/collect over the batch
     // before every MERGE — a second full batch shuffle. The guard now
