@@ -488,6 +488,29 @@ private[write] class CasVersionPointer(fs: FileSystem,
         s"no retained manifest for v$v under $manifestDir " +
           "(expired, or never committed)")))
 
+  /** `putIf` with INDETERMINATE-OUTCOME handling: a real catalog can
+    * APPLY the conditional write and then fail reporting it (network
+    * drop after commit). Propagating such an exception would make the
+    * caller's retry land the same batch TWICE — the
+    * commit-state-unknown hazard Iceberg handles by reading back. On
+    * any store exception this re-reads: if `attemptFile` is reachable
+    * from the fresh head's parentfile chain, OUR commit happened (the
+    * attempt name is unique to this call) and the put reports success;
+    * otherwise the original failure propagates — still ambiguous, but
+    * never silently doubled. */
+  private def putIfChecked(expected: Option[String], value: String,
+                           attemptFile: String): Boolean =
+    try store.putIf(expected, value)
+    catch { case e: Throwable =>
+      val landed =
+        try {
+          store.get().map(parseHead).exists { case (hv, hf) =>
+            hf == attemptFile || chainFrom(hv, hf).values.exists(_ == attemptFile)
+          }
+        } catch { case _: Throwable => false }
+      if (landed) true else throw e
+    }
+
   override def publish(v: Int, content: Array[Byte]): Boolean = {
     val before = store.get()
     val beforeHead = before.map(parseHead)
@@ -510,8 +533,8 @@ private[write] class CasVersionPointer(fs: FileSystem,
     // conflict (and re-running the caller's whole data write)
     var cur = before
     while (true) {
-      if (store.putIf(cur, renderValue((v, fname),
-          cur.map(parseRefs).getOrElse(Seq.empty))))
+      if (putIfChecked(cur, renderValue((v, fname),
+          cur.map(parseRefs).getOrElse(Seq.empty)), fname))
         return true
       val fresh = store.get()
       if (fresh.map(parseHead) != beforeHead) {
@@ -567,8 +590,8 @@ private[write] class CasVersionPointer(fs: FileSystem,
     // one CAS moves every retained version's identity at once; refs
     // carry forward untouched (tag values are bare versions and branch
     // values name BRANCH files — neither references main chain files)
-    if (!store.putIf(Some(raw), renderValue((headV, newNames(headV)),
-        parseRefs(raw)))) {
+    if (!putIfChecked(Some(raw), renderValue((headV, newNames(headV)),
+        parseRefs(raw)), newNames(headV))) {
       newNames.values.foreach(f => fs.delete(new Path(manifestDir, f), false))
       throw new SnapshotConflictException(
         s"manifest rewrite at $manifestDir lost a race with a concurrent " +
@@ -601,8 +624,13 @@ private[write] class CasVersionPointer(fs: FileSystem,
   /** Apply `mutate` to the refs under CAS: retried while OTHER lines
     * move (a concurrent commit relocating the head never invalidates a
     * ref mutation's intent); returns false only when the mutation
-    * itself refuses against the fresh refs. */
-  private def casRefs(mutate: Seq[(String, String)] => Option[Seq[(String, String)]]): Boolean = {
+    * itself refuses against the fresh refs. `landed` is the
+    * indeterminate-outcome check (same hazard as [[putIfChecked]]): on
+    * a store exception the fresh refs are read back, and if the
+    * mutation's effect is already visible the op reports success
+    * instead of letting a retry double it. */
+  private def casRefs(landed: Seq[(String, String)] => Boolean)(
+      mutate: Seq[(String, String)] => Option[Seq[(String, String)]]): Boolean = {
     while (true) {
       val raw = store.get().getOrElse(sys.error(
         s"no committed version at $manifestDir to hang a ref on"))
@@ -610,8 +638,15 @@ private[write] class CasVersionPointer(fs: FileSystem,
       mutate(refs) match {
         case None => return false
         case Some(next) =>
-          if (store.putIf(Some(raw), renderValue(parseHead(raw), next)))
-            return true
+          val won =
+            try store.putIf(Some(raw), renderValue(parseHead(raw), next))
+            catch { case e: Throwable =>
+              val visible =
+                try store.get().map(parseRefs).exists(landed)
+                catch { case _: Throwable => false }
+              if (visible) true else throw e
+            }
+          if (won) return true
         // else: lost to a concurrent commit or another ref op — re-read
       }
     }
@@ -619,9 +654,10 @@ private[write] class CasVersionPointer(fs: FileSystem,
   }
 
   override def refCreate(name: String, value: String): Boolean =
-    casRefs(refs =>
+    casRefs(_.exists(r => r._1 == name && r._2 == value)) { refs =>
       if (refs.exists(_._1 == name)) None
-      else Some(refs :+ (name -> value)))
+      else Some(refs :+ (name -> value))
+    }
 
   override def refGet(name: String): Option[String] =
     store.get().flatMap(raw => parseRefs(raw).collectFirst {
@@ -629,9 +665,10 @@ private[write] class CasVersionPointer(fs: FileSystem,
 
   override def refDrop(name: String): Unit = {
     if (store.get().isEmpty) return
-    casRefs(refs =>
+    casRefs(!_.exists(_._1 == name)) { refs =>
       if (!refs.exists(_._1 == name)) None // absent: done (idempotent)
-      else Some(refs.filterNot(_._1 == name)))
+      else Some(refs.filterNot(_._1 == name))
+    }
     ()
   }
 
@@ -692,7 +729,14 @@ private[write] class CasVersionPointer(fs: FileSystem,
       .getOrElse("").getBytes("UTF-8") ++ content
     val out = fs.create(new Path(manifestDir, fname), false)
     try out.write(chained) finally out.close()
-    val won = casRefs { refs =>
+    // landed-check: the attempt file name is unique to this call, so
+    // its presence in the branch's chain proves OUR publish applied
+    val won = casRefs(_.collectFirst {
+        case (n, v) if n == branchRef(name) => v
+      }.exists { v =>
+        val (hv, hf) = parseBranchVal(v)
+        hf == fname || chainFrom(hv, hf).values.exists(_ == fname)
+      }) { refs =>
       val now = refs.collectFirst { case (n, v) if n == branchRef(name) => v }
         .map(parseBranchVal)
       if (now != cur) None // the branch head moved: real race, lost
@@ -739,7 +783,9 @@ private[write] class CasVersionPointer(fs: FileSystem,
       try out.write((parentLine + body).getBytes("UTF-8")) finally out.close()
       newNames(bv) = fname
     }
-    val won = casRefs { refs =>
+    val won = casRefs(_.collectFirst {
+        case (n, v) if n == branchRef(name) => v
+      }.contains(s"$headBv|${newNames(headBv)}")) { refs =>
       val now = refs.collectFirst { case (n, v) if n == branchRef(name) => v }
       if (!now.contains(curVal)) None // branch moved mid-rewrite
       else Some(refs.map { case (n, v) =>

@@ -98,6 +98,10 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
         spark.sparkContext.hadoopConfiguration)
       val orphan = new Path(t.location, "_data/d99999_deadbeef")
       fs.mkdirs(orphan)
+      // backdate: the sweep takes dirs STRICTLY older than the cutoff,
+      // and a just-created dir's mtime can equal `now` at millisecond
+      // granularity — a clock-tick flake, not a sweep property
+      fs.setTimes(orphan, System.currentTimeMillis() - 10000L, -1L)
       val dry = spark.sql(s"VACUUM $name RETAIN 0 HOURS DRY RUN")
         .collect().map(_.getString(0)).toSet
       assert(dry == Set("d99999_deadbeef"))

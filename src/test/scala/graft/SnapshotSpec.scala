@@ -201,6 +201,10 @@ class SnapshotSpec extends AnyFunSuite {
     // unreferenced dir is indistinguishable from a live writer's
     // in-flight one, so only age proves it dead
     assert(t.vacuum().isEmpty, "default-window vacuum swept a young orphan")
+    // backdate before the zero-window sweep: strictly-older comparison
+    // vs millisecond mtime granularity (clock-tick flake otherwise)
+    fs(root).setTimes(new Path(s"$root/_data/d00099"),
+      System.currentTimeMillis() - 10000L, -1L)
     assert(t.vacuum(olderThanMs = 0L) == Seq("d00099"))
     assert(!fs(root).exists(new Path(s"$root/_data/d00099")))
     // referenced dirs untouched; table fully readable; idempotent
@@ -1064,6 +1068,9 @@ class SnapshotSpec extends AnyFunSuite {
     val orphanM = new Path(mdir, "v00099_deadbeef.txt")
     val out = fs(root).create(orphanM, false)
     try out.write("junk".getBytes("UTF-8")) finally out.close()
+    // backdate: a just-created file's mtime can equal the sweep's
+    // cutoff at millisecond granularity (strictly-older comparison)
+    fs(root).setTimes(orphanM, System.currentTimeMillis() - 10000L, -1L)
     t.vacuum(olderThanMs = 0L)
     assert(!fs(root).exists(orphanM), "CAS attempt debris not swept")
     assert(t.history.map(_._1) == Seq(3, 4), "vacuum touched live chain manifests")
@@ -1125,6 +1132,10 @@ class SnapshotSpec extends AnyFunSuite {
     val debris = new Path(mdir, "bv_dev_00009_deadbeef.txt")
     val out = fs(root).create(debris, false)
     try out.write("junk".getBytes("UTF-8")) finally out.close()
+    // backdate: the sweep takes files STRICTLY older than the cutoff,
+    // and a just-created file's mtime can equal `now` at millisecond
+    // granularity — a clock-tick flake, not a sweep property
+    fs(root).setTimes(debris, System.currentTimeMillis() - 10000L, -1L)
     t.vacuum(olderThanMs = 0L)
     assert(!fs(root).exists(debris), "branch attempt debris not swept")
     assert(t.history.map(_._1) == Seq(1, 2, 3))
@@ -1184,6 +1195,48 @@ class SnapshotSpec extends AnyFunSuite {
     assert(state(t.readVersion(1)) == Set((1, 2024, 1, 10.0)))
     assert(state(t.readVersion(2)) == Set((1, 2024, 1, 10.0), (3, 2024, 3, 30.0)))
     assert(t.resolveTag("pre").contains(1))
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
+  test("CAS mode: an indeterminate store outcome never doubles a commit") {
+    import graft.write.{ConditionalStore, InMemoryConditionalStore}
+    val root = freshRoot("snap_cas_unknown")
+    val inner = InMemoryConditionalStore(s"cas_$root")
+    // a store that APPLIES the conditional write and then fails
+    // reporting it — the network-drop-after-commit shape real catalogs
+    // produce. Without the read-back check, the caller's retry would
+    // land the same batch twice.
+    val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store = new ConditionalStore {
+      override def get(): Option[String] = inner.get()
+      override def putIf(expected: Option[String], value: String): Boolean = {
+        val applied = inner.putIf(expected, value)
+        if (applied && failNext.getAndDecrement() > 0)
+          throw new RuntimeException("simulated: committed, then the report was lost")
+        applied
+      }
+    }
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    failNext.set(1)
+    // the commit succeeds EXACTLY ONCE: publish reads back, finds its
+    // attempt-unique manifest at the head, and reports the win instead
+    // of surfacing the exception into a doubling retry
+    val v = t.commitWithRetry()(t.commitAppend(frame((2, 2024, 2, 2.0))))
+    assert(v == 2)
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)),
+      "indeterminate outcome doubled the batch")
+    assert(t.history.map(_._1) == Seq(1, 2))
+    // refs too: a tag create whose report is lost is still one tag
+    failNext.set(1)
+    t.tag("pinned", 1)
+    assert(t.tags == Seq("pinned" -> 1))
+    // and a branch commit: one winner, one branch head
+    t.createBranch("dev", 2)
+    failNext.set(1)
+    t.commitAppendToBranch("dev", frame((3, 2024, 3, 3.0)))
+    assert(t.branchHead("dev").contains(2))
+    assert(state(t.readBranch("dev")).map(_._1) == Set(1, 2, 3))
     assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
   }
 
