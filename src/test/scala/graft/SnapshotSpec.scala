@@ -1551,6 +1551,9 @@ class SnapshotSpec extends AnyFunSuite {
     // vacuumPreview reports the orphan a crashed writer left — and
     // REMOVES nothing (dry run); vacuum then takes exactly that list
     frame((9, 2024, 9, 9.0)).write.parquet(s"${t.location}/_data/d00099")
+    // backdate past millisecond mtime granularity (strictly-older sweep)
+    fs(t.location).setTimes(new Path(t.location, "_data/d00099"),
+      System.currentTimeMillis() - 10000L, -1L)
     assert(t.vacuumPreview(olderThanMs = 0L) == Seq("d00099"))
     assert(fs(t.location).exists(new Path(t.location, "_data/d00099")),
       "preview deleted the candidate")
