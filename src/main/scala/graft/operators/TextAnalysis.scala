@@ -236,6 +236,80 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 top-k lexical retrieval — the standard ranked keyword-search
+    * primitive of a retrieval / RAG / eval-harness pipeline, scoring
+    * each query against the corpus with the Lucene BM25 formula:
+    *
+    *   score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+    *                            / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * (always-positive Lucene idf — the classic Robertson form goes
+    * NEGATIVE for terms in more than half the corpus, which with this
+    * synthetic corpus's tiny vocabulary would reward documents for NOT
+    * containing a query term). Duplicate terms within one query are
+    * collapsed (bag-of-distinct-terms queries, Lucene's default).
+    *
+    * Scale shape: the query-term set is broadcast as an `isin` filter
+    * applied to the exploded token stream BEFORE its aggregation, so
+    * the only (doc, term) state that survives the corpus pass is
+    * candidate-sized — (query vocabulary × matching docs), never
+    * corpus-vocabulary-sized; document frequencies reduce that small
+    * result again. Document length is a zero-shuffle projection
+    * (`size(tokens)`) joined only onto candidates, and N/avgdl is a
+    * 1-row broadcast. The final per-query ranking windows over
+    * candidate docs only. No step touches non-matching documents past
+    * the initial scan.
+    *
+    * Determinism: idf and the tf normalization evaluate in one fixed
+    * double expression (identical operand order in the DuckDB mirror —
+    * the log parity convention), per-(query, doc) term contributions
+    * accumulate through [[graft.expr.Functions.stableSum]] (partition-
+    * order independent), and ranking breaks score ties on doc_id.
+    * Output: (query_id, rnk, doc_id, n_terms, score). */
+  def bm25Search(docs: org.apache.spark.sql.DataFrame,
+                 queries: Seq[(Int, String)], topK: Int,
+                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "topK must be positive")
+    require(queries.nonEmpty, "need at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.expr.Functions.stableSum
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }
+    val qDf = qTerms.toDF("query_id", "term")
+    val termSet = qTerms.map(_._2).distinct
+    // the ONE corpus pass: explode, keep query terms only (the isin
+    // prunes before the aggregation — candidate-sized state from here)
+    val tfq = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = tfq
+      .join(broadcast(qDf), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        stableSum(col("w")).cast("double").as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(win).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Multinomial naive Bayes language classifier, trained and applied
     * on the corpus itself and graded by its confusion matrix against
     * the labeled `lang` column — the supervised counterpart to the

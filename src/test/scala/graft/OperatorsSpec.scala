@@ -1511,6 +1511,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getDouble(5) == want)
   }
 
+  test("bm25Search ranks multi-term coverage above single-term tf") {
+    val df = docs(
+      (1L, "en", "apple apple banana"),
+      (2L, "en", "banana cherry"),
+      (3L, "en", "cherry durian apple"))
+    val got = TextAnalysis.bm25Search(df, Seq(1 -> "apple cherry"), topK = 3)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // d3 matches both query terms once; d1 has tf=2 on one term but
+    // BM25's tf saturation keeps two-term coverage ahead
+    assert(got.map(_.getLong(2)).toSeq == Seq(3L, 1L, 2L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 1L, 1L))
+    // exact-value anchor for d1 (apple tf=2, dl=3, N=3, avgdl=8/3,
+    // df=2): same operand order as the operator, decimal-accumulated
+    val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+    val w = idf * (2L * (1.2 + 1)) /
+      (2L + 1.2 * (1.0 - 0.75 + 0.75 * 3L / (8.0 / 3)))
+    val want = BigDecimal(
+      BigDecimal.valueOf(w).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1).getDouble(4) == want)
+    // a query term absent from the corpus contributes nothing; a query
+    // with NO matching term returns no rows for that query
+    val got2 = TextAnalysis.bm25Search(df,
+      Seq(1 -> "apple zzz", 2 -> "zzz"), topK = 3).collect()
+    assert(got2.forall(_.getInt(0) == 1))
+    assert(got2.map(_.getLong(3)).forall(_ == 1L))
+  }
+
   test("quantileGate anchors exact percentiles and bounds the sketch") {
     val df = (1 to 1000).map(i => ("a", ((i * 7919) % 1000 + 1).toDouble))
       .toDF("g", "v")

@@ -221,6 +221,29 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"trigram In-filter not pushed into the index scan:\n${scans.mkString("\n")}")
   }
 
+  test("bm25 prunes to query terms before any aggregation; no cartesian") {
+    val docs = (1L to 50L).map(i => (i, "en", s"alpha beta w$i"))
+      .toDF("doc_id", "lang", "text")
+    val q = graft.operators.TextAnalysis.bm25Search(
+      docs, Seq(1 -> "alpha w7"), topK = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must never go quadratic:\n$plan")
+    // The query-term In-filter must sit BELOW the tf aggregation and
+    // directly above the explode, so the only (doc, term) state
+    // surviving the corpus pass is candidate-sized. The plan prints
+    // top-down: right shape = HashAggregate … Filter(IN) … Generate,
+    // with NO aggregate between the filter and the explode (an
+    // aggregate there would mean the full corpus vocabulary was
+    // aggregated first and filtered after).
+    val filterAt = plan.indexOf("alpha")
+    val genAt = plan.indexOf("Generate", filterAt)
+    assert(filterAt >= 0, s"query-term In-filter missing:\n$plan")
+    assert(genAt > filterAt, s"filter must sit above the explode:\n$plan")
+    assert(!plan.substring(filterAt, genAt).contains("HashAggregate"),
+      s"term filter landed above an aggregate (post-aggregation prune):\n$plan")
+  }
+
   test("negativePairs is a zero-shuffle map pass over the id domain") {
     val docs = (0L until 50L).toDF("doc_id")
     val plan = graft.operators.Sampling.negativePairs(docs, k = 3)
