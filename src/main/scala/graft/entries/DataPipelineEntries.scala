@@ -393,6 +393,11 @@ object DataPipelineEntries {
   private val bm25TopK = 5
   private val bm25K1 = 1.2
   private val bm25B = 0.75
+  // TextRank keyword extraction (entry + unrolled-CTE oracle).
+  private val trIters = 6
+  private val trTopK = 20
+  private val trDamping = 0.85
+  private val trMinCount = 2
 
   /** The chunk table (doc_id, chunk_idx, chunk) every chunking consumer
     * derives from — ONE definition shared by the `text_chunks` entry,
@@ -1286,6 +1291,12 @@ object DataPipelineEntries {
     // decimal-summed per doc so the average is order-independent.
     "text_lm_score" -> q((s, d) =>
       TextAnalysis.bigramScore(Tables.spread(Tables.documents(s, d)))),
+    // TextRank keywords: weighted PageRank over the stopword-filtered
+    // adjacency graph, every round replayed by an unrolled-CTE oracle.
+    "text_textrank" -> q((s, d) =>
+      TextAnalysis.textRank(Tables.spread(Tables.documents(s, d)),
+        iters = trIters, k = trTopK, damping = trDamping,
+        minCount = trMinCount)),
     // Fixed-bucket value histogram via width_bucket: [0, 500) in 10
     // buckets — one partial-agg pass.
     "ev_histogram" -> q((s, d) => Tables.events(s, d)
@@ -3765,6 +3776,40 @@ object DataPipelineEntries {
          |        ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM sc)
          |SELECT query_id, rnk, doc_id, n_terms, ${rnd("score", 6)} AS score
          |FROM r WHERE rnk <= $bm25TopK""".stripMargin
+    },
+    // TextRank mirror: same stopword filter, same canonical adjacent
+    // pairs, every PageRank round unrolled (the graph_pagerank/k-means
+    // technique) with the identical teleport double and operand order
+    "text_textrank" -> {
+      val om = (1 - trDamping).toString; val d = trDamping.toString
+      val stops = graft.operators.TextAnalysis.Stopwords
+        .map(s => s"'$s'").mkString(", ")
+      val rounds = (1 to trIters).map { r =>
+        s"""s$r AS (SELECT v.word, $om + $d * coalesce(i.infl, 0.0) AS s
+           |  FROM v LEFT JOIN (
+           |    SELECT e2.dst AS word,
+           |      CAST(${decSum("e2.w / dg.wdeg * sp.s")} AS DOUBLE) AS infl
+           |    FROM e2 JOIN dg USING (src)
+           |      JOIN s${r - 1} sp ON sp.word = e2.src
+           |    GROUP BY 1) i USING (word))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |    x -> x NOT IN ($stops)) AS arr FROM documents),
+         |pr AS (SELECT least(arr[i], arr[i + 1]) AS a,
+         |         greatest(arr[i], arr[i + 1]) AS b
+         |       FROM f, unnest(range(1, len(arr))) t(i)
+         |       WHERE arr[i] <> arr[i + 1]),
+         |e AS (SELECT a, b, count(*) AS w FROM pr GROUP BY 1, 2
+         |      HAVING count(*) >= $trMinCount),
+         |e2 AS (SELECT a AS src, b AS dst, w FROM e
+         |       UNION ALL SELECT b AS src, a AS dst, w FROM e),
+         |dg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e2 GROUP BY 1),
+         |v AS (SELECT DISTINCT src AS word FROM e2),
+         |s0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS s FROM v),
+         |$rounds
+         |SELECT s$trIters.word, dg.wdeg, ${rnd("s", 6)} AS score
+         |FROM s$trIters JOIN dg ON dg.src = s$trIters.word
+         |ORDER BY s DESC, word LIMIT $trTopK""".stripMargin
     },
     // sign matrix interpolated from projectionSigns — the Spark side and
     // the oracle share one generator, so the matrix cannot drift

@@ -287,7 +287,12 @@ object TextAnalysis {
       .filter(col("term").isin(termSet: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+    // persisted: doc lengths feed the N/avgdl aggregate AND the
+    // candidate join — un-persisted, the corpus text column would be
+    // scanned a second and third time just to re-derive a (doc_id,
+    // long) pair. Entry-scoped (TransientCache): freed after the query.
+    val dl = graft.TransientCache.register(docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val contrib = tfq
@@ -308,6 +313,77 @@ object TextAnalysis {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** TextRank keyword extraction — the graph-based corpus keyword pass
+    * (Mihalcea & Tarau 2004): words are vertices, adjacent co-occurrence
+    * (after stopword removal) builds weighted undirected edges, and a
+    * fixed-iteration weighted PageRank scores centrality:
+    *
+    *   s(v) = (1 − d) + d · Σ_{u ~ v} (w_uv / wdeg(u)) · s(u)
+    *
+    * The complement to frequency-based keywords ([[tfIdfTop]], top
+    * n-grams): a word scores high for sitting between many well-
+    * connected words, not for being frequent.
+    *
+    * Scale shape: the ONE corpus-sized pass is the adjacent-pair
+    * explode into the (a, b) edge count aggregation (map-side combine;
+    * the `minCount` cut bounds the graph); everything after is
+    * EDGE-LIST-sized — the [[Graph.pageRank]] loop shape: per round one
+    * join of the vocabulary-sized score vector with the edge list on
+    * the source key and one aggregation on the destination key. The
+    * symmetric edge list is persisted (it feeds the degree profile, the
+    * vertex domain, and every round). No dangling-mass term is needed:
+    * undirected edges give every vertex an out-neighbor by
+    * construction.
+    *
+    * Determinism: inflow sums accumulate through
+    * [[graft.expr.Functions.stableSum]]; `w/wdeg·s` evaluates in one
+    * fixed operand order (log parity convention, minus the log); the
+    * teleport constant interpolates the SAME shortest-repr double into
+    * both engines; ranking breaks score ties on the word. Output:
+    * top-k (word, wdeg, score). */
+  def textRank(docs: org.apache.spark.sql.DataFrame, iters: Int, k: Int,
+               damping: Double = 0.85, minCount: Int = 2,
+               roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(k > 0, "k must be positive")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1): $damping")
+    import graft.expr.Functions.stableSum
+    val t = filter(tokens(col("text")), w => not(w.isInCollection(Stopwords)))
+    val win = greatest(size(t) - 1, lit(0))
+    val prs = docs
+      .select(explode(arrays_zip(slice(t, lit(1), win), slice(t, lit(2), win))).as("p"))
+      .select(col("p.0").as("x"), col("p.1").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    // persisted: the symmetric edge list feeds the degree profile, the
+    // vertex domain, and every iteration's join — un-persisted, the
+    // corpus pair aggregation would re-run once per round. Entry-scoped.
+    val e = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    val e2 = graft.TransientCache.register(
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(e.select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    val dg = e2.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val verts = e2.select(col("src").as("word")).distinct()
+    val oneMinusD = 1 - damping
+    var s = verts.select(col("word"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val contribs = e2
+        .join(dg, "src")
+        .join(s.withColumnRenamed("word", "src"), "src")
+        .select(col("dst").as("word"), (col("w") / col("wdeg") * col("s")).as("c"))
+      s = verts
+        .join(contribs.groupBy(col("word"))
+          .agg(stableSum(col("c")).cast("double").as("inflow")), Seq("word"), "left")
+        .select(col("word"),
+          (lit(oneMinusD) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("s"))
+    }
+    s.join(dg.withColumnRenamed("src", "word"), "word")
+      .orderBy(col("s").desc, col("word")).limit(k)
+      .select(col("word"), col("wdeg"), round(col("s"), roundTo).as("score"))
   }
 
   /** Multinomial naive Bayes language classifier, trained and applied

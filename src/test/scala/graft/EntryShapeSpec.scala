@@ -36,6 +36,18 @@ class EntryShapeSpec extends AnyFunSuite {
       "sub-second fixture median must not dominate the factor")
   }
 
+  test("every graded entry has a DuckDB oracle and vice versa") {
+    // an entry without an oracle silently downgrades to the driver's
+    // weaker rows-only check; an oracle without an entry is dead SQL
+    // that drifts unnoticed — both are build failures
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"graded entries missing an oracleSql mirror: ${noOracle.toSeq.sorted.mkString(", ")}")
+    val noEntry = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noEntry.isEmpty,
+      s"oracle SQL with no graded entry: ${noEntry.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every graded output column is an atomic, non-decimal type") {
     assume(new java.io.File(s"$sfDir/events.parquet").exists, s"$sfDir missing")
     val spark = TestSpark.spark

@@ -1540,6 +1540,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2.map(_.getLong(3)).forall(_ == 1L))
   }
 
+  test("textRank centers the hub word and drops stopwords") {
+    val df = docs(
+      (1L, "en", "the p hub q hub r hub p hub q hub r hub"),
+      (2L, "en", "s t s t s t"))
+    val got = TextAnalysis.textRank(df, iters = 6, k = 10, minCount = 2)
+      .collect()
+    // stopword-filtered adjacency: (hub,p)×3 (the leading 'the' is
+    // removed BEFORE pairing, so 'p hub' still forms), (hub,q)×4,
+    // (hub,r)×4, (s,t)×5 — 'the' never reaches the graph
+    assert(!got.map(_.getString(0)).contains("the"))
+    assert(got.head.getString(0) == "hub")
+    assert(got.head.getLong(1) == 11L) // wdeg(hub) = 3 + 4 + 4
+    // every vertex of the two components is scored
+    assert(got.map(_.getString(0)).toSet ==
+      Set("hub", "p", "q", "r", "s", "t"))
+    // centrality, not frequency: hub outranks the s–t pair despite the
+    // (s,t) edge being the heaviest single edge
+    val byWord = got.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byWord("hub") > byWord("s") && byWord("hub") > byWord("t"))
+  }
+
   test("quantileGate anchors exact percentiles and bounds the sketch") {
     val df = (1 to 1000).map(i => ("a", ((i * 7919) % 1000 + 1).toDouble))
       .toDF("g", "v")

@@ -244,6 +244,21 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"term filter landed above an aggregate (post-aggregation prune):\n$plan")
   }
 
+  test("textRank rounds ride the persisted edge list; no cartesian") {
+    val docs = (1L to 40L).map(i => (i, "en", s"alpha w${i % 4} beta w${i % 4}"))
+      .toDF("doc_id", "lang", "text")
+    val q = graft.operators.TextAnalysis.textRank(docs, iters = 2, k = 5,
+      minCount = 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"textRank must never go quadratic:\n$plan")
+    // the symmetric edge list feeds the degrees, the vertex domain, and
+    // every round — it must be consumed from the persisted form, not
+    // re-aggregated from the corpus per round
+    assert(plan.contains("InMemoryTableScan"),
+      s"edge list must be persisted and reused across rounds:\n$plan")
+  }
+
   test("negativePairs is a zero-shuffle map pass over the id domain") {
     val docs = (0L until 50L).toDF("doc_id")
     val plan = graft.operators.Sampling.negativePairs(docs, k = 3)
