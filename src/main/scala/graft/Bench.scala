@@ -95,6 +95,16 @@ object Bench {
     // is why the drifts never reproduce at larger relative scale.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Mid-run probe ratios vs the start probe: a single end/start drift
+    // number cannot LOCALIZE contention (the round-15 refresh runs
+    // started with clean fixtures and inflated only past the first
+    // hundred entries), and it conflates arrival-time with magnitude.
+    // One probe every `probeEvery` entries (~6 probes, ~3 s, outside
+    // every per-entry timing) yields a profile whose MEDIAN is the
+    // run-level inflation a consumer can normalize totals by.
+    val probeEvery = 45
+    val profile = scala.collection.mutable.ListBuffer.empty[Double]
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -110,6 +120,11 @@ object Bench {
       // fast from broken
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       TransientCache.drain() // free entry-scoped caches, outside the timing
+      sinceProbe += 1
+      if (sinceProbe >= probeEvery && probeStart > 0.05) {
+        sinceProbe = 0
+        profile += cpuProbe() / probeStart
+      }
       (name, elapsed, ok)
     }
     // ---- contamination re-probe (policy: bench_history/README.md): in
@@ -178,12 +193,19 @@ object Bench {
     val envDrift =
       if (probeStart > 0.05) probeEnd / probeStart else 1.0
     val envFactor = Bench.envFactorOf(fixtureS, pairsS, fixtureMed, pairsMed)
-    val flagThresh = if (envFactor > 1.3 || envDrift > 1.3) 1.5 else 3.0
+    // run-level inflation: the MEDIAN of every probe ratio taken after
+    // the run started (mid-run profile + the end probe). Median, not
+    // max: one contended probe must not brand the whole run; sustained
+    // slowness moves the median. This is the number a consumer divides
+    // the total by when comparing runs across machine states.
+    val envInflation = Bench.inflationOf(profile.toSeq :+ envDrift)
+    val flagThresh =
+      if (envFactor > 1.3 || envDrift > 1.3 || envInflation > 1.3) 1.5 else 3.0
     if (flagThresh < 3.0)
       System.err.println(f"[bench] environment canary: fixture factor " +
         f"$envFactor%.2fx vs trailing median, intra-run cpu-probe drift " +
-        f"$envDrift%.2fx — machine slow/contended; re-probe threshold " +
-        f"lowered to ${flagThresh}x")
+        f"$envDrift%.2fx, run-level inflation $envInflation%.2fx — machine " +
+        f"slow/contended; re-probe threshold lowered to ${flagThresh}x")
     val flagged = results
       .collect { case (name, t, true)
         if t > 2.0 && medians.get(name).exists(m => t > flagThresh * m) => (name, t) }
@@ -226,7 +248,8 @@ object Bench {
     val failed = finalResults.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"environment_factor":${fmt(envFactor)},"environment_drift":${fmt(envDrift)},"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
+    val profileJson = profile.map(fmt).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fixture_s":${fmt(fixtureS)},"pairs_s":${fmt(pairsS)},"environment_factor":${fmt(envFactor)},"environment_drift":${fmt(envDrift)},"environment_inflation":${fmt(envInflation)},"environment_profile":$profileJson,"queries":$qs,"contaminated":$contamJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // Also persist the line to a file: a stdout-tail capture can truncate
     // the head of one long line (it did once), but a file read cannot.
@@ -270,5 +293,13 @@ object Bench {
       fixtureMed.filter(m => m > 1.0 && fixtureS > 0).map(fixtureS / _),
       pairsMed.filter(m => m > 1.0 && pairsS > 0).map(pairsS / _)).flatten
     if (ratios.isEmpty) 1.0 else ratios.max
+  }
+
+  /** Run-level inflation from the probe-ratio profile: the median (1.0
+    * for an empty profile). Median, not max — a single contended probe
+    * must not brand a clean run, while sustained slowness moves it. */
+  private[graft] def inflationOf(ratios: Seq[Double]): Double = {
+    val valid = ratios.filter(_ > 0).sorted
+    if (valid.isEmpty) 1.0 else valid(valid.size / 2)
   }
 }

@@ -34,6 +34,15 @@ class EntryShapeSpec extends AnyFunSuite {
     assert(Bench.envFactorOf(-1.0, -1.0, Some(25.0), Some(25.0)) == 1.0)
     assert(Bench.envFactorOf(5.0, 40.0, Some(0.5), Some(25.0)) == 1.6,
       "sub-second fixture median must not dominate the factor")
+    // run-level inflation is the MEDIAN of the probe-ratio profile: one
+    // contended probe cannot brand a clean run; sustained slowness moves
+    // it; failed probes (<= 0) and an empty profile are neutral
+    assert(Bench.inflationOf(Seq.empty) == 1.0)
+    assert(Bench.inflationOf(Seq(1.0, 1.05, 4.0)) == 1.05,
+      "one outlier probe must not flag the run")
+    assert(Bench.inflationOf(Seq(1.5, 1.6, 1.4, 1.02)) == 1.5,
+      "sustained slowness must move the median")
+    assert(Bench.inflationOf(Seq(-1.0, 1.2)) == 1.2)
   }
 
   test("every graded entry has a DuckDB oracle and vice versa") {
