@@ -37,7 +37,7 @@ object SkewJoin {
     // rows carry a distinguishing column; run exact dedup first if yours
     // do not.
     val salted = large.withColumn(SaltCol,
-      pmod(xxhash64(large.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = small.withColumn(SaltCol,
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, SaltCol), how).drop(SaltCol)
@@ -67,7 +67,7 @@ object SkewJoin {
     val global = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieCol))
     df.withColumn(SaltCol,
-        pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
       .withColumn("__local_rn", row_number().over(local))
       .filter(col("__local_rn") <= k)
       .drop(SaltCol, "__local_rn")

@@ -146,7 +146,7 @@ object StreamingEvents extends Serializable {
     val fn: (Long, Iterator[Ev], GroupState[OpenSession]) => Iterator[Session] =
       (userId, evs, state) => {
         if (state.hasTimedOut) {
-          val out = state.getOption.map(flush(userId, _)).toIterator
+          val out = state.getOption.map(flush(userId, _)).iterator
           state.remove()
           out
         } else {

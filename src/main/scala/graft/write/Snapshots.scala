@@ -2409,9 +2409,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     val b = readVersion(toV)
     require(a.columns.sorted.sameElements(b.columns.sorted),
       s"changelog needs a shared schema between v$fromV and v$toV")
-    b.exceptAll(a.select(b.columns.map(col): _*)).withColumn("op", lit("insert"))
+    b.exceptAll(a.select(b.columns.map(col).toIndexedSeq: _*)).withColumn("op", lit("insert"))
       .unionByName(
-        a.exceptAll(b.select(a.columns.map(col): _*)).withColumn("op", lit("delete")))
+        a.exceptAll(b.select(a.columns.map(col).toIndexedSeq: _*)).withColumn("op", lit("delete")))
   }
 
   /** CDC consumer — the downstream-materialization side of the
@@ -2424,8 +2424,8 @@ class SnapshotTable(spark: SparkSession, root: String,
   def applyChangelog(base: DataFrame, log: DataFrame): DataFrame = {
     val cols = base.columns
     require(log.columns.contains("op"), "changelog frame must carry an op column")
-    val del = log.filter(col("op") === "delete").select(cols.map(col): _*)
-    val ins = log.filter(col("op") === "insert").select(cols.map(col): _*)
+    val del = log.filter(col("op") === "delete").select(cols.map(col).toIndexedSeq: _*)
+    val ins = log.filter(col("op") === "insert").select(cols.map(col).toIndexedSeq: _*)
     base.exceptAll(del).unionByName(ins)
   }
 
