@@ -1030,14 +1030,19 @@ class SnapshotTable(spark: SparkSession, root: String,
         here
       }
     }
+    // the catch-alls are unreachable: matched/bySource/insertCs are
+    // pre-filtered by the collects above — stated so the compiler's
+    // exhaustiveness check stays useful elsewhere
     val mFlags = applyFlags(matched.map {
       case WhenMatchedUpdateAll(c) => c
       case WhenMatchedUpdate(_, c) => c
       case WhenMatchedDelete(c) => c
+      case other => sys.error(s"unreachable merge clause in matched: $other")
     }, isMatched)
     val sFlags = applyFlags(bySource.map {
       case WhenNotMatchedBySourceDelete(c) => c
       case WhenNotMatchedBySourceUpdate(_, c) => c
+      case other => sys.error(s"unreachable merge clause in bySource: $other")
     }, !isMatched)
     val deleted = (matched.zip(mFlags).collect {
       case (_: WhenMatchedDelete, f) => f
@@ -1104,6 +1109,7 @@ class SnapshotTable(spark: SparkSession, root: String,
           val condC = coalesce((c match {
             case WhenNotMatchedInsertAll(cc) => cc
             case WhenNotMatchedInsert(_, cc) => cc
+            case other => sys.error(s"unreachable merge clause in inserts: $other")
           }).getOrElse(lit(true)), lit(false))
           val here = !prior && condC
           prior = prior || condC
@@ -1115,6 +1121,7 @@ class SnapshotTable(spark: SparkSession, root: String,
                 val f = outFields.find(_.name.equalsIgnoreCase(n)).get
                 v.cast(f.dataType).as(f.name)
               }.toIndexedSeq: _*)
+            case other => sys.error(s"unreachable merge clause in inserts: $other")
           }
         }.reduce(_.unionByName(_, allowMissingColumns = true))
       })
