@@ -1077,6 +1077,56 @@ class SnapshotSpec extends AnyFunSuite {
     assert(t.fsck().isEmpty)
   }
 
+  test("CAS mode stress: 8 writers x 3 commits racing 2 tag creators — chain intact, no debris") {
+    import graft.write.InMemoryConditionalStore
+    val root = freshRoot("snap_cas_stress")
+    val store = InMemoryConditionalStore(s"cas_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // 8 writers x 3 appends contend on the ONE pointer cell while 2 tag
+    // creators race their ref CASes through the same cell: a commit
+    // failing only because a TAG line moved (and vice versa) must retry
+    // internally, never surface a conflict or drop a batch
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 8).map { w =>
+      new Thread(() => {
+        try {
+          val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+          (0 until 3).foreach { k =>
+            val id = 10 + w * 3 + k
+            h.commitWithRetry()(
+              h.commitAppend(frame((id, 2024, id % 12 + 1, id * 1.0))))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val taggers = Seq("stress_a", "stress_b").map { name =>
+      new Thread(() => {
+        try {
+          val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+          h.tag(name, h.currentVersion.get)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    (writers ++ taggers).foreach(_.start())
+    (writers ++ taggers).foreach(_.join())
+    assert(errs.isEmpty, s"stress failure: ${Option(errs.peek()).map(_.getMessage)}")
+    // every batch landed exactly once, versions are contiguous 1..25
+    assert(t.currentVersion.contains(25))
+    assert(t.history.map(_._1) == (1 to 25).toSeq)
+    assert(state(t.read()).map(_._1) == (Set(1) ++ (10 until 34).toSet))
+    // both tags exist and pin a version that still resolves
+    val pinned = t.tags.toMap
+    assert(pinned.keySet == Set("stress_a", "stress_b"), s"tags: $pinned")
+    pinned.values.foreach(v => assert(t.readVersion(v).count() >= 1))
+    // no CAS loser left an orphan attempt; the chain is fsck-clean
+    val mdir = new Path(root, "_manifests")
+    val mfiles = fs(root).listStatus(mdir).map(_.getPath.getName)
+      .filter(n => n.matches("v\\d+_[0-9a-f]{8}\\.txt"))
+    assert(mfiles.length == 25, s"orphan attempts: ${mfiles.length} files for 25 versions")
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
   test("CAS mode: tags and branches arbitrate through the store — racing creators, one winner each") {
     import graft.write.InMemoryConditionalStore
     val root = freshRoot("snap_cas_refs")
