@@ -393,6 +393,38 @@ object DataPipelineEntries {
   private val bm25TopK = 5
   private val bm25K1 = 1.2
   private val bm25B = 0.75
+  /** The BM25 DuckDB mirror, shared by the from-scratch, stored-index,
+    * and incremental-append entries (score-identical by construction —
+    * see [[graft.operators.TextAnalysis.bm25Score]]). */
+  private lazy val bm25OracleSql: String = {
+    val qVals = bm25Queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val k1 = bm25K1.toString; val b = bm25B.toString
+    val k1p1 = (bm25K1 + 1).toString
+    s"""WITH q(query_id, term) AS (VALUES $qVals),
+       |t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+       |dl AS (SELECT doc_id, len($toks) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |c AS (SELECT q.query_id, tfq.doc_id,
+       |        ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |          (tfq.tf * $k1p1) /
+       |          (tfq.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl)) AS w
+       |      FROM tfq JOIN q USING (term) JOIN dfx USING (term)
+       |        JOIN dl USING (doc_id), st),
+       |sc AS (SELECT query_id, doc_id, count(*) AS n_terms,
+       |         CAST(${decSum("w")} AS DOUBLE) AS score
+       |       FROM c GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT query_id, rnk, doc_id, n_terms, ${rnd("score", 6)} AS score
+       |FROM r WHERE rnk <= $bm25TopK""".stripMargin
+  }
+
   // TextRank keyword extraction (entry + unrolled-CTE oracle).
   private val trIters = 6
   private val trTopK = 20
@@ -1287,6 +1319,28 @@ object DataPipelineEntries {
     "text_bm25" -> q((s, d) =>
       TextAnalysis.bm25Search(Tables.spread(Tables.documents(s, d)),
         bm25Queries, topK = bm25TopK, k1 = bm25K1, b = bm25B)),
+    // BM25 served from the STORED inverted index (built once per
+    // session/sfDir, the trigram/IVF amortized-index shape): identical
+    // scores by construction — the same oracle grades it.
+    "text_bm25_stored" -> q { (s, d) =>
+      val dir = memoPath("bm25_idx", s, d)(p =>
+        TextAnalysis.bm25IndexWrite(Tables.spread(Tables.documents(s, d)), p))
+      TextAnalysis.bm25Stored(s, dir, bm25Queries, topK = bm25TopK,
+        k1 = bm25K1, b = bm25B)
+    },
+    // Incremental index maintenance: build on two thirds of the corpus,
+    // APPEND the rest — df/N/avgdl derive from the stored tables at
+    // query time, so the appended index must equal the from-scratch
+    // build (and grade against the identical full-corpus oracle).
+    "text_bm25_incr" -> q { (s, d) =>
+      val dir = memoPath("bm25_idx_incr", s, d) { p =>
+        val docs = Tables.spread(Tables.documents(s, d))
+        TextAnalysis.bm25IndexWrite(docs.filter(col("doc_id") % 3 =!= 0), p)
+        TextAnalysis.bm25IndexAppend(docs.filter(col("doc_id") % 3 === 0), p)
+      }
+      TextAnalysis.bm25Stored(s, dir, bm25Queries, topK = bm25TopK,
+        k1 = bm25K1, b = bm25B)
+    },
     // Corpus-trained bigram LM fluency score (add-one smoothing),
     // decimal-summed per doc so the average is order-independent.
     "text_lm_score" -> q((s, d) =>
@@ -3749,34 +3803,12 @@ object DataPipelineEntries {
     // BM25 mirror: identical Lucene idf / tf-normalization operand
     // order (log parity convention), decimal-summed per-(query, doc)
     // score, same (score desc, doc_id) ranking tiebreak
-    "text_bm25" -> {
-      val qVals = bm25Queries.flatMap { case (qid, text) =>
-        text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
-      }.mkString(", ")
-      val k1 = bm25K1.toString; val b = bm25B.toString
-      val k1p1 = (bm25K1 + 1).toString
-      s"""WITH q(query_id, term) AS (VALUES $qVals),
-         |t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
-         |dfx AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
-         |dl AS (SELECT doc_id, len($toks) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n,
-         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |c AS (SELECT q.query_id, tfq.doc_id,
-         |        ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) *
-         |          (tfq.tf * $k1p1) /
-         |          (tfq.tf + $k1 * (1.0 - $b + $b * dl.dl / st.avgdl)) AS w
-         |      FROM tfq JOIN q USING (term) JOIN dfx USING (term)
-         |        JOIN dl USING (doc_id), st),
-         |sc AS (SELECT query_id, doc_id, count(*) AS n_terms,
-         |         CAST(${decSum("w")} AS DOUBLE) AS score
-         |       FROM c GROUP BY 1, 2),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id) AS INTEGER) AS rnk FROM sc)
-         |SELECT query_id, rnk, doc_id, n_terms, ${rnd("score", 6)} AS score
-         |FROM r WHERE rnk <= $bm25TopK""".stripMargin
-    },
+    "text_bm25" -> bm25OracleSql,
+    // the stored-index and incremental-append paths must EQUAL the
+    // from-scratch pass (df/N/avgdl derive from the stored tables at
+    // query time), so the identical full-corpus oracle grades them
+    "text_bm25_stored" -> bm25OracleSql,
+    "text_bm25_incr" -> bm25OracleSql,
     // TextRank mirror: same stopword filter, same canonical adjacent
     // pairs, every PageRank round unrolled (the graph_pagerank/k-means
     // technique) with the identical teleport double and operand order

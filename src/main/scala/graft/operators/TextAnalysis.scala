@@ -270,29 +270,88 @@ object TextAnalysis {
   def bm25Search(docs: org.apache.spark.sql.DataFrame,
                  queries: Seq[(Int, String)], topK: Int,
                  k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    require(topK > 0, "topK must be positive")
     require(queries.nonEmpty, "need at least one query")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    import graft.expr.Functions.stableSum
-    val qTerms = queries.flatMap { case (qid, text) =>
-      text.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
-    }
-    val qDf = qTerms.toDF("query_id", "term")
-    val termSet = qTerms.map(_._2).distinct
+    val termSet = queries.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).distinct
     // the ONE corpus pass: explode, keep query terms only (the isin
     // prunes before the aggregation — candidate-sized state from here)
     val tfq = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term").isin(termSet: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // persisted: doc lengths feed the N/avgdl aggregate AND the
     // candidate join — un-persisted, the corpus text column would be
     // scanned a second and third time just to re-derive a (doc_id,
     // long) pair. Entry-scoped (TransientCache): freed after the query.
     val dl = graft.TransientCache.register(docs.select(col("doc_id"),
       tokenCount(col("text")).cast("long").as("dl")))
+    bm25Score(tfq, dl, queries, topK, k1, b)
+  }
+
+  /** Write the BM25 inverted index for `docs` under `path`: a postings
+    * table `path/postings` (term, doc_id, tf) over the FULL corpus
+    * vocabulary and a doc-length table `path/doclens` (doc_id, dl) —
+    * the stored form every production search pipeline maintains so the
+    * corpus is tokenized once and amortized over every later query
+    * batch (the [[trigramIndexWrite]] / stored-IVF deployment shape).
+    * One corpus pass each; postings aggregate with map-side combine. */
+  def bm25IndexWrite(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Append NEW documents to a stored BM25 index — incremental index
+    * maintenance. Correctness needs no stored-side rewrite because
+    * every corpus statistic the scorer uses (df, N, avgdl) DERIVES from
+    * the stored tables at query time: appending a new doc's postings
+    * and doclen row leaves the index exactly equal to a from-scratch
+    * build over the union (spec-pinned). The caller batches by
+    * NEW doc_ids; appending the same doc twice would double its tf. */
+  def bm25IndexAppend(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$path/postings")
+    docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+  }
+
+  /** BM25 top-k served from the STORED index: score-identical to
+    * [[bm25Search]] over the same corpus (the tf/dl tables hold exactly
+    * what the from-scratch pass aggregates, and the scoring tail is the
+    * SAME code), but the corpus is never re-tokenized — the query-term
+    * `isin` filter pushes into the postings parquet scan
+    * (`PushedFilters: In(term, …)`, plan-pinned), so a query batch
+    * touches only its own postings. df derives from the pruned
+    * postings, N/avgdl from the doclens table — which is why
+    * append-only maintenance ([[bm25IndexAppend]]) stays exact. */
+  def bm25Stored(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 queries: Seq[(Int, String)], topK: Int,
+                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val termSet = queries.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).distinct
+    val tfq = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("term").isin(termSet: _*))
+    val dl = graft.TransientCache.register(
+      spark.read.parquet(s"$indexPath/doclens"))
+    bm25Score(tfq, dl, queries, topK, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: identical expressions for the
+    * from-scratch and stored paths, so their scores cannot drift. */
+  private def bm25Score(tfq: org.apache.spark.sql.DataFrame,
+                        dl: org.apache.spark.sql.DataFrame,
+                        queries: Seq[(Int, String)], topK: Int,
+                        k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "topK must be positive")
+    require(queries.nonEmpty, "need at least one query")
+    val spark = tfq.sparkSession
+    import spark.implicits._
+    import graft.expr.Functions.stableSum
+    val qDf = queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "term")
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val contrib = tfq

@@ -1540,6 +1540,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2.map(_.getLong(3)).forall(_ == 1L))
   }
 
+  test("stored BM25 index equals the from-scratch pass; appends stay exact") {
+    val df = docs(
+      (1L, "en", "apple apple banana"),
+      (2L, "en", "banana cherry"),
+      (3L, "en", "cherry durian apple"),
+      (4L, "en", "durian apple apple cherry"))
+    val qs = Seq(1 -> "apple cherry", 2 -> "banana")
+    val want = TextAnalysis.bm25Search(df, qs, topK = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    TextAnalysis.bm25IndexWrite(df, s"$dir/full")
+    val stored = TextAnalysis.bm25Stored(spark, s"$dir/full", qs, topK = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(stored == want, "stored index must be score-identical")
+    // incremental: build on docs 1-2, append 3-4 — df/N/avgdl derive
+    // from the stored tables at query time, so the appended index must
+    // equal the from-scratch build over the union
+    TextAnalysis.bm25IndexWrite(df.filter($"doc_id" <= 2), s"$dir/incr")
+    TextAnalysis.bm25IndexAppend(df.filter($"doc_id" > 2), s"$dir/incr")
+    val incr = TextAnalysis.bm25Stored(spark, s"$dir/incr", qs, topK = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(incr == want, "appended index must equal the from-scratch build")
+  }
+
   test("textRank centers the hub word and drops stopwords") {
     val df = docs(
       (1L, "en", "the p hub q hub r hub p hub q hub r hub"),

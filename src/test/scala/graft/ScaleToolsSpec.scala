@@ -244,6 +244,19 @@ class ScaleToolsSpec extends AnyFunSuite {
       s"term filter landed above an aggregate (post-aggregation prune):\n$plan")
   }
 
+  test("stored BM25 pushes the query-term set into the postings scan") {
+    val docs = (1L to 50L).map(i => (i, "en", s"alpha beta w$i"))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_pin").toString
+    graft.operators.TextAnalysis.bm25IndexWrite(docs, dir)
+    val q = graft.operators.TextAnalysis.bm25Stored(spark, dir,
+      Seq(1 -> "alpha w7"), topK = 5)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val idxScan = scans.find(_.contains("postings"))
+    assert(idxScan.exists(s => s.contains("PushedFilters") && s.contains("In(term")),
+      s"term In-filter not pushed into the postings scan:\n${scans.mkString("\n")}")
+  }
+
   test("textRank rounds ride the persisted edge list; no cartesian") {
     val docs = (1L to 40L).map(i => (i, "en", s"alpha w${i % 4} beta w${i % 4}"))
       .toDF("doc_id", "lang", "text")
