@@ -297,9 +297,15 @@ object Bench {
 
   /** Run-level inflation from the probe-ratio profile: the median (1.0
     * for an empty profile). Median, not max — a single contended probe
-    * must not brand a clean run, while sustained slowness moves it. */
+    * must not brand a clean run, while sustained slowness moves it.
+    * Even-length profiles average the two middle elements (the
+    * conventional median) — the upper-middle element alone biases the
+    * typical ~6-probe profile upward and could trip the 1.3x
+    * escalation on a borderline-clean run. */
   private[graft] def inflationOf(ratios: Seq[Double]): Double = {
     val valid = ratios.filter(_ > 0).sorted
-    if (valid.isEmpty) 1.0 else valid(valid.size / 2)
+    if (valid.isEmpty) 1.0
+    else if (valid.size % 2 == 1) valid(valid.size / 2)
+    else (valid(valid.size / 2 - 1) + valid(valid.size / 2)) / 2.0
   }
 }

@@ -307,9 +307,29 @@ object TextAnalysis {
     * every corpus statistic the scorer uses (df, N, avgdl) DERIVES from
     * the stored tables at query time: appending a new doc's postings
     * and doclen row leaves the index exactly equal to a from-scratch
-    * build over the union (spec-pinned). The caller batches by
-    * NEW doc_ids; appending the same doc twice would double its tf. */
+    * build over the union (spec-pinned).
+    *
+    * Re-append guard: appending a doc_id already in the index would
+    * silently double its tf and doclen rows, corrupting every later
+    * score — exactly the artifact a retried ingest job re-appends. The
+    * batch's doc_ids are therefore anti-checked against the stored
+    * doclens table and an overlap refuses LOUDLY (the duplicate-MERGE-
+    * key convention). Cost: one semi-join of the column-pruned stored
+    * (doc_id) projection against the broadcast batch keys — no text is
+    * re-read, no postings are touched. */
   def bm25IndexAppend(docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val batchIds = docs.select(col("doc_id")).distinct()
+    val dup = docs.sparkSession.read.parquet(s"$path/doclens")
+      .select(col("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"bm25IndexAppend at $path: doc_ids already present in the stored " +
+        s"index: ${dup.mkString(", ")}${if (dup.length >= 5) ", ..." else ""} " +
+        "— re-appending would double their tf/doclen rows and corrupt " +
+        "every later score. Batch by NEW doc_ids (anti-join the batch " +
+        "against the stored doclens first), or rebuild with " +
+        "bm25IndexWrite.")
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .write.mode("append").parquet(s"$path/postings")

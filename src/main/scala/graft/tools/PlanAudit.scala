@@ -59,6 +59,32 @@ object PlanAudit {
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, render(spark, sfDir).getBytes("UTF-8"))
+    println(s"[planaudit] wrote ${audited.size} plans to $out")
+    spark.stop()
+  }
+
+  /** Renumber expression IDs (`col#1234`) per plan in first-appearance
+    * order: Catalyst draws them from a JVM-global counter, so the raw
+    * rendering depends on how many queries ran before — normalized, the
+    * SAME plan shape renders byte-identically from a fresh `runMain`
+    * JVM and from mid-test-suite, which is what lets `PlanAuditSpec`
+    * enforce doc regeneration as a build failure. */
+  private def normalizeIds(plan: String): String = {
+    val id = "#(\\d+)".r
+    val mapping = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    id.findAllMatchIn(plan).foreach { m =>
+      if (!mapping.contains(m.group(1))) mapping(m.group(1)) = mapping.size + 1
+    }
+    id.replaceAllIn(plan, m => "#" + mapping(m.group(1)))
+  }
+
+  /** The full document text — pure function of the running code and the
+    * fixture tables (see [[normalizeIds]] for why it is deterministic
+    * regardless of prior session activity). */
+  def render(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     val sb = new StringBuilder
     sb.append("# Plan audit — headline physical plans\n\n")
     sb.append("GENERATED by `sbt \"runMain graft.tools.PlanAudit\"` from the running\n")
@@ -67,7 +93,9 @@ object PlanAudit {
     sb.append("`explain(\"formatted\")` output Catalyst actually produced. Plan SHAPE\n")
     sb.append("(pushdowns, join strategies, exchange placement) is scale-independent;\n")
     sb.append("AQE can only improve on it at runtime. Several properties are also\n")
-    sb.append("pinned as build failures in `ScaleToolsSpec`.\n")
+    sb.append("pinned as build failures in `ScaleToolsSpec`, and `PlanAuditSpec`\n")
+    sb.append("re-renders this whole document in-suite — a stale doc (any plan\n")
+    sb.append("shape drifting from what is committed here) fails the build.\n")
     audited.foreach { case (name, note) =>
       // the bucketed-join entry renders the AT-SCALE shape: with fixture
       // stats the planner broadcasts the small side, which hides exactly
@@ -81,16 +109,17 @@ object PlanAudit {
         finally if (noBroadcast)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       // current_timestamp() folds to a literal at plan time; normalize
-      // it so regenerating the doc diffs only when a PLAN changes
-      val plan = plan0.replaceAll(
-        "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d+", "<generated-at>")
+      // it so regenerating the doc diffs only when a PLAN changes.
+      // Scoped to the aliasing sites of the two generated-at columns
+      // (`... AS loaded_at` / `... AS created_at`) — a genuine
+      // timestamp literal that is part of query logic must keep
+      // rendering, or a real plan change would hide in the diff
+      val plan = normalizeIds(plan0.replaceAll(
+        "\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d+" +
+          "(?= AS (?:loaded_at|created_at))", "<generated-at>"))
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
       graft.TransientCache.drain()
     }
-    val p = java.nio.file.Paths.get(out)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
-    println(s"[planaudit] wrote ${audited.size} plans to $out")
-    spark.stop()
+    sb.toString
   }
 }

@@ -362,7 +362,19 @@ object GraftStores {
     scala.collection.concurrent.TrieMap.empty[String, ConditionalStore]
   def register(name: String, store: ConditionalStore): Unit =
     stores(name) = store
-  def resolve(name: String): Option[ConditionalStore] = stores.get(name)
+  /** A registered name wins; otherwise a PATH-shaped name (contains
+    * '/': `file:/warehouse/_cas/t1`, `/abs/dir`, `hdfs://...`) opens a
+    * [[FileConditionalStore]] on that directory — the zero-deployment-
+    * code durable pointer: `OPTIONS (pointer 'file:/...')` survives JVM
+    * restart with nothing registered at startup. The opened store is
+    * cached under its name; a benign race opening two is harmless (the
+    * filesystem, not the handle, is the arbiter). */
+  def resolve(name: String): Option[ConditionalStore] =
+    stores.get(name).orElse {
+      if (name.contains("/"))
+        Some(stores.getOrElseUpdate(name, FileConditionalStore.open(name)))
+      else None
+    }
   def unregister(name: String): Unit = { stores.remove(name); () }
 }
 
@@ -390,6 +402,16 @@ object GraftStores {
   * retained version — a mid-chain gap would strand the versions below
   * it. Chain walks are memoized per head value: one O(retained)
   * metadata pass per head move, invalidated by expire/purge. */
+private[write] object CasVersionPointer {
+  /** Documented ceiling on named refs (tags + branch heads) per
+    * CAS-mode table. Every ref is one line of the single pointer value,
+    * re-written by every commit CAS and every unrelated-line retry —
+    * the bound keeps that value O(10 KB) worst-case so ref bookkeeping
+    * can never dominate commit cost; past it, ref creation refuses
+    * loudly with the remedy named (see `requireRefCapacity`). */
+  val MaxRefs = 256
+}
+
 private[write] class CasVersionPointer(fs: FileSystem,
                                        conf: org.apache.hadoop.conf.Configuration,
                                        manifestDir: Path,
@@ -653,10 +675,23 @@ private[write] class CasVersionPointer(fs: FileSystem,
     false // unreachable
   }
 
+  /** Loud refusal keeping the pointer value BOUNDED: every ref line
+    * rides the single CAS cell, so each commit (and each unrelated-line
+    * retry) re-writes the whole list through the store — unbounded refs
+    * would make ref bookkeeping the commit cost at organization scale.
+    * Checked inside the CAS loop, so racing creators cannot overshoot. */
+  private def requireRefCapacity(refs: Seq[(String, String)]): Unit =
+    require(refs.size < CasVersionPointer.MaxRefs,
+      s"table at $manifestDir already carries ${refs.size} refs " +
+        s"(tags + branches) — the CAS pointer holds at most " +
+        s"${CasVersionPointer.MaxRefs}, because every ref rides the one " +
+        "arbitration cell that every commit re-writes. Drop unused tags " +
+        "(dropTag) or branches (dropBranch) before creating more.")
+
   override def refCreate(name: String, value: String): Boolean =
     casRefs(_.exists(r => r._1 == name && r._2 == value)) { refs =>
       if (refs.exists(_._1 == name)) None
-      else Some(refs :+ (name -> value))
+      else { requireRefCapacity(refs); Some(refs :+ (name -> value)) }
     }
 
   override def refGet(name: String): Option[String] =
@@ -731,19 +766,27 @@ private[write] class CasVersionPointer(fs: FileSystem,
     try out.write(chained) finally out.close()
     // landed-check: the attempt file name is unique to this call, so
     // its presence in the branch's chain proves OUR publish applied
-    val won = casRefs(_.collectFirst {
-        case (n, v) if n == branchRef(name) => v
-      }.exists { v =>
-        val (hv, hf) = parseBranchVal(v)
-        hf == fname || chainFrom(hv, hf).values.exists(_ == fname)
-      }) { refs =>
-      val now = refs.collectFirst { case (n, v) if n == branchRef(name) => v }
-        .map(parseBranchVal)
-      if (now != cur) None // the branch head moved: real race, lost
-      else Some(
-        refs.filterNot(_._1 == branchRef(name)) :+
-          (branchRef(name) -> s"$bv|$fname"))
-    }
+    val won =
+      try casRefs(_.collectFirst {
+          case (n, v) if n == branchRef(name) => v
+        }.exists { v =>
+          val (hv, hf) = parseBranchVal(v)
+          hf == fname || chainFrom(hv, hf).values.exists(_ == fname)
+        }) { refs =>
+        val now = refs.collectFirst { case (n, v) if n == branchRef(name) => v }
+          .map(parseBranchVal)
+        if (now != cur) None // the branch head moved: real race, lost
+        else {
+          // creating the branch adds a ref line; extending replaces one
+          if (now.isEmpty) requireRefCapacity(refs)
+          Some(
+            refs.filterNot(_._1 == branchRef(name)) :+
+              (branchRef(name) -> s"$bv|$fname"))
+        }
+      } catch { case e: Throwable =>
+        fs.delete(new Path(manifestDir, fname), false) // refused: no debris
+        throw e
+      }
     if (!won) fs.delete(new Path(manifestDir, fname), false)
     won
   }

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import graft.write.{FileConditionalStore, GraftStores, JdbcConditionalStore, SnapshotTable}
+
+/** Durable ConditionalStore implementations: the CAS-mode arbiters that
+  * survive JVM restart. The contract tests run the raw get/putIf
+  * semantics; the table tests prove the round-14/15 CAS investment can
+  * hold real data — commit + tag through a durable store, drop every
+  * handle, re-open cold, and the table is all there. */
+class DurableStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def frame(rows: (Int, Int, Int, Double)*) = {
+    import spark.implicits._
+    rows.toDF("id", "year", "month", "fare")
+  }
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.select("id").collect().map(_.getInt(0)).toSet
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def fileStore(dir: String): FileConditionalStore =
+    FileConditionalStore.open(dir)
+
+  // ---- FileConditionalStore: contract ----
+
+  test("file store: putIf contract — absent create, conditional swap, stale expected refused") {
+    val dir = tmpDir("fcs_contract")
+    val s = fileStore(s"$dir/cell")
+    assert(s.get().isEmpty)
+    // expected=Some over an absent cell refuses
+    assert(!s.putIf(Some("x"), "y"))
+    // first write: expected=None
+    assert(s.putIf(None, "v1"))
+    assert(s.get().contains("v1"))
+    // a second expected=None refuses (cell now exists)
+    assert(!s.putIf(None, "other"))
+    // conditional swap with the right expected wins; stale loses
+    assert(s.putIf(Some("v1"), "v2"))
+    assert(!s.putIf(Some("v1"), "v3"), "stale expected must refuse")
+    assert(s.get().contains("v2"))
+    // multi-line values round-trip exactly (the pointer value is one)
+    val multi = "3|v00003_ab.txt\nref=tag/x|1\nref=branch/b|2|bv_b.txt"
+    assert(s.putIf(Some("v2"), multi))
+    assert(s.get().contains(multi))
+  }
+
+  test("file store: N threads racing the same expected — exactly one winner per round") {
+    val s = fileStore(s"${tmpDir("fcs_race")}/cell")
+    assert(s.putIf(None, "0"))
+    // 8 threads each try to advance 0->1->...->20 with CAS-retry; every
+    // increment must have exactly one winner, so the final value is
+    // exactly the number of successful putIfs
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          val cur = s.get().get
+          if (cur.toInt >= 20) done = true
+          else if (s.putIf(Some(cur), (cur.toInt + 1).toString))
+            wins.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(s.get().contains("20"))
+    assert(wins.get() == 20,
+      s"double winner: ${wins.get()} successful CASes for 20 increments")
+  }
+
+  test("file store: generation GC keeps a bounded window and sweeps staging debris") {
+    val dir = s"${tmpDir("fcs_gc")}/cell"
+    val s = fileStore(dir)
+    assert(s.putIf(None, "v1"))
+    (2 to 20).foreach(i => assert(s.putIf(Some(s"v${i - 1}"), s"v$i")))
+    assert(s.get().contains("v20"))
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    val gens = files.filter(_.matches("gen_\\d{12}\\.val"))
+    assert(gens.size <= FileConditionalStore.KeepGenerations + 1,
+      s"GC did not bound generations (head + KeepGenerations behind): $gens")
+    assert(gens.max.contains("000000000020"), "head generation must survive")
+    // two INDEPENDENT handles on the dir share the arbitration
+    val s2 = fileStore(dir)
+    assert(s2.get().contains("v20"))
+    assert(!s2.putIf(Some("v19"), "x"))
+    assert(s2.putIf(Some("v20"), "v21"))
+    assert(s.get().contains("v21"), "first handle must see the second's put")
+  }
+
+  // ---- FileConditionalStore: the cold-restart table twin ----
+
+  test("CAS table on a file store survives a cold restart: commit+tag, drop handles, re-open, read/time-travel/expire") {
+    val root = s"${tmpDir("fcs_table")}/tbl"
+    val cellDir = s"${tmpDir("fcs_table_cell")}/cell"
+    // "process 1": register the store like any deployment would,
+    // commit three versions, pin a tag
+    val store1 = fileStore(cellDir)
+    GraftStores.register("durable_test", store1)
+    try {
+      val t1 = new SnapshotTable(spark, root, Seq("year", "month"), Some(store1))
+      t1.commitOverwrite(frame((1, 2024, 1, 1.0)))
+      t1.commitAppend(frame((2, 2024, 2, 2.0)))
+      t1.tag("audited", 2)
+      t1.commitAppend(frame((3, 2024, 3, 3.0)))
+      assert(t1.currentVersion.contains(3))
+    } finally GraftStores.unregister("durable_test")
+    // "process 2": every handle and registry entry is gone; a brand-new
+    // store instance on the same directory IS the cold restart (the
+    // in-memory reference store would serve "no table" here)
+    val store2 = fileStore(cellDir)
+    val t2 = new SnapshotTable(spark, root, Seq("year", "month"), Some(store2))
+    assert(t2.currentVersion.contains(3), "table evaporated across restart")
+    assert(state(t2.read()) == Set(1, 2, 3))
+    assert(state(t2.readVersion(2)) == Set(1, 2), "time travel broke")
+    assert(t2.tags.toMap == Map("audited" -> 2), "tag lost across restart")
+    assert(state(t2.readTag("audited")) == Set(1, 2))
+    // maintenance runs over the reopened pointer: expire keeps the tag
+    // reachable (contiguous retention down to the pinned version)
+    t2.expire(keepLast = 1)
+    assert(state(t2.readTag("audited")) == Set(1, 2))
+    assert(t2.fsck().isEmpty, s"fsck after cold restart: ${t2.fsck()}")
+    // racing writers ACROSS store handles (old handle vs reopened one):
+    // the filesystem arbitrates a single winner per generation
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq((fileStore(cellDir), 7), (store2, 8)).map { case (st, id) =>
+      new Thread(() => {
+        try {
+          val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(st))
+          h.commitWithRetry()(h.commitAppend(frame((id, 2024, id, id * 1.0))))
+          ()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"cross-handle race failed: ${Option(errs.peek()).map(_.getMessage)}")
+    assert(state(t2.read()).contains(7))
+    assert(state(t2.read()).contains(8))
+  }
+
+  test("SQL surface: a path-shaped pointer option opens a durable file store with zero registration") {
+    val root = s"${tmpDir("fcs_sql")}/tbl"
+    val cellDir = s"${tmpDir("fcs_sql_cell")}/cell"
+    // write through the format with pointer '<dir>' — nothing registered
+    val df = frame((1, 2024, 1, 1.0))
+    df.write.format("graft").option("pointer", cellDir).save(root)
+    frame((2, 2024, 2, 2.0)).write.format("graft").mode("append")
+      .option("pointer", cellDir).save(root)
+    // "restart": drop the cached store so the next resolve re-opens cold
+    GraftStores.unregister(cellDir)
+    val back = spark.read.format("graft").option("pointer", cellDir).load(root)
+    assert(state(back) == Set(1, 2))
+    val v1 = spark.read.format("graft").option("pointer", cellDir)
+      .option("versionAsOf", 1).load(root)
+    assert(state(v1) == Set(1))
+    GraftStores.unregister(cellDir)
+    // a non-path name still refuses with the registration hook named
+    val e = intercept[RuntimeException] {
+      spark.read.format("graft").option("pointer", "unregistered_name").load(root)
+    }
+    assert(e.getMessage.contains("GraftStores.register"), e.getMessage)
+  }
+
+  // ---- JdbcConditionalStore: the catalog-database shape, over Derby ----
+
+  private def derbyUrl(tag: String): String =
+    s"jdbc:derby:${tmpDir(tag)}/casdb;create=true"
+
+  test("jdbc store: putIf contract over embedded Derby") {
+    val url = derbyUrl("jdbc_contract")
+    val s = new JdbcConditionalStore(url, "cell_a")
+    try {
+      assert(s.get().isEmpty)
+      assert(!s.putIf(Some("x"), "y"))
+      assert(s.putIf(None, "v1"))
+      assert(!s.putIf(None, "other"))
+      assert(s.putIf(Some("v1"), "v2"))
+      assert(!s.putIf(Some("v1"), "v3"))
+      assert(s.get().contains("v2"))
+      // cells are independent rows of the same database
+      val other = new JdbcConditionalStore(url, "cell_b")
+      try {
+        assert(other.get().isEmpty)
+        assert(other.putIf(None, "w1"))
+        assert(s.get().contains("v2"))
+      } finally other.close()
+      // a SECOND connection to the same database and cell arbitrates
+      // against the first through the database, not the JVM
+      val s2 = new JdbcConditionalStore(url, "cell_a")
+      try {
+        assert(s2.get().contains("v2"))
+        assert(s2.putIf(Some("v2"), "v3"))
+        assert(!s.putIf(Some("v2"), "stale"), "first handle must lose on stale")
+        assert(s.get().contains("v3"))
+      } finally s2.close()
+    } finally s.close()
+  }
+
+  test("CAS table on a jdbc store: racing writers on two connections, cold re-open green") {
+    val url = derbyUrl("jdbc_table")
+    val root = s"${tmpDir("jdbc_table_root")}/tbl"
+    val store1 = new JdbcConditionalStore(url, s"tbl")
+    try {
+      val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store1))
+      t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+      t.tag("base", 1)
+      // two writers, each on its OWN connection: the database's
+      // conditional update arbitrates one winner per version
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(2, 3).map { id =>
+        new Thread(() => {
+          try {
+            val st = new JdbcConditionalStore(url, "tbl")
+            try {
+              val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(st))
+              h.commitWithRetry()(h.commitAppend(frame((id, 2024, id, id * 1.0))))
+              ()
+            } finally st.close()
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"jdbc race failed: ${Option(errs.peek()).map(_.getMessage)}")
+      assert(t.currentVersion.contains(3))
+      assert(state(t.read()) == Set(1, 2, 3))
+      // no orphan attempts: every CAS loser cleaned its manifest
+      val mdir = new Path(root, "_manifests")
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mfiles = fsys.listStatus(mdir).map(_.getPath.getName)
+        .filter(_.matches("v\\d+_[0-9a-f]{8}\\.txt"))
+      assert(mfiles.length == 3, s"orphan attempts: ${mfiles.toSeq}")
+    } finally store1.close()
+    // cold re-open on a fresh connection: history, tag, time travel
+    val store2 = new JdbcConditionalStore(url, "tbl")
+    try {
+      val t2 = new SnapshotTable(spark, root, Seq("year", "month"), Some(store2))
+      assert(t2.currentVersion.contains(3))
+      assert(t2.tags.toMap == Map("base" -> 1))
+      assert(state(t2.readTag("base")) == Set(1))
+      assert(state(t2.readVersion(2)).size == 2)
+      assert(t2.fsck().isEmpty)
+    } finally store2.close()
+  }
+
+  // ---- the CAS ref bound: pointer value stays O(KB), refusal is loud ----
+
+  test("CAS refs are bounded: 256 tags racing commits land, the 257th refuses loudly, pointer value pinned") {
+    import graft.write.InMemoryConditionalStore
+    val root = s"${tmpDir("cas_refbound")}/tbl"
+    val store = InMemoryConditionalStore(s"cas_refbound_$root")
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    // commits race the tag creators through the same cell: ref CASes
+    // retried on unrelated-line movement must still respect the bound
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committer = new Thread(() => {
+      try {
+        val h = new SnapshotTable(spark, root, Seq("year", "month"), Some(store))
+        (2 to 5).foreach { id =>
+          h.commitWithRetry()(h.commitAppend(frame((id, 2024, id, id * 1.0)))) }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    committer.start()
+    (1 to 256).foreach(i => t.tag(f"t$i%03d", 1))
+    committer.join()
+    assert(errs.isEmpty, s"racing commits failed: ${Option(errs.peek()).map(_.getMessage)}")
+    assert(t.tags.size == 256)
+    assert(t.currentVersion.contains(5))
+    // the 257th ref refuses with the remedy named (bound = 256)
+    val e = intercept[IllegalArgumentException] { t.tag("one_too_many", 1) }
+    assert(e.getMessage.contains("256") && e.getMessage.contains("Drop unused"),
+      e.getMessage)
+    // pointer-value size pin: 256 refs + head stay well under 16 KB, so
+    // a commit CAS re-writes O(KB) through the store, never unbounded
+    val len = store.get().get.length
+    assert(len < 16384, s"pointer value blew past the documented bound: $len bytes")
+    // dropping a tag frees capacity
+    t.dropTag("t001")
+    t.tag("one_more_fits", 1)
+    assert(t.tags.size == 256)
+  }
+}

@@ -40,9 +40,13 @@ class EntryShapeSpec extends AnyFunSuite {
     assert(Bench.inflationOf(Seq.empty) == 1.0)
     assert(Bench.inflationOf(Seq(1.0, 1.05, 4.0)) == 1.05,
       "one outlier probe must not flag the run")
-    assert(Bench.inflationOf(Seq(1.5, 1.6, 1.4, 1.02)) == 1.5,
-      "sustained slowness must move the median")
+    assert(Bench.inflationOf(Seq(1.5, 1.6, 1.4, 1.02)) == 1.45,
+      "sustained slowness must move the median (conventional even-size " +
+        "median: mean of the two middle elements, not the upper one — " +
+        "the upper-middle alone biases a ~6-probe profile upward)")
     assert(Bench.inflationOf(Seq(-1.0, 1.2)) == 1.2)
+    assert(Bench.inflationOf(Seq(1.0, 2.0)) == 1.5,
+      "even-size median averages the middle pair")
   }
 
   test("every graded entry has a DuckDB oracle and vice versa") {

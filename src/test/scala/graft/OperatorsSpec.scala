@@ -412,7 +412,7 @@ class OperatorsSpec extends AnyFunSuite {
         Similarity.cosine($"va", $"vb").as("native"),
         Similarity.cosineComposed($"va", $"vb").as("composed"))
         .filter($"native" =!= $"composed" ||
-          ($"native".isNull !== $"composed".isNull))
+          ($"native".isNull =!= $"composed".isNull))
       assert(diff.count() == 0)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
@@ -1562,6 +1562,18 @@ class OperatorsSpec extends AnyFunSuite {
     val incr = TextAnalysis.bm25Stored(spark, s"$dir/incr", qs, topK = 4)
       .orderBy("query_id", "rnk").collect().toSeq
     assert(incr == want, "appended index must equal the from-scratch build")
+    // re-appending an already-indexed doc_id refuses LOUDLY — a retried
+    // ingest job appending the same batch twice would otherwise double
+    // tf/doclen rows and silently corrupt every later score
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25IndexAppend(df.filter($"doc_id" === 3L), s"$dir/incr") }
+    assert(e.getMessage.contains("already present") &&
+      e.getMessage.contains("3"), e.getMessage)
+    // the refused append wrote nothing: the index still serves exactly
+    // the union build
+    val after = TextAnalysis.bm25Stored(spark, s"$dir/incr", qs, topK = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(after == want, "refused re-append must leave the index untouched")
   }
 
   test("textRank centers the hub word and drops stopwords") {

@@ -236,11 +236,16 @@ class ScaleToolsSpec extends AnyFunSuite {
     // with NO aggregate between the filter and the explode (an
     // aggregate there would mean the full corpus vocabulary was
     // aggregated first and filtered after).
-    val filterAt = plan.indexOf("alpha")
-    val genAt = plan.indexOf("Generate", filterAt)
-    assert(filterAt >= 0, s"query-term In-filter missing:\n$plan")
-    assert(genAt > filterAt, s"filter must sit above the explode:\n$plan")
-    assert(!plan.substring(filterAt, genAt).contains("HashAggregate"),
+    // anchor on the Filter NODE carrying the term set — a bare
+    // indexOf("alpha") would match the literal's first occurrence
+    // anywhere (a pushed-filter or local-relation line above) and
+    // silently pin the wrong plan region
+    val lines = plan.linesIterator.toVector
+    val fIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("alpha"))
+    assert(fIdx >= 0, s"query-term In-filter node missing:\n$plan")
+    val gIdx = lines.indexWhere(_.contains("Generate"), fIdx)
+    assert(gIdx > fIdx, s"filter must sit above the explode:\n$plan")
+    assert(!lines.slice(fIdx + 1, gIdx).exists(_.contains("HashAggregate")),
       s"term filter landed above an aggregate (post-aggregation prune):\n$plan")
   }
 
