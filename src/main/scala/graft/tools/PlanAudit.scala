@@ -68,10 +68,10 @@ object PlanAudit {
 
   /** Renumber expression IDs (`col#1234`) per plan in first-appearance
     * order: Catalyst draws them from a JVM-global counter, so the raw
-    * rendering depends on how many queries ran before — normalized, the
-    * SAME plan shape renders byte-identically from a fresh `runMain`
-    * JVM and from mid-test-suite, which is what lets `PlanAuditSpec`
-    * enforce doc regeneration as a build failure. */
+    * rendering depends on how many queries ran before in the session —
+    * normalized, the SAME plan shape renders byte-identically however
+    * the generating JVM got here, which is what lets `PlanAuditSpec`
+    * diff a regeneration against the committed doc byte-for-byte. */
   private def normalizeIds(plan: String): String = {
     val id = "#(\\d+)".r
     val mapping = scala.collection.mutable.LinkedHashMap.empty[String, Int]
