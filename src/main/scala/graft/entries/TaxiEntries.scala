@@ -381,10 +381,12 @@ object TaxiEntries {
     // pending stages — vacuum mid-audit must not destroy them); the
     // clean batch publishes with zero data movement. Graded on the
     // final published state; the invisibility/audit/abandon mechanics
-    // are pinned in SnapshotSpec. Runs on a deep clone (publish mutates).
+    // are pinned in SnapshotSpec. Runs on a zero-copy shallow clone
+    // (publish commits mint the clone's own dirs; the shared fixture's
+    // borrowed dirs stay read-only).
     "taxi_snapshot_wap" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapwap", d, s))
+      val t = src.shallowClone(tmpPath("snapwap", d, s))
       val stg = models(s, d).stgYellow.drop("loaded_at")
       val bad = t.stageAppend(stg.filter(col("month") === 1)
         .withColumn("fare_amount", -abs(col("fare_amount"))), "bad_batch")
@@ -406,10 +408,12 @@ object TaxiEntries {
     // per-partition profile ≡ the pre-compaction read (same oracle
     // pattern as taxi_compact); the single-entry shape, skipping-read
     // pruning, and time-travel survival are pinned in SnapshotSpec.
-    // Runs on a deep clone (compaction adds a commit).
+    // Runs on a zero-copy shallow clone: compaction
+    // LOCALIZES the borrowed state into the clone's own dir as its
+    // first owned commit.
     "taxi_snapshot_compact" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapcompact", d, s))
+      val t = src.shallowClone(tmpPath("snapcompact", d, s))
       t.commitCompact("fare_amount")
       t.readSkipping("fare_amount").groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -421,10 +425,12 @@ object TaxiEntries {
     // scoped to the touched partitions (older versions keep the
     // pre-merge rows via exclusion masks). Graded on the merged state;
     // partition-scoped rewrite + time-travel survival + key-move
-    // handling are pinned in SnapshotSpec. Deep clone (merge mutates).
+    // handling are pinned in SnapshotSpec. Zero-copy shallow clone (the
+    // merge's partition rewrite lands in the clone's own dirs; borrowed
+    // dirs are masked, never touched).
     "taxi_snapshot_merge" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapmerge", d, s))
+      val t = src.shallowClone(tmpPath("snapmerge", d, s))
       val stg = models(s, d).stgYellow.drop("loaded_at")
       t.commitMerge(stg.filter(col("month").isin(6, 7))
         .withColumn("fare_amount", col("fare_amount") * 2), Seq("trip_id"))
@@ -499,10 +505,12 @@ object TaxiEntries {
     // fork point). Isolation, racing-writer arbitration, divergence
     // refusal, and maintenance retention are pinned in SnapshotSpec.
     "taxi_snapshot_branch" -> q { (s, d) =>
-      val (src, _, _, v3) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapbranch", d, s))
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("snapbranch", d, s))
       val stg = models(s, d).stgYellow.drop("loaded_at")
-      t.createBranch("load", v3)
+      // fork from the clone's own head — the zero-copy clone's v1 IS
+      // the fixture's current (post-rollback) state
+      t.createBranch("load", t.currentVersion.get)
       t.commitAppendToBranch("load", stg.filter(col("month") === 1))
       t.commitAppendToBranch("load", stg.filter(col("month") === 2))
       t.fastForward("load") // strict: main is still at the fork point
@@ -521,7 +529,7 @@ object TaxiEntries {
     // and the purge refusal are pinned in SnapshotSpec.
     "taxi_snapshot_mor" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapmor", d, s))
+      val t = src.shallowClone(tmpPath("snapmor", d, s))
       val stg = models(s, d).stgYellow.drop("loaded_at")
       t.commitMergeMor(stg.filter(col("month").isin(6, 7))
         .withColumn("fare_amount", col("fare_amount") * 2), Seq("trip_id"))
@@ -598,10 +606,10 @@ object TaxiEntries {
     // metadata (masked, zero bytes moved). Graded on the post-delete
     // state; null-keep semantics, the metadata-only path, time-travel
     // survival, and the no-match no-op are pinned in SnapshotSpec.
-    // Deep clone (delete commits).
+    // Zero-copy shallow clone (the delete's rewrite is clone-local).
     "taxi_snapshot_delete" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapdel", d, s))
+      val t = src.shallowClone(tmpPath("snapdel", d, s))
       t.commitDelete(col("fare_amount") > 400)
       t.read().groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -614,10 +622,11 @@ object TaxiEntries {
     // unchanged, NULL-condition rows kept. Graded on the post-update
     // state; pre-update-RHS semantics, the no-match no-op,
     // partition-column moves, and time-travel survival are pinned in
-    // SnapshotSpec. Deep clone (update commits).
+    // SnapshotSpec. Zero-copy shallow clone (the update's rewrite is
+    // clone-local).
     "taxi_snapshot_update" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapupd", d, s))
+      val t = src.shallowClone(tmpPath("snapupd", d, s))
       t.commitUpdate(col("fare_amount") > 400,
         Seq("fare_amount" -> (col("fare_amount") * 2)))
       t.read().groupBy(col("year"), col("month"))
@@ -653,7 +662,7 @@ object TaxiEntries {
     // taxi_snapshot_delete.
     "taxi_sql_delete" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqldel", d, s))
+      val t = src.shallowClone(tmpPath("sqldel", d, s))
       val name = sqlReg(s, "sqldel", t.location)
       s.sql(s"DELETE FROM $name WHERE fare_amount > 400")
       s.table(name).groupBy(col("year"), col("month"))
@@ -664,7 +673,7 @@ object TaxiEntries {
     // pre-update RHS). Oracle of taxi_snapshot_update.
     "taxi_sql_update" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlupd", d, s))
+      val t = src.shallowClone(tmpPath("sqlupd", d, s))
       val name = sqlReg(s, "sqlupd", t.location)
       s.sql(s"UPDATE $name SET fare_amount = fare_amount * 2 WHERE fare_amount > 400")
       s.table(name).groupBy(col("year"), col("month"))
@@ -675,7 +684,7 @@ object TaxiEntries {
     // commitMerge, same batch as taxi_snapshot_merge (same oracle).
     "taxi_sql_merge" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlmrg", d, s))
+      val t = src.shallowClone(tmpPath("sqlmrg", d, s))
       val name = sqlReg(s, "sqlmrg", t.location)
       models(s, d).stgYellow.drop("loaded_at")
         .filter(col("month").isin(6, 7))
@@ -699,7 +708,7 @@ object TaxiEntries {
     // oracle composes the same algebra as delete+insert in DuckDB.
     "taxi_sql_merge_delete" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlmrgdel", d, s))
+      val t = src.shallowClone(tmpPath("sqlmrgdel", d, s))
       val name = sqlReg(s, "sqlmrgdel", t.location)
       models(s, d).stgYellow.drop("loaded_at")
         .filter(col("month").isin(6, 7))
@@ -722,7 +731,7 @@ object TaxiEntries {
     // else is kept. Same commit machinery, same oracle family.
     "taxi_sql_merge_bysource" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlmrgbs", d, s))
+      val t = src.shallowClone(tmpPath("sqlmrgbs", d, s))
       val name = sqlReg(s, "sqlmrgbs", t.location)
       models(s, d).stgYellow.drop("loaded_at")
         .filter(col("month").isin(6, 7))
@@ -742,7 +751,7 @@ object TaxiEntries {
     // is pinned in spec). Re-appends month 1 onto the fixture head.
     "taxi_sql_insert" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlins", d, s))
+      val t = src.shallowClone(tmpPath("sqlins", d, s))
       val name = sqlReg(s, "sqlins", t.location)
       models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
         .createOrReplaceTempView("graft_entry_sqlins_src")
@@ -760,7 +769,7 @@ object TaxiEntries {
     // grammar pins live in GraftSqlMaintenanceSpec.
     "taxi_sql_optimize" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlopt", d, s))
+      val t = src.shallowClone(tmpPath("sqlopt", d, s))
       val name = sqlReg(s, "sqlopt", t.location)
       s.sql(s"OPTIMIZE $name")
       s.table(name).groupBy(col("year"), col("month"))
@@ -788,7 +797,7 @@ object TaxiEntries {
     // partition-predicate refusal pins live in GraftSqlMaintenanceSpec.
     "taxi_sql_optimize_where" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqloptw", d, s))
+      val t = src.shallowClone(tmpPath("sqloptw", d, s))
       val name = sqlReg(s, "sqloptw", t.location)
       s.sql(s"OPTIMIZE $name WHERE month IN (6, 7)")
       s.table(name).groupBy(col("year"), col("month"))
@@ -805,7 +814,7 @@ object TaxiEntries {
     // no-debris pins live in GraftSqlMaintenanceSpec.
     "taxi_sql_constraints" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("sqlcon", d, s))
+      val t = src.shallowClone(tmpPath("sqlcon", d, s))
       val name = sqlReg(s, "sqlcon", t.location)
       s.sql(s"ALTER TABLE $name ADD CONSTRAINT sane_year CHECK (year >= 1900)")
       models(s, d).stgYellow.drop("loaded_at").filter(col("month") === 1)
@@ -963,7 +972,7 @@ object TaxiEntries {
     // compaction path are pinned in SnapshotSpec.
     "taxi_snapshot_delete_mor" -> q { (s, d) =>
       val (src, _, _, _) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapdelmor", d, s))
+      val t = src.shallowClone(tmpPath("snapdelmor", d, s))
       t.commitDeleteMor(col("fare_amount") > 400)
       t.read().groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
@@ -995,12 +1004,15 @@ object TaxiEntries {
     // two full version scans. The append-shaped-chain refusal (an
     // overwrite in the chain fails loudly) is pinned in SnapshotSpec.
     "taxi_snapshot_incr" -> q { (s, d) =>
-      val (src, _, _, v3) = snapCdcFixture(s, d)
-      val t = src.deepClone(tmpPath("snapincr", d, s))
+      val (src, _, _, _) = snapCdcFixture(s, d)
+      val t = src.shallowClone(tmpPath("snapincr", d, s))
+      // range from the CLONE's own head: a zero-copy clone starts its
+      // own lineage, and the appended increment is the same either way
+      val v0 = t.currentVersion.get
       val stg = models(s, d).stgYellow.drop("loaded_at")
       t.commitAppend(stg.filter(col("month") === 1))
       val v5 = t.commitAppend(stg.filter(col("month") === 2))
-      t.appendsBetween(v3, v5).groupBy(col("year"), col("month"))
+      t.appendsBetween(v0, v5).groupBy(col("year"), col("month"))
         .agg(count(lit(1)).as("n"),
           graft.expr.Functions.stableRoundedSum(col("fare_amount"), 2).as("fare_sum"))
     },
