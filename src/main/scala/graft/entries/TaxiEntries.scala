@@ -574,10 +574,13 @@ object TaxiEntries {
     // twin — the arbitration seam must be invisible to results.
     "taxi_snapshot_cas" -> q { (s, d) =>
       val root = tmpPath("snapcas", d, s)
-      // fresh store CELL per run (the in-memory store is process-wide
-      // by name, but tmpPath just deleted the table dir)
-      val store = graft.write.InMemoryConditionalStore(
-        "cas_" + root + "_" + java.util.UUID.randomUUID.toString.take(8))
+      // DURABLE file-backed store (round 16): the graded CAS lineage
+      // arbitrates through generation files that would survive a JVM
+      // restart — the deployment-grade arbiter, not the in-memory
+      // reference cell. Fresh cell dir per run, same tmpPath policy as
+      // the table root.
+      val store = graft.write.FileConditionalStore.open(
+        tmpPath("snapcas_cell", d, s))
       graft.write.GraftStores.register("taxi_cas_entry", store)
       val t = new graft.write.SnapshotTable(s, root, Seq("year", "month"), Some(store))
       val stg = models(s, d).stgYellow.drop("loaded_at")
@@ -1095,13 +1098,16 @@ object TaxiEntries {
     // VACUUM: a crashed writer leaves a data dir no manifest references
     // (invisible to readers AND to expire); vacuum removes exactly that
     // debris and the table stays fully readable — graded on the removed
-    // set plus the surviving row count, on a deep clone so the shared
-    // fixture stays pristine.
+    // set plus the surviving row count, on a zero-copy shallow clone
+    // (vacuum sweeps by LOCAL listing, so the planted orphan — written
+    // under the clone's own _data — is the entire sweepable set; the
+    // fixture's borrowed dirs live outside it and the shared fixture
+    // stays pristine).
     "taxi_snapshot_vacuum" -> q { (s, d) =>
       import s.implicits._
       val (src, _, _, _) = snapCdcFixture(s, d)
       val root = tmpPath("snapvac", d, s)
-      val t = src.deepClone(root)
+      val t = src.shallowClone(root)
       models(s, d).stgYellow.drop("loaded_at").limit(7)
         .write.parquet(s"$root/_data/d00099")
       // window 0: the planted orphan is known-dead (no writer is in
