@@ -73,6 +73,10 @@ object Pca {
     override def zero: TriBuf =
       TriBuf(0L, Array.fill(size)(java.math.BigDecimal.ZERO))
     override def reduce(b: TriBuf, x: Array[Double]): TriBuf = {
+      // a NULL embedding contributes no products and no count — the
+      // same rows the explode formulation (and the oracle's unnest
+      // self-join) silently skip; a WRONG-LENGTH vector refuses loudly
+      if (x == null) return b
       require(x.length == dims,
         s"expected $dims dimensions, vector carries ${x.length}")
       val c = new Array[Double](dims)
