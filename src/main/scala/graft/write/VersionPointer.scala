@@ -320,6 +320,11 @@ trait ConditionalStore {
     * with the same `expected` succeeds. */
   def putIf(expected: Option[String], value: String): Boolean
 }
+// Durable implementations ship in DurableStores.scala:
+// [[FileConditionalStore]] (generation-file CAS on POSIX/HDFS — the
+// restart-surviving default, auto-opened for path-shaped pointer
+// names) and [[JdbcConditionalStore]] (optimistic-generation row in
+// any JDBC database — the catalog-database shape).
 
 /** Per-JVM conditional store — a synchronized cell keyed by name.
   * Reference implementation of the [[ConditionalStore]] contract for
