@@ -3,7 +3,13 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, SparkEntry}
 
-/** Scratch: deepClone vs shallowClone vs commit cost (not committed). */
+/** Measurement tool behind the round-16 clone-fixture switch
+  * (bench_history/README.md): phase-splits a snapshot-entry execution
+  * into fixture build, deepClone vs shallowClone, the merge commit on
+  * each, and the read-back — the numbers that justified moving the
+  * mutation entries' fixtures to zero-copy clones. Run:
+  * `sbt "runMain graft.tools.TimeClone"` (sf0.1, local[32]); second
+  * iteration is the warm/steady-state reading. */
 object TimeClone {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)

@@ -68,7 +68,13 @@ object DurableStores // scaladoc anchor
   * plain debris for the next GC sweep, never a second winner (`get`
   * always resolves the maximum generation).
   */
-class FileConditionalStore(fs: FileSystem, dir: Path) extends ConditionalStore {
+class FileConditionalStore(fs: FileSystem, dir: Path,
+                           keepGenerations: Int =
+                             FileConditionalStore.KeepGenerations)
+    extends ConditionalStore {
+  require(keepGenerations >= 2,
+    s"keepGenerations must be >= 2 (got $keepGenerations): a reader " +
+      "needs at least one generation of slack behind the head")
 
   // same unsafe-scheme refusal as SnapshotTable's commit-safety probe:
   // this store's arbiter IS filesystem create-exclusive, which
@@ -121,7 +127,8 @@ class FileConditionalStore(fs: FileSystem, dir: Path) extends ConditionalStore {
     }
     sys.error(s"FileConditionalStore at $dir: head generation vanished " +
       "5 times in a row — GC churn beyond the retention window " +
-      "(raise KeepGenerations or quiesce writers)")
+      "(raise the keepGenerations constructor parameter or quiesce " +
+      "writers)")
   }
 
   override def get(): Option[String] = current().map(_._2)
@@ -137,11 +144,11 @@ class FileConditionalStore(fs: FileSystem, dir: Path) extends ConditionalStore {
   }
 
   /** Winner-side sweep: generations (and crashed writers' staging
-    * `.tmp` files) more than [[FileConditionalStore.KeepGenerations]]
-    * below the just-won head. Best-effort — a failed delete is retried
-    * by the next winner. */
+    * `.tmp` files) more than `keepGenerations` below the just-won
+    * head. Best-effort — a failed delete is retried by the next
+    * winner. */
   private def gc(head: Long): Unit = {
-    val cutoff = head - FileConditionalStore.KeepGenerations
+    val cutoff = head - keepGenerations
     if (cutoff <= 0 || !rfs.exists(dir)) return
     rfs.listStatus(dir).foreach { st =>
       val doomed = st.getPath.getName match {
@@ -158,8 +165,10 @@ class FileConditionalStore(fs: FileSystem, dir: Path) extends ConditionalStore {
 }
 
 object FileConditionalStore {
-  /** Generations retained behind the head — the race window a reader's
-    * list-then-open must fit inside (see [[FileConditionalStore]]). */
+  /** Default generations retained behind the head — the race window a
+    * reader's list-then-open must fit inside (see
+    * [[FileConditionalStore]]); override per store via the
+    * constructor. */
   val KeepGenerations = 8
 
   /** Open (or create) the cell directory at `dir`, resolving the
