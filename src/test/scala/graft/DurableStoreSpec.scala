@@ -92,6 +92,30 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(s.get().contains("v21"), "first handle must see the second's put")
   }
 
+  test("file store: two PROCESSES hammering the same cell — every CAS has exactly one winner") {
+    // the thread race above shares a JVM; hardlink create-exclusive is
+    // the cross-process arbiter, so prove it across real process
+    // boundaries: two forked JVMs each CAS-increment the cell until
+    // they have personally won 40 times. Every successful putIf
+    // advances the value by exactly 1, so a double winner anywhere
+    // leaves the final value short of the summed wins.
+    val dir = s"${tmpDir("fcs_procs")}/cell"
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    def fork(): Process = new ProcessBuilder(
+      javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.CasHammer", dir, "40").redirectErrorStream(true).start()
+    val procs = Seq(fork(), fork())
+    val outs = procs.map(p =>
+      new String(p.getInputStream.readAllBytes(), "UTF-8"))
+    procs.foreach(p => assert(p.waitFor() == 0,
+      s"hammer process failed:\n${outs.mkString("\n")}"))
+    outs.foreach(o => assert(o.contains("wins=40"), o))
+    val s = fileStore(dir)
+    assert(s.get().contains("80"),
+      s"lost or doubled CAS across processes: final=${s.get()} (want 80)")
+  }
+
   // ---- FileConditionalStore: the cold-restart table twin ----
 
   test("CAS table on a file store survives a cold restart: commit+tag, drop handles, re-open, read/time-travel/expire") {
