@@ -330,11 +330,16 @@ object TextAnalysis {
         "every later score. Batch by NEW doc_ids (anti-join the batch " +
         "against the stored doclens first), or rebuild with " +
         "bm25IndexWrite.")
+    // doclens FIRST: the guard above anchors on doclens, so a crash
+    // between the two writes must leave a state the NEXT append's guard
+    // can see. doclens-then-crash → the retry refuses loudly (doc_ids
+    // present) and the operator rebuilds; the reverse order would leave
+    // guard-invisible postings that a retry silently doubles.
+    docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .write.mode("append").parquet(s"$path/postings")
-    docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
   }
 
   /** BM25 top-k served from the STORED index: score-identical to

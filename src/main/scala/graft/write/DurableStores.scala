@@ -95,8 +95,12 @@ class FileConditionalStore(fs: FileSystem, dir: Path,
 
   private def genPath(g: Long): Path = new Path(dir, f"gen_$g%012d.val")
 
-  private val GenName = "gen_(\\d{12})\\.val".r
-  private val TmpName = "\\.gen_(\\d{12})\\.val\\.[0-9a-f]{8}\\.tmp".r
+  // `{12,}` not `{12}`: f"%012d" PADS to twelve digits but renders
+  // thirteen past generation 10^12 — an exact-width parse would stop
+  // seeing the head there (the same rollover the branch-manifest
+  // parser in FsVersionPointer guards with its >= 5 rule)
+  private val GenName = "gen_(\\d{12,})\\.val".r
+  private val TmpName = "\\.gen_(\\d{12,})\\.val\\.[0-9a-f]{8}\\.tmp".r
 
   private def listGens(): Seq[Long] =
     if (!rfs.exists(dir)) Seq.empty

@@ -227,7 +227,7 @@ class DurableStoreSpec extends AnyFunSuite {
   test("CAS table on a jdbc store: racing writers on two connections, cold re-open green") {
     val url = derbyUrl("jdbc_table")
     val root = s"${tmpDir("jdbc_table_root")}/tbl"
-    val store1 = new JdbcConditionalStore(url, s"tbl")
+    val store1 = new JdbcConditionalStore(url, "tbl")
     try {
       val t = new SnapshotTable(spark, root, Seq("year", "month"), Some(store1))
       t.commitOverwrite(frame((1, 2024, 1, 1.0)))
