@@ -9,20 +9,22 @@ import graft.expr.Functions.stableAvg
   * the dimensionality-reduction / drift-detection primitive of an
   * embedding pipeline.
   *
-  * Scale shape: the only corpus-sized work is ONE pass that expands
-  * each row's centered upper-triangle outer product into a dims²/2-cell
-  * aggregation (partial aggregation shrinks every task's contribution
-  * to ≤ dims²/2 cells, the same contract as a grouped sum — never an
-  * all-pairs join; the lower triangle is mirrored from the symmetric
-  * result). The expansion is TWO chained `posexplode` generates over a
-  * `slice` of the centered vector — all codegen-capable expressions; an
-  * earlier nested higher-order-`transform` formulation ran interpreted
-  * per product and measured ~3× slower on the same pass. The
-  * aggregated matrix is DIMENSION-bounded — 64² cells whatever the
-  * corpus — so it is collected (with the corpus count riding the same
-  * aggregation — no separate count pass) and the power rounds run on
-  * the driver as dims²-sized exact-decimal arithmetic (see below). The
-  * corpus itself never reaches the driver.
+  * Scale shape: the only corpus-sized work is ONE pass that folds each
+  * row's centered upper-triangle outer product into a dims²/2-cell
+  * buffer inside a typed [[TriCovAggregator]] (partial aggregation per
+  * partition, one elementwise merge per partition boundary — the same
+  * contract as a grouped sum, never an all-pairs join; the lower
+  * triangle is mirrored from the symmetric result). Earlier
+  * formulations were measured and rejected: nested higher-order
+  * `transform` products ran interpreted per element, and even a fully
+  * codegen explode-into-hash-agg paid ~1 μs/product in UnsafeRow +
+  * hash-probe + Decimal-wrapper overhead (5–6 s at sf0.1's 4.2M
+  * products vs well under a second for the fold). The aggregated
+  * matrix is DIMENSION-bounded — 64² cells whatever the corpus — so it
+  * is collected (with the corpus count riding the same buffer — no
+  * separate count pass) and the power rounds run on the driver as
+  * dims²-sized exact-decimal arithmetic (see below). The corpus itself
+  * never reaches the driver.
   *
   * Determinism: means and covariance accumulate through the
   * decimal-stable sum (partition-order independent) and double
