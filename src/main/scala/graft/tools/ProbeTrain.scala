@@ -2,9 +2,15 @@ package graft.tools
 
 import graft.{GraftSession, SparkEntry, TransientCache}
 
-/** Scratch: sf0.1 twin of the aging experiment, with the bench's
-  * prewarms first (not committed). Small probe = the bench's cpuProbe;
-  * big probe = 10x the rows (overhead-insensitive). */
+/** Validation tool for the bench environment-inflation instrument
+  * (bench_history/README.md, round 16): interleaves the bench's exact
+  * cpuProbe (and a 10x-bigger, overhead-insensitive twin) with the
+  * full entry workload at sf0.1. A flat train rules out the two
+  * false-positive mechanisms the inflation stamp could have had —
+  * session aging of the tiny probe job, and a start-probe warm-up
+  * artifact — so an elevated mid-run profile in a real bench measures
+  * genuine machine contention. Run:
+  * `sbt "runMain graft.tools.ProbeTrain"`. */
 object ProbeTrain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
