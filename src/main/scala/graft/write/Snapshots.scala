@@ -2728,7 +2728,16 @@ class SnapshotTable(spark: SparkSession, root: String,
     * a dir the clone still borrows breaks the clone's reads. The
     * clone's [[fsck]] names exactly this ("borrowed data dir missing");
     * localize clones that must outlive the source's retention. */
-  def shallowClone(destRoot: String): SnapshotTable = {
+  /** `destPointer` selects the CLONE's arbitration mode, independent of
+    * the source's (a clone starts its own lineage, so no pointer state
+    * transfers — unlike [[deepClone]], which copies history and must
+    * keep the mode): None = filesystem arbitration (the constructor's
+    * scheme probe still refuses non-atomic stores), Some(store) = the
+    * clone's v1 publishes through the store's CAS. The CAS form is how
+    * a zero-copy dev/experiment clone of a production table is made on
+    * an object store — the Fs form cannot exist there at all. */
+  def shallowClone(destRoot: String,
+                   destPointer: Option[ConditionalStore] = None): SnapshotTable = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
     val m = parse(base)
     val dst = new Path(destRoot)
@@ -2749,16 +2758,29 @@ class SnapshotTable(spark: SparkSession, root: String,
       m.predDeletes, ts = System.currentTimeMillis(),
       partColsLine = partCols, constraints = m.constraints,
       colOps = m.colOps, properties = m.properties)
-    val cloneManifests = new Path(dst, "_manifests")
-    dfs.mkdirs(cloneManifests)
-    require(graft.util.AtomicFlip.publishExclusive(dfs,
-      new Path(cloneManifests, f"v${1}%05d.txt"),
-      render(cm).getBytes("UTF-8")),
-      s"shallow clone destination already has a manifest: $destRoot")
-    graft.util.AtomicFlip.writeAtomic(dfs,
-      spark.sparkContext.hadoopConfiguration,
-      new Path(cloneManifests, "CURRENT"), "1".getBytes("UTF-8"))
-    new SnapshotTable(spark, destRoot, partCols)
+    destPointer match {
+      case Some(_) =>
+        // CAS-mode clone: v1 publishes through the destination store
+        // (attempt-unique manifest + one CAS from the empty cell) —
+        // the same commit point every later write on the clone uses
+        val cloned = new SnapshotTable(spark, destRoot, partCols, destPointer)
+        require(cloned.vp.publish(1, render(cm).getBytes("UTF-8")),
+          s"shallow clone destination store is not empty — publishing " +
+            s"v1 over a live pointer would orphan the table it already " +
+            s"points at ($destRoot)")
+        cloned
+      case None =>
+        val cloneManifests = new Path(dst, "_manifests")
+        dfs.mkdirs(cloneManifests)
+        require(graft.util.AtomicFlip.publishExclusive(dfs,
+          new Path(cloneManifests, f"v${1}%05d.txt"),
+          render(cm).getBytes("UTF-8")),
+          s"shallow clone destination already has a manifest: $destRoot")
+        graft.util.AtomicFlip.writeAtomic(dfs,
+          spark.sparkContext.hadoopConfiguration,
+          new Path(cloneManifests, "CURRENT"), "1".getBytes("UTF-8"))
+        new SnapshotTable(spark, destRoot, partCols)
+    }
   }
 
   /** Right-to-be-forgotten erasure: rewrite EVERY retained version so

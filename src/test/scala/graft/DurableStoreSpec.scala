@@ -26,6 +26,9 @@ class DurableStoreSpec extends AnyFunSuite {
   private def fileStore(dir: String): FileConditionalStore =
     FileConditionalStore.open(dir)
 
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   // ---- FileConditionalStore: contract ----
 
   test("file store: putIf contract — absent create, conditional swap, stale expected refused") {
@@ -187,6 +190,35 @@ class DurableStoreSpec extends AnyFunSuite {
       spark.read.format("graft").option("pointer", "unregistered_name").load(root)
     }
     assert(e.getMessage.contains("GraftStores.register"), e.getMessage)
+  }
+
+  test("shallow clone into CAS mode: zero-copy clone arbitrates through a durable store, survives cold re-open") {
+    // the object-store deployment shape: an Fs-mode clone cannot exist
+    // there at all (no atomic create-exclusive), so the zero-copy
+    // dev/experiment clone publishes its v1 through a store CAS
+    val srcRoot = s"${tmpDir("shc_src")}/tbl"
+    val src = new SnapshotTable(spark, srcRoot, Seq("year", "month"))
+    src.commitOverwrite(frame((1, 2024, 1, 1.0), (2, 2024, 2, 2.0)))
+    val cellDir = s"${tmpDir("shc_cell")}/cell"
+    val cloneRoot = s"${tmpDir("shc_dst")}/tbl"
+    val clone = src.shallowClone(cloneRoot, Some(fileStore(cellDir)))
+    assert(clone.currentVersion.contains(1))
+    assert(state(clone.read()) == Set(1, 2))
+    // the clone diverges through its own CAS commits; source untouched
+    clone.commitAppend(frame((3, 2024, 3, 3.0)))
+    assert(state(clone.read()) == Set(1, 2, 3))
+    assert(state(src.read()) == Set(1, 2), "clone commit leaked into source")
+    // no CURRENT file — the pointer IS the store
+    assert(!fs(cloneRoot).exists(new Path(cloneRoot, "_manifests/CURRENT")))
+    // cold re-open on a fresh store handle
+    val reopened = new SnapshotTable(spark, cloneRoot, Seq("year", "month"),
+      Some(fileStore(cellDir)))
+    assert(state(reopened.read()) == Set(1, 2, 3))
+    assert(reopened.fsck().isEmpty, s"fsck: ${reopened.fsck()}")
+    // a non-empty destination store refuses rather than orphaning it
+    val e = intercept[IllegalArgumentException] {
+      src.shallowClone(s"${tmpDir("shc_dst2")}/tbl", Some(fileStore(cellDir))) }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
   }
 
   // ---- JdbcConditionalStore: the catalog-database shape, over Derby ----
