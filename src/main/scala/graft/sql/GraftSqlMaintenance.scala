@@ -140,16 +140,16 @@ object GraftSqlParser {
   // LOCATION '/p'` — capturing `x (a INT,` as the table and erroring a
   // legitimate statement out of the delegate's reach.
   private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'(?:\s+POINTER\s+'([^']+)')?\s*;?\s*""".r
   private val DeepClone =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:DEEP\s+)?CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(?:DEEP\s+)?CLONE\s+([\w.`]+)\s+LOCATION\s+'([^']+)'(?:\s+POINTER\s+'([^']+)')?\s*;?\s*""".r
 
   private val GrammarHelp =
     "graft maintenance grammar: VACUUM t [RETAIN n HOURS] [DRY RUN] | " +
       "OPTIMIZE t [WHERE partPred | ZORDER BY (c1, ...) [INTO n FILES]] | " +
       "DESCRIBE HISTORY t | DESCRIBE DETAIL t | " +
       "RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF ... | " +
-      "CREATE TABLE t [SHALLOW] CLONE s LOCATION 'p' | " +
+      "CREATE TABLE t [SHALLOW] CLONE s LOCATION 'p' [POINTER 'store'] | " +
       "ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n] | " +
       "ALTER TABLE t FAST FORWARD BRANCH b [FORCE] | " +
       "ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c | " +
@@ -236,14 +236,18 @@ object GraftSqlParser {
         // the statement was never a clone — delegate it instead of
         // erroring valid stock SQL out of Spark's reach
         def cloneCmd(tbl: String, src: String, loc: String,
+                     pointer: Option[String],
                      shallow: Boolean): Option[LogicalPlan] =
           scala.util.Try(
-            GraftCloneCommand(ident(tbl), ident(src), loc, shallow)).toOption
+            GraftCloneCommand(ident(tbl), ident(src), loc, shallow,
+              pointer)).toOption
         sqlText match {
           // SHALLOW first: the DeepClone pattern's optional DEEP keyword
           // would otherwise swallow "SHALLOW" into the table name
-          case ShallowClone(tbl, src, loc) => cloneCmd(tbl, src, loc, shallow = true)
-          case DeepClone(tbl, src, loc) => cloneCmd(tbl, src, loc, shallow = false)
+          case ShallowClone(tbl, src, loc, ptr) =>
+            cloneCmd(tbl, src, loc, Option(ptr), shallow = true)
+          case DeepClone(tbl, src, loc, ptr) =>
+            cloneCmd(tbl, src, loc, Option(ptr), shallow = false)
           case _ => None // every other CREATE is Spark's
         }
       case _ => None
@@ -582,15 +586,30 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
   * registered in the catalog as a graft table at `path`. Returns the
   * clone's version (always 1 for shallow). */
 case class GraftCloneCommand(nameParts: Seq[String], srcParts: Seq[String],
-                             location: String, shallow: Boolean)
+                             location: String, shallow: Boolean,
+                             pointer: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (_, src) = GraftSqlParser.open(session, srcParts)
-    val clone = if (shallow) src.shallowClone(location) else src.deepClone(location)
+    // POINTER 'store' makes the CLONE CAS-mode: its commit arbitration
+    // lives in the named (or path-shaped, auto-opened durable file)
+    // ConditionalStore — the only clone shape possible on object
+    // stores. The option rides the catalog registration too, so every
+    // later SQL verb on the clone resolves the same store.
+    val store = pointer.map(n => graft.write.GraftStores.resolve(n)
+      .getOrElse(sys.error(
+        s"no ConditionalStore registered under '$n' — register the " +
+          "deployment's catalog-backed store at startup " +
+          s"(graft.write.GraftStores.register(\"$n\", store)), or use a " +
+          "path-shaped name (file:/...) for a durable file-backed cell")))
+    val clone =
+      if (shallow) src.shallowClone(location, store)
+      else src.deepClone(location, store)
     val name = nameParts.map(p => s"`$p`").mkString(".")
-    session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$location')")
+    val ptrOpt = pointer.map(n => s", pointer '$n'").getOrElse("")
+    session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$location'$ptrOpt)")
     Seq(Row(clone.currentVersion.getOrElse(0)))
   }
 }

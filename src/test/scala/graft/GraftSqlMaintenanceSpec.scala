@@ -365,6 +365,40 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE ... POINTER: CAS-mode clone through a durable file store") {
+    withTable("clone_cas") { (name, t) =>
+      val loc = freshRoot("clone_cas_dst")
+      val cell = freshRoot("clone_cas_cell")
+      val cName = "graft_sqlmx_clone_cas_out"
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      try {
+        // path-shaped POINTER auto-opens a durable FileConditionalStore:
+        // the zero-copy clone's commit arbitration lives in generation
+        // files, no CURRENT file exists, nothing registered at startup
+        val v = spark.sql(s"CREATE TABLE $cName SHALLOW CLONE $name " +
+          s"LOCATION '$loc' POINTER '$cell'").head().getInt(0)
+        assert(v == 1)
+        val before = state(t.read())
+        assert(state(spark.table(cName)) == before)
+        val cfs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(!cfs.exists(new Path(loc, "_manifests/CURRENT")),
+          "CAS-mode clone must keep its pointer in the store, not a file")
+        // DML through the catalog name commits via the store's CAS and
+        // never touches the source
+        spark.sql(s"SELECT 9 AS id, 2024 AS year, 9 AS month, 90.0 AS fare")
+          .createOrReplaceTempView("graft_sqlmx_clone_cas_out_ins")
+        spark.sql(s"INSERT INTO $cName BY NAME " +
+          "SELECT * FROM graft_sqlmx_clone_cas_out_ins")
+        assert(state(spark.table(cName)) == before + ((9, 2024, 9, 90.0)))
+        assert(state(t.read()) == before)
+        // "restart": drop the cached store; the catalog-recorded pointer
+        // option re-opens the durable cell on the next read
+        graft.write.GraftStores.unregister(cell)
+        assert(state(spark.table(cName)) == before + ((9, 2024, 9, 90.0)))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
+    }
+  }
+
   test("SQL CTAS: CREATE TABLE ... USING graft AS SELECT lands as a commit") {
     val loc = freshRoot("ctas")
     val name = "graft_sqlmx_ctas"
