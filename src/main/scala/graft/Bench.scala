@@ -266,6 +266,12 @@ object Bench {
     // the committed BENCH_r* artifacts (this run FEEDS round max+1).
     // An SPARK_GRAFT_ONLY isolation probe must NOT overwrite the round's
     // full history with its handful of entries.
+    // A committed round artifact must never be silently replaced: the
+    // round number is inferred from BENCH_r*, and the DRIVER's end-of-
+    // round run computes the same number as the builder's in-round runs
+    // (it ran rounds 15 and 16 clobbered the clean artifact both times).
+    // An existing file is overwritten only under the explicit flag; the
+    // driver's JSON still reaches it via stdout and target/bench.json.
     if (only.isEmpty) try {
       val dir = java.nio.file.Paths.get("bench_history")
       java.nio.file.Files.createDirectories(dir)
@@ -273,8 +279,14 @@ object Bench {
         .collect { case n if n.matches("BENCH_r\\d+\\.json") =>
           n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
         .maxOption.getOrElse(0) + 1
-      java.nio.file.Files.write(dir.resolve(f"full_r$round%02d.json"),
-        (json + "\n").getBytes("UTF-8"))
+      val target = dir.resolve(f"full_r$round%02d.json")
+      if (java.nio.file.Files.exists(target) &&
+          !sys.env.contains("SPARK_GRAFT_BENCH_OVERWRITE"))
+        System.err.println(s"[bench] $target exists — not overwriting " +
+          "(set SPARK_GRAFT_BENCH_OVERWRITE=1 to replace); this run's " +
+          "JSON is on stdout and in target/bench.json")
+      else
+        java.nio.file.Files.write(target, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write bench_history: ${e.getMessage}") }
     spark.stop()

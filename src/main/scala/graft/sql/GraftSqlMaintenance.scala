@@ -608,8 +608,13 @@ case class GraftCloneCommand(nameParts: Seq[String], srcParts: Seq[String],
       if (shallow) src.shallowClone(location, store)
       else src.deepClone(location, store)
     val name = nameParts.map(p => s"`$p`").mkString(".")
-    val ptrOpt = pointer.map(n => s", pointer '$n'").getOrElse("")
-    session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$location'$ptrOpt)")
+    // the registration statement is GENERATED SQL: a quote inside the
+    // location/pointer value must not terminate the string literal
+    // (standard SQL escaping — double the quote)
+    def q(s: String): String = s.replace("'", "''")
+    val ptrOpt = pointer.map(n => s", pointer '${q(n)}'").getOrElse("")
+    session.sql(
+      s"CREATE TABLE $name USING graft OPTIONS (path '${q(location)}'$ptrOpt)")
     Seq(Row(clone.currentVersion.getOrElse(0)))
   }
 }

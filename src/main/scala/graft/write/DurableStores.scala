@@ -64,17 +64,40 @@ object DurableStores // scaladoc anchor
   *
   * ABA note: a slow writer that read generation G may attempt
   * `gen_<G+1>` after GC has deleted that name; the create then succeeds
-  * but lands BELOW the current head, so no reader ever serves it — it is
-  * plain debris for the next GC sweep, never a second winner (`get`
-  * always resolves the maximum generation).
+  * but lands BELOW the current head, so no reader ever serves it. Two
+  * guards keep that from becoming a FALSELY-REPORTED commit (a `putIf`
+  * returning true for a value that is never served): (a) GC has an age
+  * floor — only generations older than `gcAgeFloorMs` are swept, so a
+  * read-to-create stall shorter than the floor can never meet a
+  * recreated name at all; and (b) every winning create re-lists and
+  * checks the head: a head more than `keepGenerations` past the won
+  * slot is only possible on a recreated name (heads advance densely,
+  * so the slot must have been created and GC'd before our attempt) —
+  * the orphan value is deleted and the put THROWS rather than returning
+  * either way, because an ultra-fast chain of successors could in
+  * principle produce the same observation after a genuine win.
+  * [[CasVersionPointer]]'s indeterminate-outcome check resolves that
+  * residual ambiguity content-wise (is OUR attempt in the live chain?);
+  * direct users treat it as what it is: commit state unknown, re-read
+  * before retrying.
+  *
+  * DEPLOYMENT NOTE: create-exclusive is trusted on POSIX-local and
+  * HDFS. NFS honors `O_EXCL` only on v3+ with proper server support —
+  * on older/misconfigured NFS two writers can both "win"; put the cell
+  * on a local/HDFS path or use [[JdbcConditionalStore]] there (the
+  * same class of refusal as the object-store probe below, but not
+  * detectable from the URI scheme, hence a note instead of a guard).
   */
 class FileConditionalStore(fs: FileSystem, dir: Path,
                            keepGenerations: Int =
-                             FileConditionalStore.KeepGenerations)
+                             FileConditionalStore.KeepGenerations,
+                           gcAgeFloorMs: Long =
+                             FileConditionalStore.GcAgeFloorMs)
     extends ConditionalStore {
   require(keepGenerations >= 2,
     s"keepGenerations must be >= 2 (got $keepGenerations): a reader " +
       "needs at least one generation of slack behind the head")
+  require(gcAgeFloorMs >= 0, "gcAgeFloorMs must be >= 0")
 
   // same unsafe-scheme refusal as SnapshotTable's commit-safety probe:
   // this store's arbiter IS filesystem create-exclusive, which
@@ -137,29 +160,64 @@ class FileConditionalStore(fs: FileSystem, dir: Path,
 
   override def get(): Option[String] = current().map(_._2)
 
+  /** Test seam: runs between the head read and the create attempt —
+    * overriding it is how the spec makes the read-to-create stall
+    * deterministic (the lost-commit guard's race window). No-op in
+    * production. */
+  protected def beforeCreate(next: Long): Unit = ()
+
   override def putIf(expected: Option[String], value: String): Boolean = {
     val cur = current()
     if (cur.map(_._2) != expected) return false
     val next = cur.map(_._1).getOrElse(0L) + 1L
+    beforeCreate(next)
     val won = AtomicFlip.publishExclusive(fs, genPath(next),
       value.getBytes("UTF-8"))
-    if (won) gc(next)
-    won
+    if (!won) return false
+    // lost-commit guard (see the ABA note): heads advance densely, so
+    // our create could only succeed with the head ALREADY past
+    // next + keepGenerations if gen_<next> had been created and GC'd
+    // before our attempt — i.e. this writer stalled past the retention
+    // window and its value landed below the head, never to be served.
+    // A head within the window proves a genuine win (the slot cannot
+    // have been GC'd: the cutoff never reached it).
+    val headNow = listGens().maxOption.getOrElse(next)
+    if (headNow - next > keepGenerations) {
+      try { rfs.delete(genPath(next), false); () }
+      catch { case _: java.io.IOException => () }
+      // THROW, not false: after a genuine win, >keepGenerations
+      // successors chaining inside this list window would look
+      // identical — the outcome is indeterminate from generation
+      // numbers alone. CasVersionPointer's landed-check resolves it
+      // by content; a direct caller must re-read before retrying.
+      sys.error(s"FileConditionalStore at $dir: won gen_$next but the " +
+        s"head is already gen_$headNow — this writer stalled past the " +
+        s"GC retention window ($keepGenerations generations) between " +
+        "read and create, and its value landed below the head " +
+        "(commit state indeterminate; re-read the cell before retrying)")
+    }
+    gc(next)
+    true
   }
 
   /** Winner-side sweep: generations (and crashed writers' staging
-    * `.tmp` files) more than `keepGenerations` below the just-won
-    * head. Best-effort — a failed delete is retried by the next
-    * winner. */
+    * `.tmp` files) more than `keepGenerations` below the just-won head
+    * AND older than the age floor — the floor keeps a stalled writer's
+    * read-to-create window from ever meeting a recreated generation
+    * name unless the stall outlives `gcAgeFloorMs` (and even then the
+    * post-win head check above turns the would-be lost commit into a
+    * loud indeterminate outcome). Best-effort — a failed delete is
+    * retried by the next winner. */
   private def gc(head: Long): Unit = {
     val cutoff = head - keepGenerations
     if (cutoff <= 0 || !rfs.exists(dir)) return
+    val ageCutoff = System.currentTimeMillis() - gcAgeFloorMs
     rfs.listStatus(dir).foreach { st =>
-      val doomed = st.getPath.getName match {
+      val doomed = (st.getPath.getName match {
         case GenName(n) => n.toLong < cutoff
         case TmpName(n) => n.toLong < cutoff
         case _ => false
-      }
+      }) && st.getModificationTime < ageCutoff
       if (doomed) {
         try { rfs.delete(st.getPath, false); () }
         catch { case _: java.io.IOException => () }
@@ -174,6 +232,14 @@ object FileConditionalStore {
     * [[FileConditionalStore]]); override per store via the
     * constructor. */
   val KeepGenerations = 8
+
+  /** Default GC age floor: a generation younger than this survives the
+    * sweep regardless of its distance below the head, so a writer's
+    * read-to-create stall shorter than the floor can never hit a
+    * recreated generation name (the lost-commit precondition). Ten
+    * minutes dwarfs any realistic GC pause or fs hiccup; the cost is a
+    * few retained metadata-sized files per active cell. */
+  val GcAgeFloorMs: Long = 10L * 60 * 1000
 
   /** Open (or create) the cell directory at `dir`, resolving the
     * filesystem from the active Spark session's Hadoop configuration
@@ -205,7 +271,22 @@ object FileConditionalStore {
   * One handle = one connection; ops on a handle serialize on the
   * handle's monitor (JDBC connections are not thread-safe), but
   * cross-handle races are arbitrated by the database, which is the
-  * contract. Close with [[close]] (try-with-resources friendly). */
+  * contract. Close with [[close]] (try-with-resources friendly).
+  *
+  * Connection loss (the NORMAL case against a real network database —
+  * idle timeouts, failovers, restarts): a READ that dies reconnects
+  * once and retries (idempotent); reconnect failing too raises loudly
+  * naming the remedy. A conditional WRITE that dies mid-statement is
+  * NEVER silently retried — the statement may have applied before the
+  * drop, so a retry could double-commit and a silent `false` could
+  * report a landed commit as lost. It raises instead (commit state
+  * indeterminate); [[CasVersionPointer]]'s landed-check resolves the
+  * ambiguity by content, and the handle heals itself on the next op.
+  *
+  * Duplicate-key recognition covers `SQLIntegrityConstraintViolation-
+  * Exception` and every `23xxx` SQLState (the SQL-standard
+  * integrity-violation class: Derby/Postgres `23505`, MySQL `23000`,
+  * Oracle via the exception subclass). */
 class JdbcConditionalStore(url: String, cellName: String)
     extends ConditionalStore with AutoCloseable {
 
@@ -216,31 +297,82 @@ class JdbcConditionalStore(url: String, cellName: String)
     System.setProperty("derby.stream.error.file",
       System.getProperty("java.io.tmpdir") + "/graft_derby.log")
 
-  private val conn = java.sql.DriverManager.getConnection(url)
-  conn.setAutoCommit(true)
-
-  // idempotent bootstrap: racing handles may both CREATE — the loser's
-  // error is fine iff the table is actually there
-  try {
-    val st = conn.createStatement()
-    try st.executeUpdate(
-      "CREATE TABLE graft_cas (" +
-        "cell VARCHAR(256) NOT NULL PRIMARY KEY, " +
-        "gen BIGINT NOT NULL, " +
-        "val CLOB NOT NULL)")
-    finally st.close()
-  } catch {
-    case e: java.sql.SQLException =>
-      val probe = conn.createStatement()
-      try {
-        val rs = probe.executeQuery("SELECT 1 FROM graft_cas WHERE 1=0")
-        rs.close() // table exists — the CREATE lost a benign race
-      } catch { case _: java.sql.SQLException => throw e }
-      finally probe.close()
+  private def connect(): java.sql.Connection = {
+    val c = java.sql.DriverManager.getConnection(url)
+    c.setAutoCommit(true)
+    c
   }
 
-  private def readRow(): Option[(Long, String)] = {
-    val ps = conn.prepareStatement(
+  private var conn = connect()
+  private var closed = false
+
+  // idempotent bootstrap: racing handles may both CREATE — the loser's
+  // error is fine iff the table is actually there. Any construction
+  // failure closes the connection before rethrowing (a handle that was
+  // never handed out must not leak its connection).
+  try {
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE graft_cas (" +
+          "cell VARCHAR(256) NOT NULL PRIMARY KEY, " +
+          "gen BIGINT NOT NULL, " +
+          "val CLOB NOT NULL)")
+      finally st.close()
+    } catch {
+      case e: java.sql.SQLException =>
+        val probe = conn.createStatement()
+        try {
+          val rs = probe.executeQuery("SELECT 1 FROM graft_cas WHERE 1=0")
+          rs.close() // table exists — the CREATE lost a benign race
+        } catch { case _: java.sql.SQLException => throw e }
+        finally probe.close()
+    }
+  } catch {
+    case e: Throwable =>
+      try conn.close() catch { case _: java.sql.SQLException => () }
+      throw e
+  }
+
+  /** Is this exception (or the handle's state) a dead connection? The
+    * standard signals: the non-transient/transient-connection and
+    * recoverable subclasses, SQLState class `08xxx` (connection
+    * exception), Derby's session-death `XJ001`/`XJ015`-era shapes land
+    * in `08xxx` too, plus a direct probe of the connection itself. */
+  private def connectionDead(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLNonTransientConnectionException] ||
+      e.isInstanceOf[java.sql.SQLTransientConnectionException] ||
+      e.isInstanceOf[java.sql.SQLRecoverableException] ||
+      Option(e.getSQLState).exists(_.startsWith("08")) ||
+      (try conn.isClosed catch { case _: java.sql.SQLException => true })
+
+  private def duplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
+
+  /** Run an IDEMPOTENT op, reconnecting once if the connection died;
+    * reconnect failing too refuses loudly naming the remedy. */
+  private def withReconnect[T](op: java.sql.Connection => T): T = {
+    require(!closed, s"JdbcConditionalStore at $url is closed")
+    try op(conn)
+    catch {
+      case e: java.sql.SQLException if connectionDead(e) =>
+        try conn.close() catch { case _: java.sql.SQLException => () }
+        conn =
+          try connect()
+          catch {
+            case re: java.sql.SQLException => throw new IllegalStateException(
+              s"JdbcConditionalStore at $url: connection lost " +
+                s"(${e.getMessage}) and reconnect failed " +
+                s"(${re.getMessage}) — restore database connectivity, " +
+                "then retry; the handle reconnects on its next use", re)
+          }
+        op(conn)
+    }
+  }
+
+  private def readRow(c: java.sql.Connection): Option[(Long, String)] = {
+    val ps = c.prepareStatement(
       "SELECT gen, val FROM graft_cas WHERE cell = ?")
     try {
       ps.setString(1, cellName)
@@ -250,11 +382,20 @@ class JdbcConditionalStore(url: String, cellName: String)
     } finally ps.close()
   }
 
-  override def get(): Option[String] = synchronized { readRow().map(_._2) }
+  override def get(): Option[String] =
+    synchronized { withReconnect(readRow).map(_._2) }
 
   override def putIf(expected: Option[String], value: String): Boolean =
     synchronized {
-      readRow() match {
+      // the read retries across a reconnect (idempotent); the write
+      // below never does — see the class doc
+      def indeterminate(e: java.sql.SQLException): Nothing =
+        throw new IllegalStateException(
+          s"JdbcConditionalStore at $url: connection died mid " +
+            "conditional write — the statement may or may not have " +
+            "applied (commit state indeterminate). Re-read the cell " +
+            "before retrying; the handle reconnects on its next use.", e)
+      withReconnect(readRow) match {
         case None =>
           if (expected.isDefined) false
           else {
@@ -265,9 +406,9 @@ class JdbcConditionalStore(url: String, cellName: String)
               ps.executeUpdate(); true
             } catch {
               // a racing first-writer beat us to the primary key
-              case _: java.sql.SQLIntegrityConstraintViolationException => false
-              case e: java.sql.SQLException
-                  if Option(e.getSQLState).contains("23505") => false
+              case e: java.sql.SQLException if duplicateKey(e) => false
+              case e: java.sql.SQLException if connectionDead(e) =>
+                indeterminate(e)
             } finally ps.close()
           }
         case Some((gen, cur)) =>
@@ -280,10 +421,16 @@ class JdbcConditionalStore(url: String, cellName: String)
               ps.setLong(1, gen + 1); ps.setString(2, value)
               ps.setString(3, cellName); ps.setLong(4, gen)
               ps.executeUpdate() == 1
+            } catch {
+              case e: java.sql.SQLException if connectionDead(e) =>
+                indeterminate(e)
             } finally ps.close()
           }
       }
     }
 
-  override def close(): Unit = synchronized { conn.close() }
+  override def close(): Unit = synchronized {
+    closed = true
+    try conn.close() catch { case _: java.sql.SQLException => () }
+  }
 }

@@ -2522,9 +2522,12 @@ class SnapshotTable(spark: SparkSession, root: String,
     val dead = versions.filterNot(keep)
     // branch-referenced dirs are LIVE regardless of main retention — a
     // branch is a promise its state stays readable until dropped
+    // dirs a live shallow clone borrows are LIVE regardless of this
+    // table's own retention — the lease back-pointer is the clone's
+    // promise-of-need, held until it localizes or is dropped
     val referenced = keep.toSeq.flatMap { v =>
       val m = parse(v); m.entries.map(_.dir) ++ m.deletes.map(_.dir)
-    }.toSet ++ branchReferencedDirs
+    }.toSet ++ branchReferencedDirs ++ borrowedProtectedDirs()
     // committed-then-expired dirs: reclaimable with no age check — their
     // manifests prove no writer is mid-commit on them
     val deadReferenced = dead.flatMap { v =>
@@ -2546,6 +2549,10 @@ class SnapshotTable(spark: SparkSession, root: String,
           fs.delete(new Path(statsDir, p.getName), true)
         }
       }
+    // if THIS table is a clone and this expire just retired its last
+    // borrowing manifest (the localize recipe: commitCompactFiles +
+    // expire), hand the borrowed dirs back to their owner's retention
+    releaseBorrowLeasesIfLocalized()
   }
 
   /** Remove ORPHAN data directories — `_data/d*` dirs referenced by no
@@ -2619,7 +2626,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     val referenced = history.map(_._1)
       .flatMap { v => val m = parse(v)
         m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
-      branchReferencedDirs
+      branchReferencedDirs ++ borrowedProtectedDirs()
     fs.listStatus(dataDir)
       .filter(st => !referenced(st.getPath.getName) &&
         !st.getPath.getName.startsWith("w_") &&
@@ -2650,6 +2657,103 @@ class SnapshotTable(spark: SparkSession, root: String,
         "manage committed history)")
     fs.delete(new Path(dataDir, stagedDir), true)
     ()
+  }
+
+  // ---- borrow leases: the shallow-clone back-pointer that makes
+  // SOURCE-side retention clone-aware (round 17; previously the hazard
+  // was only documented and detected after the fact by the clone's
+  // fsck). One lease file per live clone under this table's
+  // `_borrowed_by/`; [[expire]]/[[vacuum]] retain leased dirs, [[purge]]
+  // refuses while any lease is live, and a clone releases its leases
+  // automatically once localized (or by being dropped — a lease whose
+  // clone root no longer holds manifests is swept at the next
+  // consultation). ----
+
+  private val borrowedByDir = new Path(root, "_borrowed_by")
+  private val borrowMarkerPath = new Path(root, "_borrow_lease.txt")
+
+  /** Live borrow leases on THIS table: one per shallow clone still
+    * borrowing data dirs from it. Listing VALIDATES each lease — a
+    * lease whose clone root no longer holds a `_manifests` dir was
+    * dropped (tables are dropped by deleting their directory; the
+    * catalog unbind keeps files) and is swept here, so an abandoned
+    * clone cannot pin this table's retention forever. A clone root
+    * that cannot be PROBED (unreachable filesystem) counts as alive:
+    * failing safe retains a few dirs; failing unsafe breaks a live
+    * clone's reads. */
+  def borrowLeases(): Seq[SnapshotTable.BorrowLease] = {
+    if (!fs.exists(borrowedByDir)) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(borrowedByDir).toSeq
+      .filter(_.getPath.getName.endsWith(".txt")).sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val lines = SnapshotTable.readSmall(fs, st.getPath)
+          .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+        val cloneRoot = lines.collectFirst {
+          case l if l.startsWith("clone=") => l.stripPrefix("clone=") }
+        val dirs = lines.collect {
+          case l if l.startsWith("dir=") => l.stripPrefix("dir=") }.toSet
+        cloneRoot match {
+          case Some(cr) if dirs.nonEmpty =>
+            val alive =
+              try {
+                val cp = new Path(cr)
+                cp.getFileSystem(conf).exists(new Path(cp, "_manifests"))
+              } catch { case _: Exception => true } // unreachable: fail safe
+            if (alive)
+              Some(SnapshotTable.BorrowLease(
+                st.getPath.getName.stripSuffix(".txt"), cr, dirs))
+            else { fs.delete(st.getPath, false); None }
+          case _ => // malformed debris (our writer never produces this)
+            fs.delete(st.getPath, false); None
+        }
+      }
+  }
+
+  /** Dir names live clones borrow — retention treats them as
+    * referenced. */
+  private def borrowedProtectedDirs(): Set[String] =
+    borrowLeases().flatMap(_.dirs).toSet
+
+  /** Release this table's OUTBOUND borrow leases once nothing it
+    * retains still borrows — called automatically at the end of
+    * [[expire]]/[[expireOlderThan]] (localize = [[commitCompactFiles]]
+    * + expire of the borrowing history, so the expire that retires the
+    * last borrowing manifest is exactly when the source becomes free to
+    * reclaim). Safe to call any time: a no-op unless this table was
+    * created by [[shallowClone]] and every retained manifest (main and
+    * branch) references only owned dirs. */
+  def releaseBorrowLeasesIfLocalized(): Unit = {
+    if (!fs.exists(borrowMarkerPath)) return
+    def borrows(m: Manifest): Boolean =
+      (m.entries.map(_.dir) ++ m.deletes.map(_.dir)).exists(isBorrowed)
+    val stillBorrows = history.map(_._1).exists(v => borrows(parse(v))) ||
+      branches.exists { case (n, _) =>
+        branchVersions(n).exists(bv => borrows(parseBranch(n, bv))) }
+    if (stillBorrows) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    SnapshotTable.readSmall(fs, borrowMarkerPath).foreach {
+      _.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { s =>
+        try { val p = new Path(s); p.getFileSystem(conf).delete(p, false); () }
+        catch { case _: Exception => () } // owner gone: nothing to release
+      }
+    }
+    fs.delete(borrowMarkerPath, false)
+    ()
+  }
+
+  /** Register leases + the local marker for a clone at `cloneRoot`
+    * borrowing `borrowedUris`; returns every path written so a failed
+    * clone publish can roll them back (no debris on refusal). */
+  private def registerCloneLeases(cloneRoot: String, cloneFs: FileSystem,
+                                  borrowedUris: Seq[String]): Seq[Path] = {
+    if (borrowedUris.isEmpty) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val leases = SnapshotTable.registerBorrow(conf, cloneRoot, borrowedUris)
+    val marker = new Path(cloneRoot, "_borrow_lease.txt")
+    graft.util.AtomicFlip.writeAtomic(cloneFs, conf, marker,
+      leases.map(_.toString).mkString("\n").getBytes("UTF-8"))
+    leases :+ marker
   }
 
   /** Deep clone: copy the whole table (manifests + data) to `destRoot`
@@ -2691,7 +2795,17 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root), dfs, dst,
       /*deleteSource=*/ false, spark.sparkContext.hadoopConfiguration),
       s"deep clone $root -> $destRoot failed")
-    (pointer, destPointer) match {
+    // the copy must not inherit the source's lease bookkeeping: copied
+    // `_borrowed_by/` leases name clones of the SOURCE (none of them
+    // read the copy's dirs), and a copied `_borrow_lease.txt` is
+    // actively dangerous — the copy's localize would release the
+    // ORIGINAL table's leases while it still borrows. Scrub both; the
+    // adopt step below re-registers fresh leases in the copy's own name
+    // if it still borrows (deep clone OF a live shallow clone copies
+    // manifests whose borrowed absolute URIs pass through verbatim).
+    dfs.delete(new Path(dst, "_borrowed_by"), true)
+    dfs.delete(new Path(dst, "_borrow_lease.txt"), false)
+    val cloned = (pointer, destPointer) match {
       case (Some(srcStore), Some(dstStore)) =>
         val cur = srcStore.get().getOrElse(
           sys.error(s"no committed version at $root to clone"))
@@ -2700,6 +2814,26 @@ class SnapshotTable(spark: SparkSession, root: String,
             "orphan the table it already points at")
         new SnapshotTable(spark, destRoot, partCols, destPointer)
       case _ => new SnapshotTable(spark, destRoot, partCols)
+    }
+    cloned.adoptBorrowLeases()
+    cloned
+  }
+
+  /** Register fresh leases (in THIS table's name) for every borrowed
+    * dir its retained manifests reference — the [[deepClone]]-of-a-
+    * shallow-clone path, where the copied manifests still point into
+    * the original owner's `_data`. No-op on a fully-owned table. */
+  private def adoptBorrowLeases(): Unit = {
+    def dirsOf(m: Manifest): Seq[String] =
+      m.entries.map(_.dir) ++ m.deletes.map(_.dir)
+    val borrowed = (history.map(_._1).flatMap(v => dirsOf(parse(v))) ++
+      branches.flatMap { case (n, _) =>
+        branchVersions(n).flatMap(bv => dirsOf(parseBranch(n, bv))) })
+      .filter(isBorrowed).distinct
+    if (borrowed.nonEmpty) {
+      registerCloneLeases(
+        fs.makeQualified(new Path(root)).toString, fs, borrowed)
+      ()
     }
   }
 
@@ -2723,11 +2857,19 @@ class SnapshotTable(spark: SparkSession, root: String,
     * the current state into owned dirs, after which [[expire]] retires
     * the borrowing manifests).
     *
-    * THE shallow-clone hazard (same as Delta's): the SOURCE's
-    * `vacuum`/`expire`/`purge` does not know about clones — reclaiming
-    * a dir the clone still borrows breaks the clone's reads. The
-    * clone's [[fsck]] names exactly this ("borrowed data dir missing");
-    * localize clones that must outlive the source's retention. */
+    * THE shallow-clone hazard (Delta's unsolved one): the SOURCE's
+    * retention reclaiming a dir the clone still borrows breaks the
+    * clone's reads. HERE the clone registers a borrow lease under each
+    * owner's `_borrowed_by/` at clone time (create-exclusive, BEFORE
+    * the clone's v1 publishes, so no live-but-unprotected window):
+    * owner [[expire]]/[[vacuum]] retain every leased dir, owner
+    * [[purge]] refuses loudly naming the clone and the remedy, and the
+    * lease is released automatically when the clone localizes
+    * ([[commitCompactFiles]] + [[expire]] of the borrowing history) or
+    * is dropped (directory deleted — the owner sweeps the stale lease
+    * at its next maintenance; same for a crashed clone attempt once
+    * its aborted destination is removed). The clone's [[fsck]] still
+    * names a missing borrowed dir after out-of-band damage. */
   /** `destPointer` selects the CLONE's arbitration mode, independent of
     * the source's (a clone starts its own lineage, so no pointer state
     * transfers — unlike [[deepClone]], which copies history and must
@@ -2758,24 +2900,43 @@ class SnapshotTable(spark: SparkSession, root: String,
       m.predDeletes, ts = System.currentTimeMillis(),
       partColsLine = partCols, constraints = m.constraints,
       colOps = m.colOps, properties = m.properties)
+    // lease registration order: the clone's `_manifests` dir FIRST (the
+    // owner's stale-lease probe keys on its existence — registering
+    // before it exists would let a concurrent owner vacuum sweep the
+    // fresh lease as stale), then the lease(s), then the v1 publish —
+    // so there is never a live-but-unprotected clone. A refused publish
+    // rolls the registration back (loud refusal, no lease debris).
+    val cloneManifests = new Path(dst, "_manifests")
+    dfs.mkdirs(cloneManifests)
+    val borrowedUris = (cm.entries.map(_.dir) ++ cm.deletes.map(_.dir))
+      .filter(isBorrowed).distinct
+    val leaseWrites = registerCloneLeases(
+      dfs.makeQualified(dst).toString, dfs, borrowedUris)
+    def rollbackLeases(): Unit = leaseWrites.foreach { p =>
+      try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, false); () }
+      catch { case _: Exception => () }
+    }
     destPointer match {
       case Some(_) =>
         // CAS-mode clone: v1 publishes through the destination store
         // (attempt-unique manifest + one CAS from the empty cell) —
         // the same commit point every later write on the clone uses
         val cloned = new SnapshotTable(spark, destRoot, partCols, destPointer)
-        require(cloned.vp.publish(1, render(cm).getBytes("UTF-8")),
-          s"shallow clone destination store is not empty — publishing " +
-            s"v1 over a live pointer would orphan the table it already " +
-            s"points at ($destRoot)")
+        if (!cloned.vp.publish(1, render(cm).getBytes("UTF-8"))) {
+          rollbackLeases()
+          sys.error(s"shallow clone destination store is not empty — " +
+            s"publishing v1 over a live pointer would orphan the table " +
+            s"it already points at ($destRoot)")
+        }
         cloned
       case None =>
-        val cloneManifests = new Path(dst, "_manifests")
-        dfs.mkdirs(cloneManifests)
-        require(graft.util.AtomicFlip.publishExclusive(dfs,
+        if (!graft.util.AtomicFlip.publishExclusive(dfs,
           new Path(cloneManifests, f"v${1}%05d.txt"),
-          render(cm).getBytes("UTF-8")),
-          s"shallow clone destination already has a manifest: $destRoot")
+          render(cm).getBytes("UTF-8"))) {
+          rollbackLeases()
+          sys.error(s"shallow clone destination already has a manifest: $destRoot")
+        }
         graft.util.AtomicFlip.writeAtomic(dfs,
           spark.sparkContext.hadoopConfiguration,
           new Path(cloneManifests, "CURRENT"), "1".getBytes("UTF-8"))
@@ -2808,6 +2969,20 @@ class SnapshotTable(spark: SparkSession, root: String,
   def purge(condition: org.apache.spark.sql.Column): Int = {
     val versions = history.map(_._1)
     require(versions.nonEmpty, s"no snapshots at $root")
+    // live shallow clones read this table's dirs in place — the
+    // rewrite-and-delete below would yank bytes out from under them
+    // (and the erasure would NOT reach the clones' own lineages, so it
+    // would not even be complete). Refuse before the destructive
+    // pre-steps below, naming each clone and the remedy.
+    val leases = borrowLeases()
+    require(leases.isEmpty,
+      s"purge refused: ${leases.size} live shallow clone(s) still " +
+        s"borrow this table's data dirs — " +
+        leases.map(_.cloneRoot).sorted.mkString(", ") + ". Localize " +
+        "each clone (commitCompactFiles() then expire() on the clone) " +
+        "or drop it (delete its directory), then purge; the erasure " +
+        "must also be run on any localized clone that copied matching " +
+        "rows.")
     // MOR KEY-delete files hold raw key tuples the erasure condition
     // cannot be evaluated against (they lack the data columns), and the
     // per-dir rewrite below cannot apply positional delete scopes —
@@ -3210,6 +3385,72 @@ object SnapshotTable {
     } yield line.stripPrefix("partcols=")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** A live shallow clone's registration under the OWNER table's
+    * metadata (`_borrowed_by/<id>.txt`) — the back-pointer that makes
+    * the owner's retention clone-aware: [[SnapshotTable.expire]] /
+    * [[SnapshotTable.vacuum]] treat every leased dir as referenced, and
+    * [[SnapshotTable.purge]] refuses while any lease is live. `dirs`
+    * are the owner-local `_data` dir names the clone borrows. */
+  case class BorrowLease(id: String, cloneRoot: String, dirs: Set[String])
+
+  /** Lease file name for a clone root: a content hash of the qualified
+    * root, so re-registering the SAME clone is idempotent-by-name and
+    * two different clones can never share a file. */
+  private[write] def leaseIdFor(cloneRoot: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(cloneRoot.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+  }
+
+  /** Register `cloneRoot` as a borrower of `borrowedUris` (absolute
+    * `<owner>/_data/<dir>` URIs) under each OWNER'S `_borrowed_by` —
+    * grouped by owner because a clone of a clone borrows the ORIGINAL
+    * table's dirs (absolute stays absolute), so the chain's leases all
+    * land on the table that actually owns the bytes. Create-exclusive
+    * per lease file; an existing lease for the SAME clone root is a
+    * stale predecessor (the caller proved the destination empty) and is
+    * replaced. Returns the qualified lease paths (the clone's marker
+    * records them so localize/drop can release). */
+  private[write] def registerBorrow(conf: org.apache.hadoop.conf.Configuration,
+                                    cloneRoot: String,
+                                    borrowedUris: Seq[String]): Seq[Path] = {
+    val id = leaseIdFor(cloneRoot)
+    borrowedUris.map(u => new Path(u))
+      .groupBy(_.getParent.getParent) // <owner>/_data/<dir> → owner root
+      .toSeq.sortBy(_._1.toString)
+      .map { case (ownerRoot, dirPaths) =>
+        val ofs = ownerRoot.getFileSystem(conf)
+        val leaseDir = new Path(ownerRoot, "_borrowed_by")
+        ofs.mkdirs(leaseDir)
+        val lease = new Path(leaseDir, s"$id.txt")
+        val bytes = (s"clone=$cloneRoot" +:
+          dirPaths.map(p => s"dir=${p.getName}").distinct.sorted)
+          .mkString("\n").getBytes("UTF-8")
+        if (!graft.util.AtomicFlip.publishExclusive(ofs, lease, bytes)) {
+          val existing = readSmall(ofs, lease)
+            .flatMap(_.linesIterator.find(_.startsWith("clone="))
+              .map(_.stripPrefix("clone=")))
+          require(existing.contains(cloneRoot),
+            s"borrow-lease collision at $lease: registered to " +
+              s"'${existing.getOrElse("<unreadable>")}', not '$cloneRoot'")
+          ofs.delete(lease, false)
+          require(graft.util.AtomicFlip.publishExclusive(ofs, lease, bytes),
+            s"could not replace stale borrow lease $lease (racing clone?)")
+        }
+        ofs.makeQualified(lease)
+      }
+  }
+
+  /** Best-effort small-file read (None on any failure — lease parsing
+    * must never make maintenance throw on debris). */
+  private[write] def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: Exception => None }
 
   /** Default retention window for the orphan-dir sweeps ([[SnapshotTable.vacuum]],
     * [[SnapshotTable.expire]]): an unreferenced `_data` dir younger than this is

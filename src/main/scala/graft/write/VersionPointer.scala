@@ -367,16 +367,22 @@ object GraftStores {
     scala.collection.concurrent.TrieMap.empty[String, ConditionalStore]
   def register(name: String, store: ConditionalStore): Unit =
     stores(name) = store
-  /** A registered name wins; otherwise a PATH-shaped name (contains
-    * '/': `file:/warehouse/_cas/t1`, `/abs/dir`, `hdfs://...`) opens a
-    * [[FileConditionalStore]] on that directory — the zero-deployment-
-    * code durable pointer: `OPTIONS (pointer 'file:/...')` survives JVM
-    * restart with nothing registered at startup. The opened store is
-    * cached under its name; a benign race opening two is harmless (the
-    * filesystem, not the handle, is the arbiter). */
+  /** A registered name wins; otherwise an UNAMBIGUOUSLY path-shaped
+    * name — an absolute path (`/abs/dir`) or a URI with a scheme
+    * (`file:/warehouse/_cas/t1`, `hdfs://...`) — opens a
+    * [[FileConditionalStore]] on that directory: the zero-deployment-
+    * code durable pointer, `OPTIONS (pointer 'file:/...')` survives JVM
+    * restart with nothing registered at startup. Anything else (a
+    * relative `team/prod`, a bare name) refuses as unregistered rather
+    * than auto-opening: a mistyped registered-store name, or a run
+    * whose startup registration was skipped, must fail loudly — a
+    * silently-created empty local store directory would quietly fork a
+    * new table lineage. The opened store is cached under its name; a
+    * benign race opening two is harmless (the filesystem, not the
+    * handle, is the arbiter). */
   def resolve(name: String): Option[ConditionalStore] =
     stores.get(name).orElse {
-      if (name.contains("/"))
+      if (name.startsWith("/") || name.contains(":/"))
         Some(stores.getOrElseUpdate(name, FileConditionalStore.open(name)))
       else None
     }

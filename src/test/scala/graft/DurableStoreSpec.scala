@@ -78,7 +78,9 @@ class DurableStoreSpec extends AnyFunSuite {
 
   test("file store: generation GC keeps a bounded window and sweeps staging debris") {
     val dir = s"${tmpDir("fcs_gc")}/cell"
-    val s = fileStore(dir)
+    // age floor 0: this test pins the COUNT bound; the floor (its own
+    // tests below) would keep every young file alive
+    val s = new FileConditionalStore(fs(dir), new Path(dir), gcAgeFloorMs = 0L)
     assert(s.putIf(None, "v1"))
     (2 to 20).foreach(i => assert(s.putIf(Some(s"v${i - 1}"), s"v$i")))
     assert(s.get().contains("v20"))
@@ -93,6 +95,66 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(!s2.putIf(Some("v19"), "x"))
     assert(s2.putIf(Some("v20"), "v21"))
     assert(s.get().contains("v21"), "first handle must see the second's put")
+  }
+
+  test("file store: GC age floor keeps young generations regardless of head distance") {
+    val dir = s"${tmpDir("fcs_floor")}/cell"
+    val s = fileStore(dir) // defaults: KeepGenerations=8, 10-minute floor
+    assert(s.putIf(None, "v1"))
+    (2 to 20).foreach(i => assert(s.putIf(Some(s"v${i - 1}"), s"v$i")))
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.matches("gen_\\d{12,}\\.val"))
+    assert(gens == 20,
+      s"age floor must protect all 20 fresh generations, found $gens — " +
+        "a swept young name is exactly the recreatable slot a stalled " +
+        "writer could lose a commit on")
+  }
+
+  test("file store: a writer stalled past the GC window raises instead of silently losing its commit") {
+    // the ABA false-success: writer reads head G, stalls while the cell
+    // advances past the retention window (gen_{G+1} created AND GC'd),
+    // then wins create-exclusive on the RECREATED name — pre-guard,
+    // putIf returned true for a value no reader would ever serve. The
+    // beforeCreate seam makes the stall deterministic.
+    val dir = s"${tmpDir("fcs_stall")}/cell"
+    val p = new Path(dir)
+    val hfs = fs(dir)
+    val fast = new FileConditionalStore(hfs, p, keepGenerations = 2,
+      gcAgeFloorMs = 0L)
+    assert(fast.putIf(None, "v1"))
+    @volatile var stalledOnce = false
+    val slow = new FileConditionalStore(hfs, p, keepGenerations = 2,
+      gcAgeFloorMs = 0L) {
+      override protected def beforeCreate(next: Long): Unit =
+        if (!stalledOnce) {
+          stalledOnce = true
+          // the "stall": 8 commits land through the fast handle — head
+          // moves to 9, GC (keep=2, floor 0) recreates room at gen_2
+          (2 to 9).foreach(i => assert(fast.putIf(Some(s"v${i - 1}"), s"v$i")))
+        }
+    }
+    val e = intercept[RuntimeException] { slow.putIf(Some("v1"), "lost") }
+    assert(e.getMessage.contains("stalled past"), e.getMessage)
+    assert(fast.get().contains("v9"), "live head must be unaffected")
+    assert(slow.get().contains("v9"),
+      "the stale value must never be served — not even by its writer")
+    // the orphan generation was deleted, not left as served-looking debris
+    val lostBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("gen_\\d{12,}\\.val"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(!lostBytes.contains("lost"), "orphan value left on disk")
+  }
+
+  test("a relative pointer name refuses instead of auto-opening a local store") {
+    // 'team/prod' is a mistyped REGISTERED name, not a path: silently
+    // creating an empty local store dir would fork a fresh lineage
+    assert(GraftStores.resolve("team/prod_r17_unregistered").isEmpty)
+    assert(!new java.io.File("team").exists(),
+      "resolve created a local directory for a relative name")
+    // unambiguous path shapes still auto-open
+    val dir = s"${tmpDir("gs_path")}/cell"
+    assert(GraftStores.resolve(dir).isDefined)        // absolute path
+    assert(GraftStores.resolve(s"file:$dir").isDefined) // URI scheme
   }
 
   test("file store: two PROCESSES hammering the same cell — every CAS has exactly one winner") {
@@ -215,10 +277,14 @@ class DurableStoreSpec extends AnyFunSuite {
       Some(fileStore(cellDir)))
     assert(state(reopened.read()) == Set(1, 2, 3))
     assert(reopened.fsck().isEmpty, s"fsck: ${reopened.fsck()}")
-    // a non-empty destination store refuses rather than orphaning it
-    val e = intercept[IllegalArgumentException] {
+    // a non-empty destination store refuses rather than orphaning it —
+    // and the refusal rolls back the just-registered borrow lease, so
+    // the failed attempt leaves no retention pin on the source
+    val e = intercept[RuntimeException] {
       src.shallowClone(s"${tmpDir("shc_dst2")}/tbl", Some(fileStore(cellDir))) }
     assert(e.getMessage.contains("not empty"), e.getMessage)
+    assert(!src.borrowLeases().exists(_.cloneRoot.contains("shc_dst2")),
+      s"refused clone left a lease: ${src.borrowLeases()}")
   }
 
   // ---- JdbcConditionalStore: the catalog-database shape, over Derby ----
@@ -303,6 +369,46 @@ class DurableStoreSpec extends AnyFunSuite {
   }
 
   // ---- the CAS ref bound: pointer value stays O(KB), refusal is loud ----
+
+  test("jdbc store: connection killed mid-sequence — the handle reconnects and recovers") {
+    // the deployment case the store exists for: a network database
+    // drops idle connections. Derby database shutdown kills every open
+    // connection to it, the closest embeddable equivalent.
+    val db = s"${tmpDir("jdbc_kill")}/casdb"
+    val s = new JdbcConditionalStore(s"jdbc:derby:$db;create=true", "cell")
+    try {
+      assert(s.putIf(None, "v1"))
+      intercept[java.sql.SQLException] { // 08006 IS the success signal
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true") }
+      // the read reconnects once (re-booting the db) and serves the value
+      assert(s.get().contains("v1"), "read did not recover across reconnect")
+      // CAS semantics intact on the healed handle
+      assert(s.putIf(Some("v1"), "v2"))
+      assert(!s.putIf(Some("v1"), "x"))
+      assert(s.get().contains("v2"))
+    } finally s.close()
+  }
+
+  test("jdbc store: reconnect failing too refuses loudly naming the remedy") {
+    val db = s"${tmpDir("jdbc_dead")}/casdb"
+    new JdbcConditionalStore(s"jdbc:derby:$db;create=true", "boot").close()
+    // open WITHOUT create=true: once the database is gone, reconnect
+    // cannot silently mint a fresh empty one (which would read as an
+    // empty cell — a forked lineage, not an error)
+    val s = new JdbcConditionalStore(s"jdbc:derby:$db", "cell")
+    try {
+      assert(s.get().isEmpty)
+      intercept[java.sql.SQLException] {
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true") }
+      // destroy the database: reconnect now has nothing to open
+      def rmRf(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rmRf); f.delete(); () }
+      rmRf(new java.io.File(db))
+      val e = intercept[IllegalStateException] { s.get() }
+      assert(e.getMessage.contains("reconnect failed"), e.getMessage)
+      assert(e.getMessage.contains("restore database connectivity"), e.getMessage)
+    } finally s.close()
+  }
 
   test("CAS refs are bounded: 256 tags racing commits land, the 257th refuses loudly, pointer value pinned") {
     import graft.write.InMemoryConditionalStore

@@ -135,6 +135,95 @@ class ShallowCloneSpec extends AnyFunSuite {
     assert(c2.fsck().exists(_.contains("borrowed data dir missing")))
   }
 
+  private def qualified(root: String): String =
+    fs(root).makeQualified(new Path(root)).toString
+
+  test("borrow lease: source expire/vacuum retain dirs a live clone borrows") {
+    val src = new SnapshotTable(spark, freshRoot("shc_lease_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val clone = src.shallowClone(freshRoot("shc_lease_dst"))
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(clone.location)))
+
+    // the source moves on: after overwrite + expire + zero-age vacuum,
+    // the borrowed dir is referenced by NO retained source manifest —
+    // pre-lease, exactly the state where retention ate it
+    src.commitOverwrite(frame((2, 2024, 2, 20.0)))
+    src.expire(keepLast = 1, olderThanMs = 0L)
+    assert(src.vacuum(olderThanMs = 0L).isEmpty, "vacuum collected a leased dir")
+    assert(state(clone.read()) == Set((1, 2024, 1, 10.0)),
+      "source retention broke a leased clone")
+    assert(clone.fsck().isEmpty)
+
+    // dropping the clone (directory deletion — how tables die here)
+    // stales the lease; the next consultation sweeps it and retention
+    // reclaims the dir
+    fs(clone.location).delete(new Path(clone.location), true)
+    assert(src.borrowLeases().isEmpty, "dropped clone's lease not swept")
+    assert(src.vacuum(olderThanMs = 0L).nonEmpty,
+      "dir not reclaimable after the clone dropped")
+  }
+
+  test("borrow lease: source purge refuses naming the clone; localize releases") {
+    val src = new SnapshotTable(spark, freshRoot("shc_purge_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val clone = src.shallowClone(freshRoot("shc_purge_dst"))
+
+    val e = intercept[Exception] { src.purge(col("id") === 1) }
+    assert(e.getMessage.contains(qualified(clone.location)), "refusal must name the clone")
+    assert(e.getMessage.contains("Localize"), "refusal must name the remedy")
+
+    // localize: one compaction commit + expire of the borrowing
+    // history — the expire auto-releases the lease, and the source's
+    // purge (and full retention) proceeds
+    clone.commitCompactFiles()
+    clone.expire(keepLast = 1, olderThanMs = 0L)
+    assert(src.borrowLeases().isEmpty, "localized clone's lease not released")
+    assert(src.purge(col("id") === 1) > 0)
+    assert(state(clone.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)),
+      "localized clone must not see the source's purge")
+  }
+
+  test("borrow lease: chained clones lease the ORIGINAL owner; releases are per-clone") {
+    val src = new SnapshotTable(spark, freshRoot("shc_chain_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val c1 = src.shallowClone(freshRoot("shc_chain_c1"))
+    val c2 = c1.shallowClone(freshRoot("shc_chain_c2"))
+    // absolute stays absolute: both leases land on the table that owns
+    // the bytes, and the middle clone holds none of its own
+    assert(src.borrowLeases().map(_.cloneRoot).sorted ==
+      Seq(qualified(c1.location), qualified(c2.location)).sorted)
+    assert(c1.borrowLeases().isEmpty)
+
+    c1.commitCompactFiles()
+    c1.expire(keepLast = 1, olderThanMs = 0L)
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(c2.location)),
+      "localizing c1 must release only c1's lease")
+    // c2 survives source retention through its own lease
+    src.commitOverwrite(frame((9, 2025, 1, 90.0)))
+    src.expire(keepLast = 1, olderThanMs = 0L)
+    src.vacuum(olderThanMs = 0L)
+    assert(state(c2.read()) == Set((1, 2024, 1, 10.0)))
+  }
+
+  test("borrow lease: a deep copy of a live shallow clone holds its OWN lease") {
+    val src = new SnapshotTable(spark, freshRoot("shc_deep_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val sc = src.shallowClone(freshRoot("shc_deep_sc"))
+    val dc = sc.deepClone(freshRoot("shc_deep_dc"))
+    // the copy's manifests still reference src's dirs (absolute URIs
+    // copy verbatim), so it registered a fresh lease in its own name —
+    // and the copied bookkeeping was scrubbed: dropping the ORIGINAL
+    // clone neither strands nor releases the copy
+    assert(src.borrowLeases().size == 2)
+    fs(sc.location).delete(new Path(sc.location), true)
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(dc.location)))
+    src.commitOverwrite(frame((9, 2025, 1, 90.0)))
+    src.expire(keepLast = 1, olderThanMs = 0L)
+    src.vacuum(olderThanMs = 0L)
+    assert(state(dc.read()) == Set((1, 2024, 1, 10.0)),
+      "source retention broke the deep copy's borrowed reads")
+  }
+
   test("destination must be empty; clone of nothing refuses") {
     val src = new SnapshotTable(spark, freshRoot("shc_refuse_src"))
     intercept[Exception] { src.shallowClone(freshRoot("shc_refuse_d0")) } // no snapshot yet
