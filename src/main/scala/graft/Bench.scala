@@ -143,8 +143,17 @@ object Bench {
     // machine-wide slowdown (every entry 3×) cannot double the run. ----
     def historyMedians(): (Map[String, Double], Option[Double], Option[Double]) = {
       val dir = new java.io.File("bench_history")
+      // anchor_r<N>.json files participate in the trailing window: a
+      // committed anchor (best-of-N on the CURRENT host class, stamps
+      // inside) immediately evicts older samples from faster hosts, so
+      // the canary compares against reachable numbers (round 17 —
+      // before this, r15 fast-host medians made every run on this host
+      // stamp 1.3-1.9x with no actionable signal). Sorted by round
+      // number, not name (anchor_* would otherwise sort before full_*).
       val files = Option(dir.listFiles()).toSeq.flatten
-        .filter(_.getName.matches("full_r\\d+\\.json")).sortBy(_.getName).takeRight(3)
+        .filter(_.getName.matches("(?:full|anchor)_r\\d+\\.json"))
+        .sortBy(f => (f.getName.replaceAll("\\D", "").toInt, f.getName))
+        .takeRight(3)
       val entry = "\"([^\"]+)\":(-?[0-9.]+)".r
       val perEntry = scala.collection.mutable.Map.empty[String, List[Double]]
       val fixtures = scala.collection.mutable.ListBuffer.empty[Double]
