@@ -300,11 +300,11 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         case "detail" => // DESCRIBE DETAIL's row through the option surface
           val dd = t.detail
           Seq((("graft"): String, dd.location, dd.version, dd.committedAtMs,
-            dd.numEntries, dd.borrowedDirs, dd.numFiles, dd.sizeBytes,
-            dd.numRows, dd.partitionColumns.mkString(",")))
+            dd.numEntries, dd.borrowedDirs, dd.borrowedBy, dd.numFiles,
+            dd.sizeBytes, dd.numRows, dd.partitionColumns.mkString(",")))
             .toDF("format", "location", "version", "committed_at_ms",
-              "num_entries", "num_borrowed_dirs", "num_files", "size_bytes",
-              "num_rows", "partition_columns")
+              "num_entries", "num_borrowed_dirs", "num_borrowed_by",
+              "num_files", "size_bytes", "num_rows", "partition_columns")
         case "constraints" => t.constraints.toDF("name", "check_sql")
         case "properties" => t.properties.toSeq.sorted.toDF("key", "value")
         case "colops" => // the live column-mapping history, oldest first

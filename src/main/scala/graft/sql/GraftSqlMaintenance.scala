@@ -551,7 +551,9 @@ class GraftCatalogDdlRule(session: SparkSession)
   * ([[SnapshotTable.detail]]): version, commit wall-clock, entry /
   * borrowed-dir / file / byte counts, partition columns, and the
   * CHECK constraint set. `num_borrowed_dirs > 0` identifies a live
-  * shallow clone. */
+  * shallow clone; `num_borrowed_by > 0` identifies the other side —
+  * live clones still borrowing THIS table's dirs (retention pinned,
+  * purge will refuse until they localize or drop). */
 case class GraftDescribeDetailCommand(nameParts: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -561,6 +563,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     AttributeReference("committed_at_ms", LongType, nullable = false)(),
     AttributeReference("num_entries", IntegerType, nullable = false)(),
     AttributeReference("num_borrowed_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_borrowed_by", IntegerType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = false)(),
@@ -571,7 +574,7 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
     val (_, t) = GraftSqlParser.open(session, nameParts)
     val d = t.detail
     Seq(Row("graft", d.location, d.version, d.committedAtMs, d.numEntries,
-      d.borrowedDirs, d.numFiles, d.sizeBytes, d.numRows,
+      d.borrowedDirs, d.borrowedBy, d.numFiles, d.sizeBytes, d.numRows,
       d.partitionColumns.mkString(","),
       d.constraints.map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; "),
       d.properties.map { case (k, v) => s"$k=$v" }.mkString("; ")))

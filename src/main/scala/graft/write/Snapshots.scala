@@ -1980,7 +1980,8 @@ class SnapshotTable(spark: SparkSession, root: String,
     }
     SnapshotTable.Detail(root, v, m.ts, m.entries.size,
       m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
-      m.constraints, m.properties, countFast.getOrElse(-1L))
+      m.constraints, m.properties, countFast.getOrElse(-1L),
+      borrowLeases().size)
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -2742,6 +2743,29 @@ class SnapshotTable(spark: SparkSession, root: String,
     ()
   }
 
+  /** LOCALIZE a shallow clone in one call — the remedy every borrow
+    * refusal names: rewrite the current state into owned dirs
+    * ([[commitCompactFiles]]), expire the (necessarily borrowing)
+    * older history, and release the borrow lease(s), after which this
+    * table owns every byte it references and the source's retention is
+    * free of it. DESTROYS the clone's own version history by design
+    * (keepLast = 1): every pre-localize version references borrowed
+    * dirs, so "localized" and "time-travel into the borrowing era"
+    * cannot coexist. Refuses loudly if a tag or branch pins borrowing
+    * history (expire keeps tagged versions — the tag's promise wins;
+    * drop it first). A no-op on a table that borrows nothing. */
+  def localize(olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Unit = {
+    if (!fs.exists(borrowMarkerPath)) return
+    commitCompactFiles()
+    expire(keepLast = 1, olderThanMs = olderThanMs) // auto-releases when free
+    if (fs.exists(borrowMarkerPath))
+      sys.error(s"localize at $root: borrowing history is still retained " +
+        "after compact+expire — a tag " +
+        s"(${tags.map(_._1).sorted.mkString(", ")}) or branch " +
+        s"(${branches.map(_._1).sorted.mkString(", ")}) pins it; drop or " +
+        "fast-forward those refs, then localize() again")
+  }
+
   /** Register leases + the local marker for a clone at `cloneRoot`
     * borrowing `borrowedUris`; returns every path written so a failed
     * clone publish can roll them back (no debris on refusal). */
@@ -2979,10 +3003,9 @@ class SnapshotTable(spark: SparkSession, root: String,
       s"purge refused: ${leases.size} live shallow clone(s) still " +
         s"borrow this table's data dirs — " +
         leases.map(_.cloneRoot).sorted.mkString(", ") + ". Localize " +
-        "each clone (commitCompactFiles() then expire() on the clone) " +
-        "or drop it (delete its directory), then purge; the erasure " +
-        "must also be run on any localized clone that copied matching " +
-        "rows.")
+        "each clone (localize() on the clone) or drop it (delete its " +
+        "directory), then purge; the erasure must also be run on any " +
+        "localized clone that copied matching rows.")
     // MOR KEY-delete files hold raw key tuples the erasure condition
     // cannot be evaluated against (they lack the data columns), and the
     // per-dir rewrite below cannot apply positional delete scopes —
@@ -3019,9 +3042,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     // this handle does not own. Localize first, then purge.
     require(dirs.forall(!isBorrowed(_)),
       "purge on a shallow clone is not supported while it still borrows " +
-        "the source's data dirs: run commitCompactFiles() to localize " +
-        "(and expire() the borrowing history), then purge — erasure on " +
-        "the SOURCE table is the source owner's operation")
+        "the source's data dirs: run localize() (compact + expire of " +
+        "the borrowing history + lease release), then purge — erasure " +
+        "on the SOURCE table is the source owner's operation")
     // the per-dir rewrite evaluates `condition` against RAW physical
     // schemas; with a live column mapping the logical names the caller
     // uses would not resolve (or worse, resolve wrongly) on old-era
@@ -3334,14 +3357,18 @@ object SnapshotTable {
 
   /** One row of [[SnapshotTable.detail]]: the current version's
     * metadata-derived shape. `borrowedDirs > 0` marks a live shallow
-    * clone (some state is referenced from the source table in place). */
+    * clone (some state is referenced from the source table in place);
+    * `borrowedBy > 0` marks the OTHER side — live clones still
+    * borrowing THIS table's dirs, i.e. retention is pinned and purge
+    * will refuse until they localize or drop. */
   case class Detail(location: String, version: Int, committedAtMs: Long,
                     numEntries: Int, borrowedDirs: Int,
                     numFiles: Long, sizeBytes: Long,
                     partitionColumns: Seq[String],
                     constraints: Seq[(String, String)],
                     properties: Seq[(String, String)] = Seq.empty,
-                    numRows: Long = -1L) // -1 = not metadata-derivable
+                    numRows: Long = -1L, // -1 = not metadata-derivable
+                    borrowedBy: Int = 0)
 
   /** The partition columns recorded in the table's CURRENT manifest
     * (the `partcols` line every commit stamps since round 12) — how a

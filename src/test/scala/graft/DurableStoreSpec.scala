@@ -266,6 +266,9 @@ class DurableStoreSpec extends AnyFunSuite {
     val clone = src.shallowClone(cloneRoot, Some(fileStore(cellDir)))
     assert(clone.currentVersion.contains(1))
     assert(state(clone.read()) == Set(1, 2))
+    // the CAS-mode clone registered its borrow lease on the source too
+    assert(src.borrowLeases().exists(_.cloneRoot.endsWith("/tbl")),
+      s"CAS clone left no lease: ${src.borrowLeases()}")
     // the clone diverges through its own CAS commits; source untouched
     clone.commitAppend(frame((3, 2024, 3, 3.0)))
     assert(state(clone.read()) == Set(1, 2, 3))
@@ -280,10 +283,11 @@ class DurableStoreSpec extends AnyFunSuite {
     // a non-empty destination store refuses rather than orphaning it —
     // and the refusal rolls back the just-registered borrow lease, so
     // the failed attempt leaves no retention pin on the source
+    val dst2 = s"${tmpDir("shc_dst2")}/tbl"
     val e = intercept[RuntimeException] {
-      src.shallowClone(s"${tmpDir("shc_dst2")}/tbl", Some(fileStore(cellDir))) }
+      src.shallowClone(dst2, Some(fileStore(cellDir))) }
     assert(e.getMessage.contains("not empty"), e.getMessage)
-    assert(!src.borrowLeases().exists(_.cloneRoot.contains("shc_dst2")),
+    assert(!src.borrowLeases().exists(_.cloneRoot.endsWith(dst2)),
       s"refused clone left a lease: ${src.borrowLeases()}")
   }
 

@@ -321,9 +321,14 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
         val c = spark.sql(s"DESCRIBE DETAIL $cName").head()
         assert(c.getInt(c.fieldIndex("num_entries")) == 2)
         assert(c.getInt(c.fieldIndex("num_borrowed_dirs")) == 2)
+        assert(c.getInt(c.fieldIndex("num_borrowed_by")) == 0)
         assert(c.getLong(c.fieldIndex("num_files")) ==
           r.getLong(r.fieldIndex("num_files")))
         assert(c.getString(c.fieldIndex("constraints")).startsWith("pos CHECK"))
+        // the SOURCE's detail shows the live borrower — the "may I
+        // purge / reclaim?" signal an operator checks before retention
+        val r2 = spark.sql(s"DESCRIBE DETAIL $name").head()
+        assert(r2.getInt(r2.fieldIndex("num_borrowed_by")) == 1)
       } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
     }
   }

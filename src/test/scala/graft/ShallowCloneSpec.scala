@@ -224,6 +224,34 @@ class ShallowCloneSpec extends AnyFunSuite {
       "source retention broke the deep copy's borrowed reads")
   }
 
+  test("localize(): one call owns every byte, releases the lease; pinned history refuses") {
+    val src = new SnapshotTable(spark, freshRoot("shc_loc_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val clone = src.shallowClone(freshRoot("shc_loc_dst"))
+    clone.commitAppend(frame((3, 2024, 3, 30.0)))
+    val before = state(clone.read())
+
+    clone.localize()
+    assert(src.borrowLeases().isEmpty, "localize did not release the lease")
+    assert(ownedParquetCount(clone.location) > 0)
+    assert(state(clone.read()) == before, "localize changed the state")
+    assert(clone.purge(col("id") === 1) > 0, "localized clone must purge")
+    // a table that borrows nothing: no-op
+    src.localize()
+    assert(state(src.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+
+    // a tag pinning borrowing history outranks localize — the refusal
+    // names the pin (expire keeps tagged versions; the promise wins)
+    val c2 = src.shallowClone(freshRoot("shc_loc_pin"))
+    c2.tag("keep", 1)
+    val e = intercept[Exception] { c2.localize() }
+    assert(e.getMessage.contains("keep"), e.getMessage)
+    assert(src.borrowLeases().nonEmpty, "a refused localize must keep the lease")
+    c2.dropTag("keep")
+    c2.localize()
+    assert(src.borrowLeases().isEmpty)
+  }
+
   test("destination must be empty; clone of nothing refuses") {
     val src = new SnapshotTable(spark, freshRoot("shc_refuse_src"))
     intercept[Exception] { src.shallowClone(freshRoot("shc_refuse_d0")) } // no snapshot yet
