@@ -39,6 +39,8 @@ import graft.write.SnapshotTable
   *   ALTER TABLE t DROP BRANCH b | DROP TAG g
   *   ALTER TABLE t FAST FORWARD BRANCH b [FORCE]  -- fastForward (strict
   *                                                --  unless FORCE)
+  *   ALTER TABLE t LOCALIZE                       -- localize (a shallow
+  *                                                --  clone owns all bytes)
   *   ALTER TABLE t ADD CONSTRAINT c CHECK (expr)  -- addConstraint
   *   ALTER TABLE t DROP CONSTRAINT c              -- dropConstraint
   *   ALTER TABLE t RENAME COLUMN a TO b           -- renameColumn (metadata-only)
@@ -116,6 +118,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+([A-Za-z0-9_]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9_]+)(\s+FORCE)?\s*;?\s*""".r
+  private val Localize =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+LOCALIZE\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -152,6 +156,7 @@ object GraftSqlParser {
       "CREATE TABLE t [SHALLOW] CLONE s LOCATION 'p' [POINTER 'store'] | " +
       "ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n] | " +
       "ALTER TABLE t FAST FORWARD BRANCH b [FORCE] | " +
+      "ALTER TABLE t LOCALIZE | " +
       "ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c | " +
       "ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN c | " +
       "ALTER COLUMN c TYPE widerType " +
@@ -215,6 +220,8 @@ object GraftSqlParser {
           Some(GraftRefCommand(ident(tbl), kind.toUpperCase, "DROP", name, None))
         case FastForward(tbl, name, force) =>
           Some(GraftFastForwardCommand(ident(tbl), name, strict = force == null))
+        case Localize(tbl) =>
+          Some(GraftLocalizeCommand(ident(tbl)))
         case AddConstraint(tbl, name, check) =>
           Some(GraftConstraintCommand(ident(tbl), "ADD", name, Some(check.trim)))
         case DropConstraint(tbl, name) =>
@@ -619,6 +626,24 @@ case class GraftCloneCommand(nameParts: Seq[String], srcParts: Seq[String],
     session.sql(
       s"CREATE TABLE $name USING graft OPTIONS (path '${q(location)}'$ptrOpt)")
     Seq(Row(clone.currentVersion.getOrElse(0)))
+  }
+}
+
+/** `ALTER TABLE t LOCALIZE` — [[SnapshotTable.localize]]: make a
+  * shallow clone own every byte it references (compact + expire of the
+  * borrowing history + borrow-lease release), freeing the source's
+  * retention. A no-op on a table that borrows nothing; refuses loudly
+  * when a tag/branch pins borrowing history. Returns the resulting
+  * version. */
+case class GraftLocalizeCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (ct, t) = GraftSqlParser.open(session, nameParts)
+    t.localize()
+    GraftSqlParser.refresh(session, ct)
+    Seq(Row(t.currentVersion.getOrElse(0)))
   }
 }
 

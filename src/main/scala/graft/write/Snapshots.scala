@@ -1981,7 +1981,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     SnapshotTable.Detail(root, v, m.ts, m.entries.size,
       m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
       m.constraints, m.properties, countFast.getOrElse(-1L),
-      borrowLeases().size)
+      borrowLeases(sweepStale = false).size) // detail is read-only
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -2603,7 +2603,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         fs.delete(p, false) }
       catch { case _: java.io.FileNotFoundException => () } // raced away
     }
-    val orphans = orphanDirs(cutoff)
+    val orphans = orphanDirs(cutoff, sweepStaleLeases = true)
     orphans.foreach { p =>
       fs.delete(p, true)
       fs.delete(new Path(statsDir, p.getName), true)
@@ -2617,17 +2617,22 @@ class SnapshotTable(spark: SparkSession, root: String,
     * (Delta's `VACUUM ... DRY RUN`). Read-only, one listing. */
   def vacuumPreview(olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Seq[String] = {
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
-    orphanDirs(System.currentTimeMillis() - olderThanMs).map(_.getName)
+    // read-only by contract: the preview must not even sweep stale
+    // lease debris (a preview run concurrent with maintenance stays
+    // correct; a lease swept here is benign but breaks the promise)
+    orphanDirs(System.currentTimeMillis() - olderThanMs,
+      sweepStaleLeases = false).map(_.getName)
   }
 
   /** The never-referenced `_data` dirs older than `cutoff` — candidates
-    * for [[vacuum]]'s sweep and [[vacuumPreview]]'s report. */
-  private def orphanDirs(cutoff: Long): Seq[Path] = {
+    * for [[vacuum]]'s sweep and [[vacuumPreview]]'s report.
+    * `sweepStaleLeases` follows the caller's mutability contract. */
+  private def orphanDirs(cutoff: Long, sweepStaleLeases: Boolean): Seq[Path] = {
     if (!fs.exists(dataDir)) return Seq.empty
     val referenced = history.map(_._1)
       .flatMap { v => val m = parse(v)
         m.entries.map(_.dir) ++ m.deletes.map(_.dir) }.toSet ++
-      branchReferencedDirs ++ borrowedProtectedDirs()
+      branchReferencedDirs ++ borrowedProtectedDirs(sweepStaleLeases)
     fs.listStatus(dataDir)
       .filter(st => !referenced(st.getPath.getName) &&
         !st.getPath.getName.startsWith("w_") &&
@@ -2681,8 +2686,13 @@ class SnapshotTable(spark: SparkSession, root: String,
     * clone cannot pin this table's retention forever. A clone root
     * that cannot be PROBED (unreachable filesystem) counts as alive:
     * failing safe retains a few dirs; failing unsafe breaks a live
-    * clone's reads. */
-  def borrowLeases(): Seq[SnapshotTable.BorrowLease] = {
+    * clone's reads. This public form is the MAINTENANCE consultation
+    * (it sweeps stale lease files); read-only surfaces —
+    * [[vacuumPreview]], [[detail]] — list without sweeping. */
+  def borrowLeases(): Seq[SnapshotTable.BorrowLease] =
+    borrowLeases(sweepStale = true)
+
+  private def borrowLeases(sweepStale: Boolean): Seq[SnapshotTable.BorrowLease] = {
     if (!fs.exists(borrowedByDir)) return Seq.empty
     val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(borrowedByDir).toSeq
@@ -2704,17 +2714,17 @@ class SnapshotTable(spark: SparkSession, root: String,
             if (alive)
               Some(SnapshotTable.BorrowLease(
                 st.getPath.getName.stripSuffix(".txt"), cr, dirs))
-            else { fs.delete(st.getPath, false); None }
+            else { if (sweepStale) fs.delete(st.getPath, false); None }
           case _ => // malformed debris (our writer never produces this)
-            fs.delete(st.getPath, false); None
+            if (sweepStale) fs.delete(st.getPath, false); None
         }
       }
   }
 
   /** Dir names live clones borrow — retention treats them as
-    * referenced. */
-  private def borrowedProtectedDirs(): Set[String] =
-    borrowLeases().flatMap(_.dirs).toSet
+    * referenced. `sweepStale` must be false on read-only surfaces. */
+  private def borrowedProtectedDirs(sweepStale: Boolean = true): Set[String] =
+    borrowLeases(sweepStale).flatMap(_.dirs).toSet
 
   /** Release this table's OUTBOUND borrow leases once nothing it
     * retains still borrows — called automatically at the end of

@@ -370,6 +370,28 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ... LOCALIZE: the clone owns its bytes, the source's lease clears") {
+    withTable("loc") { (name, t) =>
+      val loc = freshRoot("loc_dst")
+      val cName = "graft_sqlmx_loc_out"
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      try {
+        spark.sql(s"CREATE TABLE $cName SHALLOW CLONE $name LOCATION '$loc'")
+        assert(t.borrowLeases().size == 1)
+        val before = state(spark.table(cName))
+        val v = spark.sql(s"ALTER TABLE $cName LOCALIZE").head().getInt(0)
+        assert(v >= 2, "localize commits a compact version")
+        assert(t.borrowLeases().isEmpty, "localize must release the lease")
+        assert(state(spark.table(cName)) == before)
+        val cfs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(cfs.listFiles(new Path(loc, "_data"), true).hasNext,
+          "localized clone owns no bytes")
+        // idempotent: a second LOCALIZE is a no-op
+        assert(spark.sql(s"ALTER TABLE $cName LOCALIZE").head().getInt(0) == v)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
+    }
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE ... POINTER: CAS-mode clone through a durable file store") {
     withTable("clone_cas") { (name, t) =>
       val loc = freshRoot("clone_cas_dst")
