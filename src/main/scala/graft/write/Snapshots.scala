@@ -2946,10 +2946,17 @@ class SnapshotTable(spark: SparkSession, root: String,
       .filter(isBorrowed).distinct
     val leaseWrites = registerCloneLeases(
       dfs.makeQualified(dst).toString, dfs, borrowedUris)
-    def rollbackLeases(): Unit = leaseWrites.foreach { p =>
-      try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, false); () }
-      catch { case _: Exception => () }
+    // rollback guard: two clones racing to the SAME destination share
+    // one lease file (ids are destRoot hashes), so the loser must not
+    // delete the winner's protection — roll back only when no live
+    // clone materialized at this destination.
+    def rollbackLeases(winnerExists: => Boolean): Unit = {
+      val skip = try winnerExists catch { case _: Exception => false }
+      if (!skip) leaseWrites.foreach { p =>
+        try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false); () }
+        catch { case _: Exception => () }
+      }
     }
     destPointer match {
       case Some(_) =>
@@ -2958,7 +2965,17 @@ class SnapshotTable(spark: SparkSession, root: String,
         // the same commit point every later write on the clone uses
         val cloned = new SnapshotTable(spark, destRoot, partCols, destPointer)
         if (!cloned.vp.publish(1, render(cm).getBytes("UTF-8"))) {
-          rollbackLeases()
+          // store non-empty: if its head's manifest FILE lives inside
+          // this dest's manifest dir, a same-destination racer won
+          // (keep the lease); if the head belongs to some other table,
+          // no clone exists here and the lease rolls back. The head
+          // value's first line is "<version>|<manifestFile>".
+          rollbackLeases(destPointer.get.get().exists { v =>
+            val line = v.takeWhile(_ != '\n')
+            val bar = line.indexOf('|')
+            bar > 0 &&
+              dfs.exists(new Path(cloneManifests, line.substring(bar + 1)))
+          })
           sys.error(s"shallow clone destination store is not empty — " +
             s"publishing v1 over a live pointer would orphan the table " +
             s"it already points at ($destRoot)")
@@ -2968,7 +2985,10 @@ class SnapshotTable(spark: SparkSession, root: String,
         if (!graft.util.AtomicFlip.publishExclusive(dfs,
           new Path(cloneManifests, f"v${1}%05d.txt"),
           render(cm).getBytes("UTF-8"))) {
-          rollbackLeases()
+          // v1 exists: the destination was empty at entry, so a racing
+          // clone to the same root created it — its table is live and
+          // the shared lease file is ITS protection; never delete it
+          rollbackLeases(winnerExists = true)
           sys.error(s"shallow clone destination already has a manifest: $destRoot")
         }
         graft.util.AtomicFlip.writeAtomic(dfs,
