@@ -306,6 +306,13 @@ class JdbcConditionalStore(url: String, cellName: String)
   private var conn = connect()
   private var closed = false
 
+  /** The URL as error messages may print it: JDBC URLs routinely embed
+    * credentials (`...;password=...`, `user:pw@host`), and a refusal
+    * that echoes them turns every log line into a secret leak. */
+  private val safeUrl: String = url
+    .replaceAll("(?i)(password|pwd|secret)=[^;&?]*", "$1=***")
+    .replaceAll("://([^/@:]+):[^/@]+@", "://$1:***@")
+
   // idempotent bootstrap: racing handles may both CREATE — the loser's
   // error is fine iff the table is actually there. Any construction
   // failure closes the connection before rethrowing (a handle that was
@@ -353,7 +360,7 @@ class JdbcConditionalStore(url: String, cellName: String)
   /** Run an IDEMPOTENT op, reconnecting once if the connection died;
     * reconnect failing too refuses loudly naming the remedy. */
   private def withReconnect[T](op: java.sql.Connection => T): T = {
-    require(!closed, s"JdbcConditionalStore at $url is closed")
+    require(!closed, s"JdbcConditionalStore at $safeUrl is closed")
     try op(conn)
     catch {
       case e: java.sql.SQLException if connectionDead(e) =>
@@ -362,7 +369,7 @@ class JdbcConditionalStore(url: String, cellName: String)
           try connect()
           catch {
             case re: java.sql.SQLException => throw new IllegalStateException(
-              s"JdbcConditionalStore at $url: connection lost " +
+              s"JdbcConditionalStore at $safeUrl: connection lost " +
                 s"(${e.getMessage}) and reconnect failed " +
                 s"(${re.getMessage}) — restore database connectivity, " +
                 "then retry; the handle reconnects on its next use", re)
@@ -391,7 +398,7 @@ class JdbcConditionalStore(url: String, cellName: String)
       // below never does — see the class doc
       def indeterminate(e: java.sql.SQLException): Nothing =
         throw new IllegalStateException(
-          s"JdbcConditionalStore at $url: connection died mid " +
+          s"JdbcConditionalStore at $safeUrl: connection died mid " +
             "conditional write — the statement may or may not have " +
             "applied (commit state indeterminate). Re-read the cell " +
             "before retrying; the handle reconnects on its next use.", e)
