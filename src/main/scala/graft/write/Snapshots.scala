@@ -2683,7 +2683,14 @@ class SnapshotTable(spark: SparkSession, root: String,
     * lease whose clone root no longer holds a `_manifests` dir was
     * dropped (tables are dropped by deleting their directory; the
     * catalog unbind keeps files) and is swept here, so an abandoned
-    * clone cannot pin this table's retention forever. A clone root
+    * clone cannot pin this table's retention forever. A lease older
+    * than the orphan-age window whose clone `_manifests` is EMPTY is
+    * a crashed clone attempt (registration precedes the v1 publish,
+    * and a published clone always holds at least its v1 manifest file
+    * in both Fs and CAS modes) — swept too, so an aborted clone needs
+    * no manual cleanup; a YOUNG empty-manifests lease is a clone
+    * publish in flight and counts as alive (the same
+    * presumed-live-writer age logic as [[vacuum]]'s). A clone root
     * that cannot be PROBED (unreachable filesystem) counts as alive:
     * failing safe retains a few dirs; failing unsafe breaks a live
     * clone's reads. This public form is the MAINTENANCE consultation
@@ -2709,7 +2716,24 @@ class SnapshotTable(spark: SparkSession, root: String,
             val alive =
               try {
                 val cp = new Path(cr)
-                cp.getFileSystem(conf).exists(new Path(cp, "_manifests"))
+                val cfs = cp.getFileSystem(conf)
+                val man = new Path(cp, "_manifests")
+                if (!cfs.exists(man)) false // dropped (dir deleted)
+                else if (st.getModificationTime >
+                    System.currentTimeMillis() -
+                      SnapshotTable.DefaultOrphanAgeMs)
+                  true // young: a clone publish may be in flight
+                // old lease: empty `_manifests` = a crashed clone
+                // attempt (a published clone always holds >= its v1
+                // manifest file); a missing `_borrow_lease.txt` marker
+                // = the clone considers itself LOCALIZED (its release
+                // deletes leases then the marker — a lease surviving a
+                // transient delete failure heals here instead of
+                // pinning retention forever). The age floor keeps both
+                // probes off the creation window, where lease precedes
+                // marker and manifest alike.
+                else cfs.listStatus(man).nonEmpty &&
+                  cfs.exists(new Path(cp, "_borrow_lease.txt"))
               } catch { case _: Exception => true } // unreachable: fail safe
             if (alive)
               Some(SnapshotTable.BorrowLease(
@@ -2901,9 +2925,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * lease is released automatically when the clone localizes
     * ([[commitCompactFiles]] + [[expire]] of the borrowing history) or
     * is dropped (directory deleted — the owner sweeps the stale lease
-    * at its next maintenance; same for a crashed clone attempt once
-    * its aborted destination is removed). The clone's [[fsck]] still
-    * names a missing borrowed dir after out-of-band damage. */
+    * at its next maintenance; a CRASHED clone attempt's lease is
+    * likewise swept once it is older than the orphan-age window with
+    * no published manifest behind it, no manual cleanup needed). The
+    * clone's [[fsck]] still names a missing borrowed dir after
+    * out-of-band damage. */
   /** `destPointer` selects the CLONE's arbitration mode, independent of
     * the source's (a clone starts its own lineage, so no pointer state
     * transfers — unlike [[deepClone]], which copies history and must

@@ -252,6 +252,71 @@ class ShallowCloneSpec extends AnyFunSuite {
     assert(src.borrowLeases().isEmpty)
   }
 
+  test("borrow lease: a crashed clone attempt's lease is swept once aged; in-flight is retained") {
+    val src = new SnapshotTable(spark, freshRoot("shc_crash_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val clone = src.shallowClone(freshRoot("shc_crash_live"))
+
+    // simulate a clone attempt that crashed between lease registration
+    // and its v1 publish: `_manifests` exists but holds no manifest,
+    // and the lease file sits under the owner exactly as the clone
+    // wrote it (same wire format)
+    val aborted = freshRoot("shc_crash_aborted")
+    val afs = fs(aborted)
+    afs.mkdirs(new Path(aborted, "_manifests"))
+    val dirName = src.borrowLeases().head.dirs.head
+    val leasePath = new Path(new Path(src.location, "_borrowed_by"),
+      "deadbeefdeadbeef.txt")
+    val sfs = fs(src.location)
+    val out = sfs.create(leasePath, false)
+    out.write(s"clone=${qualified(aborted)}\ndir=$dirName".getBytes("UTF-8"))
+    out.close()
+    // young + empty `_manifests` = publish in flight: retained even by
+    // the sweeping consultation
+    assert(src.borrowLeases().size == 2, "fresh in-flight lease must count alive")
+
+    // backdate the lease past the orphan-age window: now it is a
+    // crashed attempt and the next consultation sweeps it — the live
+    // clone's lease survives
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    sfs.setTimes(leasePath, old, -1)
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(clone.location)),
+      "aged crashed-attempt lease not swept (or live lease lost)")
+    // idempotent: swept stays swept, live stays live
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(clone.location)))
+  }
+
+  test("borrow lease: an orphaned lease heals once its clone localized (marker gone)") {
+    val src = new SnapshotTable(spark, freshRoot("shc_heal_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val clone = src.shallowClone(freshRoot("shc_heal_dst"))
+    val borrowedBy = new Path(src.location, "_borrowed_by")
+    val sfs = fs(src.location)
+    val leasePath = sfs.listStatus(borrowedBy).map(_.getPath)
+      .find(_.getName.endsWith(".txt")).get
+
+    // simulate the transient-failure orphan: the clone localized (its
+    // marker is gone, its state fully owned) but the owner-side lease
+    // delete never landed — backdated past the age floor, the next
+    // consultation must treat it as released instead of pinning
+    // retention forever
+    clone.commitCompactFiles()
+    fs(clone.location).delete(new Path(clone.location, "_borrow_lease.txt"), false)
+    val old = System.currentTimeMillis() - 2 * 3600L * 1000
+    sfs.setTimes(leasePath, old, -1)
+    assert(src.borrowLeases().isEmpty, "localized clone's orphaned lease must heal")
+    assert(!sfs.exists(leasePath))
+
+    // but an aged lease whose clone is STILL borrowing (marker present)
+    // stays alive — age alone never sweeps a live borrower
+    val c2 = src.shallowClone(freshRoot("shc_heal_live"))
+    val lease2 = sfs.listStatus(borrowedBy).map(_.getPath)
+      .find(_.getName.endsWith(".txt")).get
+    sfs.setTimes(lease2, old, -1)
+    assert(src.borrowLeases().map(_.cloneRoot) == Seq(qualified(c2.location)),
+      "an aged but live borrower's lease must never be swept")
+  }
+
   test("destination must be empty; clone of nothing refuses") {
     val src = new SnapshotTable(spark, freshRoot("shc_refuse_src"))
     intercept[Exception] { src.shallowClone(freshRoot("shc_refuse_d0")) } // no snapshot yet
