@@ -2792,12 +2792,26 @@ class SnapshotTable(spark: SparkSession, root: String,
     if (!fs.exists(borrowMarkerPath)) return
     commitCompactFiles()
     expire(keepLast = 1, olderThanMs = olderThanMs) // auto-releases when free
-    if (fs.exists(borrowMarkerPath))
+    if (fs.exists(borrowMarkerPath)) {
+      // name exactly the pinning refs, not every ref on the table: a
+      // tag on any still-retained borrowing version (CAS contiguity
+      // can retain untagged borrowers above a pin — the tag below is
+      // still the one to drop), and any branch whose lineage borrows
+      def borrows(m: Manifest): Boolean =
+        (m.entries.map(_.dir) ++ m.deletes.map(_.dir)).exists(isBorrowed)
+      val retained = history.map(_._1).toSet
+      val pinTags = tags.collect {
+        case (n, v) if retained(v) && borrows(parse(v)) => n }.sorted
+      val pinBranches = branches.map(_._1).filter { n =>
+        branchVersions(n).exists(bv => borrows(parseBranch(n, bv))) }.sorted
+      val pinNames = pinTags.map("tag '" + _ + "'") ++
+        pinBranches.map("branch '" + _ + "'")
+      val pins = if (pinNames.nonEmpty) pinNames.mkString(", ")
+        else "a ref this listing could not attribute (inspect history)"
       sys.error(s"localize at $root: borrowing history is still retained " +
-        "after compact+expire — a tag " +
-        s"(${tags.map(_._1).sorted.mkString(", ")}) or branch " +
-        s"(${branches.map(_._1).sorted.mkString(", ")}) pins it; drop or " +
-        "fast-forward those refs, then localize() again")
+        s"after compact+expire — pinned by $pins; drop or fast-forward " +
+        "those refs, then localize() again")
+    }
   }
 
   /** Register leases + the local marker for a clone at `cloneRoot`

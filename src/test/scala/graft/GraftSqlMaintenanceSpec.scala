@@ -213,7 +213,13 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
       val fsys = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val refFiles = fsys.listStatus(mdir).map(_.getPath.getName)
         .filter(n => n.startsWith("TAG_") ||
-          n.matches("bv_.*_\\d{5,}\\.txt")) // Fs-mode shapes
+          // Fs-mode create-exclusive shape (bv_<name>_NNNNN.txt) ONLY:
+          // CAS mode's chained manifests carry a _<8-hex-uuid> suffix
+          // and are legitimate here — and the uuid is all-digits ~2.3%
+          // of the time, so it must be excluded explicitly or this
+          // assertion flakes
+          (n.matches("bv_.*_\\d{5,}\\.txt") &&
+            !n.matches("bv_.*_\\d{5,}_[0-9a-f]{8}\\.txt")))
       assert(refFiles.isEmpty, s"ref files on a CAS table: ${refFiles.toSeq}")
       spark.sql("ALTER TABLE graft_sqlm_cas_refs DROP BRANCH wip")
       assert(t.branchHead("wip").isEmpty)
