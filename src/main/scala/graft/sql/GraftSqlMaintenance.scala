@@ -620,8 +620,12 @@ case class GraftCloneCommand(nameParts: Seq[String], srcParts: Seq[String],
     val name = nameParts.map(p => s"`$p`").mkString(".")
     // the registration statement is GENERATED SQL: a quote inside the
     // location/pointer value must not terminate the string literal
-    // (standard SQL escaping — double the quote)
-    def q(s: String): String = s.replace("'", "''")
+    // (standard SQL escaping — double the quote), and Spark's default
+    // string-literal lexer also treats backslash as an escape
+    // (unescapeSQLString turns '\t' into a TAB), so backslashes must
+    // be doubled too or the table registers under a DIFFERENT path
+    // than the clone was created at
+    def q(s: String): String = s.replace("\\", "\\\\").replace("'", "''")
     val ptrOpt = pointer.map(n => s", pointer '${q(n)}'").getOrElse("")
     session.sql(
       s"CREATE TABLE $name USING graft OPTIONS (path '${q(location)}'$ptrOpt)")

@@ -67,10 +67,13 @@ object TimeStream {
           ()
         }
       }
-      // C: machinery floor — an empty source through the same query shape
+      // C: machinery floor — an empty source through the same query
+      // shape. The empty-dir WRITE is setup (a full Spark write job),
+      // not machinery, so it stays outside the timed closure like
+      // seeded() does for A and B.
+      val emptyDir = s"$base/empty$k"
+      stg.limit(0).write.parquet(emptyDir)
       val c = time(s"iter $k: empty-source stream (pure machinery)") {
-        val emptyDir = s"$base/empty$k"
-        stg.limit(0).write.parquet(emptyDir)
         spark.readStream.schema(logSchema).parquet(emptyDir)
           .writeStream.foreachBatch {
             (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

@@ -67,9 +67,11 @@ object DurableStores // scaladoc anchor
   * but lands BELOW the current head, so no reader ever serves it. Two
   * guards keep that from becoming a FALSELY-REPORTED commit (a `putIf`
   * returning true for a value that is never served): (a) GC has an age
-  * floor — only generations older than `gcAgeFloorMs` are swept, so a
-  * read-to-create stall shorter than the floor can never meet a
-  * recreated name at all; and (b) every winning create re-lists and
+  * floor — only generations older than `gcAgeFloorMs` are swept (up to
+  * a `gcMaxRetained` distance bound, so a hot cell cannot accumulate
+  * unboundedly within the floor window), so a read-to-create stall
+  * shorter than the floor can never meet a recreated name unless it
+  * also fell `gcMaxRetained` generations behind; and (b) every winning create re-lists and
   * checks the head: a head more than `keepGenerations` past the won
   * slot is only possible on a recreated name (heads advance densely,
   * so the slot must have been created and GC'd before our attempt) —
@@ -92,12 +94,17 @@ class FileConditionalStore(fs: FileSystem, dir: Path,
                            keepGenerations: Int =
                              FileConditionalStore.KeepGenerations,
                            gcAgeFloorMs: Long =
-                             FileConditionalStore.GcAgeFloorMs)
+                             FileConditionalStore.GcAgeFloorMs,
+                           gcMaxRetained: Int =
+                             FileConditionalStore.GcMaxRetained)
     extends ConditionalStore {
   require(keepGenerations >= 2,
     s"keepGenerations must be >= 2 (got $keepGenerations): a reader " +
       "needs at least one generation of slack behind the head")
   require(gcAgeFloorMs >= 0, "gcAgeFloorMs must be >= 0")
+  require(gcMaxRetained >= keepGenerations,
+    s"gcMaxRetained must be >= keepGenerations (got $gcMaxRetained " +
+      s"< $keepGenerations)")
 
   // same unsafe-scheme refusal as SnapshotTable's commit-safety probe:
   // this store's arbiter IS filesystem create-exclusive, which
@@ -212,12 +219,25 @@ class FileConditionalStore(fs: FileSystem, dir: Path,
     val cutoff = head - keepGenerations
     if (cutoff <= 0 || !rfs.exists(dir)) return
     val ageCutoff = System.currentTimeMillis() - gcAgeFloorMs
+    // the age floor yields to a hard distance cap: a hot cell (commits
+    // every few hundred ms) would otherwise retain every generation of
+    // the floor window and every get()/putIf() re-lists them all —
+    // O(commits-per-floor) per op. Sweeping past the cap re-opens the
+    // recreated-name window ONLY for a writer stalled behind
+    // gcMaxRetained successors, and even that can never become a false
+    // success: the post-win head check above still fires and raises
+    // indeterminate.
+    val capCutoff = head - gcMaxRetained
     rfs.listStatus(dir).foreach { st =>
       val doomed = (st.getPath.getName match {
-        case GenName(n) => n.toLong < cutoff
-        case TmpName(n) => n.toLong < cutoff
+        case GenName(n) =>
+          n.toLong < cutoff &&
+            (st.getModificationTime < ageCutoff || n.toLong < capCutoff)
+        case TmpName(n) =>
+          n.toLong < cutoff &&
+            (st.getModificationTime < ageCutoff || n.toLong < capCutoff)
         case _ => false
-      }) && st.getModificationTime < ageCutoff
+      })
       if (doomed) {
         try { rfs.delete(st.getPath, false); () }
         catch { case _: java.io.IOException => () }
@@ -240,6 +260,17 @@ object FileConditionalStore {
     * minutes dwarfs any realistic GC pause or fs hiccup; the cost is a
     * few retained metadata-sized files per active cell. */
   val GcAgeFloorMs: Long = 10L * 60 * 1000
+
+  /** Hard bound on generations the age floor can retain: past this
+    * distance below the head a generation is swept regardless of age,
+    * so a HOT cell (sub-second commits would otherwise accumulate
+    * commits-per-floor-window files, and every get/putIf re-lists them
+    * all) stays O(gcMaxRetained) per op. Yielding the floor past the
+    * cap is safe: a writer stalled behind this many successors that
+    * then wins a recreated name is caught by the post-win head check,
+    * which raises indeterminate rather than reporting a false
+    * success. */
+  val GcMaxRetained: Int = 1024
 
   /** Open (or create) the cell directory at `dir`, resolving the
     * filesystem from the active Spark session's Hadoop configuration

@@ -1981,7 +1981,15 @@ class SnapshotTable(spark: SparkSession, root: String,
     SnapshotTable.Detail(root, v, m.ts, m.entries.size,
       m.entries.count(e => isBorrowed(e.dir)), files, bytes, partCols,
       m.constraints, m.properties, countFast.getOrElse(-1L),
-      borrowLeases(sweepStale = false).size) // detail is read-only
+      // REGISTERED lease files, no liveness probe: detail must stay
+      // metadata-only and local — validating each lease means remote
+      // exists()/listStatus() against every clone's filesystem, which
+      // turns DESCRIBE DETAIL into a multi-minute stall when one is
+      // unreachable. Stale leases (swept at the next maintenance
+      // consultation) may inflate this count briefly.
+      if (!fs.exists(borrowedByDir)) 0
+      else fs.listStatus(borrowedByDir)
+        .count(_.getPath.getName.endsWith(".txt")))
   }
 
   // ---- named refs (Iceberg tags): immutable name → version pointers,
@@ -2694,8 +2702,9 @@ class SnapshotTable(spark: SparkSession, root: String,
     * that cannot be PROBED (unreachable filesystem) counts as alive:
     * failing safe retains a few dirs; failing unsafe breaks a live
     * clone's reads. This public form is the MAINTENANCE consultation
-    * (it sweeps stale lease files); read-only surfaces —
-    * [[vacuumPreview]], [[detail]] — list without sweeping. */
+    * (it sweeps stale lease files); the read-only [[vacuumPreview]]
+    * lists without sweeping, and [[detail]] counts registered lease
+    * FILES without probing at all (metadata-only by contract). */
   def borrowLeases(): Seq[SnapshotTable.BorrowLease] =
     borrowLeases(sweepStale = true)
 
@@ -2789,16 +2798,26 @@ class SnapshotTable(spark: SparkSession, root: String,
     * history (expire keeps tagged versions — the tag's promise wins;
     * drop it first). A no-op on a table that borrows nothing. */
   def localize(olderThanMs: Long = SnapshotTable.DefaultOrphanAgeMs): Unit = {
-    if (!fs.exists(borrowMarkerPath)) return
+    def borrows(m: Manifest): Boolean =
+      (m.entries.map(_.dir) ++ m.deletes.map(_.dir)).exists(isBorrowed)
+    def borrowsNow: Boolean =
+      history.map(_._1).exists(v => borrows(parse(v))) ||
+        branches.exists { case (n, _) =>
+          branchVersions(n).exists(bv => borrows(parseBranch(n, bv))) }
+    // keyed on the MANIFESTS, not the lease marker: a borrowing clone
+    // without a marker (created by a pre-lease build, or the marker
+    // lost out of band) must still localize — purge's refusal names
+    // this call as the remedy, and a marker-gated no-op would loop the
+    // operator between the two forever. A non-borrowing table only
+    // sweeps any leftover marker (release is marker-guarded).
+    if (!borrowsNow) { releaseBorrowLeasesIfLocalized(); return }
     commitCompactFiles()
     expire(keepLast = 1, olderThanMs = olderThanMs) // auto-releases when free
-    if (fs.exists(borrowMarkerPath)) {
+    if (borrowsNow) {
       // name exactly the pinning refs, not every ref on the table: a
       // tag on any still-retained borrowing version (CAS contiguity
       // can retain untagged borrowers above a pin — the tag below is
       // still the one to drop), and any branch whose lineage borrows
-      def borrows(m: Manifest): Boolean =
-        (m.entries.map(_.dir) ++ m.deletes.map(_.dir)).exists(isBorrowed)
       val retained = history.map(_._1).toSet
       val pinTags = tags.collect {
         case (n, v) if retained(v) && borrows(parse(v)) => n }.sorted
@@ -3428,9 +3447,11 @@ object SnapshotTable {
   /** One row of [[SnapshotTable.detail]]: the current version's
     * metadata-derived shape. `borrowedDirs > 0` marks a live shallow
     * clone (some state is referenced from the source table in place);
-    * `borrowedBy > 0` marks the OTHER side — live clones still
-    * borrowing THIS table's dirs, i.e. retention is pinned and purge
-    * will refuse until they localize or drop. */
+    * `borrowedBy > 0` marks the OTHER side — clones registered as
+    * borrowing THIS table's dirs (counted from the local lease files,
+    * no liveness probe: stale leases inflate it until the next
+    * maintenance sweep), i.e. retention is pinned and purge will
+    * refuse until they localize or drop. */
   case class Detail(location: String, version: Int, committedAtMs: Long,
                     numEntries: Int, borrowedDirs: Int,
                     numFiles: Long, sizeBytes: Long,
@@ -3494,7 +3515,7 @@ object SnapshotTable {
   /** Lease file name for a clone root: a content hash of the qualified
     * root, so re-registering the SAME clone is idempotent-by-name and
     * two different clones can never share a file. */
-  private[write] def leaseIdFor(cloneRoot: String): String = {
+  private[graft] def leaseIdFor(cloneRoot: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(cloneRoot.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
@@ -3509,7 +3530,7 @@ object SnapshotTable {
     * stale predecessor (the caller proved the destination empty) and is
     * replaced. Returns the qualified lease paths (the clone's marker
     * records them so localize/drop can release). */
-  private[write] def registerBorrow(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def registerBorrow(conf: org.apache.hadoop.conf.Configuration,
                                     cloneRoot: String,
                                     borrowedUris: Seq[String]): Seq[Path] = {
     val id = leaseIdFor(cloneRoot)
@@ -3525,15 +3546,27 @@ object SnapshotTable {
           dirPaths.map(p => s"dir=${p.getName}").distinct.sorted)
           .mkString("\n").getBytes("UTF-8")
         if (!graft.util.AtomicFlip.publishExclusive(ofs, lease, bytes)) {
-          val existing = readSmall(ofs, lease)
-            .flatMap(_.linesIterator.find(_.startsWith("clone="))
-              .map(_.stripPrefix("clone=")))
-          require(existing.contains(cloneRoot),
+          // the id is a cloneRoot hash, so an existing file is a stale
+          // predecessor for the SAME destination or a racer to it.
+          // Never delete-then-recreate (a concurrent owner expire
+          // could observe the gap and reclaim borrowed dirs out from
+          // under the eventual winner) and never drop the existing
+          // dirs (a same-destination racer may win the v1 publish
+          // with THOSE dirs): UNION the dir sets and replace
+          // atomically — over-protecting a few dirs until the lease
+          // releases is safe; under-protecting breaks a live clone.
+          val existingLines = readSmall(ofs, lease)
+            .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+          val existingRoot = existingLines.collectFirst {
+            case l if l.startsWith("clone=") => l.stripPrefix("clone=") }
+          require(existingRoot.forall(_ == cloneRoot),
             s"borrow-lease collision at $lease: registered to " +
-              s"'${existing.getOrElse("<unreadable>")}', not '$cloneRoot'")
-          ofs.delete(lease, false)
-          require(graft.util.AtomicFlip.publishExclusive(ofs, lease, bytes),
-            s"could not replace stale borrow lease $lease (racing clone?)")
+              s"'${existingRoot.getOrElse("<unreadable>")}', not '$cloneRoot'")
+          val merged = (s"clone=$cloneRoot" +:
+            (existingLines.filter(_.startsWith("dir=")) ++
+              dirPaths.map(p => s"dir=${p.getName}")).distinct.sorted)
+            .mkString("\n").getBytes("UTF-8")
+          graft.util.AtomicFlip.writeAtomic(ofs, conf, lease, merged)
         }
         ofs.makeQualified(lease)
       }

@@ -110,6 +110,26 @@ class DurableStoreSpec extends AnyFunSuite {
         "writer could lose a commit on")
   }
 
+  test("file store: the age floor yields to the gcMaxRetained cap on a hot cell") {
+    val dir = s"${tmpDir("fcs_cap")}/cell"
+    // floor 1 h (nothing ages out in-test), cap 8: a hot cell must not
+    // accumulate commits-per-floor-window files — past the cap the
+    // sweep proceeds regardless of age (the post-win head check keeps
+    // the lost-commit guard sound even then)
+    val s = new FileConditionalStore(fs(dir), new Path(dir),
+      keepGenerations = 2, gcAgeFloorMs = 3600L * 1000, gcMaxRetained = 8)
+    assert(s.putIf(None, "v1"))
+    (2 to 30).foreach(i => assert(s.putIf(Some(s"v${i - 1}"), s"v$i")))
+    assert(s.get().contains("v30"))
+    val gens = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("gen_\\d{12,}\\.val")).sorted.toSeq
+    assert(gens.size <= 9, // head .. head-gcMaxRetained+1, +1 slack
+      s"cap did not bound young generations: ${gens.size} retained")
+    assert(gens.last.contains("000000000030"), "head must survive")
+    assert(gens.head >= "gen_000000000022.val",
+      s"a generation past the cap survived: ${gens.head}")
+  }
+
   test("file store: a writer stalled past the GC window raises instead of silently losing its commit") {
     // the ABA false-success: writer reads head G, stalls while the cell
     // advances past the retention window (gen_{G+1} created AND GC'd),

@@ -339,6 +339,24 @@ class GraftSqlMaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("CLONE registration survives a backslash in the location") {
+    withTable("clonebs") { (name, t) =>
+      // the graft regex parser takes the location verbatim; the
+      // GENERATED registration SQL goes through Spark's real lexer,
+      // which unescapes backslashes — without doubling them the table
+      // registers under '/tmp/...a<TAB>b' while the clone lives at
+      // '/tmp/...a\tb', and the first read fails
+      val loc = freshRoot("clone_bs") + "_a\\tb"
+      val cName = "graft_sqlmx_clonebs_out"
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      try {
+        spark.sql(s"CREATE TABLE $cName SHALLOW CLONE $name LOCATION '$loc'")
+        assert(state(spark.table(cName)) == state(t.read()),
+          "registered table must read the path the clone was created at")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $cName")
+    }
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE: zero-copy, registered, independent") {
     withTable("clone") { (name, t) =>
       val loc = freshRoot("clone_dst")

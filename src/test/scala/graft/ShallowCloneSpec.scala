@@ -317,6 +317,45 @@ class ShallowCloneSpec extends AnyFunSuite {
       "an aged but live borrower's lease must never be swept")
   }
 
+  test("localize() works on a borrowing clone whose lease marker is gone") {
+    val src = new SnapshotTable(spark, freshRoot("shc_nomark_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+    val clone = src.shallowClone(freshRoot("shc_nomark_dst"))
+    // a pre-lease-era clone (or out-of-band marker loss): still
+    // borrowing, but no _borrow_lease.txt. purge refuses naming
+    // localize() as the remedy — localize() must not silently no-op on
+    // the marker's absence, or the operator loops between the two.
+    fs(clone.location).delete(new Path(clone.location, "_borrow_lease.txt"), false)
+    intercept[Exception] { clone.purge(col("id") === 1) }
+    clone.localize()
+    assert(ownedParquetCount(clone.location) > 0,
+      "marker-less localize no-opped instead of minting owned dirs")
+    assert(clone.purge(col("id") === 1) > 0)
+    assert(state(src.read()) == Set((1, 2024, 1, 10.0), (2, 2024, 2, 20.0)))
+  }
+
+  test("lease re-registration merges dir sets atomically (same-destination race)") {
+    val src = new SnapshotTable(spark, freshRoot("shc_merge_src"))
+    src.commitOverwrite(frame((1, 2024, 1, 10.0)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcQ = qualified(src.location)
+    val cloneRoot = qualified(freshRoot("shc_merge_dst"))
+    def dirUri(d: String) = s"$srcQ/_data/$d"
+    // racer 1 registers dirs {dA}; racer 2 (same destination, source
+    // moved in between) re-registers {dB}: the lease must end as the
+    // UNION — dropping dA would let owner retention eat the dir the
+    // eventual winner still borrows
+    graft.write.SnapshotTable.registerBorrow(conf, cloneRoot, Seq(dirUri("dA")))
+    graft.write.SnapshotTable.registerBorrow(conf, cloneRoot, Seq(dirUri("dB")))
+    val leasePath = new Path(new Path(src.location, "_borrowed_by"),
+      graft.write.SnapshotTable.leaseIdFor(cloneRoot) + ".txt")
+    val sfs = fs(src.location)
+    val content = scala.io.Source.fromInputStream(sfs.open(leasePath)).mkString
+    assert(content.contains("dir=dA") && content.contains("dir=dB"),
+      s"re-registration must union, got: $content")
+    sfs.delete(leasePath, false) // don't leave a lease pinning src
+  }
+
   test("destination must be empty; clone of nothing refuses") {
     val src = new SnapshotTable(spark, freshRoot("shc_refuse_src"))
     intercept[Exception] { src.shallowClone(freshRoot("shc_refuse_d0")) } // no snapshot yet
