@@ -3555,18 +3555,29 @@ object SnapshotTable {
           // with THOSE dirs): UNION the dir sets and replace
           // atomically — over-protecting a few dirs until the lease
           // releases is safe; under-protecting breaks a live clone.
-          val existingLines = readSmall(ofs, lease)
-            .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
-          val existingRoot = existingLines.collectFirst {
-            case l if l.startsWith("clone=") => l.stripPrefix("clone=") }
-          require(existingRoot.forall(_ == cloneRoot),
-            s"borrow-lease collision at $lease: registered to " +
-              s"'${existingRoot.getOrElse("<unreadable>")}', not '$cloneRoot'")
-          val merged = (s"clone=$cloneRoot" +:
-            (existingLines.filter(_.startsWith("dir=")) ++
-              dirPaths.map(p => s"dir=${p.getName}")).distinct.sorted)
-            .mkString("\n").getBytes("UTF-8")
-          graft.util.AtomicFlip.writeAtomic(ofs, conf, lease, merged)
+          // read-merge-replace is not CAS, so a concurrent merger's
+          // rename can drop OUR dirs — re-read after the write and
+          // retry until ours are visible (each racer merges what it
+          // read, so the content only grows; convergence is bounded
+          // by the racer count)
+          val mine = dirPaths.map(p => s"dir=${p.getName}").toSet
+          var landed = false
+          while (!landed) {
+            val existingLines = readSmall(ofs, lease)
+              .map(_.linesIterator.toSeq).getOrElse(Seq.empty)
+            val existingRoot = existingLines.collectFirst {
+              case l if l.startsWith("clone=") => l.stripPrefix("clone=") }
+            require(existingRoot.forall(_ == cloneRoot),
+              s"borrow-lease collision at $lease: registered to " +
+                s"'${existingRoot.getOrElse("<unreadable>")}', not '$cloneRoot'")
+            val merged = (s"clone=$cloneRoot" +:
+              (existingLines.filter(_.startsWith("dir=")) ++ mine)
+                .distinct.sorted)
+              .mkString("\n").getBytes("UTF-8")
+            graft.util.AtomicFlip.writeAtomic(ofs, conf, lease, merged)
+            landed = readSmall(ofs, lease)
+              .exists(c => mine.subsetOf(c.linesIterator.toSet))
+          }
         }
         ofs.makeQualified(lease)
       }
