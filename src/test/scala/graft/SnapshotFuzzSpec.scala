@@ -71,18 +71,33 @@ class SnapshotFuzzSpec extends AnyFunSuite {
         (col("id") % k === 0, r => r._1 % k == 0)
     }
 
-  /** Returns the set of op kinds the seed drew, so the tests can pin
-    * that the seeds jointly cover the whole menu (a menu or seed edit
-    * that silently drops an op from coverage fails loudly). */
-  private def runFuzz(seed: Long, steps: Int): Set[String] = {
+  /** Returns the set of op kinds the seed actually executed, so the
+    * tests can pin that every seed covers the whole menu (a menu or
+    * seed edit that silently drops an op from coverage fails loudly).
+    * `cas = true` runs the identical fuzz against a CAS-mode table
+    * (pointer arbitration through a [[graft.write.FileConditionalStore]]
+    * — different commit protocol AND different expire contiguity
+    * rules; the model adapts by re-reading `history` after retention).
+    */
+  private def runFuzz(seed: Long, steps: Int, cas: Boolean = false): Set[String] = {
     val rnd = new scala.util.Random(seed)
-    val t = new SnapshotTable(spark, freshRoot(s"fuzz$seed"))
+    val pointer =
+      if (cas) Some(graft.write.FileConditionalStore.open(
+        java.nio.file.Files.createTempDirectory(s"graft_fuzzstore$seed").toString))
+      else None
+    val t = new SnapshotTable(spark, freshRoot(s"fuzz$seed"),
+      Seq("year", "month"), pointer)
 
     val init = randBatch(rnd, 4)
     var model: MS = ms(init)
     var cur = t.commitOverwrite(toDF(init))
     var versions: Map[Int, MS] = Map(cur -> model)
     var tagged: Map[String, Int] = Map.empty
+    // branch lineages: name -> modeled state; TWO branches seeded so
+    // branch_commit/ff (needs >= 1 live) and branch_drop (keeps >= 1
+    // live) are executable wherever the shuffle lands them
+    var brModel: Map[String, MS] = Map.empty
+    Seq("b0", "b1").foreach { n => t.createBranch(n, cur); brModel += n -> model }
 
     // set AFTER the model update for the op, so the recorded state is
     // the post-op one
@@ -98,6 +113,10 @@ class SnapshotFuzzSpec extends AnyFunSuite {
         assert(msOf(t.readVersion(v)) == st,
           s"seed=$seed step=$step after $op: time travel v$v diverged")
       }
+      brModel.foreach { case (n, st) =>
+        assert(msOf(t.readBranch(n)) == st,
+          s"seed=$seed step=$step after $op: branch $n diverged")
+      }
     }
 
     // weighted op menu: mutation-heavy, with enough maintenance mixed
@@ -110,7 +129,9 @@ class SnapshotFuzzSpec extends AnyFunSuite {
       "delete", "delete_mor",
       "compact_files", "compact_cluster",
       "expire", "expire",
-      "vacuum", "rollback", "tag", "purge")
+      "vacuum", "rollback", "tag", "purge",
+      "branch_commit", "branch_commit",
+      "branch_create", "branch_ff", "branch_drop")
 
     // every distinct op at least once per run (coverage by
     // construction), the rest drawn with the menu's weights, the whole
@@ -121,7 +142,9 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     val drawn = scala.collection.mutable.Set.empty[String]
     for ((op, step0) <- schedule.zipWithIndex) {
       val step = step0 + 1
-      drawn += op
+      // set false by the ops that can (deterministically) decline —
+      // only EXECUTED ops count toward menu coverage
+      var executed = true
       op match {
         case "append" =>
           val b = randBatch(rnd, 1 + rnd.nextInt(3))
@@ -177,8 +200,11 @@ class SnapshotFuzzSpec extends AnyFunSuite {
           val (c, p) = randCond(rnd)
           try {
             t.purge(c)
+            // history-wide erasure: every retained version AND every
+            // branch lineage loses the matching rows
             model = removeWhere(model, p)
             versions = versions.map { case (v, st) => v -> removeWhere(st, p) }
+            brModel = brModel.map { case (n, st) => n -> removeWhere(st, p) }
           } catch {
             // retained MOR key deletes: purge's documented refusal —
             // a no-op by contract (the guard precedes every side
@@ -187,7 +213,64 @@ class SnapshotFuzzSpec extends AnyFunSuite {
               if e.getMessage.contains("merge-on-read") => ()
           }
           checkRetained(step, op)
+        case "branch_create" =>
+          if (brModel.size >= 3) executed = false // bound live branches
+          else {
+            val name = s"b$step"
+            t.createBranch(name, cur)
+            brModel += name -> model
+          }
+        case "branch_commit" =>
+          val name = brModel.keys.toSeq.sorted.apply(rnd.nextInt(brModel.size))
+          rnd.nextInt(3) match {
+            case 0 =>
+              val b = randBatch(rnd, 1 + rnd.nextInt(3))
+              t.commitAppendToBranch(name, toDF(b))
+              brModel += name -> add(brModel(name), b)
+            case 1 =>
+              val b = randBatch(rnd, 1 + rnd.nextInt(3))
+              val parts = b.map(r => (r._2, r._3)).toSet
+              t.commitOverwritePartitionsToBranch(name, toDF(b))
+              brModel += name ->
+                add(removeWhere(brModel(name), r => parts((r._2, r._3))), b)
+            case _ =>
+              val b = randBatch(rnd, 1 + rnd.nextInt(3)).distinctBy(_._1)
+              val ks = b.map(_._1).toSet
+              t.commitMergeToBranch(name, toDF(b), Seq("id"))
+              brModel += name ->
+                add(removeWhere(brModel(name), r => ks(r._1)), b)
+          }
+          assert(msOf(t.readBranch(name)) == brModel(name),
+            s"seed=$seed step=$step: branch $name diverged after commit")
+        case "branch_ff" =>
+          val name = brModel.keys.toSeq.sorted.apply(rnd.nextInt(brModel.size))
+          val forceOnRefusal = rnd.nextBoolean()
+          try {
+            val v = t.fastForward(name) // strict: succeeds iff main at fork
+            model = brModel(name)
+            record(v)
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("refused") =>
+              // main moved since the fork — the documented strict
+              // refusal; opt into rollback semantics half the time
+              if (forceOnRefusal) {
+                val v = t.fastForward(name, strict = false)
+                model = brModel(name)
+                record(v)
+              }
+          }
+          checkRetained(step, op)
+        case "branch_drop" =>
+          if (brModel.size <= 1) executed = false // keep one branch live
+          else {
+            val name = brModel.keys.toSeq.sorted
+              .apply(rnd.nextInt(brModel.size))
+            t.dropBranch(name)
+            brModel -= name
+          }
       }
+      if (executed) drawn += op
       checkCurrent(step, op)
     }
 
@@ -206,16 +289,22 @@ class SnapshotFuzzSpec extends AnyFunSuite {
 
   private val allOps = Set("append", "overwrite_parts", "merge", "merge_mor",
     "delete", "delete_mor", "compact_files", "compact_cluster",
-    "expire", "vacuum", "rollback", "tag", "purge")
+    "expire", "vacuum", "rollback", "tag", "purge",
+    "branch_create", "branch_commit", "branch_ff", "branch_drop")
 
   test("random op sequences match the multiset model (seed 1, full menu coverage)") {
-    val drawn = runFuzz(seed = 1L, steps = 26)
-    assert(allOps.subsetOf(drawn), s"op kinds never drawn: ${allOps -- drawn}")
+    val drawn = runFuzz(seed = 1L, steps = 30)
+    assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
   }
 
   test("random op sequences match the multiset model (seed 2, full menu coverage)") {
-    val drawn = runFuzz(seed = 2L, steps = 26)
-    assert(allOps.subsetOf(drawn), s"op kinds never drawn: ${allOps -- drawn}")
+    val drawn = runFuzz(seed = 2L, steps = 30)
+    assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
+  }
+
+  test("CAS-mode table: the same fuzz through pointer arbitration (seed 4)") {
+    val drawn = runFuzz(seed = 4L, steps = 30, cas = true)
+    assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
   }
 
   test("shallow-clone lifecycle under adversarial source maintenance (seed 3)") {
