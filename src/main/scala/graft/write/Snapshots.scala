@@ -353,7 +353,10 @@ class SnapshotTable(spark: SparkSession, root: String,
     * manifest's op history — every fresh data write funnels through
     * here (one manifest parse for both checks). */
   private def conformToCurrentOps(df: DataFrame, what: String): DataFrame = {
-    val ops = currentVersion.map(parse(_).colOps).getOrElse(Seq.empty)
+    // parseForCommit: this runs on the WRITE path, where the just-read
+    // head vanishing under a concurrent expire must surface as the
+    // retryable conflict, not a raw FileNotFoundException
+    val ops = currentVersion.map(parseForCommit(_).colOps).getOrElse(Seq.empty)
     if (ops.isEmpty) return df
     val retired = SnapshotTable.retiredNames(ops)
     val bad = df.columns.filter(retired)
@@ -539,6 +542,33 @@ class SnapshotTable(spark: SparkSession, root: String,
     } else spark.read.option("mergeSchema", "true").parquet(dataP)
   }
 
+  /** Parse the manifest a COMMIT is being computed against. A
+    * concurrent count-based [[expire]] can delete the just-read head's
+    * manifest between the caller's `currentVersion` read and this
+    * parse — a retention/commit interleaving, not a damaged table — so
+    * a vanished file surfaces as the retryable
+    * [[SnapshotConflictException]] (recompute from the new current)
+    * instead of a raw FileNotFoundException. Read paths keep
+    * [[parse]]: for a reader, a vanished version IS "expired". */
+  private def parseForCommit(v: Int): Manifest =
+    try parse(v)
+    catch {
+      case e: java.io.FileNotFoundException =>
+        // the just-read head vanished: a concurrent expire retired it
+        // (head moved on), or a delayed CURRENT flip regressed the
+        // pointer onto an already-expired version (the stress-fuzz
+        // finding; flipCurrent now self-heals, but a commit racing the
+        // window must not livelock on the stale pointer). repair()
+        // promotes the newest live manifest either way, so the
+        // caller's retry reads a live head instead of re-throwing
+        // forever.
+        try repair() catch { case _: Exception => () }
+        throw new SnapshotConflictException(
+          s"manifest v$v expired under a concurrent retention while a " +
+            "commit was being computed against it — re-read " +
+            s"currentVersion and retry (${e.getMessage})")
+    }
+
   /** The commit point, a compare-and-swap on the version number:
     * `parent` is the version the caller's `entries` were computed
     * AGAINST (not a re-read of CURRENT — re-reading here would let a
@@ -560,7 +590,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     // (one metadata read); only their own DDL commits — and
     // full-rewrite compactions, which clear colOps because the rewrite
     // materializes the mapping — override the inherited sets
-    val pm = if (parent > 0) Some(parse(parent)) else None
+    val pm = if (parent > 0) Some(parseForCommit(parent)) else None
     val cons = constraintsOverride.getOrElse(
       pm.map(_.constraints).getOrElse(Seq.empty))
     val cops = colOpsOverride.getOrElse(
@@ -619,7 +649,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(opTag.nonEmpty && !opTag.exists(c => c == '\n' || c == '\r'),
       s"opTag must be a non-empty single line: '$opTag'")
     val base0 = currentVersion.getOrElse(0)
-    val pm0 = if (base0 == 0) None else Some(parse(base0))
+    val pm0 = if (base0 == 0) None else Some(parseForCommit(base0))
     val dir = writeData(df, base0 + 1)
     val consAtWrite = pm0.map(_.constraints).getOrElse(Seq.empty)
     val opsAtWrite = pm0.map(_.colOps).getOrElse(Seq.empty)
@@ -690,7 +720,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * (`ingest_spark_bulk.py:71–81`) with history. */
   def commitOverwritePartitions(df: DataFrame): Int = {
     val base = currentVersion.getOrElse(0)
-    val pm = if (base == 0) None else Some(parse(base))
+    val pm = if (base == 0) None else Some(parseForCommit(base))
     commit("overwrite_partitions",
       overwritePartitionsPlan(pm.map(_.entries).getOrElse(Seq.empty), df, base + 1),
       base, pm.map(_.deletes).getOrElse(Seq.empty),
@@ -842,7 +872,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(keyCols.nonEmpty, "commitMerge needs at least one key column")
     withUniqueKeyed(batch0, keyCols, "commitMerge") { batch =>
       val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-      val pm = parse(base)
+      val pm = parseForCommit(base)
       // prior MOR deletes carry: the rewrite materialized them only for
       // the TOUCHED partitions; untouched partitions still rely on them
       commit("merge",
@@ -901,7 +931,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       // shape as commitMerge's touched.nonEmpty)
       require(!batch.isEmpty, "merge batch is empty")
       val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-      val m = parse(base)
+      val m = parseForCommit(base)
       val delDir = "del" + f"${base + 1}%05d" + "_" +
         java.util.UUID.randomUUID.toString.take(8)
       val keys = batch.select(keyCols.map(col): _*).distinct()
@@ -956,7 +986,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(keyCols.nonEmpty, "commitMergeGeneral needs at least one key column")
     require(clauses.nonEmpty, "commitMergeGeneral needs at least one WHEN clause")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val pm = parse(base)
+    val pm = parseForCommit(base)
     val cur = readVersion(base)
     require(cur.columns.forall(!_.startsWith(SnapshotTable.SrcPrefix)),
       s"table columns may not start with the reserved merge prefix " +
@@ -1199,7 +1229,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     // partitions with survivors need the rewrite; fully-deleted ones
     // are metadata-only (mask, no bytes moved)
     val partial = partTuples(kept)
-    val pm = parse(base)
+    val pm = parseForCommit(base)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
     val entries =
       if (partial.isEmpty) prev // whole partitions gone: zero data movement
@@ -1273,7 +1303,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         .map(a => when(cond, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
         .getOrElse(col(f.name))
     }.toIndexedSeq: _*)
-    val pm = parse(base)
+    val pm = parseForCommit(base)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
     commit("update", prev :+ Entry(writeData(updated, base + 1), Set.empty),
       base, pm.deletes, pm.predDeletes)
@@ -1295,7 +1325,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     * over the table's columns (checked at commit time, fail-fast). */
   def commitDeleteMor(condition: org.apache.spark.sql.Column): Int = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     // render the condition to SQL by ANALYZING it against the current
     // state and taking the resolved Filter's condition — one step both
     // fail-fasts (an unresolvable predicate dies here, at commit, not
@@ -1460,7 +1490,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       .map(vals => partCols.zip(vals)
         .map { case (c, x) => col(c).cast("string") === x }.reduce(_ && _))
       .reduce(_ || _)
-    val pm = parse(base)
+    val pm = parseForCommit(base)
     val prev = pm.entries.map(e => e.copy(excluded = e.excluded ++ profile))
     commit("compact",
       prev :+ Entry(writeData(cur.filter(inTouched), base + 1), Set.empty),
@@ -1534,7 +1564,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def commitAppendClustered(df: DataFrame, clusterCol: String,
                             nFiles: Int = 8): Int = {
     val base = currentVersion.getOrElse(0)
-    val pm = if (base == 0) None else Some(parse(base))
+    val pm = if (base == 0) None else Some(parseForCommit(base))
     commit("append_clustered",
       pm.map(_.entries).getOrElse(Seq.empty) :+ writeClustered(df, base + 1, clusterCol, nFiles),
       base, pm.map(_.deletes).getOrElse(Seq.empty),
@@ -1662,7 +1692,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(fs.exists(new Path(dataDir, stagedDir)),
       s"no staged dir '$stagedDir' under $dataDir (abandoned or never staged)")
     val base = currentVersion.getOrElse(0)
-    val pm = if (base == 0) None else Some(parse(base))
+    val pm = if (base == 0) None else Some(parseForCommit(base))
     val prev = pm.map(_.entries).getOrElse(Seq.empty)
     require(!prev.exists(_.dir == stagedDir), s"'$stagedDir' is already published")
     commit("publish_append", prev :+ Entry(stagedDir, Set.empty),
@@ -1702,7 +1732,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be [A-Za-z0-9_]+: '$name'")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     require(!m.constraints.exists(_._1 == name),
       s"constraint '$name' already exists on $root (drop it first)")
     val cur = readVersion(base)
@@ -1726,7 +1756,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   /** Remove a named constraint — one commit; older versions keep it. */
   def dropConstraint(name: String): Int = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     require(m.constraints.exists(_._1 == name),
       s"no constraint '$name' on $root " +
         s"(have: ${m.constraints.map(_._1).mkString(", ")})")
@@ -1784,7 +1814,7 @@ class SnapshotTable(spark: SparkSession, root: String,
       n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
       s"column name must be [A-Za-z0-9_]+: '$n'"))
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val schema = readVersion(base).columns.toSet
     require(schema.contains(from), s"no column '$from' to rename " +
       s"(have: ${schema.toSeq.sorted.mkString(", ")})")
@@ -1805,7 +1835,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"column name must be [A-Za-z0-9_]+: '$name'")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val schema = readVersion(base).columns.toSet
     require(schema.contains(name), s"no column '$name' to drop " +
       s"(have: ${schema.toSeq.sorted.mkString(", ")})")
@@ -1840,7 +1870,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(cols.map(_._1.toLowerCase).distinct.size == cols.size,
       s"duplicate column among (${cols.map(_._1).mkString(", ")})")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val cur = readVersion(base)
     cols.foreach { case (name, _) =>
       require(!cur.columns.contains(name), s"column '$name' already exists")
@@ -1874,7 +1904,7 @@ class SnapshotTable(spark: SparkSession, root: String,
         s"property value for '$k' may not contain '|' or newlines")
     }
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val merged = (m.properties.filterNot(p => kvs.exists(_._1 == p._1)) ++ kvs)
       .sortBy(_._1)
     commit("set_properties", m.entries, base, m.deletes, m.predDeletes,
@@ -1885,7 +1915,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def unsetProperties(keys: Seq[String]): Int = {
     require(keys.nonEmpty, "unsetProperties needs at least one key")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val missing = keys.filterNot(k => m.properties.exists(_._1 == k))
     require(missing.isEmpty,
       s"no such propert${if (missing.size == 1) "y" else "ies"}: " +
@@ -1916,7 +1946,7 @@ class SnapshotTable(spark: SparkSession, root: String,
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"column name must be [A-Za-z0-9_]+: '$name'")
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val cur = readVersion(base)
     require(cur.columns.contains(name), s"no column '$name' to widen " +
       s"(have: ${cur.columns.sorted.mkString(", ")})")
@@ -1940,7 +1970,11 @@ class SnapshotTable(spark: SparkSession, root: String,
     * Reads the written parquet back pruned to the CHECK's columns;
     * never re-executes the writer's upstream plan. */
   private def enforceConstraints(dir: String): Unit = {
-    val cons = constraints
+    // write-path fetch: translate a concurrent-expire vanish into the
+    // retryable conflict (the public `constraints` accessor keeps the
+    // read-path contract)
+    val cons = currentVersion.map(parseForCommit(_).constraints)
+      .getOrElse(Seq.empty)
     if (cons.isEmpty) return
     val written = readDir(dir)
     cons.foreach { case (name, sql) =>
@@ -2512,9 +2546,34 @@ class SnapshotTable(spark: SparkSession, root: String,
 
   private def expireTo(keepBase: Set[Int], olderThanMs: Long): Unit = {
     require(olderThanMs >= 0, "olderThanMs must be >= 0")
-    val versions = history.map(_._1)
-    val cur = currentVersion.getOrElse(return)
-    val keep0 = keepBase + cur ++ tags.map(_._2)
+    var versions = history.map(_._1)
+    var cur = currentVersion.getOrElse(return)
+    if (!versions.contains(cur)) {
+      // CURRENT points at a version with no manifest: a delayed flip
+      // regressed the pointer onto an expired slot (stress-fuzz
+      // finding). Heal first — retention must never compute against a
+      // phantom head (parsing it crashes; guessing around it could
+      // delete live state).
+      repair()
+      versions = history.map(_._1)
+      cur = currentVersion.getOrElse(return)
+      require(versions.contains(cur),
+        s"CURRENT v$cur has no manifest even after repair() at $root — " +
+          "inspect fsck() before running retention")
+    }
+    // keepBase/tag entries can reference phantoms too (a caller's cur
+    // read raced the same window); keep decisions only over versions
+    // that exist
+    val keepR = (keepBase + cur ++ tags.map(_._2)).filter(versions.contains)
+    // THE HEAD FRONTIER IS NEVER EXPIRABLE: a manifest numbered above
+    // every kept version is either an in-flight commit inside its
+    // create→flip window or a crashed winner awaiting repair()'s
+    // promote — both look like "newest manifest, CURRENT still behind".
+    // The caller computed keepBase from an earlier listing, so treating
+    // frontier versions as dead would delete a LIVE commit's manifest:
+    // the publisher's flip then lands CURRENT on a phantom and every
+    // subsequent commit fails parsing it (stress-fuzz finding).
+    val keep0 = keepR ++ versions.filter(_ > keepR.max)
     // CAS mode resolves version → manifest file by walking the head's
     // parentfile chain, so retention must stay CONTIGUOUS from the head
     // down: expiring a MIDDLE version (possible when a tag pins
@@ -2974,7 +3033,7 @@ class SnapshotTable(spark: SparkSession, root: String,
   def shallowClone(destRoot: String,
                    destPointer: Option[ConditionalStore] = None): SnapshotTable = {
     val base = currentVersion.getOrElse(sys.error(s"no snapshot at $root"))
-    val m = parse(base)
+    val m = parseForCommit(base)
     val dst = new Path(destRoot)
     val dfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!dfs.exists(dst) || dfs.listStatus(dst).isEmpty,

@@ -153,16 +153,47 @@ private[write] class FsVersionPointer(fs: FileSystem,
     // manifest create and this write while a later committer flipped
     // past it) must not regress CURRENT — readers would transiently see
     // an older version and the next committer would hit a spurious
-    // conflict. Check-then-write is not atomic, but a lost race here
-    // only re-runs the interleaving it guards against, and the next
-    // flip/repair heals it; manifests are immutable so no data is ever
-    // at risk.
+    // conflict. Check-then-write is not atomic, so the regression can
+    // still land; the self-heal below closes it.
     if (currentVersion().exists(_ >= v)) return
     graft.util.AtomicFlip.writeAtomic(fs, conf, currentPath,
       v.toString.getBytes("UTF-8"))
+    // self-heal the stale-flip regression: "the next flip heals it"
+    // fails when a count-based expire already DELETED the regressed-to
+    // version's manifest — CURRENT then points at a phantom, every
+    // commit preamble fails parsing it, and no healing flip ever comes
+    // (a livelock the concurrent stress fuzz reproduced). After
+    // writing, re-list: a newer manifest means our write may have
+    // regressed a newer flip — re-flip forward. Each pass strictly
+    // advances, so the recursion is bounded by the racer count.
+    val newest = versions().maxOption
+    if (newest.exists(_ > v)) newest.foreach(flipCurrent)
   }
 
   override def publish(v: Int, content: Array[Byte]): Boolean = {
+    // recreated-slot guard (the Fs-mode analog of the conditional
+    // store's recreated-generation guards): a count-based expire
+    // DELETES old manifest files, freeing their names — a writer
+    // stalled past the retention window could then win
+    // create-exclusive on a freed slot and "commit" into history's
+    // past: CURRENT never points at it (flipCurrent's monotonic guard
+    // skips the flip), so the commit would be silently lost while
+    // reporting success, and the orphan file would serve WRONG rows to
+    // time travel of the expired version. Pre-check: CURRENT >= v
+    // before our create is definitive loss — CURRENT can only reach v
+    // through this slot's own manifest, which nobody has created yet —
+    // so refuse as an ordinary conflict (the caller recomputes against
+    // the new current and retries).
+    // (A post-win re-check of CURRENT was considered and rejected: a
+    // concurrent conflict-loser's repair() legitimately PROMOTES our
+    // just-created manifest and the next commit advances past it, so
+    // "CURRENT > v after our create" cannot distinguish a landed
+    // commit from a recreated-slot win — acting on it would delete
+    // real history. The pre-check plus flipCurrent's self-heal plus
+    // expire's head-frontier guard close every persistent path; the
+    // residual needs a transiently regressed CURRENT read AND an
+    // expired slot AND a win inside the same microsecond window.)
+    if (currentVersion().exists(_ >= v)) return false
     if (!graft.util.AtomicFlip.publishExclusive(fs, manifestPath(v), content))
       return false
     flipCurrent(v)

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -305,6 +306,70 @@ class SnapshotFuzzSpec extends AnyFunSuite {
   test("CAS-mode table: the same fuzz through pointer arbitration (seed 4)") {
     val drawn = runFuzz(seed = 4L, steps = 30, cas = true)
     assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
+  }
+
+  test("concurrent appenders racing maintenance: every batch lands exactly once") {
+    // appends COMMUTE (the fast-append retry re-targets losers
+    // metadata-only), so the one invariant that holds under ANY thread
+    // interleaving — no flakiness — is: after all writers join, the
+    // state is exactly the union of every batch, each once. A
+    // maintenance thread runs expire+vacuum concurrently at the
+    // DEFAULT age windows (the in-flight-writer guard), so retention
+    // races the commit protocol without being allowed to eat a dir a
+    // writer has staged but not yet published.
+    import graft.write.SnapshotConflictException
+    val root = freshRoot("fuzz_race")
+    new SnapshotTable(spark, root).commitOverwrite(toDF(Seq((0, 2024, 1, 0.0))))
+    val nThreads = 4
+    val perThread = 5
+    val batches = (0 until nThreads).map { ti =>
+      val rnd = new scala.util.Random(100L + ti)
+      Seq.fill(perThread)(randBatch(rnd, 1 + rnd.nextInt(3)))
+    }
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]
+    def guard(name: String)(body: => Unit): Thread = {
+      val th = new Thread(() => {
+        try body
+        catch { case e: Throwable => errors.add(name -> e) }
+      })
+      th.setName(name)
+      th
+    }
+    val writers = (0 until nThreads).map { ti =>
+      guard(s"writer-$ti") {
+        val handle = new SnapshotTable(spark, root) // own handle per writer
+        batches(ti).foreach { b =>
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { handle.commitAppend(toDF(b)); done = true }
+            catch {
+              case _: SnapshotConflictException if attempts < 30 =>
+                attempts += 1
+            }
+          }
+        }
+      }
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintenance = guard("maint") {
+      val handle = new SnapshotTable(spark, root)
+      while (!stop.get()) {
+        handle.expire(keepLast = 3) // default olderThanMs: age-guarded
+        handle.vacuum()
+        Thread.sleep(50)
+      }
+    }
+    maintenance.start(); writers.foreach(_.start())
+    writers.foreach(_.join(300000))
+    stop.set(true); maintenance.join(60000)
+    assert(errors.isEmpty, s"worker died: ${errors.asScala.map { case (n, e) =>
+      s"[$n] $e\n  " + e.getStackTrace.mkString("\n  ") }.mkString("\n")}")
+    val t = new SnapshotTable(spark, root)
+    val want = add(ms(Seq((0, 2024, 1, 0.0))), batches.flatten.flatten)
+    assert(msOf(t.read()) == want,
+      "concurrent appends lost or duplicated a batch")
+    assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
   }
 
   test("shallow-clone lifecycle under adversarial source maintenance (seed 3)") {

@@ -1009,6 +1009,82 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constraint 'pos'"))
   }
 
+  test("a stalled appender cannot win a manifest slot freed by expire (recreated-slot guard)") {
+    // count-based expire DELETES old manifest files, freeing their
+    // names; without the publish pre-check a writer stalled past the
+    // retention window wins create-exclusive on the freed slot, the
+    // monotonic flip skips, and the commit reports success while being
+    // invisible — a silently lost batch plus a bogus time-travel
+    // target (the concurrent stress fuzz found the family; this is the
+    // deterministic pin).
+    val t = new SnapshotTable(spark, freshRoot("snap_slot"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.tag("pin", 1) // keeps v1 parseable for the stalled writer's preamble
+    val stalled = new SnapshotTable(spark, t.location) {
+      override protected def appendRaceHook(): Unit = {
+        // while the appender stalls between its data write and its
+        // commit: the head advances four versions and retention frees
+        // the appender's target slot v2
+        (2 to 5).foreach(i => t.commitAppend(frame((i, 2024, 2, i.toDouble))))
+        // DEFAULT age window: the stalled writer's in-flight data dir
+        // stays protected — but manifests have no age guard, so the
+        // freed v2/v3 SLOTS are exactly the hazard under test
+        t.expire(keepLast = 2)
+      }
+    }
+    val v = stalled.commitAppend(frame((9, 2024, 3, 9.0)))
+    // fast-append re-targeted the live head — never the freed slot
+    assert(v == 6, s"landed at v$v")
+    assert(t.currentVersion.contains(6))
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0),
+      (3, 2024, 2, 3.0), (4, 2024, 2, 4.0), (5, 2024, 2, 5.0),
+      (9, 2024, 3, 9.0)))
+    intercept[Exception] { t.readVersion(2) } // slot NOT recreated
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
+  test("expire never deletes the head frontier (a create→flip-window manifest)") {
+    // a manifest numbered above every kept version is an in-flight
+    // commit between its create and its CURRENT flip (or a crashed
+    // winner awaiting repair's promote). Expiring it would leave the
+    // writer's subsequent flip pointing at a phantom — every later
+    // commit then fails parsing CURRENT.
+    val t = new SnapshotTable(spark, freshRoot("snap_frontier"))
+    t.commitOverwrite(frame((1, 2024, 1, 1.0)))
+    t.commitAppend(frame((2, 2024, 2, 2.0)))
+    t.commitAppend(frame((3, 2024, 3, 3.0)))
+    // simulate v3's writer crashed (or stalled) before its flip
+    val rootFs = fs(t.location)
+    val cur = new Path(t.location, "_manifests/CURRENT")
+    val out = rootFs.create(cur, true); out.write("2".getBytes); out.close()
+    t.expire(keepLast = 1, olderThanMs = 0L)
+    assert(rootFs.exists(new Path(t.location, "_manifests/v00003.txt")),
+      "expire deleted an in-flight (create→flip window) manifest")
+    t.repair() // the normal crashed-winner recovery still works
+    assert(t.currentVersion.contains(3))
+    assert(state(t.read()) == Set((1, 2024, 1, 1.0), (2, 2024, 2, 2.0),
+      (3, 2024, 3, 3.0)))
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
+  test("a stale CURRENT pointing at an expired version heals instead of livelocking") {
+    // the delayed-flip regression: CURRENT lands on a version whose
+    // manifest retention already deleted. Every commit preamble parse
+    // then fails — parseForCommit must repair (promote the newest live
+    // manifest) so the retry makes progress instead of rethrowing the
+    // same conflict forever.
+    val t = new SnapshotTable(spark, freshRoot("snap_stale"))
+    (1 to 5).foreach(i => t.commitOverwrite(frame((i, 2024, 1, i.toDouble))))
+    t.expire(keepLast = 2, olderThanMs = 0L) // keeps v4, v5
+    val rootFs = fs(t.location)
+    val cur = new Path(t.location, "_manifests/CURRENT")
+    val out = rootFs.create(cur, true); out.write("2".getBytes); out.close()
+    val v = t.commitWithRetry()(t.commitAppend(frame((9, 2024, 9, 9.0))))
+    assert(v == 6, s"landed at v$v")
+    assert(state(t.read()) == Set((5, 2024, 1, 5.0), (9, 2024, 9, 9.0)))
+    assert(t.fsck().isEmpty, s"fsck: ${t.fsck()}")
+  }
+
   test("conditional-write pointer (CAS mode): racing writers, one winner, loser retries cleanly") {
     import graft.write.InMemoryConditionalStore
     val root = freshRoot("snap_cas")
