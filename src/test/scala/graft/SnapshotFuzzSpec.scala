@@ -308,18 +308,19 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
   }
 
-  test("concurrent appenders racing maintenance: every batch lands exactly once") {
-    // appends COMMUTE (the fast-append retry re-targets losers
-    // metadata-only), so the one invariant that holds under ANY thread
-    // interleaving — no flakiness — is: after all writers join, the
-    // state is exactly the union of every batch, each once. A
-    // maintenance thread runs expire+vacuum concurrently at the
-    // DEFAULT age windows (the in-flight-writer guard), so retention
-    // races the commit protocol without being allowed to eat a dir a
-    // writer has staged but not yet published.
+  /** The stress body, parameterized by mode: `pointer = None` runs
+    * Fs-mode arbitration (create-exclusive manifests + CURRENT flip);
+    * `Some(store)` runs CAS mode (chained attempt-unique manifests,
+    * one conditional put per commit). Appends COMMUTE, so the one
+    * invariant that holds under ANY interleaving — no flakiness — is:
+    * after all writers join, the state is exactly the union of every
+    * batch, each exactly once. */
+  private def runAppendStress(tag: String,
+                              pointer: Option[graft.write.ConditionalStore]): Unit = {
     import graft.write.SnapshotConflictException
-    val root = freshRoot("fuzz_race")
-    new SnapshotTable(spark, root).commitOverwrite(toDF(Seq((0, 2024, 1, 0.0))))
+    val root = freshRoot(tag)
+    new SnapshotTable(spark, root, Seq("year", "month"), pointer)
+      .commitOverwrite(toDF(Seq((0, 2024, 1, 0.0))))
     val nThreads = 4
     val perThread = 5
     val batches = (0 until nThreads).map { ti =>
@@ -337,7 +338,7 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     }
     val writers = (0 until nThreads).map { ti =>
       guard(s"writer-$ti") {
-        val handle = new SnapshotTable(spark, root) // own handle per writer
+        val handle = new SnapshotTable(spark, root, Seq("year", "month"), pointer)
         batches(ti).foreach { b =>
           var attempts = 0
           var done = false
@@ -353,7 +354,7 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     }
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val maintenance = guard("maint") {
-      val handle = new SnapshotTable(spark, root)
+      val handle = new SnapshotTable(spark, root, Seq("year", "month"), pointer)
       while (!stop.get()) {
         handle.expire(keepLast = 3) // default olderThanMs: age-guarded
         handle.vacuum()
@@ -365,11 +366,31 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     stop.set(true); maintenance.join(60000)
     assert(errors.isEmpty, s"worker died: ${errors.asScala.map { case (n, e) =>
       s"[$n] $e\n  " + e.getStackTrace.mkString("\n  ") }.mkString("\n")}")
-    val t = new SnapshotTable(spark, root)
+    val t = new SnapshotTable(spark, root, Seq("year", "month"), pointer)
     val want = add(ms(Seq((0, 2024, 1, 0.0))), batches.flatten.flatten)
     assert(msOf(t.read()) == want,
       "concurrent appends lost or duplicated a batch")
     assert(t.fsck().isEmpty, s"post-race fsck: ${t.fsck()}")
+  }
+
+  test("concurrent appenders racing maintenance: every batch lands exactly once") {
+    // a maintenance thread runs expire+vacuum concurrently at the
+    // DEFAULT age windows (the in-flight-writer guard), so retention
+    // races the commit protocol without being allowed to eat a dir a
+    // writer has staged but not yet published — this run found the
+    // recreated-slot / head-frontier / stale-flip races now pinned in
+    // SnapshotSpec
+    runAppendStress("fuzz_race", pointer = None)
+  }
+
+  test("concurrent appenders racing maintenance through a CAS pointer (durable store)") {
+    // the same interleavings through conditional-put arbitration:
+    // chained attempt-unique manifests (no recreatable slot names by
+    // construction) and the FileConditionalStore generation cell with
+    // its GC age floor and post-win head check
+    runAppendStress("fuzz_race_cas",
+      pointer = Some(graft.write.FileConditionalStore.open(
+        java.nio.file.Files.createTempDirectory("graft_fuzz_race_store").toString)))
   }
 
   test("shallow-clone lifecycle under adversarial source maintenance (seed 3)") {
