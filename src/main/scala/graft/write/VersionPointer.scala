@@ -320,9 +320,18 @@ private[write] class FsVersionPointer(fs: FileSystem,
       }
       .distinct.sorted.toSeq
 
-  override def publishBranch(name: String, bv: Int, content: Array[Byte]): Boolean =
+  override def publishBranch(name: String, bv: Int, content: Array[Byte]): Boolean = {
+    // a branch commit (bv > 1) requires the branch to EXIST: dropBranch
+    // frees the bv slot names, so a writer stalled across a concurrent
+    // drop would otherwise win create-exclusive on a freed slot and
+    // resurrect the dropped branch as a partial lineage with no fork
+    // marker (fastForward then dies on it). Same shape as the
+    // main-lineage recreated-slot guard; refusing surfaces the drop to
+    // the writer as an ordinary conflict whose retry reads "no branch".
+    if (bv > 1 && branchHead(name).isEmpty) return false
     graft.util.AtomicFlip.publishExclusive(fs,
       branchManifestPath(name, bv), content)
+  }
 
   override def dropBranch(name: String): Unit =
     branchVersions(name).foreach(bv =>
