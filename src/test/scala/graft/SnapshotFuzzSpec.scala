@@ -75,17 +75,23 @@ class SnapshotFuzzSpec extends AnyFunSuite {
   /** Returns the set of op kinds the seed actually executed, so the
     * tests can pin that every seed covers the whole menu (a menu or
     * seed edit that silently drops an op from coverage fails loudly).
-    * `cas = true` runs the identical fuzz against a CAS-mode table
-    * (pointer arbitration through a [[graft.write.FileConditionalStore]]
-    * — different commit protocol AND different expire contiguity
-    * rules; the model adapts by re-reading `history` after retention).
+    * `mode` selects the arbitration: "fs" (create-exclusive
+    * manifests), "file" (CAS through a FileConditionalStore), or
+    * "jdbc" (CAS through a JdbcConditionalStore over embedded Derby —
+    * the catalog-database deployment shape). CAS modes have a
+    * different commit protocol AND different expire contiguity rules;
+    * the model adapts by re-reading `history` after retention.
     */
-  private def runFuzz(seed: Long, steps: Int, cas: Boolean = false): Set[String] = {
+  private def runFuzz(seed: Long, steps: Int, mode: String = "fs"): Set[String] = {
     val rnd = new scala.util.Random(seed)
-    val pointer =
-      if (cas) Some(graft.write.FileConditionalStore.open(
+    val pointer = mode match {
+      case "fs" => None
+      case "file" => Some(graft.write.FileConditionalStore.open(
         java.nio.file.Files.createTempDirectory(s"graft_fuzzstore$seed").toString))
-      else None
+      case "jdbc" => Some(new graft.write.JdbcConditionalStore(
+        s"jdbc:derby:${java.nio.file.Files.createTempDirectory(s"graft_fuzzdb$seed")}/casdb;create=true",
+        s"fuzz_cell_$seed"))
+    }
     val t = new SnapshotTable(spark, freshRoot(s"fuzz$seed"),
       Seq("year", "month"), pointer)
 
@@ -303,8 +309,13 @@ class SnapshotFuzzSpec extends AnyFunSuite {
     assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
   }
 
-  test("CAS-mode table: the same fuzz through pointer arbitration (seed 4)") {
-    val drawn = runFuzz(seed = 4L, steps = 30, cas = true)
+  test("CAS-mode table: the same fuzz through a file-store pointer (seed 4)") {
+    val drawn = runFuzz(seed = 4L, steps = 30, mode = "file")
+    assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
+  }
+
+  test("CAS-mode table: the same fuzz through a JDBC pointer on Derby (seed 5)") {
+    val drawn = runFuzz(seed = 5L, steps = 26, mode = "jdbc")
     assert(allOps.subsetOf(drawn), s"op kinds never executed: ${allOps -- drawn}")
   }
 
