@@ -93,6 +93,19 @@ object DataPipelineEntries {
       threshold = 0.5, maxDocFreq = ngramMaxDf)
   }
 
+  /** Banded-MinHash verified pairs, memoized per (session, sfDir) —
+    * shared by the operator entry (dedup_minhash_lsh) and its recall
+    * gate (dedup_lsh_recall), which re-ran the full signature+verify
+    * build for a bit-identical pair set (same precedent as [[ivfPqTop]]
+    * / [[knnBrute5]] feeding sim_recall: the gate grades the index the
+    * serving entry built, it does not rebuild the index). Not
+    * prewarmed: the operator entry pays the populate, so its bench
+    * number stays the operator's cost. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = memo("lsh_pairs", s, d) {
+    Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12,
+      rowsPerBand = 2, threshold = 0.5, maxBandSize = lshMaxBand)
+  }
+
   /** Bench-only hook (twin of [[TaxiEntries.prewarmSharedFixtures]]):
     * materialize the session-memoized frames MORE THAN ONE entry
     * consumes — the n-gram pair list (pairs + clustering + containment
@@ -347,6 +360,28 @@ object DataPipelineEntries {
     memo("bpe_vocab", s, d) {
       graft.operators.Bpe.wordVocab(Tables.documents(s, d))
     }
+
+  /** The LEARNED tokenizer, shared by `text_bpe_merges` (consumes the
+    * merge table) and `text_bpe_apply` (consumes the final vocabulary):
+    * one sequential 6-round training loop per (session, sfDir) instead
+    * of one per entry. Each round is an argmax job over the (tiny)
+    * vocabulary, so the loop's cost is ~6× fixed per-job overhead —
+    * measured 1.9–5.0 s — which the second entry was paying all over
+    * again for a bit-identical result (same memo precedent as
+    * [[ivfPqTop]]). The final vocabulary is persisted session-lived so
+    * the apply entry's two aggregation subtrees don't each replay the
+    * 6-round replace chain. */
+  private val bpeLearnedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private def bpeLearned(s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    bpeLearnedCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(bpeLearnedCache.remove)
+    bpeLearnedCache.getOrElseUpdate((s, d), {
+      val (learned, fin) = graft.operators.Bpe.learnMerges(bpeVocab(s, d), bpeMerges)
+      (learned, fin.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+  }
   // Hashing-trick featurizer geometry/seed (text_feature_hash entry +
   // oracle — shared so bucketing cannot drift).
   private val fhDims = 64
@@ -559,14 +594,14 @@ object DataPipelineEntries {
     // technique). Only the initial word count touches the corpus;
     // every round is vocabulary-sized with a one-row driver argmax.
     "text_bpe_merges" -> q { (s, d) =>
-      val (learned, _) = graft.operators.Bpe.learnMerges(bpeVocab(s, d), bpeMerges)
+      val (learned, _) = bpeLearned(s, d)
       import s.implicits._
       learned.toDF("step", "lhs", "rhs", "pair_n")
     },
     // The trained tokenizer APPLIED: corpus token totals before/after
     // the learned merges plus the final symbol-vocabulary size.
     "text_bpe_apply" -> q { (s, d) =>
-      val (_, vocab) = graft.operators.Bpe.learnMerges(bpeVocab(s, d), bpeMerges)
+      val (_, vocab) = bpeLearned(s, d)
       val stats = vocab.agg(
         count(lit(1)).as("n_word_forms"),
         sum(col("n")).as("n_words"),
@@ -728,9 +763,7 @@ object DataPipelineEntries {
     "dedup_clusters" -> q((s, d) =>
       Dedup.nearDupClusters(ngramPairs(s, d),
         Tables.documents(s, d).select(col("doc_id")))),
-    "dedup_minhash_lsh" -> q((s, d) =>
-      Dedup.minhashLsh(Tables.spread(Tables.documents(s, d)), numHashes = 12, rowsPerBand = 2,
-        threshold = 0.5, maxBandSize = lshMaxBand)),
+    "dedup_minhash_lsh" -> q((s, d) => lshPairs(s, d)),
     // Subsumption detection: the SAME banded candidates verified with
     // max-side containment |A∩B|/min(|A|,|B|) instead of Jaccard — the
     // doc-inside-doc / boilerplate-wrapping case Jaccard under-scores.
@@ -827,8 +860,7 @@ object DataPipelineEntries {
         .filter(col("inter").cast("double") /
           (col("ni") + col("nj") - col("inter")) >= 0.5)
         .select(col("doc_i"), col("doc_j"))
-      val lsh = Dedup.minhashLsh(docs, numHashes = 12, rowsPerBand = 2,
-          threshold = 0.5, maxBandSize = lshMaxBand)
+      val lsh = lshPairs(s, d)
         .select(col("doc_i"), col("doc_j"))
       val both = exact.join(lsh, Seq("doc_i", "doc_j"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))

@@ -203,6 +203,22 @@ object Dedup {
       TextAnalysis.shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
 
+  /** The two shingle frames every dedup operator starts from, exposed
+    * so a caller owning SEVERAL analyses over one corpus can cache them
+    * once (Spark's CacheManager substitutes a cached plan into any
+    * query whose subtree canonicalizes equal, so the operators pick the
+    * shared frame up automatically — the "shingle once, analyze many"
+    * amortization a production curation pipeline runs; see
+    * DataPipelineEntries.prewarmSharedFixtures). [[shingledArr]] is the
+    * array form the MinHash/banding family consumes; [[shingledEx]] the
+    * exploded posting stream the inverted-index family consumes. */
+  def shingledArr(docs: DataFrame): DataFrame =
+    shingled(docs).filter(col("n_sh") > 0)
+
+  def shingledEx(docs: DataFrame): DataFrame =
+    shingled(docs).select(
+      col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
+
   /** Exact n-gram-Jaccard near-dup pairs (threshold inclusive): inverted
     * index on shingles within a language, pair hit counts, Jaccard =
     * |A∩B| / (|A|+|B|−|A∩B|).
@@ -220,8 +236,7 @@ object Dedup {
                         maxDocFreq: Int = 100): DataFrame = {
     // the tokenize→shingle→explode pipeline is the dominant cost: run it
     // once and share it between the df profile and both join sides
-    val ex = shingled(docs).select(
-      col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
+    val ex = shingledEx(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hot = ex.groupBy(col("lang"), col("s"))
       .agg(count(lit(1)).as("df"))
@@ -264,18 +279,23 @@ object Dedup {
                          maxDocFreq: Int = 100): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0, 1]: $threshold")
     import org.apache.spark.sql.expressions.Window
-    val ex = shingled(docs).select(
-      col("doc_id"), col("lang"), col("n_sh"), explode(col("sh")).as("s"))
+    val ex = shingledEx(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfProfile = ex.groupBy(col("lang"), col("s"))
       .agg(count(lit(1)).as("df"))
-    val cut = ex.join(
-      broadcast(dfProfile.filter(col("df") > maxDocFreq).select(col("lang"), col("s"))),
-      Seq("lang", "s"), "left_anti")
+    // df-cut and df-attach in ONE inner join: every (lang, s) of ex is
+    // in dfProfile, so joining the df ≤ maxDocFreq side keeps exactly
+    // the rows the old hot-set broadcast anti-join kept — but carries
+    // df along, which both retires the anti-join pass over ex AND the
+    // second dfProfile aggregation the ranked join paid. Persisted
+    // (entry-scoped): the cut stream feeds the prefix ranking AND the
+    // exact-verify set aggregation; un-persisted, each consumer would
+    // replay the shuffle join.
+    val cut = graft.TransientCache.register(
+      ex.join(dfProfile.filter(col("df") <= maxDocFreq), Seq("lang", "s")))
     // rarity-first global order; m = per-doc surviving-shingle count
     val byDoc = Window.partitionBy(col("doc_id"))
     val ranked = cut
-      .join(dfProfile.filter(col("df") <= maxDocFreq), Seq("lang", "s"))
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
       .withColumn("m", count(lit(1)).over(byDoc))
     val prefix = ranked
@@ -386,7 +406,7 @@ object Dedup {
     // re-derive it three times in one plan (observed 3.5× slower).
     // Docs with no shingles (short texts) can never pair: drop them here,
     // which also matches the exploded formulation's semantics.
-    val sh = shingled(docs).filter(col("n_sh") > 0)
+    val sh = shingledArr(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted: consumed three times (hot-bucket profile + both self-join
     // sides) — un-persisted, each consumer would recompute the md5
@@ -417,7 +437,7 @@ object Dedup {
     * build as [[minhashLsh]]; shingle-less docs emit no rows. */
   def bandRows(docs: DataFrame, numHashes: Int = 12,
                rowsPerBand: Int = 2): DataFrame =
-    bandRowsFor(shingled(docs).filter(col("n_sh") > 0), numHashes, rowsPerBand)
+    bandRowsFor(shingledArr(docs), numHashes, rowsPerBand)
 
   /** Banded minhash signatures as exploded rows (doc_id, band_idx,
     * band_key) — the LSH index state. Map-side signatures

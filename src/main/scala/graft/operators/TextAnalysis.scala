@@ -451,14 +451,25 @@ object TextAnalysis {
       e.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e.select(col("b").as("src"), col("a").as("dst"), col("w"))))
     val dg = e2.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val verts = e2.select(col("src").as("word")).distinct()
+    // w/wdeg is ITERATION-INVARIANT: fold the degree join into one
+    // persisted normalized edge list so every round is one join + one
+    // aggregation instead of re-joining dg (an aggregation over e2)
+    // per round. frac evaluates the identical IEEE division the
+    // (w/wdeg)*s chain evaluated inline — same first operand, so every
+    // round's products are bit-identical (oracle unchanged). The
+    // vertex domain and degree profile persist for the same reason:
+    // each round's left join (and the final top-k) re-derived both
+    // from e2 — ~3 plans × iters aggregations over the cached edges.
+    val eN = graft.TransientCache.register(e2.join(dg, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("frac")))
+    val verts = graft.TransientCache.register(
+      e2.select(col("src").as("word")).distinct())
     val oneMinusD = 1 - damping
     var s = verts.select(col("word"), lit(1.0).as("s"))
     for (_ <- 1 to iters) {
-      val contribs = e2
-        .join(dg, "src")
+      val contribs = eN
         .join(s.withColumnRenamed("word", "src"), "src")
-        .select(col("dst").as("word"), (col("w") / col("wdeg") * col("s")).as("c"))
+        .select(col("dst").as("word"), (col("frac") * col("s")).as("c"))
       s = verts
         .join(contribs.groupBy(col("word"))
           .agg(stableSum(col("c")).cast("double").as("inflow")), Seq("word"), "left")
